@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+import graft.model.PipelineParser
+import graft.stages.{PipeCtx, StageTranslator}
+
+/** Public API — the Spark-native equivalent of the reference's
+  * `Aggo.aggregate(collection, pipeline)` surface
+  * (/root/reference/src/aggo/index.ts:75-97, src/index.ts:297-419).
+  *
+  * A collection is a `DataFrame`; a pipeline is the same JSON array of
+  * `$`-stages the reference accepts. Translation folds the stages into one
+  * declarative Catalyst plan — predicate pushdown, column pruning, top-k,
+  * constant folding and whole-stage codegen replace the reference's three
+  * hand-rolled engines (SURVEY §3-§4).
+  */
+object Aggo {
+
+  /** Run a Mongo-style aggregation pipeline over a DataFrame.
+    *
+    * @param df           the input collection
+    * @param pipelineJson JSON array of pipeline stages
+    * @param collections  named foreign collections for `$lookup`/`$unionWith`
+    */
+  def aggregate(df: DataFrame, pipelineJson: String,
+                collections: Map[String, DataFrame] = Map.empty): DataFrame =
+    aggregateParsed(df, PipelineParser.parse(pipelineJson), collections)
+
+  def aggregateParsed(df: DataFrame, stages: Seq[(String, JValue)],
+                      collections: Map[String, DataFrame]): DataFrame = {
+    // `_seq` carries encounter order (SURVEY §7.4.3): DataFrames are
+    // unordered, but `$first/$last/$push` are order-sensitive in Mongo.
+    // monotonically_increasing_id is partition-prefixed — stable for a fixed
+    // file layout, never a shuffle or a driver-side zipWithIndex.
+    val needsSeq = needsEncounterOrder(stages)
+    val ingested =
+      if (needsSeq && !df.columns.contains(StageTranslator.SeqCol))
+        df.withColumn(StageTranslator.SeqCol, monotonically_increasing_id())
+      else df
+    val init = PipeCtx(collections = collections, hasSeq = needsSeq)
+    val (out, _) = stages.foldLeft((ingested, init)) { case ((d, ctx), (name, body)) =>
+      StageTranslator(d, name, body, ctx)
+    }
+    if (out.columns.contains(StageTranslator.SeqCol)) out.drop(StageTranslator.SeqCol) else out
+  }
+
+  /** `Aggo.count` (reference: src/aggo/count.ts:9-13). */
+  def count(df: DataFrame, pipelineJson: String,
+            collections: Map[String, DataFrame] = Map.empty): Long =
+    aggregate(df, pipelineJson, collections).count()
+
+  /** `Aggo.explain` analogue (reference: api-enhancements.ts:13-50): returns
+    * the Catalyst formatted physical plan for the translated pipeline. */
+  def explain(df: DataFrame, pipelineJson: String,
+              collections: Map[String, DataFrame] = Map.empty): String = {
+    val out = aggregate(df, pipelineJson, collections)
+    out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  /** Only stamp the `_seq` ingest column when the pipeline actually contains
+    * an order-sensitive operator — otherwise it would defeat column pruning
+    * on the scan. */
+  private def needsEncounterOrder(stages: Seq[(String, JValue)]): Boolean = {
+    def hasOrderSensitiveAcc(body: JValue): Boolean = body match {
+      case JObject(fields) => fields.exists {
+        case ("_id", _) => false
+        case (_, JObject(List((op, _)))) => Set("$first", "$last", "$push")(op)
+        case _ => false
+      }
+      case _ => false
+    }
+    stages.exists {
+      case ("$group", body) => hasOrderSensitiveAcc(body)
+      case ("$bucket", JObject(fs)) =>
+        fs.exists { case ("output", o) => hasOrderSensitiveAcc(o); case _ => false }
+      case _ => false
+    }
+  }
+}

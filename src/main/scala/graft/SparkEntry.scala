@@ -1,13 +1,442 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` runs a Mongo-style pipeline through the Graft
+  * engine (`Aggo.aggregate`) over the driver's TPC-H-ish parquet tables; the
+  * paired `oracleSql` is the ANSI-SQL equivalent the driver executes in
+  * DuckDB for the hash-match correctness gate. Column names and types are
+  * aligned on both sides (casts in the SQL where DuckDB's result types
+  * differ from Spark's). Double-valued aggregates are rounded identically on
+  * both sides to absorb summation-order FP noise.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def run(table: String, pipeline: String, extra: Seq[String] = Nil)(
+      spark: SparkSession, dir: String): DataFrame = {
+    val colls = (extra :+ table).map(n => n -> tbl(spark, dir, n)).toMap
+    Aggo.aggregate(tbl(spark, dir, table), pipeline, colls)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The README flagship shape (reference README.md:13-19): match → group
+    * with $sum of $multiply → sort → limit. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    run("lineitem",
+      """[
+        {"$match": {"l_quantity": {"$gte": 10}}},
+        {"$group": {"_id": "$l_returnflag",
+                    "revenue": {"$sum": {"$multiply": ["$l_extendedprice", {"$subtract": [1, "$l_discount"]}]}},
+                    "n": {"$sum": 1}}},
+        {"$sort": {"revenue": -1}},
+        {"$limit": 5}
+      ]""")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- $match operators (SURVEY §2.3) ----
+    "q_match_basic" -> run("lineitem",
+      """[
+        {"$match": {"l_returnflag": "R", "l_quantity": {"$gte": 30}, "l_discount": {"$lt": 0.05}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_quantity": 1, "l_discount": 1}}
+      ]"""),
+    "q_match_in" -> run("lineitem",
+      """[
+        {"$match": {"l_returnflag": {"$in": ["A", "N"]}, "l_linestatus": {"$ne": "F"}, "l_quantity": {"$gt": 45}}},
+        {"$project": {"l_orderkey": 1, "l_returnflag": 1, "l_linestatus": 1, "l_quantity": 1}}
+      ]"""),
+    "q_match_regex" -> run("part",
+      """[
+        {"$match": {"p_name": {"$regex": "ol", "$options": "i"}}},
+        {"$project": {"p_partkey": 1, "p_name": 1}}
+      ]"""),
+    "q_match_or" -> run("orders",
+      """[
+        {"$match": {"$or": [{"o_orderstatus": "F", "o_totalprice": {"$gt": 300000}},
+                            {"o_orderpriority": "1-URGENT"}]}},
+        {"$project": {"o_orderkey": 1, "o_orderstatus": 1, "o_totalprice": 1, "o_orderpriority": 1}}
+      ]"""),
+    "q_match_expr" -> run("lineitem",
+      """[
+        {"$match": {"$expr": {"$gt": ["$l_discount", "$l_tax"]}}},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_discount": 1, "l_tax": 1}}
+      ]"""),
+    "q_match_nor" -> run("orders",
+      """[
+        {"$match": {"$nor": [{"o_orderstatus": "F"}, {"o_totalprice": {"$lt": 100000}}]}},
+        {"$project": {"o_orderkey": 1, "o_orderstatus": 1, "o_totalprice": 1}}
+      ]"""),
+
+    // ---- $project / expression operators (SURVEY §2.5) ----
+    "q_project_arith" -> run("lineitem",
+      """[
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "revenue": {"$round": [{"$multiply": ["$l_extendedprice", {"$subtract": [1, "$l_discount"]}]}, 2]},
+          "charge": {"$round": [{"$multiply": ["$l_extendedprice", {"$subtract": [1, "$l_discount"]}, {"$add": [1, "$l_tax"]}]}, 2]},
+          "unit": {"$round": [{"$divide": ["$l_extendedprice", "$l_quantity"]}, 2]},
+          "qmod": {"$mod": [{"$floor": "$l_quantity"}, 7]},
+          "qabs": {"$abs": {"$subtract": ["$l_quantity", 25]}},
+          "qsqrt": {"$round": [{"$sqrt": "$l_quantity"}, 4]},
+          "qpow": {"$pow": ["$l_discount", 2]}}}
+      ]"""),
+    "q_project_string" -> run("customer",
+      """[
+        {"$project": {"c_custkey": 1,
+          "name_upper": {"$toUpper": "$c_name"},
+          "name_len": {"$strLen": "$c_name"},
+          "name_sub": {"$substr": ["$c_name", 0, 8]},
+          "tagged": {"$concat": ["cust:", "$c_name", ":", {"$toString": "$c_custkey"}]},
+          "seg_lower": {"$toLower": "$c_mktsegment"},
+          "trimmed": {"$trim": {"input": {"$concat": ["  ", "$c_mktsegment", "  "]}}}}}
+      ]"""),
+    "q_project_date" -> run("orders",
+      """[
+        {"$project": {"o_orderkey": 1,
+          "y": {"$year": "$o_orderdate"}, "m": {"$month": "$o_orderdate"},
+          "d": {"$dayOfMonth": "$o_orderdate"}, "dow": {"$dayOfWeek": "$o_orderdate"},
+          "doy": {"$dayOfYear": "$o_orderdate"}, "wk": {"$week": "$o_orderdate"},
+          "ds": {"$dateToString": {"format": "%Y-%m-%d", "date": "$o_orderdate"}}}}
+      ]"""),
+    "q_project_cond" -> run("lineitem",
+      """[
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "disc_class": {"$cond": [{"$gte": ["$l_discount", 0.05]}, "high", "low"]},
+          "flag_desc": {"$switch": {"branches": [
+              {"case": {"$eq": ["$l_returnflag", "A"]}, "then": "accepted"},
+              {"case": {"$eq": ["$l_returnflag", "R"]}, "then": "returned"}],
+            "default": "none"}},
+          "qty_or_zero": {"$ifNull": ["$l_quantity", 0]},
+          "cmp_disc_tax": {"$cmp": ["$l_discount", "$l_tax"]}}}
+      ]"""),
+    "q_addfields" -> run("supplier",
+      """[
+        {"$addFields": {"acct_rounded": {"$round": ["$s_acctbal", 0]},
+                        "is_positive": {"$gt": ["$s_acctbal", 0]},
+                        "acct_bucket": {"$floor": {"$divide": ["$s_acctbal", 1000]}}}},
+        {"$project": {"s_suppkey": 1, "acct_rounded": 1, "is_positive": 1, "acct_bucket": 1}}
+      ]"""),
+
+    // ---- $group accumulators (SURVEY §2.4) ----
+    "q_group_basic" -> run("lineitem",
+      """[
+        {"$match": {"l_shipdate": {"$lte": "1998-09-01"}}},
+        {"$group": {"_id": {"rf": "$l_returnflag", "ls": "$l_linestatus"},
+          "sum_qty": {"$sum": "$l_quantity"},
+          "sum_base": {"$sum": "$l_extendedprice"},
+          "avg_qty": {"$avg": "$l_quantity"},
+          "avg_price": {"$avg": "$l_extendedprice"},
+          "min_q": {"$min": "$l_quantity"},
+          "max_q": {"$max": "$l_quantity"},
+          "n": {"$sum": 1}}},
+        {"$project": {"rf": "$_id.rf", "ls": "$_id.ls",
+          "sum_qty": {"$round": ["$sum_qty", 2]}, "sum_base": {"$round": ["$sum_base", 2]},
+          "avg_qty": {"$round": ["$avg_qty", 4]}, "avg_price": {"$round": ["$avg_price", 4]},
+          "min_q": 1, "max_q": 1, "n": 1, "_id": 0}}
+      ]"""),
+    "q_group_date" -> run("orders",
+      """[
+        {"$group": {"_id": {"y": {"$year": "$o_orderdate"}, "m": {"$month": "$o_orderdate"}},
+          "n": {"$sum": 1}, "total": {"$sum": "$o_totalprice"}}},
+        {"$project": {"y": "$_id.y", "m": "$_id.m", "n": 1,
+          "total": {"$round": ["$total", 2]}, "_id": 0}}
+      ]"""),
+    "q_group_stats" -> run("lineitem",
+      """[
+        {"$group": {"_id": "$l_returnflag",
+          "sd_pop": {"$stdDevPop": "$l_extendedprice"},
+          "sd_samp": {"$stdDevSamp": "$l_extendedprice"},
+          "v_pop": {"$variancePop": "$l_extendedprice"},
+          "v_samp": {"$varianceSamp": "$l_extendedprice"}}},
+        {"$project": {"rf": "$_id",
+          "sd_pop": {"$round": ["$sd_pop", 2]}, "sd_samp": {"$round": ["$sd_samp", 2]},
+          "v_pop": {"$round": ["$v_pop", 0]}, "v_samp": {"$round": ["$v_samp", 0]}, "_id": 0}}
+      ]"""),
+    "q_group_addtoset" -> run("orders",
+      """[
+        {"$group": {"_id": "$o_orderpriority",
+          "statuses": {"$addToSet": "$o_orderstatus"},
+          "n": {"$sum": 1}}},
+        {"$project": {"prio": "$_id", "statuses": 1, "n": 1, "_id": 0}}
+      ]"""),
+    "q_group_push" -> run("orders",
+      """[
+        {"$match": {"o_totalprice": {"$gt": 450000}}},
+        {"$sort": {"o_orderkey": 1}},
+        {"$group": {"_id": "$o_orderstatus", "keys": {"$push": "$o_orderkey"}, "n": {"$sum": 1}}},
+        {"$project": {"status": "$_id", "keys": 1, "n": 1, "_id": 0}}
+      ]"""),
+    "q_group_firstlast" -> run("orders",
+      """[
+        {"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
+        {"$group": {"_id": "$o_orderstatus",
+          "first_key": {"$first": "$o_orderkey"}, "last_key": {"$last": "$o_orderkey"},
+          "first_date": {"$first": {"$dateToString": {"format": "%Y-%m-%d", "date": "$o_orderdate"}}}}},
+        {"$project": {"status": "$_id", "first_key": 1, "last_key": 1, "first_date": 1, "_id": 0}}
+      ]"""),
+    "q_count" -> run("orders",
+      """[
+        {"$match": {"o_orderstatus": "F"}},
+        {"$count": "n"}
+      ]"""),
+    "q_sortbycount" -> run("orders",
+      """[
+        {"$sortByCount": "$o_orderpriority"},
+        {"$project": {"prio": "$_id", "count": 1, "_id": 0}}
+      ]"""),
+
+    // ---- $sort / $limit / $skip (SURVEY §2.2) ----
+    "q_sort_limit" -> run("lineitem",
+      """[
+        {"$sort": {"l_extendedprice": -1, "l_orderkey": 1, "l_linenumber": 1}},
+        {"$limit": 10},
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1, "l_extendedprice": 1}}
+      ]"""),
+    "q_skip_limit" -> run("orders",
+      """[
+        {"$sort": {"o_orderkey": 1}},
+        {"$skip": 100},
+        {"$limit": 20},
+        {"$project": {"o_orderkey": 1, "o_totalprice": 1}}
+      ]"""),
+
+    // ---- $unwind (SURVEY §2.2) ----
+    "q_unwind" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1, "words": {"$split": ["$p_type", " "]}}},
+        {"$unwind": "$words"},
+        {"$group": {"_id": "$words", "n": {"$sum": 1}}},
+        {"$project": {"word": "$_id", "n": 1, "_id": 0}}
+      ]"""),
+    "q_unwind_idx" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1, "words": {"$split": ["$p_type", " "]}}},
+        {"$unwind": {"path": "$words", "includeArrayIndex": "idx"}},
+        {"$project": {"p_partkey": 1, "idx": 1, "words": 1}}
+      ]"""),
+
+    // ---- $lookup (SURVEY §2.2) ----
+    "q_lookup_unwind" -> run("orders",
+      """[
+        {"$lookup": {"from": "customer", "localField": "o_custkey", "foreignField": "c_custkey", "as": "cust"}},
+        {"$unwind": {"path": "$cust", "preserveNullAndEmptyArrays": true}},
+        {"$project": {"o_orderkey": 1, "o_custkey": 1, "cname": "$cust.c_name", "cbal": "$cust.c_acctbal"}}
+      ]""", extra = Seq("customer")),
+    "q_lookup_agg" -> run("customer",
+      """[
+        {"$lookup": {"from": "orders", "localField": "c_custkey", "foreignField": "o_custkey", "as": "ords"}},
+        {"$project": {"c_custkey": 1,
+          "n_orders": {"$size": "$ords"},
+          "total": {"$round": [{"$sum": {"$map": {"input": "$ords", "as": "o", "in": "$$o.o_totalprice"}}}, 2]}}}
+      ]""", extra = Seq("orders")),
+    "q_lookup_pipeline" -> run("customer",
+      """[
+        {"$lookup": {"from": "orders", "let": {"ck": "$c_custkey"},
+          "pipeline": [
+            {"$match": {"$expr": {"$and": [{"$eq": ["$$ck", "$o_custkey"]},
+                                            {"$gt": ["$o_totalprice", 200000]}]}}},
+            {"$sort": {"o_totalprice": -1}},
+            {"$limit": 3}],
+          "as": "top"}},
+        {"$unwind": "$top"},
+        {"$project": {"c_custkey": 1, "okey": "$top.o_orderkey", "oprice": "$top.o_totalprice"}}
+      ]""", extra = Seq("orders")),
+
+    // ---- array / set expression operators (SURVEY §2.5) ----
+    "q_array_ops" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "nwords": {"$size": {"$split": ["$p_type", " "]}},
+          "long_words": {"$filter": {"input": {"$split": ["$p_type", " "]}, "as": "w",
+                                     "cond": {"$gte": [{"$strLen": "$$w"}, 6]}}},
+          "upper_words": {"$map": {"input": {"$split": ["$p_type", " "]}, "as": "w",
+                                   "in": {"$toUpper": "$$w"}}},
+          "first2": {"$slice": [{"$split": ["$p_type", " "]}, 2]},
+          "last_word": {"$arrayElemAt": [{"$split": ["$p_type", " "]}, -1]},
+          "rev": {"$reverseArray": {"$split": ["$p_type", " "]}},
+          "has_brass": {"$in": ["BRASS", {"$split": ["$p_type", " "]}]},
+          "idx_steel": {"$indexOfArray": [{"$split": ["$p_type", " "]}, "STEEL"]}}}
+      ]"""),
+    "q_set_ops" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "inter": {"$setIntersection": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+          "uni": {"$setUnion": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+          "diff": {"$setDifference": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+          "subset": {"$setIsSubset": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]}}}
+      ]"""),
+    "q_reduce" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "joined": {"$reduce": {"input": {"$split": ["$p_type", " "]},
+                                 "initialValue": "",
+                                 "in": {"$concat": ["$$value", "|", "$$this"]}}}}}
+      ]"""),
+
+    // ---- $text search (SURVEY §2.3) ----
+    "q_text_search" -> run("documents",
+      """[
+        {"$match": {"$text": {"$search": "spark query window"}}},
+        {"$group": {"_id": "$lang", "n": {"$sum": 1}}},
+        {"$project": {"lang": "$_id", "n": 1, "_id": 0}}
+      ]"""),
+
+    // ---- extensions: JSON props (dynamic-document handling) ----
+    "q_events_json" -> ((spark: SparkSession, dir: String) => {
+      tbl(spark, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("total_k"), count(lit(1)).as("n"),
+          round(avg(col("value")), 4).as("avg_value"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_match_basic" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30 AND l_discount < 0.05",
+    "q_match_in" ->
+      "SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity FROM lineitem WHERE l_returnflag IN ('A','N') AND l_linestatus <> 'F' AND l_quantity > 45",
+    "q_match_regex" ->
+      "SELECT p_partkey, p_name FROM part WHERE regexp_matches(p_name, '(?i)ol')",
+    "q_match_or" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders WHERE (o_orderstatus = 'F' AND o_totalprice > 300000) OR o_orderpriority = '1-URGENT'",
+    "q_match_expr" ->
+      "SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem WHERE l_discount > l_tax",
+    "q_match_nor" ->
+      "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE NOT (o_orderstatus = 'F' OR o_totalprice < 100000)",
+    "q_project_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) / 100 AS revenue,
+        floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+        floor(l_extendedprice / l_quantity * 100 + 0.5) / 100 AS unit,
+        CAST(floor(l_quantity) AS BIGINT) % 7 AS qmod,
+        abs(l_quantity - 25) AS qabs,
+        floor(sqrt(l_quantity) * 10000 + 0.5) / 10000 AS qsqrt,
+        pow(l_discount, 2) AS qpow
+      FROM lineitem""",
+    "q_project_string" ->
+      """SELECT c_custkey,
+        upper(c_name) AS name_upper,
+        CAST(length(c_name) AS INTEGER) AS name_len,
+        substr(c_name, 1, 8) AS name_sub,
+        concat('cust:', c_name, ':', CAST(c_custkey AS VARCHAR)) AS tagged,
+        lower(c_mktsegment) AS seg_lower,
+        trim(concat('  ', c_mktsegment, '  ')) AS trimmed
+      FROM customer""",
+    "q_project_date" ->
+      """SELECT o_orderkey,
+        CAST(year(o_orderdate) AS INTEGER) AS y,
+        CAST(month(o_orderdate) AS INTEGER) AS m,
+        CAST(dayofmonth(o_orderdate) AS INTEGER) AS d,
+        CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        CAST(floor((dayofyear(o_orderdate) - (((8 - (dayofweek(date_trunc('year', o_orderdate)) + 1)) % 7) + 1) + 7) / 7) AS INTEGER) AS wk,
+        strftime(o_orderdate, '%Y-%m-%d') AS ds
+      FROM orders""",
+    "q_project_cond" ->
+      """SELECT l_orderkey, l_linenumber,
+        CASE WHEN l_discount >= 0.05 THEN 'high' ELSE 'low' END AS disc_class,
+        CASE l_returnflag WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned' ELSE 'none' END AS flag_desc,
+        coalesce(l_quantity, 0) AS qty_or_zero,
+        CAST(CASE WHEN l_discount < l_tax THEN -1 WHEN l_discount > l_tax THEN 1 ELSE 0 END AS INTEGER) AS cmp_disc_tax
+      FROM lineitem""",
+    "q_addfields" ->
+      """SELECT s_suppkey, CAST(floor(s_acctbal + 0.5) AS BIGINT) AS acct_rounded, s_acctbal > 0 AS is_positive,
+        CAST(floor(s_acctbal / 1000) AS BIGINT) AS acct_bucket
+      FROM supplier""",
+    "q_group_basic" ->
+      """SELECT l_returnflag AS rf, l_linestatus AS ls,
+        floor(sum(l_quantity) * 100 + 0.5) / 100 AS sum_qty, floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS sum_base,
+        floor(avg(l_quantity) * 10000 + 0.5) / 10000 AS avg_qty, floor(avg(l_extendedprice) * 10000 + 0.5) / 10000 AS avg_price,
+        min(l_quantity) AS min_q, max(l_quantity) AS max_q, count(*) AS n
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00' GROUP BY 1, 2""",
+    "q_group_date" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+        count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS total
+      FROM orders GROUP BY 1, 2""",
+    "q_group_stats" ->
+      """SELECT l_returnflag AS rf,
+        floor(stddev_pop(l_extendedprice) * 100 + 0.5) / 100 AS sd_pop,
+        floor(stddev_samp(l_extendedprice) * 100 + 0.5) / 100 AS sd_samp,
+        CAST(floor(var_pop(l_extendedprice) + 0.5) AS BIGINT) AS v_pop,
+        CAST(floor(var_samp(l_extendedprice) + 0.5) AS BIGINT) AS v_samp
+      FROM lineitem GROUP BY 1""",
+    "q_group_addtoset" ->
+      """SELECT o_orderpriority AS prio, list_sort(list(DISTINCT o_orderstatus)) AS statuses, count(*) AS n
+      FROM orders GROUP BY 1""",
+    "q_group_push" ->
+      """SELECT o_orderstatus AS status, list_sort(list(o_orderkey)) AS keys, count(*) AS n
+      FROM orders WHERE o_totalprice > 450000 GROUP BY 1""",
+    "q_group_firstlast" ->
+      """SELECT o_orderstatus AS status,
+        min(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_key,
+        min(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_key,
+        strftime(min(o_orderdate), '%Y-%m-%d') AS first_date
+      FROM (SELECT o_orderstatus, o_orderkey, o_orderdate,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_a,
+              row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_d
+            FROM orders)
+      GROUP BY 1""",
+    "q_count" ->
+      "SELECT count(*) AS n FROM orders WHERE o_orderstatus = 'F'",
+    "q_sortbycount" ->
+      "SELECT o_orderpriority AS prio, count(*) AS count FROM orders GROUP BY 1",
+    "q_sort_limit" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10",
+    "q_skip_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100",
+    "q_unwind" ->
+      "SELECT w AS word, count(*) AS n FROM (SELECT unnest(string_split(p_type, ' ')) AS w FROM part) GROUP BY 1",
+    "q_unwind_idx" ->
+      """SELECT p_partkey, CAST(unnest(generate_series(1, len(w))) - 1 AS BIGINT) AS idx, unnest(w) AS words
+      FROM (SELECT p_partkey, string_split(p_type, ' ') AS w FROM part)""",
+    "q_lookup_unwind" ->
+      "SELECT o_orderkey, o_custkey, c_name AS cname, c_acctbal AS cbal FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+    "q_lookup_agg" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS INTEGER) AS n_orders,
+        floor(coalesce(sum(o_totalprice), 0) * 100 + 0.5) / 100 AS total
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY c_custkey""",
+    "q_lookup_pipeline" ->
+      """SELECT c_custkey, o_orderkey AS okey, o_totalprice AS oprice
+      FROM (SELECT c_custkey, o_orderkey, o_totalprice,
+              row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM customer JOIN orders ON c_custkey = o_custkey WHERE o_totalprice > 200000)
+      WHERE rn <= 3""",
+    "q_array_ops" ->
+      """SELECT p_partkey,
+        CAST(len(string_split(p_type, ' ')) AS INTEGER) AS nwords,
+        list_filter(string_split(p_type, ' '), x -> length(x) >= 6) AS long_words,
+        list_transform(string_split(p_type, ' '), x -> upper(x)) AS upper_words,
+        list_slice(string_split(p_type, ' '), 1, 2) AS first2,
+        string_split(p_type, ' ')[-1] AS last_word,
+        list_reverse(string_split(p_type, ' ')) AS rev,
+        list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
+        CAST(coalesce(list_position(string_split(p_type, ' '), 'STEEL'), 0) - 1 AS INTEGER) AS idx_steel
+      FROM part""",
+    "q_set_ops" ->
+      """SELECT p_partkey,
+        list_sort(list_distinct(list_intersect(string_split(p_type, ' '), string_split(p_name, ' ')))) AS inter,
+        list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_name, ' ')))) AS uni,
+        list_sort(list_distinct(list_filter(string_split(p_type, ' '), x -> NOT list_contains(string_split(p_name, ' '), x)))) AS diff,
+        len(list_filter(list_distinct(string_split(p_type, ' ')), x -> NOT list_contains(string_split(p_name, ' '), x))) = 0 AS subset
+      FROM part""",
+    "q_reduce" ->
+      "SELECT p_partkey, concat('|', array_to_string(string_split(p_type, ' '), '|')) AS joined FROM part",
+    "q_text_search" ->
+      """SELECT lang, count(*) AS n FROM documents
+      WHERE list_has_all(regexp_split_to_array(lower(text), '\W+'), ['spark', 'query', 'window'])
+      GROUP BY 1""",
+    "q_events_json" ->
+      """SELECT event_type,
+        CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
+        count(*) AS n, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+      FROM events GROUP BY 1"""
+  )
 }

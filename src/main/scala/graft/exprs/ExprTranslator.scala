@@ -1,0 +1,547 @@
+package graft.exprs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+import graft.model.GraftException
+
+/** Translation context for Mongo-style expressions.
+  *
+  * @param df    the DataFrame the expression will be evaluated against; used
+  *              for type-directed translation (`typeOf`). `None` inside
+  *              higher-order-function lambdas where Catalyst lambda variables
+  *              cannot be resolved eagerly.
+  * @param vars  in-scope `$$variable` bindings (lambda vars for
+  *              `$filter`/`$map`/`$reduce`, `let` bindings for `$lookup`).
+  * @param rootCols column names that make up `$$ROOT` (engine-internal
+  *              columns such as `_seq` are excluded).
+  */
+final case class ExprCtx(
+    df: Option[DataFrame],
+    vars: Map[String, Column] = Map.empty,
+    rootCols: Seq[String] = Nil
+) {
+  def withVar(name: String, c: Column): ExprCtx = copy(vars = vars + (name -> c))
+  /** Lambda scope: schema-based type resolution is off inside HOF lambdas. */
+  def lambda(name: String, c: Column): ExprCtx = copy(df = None, vars = vars + (name -> c))
+
+  /** Resolve the static data type of a column against the bound DataFrame.
+    * Pure analysis (no job); enables type-directed translation for the
+    * Mongo semantics that depend on runtime type in the reference
+    * (truthiness, `$type`, date arithmetic, `$size` on strings, ...). */
+  def typeOf(c: Column): Option[DataType] =
+    df.flatMap(d => scala.util.Try(d.select(c).schema.head.dataType).toOption)
+
+  def hasField(path: String): Boolean =
+    df.exists { d =>
+      val top = path.split('.').head
+      d.schema.fieldNames.contains(top) &&
+        scala.util.Try(d.select(org.apache.spark.sql.functions.col(path)).schema).isSuccess
+    }
+}
+
+/** Mongo aggregation-expression JSON → Catalyst `Column`.
+  *
+  * Mirrors the reference evaluator (/root/reference/src/aggo/expressions.ts:
+  * 101-477 and operators.ts:59-824) but emits declarative Catalyst trees so
+  * Spark's optimizer + whole-stage codegen execute them; there is no
+  * interpreter at runtime. The operator set is closed: unknown operators
+  * throw, as in the reference (expressions.ts:147-149).
+  */
+object ExprTranslator {
+
+  def translate(j: JValue)(implicit ctx: ExprCtx): Column = j match {
+    case JString(s) if s.startsWith("$$") => variable(s.substring(2))
+    case JString(s) if s.startsWith("$")  => fieldPath(s.substring(1))
+    case JString(s)                       => lit(s)
+    case JInt(i)                          => if (i.isValidInt) lit(i.toInt) else lit(i.toLong)
+    case JLong(l)                         => lit(l)
+    case JDouble(d)                       => lit(d)
+    case JDecimal(d)                      => lit(d.toDouble)
+    case JBool(b)                         => lit(b)
+    case JNull | JNothing                 => lit(null)
+    case JArray(items)                    => array(items.map(translate): _*)
+    case JObject(List((op, arg))) if op.startsWith("$") => operator(op, arg)
+    case JObject(fields) =>
+      fields.collectFirst { case (k, _) if k.startsWith("$") => k }.foreach { k =>
+        throw GraftException(s"operator $k cannot be mixed with plain fields in an expression object")
+      }
+      // literal/expression object → struct (expressions.ts:252-403)
+      struct(fields.map { case (k, v) => translate(v).as(k) }: _*)
+    case other => throw GraftException(s"unsupported expression literal: $other")
+  }
+
+  /** `$field.path` reference. Dotted paths resolve through nested structs. */
+  def fieldPath(path: String)(implicit ctx: ExprCtx): Column = {
+    val parts = path.split('.')
+    // If the head is a bound variable's alias (e.g. inside $map over structs)
+    // field paths still refer to the document, not the lambda var, in Mongo.
+    if (ctx.df.isDefined && !ctx.hasField(path)) {
+      // Missing field → null (missing-vs-null normalized at ingest; SURVEY §7.4).
+      if (!ctx.df.get.schema.fieldNames.contains(parts.head)) lit(null)
+      else col(path)
+    } else col(path)
+  }
+
+  /** `$$variable` (expressions.ts:405-467). */
+  def variable(v: String)(implicit ctx: ExprCtx): Column = {
+    val parts = v.split('.')
+    val base = parts.head match {
+      case "ROOT" | "CURRENT" =>
+        if (ctx.rootCols.nonEmpty) struct(ctx.rootCols.map(col): _*)
+        else ctx.vars.getOrElse("ROOT", struct(col("*")))
+      case "NOW"    => current_timestamp()
+      case "REMOVE" =>
+        // Per-row field removal has no static-schema equivalent; we map
+        // $$REMOVE to null (documented divergence, SURVEY §7.3).
+        lit(null)
+      case name =>
+        ctx.vars.getOrElse(name, throw GraftException(s"unknown variable $$$$$name"))
+    }
+    parts.tail.foldLeft(base)((c, f) => c.getField(f))
+  }
+
+  /** Mongo truthiness: null/undefined/false/0 are falsy; everything else
+    * (including "" and empty arrays) is truthy (operators.ts:59-69).
+    * Type-directed so the common boolean/numeric cases stay codegen-simple. */
+  def truthy(c: Column)(implicit ctx: ExprCtx): Column = ctx.typeOf(c) match {
+    case Some(BooleanType)    => coalesce(c, lit(false))
+    case Some(_: NumericType) => coalesce(c =!= lit(0), lit(false))
+    case Some(_)              => c.isNotNull
+    case None                 => coalesce(c.cast(BooleanType), c.isNotNull)
+  }
+
+  private def argList(v: JValue): List[JValue] = v match {
+    case JArray(items) => items
+    case single        => List(single)
+  }
+
+  private def obj(v: JValue, op: String): List[(String, JValue)] = v match {
+    case JObject(fields) => fields
+    case _               => throw GraftException(s"$op requires an object argument")
+  }
+
+  private def field(fields: List[(String, JValue)], name: String, op: String): JValue =
+    fields.collectFirst { case (`name`, v) => v }
+      .getOrElse(throw GraftException(s"$op requires '$name'"))
+
+  private def fieldOpt(fields: List[(String, JValue)], name: String): Option[JValue] =
+    fields.collectFirst { case (`name`, v) => v }
+
+  /** Pure literal conversion — `$literal` bodies and $match literals: `$`
+    * strings are NOT interpreted as field paths here. */
+  def litOf(j: JValue): Column = j match {
+    case JString(s)    => lit(s)
+    case JInt(i)       => if (i.isValidInt) lit(i.toInt) else lit(i.toLong)
+    case JLong(l)      => lit(l)
+    case JDouble(d)    => lit(d)
+    case JDecimal(d)   => lit(d.toDouble)
+    case JBool(b)      => lit(b)
+    case JNull | JNothing => lit(null)
+    case JArray(items) => array(items.map(litOf): _*)
+    case JObject(fs)   => struct(fs.map { case (k, v) => litOf(v).as(k) }: _*)
+    case other         => throw GraftException(s"unsupported literal $other")
+  }
+
+  // Null-lowest three-way comparison pieces (operators.ts:128-205):
+  // in Mongo, null sorts below every value.
+  private def gtNullLow(a: Column, b: Column): Column =
+    (a.isNotNull && b.isNull) || (a > b)
+  private def ltNullLow(a: Column, b: Column): Column =
+    (a.isNull && b.isNotNull) || (a < b)
+
+  def operator(op: String, arg: JValue)(implicit ctx: ExprCtx): Column = {
+    def a1: Column = translate(argList(arg).head)
+    lazy val as: List[Column] = argList(arg).map(translate)
+    def a(i: Int): Column = as(i)
+    def binary: (Column, Column) = argList(arg) match {
+      case List(x, y) => (translate(x), translate(y))
+      case other      => throw GraftException(s"$op expects 2 arguments, got ${other.size}")
+    }
+
+    op match {
+      // ---- boolean (operators.ts:59-69) ----
+      case "$and" => as.map(truthy).reduceLeft(_ && _)
+      case "$or"  => as.map(truthy).reduceLeft(_ || _)
+      case "$not" => !truthy(a1)
+
+      // ---- comparison (operators.ts:128-205) ----
+      case "$eq"  => { val (x, y) = binary; x <=> y }
+      case "$ne"  => { val (x, y) = binary; !(x <=> y) }
+      case "$gt"  => { val (x, y) = binary; coalesce(gtNullLow(x, y), lit(false)) }
+      case "$gte" => { val (x, y) = binary; coalesce(gtNullLow(x, y) || (x <=> y), lit(false)) }
+      case "$lt"  => { val (x, y) = binary; coalesce(ltNullLow(x, y), lit(false)) }
+      case "$lte" => { val (x, y) = binary; coalesce(ltNullLow(x, y) || (x <=> y), lit(false)) }
+      case "$cmp" =>
+        val (x, y) = binary
+        when(x.isNull && y.isNull, 0)
+          .when(x.isNull, -1).when(y.isNull, 1)
+          .when(x < y, -1).when(x > y, 1).otherwise(0)
+
+      // ---- set operators on arrays (operators.ts:72-125); results sorted
+      //      to mirror the reference's $asSet (operators.ts:72-75) ----
+      case "$setEquals" =>
+        as.sliding(2).map { case List(x, y) =>
+          array_sort(array_distinct(x)) <=> array_sort(array_distinct(y))
+        }.reduceLeft(_ && _)
+      case "$setIntersection" => array_sort(array_distinct(as.reduceLeft(array_intersect)))
+      case "$setUnion"        => array_sort(array_distinct(as.reduceLeft(array_union)))
+      case "$setDifference"   => { val (x, y) = binary; array_sort(array_distinct(array_except(x, y))) }
+      case "$setIsSubset"     => { val (x, y) = binary; size(array_except(array_distinct(x), y)) === 0 }
+      case "$anyElementTrue"  => exists(a1, x => truthy(x)(ctx.copy(df = None)))
+      case "$allElementsTrue" => forall(a1, x => truthy(x)(ctx.copy(df = None)))
+
+      // ---- arithmetic (operators.ts:208-289) ----
+      case "$add" =>
+        // Date + numbers → Date (millis); type-directed (operators.ts:208-227)
+        val types = as.map(c => ctx.typeOf(c))
+        val tsIdx = types.indexWhere(_.contains(TimestampType))
+        if (tsIdx >= 0) {
+          val others = as.zipWithIndex.collect { case (c, i) if i != tsIdx => c.cast(LongType) }
+          val millis = others.reduceOption(_ + _).getOrElse(lit(0L))
+          timestamp_millis(unix_millis(as(tsIdx)) + millis)
+        } else as.reduceLeft(_ + _)
+      case "$subtract" =>
+        val (x, y) = binary
+        (ctx.typeOf(x), ctx.typeOf(y)) match {
+          case (Some(TimestampType), Some(TimestampType)) => unix_millis(x) - unix_millis(y)
+          case (Some(TimestampType), _)                   => timestamp_millis(unix_millis(x) - y.cast(LongType))
+          case _                                          => x - y
+        }
+      case "$multiply" => as.reduceLeft(_ * _)
+      case "$divide"   => { val (x, y) = binary; x / y }
+      case "$mod"      => { val (x, y) = binary; x % y }
+      case "$abs"      => abs(a1)
+      case "$ceil"     => ceil(a1)
+      case "$floor"    => floor(a1)
+      case "$sqrt"     => sqrt(a1)
+      case "$pow"      => { val (x, y) = binary; pow(x, y) }
+      case "$exp"      => exp(a1)
+      case "$ln"       => log(a1)
+      case "$log10"    => log10(a1)
+      case "$round" =>
+        // Half-up rounding via floor(x·10ᵖ + 0.5)/10ᵖ — pure IEEE double ops,
+        // so the result is bit-identical across engines (Spark's built-in
+        // `round` goes through BigDecimal.valueOf(double), whose shortest-
+        // decimal behavior differs from C-style rounding at half boundaries).
+        argList(arg) match {
+          case List(x)          => floor(translate(x) + lit(0.5))
+          case List(x, JInt(p)) =>
+            if (p == 0) floor(translate(x) + lit(0.5))
+            else {
+              val f = math.pow(10, p.toInt)
+              floor(translate(x) * f + lit(0.5)) / lit(f)
+            }
+          case _ => throw GraftException("$round expects 1-2 args")
+        }
+      case "$trunc" =>
+        // truncate toward zero (cast-to-long semantics), optional place
+        argList(arg) match {
+          case List(x) => translate(x).cast(LongType)
+          case List(x, JInt(p)) =>
+            val f = math.pow(10, p.toInt)
+            (translate(x) * f).cast(LongType) / lit(f)
+          case _ => throw GraftException("$trunc expects 1-2 args")
+        }
+
+      // ---- string (operators.ts:292-377) ----
+      case "$concat"  => concat(as.map(_.cast(StringType)): _*)
+      case "$substr" | "$substrCP" | "$substrBytes" =>
+        argList(arg) match {
+          case List(s, st, len) =>
+            // Mongo is 0-indexed, Spark 1-indexed
+            translate(s).cast(StringType).substr(translate(st) + lit(1), translate(len))
+          case _ => throw GraftException(s"$op expects [string, start, length]")
+        }
+      case "$toLower" => lower(a1.cast(StringType))
+      case "$toUpper" => upper(a1.cast(StringType))
+      case "$split" =>
+        argList(arg) match {
+          case List(s, JString(delim)) if !delim.startsWith("$") =>
+            split(translate(s), java.util.regex.Pattern.quote(delim))
+          case List(s, d) =>
+            // dynamic delimiter: quote via \Q..\E
+            split(translate(s), concat(lit("\\Q"), translate(d), lit("\\E")))
+          case _ => throw GraftException("$split expects [string, delimiter]")
+        }
+      case "$strLen" | "$strLenCP" | "$strLenBytes" => length(a1.cast(StringType))
+      case "$trim"  => trimOp(arg, trim, (c, t) => trim(c, t))
+      case "$ltrim" => trimOp(arg, ltrim, (c, t) => ltrim(c, t))
+      case "$rtrim" => trimOp(arg, rtrim, (c, t) => rtrim(c, t))
+      case "$toString" => a1.cast(StringType)
+      case "$indexOfCP" | "$indexOfBytes" =>
+        argList(arg) match {
+          case List(s, sub) => instr(translate(s), translate(sub)) - lit(1)
+          case _ => throw GraftException(s"$op expects [string, substring]")
+        }
+      case "$replaceAll" =>
+        obj(arg, op) match {
+          case fs =>
+            val in = translate(field(fs, "input", op))
+            (field(fs, "find", op), field(fs, "replacement", op)) match {
+              case (JString(f), JString(r)) if !f.startsWith("$") && !r.startsWith("$") =>
+                regexp_replace(in, java.util.regex.Pattern.quote(f), java.util.regex.Matcher.quoteReplacement(r))
+              case (f, r) => regexp_replace(in, concat(lit("\\Q"), translate(f), lit("\\E")), translate(r))
+            }
+        }
+      case "$regexMatch" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val rx = field(fs, "regex", op) match {
+          case JString(r) => r
+          case other      => throw GraftException("$regexMatch regex must be a string literal")
+        }
+        val opts = fieldOpt(fs, "options").collect { case JString(o) => o }.getOrElse("")
+        in.rlike(MatchTranslator.withFlags(rx, opts))
+
+      // ---- array (operators.ts:380-526) ----
+      case "$size" =>
+        ctx.typeOf(a1) match {
+          case Some(StringType) => length(a1) // reference quirk: counts string length (operators.ts:380-386)
+          case _                => size(a1)
+        }
+      case "$arrayElemAt" =>
+        val (arr, idx) = binary
+        // Mongo 0-based; negative wraps from end. element_at is 1-based.
+        when(idx >= 0, element_at(arr, (idx + 1).cast(IntegerType)))
+          .otherwise(element_at(arr, idx.cast(IntegerType)))
+      case "$first" => element_at(a1, 1)   // expression form: first array element
+      case "$last"  => element_at(a1, -1)
+      case "$filter" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val asName = fieldOpt(fs, "as").collect { case JString(s) => s }.getOrElse("this")
+        val cond = field(fs, "cond", op)
+        filter(in, x => truthy(translate(cond)(ctx.lambda(asName, x)))(ctx.copy(df = None)))
+      case "$map" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val asName = fieldOpt(fs, "as").collect { case JString(s) => s }.getOrElse("this")
+        val body = field(fs, "in", op)
+        transform(in, x => translate(body)(ctx.lambda(asName, x)))
+      case "$reduce" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val init = translate(field(fs, "initialValue", op))
+        val body = field(fs, "in", op)
+        aggregate(in, init, (acc, x) =>
+          translate(body)(ctx.lambda("value", acc).copy(vars = ctx.vars + ("value" -> acc) + ("this" -> x), df = None)))
+      case "$slice" =>
+        argList(arg) match {
+          case List(arr, n) =>
+            val c = translate(arr); val nc = translate(n)
+            // n>0: first n; n<0: last n (operators.ts $slice)
+            when(nc >= 0, slice(c, lit(1), nc.cast(IntegerType)))
+              .otherwise(slice(c, nc.cast(IntegerType), size(c)))
+          case List(arr, pos, n) =>
+            val c = translate(arr); val p = translate(pos); val nc = translate(n)
+            // position may be negative (from end); n must be positive
+            when(p >= 0, slice(c, (p + 1).cast(IntegerType), nc.cast(IntegerType)))
+              .otherwise(slice(c, p.cast(IntegerType), nc.cast(IntegerType)))
+          case _ => throw GraftException("$slice expects 2-3 args")
+        }
+      case "$concatArrays" => concat(as: _*)
+      case "$in" => { val (v, arr) = binary; array_contains(arr, v) }
+      case "$indexOfArray" =>
+        argList(arg) match {
+          case List(arr, v) =>
+            (array_position(translate(arr), translate(v)) - 1).cast(IntegerType)
+          case List(arr, v, st) =>
+            val c = translate(arr); val sc = translate(st)
+            val p = array_position(slice(c, (sc + 1).cast(IntegerType), size(c)), translate(v))
+            when(p === 0, -1).otherwise(p - 1 + sc).cast(IntegerType)
+          case _ => throw GraftException("$indexOfArray expects 2-3 args")
+        }
+      case "$reverseArray" => reverse(a1)
+      case "$range" =>
+        argList(arg) match {
+          case List(s, e)     => sequence(translate(s), translate(e) - 1)
+          case List(s, e, st) => sequence(translate(s), translate(e) - 1, translate(st))
+          case _              => throw GraftException("$range expects 2-3 args")
+        }
+      case "$zip" =>
+        val fs = obj(arg, op)
+        field(fs, "inputs", op) match {
+          case JArray(List(x, y)) => arrays_zip(translate(x), translate(y))
+          case _ => throw GraftException("$zip supports exactly 2 inputs")
+        }
+      case "$isArray" =>
+        ctx.typeOf(a1) match {
+          case Some(_: ArrayType) => a1.isNotNull
+          case Some(_)            => lit(false)
+          case None               => a1.isNotNull
+        }
+
+      // ---- array-aggregating forms of accumulators (operators.ts:529-574) ----
+      case "$sum" | "$avg" | "$min" | "$max" =>
+        val c = a1
+        ctx.typeOf(c) match {
+          case Some(ArrayType(et, _)) =>
+            val arr = filter(c, x => x.isNotNull)
+            op match {
+              case "$sum" => coalesce(aggregate(arr, lit(0.0), (acc, x) => acc + x.cast(DoubleType)), lit(0.0))
+              case "$avg" => when(size(arr) > 0,
+                aggregate(arr, lit(0.0), (acc, x) => acc + x.cast(DoubleType)) / size(arr))
+              case "$min" => array_min(arr)
+              case "$max" => array_max(arr)
+            }
+          case _ =>
+            // scalar form: $sum of a single value = the value (0 if null)
+            op match {
+              case "$sum" => coalesce(c, lit(0))
+              case "$avg" => c
+              case "$min" => c
+              case "$max" => c
+            }
+        }
+
+      // ---- date (operators.ts:577-642); session TZ = UTC ----
+      case "$year"       => year(a1)
+      case "$month"      => month(a1)
+      case "$dayOfMonth" => dayofmonth(a1)
+      case "$dayOfWeek"  => dayofweek(a1) // 1=Sunday..7=Saturday, matches Mongo
+      case "$dayOfYear"  => dayofyear(a1)
+      case "$hour"       => hour(a1)
+      case "$minute"     => minute(a1)
+      case "$second"     => second(a1)
+      case "$millisecond" => (unix_millis(a1) % 1000).cast(IntegerType)
+      case "$week" =>
+        // Mongo $week: weeks start Sunday; days before the first Sunday are
+        // week 0 (reference: operators.ts:610-618, standardized to UTC).
+        val d = a1
+        val jan1 = trunc(d, "year")
+        val firstSunday = (lit(8) - dayofweek(jan1)) % 7 + 1
+        floor((dayofyear(d) - firstSunday + 7) / 7).cast(IntegerType)
+      case "$dateToString" =>
+        val fs = obj(arg, op)
+        val d = translate(field(fs, "date", op))
+        val fmt = fieldOpt(fs, "format").collect { case JString(s) => s }.getOrElse("%Y-%m-%dT%H:%M:%S.%LZ")
+        date_format(d, mongoDateFormat(fmt))
+
+      // ---- conditional (operators.ts:644-670, expressions.ts:152-198) ----
+      case "$cond" =>
+        arg match {
+          case JArray(List(i, t, e)) =>
+            when(truthy(translate(i)), translate(t)).otherwise(translate(e))
+          case JObject(fs) =>
+            val i = field(fs, "if", op); val t = field(fs, "then", op); val e = field(fs, "else", op)
+            when(truthy(translate(i)), translate(t)).otherwise(translate(e))
+          case _ => throw GraftException("$cond expects [if,then,else] or {if,then,else}")
+        }
+      case "$ifNull" | "$coalesce" => coalesce(as: _*)
+      case "$switch" =>
+        val fs = obj(arg, op)
+        val branches = field(fs, "branches", op) match {
+          case JArray(bs) => bs.map { b =>
+            val bf = obj(b, "$switch branch")
+            (truthy(translate(field(bf, "case", op))), translate(field(bf, "then", op)))
+          }
+          case _ => throw GraftException("$switch branches must be an array")
+        }
+        val default = fieldOpt(fs, "default").map(translate).getOrElse(lit(null))
+        branches.tail.foldLeft(when(branches.head._1, branches.head._2)) {
+          case (acc, (c, t)) => acc.when(c, t)
+        }.otherwise(default)
+
+      // ---- type (operators.ts:673-696) ----
+      case "$type" =>
+        val c = a1
+        val staticName = ctx.typeOf(c).map {
+          case StringType                 => "string"
+          case _: NumericType             => "number"
+          case BooleanType                => "bool"
+          case TimestampType | DateType   => "date"
+          case _: ArrayType               => "array"
+          case _: StructType | _: MapType => "object"
+          case NullType                   => "null"
+          case _                          => "string"
+        }.getOrElse("string")
+        when(c.isNull, lit("null")).otherwise(lit(staticName))
+      case "$isNumber" =>
+        ctx.typeOf(a1) match {
+          case Some(_: NumericType) => a1.isNotNull
+          case Some(_)              => lit(false)
+          case None                 => a1.isNotNull && a1.cast(DoubleType).isNotNull
+        }
+      case "$toInt"    => a1.cast(IntegerType)
+      case "$toLong"   => a1.cast(LongType)
+      case "$toDouble" => a1.cast(DoubleType)
+      case "$toBool"   => a1.cast(BooleanType)
+      case "$toDate" =>
+        ctx.typeOf(a1) match {
+          case Some(_: NumericType) => timestamp_millis(a1.cast(LongType))
+          case _                    => a1.cast(TimestampType)
+        }
+
+      // ---- object (operators.ts:699-714) ----
+      case "$mergeObjects" =>
+        // Shallow merge of struct-typed operands; later non-missing wins.
+        // Requires static shapes (type-directed).
+        val typed = as.map(c => (c, ctx.typeOf(c)))
+        val allFields = scala.collection.mutable.LinkedHashMap[String, Column]()
+        typed.foreach {
+          case (c, Some(st: StructType)) =>
+            st.fieldNames.foreach(f => allFields(f) = c.getField(f))
+          case (_, other) =>
+            throw GraftException(s"$$mergeObjects requires struct operands, got $other")
+        }
+        struct(allFields.map { case (f, c) => c.as(f) }.toSeq: _*)
+
+      case "$literal" => litOf(arg)
+
+      case "$getField" =>
+        arg match {
+          case JString(f) => variable("CURRENT").getField(f)
+          case _ =>
+            val fs = obj(arg, op)
+            val f = field(fs, "field", op) match {
+              case JString(s) => s
+              case _ => throw GraftException("$getField field must be a string")
+            }
+            translate(field(fs, "input", op)).getField(f)
+        }
+
+      case other => throw GraftException(s"unknown expression operator $other")
+    }
+  }
+
+  private def trimOp(arg: JValue, simple: Column => Column,
+                     withChars: (Column, String) => Column)(implicit ctx: ExprCtx): Column =
+    arg match {
+      case JObject(fs) =>
+        val in = translate(fs.collectFirst { case ("input", v) => v }
+          .getOrElse(throw GraftException("trim requires 'input'")))
+        fs.collectFirst { case ("chars", JString(c)) => c } match {
+          case Some(c) => withChars(in.cast(StringType), c)
+          case None    => simple(in.cast(StringType))
+        }
+      case v => simple(translate(v).cast(StringType))
+    }
+
+  /** Translate Mongo `$dateToString` format specifiers to java.time patterns. */
+  def mongoDateFormat(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'L' => sb.append("SSS")
+          case 'j' => sb.append("DDD")
+          case '%' => sb.append('%')
+          case o   => sb.append(o)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,724 @@
+package graft.stages
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.json4s._
+
+import graft.exprs.{ExprCtx, ExprTranslator, MatchTranslator}
+import graft.model.GraftException
+
+/** One sort key: column path, ascending?. */
+final case class SortKey(path: String, asc: Boolean)
+
+/** Pipeline-level translation context threaded through the stage fold.
+  *
+  * @param collections resolver for `$lookup`/`$unionWith` foreign collections
+  * @param order       sort keys established by the most recent `$sort`, used
+  *                    by order-sensitive accumulators (`$first/$last/$push`)
+  * @param hasSeq      whether the engine-internal `_seq` encounter-order
+  *                    column is still present
+  */
+final case class PipeCtx(
+    collections: Map[String, DataFrame] = Map.empty,
+    order: Option[Seq[SortKey]] = None,
+    hasSeq: Boolean = true
+) {
+  def collection(name: String): DataFrame =
+    collections.getOrElse(name, throw GraftException(s"unknown collection '$name' in $$lookup/$$unionWith"))
+}
+
+/** Translates one pipeline stage into a DataFrame transformation.
+  *
+  * Mirrors the reference's stage dispatch loop
+  * (/root/reference/src/aggo/aggregation.ts:788-852). Where the reference has
+  * three hand-rolled engines (hot path / columnar / interpreter), we emit one
+  * declarative Catalyst plan: predicate pushdown, column pruning, top-k
+  * (TakeOrderedAndProject), constant folding and operator fusion all come
+  * from the optimizer (SURVEY §4.1 — every reference rewrite is a Catalyst
+  * built-in).
+  */
+object StageTranslator {
+
+  val SeqCol = "_seq"
+
+  def userCols(df: DataFrame): Seq[String] = df.columns.toSeq.filterNot(_ == SeqCol)
+
+  private def exprCtx(df: DataFrame): ExprCtx = ExprCtx(Some(df), rootCols = userCols(df))
+
+  def apply(df: DataFrame, name: String, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = name match {
+    case "$match" =>
+      implicit val ec: ExprCtx = exprCtx(df)
+      (df.filter(MatchTranslator.translate(body)), ctx)
+
+    case "$project" => project(df, body, ctx)
+
+    case "$addFields" | "$set" =>
+      implicit val ec: ExprCtx = exprCtx(df)
+      val fields = body match {
+        case JObject(fs) => fs
+        case _           => throw GraftException(s"$name requires an object")
+      }
+      val newCols: Seq[(String, Column)] = fields.map {
+        case (path, v) if path.contains('.') =>
+          val parts = path.split('.')
+          (parts.head, col(parts.head).withField(parts.tail.mkString("."), ExprTranslator.translate(v)))
+        case (k, v) => (k, ExprTranslator.translate(v))
+      }
+      (df.withColumns(newCols.toMap), ctx)
+
+    case "$unset" =>
+      val paths = body match {
+        case JString(s)   => Seq(s)
+        case JArray(vals) => vals.collect { case JString(s) => s }
+        case _            => throw GraftException("$unset requires a string or array of strings")
+      }
+      val (nested, top) = paths.partition(_.contains('.'))
+      val afterTop = df.drop(top: _*)
+      val out = nested.foldLeft(afterTop) { (d, p) =>
+        val parts = p.split('.')
+        d.withColumn(parts.head, col(parts.head).dropFields(parts.tail.mkString(".")))
+      }
+      (out, ctx)
+
+    case "$group" => group(df, body, ctx)
+
+    case "$sort" =>
+      val keys = body match {
+        case JObject(fs) => fs.map {
+          case (f, JInt(d))    => SortKey(f, d >= 0)
+          case (f, JDouble(d)) => SortKey(f, d >= 0)
+          case (f, other)      => throw GraftException(s"$$sort direction for $f must be 1/-1, got $other")
+        }
+        case _ => throw GraftException("$sort requires an object")
+      }
+      val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
+      (df.orderBy(sortCols: _*), ctx.copy(order = Some(keys)))
+
+    case "$limit" => body match {
+      case JInt(n) => (df.limit(n.toInt), ctx)
+      case _       => throw GraftException("$limit requires an integer")
+    }
+
+    case "$skip" => body match {
+      case JInt(n) => (df.offset(n.toInt), ctx)
+      case _       => throw GraftException("$skip requires an integer")
+    }
+
+    case "$unwind" => unwind(df, body, ctx)
+
+    case "$lookup" => lookup(df, body, ctx)
+
+    case "$count" =>
+      val outName = body match {
+        case JString(s) => s
+        case _          => throw GraftException("$count requires a string field name")
+      }
+      (df.agg(count(lit(1)).as(outName)), ctx.copy(order = None, hasSeq = false))
+
+    case "$replaceRoot" | "$replaceWith" =>
+      implicit val ec: ExprCtx = exprCtx(df)
+      val newRoot = name match {
+        case "$replaceRoot" => body match {
+          case JObject(fs) => fs.collectFirst { case ("newRoot", v) => v }
+            .getOrElse(throw GraftException("$replaceRoot requires newRoot"))
+          case _ => throw GraftException("$replaceRoot requires {newRoot: ...}")
+        }
+        case _ => body
+      }
+      val c = ExprTranslator.translate(newRoot)
+      val keep: Seq[Column] = if (ctx.hasSeq && df.columns.contains(SeqCol)) Seq(col(SeqCol)) else Nil
+      val tmp = df.select(keep :+ c.as("__root"): _*)
+      val rootT = tmp.schema("__root").dataType match {
+        case st: StructType => st
+        case other          => throw GraftException(s"$name: newRoot must be a document, got $other")
+      }
+      (tmp.select(keep ++ rootT.fieldNames.toSeq.map(f => col("__root").getField(f).as(f)): _*), ctx)
+
+    case "$sortByCount" =>
+      implicit val ec: ExprCtx = exprCtx(df)
+      val c = ExprTranslator.translate(body)
+      (df.groupBy(c.as("_id")).agg(count(lit(1)).as("count"))
+        .orderBy(col("count").desc, col("_id").asc_nulls_first),
+        ctx.copy(order = Some(Seq(SortKey("count", asc = false), SortKey("_id", asc = true))), hasSeq = false))
+
+    case "$unionWith" =>
+      val (collName, subPipeline) = body match {
+        case JString(s)  => (s, None)
+        case JObject(fs) =>
+          val coll = fs.collectFirst { case ("coll", JString(s)) => s }
+            .getOrElse(throw GraftException("$unionWith requires coll"))
+          (coll, fs.collectFirst { case ("pipeline", JArray(p)) => p })
+        case _ => throw GraftException("$unionWith requires a string or object")
+      }
+      val foreignRaw = ctx.collection(collName)
+      val foreign = subPipeline match {
+        case Some(stages) => graft.Aggo.aggregateParsed(foreignRaw,
+          stages.map(graft.model.PipelineParser.stageOf), ctx.collections)
+        case None => foreignRaw
+      }
+      val fSeq = foreign.withColumn(SeqCol, monotonically_increasing_id() + lit(Long.MaxValue / 2))
+      (df.unionByName(fSeq, allowMissingColumns = true), ctx)
+
+    case "$sample" =>
+      val n = body match {
+        case JObject(fs) => fs.collectFirst { case ("size", JInt(i)) => i.toInt }
+          .getOrElse(throw GraftException("$sample requires {size: n}"))
+        case _ => throw GraftException("$sample requires {size: n}")
+      }
+      // Deterministic seeded sample: order by hash of the row. Scales (TakeOrdered).
+      (df.orderBy(xxhash64(struct(userCols(df).map(col): _*))).limit(n), ctx)
+
+    case "$bucket" => bucket(df, body, ctx)
+
+    case "$facet" => facet(df, body, ctx)
+
+    case "$setWindowFields" => setWindowFields(df, body, ctx)
+
+    case "$densify" | "$fill" | "$graphLookup" | "$merge" | "$out" =>
+      throw GraftException(s"stage $name not supported")
+
+    case other => throw GraftException(s"unknown pipeline stage $other")
+  }
+
+  // --------------------------------------------------------------------------
+  // $project (aggregation.ts:72-89; expression objects expressions.ts:252-403)
+  // --------------------------------------------------------------------------
+  private def project(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fields = body match {
+      case JObject(fs) => fs
+      case _           => throw GraftException("$project requires an object")
+    }
+    def isInclude(v: JValue): Boolean = v match {
+      case JInt(i)    => i != 0
+      case JDouble(d) => d != 0
+      case JBool(b)   => b
+      case _          => false
+    }
+    def isExclude(v: JValue): Boolean = v match {
+      case JInt(i)    => i == 0
+      case JDouble(d) => d == 0.0
+      case JBool(b)   => !b
+      case _          => false
+    }
+    val hasInclusion = fields.exists { case (k, v) => k != "_id" && !isExclude(v) }
+
+    if (!hasInclusion) {
+      // exclusion mode: drop listed fields
+      val (nested, top) = fields.map(_._1).partition(_.contains('.'))
+      val out = nested.foldLeft(df.drop(top: _*)) { (d, p) =>
+        val parts = p.split('.')
+        d.withColumn(parts.head, col(parts.head).dropFields(parts.tail.mkString(".")))
+      }
+      (out, ctx)
+    } else {
+      // inclusion mode: build the output column list. Nested include paths are
+      // grouped per top-level field and rebuilt as structs.
+      val grouped = scala.collection.mutable.LinkedHashMap[String, Either[Column, scala.collection.mutable.LinkedHashMap[String, Column]]]()
+      fields.foreach {
+        case ("_id", v) if isExclude(v) => // excluded
+        case (k, v) if isExclude(v)     => // ignore explicit excludes in inclusion mode
+        case (path, v) =>
+          val c: Column =
+            if (isInclude(v)) col(path)
+            else ExprTranslator.translate(v)
+          if (path.contains('.')) {
+            val parts = path.split('.')
+            val top = parts.head
+            val sub = grouped.getOrElseUpdate(top, Right(scala.collection.mutable.LinkedHashMap[String, Column]())) match {
+              case Right(m) => m
+              case Left(_)  => throw GraftException(s"$$project: conflicting paths at $top")
+            }
+            sub(parts.tail.mkString(".")) = c
+          } else grouped(path) = Left(c)
+      }
+      val outCols: Seq[Column] = grouped.toSeq.map {
+        case (name, Left(c))    => c.as(name)
+        case (name, Right(sub)) => struct(sub.toSeq.map { case (p, c) => c.as(p.split('.').last) }: _*).as(name)
+      }
+      val withSeq = if (ctx.hasSeq && df.columns.contains(SeqCol)) outCols :+ col(SeqCol) else outCols
+      (df.select(withSeq: _*), ctx)
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // $group (aggregation.ts:541-580; accumulators.ts:20-317)
+  // --------------------------------------------------------------------------
+  private def group(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fields = body match {
+      case JObject(fs) => fs
+      case _           => throw GraftException("$group requires an object")
+    }
+    val idExpr = fields.collectFirst { case ("_id", v) => v }
+      .getOrElse(throw GraftException("$group requires _id"))
+    val accs = fields.filterNot(_._1 == "_id")
+
+    val orderSensitive = accs.exists { case (_, spec) => spec match {
+      case JObject(List((op, _))) => Set("$first", "$last", "$push")(op)
+      case _                      => false
+    }}
+    lazy val orderKey: Column = encounterOrderKey(df, ctx)
+
+    val aggCols: Seq[Column] = accs.map { case (outName, spec) =>
+      val (op, arg) = spec match {
+        case JObject(List((o, a))) if o.startsWith("$") => (o, a)
+        case _ => throw GraftException(s"accumulator for '$outName' must be a single $$-operator object")
+      }
+      accumulator(op, arg, if (orderSensitive) Some(orderKey) else None).as(outName)
+    }
+
+    val idCol = ExprTranslator.translate(idExpr).as("_id")
+    val out =
+      if (aggCols.isEmpty) df.groupBy(idCol).agg(count(lit(1)).as("__cnt")).drop("__cnt")
+      else df.groupBy(idCol).agg(aggCols.head, aggCols.tail: _*)
+    (out, ctx.copy(order = None, hasSeq = false))
+  }
+
+  /** A monotonically-increasing key encoding the current encounter order, for
+    * `$first/$last/$push` (accumulators.ts:96-168). After a `$sort` the order
+    * is the sort key (ascending-encoded); otherwise the ingest `_seq`.
+    * Descending string keys fall back to a rank restamp (window) — correct
+    * but single-partition; avoided at scale by sorting ascending or on
+    * numeric keys. */
+  private def encounterOrderKey(df: DataFrame, ctx: PipeCtx): Column = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    ctx.order match {
+      case Some(keys) =>
+        val encoded: Seq[Option[Column]] = keys.map { k =>
+          val c = col(k.path)
+          if (k.asc) Some(c)
+          else ec.typeOf(c) match {
+            case Some(_: NumericType)           => Some(-c)
+            case Some(TimestampType)            => Some(-unix_millis(c))
+            case Some(DateType)                 => Some(-unix_date(c))
+            case _                              => None
+          }
+        }
+        if (encoded.forall(_.isDefined)) {
+          val tiebreak = if (ctx.hasSeq && df.columns.contains(SeqCol)) Seq(col(SeqCol)) else Nil
+          struct(encoded.flatten ++ tiebreak: _*)
+        } else {
+          val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
+          row_number().over(Window.orderBy(sortCols: _*))
+        }
+      case None =>
+        if (ctx.hasSeq && df.columns.contains(SeqCol)) col(SeqCol)
+        else row_number().over(Window.orderBy(to_json(struct(col("*")))))
+    }
+  }
+
+  /** `$group` accumulator → Spark aggregate Column (accumulators.ts:20-317).
+    * All reference accumulators map to Catalyst built-ins (SURVEY §7.3). */
+  def accumulator(op: String, arg: JValue, orderKey: Option[Column])(implicit ec: ExprCtx): Column = {
+    def e: Column = ExprTranslator.translate(arg)
+    op match {
+      case "$sum" => arg match {
+        case JInt(i) if i == 1 => count(lit(1))
+        case _                 => coalesce(sum(e), lit(0))
+      }
+      case "$avg"          => avg(e)
+      case "$min"          => min(e)
+      case "$max"          => max(e)
+      case "$count"        => count(lit(1))
+      case "$stdDevPop"    => stddev_pop(e)
+      case "$stdDevSamp"   => stddev_samp(e)
+      case "$variancePop"  => var_pop(e)
+      case "$varianceSamp" => var_samp(e)
+      case "$first" =>
+        orderKey.map(k => min_by(e, k)).getOrElse(first(e, ignoreNulls = false))
+      case "$last" =>
+        orderKey.map(k => max_by(e, k)).getOrElse(last(e, ignoreNulls = false))
+      case "$push" =>
+        orderKey match {
+          case Some(k) =>
+            // collect (orderKey, value) pairs, sort by key, strip the key —
+            // deterministic encounter order independent of partitioning.
+            transform(array_sort(collect_list(struct(k.as("o"), e.as("v")))), x => x.getField("v"))
+          case None => collect_list(e)
+        }
+      case "$addToSet" => array_sort(collect_set(e))
+      case "$mergeObjects" => throw GraftException("$mergeObjects accumulator not supported")
+      case other => throw GraftException(s"unknown accumulator $other")
+    }
+  }
+
+  // --------------------------------------------------------------------------
+  // $unwind (aggregation.ts:414-535)
+  // --------------------------------------------------------------------------
+  private def unwind(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val (path, includeIdx, preserve) = body match {
+      case JString(p) => (p.stripPrefix("$"), None, false)
+      case JObject(fs) =>
+        val p = fs.collectFirst { case ("path", JString(s)) => s.stripPrefix("$") }
+          .getOrElse(throw GraftException("$unwind requires path"))
+        val idx = fs.collectFirst { case ("includeArrayIndex", JString(s)) => s }
+        val pres = fs.collectFirst { case ("preserveNullAndEmptyArrays", JBool(b)) => b }.getOrElse(false)
+        (p, idx, pres)
+      case _ => throw GraftException("$unwind requires a string path or object")
+    }
+    if (path.contains('.')) throw GraftException("$unwind on nested paths not yet supported")
+    implicit val ec: ExprCtx = exprCtx(df)
+    val isArr = ec.typeOf(col(path)) match {
+      case Some(_: ArrayType) => true
+      case _                  => false
+    }
+    if (!isArr) {
+      // non-array values pass through unchanged; null/missing dropped unless preserved
+      val out = if (preserve) df else df.filter(col(path).isNotNull)
+      val withIdx = includeIdx.map(ix => out.withColumn(ix, lit(null).cast(LongType))).getOrElse(out)
+      return (withIdx, ctx)
+    }
+    val originalOrder = df.columns.toSeq
+    val others = originalOrder.filterNot(_ == path).map(col)
+    val exploded = (includeIdx, preserve) match {
+      case (Some(ix), true)  => df.select(others :+ posexplode_outer(col(path)).as(Seq(ix, path)): _*)
+      case (Some(ix), false) => df.select(others :+ posexplode(col(path)).as(Seq(ix, path)): _*)
+      case (None, true)      => df.select(others :+ explode_outer(col(path)).as(path): _*)
+      case (None, false)     => df.select(others :+ explode(col(path)).as(path): _*)
+    }
+    val idxCast = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType))).getOrElse(exploded)
+    val finalOrder = originalOrder ++ includeIdx.filterNot(originalOrder.contains)
+    (idxCast.select(finalOrder.map(col): _*), ctx)
+  }
+
+  // --------------------------------------------------------------------------
+  // $lookup (aggregation.ts:652-730)
+  // --------------------------------------------------------------------------
+  private def lookup(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fs = body match {
+      case JObject(f) => f
+      case _          => throw GraftException("$lookup requires an object")
+    }
+    def str(n: String): Option[String] = fs.collectFirst { case (`n`, JString(s)) => s }
+    val from = str("from").getOrElse(throw GraftException("$lookup requires from"))
+    val asName = str("as").getOrElse(throw GraftException("$lookup requires as"))
+    val foreign = ctx.collection(from)
+
+    (str("localField"), str("foreignField")) match {
+      case (Some(lf), Some(ff)) =>
+        equalityLookup(df, foreign, lf, ff, asName, ctx)
+      case _ =>
+        val letBindings = fs.collectFirst { case ("let", JObject(l)) => l }.getOrElse(Nil)
+        val pipeline = fs.collectFirst { case ("pipeline", JArray(p)) => p }
+          .getOrElse(throw GraftException("$lookup requires localField/foreignField or pipeline"))
+        pipelineLookup(df, foreign, letBindings, pipeline, asName, ctx)
+    }
+  }
+
+  /** Equality `$lookup`: pre-aggregate the foreign side per key (one shuffle,
+    * broadcastable when small), then a single left join. Scales: no
+    * per-row subqueries, no driver collect. */
+  private def equalityLookup(df: DataFrame, foreign: DataFrame, lf: String, ff: String,
+                             asName: String, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fCols = foreign.columns.toSeq
+    val fSeq = foreign.withColumn("__fseq", monotonically_increasing_id())
+    val grouped = fSeq.groupBy(col(ff).as("__graft_k"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__fseq").as("o"), struct(fCols.map(col): _*).as("v")))),
+        x => x.getField("v")).as(asName))
+    val joined = df.join(grouped, df(lf) <=> grouped("__graft_k"), "left").drop("__graft_k")
+    val elemType = grouped.schema(asName).dataType
+    val out = joined.withColumn(asName, coalesce(col(asName), array().cast(elemType)))
+    (out, ctx)
+  }
+
+  /** Pipeline-form `$lookup` with `let` bindings
+    * (aggregation.ts:700-730 + aggregateWithBindings :585-646).
+    *
+    * Decorrelation strategy (SURVEY §7.4.6): split the sub-pipeline's leading
+    * `$match` into (a) var-free conjuncts → pre-filter on the foreign side,
+    * (b) `$expr` equality between a `$$var` and a foreign field → join keys,
+    * (c) residual var-referencing conjuncts → per-element array filter after
+    * the join. Then `$sort` → array_sort on the collected matches,
+    * `$skip/$limit` → slice, `$project` → transform. No lateral join, no
+    * per-outer-row execution: one shuffle on the foreign side + one join.
+    */
+  private def pipelineLookup(df: DataFrame, foreign: DataFrame,
+                             letBindings: List[(String, JValue)], pipeline: List[JValue],
+                             asName: String, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val localCtx: ExprCtx = exprCtx(df)
+    val letCols: Map[String, Column] = letBindings.map { case (n, v) =>
+      n -> ExprTranslator.translate(v)
+    }.toMap
+
+    val stages = pipeline.map(graft.model.PipelineParser.stageOf)
+
+    // Split leading $match stages into conjuncts
+    var joinKeys = List.empty[(Column, String)] // (local expr, foreign field)
+    var residual = List.empty[JValue]           // $expr conjuncts with vars, non-equi
+    var foreignFiltered = foreign
+    var rest = stages
+    while (rest.nonEmpty && rest.head._1 == "$match") {
+      val (_, mbody) = rest.head
+      val conjuncts: List[(String, JValue)] = mbody match {
+        case JObject(fs) => fs
+        case _           => throw GraftException("$match requires an object")
+      }
+      conjuncts.foreach {
+        case ("$expr", e) =>
+          flattenAnd(e).foreach { conj =>
+            equiKey(conj, letCols.keySet) match {
+              case Some((varName, fField)) => joinKeys ::= (letCols(varName), fField)
+              case None =>
+                if (referencesVars(conj)) residual ::= conj
+                else {
+                  val fc: ExprCtx = ExprCtx(Some(foreignFiltered), rootCols = foreignFiltered.columns.toSeq)
+                  foreignFiltered = foreignFiltered.filter(
+                    ExprTranslator.truthy(ExprTranslator.translate(conj)(fc))(fc))
+                }
+            }
+          }
+        case (field, spec) =>
+          val fc: ExprCtx = ExprCtx(Some(foreignFiltered), rootCols = foreignFiltered.columns.toSeq)
+          foreignFiltered = foreignFiltered.filter(MatchTranslator.fieldCondition(field, spec)(fc))
+      }
+      rest = rest.tail
+    }
+    if (joinKeys.isEmpty)
+      throw GraftException("$lookup pipeline form requires at least one $expr equality join key")
+
+    // Collect matches per join key
+    val fCols = foreignFiltered.columns.toSeq
+    val fSeq = foreignFiltered.withColumn("__fseq", monotonically_increasing_id())
+    val keyCols = joinKeys.map(_._2).distinct
+    val grouped = fSeq.groupBy(keyCols.map(k => col(k).as(s"__graft_$k")): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("__fseq").as("o"), struct(fCols.map(col): _*).as("v")))),
+        x => x.getField("v")).as(asName))
+    val joinCond = joinKeys.map { case (localExpr, ff) => localExpr <=> grouped(s"__graft_$ff") }
+      .reduceLeft(_ && _)
+    var joined = df.join(grouped, joinCond, "left").drop(keyCols.map(k => s"__graft_$k"): _*)
+    val elemType = grouped.schema(asName).dataType
+    joined = joined.withColumn(asName, coalesce(col(asName), array().cast(elemType)))
+
+    // Residual var-referencing predicates → per-element filter
+    residual.foreach { conj =>
+      joined = joined.withColumn(asName, filter(col(asName), elem => {
+        val ec2 = ExprCtx(None, vars = letCols, rootCols = Nil).copy(vars = letCols)
+        ExprTranslator.truthy(translateOnElem(conj, elem, letCols))(ec2)
+      }))
+    }
+
+    // Remaining simple stages applied to the collected array
+    rest.foreach {
+      case ("$sort", JObject(sortFs)) =>
+        val keys = sortFs.map {
+          case (f, JInt(d)) => (f, d >= 0)
+          case (f, o)       => throw GraftException(s"$$sort direction for $f must be int")
+        }
+        // array_sort with re-keyed struct: build (k1,k2,...,elem), sort, strip
+        joined = joined.withColumn(asName, transform(
+          array_sort(transform(col(asName), e =>
+            struct((keys.zipWithIndex.map { case ((f, asc), i) =>
+              (if (asc) e.getField(f) else negateForSort(e.getField(f))).as(s"k$i")
+            } :+ e.as("v")): _*))),
+          x => x.getField("v")))
+      case ("$limit", JInt(n)) =>
+        joined = joined.withColumn(asName, slice(col(asName), 1, n.toInt))
+      case ("$skip", JInt(n)) =>
+        joined = joined.withColumn(asName,
+          slice(col(asName), lit(n.toInt + 1), greatest(size(col(asName)) - n.toInt, lit(0))))
+      case ("$project", JObject(projFs)) =>
+        val includes = projFs.collect { case (f, JInt(i)) if i != 0 && f != "_id" => f }
+        if (includes.nonEmpty)
+          joined = joined.withColumn(asName, transform(col(asName), e =>
+            struct(includes.map(f => e.getField(f).as(f)): _*)))
+      case (s, _) => throw GraftException(s"$$lookup sub-pipeline stage $s not supported after $$match")
+    }
+    (joined, ctx)
+  }
+
+  private def negateForSort(c: Column): Column = -c
+
+  /** Flatten an `$and` tree of $expr conjuncts. */
+  private def flattenAnd(e: JValue): List[JValue] = e match {
+    case JObject(List(("$and", JArray(items)))) => items.flatMap(flattenAnd)
+    case other                                  => List(other)
+  }
+
+  /** Recognize {$eq: ["$$var", "$field"]} (either order) → (var, field). */
+  private def equiKey(e: JValue, vars: Set[String]): Option[(String, String)] = e match {
+    case JObject(List(("$eq", JArray(List(JString(a), JString(b)))))) =>
+      (a, b) match {
+        case (va, fb) if va.startsWith("$$") && fb.startsWith("$") && !fb.startsWith("$$")
+          && vars(va.substring(2)) => Some((va.substring(2), fb.substring(1)))
+        case (fa, vb) if vb.startsWith("$$") && fa.startsWith("$") && !fa.startsWith("$$")
+          && vars(vb.substring(2)) => Some((vb.substring(2), fa.substring(1)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def referencesVars(e: JValue): Boolean = e match {
+    case JString(s)  => s.startsWith("$$") && !Set("$$ROOT", "$$CURRENT", "$$NOW").contains(s)
+    case JArray(xs)  => xs.exists(referencesVars)
+    case JObject(fs) => fs.exists { case (_, v) => referencesVars(v) }
+    case _           => false
+  }
+
+  /** Translate an expression where `$field` paths resolve against an array
+    * element (struct) and `$$vars` against outer-row columns. */
+  private def translateOnElem(e: JValue, elem: Column, vars: Map[String, Column]): Column = e match {
+    case JString(s) if s.startsWith("$$") =>
+      val parts = s.substring(2).split('.')
+      parts.tail.foldLeft(vars.getOrElse(parts.head,
+        throw GraftException(s"unknown variable $s")))(_ getField _)
+    case JString(s) if s.startsWith("$") =>
+      s.substring(1).split('.').foldLeft(elem)(_ getField _)
+    case JObject(List((op, arg))) if op.startsWith("$") =>
+      // delegate through ExprTranslator with a ctx whose vars pre-resolve
+      implicit val ec: ExprCtx = ExprCtx(None, vars = vars + ("__elem" -> elem))
+      // Simple binary/n-ary ops recursively on elements:
+      op match {
+        case "$eq"  => argPair(arg).map { case (x, y) => translateOnElem(x, elem, vars) <=> translateOnElem(y, elem, vars) }.get
+        case "$ne"  => argPair(arg).map { case (x, y) => !(translateOnElem(x, elem, vars) <=> translateOnElem(y, elem, vars)) }.get
+        case "$gt"  => argPair(arg).map { case (x, y) => translateOnElem(x, elem, vars) > translateOnElem(y, elem, vars) }.get
+        case "$gte" => argPair(arg).map { case (x, y) => translateOnElem(x, elem, vars) >= translateOnElem(y, elem, vars) }.get
+        case "$lt"  => argPair(arg).map { case (x, y) => translateOnElem(x, elem, vars) < translateOnElem(y, elem, vars) }.get
+        case "$lte" => argPair(arg).map { case (x, y) => translateOnElem(x, elem, vars) <= translateOnElem(y, elem, vars) }.get
+        case "$and" => argItems(arg).map(a => translateOnElem(a, elem, vars)).reduceLeft(_ && _)
+        case "$or"  => argItems(arg).map(a => translateOnElem(a, elem, vars)).reduceLeft(_ || _)
+        case _ => throw GraftException(s"$op not supported in $$lookup residual predicate")
+      }
+    case lit0 => ExprTranslator.litOf(lit0)
+  }
+
+  private def argPair(v: JValue): Option[(JValue, JValue)] = v match {
+    case JArray(List(a, b)) => Some((a, b))
+    case _                  => None
+  }
+  private def argItems(v: JValue): List[JValue] = v match {
+    case JArray(items) => items
+    case single        => List(single)
+  }
+
+  // --------------------------------------------------------------------------
+  // $bucket — extension (Mongo-compatible; not in the reference, SURVEY §2.2)
+  // --------------------------------------------------------------------------
+  private def bucket(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$bucket requires an object") }
+    val groupBy0 = fs.collectFirst { case ("groupBy", v) => v }.getOrElse(throw GraftException("$bucket requires groupBy"))
+    val boundaries = fs.collectFirst { case ("boundaries", JArray(bs)) => bs.map(ExprTranslator.litOf) }
+      .getOrElse(throw GraftException("$bucket requires boundaries"))
+    val default = fs.collectFirst { case ("default", v) => ExprTranslator.litOf(v) }
+    val outputSpec = fs.collectFirst { case ("output", JObject(o)) => o }
+      .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
+
+    val e = ExprTranslator.translate(groupBy0)
+    val inRange = boundaries.sliding(2).toSeq.collect { case Seq(lo, hi) =>
+      (e >= lo && e < hi, lo)
+    }
+    val bucketId = inRange.tail.foldLeft(when(inRange.head._1, inRange.head._2)) {
+      case (acc, (c, v)) => acc.when(c, v)
+    }
+    val withDefault = default match {
+      case Some(d) => bucketId.otherwise(d)
+      case None    => bucketId
+    }
+    val accs = outputSpec.map { case (name, spec) =>
+      val (op, arg) = spec match {
+        case JObject(List((o, a))) => (o, a)
+        case _ => throw GraftException("$bucket output accumulator must be a single operator")
+      }
+      accumulator(op, arg, None).as(name)
+    }
+    val filtered = if (default.isDefined) df else df.filter(withDefault.isNotNull)
+    (filtered.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*),
+      ctx.copy(order = None, hasSeq = false))
+  }
+
+  // --------------------------------------------------------------------------
+  // $facet — run sub-pipelines over the same input, one row of array results
+  // --------------------------------------------------------------------------
+  private def facet(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$facet requires an object") }
+    val facets: Seq[DataFrame] = fs.map { case (name, pipe) =>
+      val stages = pipe match {
+        case JArray(p) => p.map(graft.model.PipelineParser.stageOf)
+        case _         => throw GraftException(s"$$facet $name must be a pipeline array")
+      }
+      val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections)
+      sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
+    }
+    (facets.reduceLeft(_ crossJoin _), ctx.copy(order = None, hasSeq = false))
+  }
+
+  // --------------------------------------------------------------------------
+  // $setWindowFields — extension (window functions; reference has none,
+  // SURVEY §2.6 — "Spark's Window is available for our added ops")
+  // --------------------------------------------------------------------------
+  private def setWindowFields(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$setWindowFields requires an object") }
+    val partitionBy = fs.collectFirst { case ("partitionBy", v) => v }
+    val sortBy = fs.collectFirst { case ("sortBy", JObject(s)) => s.map {
+      case (f, JInt(d)) => SortKey(f, d >= 0)
+      case (f, _)       => throw GraftException(s"sortBy direction for $f must be 1/-1")
+    }}
+    val output = fs.collectFirst { case ("output", JObject(o)) => o }
+      .getOrElse(throw GraftException("$setWindowFields requires output"))
+
+    var w = partitionBy match {
+      case Some(p) => Window.partitionBy(ExprTranslator.translate(p))
+      case None    => Window.partitionBy()
+    }
+    sortBy.foreach { keys =>
+      w = w.orderBy(keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last): _*)
+    }
+
+    val newCols = output.map { case (name, spec) =>
+      val specFs = spec match { case JObject(s) => s; case _ => throw GraftException(s"output $name must be an object") }
+      val (op, arg) = specFs.collectFirst { case (o, a) if o.startsWith("$") => (o, a) }
+        .getOrElse(throw GraftException(s"output $name requires an operator"))
+      val windowed = specFs.collectFirst { case ("window", JObject(wf)) => wf } match {
+        case Some(wf) =>
+          val docs = wf.collectFirst { case ("documents", JArray(List(a, b))) => (frameBound(a), frameBound(b)) }
+          docs match {
+            case Some((lo, hi)) => w.rowsBetween(lo, hi)
+            case None           => w
+          }
+        case None =>
+          if (Set("$sum", "$avg", "$min", "$max", "$count", "$push", "$stdDevPop", "$stdDevSamp")(op) && sortBy.isDefined)
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          else w
+      }
+      val c = op match {
+        case "$rank"           => rank().over(windowed)
+        case "$denseRank"      => dense_rank().over(windowed)
+        case "$documentNumber" => row_number().over(windowed)
+        case "$shift" =>
+          val sfs = arg match { case JObject(s) => s; case _ => throw GraftException("$shift requires object") }
+          val out = sfs.collectFirst { case ("output", v) => ExprTranslator.translate(v) }
+            .getOrElse(throw GraftException("$shift requires output"))
+          val by = sfs.collectFirst { case ("by", JInt(i)) => i.toInt }.getOrElse(1)
+          val dflt = sfs.collectFirst { case ("default", v) => ExprTranslator.litOf(v) }
+          val shifted = if (by >= 0) lead(out, by).over(windowed) else lag(out, -by).over(windowed)
+          dflt.map(d => coalesce(shifted, d)).getOrElse(shifted)
+        case "$sum"        => sum(ExprTranslator.translate(arg)).over(windowed)
+        case "$avg"        => avg(ExprTranslator.translate(arg)).over(windowed)
+        case "$min"        => min(ExprTranslator.translate(arg)).over(windowed)
+        case "$max"        => max(ExprTranslator.translate(arg)).over(windowed)
+        case "$count"      => count(lit(1)).over(windowed)
+        case "$stdDevPop"  => stddev_pop(ExprTranslator.translate(arg)).over(windowed)
+        case "$stdDevSamp" => stddev_samp(ExprTranslator.translate(arg)).over(windowed)
+        case "$push"       => collect_list(ExprTranslator.translate(arg)).over(windowed)
+        case "$first"      => first(ExprTranslator.translate(arg)).over(windowed)
+        case "$last"       => last(ExprTranslator.translate(arg)).over(windowed)
+        case o             => throw GraftException(s"window operator $o not supported")
+      }
+      name -> c
+    }
+    (df.withColumns(newCols.toMap), ctx)
+  }
+
+  private def frameBound(j: JValue): Long = j match {
+    case JString("unbounded") => Window.unboundedPreceding
+    case JString("current")   => Window.currentRow
+    case JInt(i)              => i.toLong
+    case _                    => throw GraftException(s"bad window frame bound $j")
+  }
+}
