@@ -286,15 +286,184 @@ object SparkEntry {
         {"$project": {"lang": "$_id", "n": 1, "_id": 0}}
       ]"""),
 
+    // ---- more $match / expression parity (SURVEY §2.3, §2.5) ----
+    "q_match_array" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1, "w": {"$split": ["$p_name", " "]}}},
+        {"$match": {"w": {"$size": 2, "$all": ["small"], "$elemMatch": {"$regex": "^(r|b)"}}}}
+      ]"""),
+    "q_match_exists" -> run("supplier",
+      """[
+        {"$match": {"s_name": {"$exists": true}, "bogus_field": {"$exists": false},
+                    "s_acctbal": {"$not": {"$lt": 0}}, "s_suppkey": {"$mod": [4, 1]}}},
+        {"$project": {"s_suppkey": 1, "s_name": 1, "s_acctbal": 1}}
+      ]"""),
+    "q_type_ops" -> run("customer",
+      """[
+        {"$project": {"c_custkey": 1,
+          "t_num": {"$type": "$c_acctbal"}, "t_str": {"$type": "$c_name"},
+          "is_num": {"$isNumber": "$c_acctbal"},
+          "as_int": {"$toInt": {"$floor": "$c_acctbal"}},
+          "lit_obj": {"$literal": {"a": 1, "b": "x"}},
+          "rng": {"$range": [0, 3]}}}
+      ]"""),
+    "q_mergeobjects" -> run("customer",
+      """[
+        {"$project": {"m": {"$mergeObjects": [
+            {"a": "$c_custkey", "b": "$c_name"},
+            {"b": "$c_mktsegment", "c": 1}]}}},
+        {"$project": {"a": "$m.a", "b": "$m.b", "c": "$m.c"}}
+      ]"""),
+    "q_replaceroot" -> run("customer",
+      """[
+        {"$replaceRoot": {"newRoot": {"k": "$c_custkey", "n": {"$toUpper": "$c_name"}}}}
+      ]"""),
+    "q_group_nullid" -> run("orders",
+      """[
+        {"$group": {"_id": null, "n": {"$sum": 1}, "t": {"$sum": "$o_totalprice"}}},
+        {"$project": {"n": 1, "t": {"$round": ["$t", 2]}, "_id": 0}}
+      ]"""),
+    "q_lookup_nomatch" -> run("orders",
+      """[
+        {"$lookup": {"from": "customer", "localField": "o_orderkey", "foreignField": "c_custkey", "as": "m"}},
+        {"$unwind": {"path": "$m", "preserveNullAndEmptyArrays": true}},
+        {"$project": {"o_orderkey": 1, "ck": "$m.c_custkey"}}
+      ]""", extra = Seq("customer")),
+
+    // ---- window functions ($setWindowFields extension, SURVEY §2.6) ----
+    "q_window" -> run("orders",
+      """[
+        {"$setWindowFields": {"partitionBy": "$o_custkey",
+          "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
+          "output": {
+            "rnk": {"$documentNumber": {}},
+            "running": {"$sum": "$o_totalprice"},
+            "prev_price": {"$shift": {"output": "$o_totalprice", "by": -1, "default": -1}}}}},
+        {"$project": {"o_orderkey": 1, "o_custkey": 1, "rnk": 1,
+                      "running": {"$round": ["$running", 2]}, "prev_price": 1}}
+      ]"""),
+    "q_events_window" -> ((spark: SparkSession, dir: String) => {
+      // events.ts is TIMESTAMP(NANOS) parquet → LongType nanos under
+      // nanosAsLong; the DuckDB oracle truncates to µs on read, so the
+      // comparison surface is µs (integer `div`, no FP).
+      val ev = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      Aggo.aggregate(ev,
+        """[
+          {"$setWindowFields": {"partitionBy": "$user_id",
+            "sortBy": {"ts_us": 1, "event_id": 1},
+            "output": {
+              "rn": {"$documentNumber": {}},
+              "prev_value": {"$shift": {"output": "$value", "by": -1}}}}},
+          {"$project": {"user_id": 1, "event_id": 1, "ts_us": 1, "rn": 1, "prev_value": 1}}
+        ]""")
+    }),
+
+    // ---- collection set ops / buckets (extensions) ----
+    "q_union" -> run("customer",
+      """[
+        {"$project": {"name": "$c_name", "k": "$c_custkey"}},
+        {"$unionWith": {"coll": "supplier", "pipeline": [
+          {"$project": {"name": "$s_name", "k": "$s_suppkey"}}]}}
+      ]""", extra = Seq("supplier")),
+    "q_bucket" -> run("customer",
+      """[
+        {"$bucket": {"groupBy": "$c_acctbal",
+          "boundaries": [-1000, 0, 2000, 4000, 6000, 8000],
+          "default": 99999,
+          "output": {"n": {"$sum": 1}, "avg_bal": {"$avg": "$c_acctbal"}}}},
+        {"$project": {"bucket": "$_id", "n": 1, "avg_bal": {"$round": ["$avg_bal", 4]}, "_id": 0}}
+      ]"""),
+    "q_sample" -> run("orders",
+      """[
+        {"$sample": {"size": 25}},
+        {"$project": {"o_orderkey": 1, "o_totalprice": 1}}
+      ]"""),
+    "q_facet" -> run("orders",
+      """[
+        {"$facet": {
+          "by_status": [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
+                         {"$sort": {"_id": 1}}],
+          "top_orders": [{"$sort": {"o_totalprice": -1, "o_orderkey": 1}}, {"$limit": 3},
+                          {"$project": {"o_orderkey": 1, "o_totalprice": 1}}]}}
+      ]"""),
+
     // ---- extensions: JSON props (dynamic-document handling) ----
     "q_events_json" -> ((spark: SparkSession, dir: String) => {
       tbl(spark, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy(col("event_type"))
         .agg(sum(col("k")).as("total_k"), count(lit(1)).as("n"),
-          round(avg(col("value")), 4).as("avg_value"))
+          floorRound(avg(col("value")), 4).as("avg_value"))
+    }),
+
+    // ---- extensions: text analysis (over documents) ----
+    "q_text_stats" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        charCount(col("text")).as("n_chars2"),
+        distinctTokenCount(col("text")).as("n_distinct"),
+        avgTokenLen(col("text")).as("avg_tok_len"),
+        punctRatio(col("text")).as("punct_ratio"))
+    }),
+    "q_text_quality" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+    }),
+    "q_text_langid" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      tbl(spark, dir, "documents").select(col("doc_id"), col("lang"),
+        langId(col("text")).as("guess"))
+    }),
+    "q_fingerprint" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- extensions: dedup ----
+    "q_dedup_exact" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.exactGroups(tbl(spark, dir, "documents"), "doc_id", "text")),
+    "q_dedup_ngram" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.ngramJaccardPairs(tbl(spark, dir, "documents"),
+        "doc_id", "text", Seq("lang", "source"), 3, 0.05)),
+    "q_dedup_minhash" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.minhashLshPairs(tbl(spark, dir, "documents"),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+    "q_dedup_simhash" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 6)),
+    "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, planes = 0)),
+
+    // ---- extensions: similarity search ----
+    "q_ann_brute" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      graft.ext.Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
+    }),
+    "q_ann_lsh" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      graft.ext.Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, planes = 6, tables = 8)
+    }),
+
+    // ---- extensions: multimodal plumbing (stubbed codec, real plan shape) ----
+    "q_multimodal" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val media = graft.ext.Multimodal.syntheticMedia(spark, docs, "doc_id").toDF
+      graft.ext.Multimodal.decodeAndFeaturize(spark, media)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"), col("meta.sizeBytes").as("size_bytes"))
     })
   )
+
+  /** Half-up rounding identical to ExprTranslator's `$round` — see there. */
+  private def floorRound(c: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column = {
+    val f = math.pow(10, p)
+    floor(c * f + lit(0.5)) / lit(f)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -437,6 +606,140 @@ object SparkEntry {
       """SELECT event_type,
         CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
         count(*) AS n, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
-      FROM events GROUP BY 1"""
+      FROM events GROUP BY 1""",
+    "q_match_array" ->
+      """SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+      WHERE len(string_split(p_name, ' ')) = 2
+        AND list_has_all(string_split(p_name, ' '), ['small'])
+        AND len(list_filter(string_split(p_name, ' '), x -> regexp_matches(x, '^(r|b)'))) > 0""",
+    "q_match_exists" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier WHERE NOT (s_acctbal < 0) AND s_suppkey % 4 = 1",
+    "q_type_ops" ->
+      """SELECT c_custkey, 'number' AS t_num, 'string' AS t_str, true AS is_num,
+        CAST(floor(c_acctbal) AS INTEGER) AS as_int,
+        {'a': 1, 'b': 'x'} AS lit_obj, [0, 1, 2] AS rng
+      FROM customer""",
+    "q_mergeobjects" ->
+      "SELECT c_custkey AS a, c_mktsegment AS b, 1 AS c FROM customer",
+    "q_replaceroot" ->
+      "SELECT c_custkey AS k, upper(c_name) AS n FROM customer",
+    "q_group_nullid" ->
+      "SELECT count(*) AS n, floor(sum(o_totalprice) * 100 + 0.5) / 100 AS t FROM orders",
+    "q_lookup_nomatch" ->
+      "SELECT o_orderkey, c_custkey AS ck FROM orders LEFT JOIN customer ON o_orderkey = c_custkey",
+    "q_window" ->
+      """SELECT o_orderkey, o_custkey, CAST(rn AS INTEGER) AS rnk,
+        floor(run * 100 + 0.5) / 100 AS running, coalesce(pv, -1) AS prev_price
+      FROM (SELECT o_orderkey, o_custkey,
+              row_number() OVER w AS rn,
+              sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+              lag(o_totalprice) OVER w AS pv
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))""",
+    "q_events_window" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(rn AS INTEGER) AS rn, pv AS prev_value
+      FROM (SELECT user_id, event_id, ts, value,
+              row_number() OVER w AS rn, lag(value) OVER w AS pv
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
+    "q_union" ->
+      "SELECT c_name AS name, c_custkey AS k FROM customer UNION ALL SELECT s_name, s_suppkey FROM supplier",
+    "q_bucket" ->
+      """SELECT CASE
+          WHEN c_acctbal >= -1000 AND c_acctbal < 0 THEN -1000
+          WHEN c_acctbal >= 0 AND c_acctbal < 2000 THEN 0
+          WHEN c_acctbal >= 2000 AND c_acctbal < 4000 THEN 2000
+          WHEN c_acctbal >= 4000 AND c_acctbal < 6000 THEN 4000
+          WHEN c_acctbal >= 6000 AND c_acctbal < 8000 THEN 6000
+          ELSE 99999 END AS bucket,
+        count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
+      FROM customer GROUP BY 1""",
+    "q_text_stats" ->
+      """SELECT doc_id,
+        CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(length(text) AS INTEGER) AS n_chars2,
+        CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) END AS avg_tok_len,
+        CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END AS punct_ratio
+      FROM (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+            FROM documents)""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+        least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+          + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+          + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2
+          AS quality
+      FROM (SELECT doc_id, text,
+              list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+            FROM documents)""",
+    "q_text_langid" ->
+      """SELECT doc_id, lang,
+        CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'
+             WHEN h_en = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'en'
+             WHEN h_de = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'de'
+             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'fr'
+             WHEN h_es = greatest(h_en, h_de, h_fr, h_es, h_zh) THEN 'es'
+             ELSE 'zh' END AS guess
+      FROM (SELECT doc_id, lang,
+              len(list_intersect(dt, ['the','and','of','to','in','is','that','with','for','was'])) AS h_en,
+              len(list_intersect(dt, ['der','die','und','das','ist','nicht','mit','ein','von','zu'])) AS h_de,
+              len(list_intersect(dt, ['le','la','les','et','de','est','pas','pour','dans','que'])) AS h_fr,
+              len(list_intersect(dt, ['el','la','los','las','es','de','no','por','para','que'])) AS h_es,
+              len(list_intersect(dt, ['de5','shi4','le5','zai4','you3','wo3','ta1','zhe4','bu4','ren2'])) AS h_zh
+            FROM (SELECT doc_id, lang,
+                    list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS dt
+                  FROM documents))""",
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        md5(array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0))), ' ')) AS fp
+      FROM documents""",
+    "q_dedup_exact" ->
+      "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+        SELECT doc_id, lang, source,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id, lang, source,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05""",
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
+    "q_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "q_multimodal" ->
+      """SELECT doc_id,
+        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+        CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+        CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+        3 AS channels,
+        CAST(16 + (doc_id % 1024) + 32 AS BIGINT) AS size_bytes
+      FROM documents"""
   )
 }

@@ -1,0 +1,203 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Design rules applied throughout:
+  *  - candidate generation is always a *bucket equi-join* (one shuffle on a
+  *    small key), never an O(n²) cross join;
+  *  - signatures are pure Column expressions (xxhash64 + arithmetic) so the
+  *    signature pass is a single codegen'd scan;
+  *  - verification (exact Jaccard / cosine) runs only on bucket-collided
+  *    candidate pairs.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------------------
+  // Exact dedup
+  // -------------------------------------------------------------------------
+
+  /** Exact duplicate groups by content hash: one row per distinct content
+    * with the minimal id as representative and the duplicate count.
+    * Single hash-shuffle; at scale this is the cheapest dedup tier. */
+  def exactGroups(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(md5(col(contentCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep one representative row per distinct content (smallest id wins). */
+  def exactDedup(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(contentCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------------------
+  // MinHash + LSH
+  // -------------------------------------------------------------------------
+
+  /** Deterministic universal-hash parameters (a·h + b mod p), seeded.
+    * Bounded to 31 bits so a·h + b never overflows a signed 64-bit long —
+    * Spark 4 runs in ANSI mode where silent wraparound is an error. */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong | 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val Mersenne31 = (1L << 31) - 1
+
+  /** MinHash signature (array<long> of length `numHashes`) over a string-array
+    * column. One xxhash64 per element, then cheap affine permutations —
+    * single pass, no shuffle. */
+  def minhashSignature(shingles: Column, numHashes: Int, seed: Long = 42L): Column = {
+    val base = transform(shingles, s => pmod(xxhash64(s), lit(Mersenne31)))
+    val params = hashParams(numHashes, seed)
+    array(params.map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * a + b, lit(Mersenne31))))
+    }: _*)
+  }
+
+  /** Split a signature of length `bands`·`rowsPerBand` into `bands` equal
+    * slices and hash each slice into a band key. Documents sharing any band
+    * key are candidate duplicates. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      xxhash64(array_join(transform(
+        slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), x => x.cast("string")), ",")))
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * Jaccard over the shingle sets.
+    *
+    * Plan shape (scales to arbitrary corpus size):
+    *  1. one scan: shingles + signature + band keys
+    *  2. explode bands (|docs|·bands rows) → shuffle on band_key
+    *  3. self-join within buckets (skew-bounded: bucket sizes are
+    *     birthday-bounded for honest thresholds) → distinct pairs
+    *  4. re-join the two shingle sets and compute exact Jaccard → filter.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val shingled = df.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val banded = shingled.select(col("doc_id"),
+      posexplode(bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
+    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val shA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union > 0, inter / union).otherwise(lit(1.0))
+  }
+
+  /** Brute-force n-gram Jaccard pairs within blocking groups — the exact
+    * (oracle-checkable) tier: O(block²) so callers must block on cheap keys
+    * (e.g. lang+source); the LSH variant above is the unblocked scale path. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        blockCols: Seq[String], shingleSize: Int,
+                        threshold: Double): DataFrame = {
+    val sh = df.select(
+      (col(idCol).as("doc_id") +: blockCols.map(col)) :+
+        TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"): _*)
+    val a = sh.select(blockCols.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a"): _*)
+    val b = sh.select(blockCols.map(col) :+ col("doc_id").as("id_b") :+ col("sh").as("sh_b"): _*)
+    a.join(b, blockCols).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------------------
+  // SimHash
+  // -------------------------------------------------------------------------
+
+  /** 64-bit SimHash of a token-array column: per-token xxhash64, signed bit
+    * votes accumulated with zip_with, sign → bit reconstruction. Pure
+    * Column expressions; one scan. */
+  def simhash64(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (v, bit) => v + when(call_function("shiftright", h, bit.cast("int")).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, bit) => when(v > 0, call_function("shiftleft", lit(1L), bit.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the
+    * signature (a pair within Hamming distance ≤ 3 of a 64-bit signature
+    * must agree exactly on at least one quarter — pigeonhole), then verify
+    * Hamming distance. Equi-join candidate generation, no cross join. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"),
+      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+    val quarters = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        q => call_function("shiftright", col("sig"), (q * 16).cast("int")).bitwiseAND(0xFFFFL)))
+        .as(Seq("q", "qkey")))
+    val a = quarters.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = quarters.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("q", "qkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // -------------------------------------------------------------------------
+  // Embedding near-dup
+  // -------------------------------------------------------------------------
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold. Blocked by LSH
+    * sign-buckets when `planes` > 0 (random hyperplanes, one equi-join);
+    * planes = 0 falls back to the exact all-pairs comparison (oracle tier,
+    * small inputs only). Returns (id_a, id_b, cos) with id_a < id_b. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, planes: Int = 0, seed: Long = 42L,
+                            dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val candidates =
+      if (planes <= 0) {
+        val a = base.select(col("vid").as("id_a"), col("v").as("v_a"))
+        val b = base.select(col("vid").as("id_b"), col("v").as("v_b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      } else {
+        val bucketed = base.withColumn("bucket",
+          Similarity.hyperplaneBucket(col("v"), planes, dim, seed))
+        val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+        val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+        a.join(b, "bucket").filter(col("id_a") < col("id_b")).drop("bucket")
+      }
+    candidates
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All functions are pure Catalyst `Column` builders (no UDFs): they stay
+  * inside codegen/vectorized execution and scale linearly with no shuffle.
+  * Tokenization is lowercase split on non-word chars — chosen because it is
+  * reproducible bit-for-bit in other engines (DuckDB:
+  * `regexp_split_to_array(lower(x), '\W+')`), which the correctness oracle
+  * relies on.
+  */
+object TextFunctions {
+
+  /** Lowercased word tokens; empty tokens (leading/trailing separators)
+    * removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** Mean token length in characters (null for empty docs). */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Fraction of characters that are not letters/digits/whitespace. */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", ""))).cast("double") / length(text))
+      .otherwise(lit(0.0))
+
+  /** Fraction of tokens found in `stopwords` (type-1 fluency signal). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      size(filter(ts, t => t.isin(stopwords.map(lit): _*))).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (repetition signal). */
+  def typeTokenRatio(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0, size(array_distinct(ts)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic quality score in [0,1]: combines length, repetition and
+    * punctuation signals the way C4/Gopher-style filters do (public recipe),
+    * kept as a deterministic closed formula so it is oracle-checkable.
+    * score = 0.4·min(1, tokens/100) + 0.4·ttr + 0.2·(1 − min(1, 4·punct)). */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
+    val ttr = typeTokenRatio(text)
+    val punct = lit(1.0) - least(lit(1.0), punctRatio(text) * 4.0)
+    lenScore * 0.4 + ttr * 0.4 + punct * 0.2
+  }
+
+  /** Small per-language marker vocabularies for the n-gram/stopword language
+    * heuristic. Real pipelines plug in fastText-style models; the interface
+    * (text → code) is the stable part. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with", "for", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "est", "pas", "pour", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "las", "es", "de", "no", "por", "para", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "bu4", "ren2")
+  )
+
+  /** Language-ID heuristic: count marker-word hits per language, return the
+    * best-scoring code or "und" when nothing matches. Deterministic
+    * tie-break: higher hit count wins, then earlier language in the list. */
+  def langId(text: Column): Column = {
+    val ts = array_distinct(tokens(text))
+    val scored = langMarkers.map { case (code, markers) =>
+      (code, size(array_intersect(ts, array(markers.map(lit): _*))))
+    }
+    // fold: keep (bestCode, bestScore); strictly-greater keeps list order
+    val init = struct(lit("und").as("code"), lit(0).as("hits"))
+    val best = scored.foldLeft(init) { case (acc, (code, hits)) =>
+      when(hits > acc.getField("hits"), struct(lit(code).as("code"), hits.as("hits")))
+        .otherwise(acc)
+    }
+    best.getField("code")
+  }
+
+  /** Order-invariant document fingerprint: md5 of the sorted distinct token
+    * set. Collapses documents that differ only in token order/duplication —
+    * the cheap first tier of near-dup detection (reference analogue: aggo
+    * dedups $addToSet members by JSON serialization, accumulators.ts:175). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Character k-gram shingles (distinct) of the lowercased text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(text)
+    when(length(t) < k, array(t)).otherwise(
+      array_distinct(transform(sequence(lit(1), length(t) - (k - 1)),
+        i => t.substr(i, lit(k)))))
+  }
+
+  /** Word n-gram shingles (distinct), joined with spaces. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array(array_join(ts, " "))).otherwise(
+      array_distinct(transform(sequence(lit(0), size(ts) - n),
+        i => array_join(slice(ts, i + 1, lit(n)), " "))))
+  }
+}
