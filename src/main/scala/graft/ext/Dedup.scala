@@ -80,13 +80,18 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // Signature pass via the JVM kernel (Kernels.minhashSig): the
+    // interpreted-HOF variant (minhashSignature) walks ~20k expression nodes
+    // per document. Persisted because three join branches reuse it — at
+    // cluster scale this is the "write the signature table once" step.
     val shingled = df.select(
       col(idCol).as("doc_id"),
       TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes, seed))
-    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+      .withColumn("sig", Kernels.minhashSig(numHashes, seed)(col("sh")))
+      .persist()
     val banded = shingled.select(col("doc_id"),
-      posexplode(bandKeys(col("sig"), bands, numHashes / bands)).as(Seq("band", "band_key")))
+      posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band", "band_key"))
@@ -156,7 +161,7 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = df.select(col(idCol).as("doc_id"),
-      simhash64(TextFunctions.tokens(col(textCol))).as("sig"))
+      Kernels.simhashKernel(TextFunctions.tokens(col(textCol))).as("sig"))
     val quarters = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         q => call_function("shiftright", col("sig"), (q * 16).cast("int")).bitwiseAND(0xFFFFL)))
@@ -189,13 +194,13 @@ object Dedup {
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
         val bucketed = base.withColumn("bucket",
-          Similarity.hyperplaneBucket(col("v"), planes, dim, seed))
+          element_at(Kernels.hyperplaneBucketsKernel(planes, 1, dim, seed)(col("v")), 1))
         val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
         val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
         a.join(b, "bucket").filter(col("id_a") < col("id_b")).drop("bucket")
       }
     candidates
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", Kernels.cosineKernel(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()

@@ -1,0 +1,144 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Tight JVM kernels for the signature/similarity inner loops.
+  *
+  * Catalyst higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * interpreted per element — fine for data-shaping, but a 64-permutation
+  * MinHash over ~300 shingles walks ~20k expression-tree nodes per row.
+  * These ScalaUDF kernels run the same math as a straight-line loop
+  * (~100× faster in practice) while keeping the surrounding plan —
+  * scans, bucket joins, shuffles — fully declarative. Each kernel is a
+  * deterministic pure function, so Catalyst can still push/reorder around
+  * it safely.
+  */
+object Kernels {
+
+  private val Mersenne31 = (1L << 31) - 1
+
+  /** Murmur-mixed 64-bit string hash (stable across JVMs/partitions). */
+  @inline private def hash64(s: String, seed: Long): Long = {
+    var h = seed ^ (s.length * 0x9E3779B97F4A7C15L)
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i)
+      h *= 0x100000001B3L // FNV-ish multiply, then xorshift mix below
+      i += 1
+    }
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** MinHash signature kernel: one base hash per shingle, `numHashes`
+    * affine permutations bounded to 31 bits (no overflow). */
+  def minhashSig(numHashes: Int, seed: Long): Column => Column = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    val g = udf { (shingles: Seq[String]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shingles.foreach { s =>
+        val h = java.lang.Math.floorMod(hash64(s, 42L), Mersenne31)
+        var i = 0
+        while (i < numHashes) {
+          val v = (h * as(i) + bs(i)) % Mersenne31
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    c => g(c)
+  }
+
+  /** Band keys from a signature: hash each of `bands` contiguous slices. */
+  def bandKeysKernel(bands: Int, rowsPerBand: Int): Column => Column = {
+    val f = udf { (sig: Seq[Long]) =>
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var h = 0xCBF29CE484222325L
+        var r = 0
+        while (r < rowsPerBand) {
+          h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001B3L
+          r += 1
+        }
+        out(b) = h
+        b += 1
+      }
+      out
+    }
+    c => f(c)
+  }
+
+  /** 64-bit SimHash over a token array. */
+  def simhashKernel: Column => Column = {
+    val f = udf { (tokens: Seq[String]) =>
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        val h = hash64(t, 7L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    c => f(c)
+  }
+
+  /** Sequential-order cosine over float vectors (same fold order as the
+    * Column/HOF version and the DuckDB oracle formula — bit-identical). */
+  val cosineKernel: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Float], b: Seq[Float]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d > 0) dot / d else Double.NaN
+    }
+    (a, b) => f(a, b)
+  }
+
+  /** All `tables` hyperplane sign-buckets of a vector in one pass. */
+  def hyperplaneBucketsKernel(planes: Int, tables: Int, dim: Int, seed: Long): Column => Column = {
+    val hp = Array.tabulate(tables) { t =>
+      val rnd = new scala.util.Random(seed + t * 7919)
+      Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    }
+    val f = udf { (v: Seq[Float]) =>
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          var dot = 0.0
+          val r = hp(t)(p)
+          val n = math.min(v.length, dim)
+          var i = 0
+          while (i < n) { dot += v(i) * r(i); i += 1 }
+          if (dot >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
+    }
+    c => f(c)
+  }
+}

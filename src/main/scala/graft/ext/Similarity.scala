@@ -60,7 +60,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cos", Kernels.cosineKernel(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -77,8 +77,8 @@ object Similarity {
               dim: Int = 64, seed: Long = 42L): DataFrame = {
     def bucketed(df: DataFrame, vecName: String, idName: String): DataFrame = {
       val withBuckets = df.select(col(idCol).as(idName), col(vecCol).as(vecName))
-        .withColumn("buckets", array((0 until tables).map(t =>
-          hyperplaneBucket(col(vecName), planes, dim, seed + t * 7919)): _*))
+        .withColumn("buckets",
+          Kernels.hyperplaneBucketsKernel(planes, tables, dim, seed)(col(vecName)))
       withBuckets.select(col(idName), col(vecName),
         posexplode(col("buckets")).as(Seq("table", "bucket")))
     }
@@ -89,7 +89,7 @@ object Similarity {
       .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.withColumn("cos", cosine(col("q_vec"), col("c_vec")))
+    candidates.withColumn("cos", Kernels.cosineKernel(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
