@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Command-line entry point — parity with the reference CLI
+  * (/root/reference/src/cli.ts:207-283): JSONL in, pipeline JSON, JSONL out,
+  * with `--explain` and `--stats`.
+  *
+  * Usage:
+  *   graft.Cli --pipeline '<json>' [--in path[.jsonl|.parquet]] [--out path]
+  *             [--collection name=path ...] [--explain] [--stats] [--pretty]
+  *
+  * `--in -` (default) reads JSONL from stdin; `--out -` (default) writes
+  * JSONL to stdout. Parquet is selected by file extension.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    var pipeline: Option[String] = None
+    var in = "-"
+    var out = "-"
+    var explain = false
+    var stats = false
+    var collections = Map.empty[String, String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--pipeline"      => pipeline = Some(args(i + 1)); i += 2
+        case "--pipeline-file" => pipeline = Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(i + 1))))); i += 2
+        case "--in"            => in = args(i + 1); i += 2
+        case "--out"           => out = args(i + 1); i += 2
+        case "--collection"    =>
+          val Array(n, p) = args(i + 1).split("=", 2); collections += n -> p; i += 2
+        case "--explain"       => explain = true; i += 1
+        case "--stats"         => stats = true; i += 1
+        case other             => die(s"unknown argument $other")
+      }
+    }
+    val pipelineJson = pipeline.getOrElse(die("--pipeline or --pipeline-file required"))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def read(path: String): DataFrame = path match {
+      case "-"                        =>
+        // stdin JSONL → temp file (spark.read.json needs a path/RDD)
+        val tmp = java.nio.file.Files.createTempFile("graft-stdin", ".jsonl")
+        java.nio.file.Files.copy(System.in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        spark.read.json(tmp.toString)
+      case p if p.endsWith(".parquet") => spark.read.parquet(p)
+      case p                           => spark.read.json(p)
+    }
+
+    val input = read(in)
+    val colls = collections.map { case (n, p) => n -> read(p) }
+    val t0 = System.nanoTime()
+    val result = Aggo.aggregate(input, pipelineJson, colls)
+
+    if (explain) {
+      System.err.println(Aggo.explain(input, pipelineJson, colls))
+    }
+    out match {
+      case "-" =>
+        result.toJSON.collect().foreach(println)
+      case p if p.endsWith(".parquet") => result.write.mode("overwrite").parquet(p)
+      case p                           => result.write.mode("overwrite").json(p)
+    }
+    if (stats) {
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[stats] ${input.count()} docs in, ${result.count()} out, $secs%.3f s")
+    }
+    spark.stop()
+  }
+
+  private def die(msg: String): Nothing = { System.err.println(s"error: $msg"); sys.exit(2) }
+}

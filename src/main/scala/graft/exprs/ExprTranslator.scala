@@ -304,11 +304,12 @@ object ExprTranslator {
         }
       case "$arrayElemAt" =>
         val (arr, idx) = binary
-        // Mongo 0-based; negative wraps from end. element_at is 1-based.
-        when(idx >= 0, element_at(arr, (idx + 1).cast(IntegerType)))
-          .otherwise(element_at(arr, idx.cast(IntegerType)))
-      case "$first" => element_at(a1, 1)   // expression form: first array element
-      case "$last"  => element_at(a1, -1)
+        // Mongo 0-based; negative wraps from end; out-of-bounds → missing
+        // (null). try_element_at because ANSI element_at throws instead.
+        when(idx >= 0, try_element_at(arr, (idx + 1).cast(IntegerType)))
+          .otherwise(try_element_at(arr, idx.cast(IntegerType)))
+      case "$first" => try_element_at(a1, lit(1))   // expression form: first array element
+      case "$last"  => try_element_at(a1, lit(-1))
       case "$filter" =>
         val fs = obj(arg, op)
         val in = translate(field(fs, "input", op))
@@ -324,7 +325,23 @@ object ExprTranslator {
       case "$reduce" =>
         val fs = obj(arg, op)
         val in = translate(field(fs, "input", op))
-        val init = translate(field(fs, "initialValue", op))
+        val init0 = translate(field(fs, "initialValue", op))
+        // Spark's `aggregate` requires zero type == merge-result type; a
+        // numeric init is widened to the array's element numeric type so
+        // `0` works as the zero of a bigint/double array (Mongo: untyped).
+        val init = (field(fs, "initialValue", op), ctx.typeOf(in)) match {
+          case (JInt(_) | JLong(_) | JDouble(_) | JDecimal(_), Some(ArrayType(et: NumericType, _))) =>
+            val initT = field(fs, "initialValue", op) match {
+              case JDouble(_) | JDecimal(_) => DoubleType
+              case _                        => IntegerType
+            }
+            val widened: DataType =
+              if (initT == DoubleType || et == DoubleType || et == FloatType) DoubleType
+              else if (et == LongType) LongType
+              else et
+            init0.cast(widened)
+          case _ => init0
+        }
         val body = field(fs, "in", op)
         aggregate(in, init, (acc, x) =>
           translate(body)(ctx.lambda("value", acc).copy(vars = ctx.vars + ("value" -> acc) + ("this" -> x), df = None)))

@@ -59,7 +59,7 @@ object MatchTranslator {
     (ctx.typeOf(c), v) match {
       case (Some(_: ArrayType), JArray(_)) => c <=> litV
       case (Some(_: ArrayType), JNull)     => c.isNull
-      case (Some(_: ArrayType), _)         => array_contains(c, litV) || (c <=> litV)
+      case (Some(_: ArrayType), _)         => coalesce(array_contains(c, litV), lit(false))
       case _                               => c <=> litV
     }
   }

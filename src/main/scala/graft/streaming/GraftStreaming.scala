@@ -1,0 +1,123 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.Aggo
+
+/** Streaming execution of Mongo-style pipelines.
+  *
+  * The reference's "streaming" is incremental view maintenance over a
+  * mutable in-memory collection (/root/reference/src/aggo/streaming.ts:78-120
+  * + crossfilter engine). Spark-first mapping (SURVEY §3 entry 3):
+  *
+  *  - **append-only streams** → Structured Streaming: the same stage
+  *    translator emits a streaming plan; `$group` becomes a stateful
+  *    streaming aggregation (update/complete mode), `$match`/`$project`/
+  *    `$addFields`/`$unwind` are stateless and run in append mode.
+  *    Blocking stages (`$sort`/`$limit`/`$skip`/`$facet`) are rejected by
+  *    Spark's unsupported-operation checker, matching their unbounded-stream
+  *    semantics.
+  *  - **removals / live collections** → [[StreamingCollection]]: recompute
+  *    on mutation, which is exactly the reference's own fallback when a plan
+  *    cannot decrement (streaming.ts:659-672). True retraction for
+  *    sum/count/avg can later ride a weighted-CDC aggregation (SURVEY §7.4.5).
+  */
+object GraftStreaming {
+
+  /** Translate a pipeline over a streaming DataFrame. The caller picks the
+    * output mode: "update"/"complete" when the pipeline aggregates,
+    * "append" otherwise. */
+  def aggregate(stream: DataFrame, pipelineJson: String,
+                collections: Map[String, DataFrame] = Map.empty): DataFrame =
+    Aggo.aggregate(stream, pipelineJson, collections)
+
+  /** Event-time tumbling/sliding window aggregation with watermarking —
+    * an extension beyond the reference (it has no event-time windows,
+    * SURVEY §2.6). Accumulators use the same `$group` syntax. */
+  def windowedAggregate(stream: DataFrame, tsCol: String, windowDuration: String,
+                        slide: Option[String], watermark: String,
+                        groupJson: String): DataFrame = {
+    val fields = org.json4s.jackson.JsonMethods.parse(groupJson) match {
+      case org.json4s.JObject(fs) => fs.filterNot(_._1 == "_id")
+      case other => throw graft.model.GraftException(s"group spec must be an object, got $other")
+    }
+    implicit val ec: graft.exprs.ExprCtx =
+      graft.exprs.ExprCtx(Some(stream), rootCols = stream.columns.toSeq)
+    val aggs = fields.map { case (name, spec) =>
+      val (op, arg) = spec match {
+        case org.json4s.JObject(List((o, a))) if o.startsWith("$") => (o, a)
+        case _ => throw graft.model.GraftException(s"accumulator for '$name' must be a $$-operator")
+      }
+      graft.stages.StageTranslator.accumulator(op, arg, None).as(name)
+    }
+    val win = slide match {
+      case Some(s) => window(col(tsCol), windowDuration, s)
+      case None    => window(col(tsCol), windowDuration)
+    }
+    stream.withWatermark(tsCol, watermark)
+      .groupBy(win.as("window"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+}
+
+/** Live collection with `add`/`addBulk`/`removeWhere` mutation and
+  * re-aggregation — the API analogue of the reference's
+  * `createStreamingCollection` (streaming.ts:78-120, index.ts:91).
+  *
+  * Mutations recompute registered pipelines (the reference's own fallback
+  * path when incremental maintenance is impossible) and notify subscribers,
+  * mirroring its `result-updated` events (streaming.ts:644-671).
+  * Not a cluster-scale primitive — it exists for API parity; unbounded
+  * streams belong on [[GraftStreaming.aggregate]].
+  */
+final class StreamingCollection(spark: SparkSession, schema: StructType,
+                                collections: Map[String, DataFrame] = Map.empty) {
+  private val rows = ArrayBuffer[Row]()
+  private var pipelines = Map.empty[String, String]                    // name -> pipeline json
+  private var listeners = List.empty[(String, DataFrame) => Unit]
+
+  def size: Int = synchronized(rows.size)
+
+  def toDF: DataFrame = synchronized {
+    spark.createDataFrame(new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
+  def add(row: Row): Unit = { synchronized(rows += row); fire() }
+  def addBulk(bulk: Seq[Row]): Unit = { synchronized(rows ++= bulk); fire() }
+
+  /** Remove every document matching the `$match`-style predicate; returns
+    * the number removed (reference: streaming.ts:211-260). */
+  def removeWhere(matchJson: String): Int = {
+    val n = synchronized {
+      val keep = Aggo.aggregate(toDF, s"""[{"$$match": {"$$nor": [$matchJson]}}]""", collections)
+        .collect()
+      val removed = rows.size - keep.length
+      rows.clear(); rows ++= keep
+      removed
+    }
+    fire()
+    n
+  }
+
+  /** Register a pipeline; returns its current result and recomputes on every
+    * mutation (reference: stream(), streaming.ts:514-565). */
+  def stream(name: String, pipelineJson: String): DataFrame = {
+    synchronized { pipelines += name -> pipelineJson }
+    aggregate(pipelineJson)
+  }
+
+  def aggregate(pipelineJson: String): DataFrame =
+    Aggo.aggregate(toDF, pipelineJson, collections)
+
+  def onUpdate(f: (String, DataFrame) => Unit): Unit =
+    synchronized { listeners ::= f }
+
+  private def fire(): Unit = {
+    val (ps, ls) = synchronized((pipelines, listeners))
+    for ((name, p) <- ps; l <- ls) l(name, aggregate(p))
+  }
+}

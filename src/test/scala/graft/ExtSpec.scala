@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+import graft.ext._
+
+/** Extension operators: dedup tiers, similarity search, text analysis,
+  * multimodal plumbing. */
+class ExtSpec extends AnyFunSuite {
+
+  private lazy val docs = fromJsonl(
+    """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+    """{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+    """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat again and again"}""",
+    """{"doc_id": 4, "text": "completely different words about spark and data processing here"}""")
+
+  test("exact dedup groups identical content") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.exactDedup(docs, "doc_id", "text").count() == 3)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near-dup
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs have distance 0, near dups small distance") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 16))
+  }
+
+  test("ngram jaccard within blocks") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("brute-force topK: self-similar vector ranks first") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def row(id: Long, v: Seq[Float]) = org.apache.spark.sql.Row(id, v)
+    val data = Seq(
+      row(0L, Seq(1f, 0f, 0f)), row(1L, Seq(0.9f, 0.1f, 0f)),
+      row(2L, Seq(0f, 1f, 0f)), row(3L, Seq(-1f, 0f, 0f)))
+    val df = spark.createDataFrame(data.asJava, schema)
+    val top = Similarity.bruteForceTopK(df.filter(col("vec_id") === 0), df, "vec_id", "embedding", 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(top(0).getAs[Long]("neighbor_id") == 1L) // closest direction
+    assert(top(0).getAs[Double]("cos") > 0.99)
+    assert(top(1).getAs[Long]("neighbor_id") == 2L)
+
+    val lsh = Similarity.lshTopK(df.filter(col("vec_id") === 0), df, "vec_id", "embedding",
+      k = 1, planes = 2, tables = 4, dim = 3)
+      .collect()
+    assert(lsh.nonEmpty && lsh.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("text metrics: tokens, quality, language id, fingerprint") {
+    val d = fromJsonl(
+      """{"id": 1, "text": "The cat and the dog, with friends!"}""",
+      """{"id": 2, "text": "der hund und die katze ist nicht da"}""",
+      """{"id": 3, "text": ""}""")
+      .select(col("id"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+        TextFunctions.punctRatio(col("text")).as("punct"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lang"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(d(1L).getAs[Int]("n") == 7)
+    assert(d(1L).getAs[String]("lang") == "en")
+    assert(d(2L).getAs[String]("lang") == "de")
+    assert(d(3L).getAs[String]("lang") == "und")
+    assert(d(1L).getAs[Double]("punct") > 0 && d(1L).getAs[Double]("punct") < 0.2)
+    assert(d(1L).getAs[Double]("q") > 0 && d(1L).getAs[Double]("q") <= 1.0)
+    // fingerprint is order/duplication-invariant
+    val fp = fromJsonl(
+      """{"id": 1, "text": "alpha beta gamma"}""",
+      """{"id": 2, "text": "gamma beta alpha alpha"}""")
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).collect()
+    assert(fp(0).getString(0) == fp(1).getString(0))
+  }
+
+  test("multimodal: synthetic media decodes to expected metadata") {
+    val ids = spark.range(0, 10).toDF("doc_id")
+    val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
+    val decoded = Multimodal.decodeAndFeaturize(spark, media).collect()
+    assert(decoded.length == 10)
+    val d7 = decoded.find(_.doc_id == 7L).get
+    assert(d7.meta.format == "jpeg") // 7 % 3 == 1
+    assert(d7.meta.width == (7 % 64) * 16 + 16)
+    assert(d7.meta.height == (7 % 48) * 16 + 16)
+    assert(d7.features.length == 8 && d7.features.exists(_ != 0f))
+    val frames = Multimodal.frameSample(media.filter(col("doc_id") === 3), 16)
+    assert(frames.count() > 1)
+  }
+
+  test("kernel cosine matches declarative cosine bit-for-bit") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("a ARRAY<FLOAT>, b ARRAY<FLOAT>")
+    val df = spark.createDataFrame(Seq(
+      org.apache.spark.sql.Row(Seq(0.3f, -1.2f, 2.2f), Seq(1.5f, 0.7f, -0.1f))).asJava, schema)
+    val r = df.select(
+      Kernels.cosineKernel(col("a"), col("b")).as("k"),
+      Similarity.cosine(col("a"), col("b")).as("c")).collect().head
+    assert(r.getDouble(0) == r.getDouble(1)) // exact equality
+  }
+}

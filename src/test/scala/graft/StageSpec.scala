@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Pipeline-stage semantics (SURVEY §2.2) — including the Mongo-specific
+  * shapes (missing fields, arrays, preserved nulls) the TPC-H oracle can't
+  * exercise. */
+class StageSpec extends AnyFunSuite {
+
+  private val orders = fromJsonl(
+    """{"id": 1, "cust": "a", "status": "new",  "total": 10.0, "tags": ["x", "y"]}""",
+    """{"id": 2, "cust": "b", "status": "new",  "total": 20.0, "tags": []}""",
+    """{"id": 3, "cust": "a", "status": "done", "total": 30.0, "tags": ["y"]}""",
+    """{"id": 4, "cust": "c", "status": "done", "total": 40.0}""",
+    """{"id": 5, "cust": "a", "status": "new",  "total": 50.0, "tags": ["z"]}""")
+
+  test("$match operators: $in/$nin/$exists/$elemMatch/$size/$all/$not/$regex") {
+    def ids(q: String): Seq[Long] =
+      agg(orders, s"""[{"$$match": $q}, {"$$project": {"id": 1}}, {"$$sort": {"id": 1}}]""")
+        .map(_("id").asInstanceOf[Long])
+    assert(ids("""{"status": "new"}""") == Seq(1, 2, 5))
+    assert(ids("""{"total": {"$gte": 20, "$lt": 50}}""") == Seq(2, 3, 4))
+    assert(ids("""{"cust": {"$in": ["b", "c"]}}""") == Seq(2, 4))
+    assert(ids("""{"cust": {"$nin": ["a"]}}""") == Seq(2, 4))
+    assert(ids("""{"tags": {"$exists": true}}""") == Seq(1, 2, 3, 5))
+    assert(ids("""{"tags": {"$exists": false}}""") == Seq(4))
+    assert(ids("""{"tags": "y"}""") == Seq(1, 3)) // scalar matches array element
+    assert(ids("""{"tags": {"$size": 2}}""") == Seq(1))
+    assert(ids("""{"tags": {"$all": ["x", "y"]}}""") == Seq(1))
+    assert(ids("""{"tags": {"$elemMatch": {"$regex": "^z"}}}""") == Seq(5))
+    assert(ids("""{"total": {"$not": {"$gt": 25}}}""") == Seq(1, 2))
+    assert(ids("""{"id": {"$mod": [2, 1]}}""") == Seq(1, 3, 5))
+    assert(ids("""{"$or": [{"cust": "b"}, {"total": {"$gt": 45}}]}""") == Seq(2, 5))
+    assert(ids("""{"$nor": [{"status": "new"}, {"cust": "c"}]}""") == Seq(3))
+    assert(ids("""{"$expr": {"$gt": ["$total", {"$multiply": ["$id", 9]}]}}""") == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("$project include/exclude/computed/nested rebuild") {
+    val inc = agg(orders, """[{"$match": {"id": 1}}, {"$project": {"id": 1, "twice": {"$multiply": ["$total", 2]}}}]""").head
+    assert(inc.keySet == Set("id", "twice") && inc("twice") == 20.0)
+    val exc = agg(orders, """[{"$match": {"id": 1}}, {"$project": {"tags": 0, "status": 0}}]""").head
+    assert(exc.keySet == Set("id", "cust", "total"))
+    val nested = agg(fromJsonl("""{"a": {"b": 1, "c": 2}, "keep": 9}"""),
+      """[{"$project": {"a.b": 1, "keep": 1}}]""").head
+    assert(nested("a").asInstanceOf[org.apache.spark.sql.Row].schema.fieldNames.toSeq == Seq("b"))
+  }
+
+  test("$addFields keeps fields and supports nested set; $unset drops") {
+    val r = agg(fromJsonl("""{"a": {"b": 1}, "x": 2}"""),
+      """[{"$addFields": {"a.c": 7, "y": {"$add": ["$x", 1]}}}, {"$unset": "x"}]""").head
+    assert(r.keySet == Set("a", "y"))
+    val a = r("a").asInstanceOf[org.apache.spark.sql.Row]
+    assert(a.getAs[Any]("b") == 1L && a.getAs[Any]("c") == 7 && r("y") == 3L)
+  }
+
+  test("$group: compound id, accumulators, encounter order for $first/$push") {
+    val rows = agg(orders,
+      """[{"$sort": {"total": -1}},
+          {"$group": {"_id": "$cust", "n": {"$sum": 1}, "tot": {"$sum": "$total"},
+                      "avg": {"$avg": "$total"}, "mx": {"$max": "$total"},
+                      "firstId": {"$first": "$id"}, "lastId": {"$last": "$id"},
+                      "ids": {"$push": "$id"}, "statuses": {"$addToSet": "$status"}}},
+          {"$sort": {"_id": 1}}]""")
+    val a = rows.head
+    assert(a("_id") == "a" && a("n") == 3L && a("tot") == 90.0 && a("avg") == 30.0)
+    assert(a("mx") == 50.0)
+    // sorted total desc → a's docs are 5 (50), 3 (30), 1 (10)
+    assert(a("firstId") == 5L && a("lastId") == 1L)
+    assert(a("ids").asInstanceOf[scala.collection.Seq[_]] == Seq(5L, 3L, 1L))
+    assert(a("statuses").asInstanceOf[scala.collection.Seq[_]] == Seq("done", "new"))
+  }
+
+  test("$group _id null makes one group; $count rewrites") {
+    val g = agg(orders, """[{"$group": {"_id": null, "n": {"$sum": 1}}}]""").head
+    assert(g("n") == 5L)
+    val c = agg(orders, """[{"$match": {"status": "new"}}, {"$count": "total"}]""").head
+    assert(c("total") == 3L)
+  }
+
+  test("$unwind forms: default drops null/empty, preserve keeps, index") {
+    val basic = agg(orders, """[{"$unwind": "$tags"}, {"$project": {"id": 1, "tags": 1}}, {"$sort": {"id": 1, "tags": 1}}]""")
+    assert(basic.map(r => (r("id"), r("tags"))) ==
+      Seq((1L, "x"), (1L, "y"), (3L, "y"), (5L, "z")))
+    val preserved = agg(orders,
+      """[{"$unwind": {"path": "$tags", "preserveNullAndEmptyArrays": true}}, {"$count": "n"}]""").head
+    assert(preserved("n") == 6L) // 4 exploded + id2 (empty) + id4 (missing)
+    val idx = agg(orders,
+      """[{"$match": {"id": 1}}, {"$unwind": {"path": "$tags", "includeArrayIndex": "i"}},
+          {"$project": {"tags": 1, "i": 1}}, {"$sort": {"i": 1}}]""")
+    assert(idx.map(r => (r("tags"), r("i"))) == Seq(("x", 0L), ("y", 1L)))
+  }
+
+  test("$sort directions with nulls-lowest; $limit/$skip") {
+    val sorted = agg(orders,
+      """[{"$sort": {"status": 1, "total": -1}}, {"$project": {"id": 1}}]""")
+      .map(_("id"))
+    assert(sorted == Seq(4L, 3L, 5L, 2L, 1L))
+    val page = agg(orders,
+      """[{"$sort": {"id": 1}}, {"$skip": 2}, {"$limit": 2}, {"$project": {"id": 1}}]""")
+      .map(_("id"))
+    assert(page == Seq(3L, 4L))
+  }
+
+  test("$lookup equality + pipeline forms") {
+    val custs = fromJsonl(
+      """{"name": "a", "tier": "gold"}""",
+      """{"name": "b", "tier": "bronze"}""")
+    val eq = agg(orders,
+      """[{"$lookup": {"from": "custs", "localField": "cust", "foreignField": "name", "as": "c"}},
+          {"$project": {"id": 1, "nc": {"$size": "$c"},
+                        "tier": {"$arrayElemAt": ["$c.tier", 0]}}},
+          {"$sort": {"id": 1}}]""",
+      Map("custs" -> custs))
+    assert(eq.map(r => (r("id"), r("nc"), r("tier"))) ==
+      Seq((1L, 1, "gold"), (2L, 1, "bronze"), (3L, 1, "gold"), (4L, 0, null), (5L, 1, "gold")))
+
+    val pipe = agg(custs,
+      """[{"$lookup": {"from": "orders", "let": {"n": "$name"},
+            "pipeline": [
+              {"$match": {"$expr": {"$and": [{"$eq": ["$$n", "$cust"]}, {"$gte": ["$total", 20]}]}}},
+              {"$sort": {"total": -1}}, {"$limit": 1}],
+            "as": "top"}},
+          {"$unwind": "$top"},
+          {"$project": {"name": 1, "topId": "$top.id"}}, {"$sort": {"name": 1}}]""",
+      Map("orders" -> orders))
+    assert(pipe.map(r => (r("name"), r("topId"))) == Seq(("a", 5L), ("b", 2L)))
+  }
+
+  test("$replaceRoot, $sortByCount, $sample determinism") {
+    val rr = agg(fromJsonl("""{"meta": {"x": 1, "y": "z"}, "drop": 0}"""),
+      """[{"$replaceRoot": {"newRoot": "$meta"}}]""").head
+    assert(rr.keySet == Set("x", "y"))
+    val sbc = agg(orders, """[{"$sortByCount": "$status"}]""")
+    assert(sbc.head("_id") == "new" && sbc.head("count") == 3L)
+    val s1 = agg(orders, """[{"$sample": {"size": 2}}, {"$project": {"id": 1}}]""").map(_("id")).toSet
+    val s2 = agg(orders, """[{"$sample": {"size": 2}}, {"$project": {"id": 1}}]""").map(_("id")).toSet
+    assert(s1 == s2 && s1.size == 2) // seeded/hash-based → stable
+  }
+
+  test("$bucket groups by boundaries with default") {
+    val rows = agg(orders,
+      """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 25, 45], "default": -1,
+                       "output": {"n": {"$sum": 1}, "mx": {"$max": "$total"}}}},
+          {"$sort": {"_id": 1}}]""")
+    assert(rows.map(r => (r("_id"), r("n"), r("mx"))) ==
+      Seq((-1, 1L, 50.0), (0, 2L, 20.0), (25, 2L, 40.0)))
+  }
+
+  test("$facet runs sub-pipelines over same input") {
+    val f = agg(orders,
+      """[{"$facet": {
+           "byStatus": [{"$group": {"_id": "$status", "n": {"$sum": 1}}}, {"$sort": {"_id": 1}}],
+           "top2": [{"$sort": {"total": -1}}, {"$limit": 2}, {"$project": {"id": 1}}]}}]""").head
+    val byStatus = f("byStatus").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(byStatus.map(r => (r.getAs[String]("_id"), r.getAs[Long]("n"))) ==
+      Seq(("done", 2L), ("new", 3L)))
+    assert(f("top2").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]].map(_.getAs[Long]("id")) == Seq(5L, 4L))
+  }
+
+  test("$unionWith merges collections by name") {
+    val extra = fromJsonl("""{"id": 100, "cust": "zz", "status": "new", "total": 1.0}""")
+    val n = agg(orders, """[{"$unionWith": "extra"}, {"$count": "n"}]""", Map("extra" -> extra)).head
+    assert(n("n") == 6L)
+  }
+
+  test("$setWindowFields rank/shift/running sums") {
+    val rows = agg(orders,
+      """[{"$setWindowFields": {"partitionBy": "$cust", "sortBy": {"total": 1},
+           "output": {"rnk": {"$rank": {}}, "run": {"$sum": "$total"},
+                      "prev": {"$shift": {"output": "$id", "by": -1, "default": -1}}}}},
+          {"$match": {"cust": "a"}}, {"$sort": {"total": 1}},
+          {"$project": {"id": 1, "rnk": 1, "run": 1, "prev": 1}}]""")
+    assert(rows.map(r => (r("id"), r("rnk"), r("run"), r("prev"))) ==
+      Seq((1L, 1, 10.0, -1L), (3L, 2, 40.0, 1L), (5L, 3, 90.0, 3L)))
+  }
+
+  test("$text search over text field") {
+    val docs = fromJsonl(
+      """{"id": 1, "text": "Spark makes Big Data simple"}""",
+      """{"id": 2, "text": "ducks like data"}""")
+    val hits = agg(docs, """[{"$match": {"$text": {"$search": "DATA spark"}}}, {"$project": {"id": 1}}]""")
+    assert(hits.map(_("id")) == Seq(1L))
+  }
+}

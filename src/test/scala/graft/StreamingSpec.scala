@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.StructType
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+import graft.streaming.{GraftStreaming, StreamingCollection}
+
+/** Streaming semantics: Structured Streaming for the append path (aggo adds),
+  * StreamingCollection recompute for mutation/removal — the engine-parity
+  * test style of the reference (streaming vs batch must agree,
+  * tests/streaming-comparison.spec.js). */
+case class Ev(user: String, amount: Double)
+
+class StreamingSpec extends AnyFunSuite {
+
+  test("streaming $match+$group agrees with batch on same data") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val stream = mem.toDF()
+    val pipeline =
+      """[{"$match": {"amount": {"$gte": 5}}},
+          {"$group": {"_id": "$user", "n": {"$sum": 1}, "total": {"$sum": "$amount"}}}]"""
+    val out = GraftStreaming.aggregate(stream, pipeline)
+    val q = out.writeStream.format("memory").queryName("s1").outputMode("complete").start()
+    try {
+      mem.addData(Ev("a", 10), Ev("a", 2), Ev("b", 7))
+      q.processAllAvailable()
+      mem.addData(Ev("a", 5), Ev("c", 1))
+      q.processAllAvailable()
+      val streamed = spark.table("s1").collect()
+        .map(r => (r.getAs[String]("_id"), r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+      val batch = Aggo.aggregate(
+        Seq(Ev("a", 10), Ev("a", 2), Ev("b", 7), Ev("a", 5), Ev("c", 1)).toDF(), pipeline)
+        .collect().map(r => (r.getAs[String]("_id"), r.getAs[Long]("n"), r.getAs[Double]("total"))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set(("a", 2L, 15.0), ("b", 1L, 7.0)))
+    } finally q.stop()
+  }
+
+  test("stateless stages run in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftStreaming.aggregate(mem.toDF(),
+      """[{"$match": {"user": "a"}}, {"$project": {"user": 1, "double": {"$multiply": ["$amount", 2]}}}]""")
+    val q = out.writeStream.format("memory").queryName("s2").outputMode("append").start()
+    try {
+      mem.addData(Ev("a", 1), Ev("b", 2), Ev("a", 3))
+      q.processAllAvailable()
+      assert(spark.table("s2").collect().map(_.getAs[Double]("double")).sorted.toSeq == Seq(2.0, 6.0))
+    } finally q.stop()
+  }
+
+  test("windowed event-time aggregation with watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val stream = mem.toDF().toDF("ts", "value")
+    val out = GraftStreaming.windowedAggregate(stream, "ts", "10 minutes", None,
+      "5 minutes", """{"n": {"$sum": 1}, "total": {"$sum": "$value"}}""")
+    val q = out.writeStream.format("memory").queryName("s3").outputMode("complete").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      mem.addData((ts(1), 1.0), (ts(5), 2.0), (ts(12), 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("s3").collect()
+        .map(r => r.getAs[Long]("n") -> r.getAs[Double]("total")).toMap
+      assert(rows == Map(2L -> 3.0, 1L -> 10.0))
+    } finally q.stop()
+  }
+
+  test("StreamingCollection: add/remove re-aggregates (reference live view)") {
+    val schema = StructType.fromDDL("id BIGINT, cat STRING, v DOUBLE")
+    val coll = new StreamingCollection(spark, schema)
+    @volatile var updates = 0
+    coll.onUpdate((_, _) => updates += 1)
+    coll.addBulk(Seq(Row(1L, "x", 10.0), Row(2L, "x", 20.0), Row(3L, "y", 5.0)))
+    val pipeline = """[{"$group": {"_id": "$cat", "total": {"$sum": "$v"}}}, {"$sort": {"_id": 1}}]"""
+    val r1 = coll.stream("byCat", pipeline).collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(r1.toSeq == Seq(("x", 30.0), ("y", 5.0)))
+    coll.add(Row(4L, "y", 7.0))
+    assert(coll.aggregate(pipeline).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("x", 30.0), ("y", 12.0)))
+    val removed = coll.removeWhere("""{"cat": "x"}""")
+    assert(removed == 2 && coll.size == 2)
+    assert(coll.aggregate(pipeline).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("y", 12.0)))
+    assert(updates >= 2)
+  }
+
+  test("blocking stages are rejected on unbounded streams") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    val out = GraftStreaming.aggregate(mem.toDF(), """[{"$sort": {"amount": 1}}, {"$limit": 1}]""")
+    assertThrows[org.apache.spark.sql.AnalysisException] {
+      out.writeStream.format("memory").queryName("s4").outputMode("append").start()
+    }
+  }
+}
