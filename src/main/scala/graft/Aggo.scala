@@ -60,6 +60,37 @@ object Aggo {
     out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  // --- standalone per-stage API (reference: Aggo.{$match, $project, ...},
+  // --- src/aggo/index.ts:75-97) ---
+  def matchStage(df: DataFrame, queryJson: String): DataFrame = stage(df, "$match", queryJson)
+  def projectStage(df: DataFrame, specJson: String): DataFrame = stage(df, "$project", specJson)
+  def addFieldsStage(df: DataFrame, specJson: String): DataFrame = stage(df, "$addFields", specJson)
+  def groupStage(df: DataFrame, specJson: String): DataFrame = stage(df, "$group", specJson)
+  def sortStage(df: DataFrame, specJson: String): DataFrame = stage(df, "$sort", specJson)
+  def unwindStage(df: DataFrame, spec: String): DataFrame =
+    stage(df, "$unwind", if (spec.trim.startsWith("{")) spec else s""""$spec"""")
+  def limitStage(df: DataFrame, n: Int): DataFrame = df.limit(n)
+  def skipStage(df: DataFrame, n: Int): DataFrame = df.offset(n)
+
+  /** Apply a single pipeline stage. */
+  def stage(df: DataFrame, name: String, bodyJson: String): DataFrame =
+    aggregateParsed(df, Seq(name -> org.json4s.jackson.JsonMethods.parse(bodyJson)), Map.empty)
+
+  /** Translate a Mongo expression to a Catalyst Column against a frame —
+    * the `$expression` entry point (reference: index.ts:77). */
+  def expression(df: DataFrame, exprJson: String): org.apache.spark.sql.Column =
+    graft.exprs.ExprTranslator.translate(org.json4s.jackson.JsonMethods.parse(exprJson))(
+      graft.exprs.ExprCtx(Some(df), rootCols = df.columns.toSeq))
+
+  /** Time a pipeline end-to-end (reference: Aggo.benchmark,
+    * api-enhancements.ts:289): returns (rows, seconds). */
+  def benchmark(df: DataFrame, pipelineJson: String,
+                collections: Map[String, DataFrame] = Map.empty): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val n = aggregate(df, pipelineJson, collections).count()
+    (n, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Only stamp the `_seq` ingest column when the pipeline actually contains
     * an order-sensitive operator — otherwise it would defeat column pruning
     * on the scan. */

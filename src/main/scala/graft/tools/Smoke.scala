@@ -39,6 +39,12 @@ object Smoke {
     println("=== probe: empty pipeline ===")
     println("rows=" + Aggo.aggregate(li, """[]""").count())
 
+    println("=== standalone stage API ===")
+    println("matchStage rows=" + Aggo.matchStage(li, """{"l_returnflag": "R"}""").count())
+    println("groupStage rows=" + Aggo.groupStage(li, """{"_id": "$l_linestatus", "n": {"$sum": 1}}""").count())
+    println("expression sum=" + li.select(Aggo.expression(li, """{"$multiply": ["$l_quantity", 0]}""").as("z"))
+      .agg(org.apache.spark.sql.functions.sum("z")).first().getDouble(0))
+
     println("=== explain (flagship plan) ===")
     println(Aggo.explain(li,
       """[{"$match": {"l_quantity": {"$gte": 10}}},

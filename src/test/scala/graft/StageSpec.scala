@@ -175,6 +175,19 @@ class StageSpec extends AnyFunSuite {
       Seq((1L, 1, 10.0, -1L), (3L, 2, 40.0, 1L), (5L, 3, 90.0, 3L)))
   }
 
+  test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
+    assert(Aggo.matchStage(orders, """{"status": "new"}""").count() == 3)
+    assert(Aggo.projectStage(orders, """{"id": 1}""").columns.toSeq == Seq("id"))
+    assert(Aggo.groupStage(orders, """{"_id": "$status", "n": {"$sum": 1}}""").count() == 2)
+    assert(Aggo.sortStage(orders, """{"id": -1}""").first().getAs[Long]("id") == 5L)
+    assert(Aggo.unwindStage(orders, "$tags").count() == 4)
+    assert(Aggo.limitStage(orders, 2).count() == 2)
+    val (n, secs) = Aggo.benchmark(orders, """[{"$count": "n"}]""")
+    assert(n == 1 && secs > 0)
+    val c = Aggo.expression(orders, """{"$multiply": ["$total", 2]}""")
+    assert(orders.select(c.as("x")).agg(org.apache.spark.sql.functions.sum("x")).first().getDouble(0) == 300.0)
+  }
+
   test("$text search over text field") {
     val docs = fromJsonl(
       """{"id": 1, "text": "Spark makes Big Data simple"}""",
