@@ -56,8 +56,13 @@ object Aggo {
     * the Catalyst formatted physical plan for the translated pipeline. */
   def explain(df: DataFrame, pipelineJson: String,
               collections: Map[String, DataFrame] = Map.empty): String = {
-    val out = aggregate(df, pipelineJson, collections)
-    out.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val stages = PipelineParser.parse(pipelineJson)
+    val header = stages.zipWithIndex
+      .map { case ((name, _), i) => s"stage $i: $name" }
+      .mkString("== Pipeline ==\n", "\n", "\n\n")
+    val out = aggregateParsed(df, stages, collections)
+    header + out.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
   // --- standalone per-stage API (reference: Aggo.{$match, $project, ...},

@@ -448,6 +448,55 @@ object SparkEntry {
         k = 5, planes = 6, tables = 8)
     }),
 
+    // ---- remaining expression-operator parity (SURVEY §2.5) ----
+    "q_expr_math" -> run("lineitem",
+      """[
+        {"$project": {"l_orderkey": 1, "l_linenumber": 1,
+          "e": {"$round": [{"$exp": "$l_discount"}, 6]},
+          "ln_p": {"$round": [{"$ln": "$l_extendedprice"}, 6]},
+          "lg": {"$round": [{"$log10": "$l_extendedprice"}, 6]},
+          "tr1": {"$trunc": ["$l_extendedprice", 1]}}}
+      ]"""),
+    "q_expr_string2" -> run("customer",
+      """[
+        {"$project": {"c_custkey": 1,
+          "lt": {"$ltrim": {"input": {"$concat": ["zz", "$c_mktsegment"]}, "chars": "z"}},
+          "rt": {"$rtrim": {"input": {"$concat": ["$c_mktsegment", "yy"]}, "chars": "y"}},
+          "rep": {"$replaceAll": {"input": "$c_name", "find": "a", "replacement": "_"}},
+          "rx": {"$regexMatch": {"input": "$c_name", "regex": "e"}},
+          "pos": {"$indexOfCP": ["$c_name", "er"]},
+          "d": {"$toDouble": "$c_custkey"},
+          "l": {"$toLong": {"$floor": "$c_acctbal"}},
+          "b": {"$toBool": {"$gt": ["$c_acctbal", 0]}}}}
+      ]"""),
+    "q_array_agg" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "rng_sum": {"$sum": {"$range": [0, {"$toInt": "$p_size"}]}},
+          "rng_avg": {"$avg": {"$range": [0, {"$toInt": "$p_size"}]}},
+          "rng_min": {"$min": {"$range": [0, {"$toInt": "$p_size"}]}},
+          "rng_max": {"$max": {"$range": [0, {"$toInt": "$p_size"}]}}}}
+      ]"""),
+    "q_array_misc" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1,
+          "combined": {"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]},
+          "idx_from1": {"$indexOfArray": [{"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]}, "gear", 1]},
+          "eq_self": {"$setEquals": [{"$split": ["$p_name", " "]}, {"$reverseArray": {"$split": ["$p_name", " "]}}]},
+          "any_long": {"$anyElementTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
+                        "in": {"$gte": [{"$strLen": "$$w"}, 6]}}}]},
+          "all_short": {"$allElementsTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
+                        "in": {"$lt": [{"$strLen": "$$w"}, 10]}}}]}}}
+      ]"""),
+    "q_window_rank" -> run("events",
+      """[
+        {"$setWindowFields": {"partitionBy": "$event_type",
+          "sortBy": {"value": -1, "event_id": 1},
+          "output": {"rnk": {"$rank": {}}, "drnk": {"$denseRank": {}}}}},
+        {"$match": {"rnk": {"$lte": 5}}},
+        {"$project": {"event_type": 1, "event_id": 1, "rnk": 1, "drnk": 1}}
+      ]"""),
+
     // ---- extensions: multimodal plumbing (stubbed codec, real plan shape) ----
     "q_multimodal" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
@@ -733,6 +782,48 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "q_expr_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        floor(exp(l_discount) * 1000000 + 0.5) / 1000000 AS e,
+        floor(ln(l_extendedprice) * 1000000 + 0.5) / 1000000 AS ln_p,
+        floor(log10(l_extendedprice) * 1000000 + 0.5) / 1000000 AS lg,
+        CAST(trunc(l_extendedprice * 10.0) AS BIGINT) / 10.0 AS tr1
+      FROM lineitem""",
+    "q_expr_string2" ->
+      """SELECT c_custkey,
+        ltrim(concat('zz', c_mktsegment), 'z') AS lt,
+        rtrim(concat(c_mktsegment, 'yy'), 'y') AS rt,
+        replace(c_name, 'a', '_') AS rep,
+        regexp_matches(c_name, 'e') AS rx,
+        CAST(strpos(c_name, 'er') - 1 AS INTEGER) AS pos,
+        CAST(c_custkey AS DOUBLE) AS d,
+        CAST(floor(c_acctbal) AS BIGINT) AS l,
+        c_acctbal > 0 AS b
+      FROM customer""",
+    "q_array_agg" ->
+      """SELECT p_partkey,
+        CAST(p_size * (p_size - 1) / 2 AS DOUBLE) AS rng_sum,
+        CAST(p_size - 1 AS DOUBLE) / 2 AS rng_avg,
+        CASE WHEN p_size > 0 THEN 0 END AS rng_min,
+        CASE WHEN p_size > 0 THEN p_size - 1 END AS rng_max
+      FROM part""",
+    "q_array_misc" ->
+      """SELECT p_partkey,
+        list_concat(string_split(p_name, ' '), string_split(p_type, ' ')) AS combined,
+        CAST(CASE WHEN coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) = 0
+             THEN -1
+             ELSE coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) END AS INTEGER) AS idx_from1,
+        list_sort(list_distinct(string_split(p_name, ' '))) = list_sort(list_distinct(list_reverse(string_split(p_name, ' ')))) AS eq_self,
+        len(list_filter(string_split(p_name, ' '), w -> length(w) >= 6)) > 0 AS any_long,
+        len(list_filter(string_split(p_name, ' '), w -> NOT (length(w) < 10))) = 0 AS all_short
+      FROM part""",
+    "q_window_rank" ->
+      """SELECT event_type, event_id, CAST(rnk AS INTEGER) AS rnk, CAST(drnk AS INTEGER) AS drnk
+      FROM (SELECT event_type, event_id,
+              rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
+      WHERE rnk <= 5""",
     "q_multimodal" ->
       """SELECT doc_id,
         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,

@@ -520,7 +520,7 @@ object ExprTranslator {
             translate(field(fs, "input", op)).getField(f)
         }
 
-      case other => throw GraftException(s"unknown expression operator $other")
+      case other => throw new graft.model.OperatorError(s"unknown expression operator $other")
     }
   }
 

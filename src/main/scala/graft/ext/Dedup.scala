@@ -87,7 +87,7 @@ object Dedup {
     // cluster scale this is the "write the signature table once" step.
     val shingled = df.select(
       col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"))
+      Kernels.wordShinglesKernel(shingleSize)(col(textCol)).as("sh"))
       .withColumn("sig", Kernels.minhashSig(numHashes, seed)(col("sh")))
       .persist()
     val banded = shingled.select(col("doc_id"),
@@ -100,7 +100,7 @@ object Dedup {
     val shA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Kernels.jaccardKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -120,11 +120,11 @@ object Dedup {
                         threshold: Double): DataFrame = {
     val sh = df.select(
       (col(idCol).as("doc_id") +: blockCols.map(col)) :+
-        TextFunctions.wordShingles(col(textCol), shingleSize).as("sh"): _*)
+        Kernels.wordShinglesKernel(shingleSize)(col(textCol)).as("sh"): _*)
     val a = sh.select(blockCols.map(col) :+ col("doc_id").as("id_a") :+ col("sh").as("sh_a"): _*)
     val b = sh.select(blockCols.map(col) :+ col("doc_id").as("id_b") :+ col("sh").as("sh_b"): _*)
     a.join(b, blockCols).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Kernels.jaccardKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

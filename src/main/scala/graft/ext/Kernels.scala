@@ -75,6 +75,34 @@ object Kernels {
     c => f(c)
   }
 
+  /** Word n-gram shingles of raw text — same tokenization and windowing as
+    * `TextFunctions.wordShingles` (lowercase `\W+` split, distinct), as a
+    * single JVM pass. Produces identical shingle sets, so downstream exact
+    * Jaccard matches the declarative/oracle formulation. */
+  def wordShinglesKernel(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Seq.empty[String]
+      else {
+        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        if (toks.length < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      }
+    }
+    c => f(c)
+  }
+
+  /** Exact Jaccard of two string collections treated as sets — same counts
+    * (and therefore the same double division) as the Column formulation. */
+  val jaccardKernel: (Column, Column) => Column = {
+    val f = udf { (a: Seq[String], b: Seq[String]) =>
+      val sa = a.toSet; val sb = b.toSet
+      val inter = sa.count(sb)
+      val union = sa.size + sb.size - inter
+      if (union > 0) inter.toDouble / union else 1.0
+    }
+    (a, b) => f(a, b)
+  }
+
   /** 64-bit SimHash over a token array. */
   def simhashKernel: Column => Column = {
     val f = udf { (tokens: Seq[String]) =>

@@ -29,5 +29,11 @@ object PipelineParser {
 }
 
 /** Error hierarchy mirroring the reference's AggoError family
-  * (/root/reference/src/aggo/errors.ts). */
-case class GraftException(message: String) extends RuntimeException(message)
+  * (/root/reference/src/aggo/errors.ts: AggoError / AggregationError /
+  * ExpressionError / OperatorError / ValidationError). */
+class GraftException(message: String) extends RuntimeException(message)
+object GraftException { def apply(message: String): GraftException = new GraftException(message) }
+class AggregationError(message: String) extends GraftException(message)
+class ExpressionError(message: String) extends GraftException(message)
+class OperatorError(message: String) extends GraftException(message)
+class ValidationError(message: String) extends GraftException(message)

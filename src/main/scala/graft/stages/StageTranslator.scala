@@ -176,7 +176,53 @@ object StageTranslator {
 
     case "$setWindowFields" => setWindowFields(df, body, ctx)
 
-    case "$densify" | "$fill" | "$graphLookup" | "$merge" | "$out" =>
+    case "$out" =>
+      // Sink stage (extension; the reference has no $out — SURVEY §2.2).
+      // Eager, like MongoDB's $out: writes the current pipeline result and
+      // passes it through unchanged so Verify/callers can still read it.
+      val (path, format) = body match {
+        case JString(p)  => (p, if (p.endsWith(".json") || p.endsWith(".jsonl")) "json" else "parquet")
+        case JObject(fs) =>
+          val p = fs.collectFirst { case ("path", JString(s)) => s }
+            .getOrElse(throw GraftException("$out requires path"))
+          (p, fs.collectFirst { case ("format", JString(f)) => f }.getOrElse("parquet"))
+        case _ => throw GraftException("$out requires a path string or {path, format}")
+      }
+      df.drop(df.columns.filter(_ == SeqCol): _*).write.mode("overwrite").format(format).save(path)
+      (df, ctx)
+
+    case "$merge" =>
+      // Upsert into an existing parquet dataset keyed by `on` (extension).
+      // File-granular implementation; on a cluster this maps to a table
+      // format's MERGE INTO — the plan shape (full outer join by key) is the
+      // same.
+      val fs = body match { case JObject(f) => f; case _ => throw GraftException("$merge requires an object") }
+      val into = fs.collectFirst { case ("into", JString(s)) => s }
+        .getOrElse(throw GraftException("$merge requires into"))
+      val on = fs.collectFirst { case ("on", JString(s)) => s }
+        .getOrElse(throw GraftException("$merge requires on"))
+      val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("replace")
+      val incoming = df.drop(df.columns.filter(_ == SeqCol): _*)
+      val spark = df.sparkSession
+      val merged =
+        if (!new java.io.File(into).exists()) incoming
+        else {
+          val existing = spark.read.parquet(into)
+          if (whenMatched == "keepExisting")
+            existing.unionByName(
+              incoming.join(existing.select(on), Seq(on), "left_anti"), allowMissingColumns = true)
+          else // replace: incoming wins on key collision
+            incoming.unionByName(
+              existing.join(incoming.select(on), Seq(on), "left_anti"), allowMissingColumns = true)
+        }
+      val tmp = into + ".graft-merge-tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val out = spark.read.parquet(tmp).cache()
+      out.count() // materialize before overwriting the source
+      out.write.mode("overwrite").parquet(into)
+      (out, ctx.copy(order = None, hasSeq = false))
+
+    case "$densify" | "$fill" | "$graphLookup" =>
       throw GraftException(s"stage $name not supported")
 
     case other => throw GraftException(s"unknown pipeline stage $other")

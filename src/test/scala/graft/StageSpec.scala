@@ -175,6 +175,21 @@ class StageSpec extends AnyFunSuite {
       Seq((1L, 1, 10.0, -1L), (3L, 2, 40.0, 1L), (5L, 3, 90.0, 3L)))
   }
 
+  test("$out writes and $merge upserts parquet sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val outPath = s"$dir/out.parquet"
+    val n = agg(orders, s"""[{"$$match": {"status": "new"}}, {"$$out": "$outPath"}]""").size
+    assert(n == 3 && spark.read.parquet(outPath).count() == 3)
+    // merge: replace matching ids, insert new ones
+    val updates = fromJsonl(
+      """{"id": 1, "cust": "a", "status": "merged", "total": 99.0}""",
+      """{"id": 9, "cust": "q", "status": "new", "total": 1.0}""")
+    Aggo.aggregate(updates, s"""[{"$$merge": {"into": "$outPath", "on": "id"}}]""").count()
+    val merged = spark.read.parquet(outPath).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    assert(merged == Map(1L -> "merged", 2L -> "new", 5L -> "new", 9L -> "new"))
+  }
+
   test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
     assert(Aggo.matchStage(orders, """{"status": "new"}""").count() == 3)
     assert(Aggo.projectStage(orders, """{"id": 1}""").columns.toSeq == Seq("id"))
