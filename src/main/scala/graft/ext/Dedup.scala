@@ -199,8 +199,9 @@ object Dedup {
         val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
         a.join(b, "bucket").filter(col("id_a") < col("id_b")).drop("bucket")
       }
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
     candidates
-      .withColumn("cos", Kernels.cosineKernel(col("v_a"), col("v_b")))
+      .withColumn("cos", call_function(graft.exprs.catalyst.GraftFunctions.CosineName, col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()

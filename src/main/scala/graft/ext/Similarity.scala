@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Cosine via the native codegen expression (graft.exprs.catalyst) —
+    * registered on the frame's session, bit-identical to the kernel/HOF
+    * forms. */
+  private def nativeCosine(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    call_function(graft.exprs.catalyst.GraftFunctions.CosineName, a, b)
+  }
+
   /** Sequential-order dot product of two numeric array columns (folds left,
     * same order as a scalar loop — reproducible across engines). */
   def dot(a: Column, b: Column): Column =
@@ -60,7 +68,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Kernels.cosineKernel(col("q_vec"), col("c_vec")))
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -89,7 +97,7 @@ object Similarity {
       .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.withColumn("cos", Kernels.cosineKernel(col("q_vec"), col("c_vec")))
+    candidates.withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))

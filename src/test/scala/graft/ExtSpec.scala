@@ -110,14 +110,20 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() > 1)
   }
 
-  test("kernel cosine matches declarative cosine bit-for-bit") {
+  test("kernel, declarative, and native-codegen cosine agree bit-for-bit") {
     import scala.jdk.CollectionConverters._
+    graft.exprs.catalyst.GraftFunctions.register(spark)
     val schema = org.apache.spark.sql.types.StructType.fromDDL("a ARRAY<FLOAT>, b ARRAY<FLOAT>")
     val df = spark.createDataFrame(Seq(
       org.apache.spark.sql.Row(Seq(0.3f, -1.2f, 2.2f), Seq(1.5f, 0.7f, -0.1f))).asJava, schema)
     val r = df.select(
       Kernels.cosineKernel(col("a"), col("b")).as("k"),
-      Similarity.cosine(col("a"), col("b")).as("c")).collect().head
-    assert(r.getDouble(0) == r.getDouble(1)) // exact equality
+      Similarity.cosine(col("a"), col("b")).as("c"),
+      call_function("graft_cosine", col("a"), col("b")).as("n")).collect().head
+    assert(r.getDouble(0) == r.getDouble(1) && r.getDouble(1) == r.getDouble(2))
+    // also callable from plain SQL
+    df.createOrReplaceTempView("vecs")
+    val sqlV = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").collect().head.getDouble(0)
+    assert(sqlV == r.getDouble(0))
   }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+
+case class Doc(id: Long, a: Long, b: Double, s: String)
+
+/** Differential property testing: random `$match` queries are executed by
+  * the engine AND by an independent in-JVM predicate interpreter over the
+  * same documents; results must agree. This replaces the reference's
+  * engine-parity suites (IVM vs hot path, SURVEY §5) — here the "second
+  * engine" is a 40-line direct interpreter that shares no code with the
+  * translator. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(prop: Prop, minSuccessful: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minSuccessful).withWorkers(1), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val docs: Seq[Doc] = {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map { i =>
+      Doc(i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(1000) / 10.0,
+        Seq("red", "green", "blue", "teal")(rnd.nextInt(4)) + rnd.nextInt(3))
+    }
+  }
+  private lazy val df = {
+    import spark.implicits._
+    docs.toDF().cache()
+  }
+
+  // --- tiny independent interpreter ---------------------------------------
+  sealed trait Q { def eval(d: Doc): Boolean; def json: String }
+  case class CmpA(op: String, v: Long) extends Q {
+    def eval(d: Doc) = op match {
+      case "$eq" => d.a == v; case "$ne" => d.a != v
+      case "$gt" => d.a > v; case "$gte" => d.a >= v
+      case "$lt" => d.a < v; case "$lte" => d.a <= v
+    }
+    def json = s"""{"a": {"$op": $v}}"""
+  }
+  case class CmpB(op: String, v: Double) extends Q {
+    def eval(d: Doc) = op match {
+      case "$gt" => d.b > v; case "$lte" => d.b <= v
+    }
+    def json = s"""{"b": {"$op": $v}}"""
+  }
+  case class InS(vs: Seq[String]) extends Q {
+    def eval(d: Doc) = vs.contains(d.s)
+    def json = s"""{"s": {"$$in": [${vs.map(v => s""""$v"""").mkString(",")}]}}"""
+  }
+  case class RegexS(prefix: String) extends Q {
+    def eval(d: Doc) = d.s.startsWith(prefix)
+    def json = s"""{"s": {"$$regex": "^$prefix"}}"""
+  }
+  case class And(qs: List[Q]) extends Q {
+    def eval(d: Doc) = qs.forall(_.eval(d))
+    def json = s"""{"$$and": [${qs.map(_.json).mkString(",")}]}"""
+  }
+  case class Or(qs: List[Q]) extends Q {
+    def eval(d: Doc) = qs.exists(_.eval(d))
+    def json = s"""{"$$or": [${qs.map(_.json).mkString(",")}]}"""
+  }
+  case class Nor(qs: List[Q]) extends Q {
+    def eval(d: Doc) = !qs.exists(_.eval(d))
+    def json = s"""{"$$nor": [${qs.map(_.json).mkString(",")}]}"""
+  }
+
+  private val genLeaf: Gen[Q] = Gen.oneOf(
+    for { op <- Gen.oneOf("$eq", "$ne", "$gt", "$gte", "$lt", "$lte"); v <- Gen.choose(0L, 20L) }
+      yield CmpA(op, v),
+    for { op <- Gen.oneOf("$gt", "$lte"); v <- Gen.choose(0, 1000) } yield CmpB(op, v / 10.0),
+    for { vs <- Gen.nonEmptyListOf(Gen.oneOf("red0", "red1", "green2", "blue1", "teal0", "nope")) }
+      yield InS(vs.distinct),
+    Gen.oneOf("red", "gr", "blu", "t", "x").map(RegexS))
+
+  private def genQ(depth: Int): Gen[Q] =
+    if (depth <= 0) genLeaf
+    else Gen.frequency(
+      3 -> genLeaf,
+      1 -> Gen.listOfN(2, genQ(depth - 1)).map(l => And(l)),
+      1 -> Gen.listOfN(2, genQ(depth - 1)).map(l => Or(l)),
+      1 -> Gen.listOfN(2, genQ(depth - 1)).map(l => Nor(l)))
+
+  test("random $match queries agree with an independent interpreter") {
+    check(Prop.forAllNoShrink(genQ(2)) { q =>
+      val expected = docs.filter(q.eval).map(_.id).toSet
+      val got = Aggo.aggregate(df, s"""[{"$$match": ${q.json}}, {"$$project": {"id": 1}}]""")
+        .collect().map(_.getLong(0)).toSet
+      if (got != expected) {
+        println(s"MISMATCH for ${q.json}: engine=${got.size} interp=${expected.size}")
+      }
+      got == expected
+    }, 30)
+  }
+
+  test("random numeric expressions agree with an independent evaluator") {
+    sealed trait E { def eval(d: Doc): Double; def json: String }
+    case class FA() extends E { def eval(d: Doc) = d.a.toDouble; def json = "\"$a\"" }
+    case class FB() extends E { def eval(d: Doc) = d.b; def json = "\"$b\"" }
+    case class Lit(v: Int) extends E { def eval(d: Doc) = v.toDouble; def json = v.toString }
+    case class Bin(op: String, l: E, r: E) extends E {
+      def eval(d: Doc) = op match {
+        case "$add" => l.eval(d) + r.eval(d)
+        case "$subtract" => l.eval(d) - r.eval(d)
+        case "$multiply" => l.eval(d) * r.eval(d)
+      }
+      def json = s"""{"$op": [${l.json}, ${r.json}]}"""
+    }
+    def genE(depth: Int): Gen[E] =
+      if (depth <= 0) Gen.oneOf(Gen.const(FA()), Gen.const(FB()), Gen.choose(-5, 5).map(Lit))
+      else Gen.frequency(
+        2 -> Gen.oneOf(Gen.const(FA()), Gen.const(FB()), Gen.choose(-5, 5).map(Lit)),
+        3 -> (for { op <- Gen.oneOf("$add", "$subtract", "$multiply")
+                    l <- genE(depth - 1); r <- genE(depth - 1) } yield Bin(op, l, r)))
+
+    check(Prop.forAllNoShrink(genE(3)) { e =>
+      val got = Aggo.aggregate(df,
+        s"""[{"$$project": {"id": 1, "v": {"$$toDouble": ${e.json}}}}, {"$$sort": {"id": 1}}]""")
+        .collect().map(_.getDouble(1)).toSeq
+      val expected = docs.sortBy(_.id).map(e.eval)
+      // identical IEEE ops in identical order → exact equality
+      got == expected
+    }, 20)
+  }
+}
