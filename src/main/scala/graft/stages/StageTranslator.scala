@@ -523,8 +523,19 @@ object StageTranslator {
       }
       rest = rest.tail
     }
+    if (joinKeys.isEmpty && residual.isEmpty) {
+      // Uncorrelated sub-pipeline: every outer row gets the same matches.
+      // Run it once, aggregate to a single-row array, broadcast cross join —
+      // one tiny broadcast, no per-row execution (Mongo's uncorrelated
+      // $lookup subquery pattern).
+      val subResult = graft.Aggo.aggregateParsed(foreignFiltered, rest, ctx.collections)
+        .coalesce(1) // keep the (bounded) sub-result's row order in the array
+      val arr = subResult.agg(
+        collect_list(struct(subResult.columns.map(col): _*)).as(asName))
+      return (df.crossJoin(broadcast(arr)), ctx)
+    }
     if (joinKeys.isEmpty)
-      throw GraftException("$lookup pipeline form requires at least one $expr equality join key")
+      throw GraftException("$lookup pipeline form requires an $expr equality join key (or a fully uncorrelated pipeline)")
 
     // Collect matches per join key
     val fCols = foreignFiltered.columns.toSeq

@@ -125,6 +125,18 @@ class StageSpec extends AnyFunSuite {
           {"$project": {"name": 1, "topId": "$top.id"}}, {"$sort": {"name": 1}}]""",
       Map("orders" -> orders))
     assert(pipe.map(r => (r("name"), r("topId"))) == Seq(("a", 5L), ("b", 2L)))
+
+    // uncorrelated pipeline form: same top-2 list attached to every row
+    val uncorr = agg(custs,
+      """[{"$lookup": {"from": "orders",
+            "pipeline": [{"$sort": {"total": -1, "id": 1}}, {"$limit": 2},
+                          {"$project": {"id": 1}}],
+            "as": "top2"}},
+          {"$project": {"name": 1, "ids": {"$map": {"input": "$top2", "as": "t", "in": "$$t.id"}}}},
+          {"$sort": {"name": 1}}]""",
+      Map("orders" -> orders))
+    assert(uncorr.map(r => (r("name"), r("ids").asInstanceOf[scala.collection.Seq[_]].toSeq)) ==
+      Seq(("a", Seq(5L, 4L)), ("b", Seq(5L, 4L))))
   }
 
   test("$replaceRoot, $sortByCount, $sample determinism") {
