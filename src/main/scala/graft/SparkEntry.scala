@@ -497,6 +497,28 @@ object SparkEntry {
         {"$project": {"event_type": 1, "event_id": 1, "rnk": 1, "drnk": 1}}
       ]"""),
 
+    // ---- extensions: gap filling ($fill / $densify) ----
+    "q_fill_locf" -> ((spark: SparkSession, dir: String) => {
+      // null out small values, then carry the last observation forward
+      val ev = tbl(spark, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("v", when(col("value") < 5, lit(null)).otherwise(col("value")))
+      Aggo.aggregate(ev,
+        """[
+          {"$fill": {"partitionBy": "$user_id", "sortBy": {"ts_us": 1, "event_id": 1},
+                     "output": {"v": {"method": "locf"}}}},
+          {"$project": {"user_id": 1, "event_id": 1, "v": 1}}
+        ]""")
+    }),
+    "q_densify" -> run("part",
+      """[
+        {"$project": {"k": "$p_type", "t": "$p_size"}},
+        {"$group": {"_id": {"k": "$k", "t": "$t"}, "n": {"$sum": 1}}},
+        {"$project": {"k": "$_id.k", "t": "$_id.t", "n": 1, "_id": 0}},
+        {"$densify": {"field": "t", "partitionByFields": ["k"],
+                      "range": {"step": 1, "bounds": "partition"}}}
+      ]"""),
+
     // ---- extensions: multimodal plumbing (stubbed codec, real plan shape) ----
     "q_multimodal" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
@@ -824,6 +846,19 @@ object SparkEntry {
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
       WHERE rnk <= 5""",
+    "q_fill_locf" ->
+      """SELECT user_id, event_id,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM (SELECT user_id, event_id, ts,
+              CASE WHEN value < 5 THEN NULL ELSE value END AS v
+            FROM events)""",
+    "q_densify" ->
+      """WITH g AS (SELECT p_type AS k, p_size AS t, count(*) AS n FROM part GROUP BY 1, 2),
+      b AS (SELECT k, min(t) AS lo, max(t) AS hi FROM g GROUP BY 1),
+      axis AS (SELECT k, unnest(generate_series(lo, hi)) AS t FROM b)
+      SELECT axis.k, CAST(axis.t AS BIGINT) AS t, g.n
+      FROM axis LEFT JOIN g ON axis.k = g.k AND axis.t = g.t""",
     "q_multimodal" ->
       """SELECT doc_id,
         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,

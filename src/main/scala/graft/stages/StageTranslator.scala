@@ -222,8 +222,11 @@ object StageTranslator {
       out.write.mode("overwrite").parquet(into)
       (out, ctx.copy(order = None, hasSeq = false))
 
-    case "$densify" | "$fill" | "$graphLookup" =>
-      throw GraftException(s"stage $name not supported")
+    case "$fill" => fill(df, body, ctx)
+
+    case "$densify" => densify(df, body, ctx)
+
+    case "$graphLookup" => graphLookup(df, body, ctx)
 
     case other => throw GraftException(s"unknown pipeline stage $other")
   }
@@ -405,7 +408,26 @@ object StageTranslator {
         (p, idx, pres)
       case _ => throw GraftException("$unwind requires a string path or object")
     }
-    if (path.contains('.')) throw GraftException("$unwind on nested paths not yet supported")
+    if (path.contains('.')) {
+      // One nested level: explode `top.sub` and substitute the element back
+      // into the struct (Mongo keeps the unwound value at the same path).
+      val parts = path.split('.')
+      if (parts.length != 2)
+        throw GraftException("$unwind supports at most one nested level (a.b)")
+      val (top, sub) = (parts(0), parts(1))
+      val gen = (includeIdx, preserve) match {
+        case (Some(ix), true)  => posexplode_outer(col(path)).as(Seq(ix, "__u"))
+        case (Some(ix), false) => posexplode(col(path)).as(Seq(ix, "__u"))
+        case (None, true)      => explode_outer(col(path)).as("__u")
+        case (None, false)     => explode(col(path)).as("__u")
+      }
+      val exploded = df.select(col("*"), gen)
+        .withColumn(top, col(top).withField(sub, col("__u")))
+        .drop("__u")
+      val withIdx = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType)))
+        .getOrElse(exploded)
+      return (withIdx, ctx)
+    }
     implicit val ec: ExprCtx = exprCtx(df)
     val isArr = ec.typeOf(col(path)) match {
       case Some(_: ArrayType) => true
@@ -770,6 +792,149 @@ object StageTranslator {
       name -> c
     }
     (df.withColumns(newCols.toMap), ctx)
+  }
+
+  // --------------------------------------------------------------------------
+  // $fill — gap filling (extension; locf via ignore-nulls window)
+  // --------------------------------------------------------------------------
+  private def fill(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$fill requires an object") }
+    val output = fs.collectFirst { case ("output", JObject(o)) => o }
+      .getOrElse(throw GraftException("$fill requires output"))
+    val partitionBy = fs.collectFirst { case ("partitionBy", v) => ExprTranslator.translate(v) }
+    val sortBy = fs.collectFirst { case ("sortBy", JObject(s)) => s.map {
+      case (f, JInt(d)) => if (d >= 0) col(f).asc_nulls_first else col(f).desc_nulls_last
+      case (f, _)       => throw GraftException(s"$$fill sortBy direction for $f must be 1/-1")
+    }}
+    lazy val w = {
+      val base = partitionBy.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
+      sortBy.map(s => base.orderBy(s: _*)).getOrElse(base)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    }
+    val newCols = output.map {
+      case (field, JObject(List(("method", JString("locf"))))) =>
+        field -> last(col(field), ignoreNulls = true).over(w)
+      case (field, JObject(List(("value", v)))) =>
+        field -> coalesce(col(field), ExprTranslator.translate(v))
+      case (field, other) =>
+        throw GraftException(s"$$fill output for $field must be {method: locf} or {value: expr}, got $other")
+    }
+    (df.withColumns(newCols.toMap), ctx)
+  }
+
+  // --------------------------------------------------------------------------
+  // $densify — emit missing steps of a numeric field (extension). The dense
+  // axis is built per partition (or globally / fixed bounds) with
+  // sequence+explode, then left-joined against the existing rows — two
+  // shuffles total, no driver-side generation.
+  // --------------------------------------------------------------------------
+  private def densify(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$densify requires an object") }
+    val field = fs.collectFirst { case ("field", JString(s)) => s }
+      .getOrElse(throw GraftException("$densify requires field"))
+    val partitions = fs.collectFirst { case ("partitionByFields", JArray(p)) =>
+      p.collect { case JString(s) => s } }.getOrElse(Nil)
+    val range = fs.collectFirst { case ("range", JObject(r)) => r }
+      .getOrElse(throw GraftException("$densify requires range"))
+    // integral step → LONG axis, fractional → DOUBLE; bounds are cast to the
+    // same type so `sequence` typechecks regardless of the field's width.
+    val (step, axisType: DataType) = range.collectFirst {
+      case ("step", JInt(s))    => (lit(s.toLong), LongType)
+      case ("step", JDouble(s)) => (lit(s), DoubleType)
+    }.getOrElse(throw GraftException("$densify range requires numeric step"))
+    val boundsSpec = range.collectFirst { case ("bounds", v) => v }.getOrElse(JString("partition"))
+
+    val pcols = partitions.map(col)
+    val fieldC = col(field).cast(axisType)
+    val bounds = boundsSpec match {
+      case JString("partition") =>
+        df.groupBy(pcols: _*).agg(min(fieldC).as("__lo"), max(fieldC).as("__hi"))
+      case JString("full") =>
+        val mm = df.agg(min(fieldC).as("__lo"), max(fieldC).as("__hi"))
+        if (partitions.isEmpty) mm
+        else df.select(pcols: _*).distinct().crossJoin(broadcast(mm))
+      case JArray(List(lo, hi)) =>
+        val mm = df.sparkSession.range(1).select(
+          ExprTranslator.litOf(lo).cast(axisType).as("__lo"),
+          ExprTranslator.litOf(hi).cast(axisType).as("__hi"))
+        if (partitions.isEmpty) mm
+        else df.select(pcols: _*).distinct().crossJoin(broadcast(mm))
+      case other => throw GraftException(s"$$densify bounds must be 'full', 'partition' or [lo, hi], got $other")
+    }
+    val axis = bounds.select(pcols :+ explode(sequence(col("__lo"), col("__hi"), step)).as(field): _*)
+    val joined = axis.join(df, partitions :+ field, "left")
+    (joined, ctx.copy(order = None))
+  }
+
+  // --------------------------------------------------------------------------
+  // $graphLookup — BFS over a foreign collection (extension; Mongo-compatible
+  // surface). Iterative distributed joins, one per depth level; the frontier
+  // is deduplicated against the visited set per start row, so cycles
+  // terminate. Depth capped (default 20).
+  // --------------------------------------------------------------------------
+  private def graphLookup(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$graphLookup requires an object") }
+    def str(n: String): Option[String] = fs.collectFirst { case (`n`, JString(s)) => s }
+    val foreign = ctx.collection(str("from").getOrElse(throw GraftException("$graphLookup requires from")))
+    val startWith = fs.collectFirst { case ("startWith", v) => v }
+      .getOrElse(throw GraftException("$graphLookup requires startWith"))
+    val connectFrom = str("connectFromField").getOrElse(throw GraftException("$graphLookup requires connectFromField"))
+    val connectTo = str("connectToField").getOrElse(throw GraftException("$graphLookup requires connectToField"))
+    val asName = str("as").getOrElse(throw GraftException("$graphLookup requires as"))
+    val maxDepth = fs.collectFirst { case ("maxDepth", JInt(d)) => d.toInt }.getOrElse(20)
+    val depthField = str("depthField")
+
+    val withId = df.withColumn("__gid", monotonically_increasing_id())
+    val fCols = foreign.columns.toSeq
+    val fStruct = struct(fCols.map(col): _*)
+
+    var frontier = withId
+      .select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))
+      .filter(col("__key").isNotNull).distinct()
+    var visited = frontier
+    var results: DataFrame = null
+    var depth = 0
+    var done = false
+    while (!done && depth <= maxDepth) {
+      val matched = foreign.join(frontier, foreign(connectTo) === frontier("__key"))
+        .select(col("__gid"), fStruct.as("__doc"),
+          col(connectFrom).as("__next"), lit(depth.toLong).as("__depth"))
+        .persist()
+      if (matched.isEmpty) { matched.unpersist(); done = true }
+      else {
+        results = if (results == null) matched else results.unionByName(matched)
+        frontier = matched.select(col("__gid"), col("__next").as("__key"))
+          .filter(col("__key").isNotNull).distinct()
+          .join(visited, Seq("__gid", "__key"), "left_anti")
+          .persist() // cut lineage growth across BFS levels
+        visited = visited.unionByName(frontier)
+        depth += 1
+      }
+    }
+    val collected =
+      if (results == null)
+        withId.select(col("__gid")).limit(0)
+          .withColumn(asName, array())
+      else {
+        val doc = depthField match {
+          case Some(dfield) =>
+            struct(fCols.map(f => col("__doc").getField(f).as(f)) :+ col("__depth").as(dfield): _*)
+          case None => col("__doc")
+        }
+        results
+          // a doc reachable at several depths appears once, at min depth (Mongo)
+          .groupBy(col("__gid"), col("__doc")).agg(min(col("__depth")).as("__depth"))
+          .groupBy(col("__gid"))
+          .agg(transform(array_sort(collect_list(struct(col("__depth").as("d"), doc.as("v")))),
+            x => x.getField("v")).as(asName))
+      }
+    val out = withId.join(collected, Seq("__gid"), "left")
+      .withColumn(asName, coalesce(col(asName),
+        array().cast(ArrayType(collected.schema(asName).dataType.asInstanceOf[ArrayType].elementType))))
+      .drop("__gid")
+    (out, ctx)
   }
 
   private def frameBound(j: JValue): Long = j match {

@@ -215,6 +215,75 @@ class StageSpec extends AnyFunSuite {
     assert(orders.select(c.as("x")).agg(org.apache.spark.sql.functions.sum("x")).first().getDouble(0) == 300.0)
   }
 
+  test("$unwind on a nested path substitutes elements in place") {
+    val nested = fromJsonl(
+      """{"id": 1, "post": {"title": "t1", "comments": ["c1", "c2"]}}""",
+      """{"id": 2, "post": {"title": "t2", "comments": []}}""")
+    val rows = agg(nested,
+      """[{"$unwind": "$post.comments"},
+          {"$project": {"id": 1, "c": "$post.comments", "t": "$post.title"}}, {"$sort": {"id": 1, "c": 1}}]""")
+    assert(rows.map(r => (r("id"), r("t"), r("c"))) == Seq((1L, "t1", "c1"), (1L, "t1", "c2")))
+    val preserved = agg(nested,
+      """[{"$unwind": {"path": "$post.comments", "preserveNullAndEmptyArrays": true}}, {"$count": "n"}]""").head
+    assert(preserved("n") == 3L)
+  }
+
+  test("$fill locf and value gap-filling") {
+    val series = fromJsonl(
+      """{"k": "a", "t": 1, "v": 10.0}""",
+      """{"k": "a", "t": 2, "v": null}""",
+      """{"k": "a", "t": 3, "v": null}""",
+      """{"k": "a", "t": 4, "v": 40.0}""",
+      """{"k": "b", "t": 1, "v": null}""")
+    val rows = agg(series,
+      """[{"$fill": {"partitionBy": "$k", "sortBy": {"t": 1},
+                     "output": {"v": {"method": "locf"}}}},
+          {"$sort": {"k": 1, "t": 1}}, {"$project": {"k": 1, "t": 1, "v": 1}}]""")
+    assert(rows.map(r => (r("k"), r("t"), r("v"))) ==
+      Seq(("a", 1L, 10.0), ("a", 2L, 10.0), ("a", 3L, 10.0), ("a", 4L, 40.0), ("b", 1L, null)))
+    val valued = agg(series,
+      """[{"$fill": {"output": {"v": {"value": -1}}}}, {"$match": {"k": "b"}}]""").head
+    assert(valued("v") == -1.0)
+  }
+
+  test("$densify emits missing steps per partition") {
+    val sparse = fromJsonl(
+      """{"k": "a", "t": 1, "v": 1.0}""",
+      """{"k": "a", "t": 4, "v": 4.0}""",
+      """{"k": "b", "t": 2, "v": 2.0}""",
+      """{"k": "b", "t": 3, "v": 3.0}""")
+    val rows = agg(sparse,
+      """[{"$densify": {"field": "t", "partitionByFields": ["k"],
+                        "range": {"step": 1, "bounds": "partition"}}},
+          {"$sort": {"k": 1, "t": 1}}, {"$project": {"k": 1, "t": 1, "v": 1}}]""")
+    assert(rows.map(r => (r("k"), r("t"), r("v"))) ==
+      Seq(("a", 1L, 1.0), ("a", 2L, null), ("a", 3L, null), ("a", 4L, 4.0),
+          ("b", 2L, 2.0), ("b", 3L, 3.0)))
+  }
+
+  test("$graphLookup walks a hierarchy breadth-first with depth") {
+    val employees = fromJsonl(
+      """{"name": "ceo", "boss": null}""",
+      """{"name": "vp", "boss": "ceo"}""",
+      """{"name": "mgr", "boss": "vp"}""",
+      """{"name": "ic", "boss": "mgr"}""")
+    val rows = agg(employees,
+      """[{"$graphLookup": {"from": "employees", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "name",
+            "as": "chain", "depthField": "d"}},
+          {"$project": {"name": 1,
+            "chain": {"$map": {"input": "$chain", "as": "c", "in": "$$c.name"}},
+            "depths": {"$map": {"input": "$chain", "as": "c", "in": "$$c.d"}}}},
+          {"$sort": {"name": 1}}]""",
+      Map("employees" -> employees))
+    val byName = rows.map(r => r("name") -> (
+      r("chain").asInstanceOf[scala.collection.Seq[_]].toSeq,
+      r("depths").asInstanceOf[scala.collection.Seq[_]].toSeq)).toMap
+    assert(byName("ic") == (Seq("mgr", "vp", "ceo"), Seq(0L, 1L, 2L)))
+    assert(byName("mgr") == (Seq("vp", "ceo"), Seq(0L, 1L)))
+    assert(byName("ceo")._1.isEmpty)
+  }
+
   test("$text search over text field") {
     val docs = fromJsonl(
       """{"id": 1, "text": "Spark makes Big Data simple"}""",
