@@ -103,7 +103,7 @@ object Aggo {
     def hasOrderSensitiveAcc(body: JValue): Boolean = body match {
       case JObject(fields) => fields.exists {
         case ("_id", _) => false
-        case (_, JObject(List((op, _)))) => Set("$first", "$last", "$push")(op)
+        case (_, JObject(List((op, _)))) => Set("$first", "$last", "$push", "$firstN", "$lastN")(op)
         case _ => false
       }
       case _ => false

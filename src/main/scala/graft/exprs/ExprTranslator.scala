@@ -372,6 +372,11 @@ object ExprTranslator {
           case _ => throw GraftException("$indexOfArray expects 2-3 args")
         }
       case "$reverseArray" => reverse(a1)
+      case "$sortArray" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val dir = fieldOpt(fs, "sortBy").collect { case JInt(d) => d.toInt }.getOrElse(1)
+        if (dir >= 0) array_sort(in) else reverse(array_sort(in))
       case "$range" =>
         argList(arg) match {
           case List(s, e)     => sequence(translate(s), translate(e) - 1)

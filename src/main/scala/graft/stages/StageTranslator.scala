@@ -172,6 +172,32 @@ object StageTranslator {
 
     case "$bucket" => bucket(df, body, ctx)
 
+    case "$bucketAuto" =>
+      // Equal-count buckets via ntile — one window pass + one aggregation
+      // (extension; Mongo-compatible surface, no granularity series).
+      implicit val ec: ExprCtx = exprCtx(df)
+      val fs = body match { case JObject(f) => f; case _ => throw GraftException("$bucketAuto requires an object") }
+      val groupBy0 = fs.collectFirst { case ("groupBy", v) => v }
+        .getOrElse(throw GraftException("$bucketAuto requires groupBy"))
+      val buckets = fs.collectFirst { case ("buckets", JInt(b)) => b.toInt }
+        .getOrElse(throw GraftException("$bucketAuto requires buckets"))
+      val outputSpec = fs.collectFirst { case ("output", JObject(o)) => o }
+        .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
+      val e = ExprTranslator.translate(groupBy0)
+      val tiled = df.withColumn("__tile", ntile(buckets).over(Window.orderBy(e.asc_nulls_first)))
+      val accs = outputSpec.map { case (n, spec) =>
+        val (op, arg) = spec match {
+          case JObject(List((o, a))) => (o, a)
+          case _ => throw GraftException("$bucketAuto output accumulator must be a single operator")
+        }
+        accumulator(op, arg, None)(exprCtx(tiled)).as(n)
+      }
+      val aggCols = struct(min(e).as("min"), max(e).as("max")).as("_id") +: accs
+      val out = tiled.groupBy(col("__tile"))
+        .agg(aggCols.head, aggCols.tail: _*)
+        .select(col("_id") +: outputSpec.map { case (n, _) => col(n) }: _*)
+      (out, ctx.copy(order = None, hasSeq = false))
+
     case "$facet" => facet(df, body, ctx)
 
     case "$setWindowFields" => setWindowFields(df, body, ctx)
@@ -306,7 +332,7 @@ object StageTranslator {
     val accs = fields.filterNot(_._1 == "_id")
 
     val orderSensitive = accs.exists { case (_, spec) => spec match {
-      case JObject(List((op, _))) => Set("$first", "$last", "$push")(op)
+      case JObject(List((op, _))) => Set("$first", "$last", "$push", "$firstN", "$lastN")(op)
       case _                      => false
     }}
     lazy val orderKey: Column = encounterOrderKey(df, ctx)
@@ -389,6 +415,28 @@ object StageTranslator {
           case None => collect_list(e)
         }
       case "$addToSet" => array_sort(collect_set(e))
+      // N-variants (extension; Mongo 5.2 surface): bounded results from a
+      // sorted collect. At scale these should become a TypedImperativeAggregate
+      // heap; collect+slice is correct and bounded-output.
+      case "$minN" | "$maxN" =>
+        val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {input, n}") }
+        val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+          .getOrElse(throw GraftException(s"$op requires input"))
+        val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+          .getOrElse(throw GraftException(s"$op requires n"))
+        val sorted = array_sort(collect_list(in))
+        if (op == "$minN") slice(sorted, 1, n)
+        else slice(reverse(sorted), 1, n)
+      case "$firstN" | "$lastN" =>
+        val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {input, n}") }
+        val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+          .getOrElse(throw GraftException(s"$op requires input"))
+        val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+          .getOrElse(throw GraftException(s"$op requires n"))
+        val k = orderKey.getOrElse(throw GraftException(s"$op requires encounter order"))
+        val ordered = transform(array_sort(collect_list(struct(k.as("o"), in.as("v")))), x => x.getField("v"))
+        if (op == "$firstN") slice(ordered, 1, n)
+        else reverse(slice(reverse(ordered), 1, n)) // last n, in encounter order
       case "$mergeObjects" => throw GraftException("$mergeObjects accumulator not supported")
       case other => throw GraftException(s"unknown accumulator $other")
     }
@@ -482,11 +530,19 @@ object StageTranslator {
   private def equalityLookup(df: DataFrame, foreign: DataFrame, lf: String, ff: String,
                              asName: String, ctx: PipeCtx): (DataFrame, PipeCtx) = {
     val fCols = foreign.columns.toSeq
-    val fSeq = foreign.withColumn("__fseq", monotonically_increasing_id())
-    val grouped = fSeq.groupBy(col(ff).as("__graft_k"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__fseq").as("o"), struct(fCols.map(col): _*).as("v")))),
-        x => x.getField("v")).as(asName))
+    val grouped =
+      if (df.isStreaming) {
+        // monotonically_increasing_id is rejected anywhere in a streaming
+        // plan; give up deterministic within-array order on streams.
+        foreign.groupBy(col(ff).as("__graft_k"))
+          .agg(collect_list(struct(fCols.map(col): _*)).as(asName))
+      } else {
+        val fSeq = foreign.withColumn("__fseq", monotonically_increasing_id())
+        fSeq.groupBy(col(ff).as("__graft_k"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__fseq").as("o"), struct(fCols.map(col): _*).as("v")))),
+            x => x.getField("v")).as(asName))
+      }
     val joined = df.join(grouped, df(lf) <=> grouped("__graft_k"), "left").drop("__graft_k")
     val elemType = grouped.schema(asName).dataType
     val out = joined.withColumn(asName, coalesce(col(asName), array().cast(elemType)))

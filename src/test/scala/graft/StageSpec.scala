@@ -150,6 +150,34 @@ class StageSpec extends AnyFunSuite {
     assert(s1 == s2 && s1.size == 2) // seeded/hash-based → stable
   }
 
+  test("$bucketAuto equal-count buckets; N-variant accumulators; $sortArray") {
+    val ba = agg(orders,
+      """[{"$bucketAuto": {"groupBy": "$total", "buckets": 2,
+                           "output": {"n": {"$sum": 1}, "tot": {"$sum": "$total"}}}}]""")
+    assert(ba.map(_("n")) == Seq(3L, 2L))
+    val ids = ba.map(_("_id").asInstanceOf[org.apache.spark.sql.Row])
+    assert(ids.head.getAs[Double]("min") == 10.0 && ids.head.getAs[Double]("max") == 30.0)
+    assert(ids(1).getAs[Double]("min") == 40.0 && ids(1).getAs[Double]("max") == 50.0)
+
+    val nacc = agg(orders,
+      """[{"$sort": {"id": 1}},
+          {"$group": {"_id": null,
+            "min2": {"$minN": {"input": "$total", "n": 2}},
+            "max2": {"$maxN": {"input": "$total", "n": 2}},
+            "first2": {"$firstN": {"input": "$id", "n": 2}},
+            "last2": {"$lastN": {"input": "$id", "n": 2}}}}]""").head
+    assert(nacc("min2").asInstanceOf[scala.collection.Seq[_]] == Seq(10.0, 20.0))
+    assert(nacc("max2").asInstanceOf[scala.collection.Seq[_]] == Seq(50.0, 40.0))
+    assert(nacc("first2").asInstanceOf[scala.collection.Seq[_]] == Seq(1L, 2L))
+    assert(nacc("last2").asInstanceOf[scala.collection.Seq[_]] == Seq(4L, 5L))
+
+    val sa = agg(fromJsonl("""{"a": [3, 1, 2]}"""),
+      """[{"$project": {"up": {"$sortArray": {"input": "$a", "sortBy": 1}},
+                        "down": {"$sortArray": {"input": "$a", "sortBy": -1}}}}]""").head
+    assert(sa("up").asInstanceOf[scala.collection.Seq[_]] == Seq(1L, 2L, 3L))
+    assert(sa("down").asInstanceOf[scala.collection.Seq[_]] == Seq(3L, 2L, 1L))
+  }
+
   test("$bucket groups by boundaries with default") {
     val rows = agg(orders,
       """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 25, 45], "default": -1,

@@ -92,6 +92,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates >= 2)
   }
 
+  test("stream-static $lookup joins a static collection per micro-batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val tiers = fromJsonl(
+      """{"user": "a", "tier": "gold"}""",
+      """{"user": "b", "tier": "bronze"}""")
+    val mem = MemoryStream[Ev]
+    val out = GraftStreaming.aggregate(mem.toDF(),
+      """[{"$lookup": {"from": "tiers", "localField": "user", "foreignField": "user", "as": "t"}},
+          {"$unwind": {"path": "$t", "preserveNullAndEmptyArrays": true}},
+          {"$project": {"user": 1, "amount": 1, "tier": "$t.tier"}}]""",
+      Map("tiers" -> tiers))
+    val q = out.writeStream.format("memory").queryName("s5").outputMode("append").start()
+    try {
+      mem.addData(Ev("a", 1), Ev("c", 2))
+      q.processAllAvailable()
+      val rows = spark.table("s5").collect()
+        .map(r => (r.getAs[String]("user"), r.getAs[String]("tier"))).toSet
+      assert(rows == Set(("a", "gold"), ("c", null)))
+    } finally q.stop()
+  }
+
   test("blocking stages are rejected on unbounded streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
