@@ -415,6 +415,7 @@ object StageTranslator {
           case None => collect_list(e)
         }
       case "$addToSet" => array_sort(collect_set(e))
+      case "$approxDistinct" => approx_count_distinct(e) // extension: HLL sketch
       // N-variants (extension; Mongo 5.2 surface): bounded results from a
       // sorted collect. At scale these should become a TypedImperativeAggregate
       // heap; collect+slice is correct and bounded-output.
@@ -424,9 +425,16 @@ object StageTranslator {
           .getOrElse(throw GraftException(s"$op requires input"))
         val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
           .getOrElse(throw GraftException(s"$op requires n"))
-        val sorted = array_sort(collect_list(in))
-        if (op == "$minN") slice(sorted, 1, n)
-        else slice(reverse(sorted), 1, n)
+        ec.typeOf(in) match {
+          case Some(DoubleType) =>
+            // bounded-heap Aggregator: O(k) per-group memory at any scale
+            if (op == "$minN") graft.ext.TopKAggregator.minK(in, n)
+            else graft.ext.TopKAggregator.maxK(in, n)
+          case _ =>
+            val sorted = array_sort(collect_list(in))
+            if (op == "$minN") slice(sorted, 1, n)
+            else slice(reverse(sorted), 1, n)
+        }
       case "$firstN" | "$lastN" =>
         val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {input, n}") }
         val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
@@ -812,9 +820,11 @@ object StageTranslator {
       val windowed = specFs.collectFirst { case ("window", JObject(wf)) => wf } match {
         case Some(wf) =>
           val docs = wf.collectFirst { case ("documents", JArray(List(a, b))) => (frameBound(a), frameBound(b)) }
-          docs match {
-            case Some((lo, hi)) => w.rowsBetween(lo, hi)
-            case None           => w
+          val rng = wf.collectFirst { case ("range", JArray(List(a, b))) => (frameBound(a), frameBound(b)) }
+          (docs, rng) match {
+            case (Some((lo, hi)), _) => w.rowsBetween(lo, hi)
+            case (None, Some((lo, hi))) => w.rangeBetween(lo, hi)
+            case _ => w
           }
         case None =>
           if (Set("$sum", "$avg", "$min", "$max", "$count", "$push", "$stdDevPop", "$stdDevSamp")(op) && sortBy.isDefined)

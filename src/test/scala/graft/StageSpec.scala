@@ -171,6 +171,16 @@ class StageSpec extends AnyFunSuite {
     assert(nacc("first2").asInstanceOf[scala.collection.Seq[_]] == Seq(1L, 2L))
     assert(nacc("last2").asInstanceOf[scala.collection.Seq[_]] == Seq(4L, 5L))
 
+    val approx = agg(orders,
+      """[{"$group": {"_id": null, "nc": {"$approxDistinct": "$cust"}}}]""").head
+    assert(approx("nc") == 3L)
+
+    val ranged = agg(orders,
+      """[{"$setWindowFields": {"sortBy": {"total": 1},
+           "output": {"near": {"$count": {}, "window": {"range": [-15, 15]}}}}},
+          {"$match": {"id": 3}}, {"$project": {"near": 1}}]""").head
+    assert(ranged("near") == 3L) // totals within ±15 of 30: 20, 30, 40
+
     val sa = agg(fromJsonl("""{"a": [3, 1, 2]}"""),
       """[{"$project": {"up": {"$sortArray": {"input": "$a", "sortBy": 1}},
                         "down": {"$sortArray": {"input": "$a", "sortBy": -1}}}}]""").head
