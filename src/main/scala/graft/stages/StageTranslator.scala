@@ -289,9 +289,23 @@ object StageTranslator {
       }
       (out, ctx)
     } else {
-      // inclusion mode: build the output column list. Nested include paths are
-      // grouped per top-level field and rebuilt as structs.
-      val grouped = scala.collection.mutable.LinkedHashMap[String, Either[Column, scala.collection.mutable.LinkedHashMap[String, Column]]]()
+      // inclusion mode: build the output column list. Nested include paths
+      // are rebuilt as (recursively) nested structs.
+      sealed trait Node
+      final case class Leaf(c: Column) extends Node
+      final class Branch extends Node {
+        val children = scala.collection.mutable.LinkedHashMap[String, Node]()
+      }
+      val root = new Branch
+      def insert(node: Branch, parts: List[String], c: Column): Unit = parts match {
+        case last :: Nil => node.children(last) = Leaf(c)
+        case head :: rest =>
+          node.children.getOrElseUpdate(head, new Branch) match {
+            case b: Branch => insert(b, rest, c)
+            case _: Leaf   => throw GraftException(s"$$project: conflicting paths at $head")
+          }
+        case Nil => throw GraftException("$project: empty path")
+      }
       fields.foreach {
         case ("_id", v) if isExclude(v) => // excluded
         case (k, v) if isExclude(v)     => // ignore explicit excludes in inclusion mode
@@ -299,20 +313,13 @@ object StageTranslator {
           val c: Column =
             if (isInclude(v)) col(path)
             else ExprTranslator.translate(v)
-          if (path.contains('.')) {
-            val parts = path.split('.')
-            val top = parts.head
-            val sub = grouped.getOrElseUpdate(top, Right(scala.collection.mutable.LinkedHashMap[String, Column]())) match {
-              case Right(m) => m
-              case Left(_)  => throw GraftException(s"$$project: conflicting paths at $top")
-            }
-            sub(parts.tail.mkString(".")) = c
-          } else grouped(path) = Left(c)
+          insert(root, path.split('.').toList, c)
       }
-      val outCols: Seq[Column] = grouped.toSeq.map {
-        case (name, Left(c))    => c.as(name)
-        case (name, Right(sub)) => struct(sub.toSeq.map { case (p, c) => c.as(p.split('.').last) }: _*).as(name)
+      def build(node: Node): Column = node match {
+        case Leaf(c)   => c
+        case b: Branch => struct(b.children.toSeq.map { case (n, ch) => build(ch).as(n) }: _*)
       }
+      val outCols: Seq[Column] = root.children.toSeq.map { case (name, node) => build(node).as(name) }
       val withSeq = if (ctx.hasSeq && df.columns.contains(SeqCol)) outCols :+ col(SeqCol) else outCols
       (df.select(withSeq: _*), ctx)
     }

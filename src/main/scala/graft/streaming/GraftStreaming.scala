@@ -64,6 +64,58 @@ object GraftStreaming {
   }
 }
 
+/** Incrementally-maintainable aggregation over a change stream — the
+  * weighted-CDC design SURVEY §7.4.5 reserves for the retraction path.
+  *
+  * Input is a delta frame: each row is a document plus a sign column
+  * (+1 insert, −1 delete). Accumulators that are **algebraic under
+  * retraction** translate to sign-weighted aggregates:
+  * `$sum e` → Σ sign·e, `$count` → Σ sign, `$avg` → Σ sign·e / Σ sign.
+  * Groups whose live count reaches zero disappear, matching the reference's
+  * empty-group deletion (crossfilter-operators.ts:197-306). `$min/$max/$push`
+  * need ref-counted multiset state (crossfilter-ivm.ts:129-166) and are
+  * rejected — use [[StreamingCollection]] recompute for those.
+  *
+  * Works identically on batch delta frames and on streaming frames (run
+  * with outputMode "update"/"complete"); state is Spark's streaming
+  * aggregation store, so this scales like any streaming groupBy.
+  */
+object Cdc {
+
+  def aggregateDeltas(deltas: DataFrame, signCol: String, groupJson: String): DataFrame = {
+    import org.json4s._
+    val fields = org.json4s.jackson.JsonMethods.parse(groupJson) match {
+      case JObject(fs) => fs
+      case other       => throw graft.model.GraftException(s"group spec must be an object, got $other")
+    }
+    implicit val ec: graft.exprs.ExprCtx =
+      graft.exprs.ExprCtx(Some(deltas), rootCols = deltas.columns.toSeq.filterNot(_ == signCol))
+    val idExpr = fields.collectFirst { case ("_id", v) => v }
+      .getOrElse(throw graft.model.GraftException("delta aggregation requires _id"))
+    val sign = col(signCol)
+    val accs = fields.filterNot(_._1 == "_id").map {
+      case (name, JObject(List(("$sum", JInt(i))))) if i == 1 =>
+        sum(sign).as(name)
+      case (name, JObject(List(("$sum", arg)))) =>
+        sum(sign * graft.exprs.ExprTranslator.translate(arg)).as(name)
+      case (name, JObject(List(("$count", _)))) =>
+        sum(sign).as(name)
+      case (name, JObject(List(("$avg", arg)))) =>
+        (sum(sign * graft.exprs.ExprTranslator.translate(arg)) / sum(sign)).as(name)
+      case (name, JObject(List((op, _)))) =>
+        throw graft.model.GraftException(
+          s"accumulator $op is not algebraic under retraction ($name); use StreamingCollection recompute")
+      case (name, other) =>
+        throw graft.model.GraftException(s"accumulator for '$name' must be a $$-operator object, got $other")
+    }
+    val live = sum(sign).as("__live")
+    val grouped = deltas
+      .groupBy(graft.exprs.ExprTranslator.translate(idExpr).as("_id"))
+      .agg(accs.head, (accs.tail :+ live): _*)
+    grouped.filter(col("__live") > 0).drop("__live")
+  }
+}
+
 /** Live collection with `add`/`addBulk`/`removeWhere` mutation and
   * re-aggregation — the API analogue of the reference's
   * `createStreamingCollection` (streaming.ts:78-120, index.ts:91).

@@ -44,6 +44,12 @@ class StageSpec extends AnyFunSuite {
     val nested = agg(fromJsonl("""{"a": {"b": 1, "c": 2}, "keep": 9}"""),
       """[{"$project": {"a.b": 1, "keep": 1}}]""").head
     assert(nested("a").asInstanceOf[org.apache.spark.sql.Row].schema.fieldNames.toSeq == Seq("b"))
+    // deep nesting preserved recursively, computed leaves allowed
+    val deep = agg(fromJsonl("""{"a": {"b": {"c": 7, "d": 8}, "e": 9}}"""),
+      """[{"$project": {"a.b.c": 1, "a.e": 1, "a.b.twice": {"$multiply": ["$a.b.c", 2]}}}]""").head
+    val aRow = deep("a").asInstanceOf[org.apache.spark.sql.Row]
+    val bRow = aRow.getAs[org.apache.spark.sql.Row]("b")
+    assert(bRow.getAs[Any]("c") == 7L && bRow.getAs[Any]("twice") == 14L && aRow.getAs[Any]("e") == 9L)
   }
 
   test("$addFields keeps fields and supports nested set; $unset drops") {
@@ -125,6 +131,19 @@ class StageSpec extends AnyFunSuite {
           {"$project": {"name": 1, "topId": "$top.id"}}, {"$sort": {"name": 1}}]""",
       Map("orders" -> orders))
     assert(pipe.map(r => (r("name"), r("topId"))) == Seq(("a", 5L), ("b", 2L)))
+
+    // residual non-equi var predicate → per-element array filter after join
+    val limits = fromJsonl(
+      """{"name": "a", "cap": 35.0}""",
+      """{"name": "b", "cap": 25.0}""")
+    val residual = agg(limits,
+      """[{"$lookup": {"from": "orders", "let": {"n": "$name", "c": "$cap"},
+            "pipeline": [{"$match": {"$expr": {"$and": [
+              {"$eq": ["$$n", "$cust"]}, {"$lt": ["$total", "$$c"]}]}}}],
+            "as": "cheap"}},
+          {"$project": {"name": 1, "n_cheap": {"$size": "$cheap"}}}, {"$sort": {"name": 1}}]""",
+      Map("orders" -> orders))
+    assert(residual.map(r => (r("name"), r("n_cheap"))) == Seq(("a", 2), ("b", 1)))
 
     // uncorrelated pipeline form: same top-2 list attached to every row
     val uncorr = agg(custs,

@@ -114,6 +114,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC weighted aggregation retracts deletions (batch and stream)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val spec = """{"_id": "$user", "n": {"$count": {}}, "total": {"$sum": "$amount"}, "mean": {"$avg": "$amount"}}"""
+
+    // batch deltas: add a:10, a:20, b:5 then remove a:10 and all of b
+    val deltas = Seq(
+      (1, "a", 10.0), (1, "a", 20.0), (1, "b", 5.0),
+      (-1, "a", 10.0), (-1, "b", 5.0)).toDF("sign", "user", "amount")
+    val batch = graft.streaming.Cdc.aggregateDeltas(deltas, "sign", spec).collect()
+    assert(batch.length == 1) // b's group disappeared
+    val a = batch.head
+    assert(a.getAs[String]("_id") == "a" && a.getAs[Long]("n") == 1L)
+    assert(a.getAs[Double]("total") == 20.0 && a.getAs[Double]("mean") == 20.0)
+
+    // same deltas as a stream in complete mode
+    val mem = MemoryStream[(Int, String, Double)]
+    val out = graft.streaming.Cdc.aggregateDeltas(
+      mem.toDF().toDF("sign", "user", "amount"), "sign", spec)
+    val q = out.writeStream.format("memory").queryName("s6").outputMode("complete").start()
+    try {
+      mem.addData((1, "a", 10.0), (1, "a", 20.0), (1, "b", 5.0))
+      q.processAllAvailable()
+      assert(spark.table("s6").count() == 2)
+      mem.addData((-1, "a", 10.0), (-1, "b", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("s6").collect()
+      assert(rows.length == 1 && rows.head.getAs[Double]("total") == 20.0)
+    } finally q.stop()
+
+    // non-retractable accumulator is rejected with guidance
+    assertThrows[graft.model.GraftException] {
+      graft.streaming.Cdc.aggregateDeltas(deltas, "sign", """{"_id": "$user", "m": {"$max": "$amount"}}""")
+    }
+  }
+
   test("blocking stages are rejected on unbounded streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
