@@ -497,6 +497,17 @@ object SparkEntry {
         {"$project": {"event_type": 1, "event_id": 1, "rnk": 1, "drnk": 1}}
       ]"""),
 
+    "q_expr_bool" -> run("lineitem",
+      """[
+        {"$addFields": {
+          "big": {"$and": [{"$gt": ["$l_quantity", 25]}, {"$lt": ["$l_discount", 0.05]}]},
+          "either": {"$or": [{"$gte": ["$l_tax", 0.07]}, {"$lt": ["$l_quantity", 3]}]},
+          "nope": {"$not": [{"$eq": ["$l_returnflag", "R"]}]},
+          "flag2": {"$getField": {"input": {"f": "$l_returnflag"}, "field": "f"}}}},
+        {"$unset": ["l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"]}
+      ]"""),
+
     // ---- extensions: gap filling ($fill / $densify) ----
     "q_fill_locf" -> ((spark: SparkSession, dir: String) => {
       // null out small values, then carry the last observation forward
@@ -846,6 +857,13 @@ object SparkEntry {
             FROM events
             WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id))
       WHERE rnk <= 5""",
+    "q_expr_bool" ->
+      """SELECT l_orderkey,
+        (l_quantity > 25 AND l_discount < 0.05) AS big,
+        (l_tax >= 0.07 OR l_quantity < 3) AS either,
+        NOT (l_returnflag = 'R') AS nope,
+        l_returnflag AS flag2
+      FROM lineitem""",
     "q_fill_locf" ->
       """SELECT user_id, event_id,
         last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -110,6 +110,18 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() > 1)
   }
 
+  test("salted join equals plain join; key profile finds hot keys") {
+    import spark.implicits._
+    val fact = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "v")
+    val dim = Seq(("hot", "H"), ("a", "A"), ("b", "B")).toDF("k", "label")
+    val plain = fact.join(dim, Seq("k")).select("k", "v", "label").collect().toSet
+    val salted = Skew.saltedJoin(fact, dim, "k", salt = 4).select("k", "v", "label").collect().toSet
+    assert(salted == plain && plain.size == 52)
+    val prof = Skew.keyProfile(fact, "k", 1).collect().head
+    assert(prof.getString(0) == "hot" && prof.getLong(1) == 50L)
+  }
+
   test("kernel, declarative, and native-codegen cosine agree bit-for-bit") {
     import scala.jdk.CollectionConverters._
     graft.exprs.catalyst.GraftFunctions.register(spark)
