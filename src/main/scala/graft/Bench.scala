@@ -12,8 +12,7 @@ import org.apache.spark.sql.functions._
   * Comparison basis follows BASELINE.md's note: steady state — warmed JVM +
   * codegen, input cached in memory (the reference is a fully in-memory
   * single-process engine, so cold parquet reads would measure the wrong
-  * thing). Each query is warmed twice, then the median of 3 timed runs is
-  * reported.
+  * thing). Each query is warmed 3x, then the median of 5 timed runs is taken.
   */
 object Bench {
 

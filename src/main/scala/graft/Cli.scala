@@ -21,6 +21,7 @@ object Cli {
     var out = "-"
     var explain = false
     var stats = false
+    var pretty = false
     var collections = Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -33,6 +34,7 @@ object Cli {
           val Array(n, p) = args(i + 1).split("=", 2); collections += n -> p; i += 2
         case "--explain"       => explain = true; i += 1
         case "--stats"         => stats = true; i += 1
+        case "--pretty"        => pretty = true; i += 1
         case other             => die(s"unknown argument $other")
       }
     }
@@ -68,7 +70,11 @@ object Cli {
     }
     out match {
       case "-" =>
-        result.toJSON.collect().foreach(println)
+        if (pretty)
+          result.toJSON.collect().foreach { line =>
+            println(org.json4s.jackson.JsonMethods.pretty(org.json4s.jackson.JsonMethods.parse(line)))
+          }
+        else result.toJSON.collect().foreach(println)
       case p if p.endsWith(".parquet") => result.write.mode("overwrite").parquet(p)
       case p                           => result.write.mode("overwrite").json(p)
     }

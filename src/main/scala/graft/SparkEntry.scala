@@ -337,7 +337,7 @@ object SparkEntry {
           "sortBy": {"o_orderdate": 1, "o_orderkey": 1},
           "output": {
             "rnk": {"$documentNumber": {}},
-            "running": {"$sum": "$o_totalprice"},
+            "running": {"$sum": "$o_totalprice", "window": {"documents": ["unbounded", "current"]}},
             "prev_price": {"$shift": {"output": "$o_totalprice", "by": -1, "default": -1}}}}},
         {"$project": {"o_orderkey": 1, "o_custkey": 1, "rnk": 1,
                       "running": {"$round": ["$running", 2]}, "prev_price": 1}}

@@ -73,17 +73,13 @@ object ExprTranslator {
     case other => throw GraftException(s"unsupported expression literal: $other")
   }
 
-  /** `$field.path` reference. Dotted paths resolve through nested structs. */
-  def fieldPath(path: String)(implicit ctx: ExprCtx): Column = {
-    val parts = path.split('.')
-    // If the head is a bound variable's alias (e.g. inside $map over structs)
-    // field paths still refer to the document, not the lambda var, in Mongo.
-    if (ctx.df.isDefined && !ctx.hasField(path)) {
-      // Missing field → null (missing-vs-null normalized at ingest; SURVEY §7.4).
-      if (!ctx.df.get.schema.fieldNames.contains(parts.head)) lit(null)
-      else col(path)
-    } else col(path)
-  }
+  /** `$field.path` reference. Dotted paths resolve through nested structs.
+    * A path that doesn't resolve against the schema — whether the top-level
+    * column or a nested field is missing — is a Mongo "missing" value and
+    * yields null (SURVEY §7.4.2), never an analysis error. */
+  def fieldPath(path: String)(implicit ctx: ExprCtx): Column =
+    if (ctx.df.isDefined && !ctx.hasField(path)) lit(null)
+    else col(path)
 
   /** `$$variable` (expressions.ts:405-467). */
   def variable(v: String)(implicit ctx: ExprCtx): Column = {
@@ -378,10 +374,20 @@ object ExprTranslator {
         val dir = fieldOpt(fs, "sortBy").collect { case JInt(d) => d.toInt }.getOrElse(1)
         if (dir >= 0) array_sort(in) else reverse(array_sort(in))
       case "$range" =>
+        // Mongo: empty array when the step direction can't reach end from
+        // start; negative steps count down. Guarded because Spark's
+        // `sequence` infers a direction (or throws) instead.
+        def emptyLike(s: Column): Column = slice(sequence(s, s), 1, 0)
         argList(arg) match {
-          case List(s, e)     => sequence(translate(s), translate(e) - 1)
-          case List(s, e, st) => sequence(translate(s), translate(e) - 1, translate(st))
-          case _              => throw GraftException("$range expects 2-3 args")
+          case List(s, e) =>
+            val (sc, ecol) = (translate(s), translate(e))
+            when(ecol > sc, sequence(sc, ecol - 1)).otherwise(emptyLike(sc))
+          case List(s, e, st) =>
+            val (sc, ecol, stc) = (translate(s), translate(e), translate(st))
+            when(stc > 0 && ecol > sc, sequence(sc, ecol - 1, stc))
+              .when(stc < 0 && ecol < sc, sequence(sc, ecol + 1, stc))
+              .otherwise(emptyLike(sc))
+          case _ => throw GraftException("$range expects 2-3 args")
         }
       case "$zip" =>
         val fs = obj(arg, op)
@@ -542,7 +548,9 @@ object ExprTranslator {
       case v => simple(translate(v).cast(StringType))
     }
 
-  /** Translate Mongo `$dateToString` format specifiers to java.time patterns. */
+  /** Translate Mongo `$dateToString` format specifiers to java.time patterns.
+    * Literal letters (e.g. the `T`/`Z` of ISO timestamps) are single-quoted —
+    * unquoted they are (invalid or zone) pattern letters in java.time. */
   def mongoDateFormat(fmt: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -559,10 +567,11 @@ object ExprTranslator {
           case 'L' => sb.append("SSS")
           case 'j' => sb.append("DDD")
           case '%' => sb.append('%')
-          case o   => sb.append(o)
+          case o   => sb.append(s"'$o'")
         }
         i += 2
-      } else { sb.append(c); i += 1 }
+      } else if (c.isLetter) { sb.append(s"'$c'"); i += 1 }
+      else { sb.append(c); i += 1 }
     }
     sb.toString
   }

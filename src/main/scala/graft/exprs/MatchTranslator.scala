@@ -39,8 +39,13 @@ object MatchTranslator {
     if (ctx.df.isDefined && !ctx.hasField(path)) lit(null) else col(path)
 
   /** Condition on a (possibly dotted) field path. */
-  def fieldCondition(path: String, spec: JValue)(implicit ctx: ExprCtx): Column = {
-    val c = fieldRef(path)
+  def fieldCondition(path: String, spec: JValue)(implicit ctx: ExprCtx): Column =
+    fieldConditionOn(fieldRef(path), spec, path)
+
+  /** Operator-object (or bare value) condition applied to an arbitrary
+    * column — shared by field conditions, `$not`, and `$elemMatch` so
+    * `$regex`+`$options` pairing works on every path. */
+  private def fieldConditionOn(c: Column, spec: JValue, path: String)(implicit ctx: ExprCtx): Column =
     spec match {
       case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
         val optsStr = ops.collectFirst { case ("$options", JString(o)) => o }.getOrElse("")
@@ -50,7 +55,6 @@ object MatchTranslator {
         }.reduceLeftOption(_ && _).getOrElse(lit(true))
       case v => equalityCondition(c, v)
     }
-  }
 
   /** Bare-value / $eq equality. On array-typed fields a scalar matches when
     * any element equals it (Mongo element-match semantics). */
@@ -119,22 +123,15 @@ object MatchTranslator {
     case other => throw GraftException(s"unknown $$match operator $other")
   }
 
-  /** `$not`'s argument is an operator-object applied to the same field. */
-  private def fieldConditionOn(c: Column, spec: JValue, path: String)(implicit ctx: ExprCtx): Column =
-    spec match {
-      case JObject(ops) if ops.forall(_._1.startsWith("$")) =>
-        ops.map { case (op, v) => opCondition(c, op, v, path) }.reduceLeft(_ && _)
-      case v => equalityCondition(c, v)
-    }
-
   /** `$elemMatch` sub-query applied to an array element (lambda variable). */
   private def elemCondition(x: Column, spec: JValue)(implicit ctx: ExprCtx): Column = spec match {
     case JObject(ops) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
       // operator form: {$gt: 5, $lt: 10} on the element itself
-      ops.map { case (op, v) => opCondition(x, op, v, "<elem>") }.reduceLeft(_ && _)
-    case JObject(fields) =>
+      fieldConditionOn(x, spec, "<elem>")
+    case JObject(fields) if fields.nonEmpty =>
       // document form: conditions on the element's struct fields
       fields.map { case (f, s) => fieldConditionOn(x.getField(f), s, f) }.reduceLeft(_ && _)
+    case JObject(Nil) => lit(true)
     case v => x <=> ExprTranslator.litOf(v)
   }
 

@@ -124,7 +124,8 @@ object Kernels {
   }
 
   /** Sequential-order cosine over float vectors (same fold order as the
-    * Column/HOF version and the DuckDB oracle formula — bit-identical). */
+    * Column/HOF version, the native expression, and the DuckDB oracle
+    * formula — bit-identical; null for zero-norm inputs like the others). */
   val cosineKernel: (Column, Column) => Column = {
     val f = udf { (a: Seq[Float], b: Seq[Float]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -136,7 +137,7 @@ object Kernels {
         i += 1
       }
       val d = math.sqrt(na) * math.sqrt(nb)
-      if (d > 0) dot / d else Double.NaN
+      if (d > 0) java.lang.Double.valueOf(dot / d) else null
     }
     (a, b) => f(a, b)
   }

@@ -20,6 +20,9 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 1, "salt must be > 1")
+    // right/full outer would emit unmatched right rows once per replica
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi")(joinType),
+      s"saltedJoin preserves semantics only for inner/left joins, got $joinType")
     val leftSalted = left.withColumn("__salt",
       pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salt)))
     val rightReplicated = right.withColumn("__salt",

@@ -228,6 +228,8 @@ object StageTranslator {
       val on = fs.collectFirst { case ("on", JString(s)) => s }
         .getOrElse(throw GraftException("$merge requires on"))
       val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("replace")
+      if (whenMatched != "replace" && whenMatched != "keepExisting")
+        throw new graft.model.ValidationError(s"$$merge whenMatched must be replace|keepExisting, got $whenMatched")
       val incoming = df.drop(df.columns.filter(_ == SeqCol): _*)
       val spark = df.sparkSession
       val merged =
@@ -243,10 +245,12 @@ object StageTranslator {
         }
       val tmp = into + ".graft-merge-tmp"
       merged.write.mode("overwrite").parquet(tmp)
-      val out = spark.read.parquet(tmp).cache()
-      out.count() // materialize before overwriting the source
-      out.write.mode("overwrite").parquet(into)
-      (out, ctx.copy(order = None, hasSeq = false))
+      val staged = spark.read.parquet(tmp).cache()
+      staged.count() // materialize before overwriting the source
+      staged.write.mode("overwrite").parquet(into)
+      staged.unpersist()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      (spark.read.parquet(into), ctx.copy(order = None, hasSeq = false))
 
     case "$fill" => fill(df, body, ctx)
 
@@ -278,7 +282,9 @@ object StageTranslator {
       case JBool(b)   => !b
       case _          => false
     }
-    val hasInclusion = fields.exists { case (k, v) => k != "_id" && !isExclude(v) }
+    // Any non-exclude value (including {_id: 1}) puts the projection in
+    // inclusion mode; Mongo default-includes _id in inclusion mode.
+    val hasInclusion = fields.exists { case (_, v) => !isExclude(v) }
 
     if (!hasInclusion) {
       // exclusion mode: drop listed fields
@@ -306,6 +312,9 @@ object StageTranslator {
           }
         case Nil => throw GraftException("$project: empty path")
       }
+      // Mongo default-includes _id unless explicitly excluded
+      if (df.columns.contains("_id") && !fields.exists(_._1 == "_id"))
+        insert(root, List("_id"), col("_id"))
       fields.foreach {
         case ("_id", v) if isExclude(v) => // excluded
         case (k, v) if isExclude(v)     => // ignore explicit excludes in inclusion mode
@@ -367,7 +376,14 @@ object StageTranslator {
     * numeric keys. */
   private def encounterOrderKey(df: DataFrame, ctx: PipeCtx): Column = {
     implicit val ec: ExprCtx = exprCtx(df)
-    ctx.order match {
+    // Sort keys may have been projected away since the $sort — only encode
+    // keys that still resolve; otherwise fall back to `_seq` (the current
+    // frame is still in sorted order, so _seq is NOT the sort order — but a
+    // dropped sort column means the user has discarded that ordering basis;
+    // Mongo reads "current document order", which the fallback preserves
+    // through the row_number restamp).
+    val usable = ctx.order.filter(_.forall(k => ec.typeOf(col(k.path)).isDefined))
+    usable match {
       case Some(keys) =>
         val encoded: Seq[Option[Column]] = keys.map { k =>
           val c = col(k.path)
@@ -657,15 +673,20 @@ object StageTranslator {
       case ("$sort", JObject(sortFs)) =>
         val keys = sortFs.map {
           case (f, JInt(d)) => (f, d >= 0)
-          case (f, o)       => throw GraftException(s"$$sort direction for $f must be int")
+          case (f, _)       => throw GraftException(s"$$sort direction for $f must be int")
         }
-        // array_sort with re-keyed struct: build (k1,k2,...,elem), sort, strip
-        joined = joined.withColumn(asName, transform(
-          array_sort(transform(col(asName), e =>
-            struct((keys.zipWithIndex.map { case ((f, asc), i) =>
-              (if (asc) e.getField(f) else negateForSort(e.getField(f))).as(s"k$i")
-            } :+ e.as("v")): _*))),
-          x => x.getField("v")))
+        // comparator-based array_sort: handles every key type (strings,
+        // dates, ...) in either direction, nulls lowest like Mongo
+        joined = joined.withColumn(asName,
+          array_sort(col(asName), (l, r) =>
+            keys.foldRight(lit(0)) { case ((f, asc), acc) =>
+              val (lk, rk) = (l.getField(f), r.getField(f))
+              val (lt, gt) = if (asc) (lit(-1), lit(1)) else (lit(1), lit(-1))
+              when(lk.isNull && rk.isNull, acc)
+                .when(lk.isNull, lt).when(rk.isNull, gt)
+                .when(lk < rk, lt).when(lk > rk, gt)
+                .otherwise(acc)
+            }))
       case ("$limit", JInt(n)) =>
         joined = joined.withColumn(asName, slice(col(asName), 1, n.toInt))
       case ("$skip", JInt(n)) =>
@@ -680,8 +701,6 @@ object StageTranslator {
     }
     (joined, ctx)
   }
-
-  private def negateForSort(c: Column): Column = -c
 
   /** Flatten an `$and` tree of $expr conjuncts. */
   private def flattenAnd(e: JValue): List[JValue] = e match {
@@ -834,8 +853,12 @@ object StageTranslator {
             case _ => w
           }
         case None =>
-          if (Set("$sum", "$avg", "$min", "$max", "$count", "$push", "$stdDevPop", "$stdDevSamp")(op) && sortBy.isDefined)
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // Mongo's default window is the whole partition ([unbounded,
+          // unbounded]) for accumulator operators — notably making
+          // $first/$last the partition's first/last, not the current row.
+          if (Set("$sum", "$avg", "$min", "$max", "$count", "$push",
+            "$stdDevPop", "$stdDevSamp", "$first", "$last")(op) && sortBy.isDefined)
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
           else w
       }
       val c = op match {
@@ -935,9 +958,14 @@ object StageTranslator {
         else df.select(pcols: _*).distinct().crossJoin(broadcast(mm))
       case other => throw GraftException(s"$$densify bounds must be 'full', 'partition' or [lo, hi], got $other")
     }
+    // Mongo $densify never removes documents: output = all original rows
+    // plus one gap row (nulls outside field/partition columns) for each
+    // on-grid step value that has no exact match.
     val axis = bounds.select(pcols :+ explode(sequence(col("__lo"), col("__hi"), step)).as(field): _*)
-    val joined = axis.join(df, partitions :+ field, "left")
-    (joined, ctx.copy(order = None))
+    val existing = df.select(pcols :+ fieldC.as(field): _*).distinct()
+    val gaps = axis.join(existing, partitions :+ field, "left_anti")
+    (df.withColumn(field, fieldC).unionByName(gaps, allowMissingColumns = true),
+      ctx.copy(order = None))
   }
 
   // --------------------------------------------------------------------------

@@ -45,6 +45,12 @@ object PlanAudit {
     audit("lookup pipeline: decorrelated join") {
       graft.SparkEntry.queries("q_lookup_pipeline")(spark, dir)
     }
+    audit("minhash LSH: band-key equi-join, no cross join") {
+      graft.SparkEntry.queries("q_dedup_minhash")(spark, dir)
+    }
+    audit("ANN LSH: bucket equi-join + windowed re-rank") {
+      graft.SparkEntry.queries("q_ann_lsh")(spark, dir)
+    }
     spark.stop()
   }
 }

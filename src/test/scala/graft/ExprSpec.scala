@@ -177,6 +177,23 @@ class ExprSpec extends AnyFunSuite {
     assert(r("city") == "SF" && r("lat") == 37.7 && r("total") == 40.0)
   }
 
+  test("review regressions: $range edges, default $dateToString, missing nested path") {
+    val r = one(
+      """[{"$project": {
+          "empty1": {"$range": [0, 0]}, "empty2": {"$range": [5, 0]},
+          "empty3": {"$range": [5, 0, 1]}, "down": {"$range": [5, 0, -2]},
+          "iso": {"$dateToString": {"date": {"$toDate": "$d"}}},
+          "missingNested": "$a.zzz",
+          "missingDeep": "$nothing.at.all"}}]""",
+      """{"d": "2024-03-10T15:04:05.250Z", "a": {"x": 1}}""")
+    assert(r("empty1").asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(r("empty2").asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(r("empty3").asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    assert(r("down").asInstanceOf[scala.collection.Seq[_]] == Seq(5, 3, 1))
+    assert(r("iso") == "2024-03-10T15:04:05.250Z")
+    assert(r("missingNested") == null && r("missingDeep") == null)
+  }
+
   test("unknown operator throws (closed registry, expressions.ts:147)") {
     assertThrows[graft.model.GraftException] {
       agg(fromJsonl("""{"x": 1}"""), """[{"$project": {"y": {"$nope": 1}}}]""")

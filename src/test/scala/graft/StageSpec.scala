@@ -34,6 +34,17 @@ class StageSpec extends AnyFunSuite {
     assert(ids("""{"$or": [{"cust": "b"}, {"total": {"$gt": 45}}]}""") == Seq(2, 5))
     assert(ids("""{"$nor": [{"status": "new"}, {"cust": "c"}]}""") == Seq(3))
     assert(ids("""{"$expr": {"$gt": ["$total", {"$multiply": ["$id", 9]}]}}""") == Seq(1, 2, 3, 4, 5))
+    // $options must survive inside $not (review regression)
+    assert(ids("""{"status": {"$not": {"$regex": "^NEW", "$options": "i"}}}""") == Seq(3, 4))
+  }
+
+  test("$project _id handling: {_id:1} is inclusion mode; _id default-included") {
+    val docs = fromJsonl("""{"_id": 7, "x": 1, "y": 2}""")
+    assert(agg(docs, """[{"$project": {"_id": 1}}]""").head.keySet == Set("_id"))
+    val inc = agg(docs, """[{"$project": {"x": 1}}]""").head
+    assert(inc.keySet == Set("_id", "x")) // _id default-included
+    val exc = agg(docs, """[{"$project": {"x": 1, "_id": 0}}]""").head
+    assert(exc.keySet == Set("x"))
   }
 
   test("$project include/exclude/computed/nested rebuild") {
@@ -236,12 +247,14 @@ class StageSpec extends AnyFunSuite {
   test("$setWindowFields rank/shift/running sums") {
     val rows = agg(orders,
       """[{"$setWindowFields": {"partitionBy": "$cust", "sortBy": {"total": 1},
-           "output": {"rnk": {"$rank": {}}, "run": {"$sum": "$total"},
+           "output": {"rnk": {"$rank": {}},
+                      "run": {"$sum": "$total", "window": {"documents": ["unbounded", "current"]}},
+                      "partLast": {"$last": "$id"},
                       "prev": {"$shift": {"output": "$id", "by": -1, "default": -1}}}}},
           {"$match": {"cust": "a"}}, {"$sort": {"total": 1}},
-          {"$project": {"id": 1, "rnk": 1, "run": 1, "prev": 1}}]""")
-    assert(rows.map(r => (r("id"), r("rnk"), r("run"), r("prev"))) ==
-      Seq((1L, 1, 10.0, -1L), (3L, 2, 40.0, 1L), (5L, 3, 90.0, 3L)))
+          {"$project": {"id": 1, "rnk": 1, "run": 1, "prev": 1, "partLast": 1}}]""")
+    assert(rows.map(r => (r("id"), r("rnk"), r("run"), r("prev"), r("partLast"))) ==
+      Seq((1L, 1, 10.0, -1L, 5L), (3L, 2, 40.0, 1L, 5L), (5L, 3, 90.0, 3L, 5L)))
   }
 
   test("$out writes and $merge upserts parquet sinks") {
@@ -316,6 +329,13 @@ class StageSpec extends AnyFunSuite {
     assert(rows.map(r => (r("k"), r("t"), r("v"))) ==
       Seq(("a", 1L, 1.0), ("a", 2L, null), ("a", 3L, null), ("a", 4L, 4.0),
           ("b", 2L, 2.0), ("b", 3L, 3.0)))
+    // off-grid documents are preserved (review regression: step 2 grid is
+    // [1,3] but the t=4 doc must survive)
+    val offGrid = agg(fromJsonl("""{"k": "a", "t": 1}""", """{"k": "a", "t": 4}"""),
+      """[{"$densify": {"field": "t", "partitionByFields": ["k"],
+                        "range": {"step": 2, "bounds": "partition"}}},
+          {"$sort": {"t": 1}}, {"$project": {"t": 1}}]""")
+    assert(offGrid.map(_("t")) == Seq(1L, 3L, 4L))
   }
 
   test("$graphLookup walks a hierarchy breadth-first with depth") {
