@@ -544,14 +544,25 @@ object StageTranslator {
     val asName = str("as").getOrElse(throw GraftException("$lookup requires as"))
     val foreign = ctx.collection(from)
 
-    (str("localField"), str("foreignField")) match {
-      case (Some(lf), Some(ff)) =>
+    val pipelineOpt = fs.collectFirst { case ("pipeline", JArray(p)) => p }
+    (str("localField"), str("foreignField"), pipelineOpt) match {
+      case (Some(lf), Some(ff), None) =>
         equalityLookup(df, foreign, lf, ff, asName, ctx)
-      case _ =>
+      case (Some(lf), Some(ff), Some(pipeline)) =>
+        // Mongo 5.0 concise correlated form: equality condition plus a
+        // sub-pipeline on the matched documents — desugars to the let/$expr
+        // form with a synthesized equality conjunct.
+        val eqStage: JValue = JObject(List("$match" -> JObject(List(
+          "$expr" -> JObject(List("$eq" -> JArray(List(
+            JString("$$__lf"), JString("$" + ff)))))))))
+        val letBindings = fs.collectFirst { case ("let", JObject(l)) => l }.getOrElse(Nil) :+
+          ("__lf" -> (JString("$" + lf): JValue))
+        pipelineLookup(df, foreign, letBindings, eqStage +: pipeline, asName, ctx)
+      case (_, _, Some(pipeline)) =>
         val letBindings = fs.collectFirst { case ("let", JObject(l)) => l }.getOrElse(Nil)
-        val pipeline = fs.collectFirst { case ("pipeline", JArray(p)) => p }
-          .getOrElse(throw GraftException("$lookup requires localField/foreignField or pipeline"))
         pipelineLookup(df, foreign, letBindings, pipeline, asName, ctx)
+      case _ =>
+        throw GraftException("$lookup requires localField/foreignField or pipeline")
     }
   }
 

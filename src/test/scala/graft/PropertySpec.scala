@@ -98,6 +98,67 @@ class PropertySpec extends AnyFunSuite {
     }, 30)
   }
 
+  test("random correlated $lookup pipelines agree with a naive per-row interpreter") {
+    // The decorrelation logic (equi-keys + var-free prefilter + residual
+    // array filter + array sort/limit) is the hairiest translator path;
+    // fuzz it against per-row evaluation.
+    case class Shape(op: String, sortAsc: Option[Boolean], limit: Option[Int])
+    val genShape: Gen[Shape] = for {
+      op <- Gen.oneOf("$lt", "$gte", "none")
+      sortAsc <- Gen.option(Gen.oneOf(true, false))
+      limit <- Gen.option(Gen.choose(1, 3))
+    } yield Shape(op, sortAsc, limit)
+
+    val locals = docs.take(8)
+    val foreignDocs = docs.take(40)
+    lazy val foreignDf = { import spark.implicits._; foreignDocs.toDF() }
+    lazy val localDf = { import spark.implicits._; locals.toDF() }
+
+    check(Prop.forAllNoShrink(genShape) { sh =>
+      val varPred = sh.op match {
+        case "none" => ""
+        case op     => ", {\"" + op + "\": [\"$b\", \"$$t\"]}"
+      }
+      val sortStage = sh.sortAsc.map(a => s""", {"$$sort": {"b": ${if (a) 1 else -1}, "id": 1}}""").getOrElse("")
+      val limitStage = sh.limit.map(n => s""", {"$$limit": $n}""").getOrElse("")
+      val pipeline =
+        s"""[{"$$lookup": {"from": "f", "let": {"k": "$$a", "t": "$$b"},
+             "pipeline": [{"$$match": {"$$expr": {"$$and": [{"$$eq": ["$$$$k", "$$a"]}$varPred]}}}$sortStage$limitStage],
+             "as": "m"}},
+            {"$$project": {"id": 1, "ids": {"$$map": {"input": "$$m", "as": "x", "in": "$$$$x.id"}}}},
+            {"$$sort": {"id": 1}}]"""
+      val got = Aggo.aggregate(localDf, pipeline, Map("f" -> foreignDf))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val expected = locals.map { l =>
+        var matches = foreignDocs.filter(_.a == l.a)
+        matches = sh.op match {
+          case "$lt"  => matches.filter(_.b < l.b)
+          case "$gte" => matches.filter(_.b >= l.b)
+          case _      => matches
+        }
+        val sorted = sh.sortAsc match {
+          case Some(true)  => matches.sortBy(m => (m.b, m.id))
+          case Some(false) => matches.sortBy(m => (-m.b, m.id))
+          case None        => matches.sortBy(_.id) // engine collects in _fseq (input) order
+        }
+        val limited = sh.limit.map(sorted.take).getOrElse(sorted)
+        l.id -> limited.map(_.id).toList
+      }.toMap
+      // without an explicit sort, compare as sets (collect order is input order
+      // but the interpreter can't see partitioning) — with sort, exact lists
+      val ok =
+        if (sh.sortAsc.isDefined) got == expected
+        else got.keySet == expected.keySet && got.forall { case (k, v) =>
+          sh.limit match {
+            case Some(_) => v.toSet.subsetOf(expected(k).toSet) || v.toSet == expected(k).toSet // limit without sort: any n of the matches
+            case None    => v.toSet == expected(k).toSet
+          }
+        }
+      if (!ok) println(s"MISMATCH shape=$sh\n got=$got\n exp=$expected")
+      ok
+    }, 25)
+  }
+
   test("random numeric expressions agree with an independent evaluator") {
     sealed trait E { def eval(d: Doc): Double; def json: String }
     case class FA() extends E { def eval(d: Doc) = d.a.toDouble; def json = "\"$a\"" }

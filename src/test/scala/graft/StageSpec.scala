@@ -156,6 +156,18 @@ class StageSpec extends AnyFunSuite {
       Map("orders" -> orders))
     assert(residual.map(r => (r("name"), r("n_cheap"))) == Seq(("a", 2), ("b", 1)))
 
+    // concise correlated form (Mongo 5.0): equality + sub-pipeline combined
+    val concise = agg(custs,
+      """[{"$lookup": {"from": "orders", "localField": "name", "foreignField": "cust",
+            "pipeline": [{"$match": {"$expr": {"$gte": ["$total", 30]}}},
+                          {"$sort": {"total": 1}}],
+            "as": "big"}},
+          {"$project": {"name": 1, "ids": {"$map": {"input": "$big", "as": "b", "in": "$$b.id"}}}},
+          {"$sort": {"name": 1}}]""",
+      Map("orders" -> orders))
+    assert(concise.map(r => (r("name"), r("ids").asInstanceOf[scala.collection.Seq[_]].toSeq)) ==
+      Seq(("a", Seq(3L, 5L)), ("b", Seq())))
+
     // uncorrelated pipeline form: same top-2 list attached to every row
     val uncorr = agg(custs,
       """[{"$lookup": {"from": "orders",
