@@ -87,6 +87,13 @@ object Aggo {
     graft.exprs.ExprTranslator.translate(org.json4s.jackson.JsonMethods.parse(exprJson))(
       graft.exprs.ExprCtx(Some(df), rootCols = df.columns.toSeq))
 
+  /** Reference-API name for building a live collection
+    * (`Aggo.createStreamingCollection`, index.ts:91). */
+  def createStreamingCollection(spark: org.apache.spark.sql.SparkSession,
+                                schema: org.apache.spark.sql.types.StructType,
+                                collections: Map[String, DataFrame] = Map.empty): graft.streaming.StreamingCollection =
+    new graft.streaming.StreamingCollection(spark, schema, collections)
+
   /** Time a pipeline end-to-end (reference: Aggo.benchmark,
     * api-enhancements.ts:289): returns (rows, seconds). */
   def benchmark(df: DataFrame, pipelineJson: String,
