@@ -433,6 +433,9 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
     "q_dedup_simhash" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 6)),
+    "q_dedup_cluster" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.dedupNear(tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 0)),

@@ -130,6 +130,53 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Near-dup clustering: pairs → connected components → survivors
+  // -------------------------------------------------------------------------
+
+  /** Connected components over a near-duplicate pair graph via iterative
+    * min-label propagation: every node repeatedly adopts the smallest label
+    * among itself and its neighbors until fixpoint (O(diameter) rounds, each
+    * one self-join + aggregation — the standard large-graph CC recipe; dup
+    * clusters have tiny diameters so this converges in 2-3 rounds).
+    * Returns (doc_id, cluster) where cluster is the smallest member id. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct().withColumn("cluster", col("doc_id")).persist()
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "nc"), "dst")
+        .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .withColumn("next", least(col("cluster"), coalesce(col("nmin"), col("cluster"))))
+        .select(col("doc_id"), col("next").as("cluster")).persist()
+      changed = updated.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
+        .filter(col("cluster") =!= col("prev")).limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Full near-dup dedup: MinHash-LSH pairs → connected components → keep
+    * the smallest doc id per cluster (plus all documents that joined no
+    * cluster). The end-to-end shape a training-data pipeline runs. */
+  def dedupNear(df: DataFrame, idCol: String, textCol: String,
+                shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val clusters = clusterPairs(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

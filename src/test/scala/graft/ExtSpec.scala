@@ -33,6 +33,21 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("near-dup clustering: pairs form components, dedupNear keeps survivors") {
+    import spark.implicits._
+    // chain 1-2, 2-3 (one component) and 7-8 (another)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.95), (7L, 8L, 0.92))
+      .toDF("id_a", "id_b", "jaccard")
+    val clusters = Dedup.clusterPairs(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    // end-to-end: docs 1/2/3 near-identical → one survivor; doc 4 untouched
+    val surviving = Dedup.dedupNear(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surviving == Set(1L, 4L))
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
