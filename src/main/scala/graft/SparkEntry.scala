@@ -157,20 +157,27 @@ object SparkEntry {
           "sd_pop": {"$round": ["$sd_pop", 2]}, "sd_samp": {"$round": ["$sd_samp", 2]},
           "v_pop": {"$round": ["$v_pop", 0]}, "v_samp": {"$round": ["$v_samp", 0]}, "_id": 0}}
       ]"""),
-    "q_group_addtoset" -> run("orders",
-      """[
-        {"$group": {"_id": "$o_orderpriority",
-          "statuses": {"$addToSet": "$o_orderstatus"},
-          "n": {"$sum": 1}}},
-        {"$project": {"prio": "$_id", "statuses": 1, "n": 1, "_id": 0}}
-      ]"""),
-    "q_group_push" -> run("orders",
-      """[
-        {"$match": {"o_totalprice": {"$gt": 450000}}},
-        {"$sort": {"o_orderkey": 1}},
-        {"$group": {"_id": "$o_orderstatus", "keys": {"$push": "$o_orderkey"}, "n": {"$sum": 1}}},
-        {"$project": {"status": "$_id", "keys": 1, "n": 1, "_id": 0}}
-      ]"""),
+    // Array/struct outputs are serialized to delimited strings so the
+    // driver's pandas comparator (which sorts output columns) can hash them;
+    // the paired oracle SQL mirrors with array_to_string/to_json.
+    "q_group_addtoset" -> ((s: SparkSession, d: String) =>
+      run("orders",
+        """[
+          {"$group": {"_id": "$o_orderpriority",
+            "statuses": {"$addToSet": "$o_orderstatus"},
+            "n": {"$sum": 1}}},
+          {"$project": {"prio": "$_id", "statuses": 1, "n": 1, "_id": 0}}
+        ]""")(s, d)
+        .withColumn("statuses", array_join(col("statuses"), "|"))),
+    "q_group_push" -> ((s: SparkSession, d: String) =>
+      run("orders",
+        """[
+          {"$match": {"o_totalprice": {"$gt": 450000}}},
+          {"$sort": {"o_orderkey": 1}},
+          {"$group": {"_id": "$o_orderstatus", "keys": {"$push": "$o_orderkey"}, "n": {"$sum": 1}}},
+          {"$project": {"status": "$_id", "keys": 1, "n": 1, "_id": 0}}
+        ]""")(s, d)
+        .withColumn("keys", expr("array_join(transform(keys, x -> cast(x as string)), '|')"))),
     "q_group_firstlast" -> run("orders",
       """[
         {"$sort": {"o_orderdate": 1, "o_orderkey": 1}},
@@ -248,28 +255,37 @@ object SparkEntry {
       ]""", extra = Seq("orders")),
 
     // ---- array / set expression operators (SURVEY §2.5) ----
-    "q_array_ops" -> run("part",
-      """[
-        {"$project": {"p_partkey": 1,
-          "nwords": {"$size": {"$split": ["$p_type", " "]}},
-          "long_words": {"$filter": {"input": {"$split": ["$p_type", " "]}, "as": "w",
-                                     "cond": {"$gte": [{"$strLen": "$$w"}, 6]}}},
-          "upper_words": {"$map": {"input": {"$split": ["$p_type", " "]}, "as": "w",
-                                   "in": {"$toUpper": "$$w"}}},
-          "first2": {"$slice": [{"$split": ["$p_type", " "]}, 2]},
-          "last_word": {"$arrayElemAt": [{"$split": ["$p_type", " "]}, -1]},
-          "rev": {"$reverseArray": {"$split": ["$p_type", " "]}},
-          "has_brass": {"$in": ["BRASS", {"$split": ["$p_type", " "]}]},
-          "idx_steel": {"$indexOfArray": [{"$split": ["$p_type", " "]}, "STEEL"]}}}
-      ]"""),
-    "q_set_ops" -> run("part",
-      """[
-        {"$project": {"p_partkey": 1,
-          "inter": {"$setIntersection": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
-          "uni": {"$setUnion": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
-          "diff": {"$setDifference": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
-          "subset": {"$setIsSubset": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]}}}
-      ]"""),
+    "q_array_ops" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$project": {"p_partkey": 1,
+            "nwords": {"$size": {"$split": ["$p_type", " "]}},
+            "long_words": {"$filter": {"input": {"$split": ["$p_type", " "]}, "as": "w",
+                                       "cond": {"$gte": [{"$strLen": "$$w"}, 6]}}},
+            "upper_words": {"$map": {"input": {"$split": ["$p_type", " "]}, "as": "w",
+                                     "in": {"$toUpper": "$$w"}}},
+            "first2": {"$slice": [{"$split": ["$p_type", " "]}, 2]},
+            "last_word": {"$arrayElemAt": [{"$split": ["$p_type", " "]}, -1]},
+            "rev": {"$reverseArray": {"$split": ["$p_type", " "]}},
+            "has_brass": {"$in": ["BRASS", {"$split": ["$p_type", " "]}]},
+            "idx_steel": {"$indexOfArray": [{"$split": ["$p_type", " "]}, "STEEL"]}}}
+        ]""")(s, d)
+        .withColumn("long_words", array_join(col("long_words"), "|"))
+        .withColumn("upper_words", array_join(col("upper_words"), "|"))
+        .withColumn("first2", array_join(col("first2"), "|"))
+        .withColumn("rev", array_join(col("rev"), "|"))),
+    "q_set_ops" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$project": {"p_partkey": 1,
+            "inter": {"$setIntersection": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+            "uni": {"$setUnion": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+            "diff": {"$setDifference": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]},
+            "subset": {"$setIsSubset": [{"$split": ["$p_type", " "]}, {"$split": ["$p_name", " "]}]}}}
+        ]""")(s, d)
+        .withColumn("inter", array_join(col("inter"), "|"))
+        .withColumn("uni", array_join(col("uni"), "|"))
+        .withColumn("diff", array_join(col("diff"), "|"))),
     "q_reduce" -> run("part",
       """[
         {"$project": {"p_partkey": 1,
@@ -287,26 +303,31 @@ object SparkEntry {
       ]"""),
 
     // ---- more $match / expression parity (SURVEY §2.3, §2.5) ----
-    "q_match_array" -> run("part",
-      """[
-        {"$project": {"p_partkey": 1, "w": {"$split": ["$p_name", " "]}}},
-        {"$match": {"w": {"$size": 2, "$all": ["small"], "$elemMatch": {"$regex": "^(r|b)"}}}}
-      ]"""),
+    "q_match_array" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$project": {"p_partkey": 1, "w": {"$split": ["$p_name", " "]}}},
+          {"$match": {"w": {"$size": 2, "$all": ["small"], "$elemMatch": {"$regex": "^(r|b)"}}}}
+        ]""")(s, d)
+        .withColumn("w", array_join(col("w"), "|"))),
     "q_match_exists" -> run("supplier",
       """[
         {"$match": {"s_name": {"$exists": true}, "bogus_field": {"$exists": false},
                     "s_acctbal": {"$not": {"$lt": 0}}, "s_suppkey": {"$mod": [4, 1]}}},
         {"$project": {"s_suppkey": 1, "s_name": 1, "s_acctbal": 1}}
       ]"""),
-    "q_type_ops" -> run("customer",
-      """[
-        {"$project": {"c_custkey": 1,
-          "t_num": {"$type": "$c_acctbal"}, "t_str": {"$type": "$c_name"},
-          "is_num": {"$isNumber": "$c_acctbal"},
-          "as_int": {"$toInt": {"$floor": "$c_acctbal"}},
-          "lit_obj": {"$literal": {"a": 1, "b": "x"}},
-          "rng": {"$range": [0, 3]}}}
-      ]"""),
+    "q_type_ops" -> ((s: SparkSession, d: String) =>
+      run("customer",
+        """[
+          {"$project": {"c_custkey": 1,
+            "t_num": {"$type": "$c_acctbal"}, "t_str": {"$type": "$c_name"},
+            "is_num": {"$isNumber": "$c_acctbal"},
+            "as_int": {"$toInt": {"$floor": "$c_acctbal"}},
+            "lit_obj": {"$literal": {"a": 1, "b": "x"}},
+            "rng": {"$range": [0, 3]}}}
+        ]""")(s, d)
+        .withColumn("lit_obj", to_json(col("lit_obj")))
+        .withColumn("rng", expr("array_join(transform(rng, x -> cast(x as string)), '|')"))),
     "q_mergeobjects" -> run("customer",
       """[
         {"$project": {"m": {"$mergeObjects": [
@@ -378,14 +399,21 @@ object SparkEntry {
         {"$sample": {"size": 25}},
         {"$project": {"o_orderkey": 1, "o_totalprice": 1}}
       ]"""),
-    "q_facet" -> run("orders",
-      """[
-        {"$facet": {
-          "by_status": [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
-                         {"$sort": {"_id": 1}}],
-          "top_orders": [{"$sort": {"o_totalprice": -1, "o_orderkey": 1}}, {"$limit": 3},
-                          {"$project": {"o_orderkey": 1, "o_totalprice": 1}}]}}
-      ]"""),
+    "q_facet" -> ((s: SparkSession, d: String) =>
+      run("orders",
+        """[
+          {"$facet": {
+            "by_status": [{"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1}}},
+                           {"$sort": {"_id": 1}}],
+            "top_orders": [{"$sort": {"o_totalprice": -1, "o_orderkey": 1}}, {"$limit": 3},
+                            {"$project": {"o_orderkey": 1, "o_totalprice": 1}}]}}
+        ]""")(s, d)
+        .select(
+          expr("array_join(transform(by_status, x -> concat(x._id, ':', cast(x.n as string))), '|')")
+            .as("by_status"),
+          expr("array_join(transform(top_orders, x -> concat(cast(x.o_orderkey as string), ':', " +
+            "cast(cast(floor(x.o_totalprice * 100 + 0.5) as bigint) as string))), '|')")
+            .as("top_orders"))),
 
     // ---- extensions: JSON props (dynamic-document handling) ----
     "q_events_json" -> ((spark: SparkSession, dir: String) => {
@@ -480,17 +508,19 @@ object SparkEntry {
           "rng_min": {"$min": {"$range": [0, {"$toInt": "$p_size"}]}},
           "rng_max": {"$max": {"$range": [0, {"$toInt": "$p_size"}]}}}}
       ]"""),
-    "q_array_misc" -> run("part",
-      """[
-        {"$project": {"p_partkey": 1,
-          "combined": {"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]},
-          "idx_from1": {"$indexOfArray": [{"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]}, "gear", 1]},
-          "eq_self": {"$setEquals": [{"$split": ["$p_name", " "]}, {"$reverseArray": {"$split": ["$p_name", " "]}}]},
-          "any_long": {"$anyElementTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
-                        "in": {"$gte": [{"$strLen": "$$w"}, 6]}}}]},
-          "all_short": {"$allElementsTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
-                        "in": {"$lt": [{"$strLen": "$$w"}, 10]}}}]}}}
-      ]"""),
+    "q_array_misc" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$project": {"p_partkey": 1,
+            "combined": {"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]},
+            "idx_from1": {"$indexOfArray": [{"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]}, "gear", 1]},
+            "eq_self": {"$setEquals": [{"$split": ["$p_name", " "]}, {"$reverseArray": {"$split": ["$p_name", " "]}}]},
+            "any_long": {"$anyElementTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
+                          "in": {"$gte": [{"$strLen": "$$w"}, 6]}}}]},
+            "all_short": {"$allElementsTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
+                          "in": {"$lt": [{"$strLen": "$$w"}, 10]}}}]}}}
+        ]""")(s, d)
+        .withColumn("combined", array_join(col("combined"), "|"))),
     "q_window_rank" -> run("events",
       """[
         {"$setWindowFields": {"partitionBy": "$event_type",
@@ -623,10 +653,13 @@ object SparkEntry {
         CAST(floor(var_samp(l_extendedprice) + 0.5) AS BIGINT) AS v_samp
       FROM lineitem GROUP BY 1""",
     "q_group_addtoset" ->
-      """SELECT o_orderpriority AS prio, list_sort(list(DISTINCT o_orderstatus)) AS statuses, count(*) AS n
+      """SELECT o_orderpriority AS prio,
+        array_to_string(list_sort(list(DISTINCT o_orderstatus)), '|') AS statuses, count(*) AS n
       FROM orders GROUP BY 1""",
     "q_group_push" ->
-      """SELECT o_orderstatus AS status, list_sort(list(o_orderkey)) AS keys, count(*) AS n
+      """SELECT o_orderstatus AS status,
+        array_to_string(list_transform(list_sort(list(o_orderkey)), x -> CAST(x AS VARCHAR)), '|') AS keys,
+        count(*) AS n
       FROM orders WHERE o_totalprice > 450000 GROUP BY 1""",
     "q_group_firstlast" ->
       """SELECT o_orderstatus AS status,
@@ -666,19 +699,19 @@ object SparkEntry {
     "q_array_ops" ->
       """SELECT p_partkey,
         CAST(len(string_split(p_type, ' ')) AS INTEGER) AS nwords,
-        list_filter(string_split(p_type, ' '), x -> length(x) >= 6) AS long_words,
-        list_transform(string_split(p_type, ' '), x -> upper(x)) AS upper_words,
-        list_slice(string_split(p_type, ' '), 1, 2) AS first2,
+        coalesce(array_to_string(list_filter(string_split(p_type, ' '), x -> length(x) >= 6), '|'), '') AS long_words,
+        array_to_string(list_transform(string_split(p_type, ' '), x -> upper(x)), '|') AS upper_words,
+        array_to_string(list_slice(string_split(p_type, ' '), 1, 2), '|') AS first2,
         string_split(p_type, ' ')[-1] AS last_word,
-        list_reverse(string_split(p_type, ' ')) AS rev,
+        array_to_string(list_reverse(string_split(p_type, ' ')), '|') AS rev,
         list_contains(string_split(p_type, ' '), 'BRASS') AS has_brass,
         CAST(coalesce(list_position(string_split(p_type, ' '), 'STEEL'), 0) - 1 AS INTEGER) AS idx_steel
       FROM part""",
     "q_set_ops" ->
       """SELECT p_partkey,
-        list_sort(list_distinct(list_intersect(string_split(p_type, ' '), string_split(p_name, ' ')))) AS inter,
-        list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_name, ' ')))) AS uni,
-        list_sort(list_distinct(list_filter(string_split(p_type, ' '), x -> NOT list_contains(string_split(p_name, ' '), x)))) AS diff,
+        coalesce(array_to_string(list_sort(list_distinct(list_intersect(string_split(p_type, ' '), string_split(p_name, ' ')))), '|'), '') AS inter,
+        coalesce(array_to_string(list_sort(list_distinct(list_concat(string_split(p_type, ' '), string_split(p_name, ' ')))), '|'), '') AS uni,
+        coalesce(array_to_string(list_sort(list_distinct(list_filter(string_split(p_type, ' '), x -> NOT list_contains(string_split(p_name, ' '), x)))), '|'), '') AS diff,
         len(list_filter(list_distinct(string_split(p_type, ' ')), x -> NOT list_contains(string_split(p_name, ' '), x))) = 0 AS subset
       FROM part""",
     "q_reduce" ->
@@ -693,7 +726,7 @@ object SparkEntry {
         count(*) AS n, floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
       FROM events GROUP BY 1""",
     "q_match_array" ->
-      """SELECT p_partkey, string_split(p_name, ' ') AS w FROM part
+      """SELECT p_partkey, array_to_string(string_split(p_name, ' '), '|') AS w FROM part
       WHERE len(string_split(p_name, ' ')) = 2
         AND list_has_all(string_split(p_name, ' '), ['small'])
         AND len(list_filter(string_split(p_name, ' '), x -> regexp_matches(x, '^(r|b)'))) > 0""",
@@ -702,7 +735,7 @@ object SparkEntry {
     "q_type_ops" ->
       """SELECT c_custkey, 'number' AS t_num, 'string' AS t_str, true AS is_num,
         CAST(floor(c_acctbal) AS INTEGER) AS as_int,
-        {'a': 1, 'b': 'x'} AS lit_obj, [0, 1, 2] AS rng
+        '{"a":1,"b":"x"}' AS lit_obj, '0|1|2' AS rng
       FROM customer""",
     "q_mergeobjects" ->
       "SELECT c_custkey AS a, c_mktsegment AS b, 1 AS c FROM customer",
@@ -739,6 +772,14 @@ object SparkEntry {
           ELSE 99999 END AS bucket,
         count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer GROUP BY 1""",
+    "q_facet" ->
+      """SELECT
+        (SELECT string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), '|' ORDER BY o_orderstatus)
+         FROM (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1)) AS by_status,
+        (SELECT string_agg(CAST(o_orderkey AS VARCHAR) || ':' ||
+                  CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '|'
+                ORDER BY o_totalprice DESC, o_orderkey)
+         FROM (SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 3)) AS top_orders""",
     "q_text_stats" ->
       """SELECT doc_id,
         CAST(len(toks) AS INTEGER) AS n_tokens,
@@ -845,7 +886,7 @@ object SparkEntry {
       FROM part""",
     "q_array_misc" ->
       """SELECT p_partkey,
-        list_concat(string_split(p_name, ' '), string_split(p_type, ' ')) AS combined,
+        array_to_string(list_concat(string_split(p_name, ' '), string_split(p_type, ' ')), '|') AS combined,
         CAST(CASE WHEN coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) = 0
              THEN -1
              ELSE coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) END AS INTEGER) AS idx_from1,

@@ -821,7 +821,12 @@ object StageTranslator {
         case JArray(p) => p.map(graft.model.PipelineParser.stageOf)
         case _         => throw GraftException(s"$$facet $name must be a pipeline array")
       }
-      val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections)
+      // Facet outputs are bounded/small (they sit in one output row), so
+      // coalesce(1) is safe and pins collect_list to the sub-pipeline's row
+      // order — multi-partition partial-merge order is unspecified, which
+      // would scramble a trailing $sort (same reason pipelineLookup's
+      // uncorrelated branch coalesces).
+      val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections).coalesce(1)
       sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
     }
     (facets.reduceLeft(_ crossJoin _), ctx.copy(order = None, hasSeq = false))
