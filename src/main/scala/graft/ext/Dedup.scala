@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Spill an intermediate frame to a session-temp parquet path and read it
+    * back: the multi-branch reuse a `persist()` would give, without pinning
+    * executor memory for the caller to forget about (at cluster scale this
+    * is the "write the signature table once" step). The write is eager; the
+    * returned frame has a plain scan lineage. */
+  private def spill(df: DataFrame, prefix: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "data").getAbsolutePath
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   // -------------------------------------------------------------------------
   // Exact dedup
   // -------------------------------------------------------------------------
@@ -83,13 +96,14 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // Signature pass via the JVM kernel (Kernels.minhashSig): the
     // interpreted-HOF variant (minhashSignature) walks ~20k expression nodes
-    // per document. Persisted because three join branches reuse it — at
-    // cluster scale this is the "write the signature table once" step.
-    val shingled = df.select(
+    // per document. Spilled to parquet (not persisted) because three join
+    // branches reuse it — signatures are computed once, nothing stays pinned
+    // in executor memory after the call.
+    val shingled = spill(df.select(
       col(idCol).as("doc_id"),
       Kernels.wordShinglesKernel(shingleSize)(col(textCol)).as("sh"))
-      .withColumn("sig", Kernels.minhashSig(numHashes, seed)(col("sh")))
-      .persist()
+      .withColumn("sig", Kernels.minhashSig(numHashes, seed)(col("sh"))),
+      "graft-minhash-sig")
     val banded = shingled.select(col("doc_id"),
       posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
     val a = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
@@ -161,7 +175,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // Materialize the final labels so the last persist can be released too —
+    // recomputing them lazily would replay every propagation round.
+    val out = spill(labels, "graft-cc-labels")
+    labels.unpersist()
+    out
   }
 
   /** Full near-dup dedup: MinHash-LSH pairs → connected components → keep
@@ -171,6 +189,19 @@ object Dedup {
                 shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                 threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    val clusters = clusterPairs(pairs)
+    val losers = clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+  }
+
+  /** Exact-tier near-dup dedup: blocked brute-force Jaccard pairs →
+    * connected components → keep the smallest doc id per cluster. Same
+    * shape as [[dedupNear]] but with deterministic exact pair generation
+    * (O(block²), caller must block) — the oracle-checkable tier. */
+  def dedupNearExact(df: DataFrame, idCol: String, textCol: String,
+                     blockCols: Seq[String], shingleSize: Int = 3,
+                     threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
     val losers = clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
     df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
@@ -201,17 +232,25 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: bucket by the 4 16-bit quarters of the
-    * signature (a pair within Hamming distance ≤ 3 of a 64-bit signature
-    * must agree exactly on at least one quarter — pigeonhole), then verify
-    * Hamming distance. Equi-join candidate generation, no cross join. */
+  /** SimHash near-dup pairs: split the 64-bit signature into equal segments
+    * and bucket on each (pigeonhole: a pair within Hamming distance d must
+    * agree exactly on at least one of s segments whenever d < s), then
+    * verify the true Hamming distance. The segment count is the smallest
+    * power of two > maxHamming, so recall is exact for the requested radius.
+    * Equi-join candidate generation, no cross join.
+    * `md5Compat` switches the per-token hash to the MD5-derived kernel,
+    * reproducible outside the JVM (used by the oracle gate). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, md5Compat: Boolean = false): DataFrame = {
+    val segments = Seq(1, 2, 4, 8, 16, 32, 64).find(_ > maxHamming).getOrElse(64)
+    val width = 64 / segments
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val kernel = if (md5Compat) Kernels.simhashKernelMd5 else Kernels.simhashKernel
     val sigs = df.select(col(idCol).as("doc_id"),
-      Kernels.simhashKernel(TextFunctions.tokens(col(textCol))).as("sig"))
+      kernel(TextFunctions.tokens(col(textCol))).as("sig"))
     val quarters = sigs.select(col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        q => call_function("shiftright", col("sig"), (q * 16).cast("int")).bitwiseAND(0xFFFFL)))
+      posexplode(transform(sequence(lit(0), lit(segments - 1)),
+        q => call_function("shiftright", col("sig"), (q * width).cast("int")).bitwiseAND(lit(mask))))
         .as(Seq("q", "qkey")))
     val a = quarters.select(col("q"), col("qkey"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = quarters.select(col("q"), col("qkey"), col("doc_id").as("id_b"), col("sig").as("sig_b"))

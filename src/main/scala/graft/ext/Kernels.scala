@@ -123,6 +123,36 @@ object Kernels {
     c => f(c)
   }
 
+  /** 64-bit SimHash over a token array with MD5-derived per-token bits.
+    * MD5 is bit-identical in every engine (unlike the FNV-mix kernel above),
+    * so this variant is cross-engine reproducible and used by the
+    * oracle-checkable gate tier; `simhashKernel` stays the fast default.
+    * The token hash is the first 8 md5 bytes big-endian == the first 16 hex
+    * chars parsed as an unsigned 64-bit integer. */
+  def simhashKernelMd5: Column => Column = {
+    val f = udf { (tokens: Seq[String]) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        md.reset()
+        val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var i = 0
+        while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+    c => f(c)
+  }
+
   /** Sequential-order cosine over float vectors (same fold order as the
     * Column/HOF version, the native expression, and the DuckDB oracle
     * formula — bit-identical; null for zero-norm inputs like the others). */

@@ -33,6 +33,27 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhashLshPairs pins no RDDs after returning (signatures spilled, not persisted)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, "minhashLshPairs leaked persisted RDDs")
+  }
+
+  test("simhash md5-compat variant agrees with itself and finds the planted dup") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, md5Compat = true)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0) // identical docs → identical signature
+  }
+
+  test("dedupNearExact matches dedupNear on the planted corpus") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val exact = Dedup.dedupNearExact(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 4L))
+  }
+
   test("near-dup clustering: pairs form components, dedupNear keeps survivors") {
     import spark.implicits._
     // chain 1-2, 2-3 (one component) and 7-8 (another)
