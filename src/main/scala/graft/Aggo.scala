@@ -115,11 +115,27 @@ object Aggo {
       }
       case _ => false
     }
-    stages.exists {
+    val accNeeds = stages.exists {
       case ("$group", body) => hasOrderSensitiveAcc(body)
       case ("$bucket", JObject(fs)) =>
         fs.exists { case ("output", o) => hasOrderSensitiveAcc(o); case _ => false }
       case _ => false
     }
+    // $skip/$limit read "current document order" — without a preceding $sort
+    // that's the encounter order, which needs the _seq stamp. After a stage
+    // that discards row identity ($group & co.) _seq is gone anyway, so only
+    // the prefix before such a stage counts.
+    val orderDestroying = Set("$group", "$bucket", "$bucketAuto", "$sortByCount",
+      "$count", "$facet", "$sample", "$graphLookup")
+    var sorted = false
+    var destroyed = false
+    var skipLimitNeeds = false
+    stages.foreach {
+      case ("$sort", _) => sorted = true
+      case (s, _) if orderDestroying(s) => destroyed = true
+      case ("$skip" | "$limit", _) if !sorted && !destroyed => skipLimitNeeds = true
+      case _ =>
+    }
+    accNeeds || skipLimitNeeds
   }
 }

@@ -47,6 +47,13 @@ object StageTranslator {
 
   private def exprCtx(df: DataFrame): ExprCtx = ExprCtx(Some(df), rootCols = userCols(df))
 
+  /** Pin the current frame to encounter order for order-sensitive stages:
+    * a no-op when a $sort is already in effect (its order stands), else an
+    * orderBy on the ingest `_seq` when it was stamped. */
+  private def encounterOrdered(df: DataFrame, ctx: PipeCtx): DataFrame =
+    if (ctx.order.isEmpty && ctx.hasSeq && df.columns.contains(SeqCol)) df.orderBy(col(SeqCol))
+    else df
+
   def apply(df: DataFrame, name: String, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = name match {
     case "$match" =>
       implicit val ec: ExprCtx = exprCtx(df)
@@ -96,13 +103,18 @@ object StageTranslator {
       val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
       (df.orderBy(sortCols: _*), ctx.copy(order = Some(keys)))
 
+    // $skip/$limit without a preceding $sort are encounter-ordered in Mongo
+    // (aggregation.ts:330-352); a bare df.limit/offset is partition-ordered,
+    // which drifts after any shuffle. When no sort is in effect and the
+    // ingest `_seq` survives, order by it — limit+sort fuses to
+    // TakeOrderedAndProject, so this stays scale-safe.
     case "$limit" => body match {
-      case JInt(n) => (df.limit(n.toInt), ctx)
+      case JInt(n) => (encounterOrdered(df, ctx).limit(n.toInt), ctx)
       case _       => throw GraftException("$limit requires an integer")
     }
 
     case "$skip" => body match {
-      case JInt(n) => (df.offset(n.toInt), ctx)
+      case JInt(n) => (encounterOrdered(df, ctx).offset(n.toInt), ctx)
       case _       => throw GraftException("$skip requires an integer")
     }
 
@@ -173,8 +185,13 @@ object StageTranslator {
     case "$bucket" => bucket(df, body, ctx)
 
     case "$bucketAuto" =>
-      // Equal-count buckets via ntile — one window pass + one aggregation
-      // (extension; Mongo-compatible surface, no granularity series).
+      // Equal-count buckets (extension; Mongo-compatible surface, no
+      // granularity series). Numeric keys use a two-pass plan: distributed
+      // approx-quantile boundaries (a bounded GK summary — no data funnels
+      // through one task) followed by a codegen'd CASE bucket assignment,
+      // the same shape $bucket uses. Equal key values always land in the
+      // same bucket, as in Mongo. Non-numeric keys fall back to a global
+      // ntile window — correct but single-partition; avoid at scale.
       implicit val ec: ExprCtx = exprCtx(df)
       val fs = body match { case JObject(f) => f; case _ => throw GraftException("$bucketAuto requires an object") }
       val groupBy0 = fs.collectFirst { case ("groupBy", v) => v }
@@ -184,7 +201,24 @@ object StageTranslator {
       val outputSpec = fs.collectFirst { case ("output", JObject(o)) => o }
         .getOrElse(List("count" -> JObject(List("$sum" -> JInt(1)))))
       val e = ExprTranslator.translate(groupBy0)
-      val tiled = df.withColumn("__tile", ntile(buckets).over(Window.orderBy(e.asc_nulls_first)))
+      val keyed = df.withColumn("__ba_key", e)
+      val isNumeric = keyed.schema("__ba_key").dataType.isInstanceOf[NumericType]
+      val tiled =
+        if (isNumeric && buckets > 1) {
+          val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+          val bounds = keyed.na.drop(Seq("__ba_key"))
+            .stat.approxQuantile("__ba_key", probs, 1e-4)
+            .distinct.sorted
+          // bucket = number of boundaries strictly below the key; null keys
+          // (null > b is null → otherwise 0) join the first bucket, matching
+          // the ntile asc_nulls_first ordering.
+          val idx = bounds.foldLeft(lit(0)) { (acc, b) =>
+            acc + when(col("__ba_key") > lit(b), 1).otherwise(0)
+          }
+          keyed.withColumn("__tile", idx)
+        } else {
+          keyed.withColumn("__tile", ntile(math.max(buckets, 1)).over(Window.orderBy(col("__ba_key").asc_nulls_first)))
+        }
       val accs = outputSpec.map { case (n, spec) =>
         val (op, arg) = spec match {
           case JObject(List((o, a))) => (o, a)
@@ -192,9 +226,10 @@ object StageTranslator {
         }
         accumulator(op, arg, None)(exprCtx(tiled)).as(n)
       }
-      val aggCols = struct(min(e).as("min"), max(e).as("max")).as("_id") +: accs
+      val aggCols = struct(min(col("__ba_key")).as("min"), max(col("__ba_key")).as("max")).as("_id") +: accs
       val out = tiled.groupBy(col("__tile"))
         .agg(aggCols.head, aggCols.tail: _*)
+        .orderBy(col("__tile"))
         .select(col("_id") +: outputSpec.map { case (n, _) => col(n) }: _*)
       (out, ctx.copy(order = None, hasSeq = false))
 
@@ -318,11 +353,14 @@ object StageTranslator {
       fields.foreach {
         case ("_id", v) if isExclude(v) => // excluded
         case (k, v) if isExclude(v)     => // ignore explicit excludes in inclusion mode
+        case (path, v) if isInclude(v)  =>
+          // Mongo silently omits an included field that doesn't resolve
+          // (missing top-level name or nested path) — same missing→null
+          // policy as ExprTranslator.fieldPath, rather than an
+          // AnalysisException from col(path).
+          if (ec.typeOf(col(path)).isDefined) insert(root, path.split('.').toList, col(path))
         case (path, v) =>
-          val c: Column =
-            if (isInclude(v)) col(path)
-            else ExprTranslator.translate(v)
-          insert(root, path.split('.').toList, c)
+          insert(root, path.split('.').toList, ExprTranslator.translate(v))
       }
       def build(node: Node): Column = node match {
         case Leaf(c)   => c
@@ -799,12 +837,19 @@ object StageTranslator {
       case Some(d) => bucketId.otherwise(d)
       case None    => bucketId
     }
+    // Mirror group(): order-sensitive output accumulators need the
+    // encounter-order key (Aggo stamps _seq for $bucket exactly for this).
+    val orderSensitive = outputSpec.exists { case (_, spec) => spec match {
+      case JObject(List((op, _))) => Set("$first", "$last", "$push", "$firstN", "$lastN")(op)
+      case _                      => false
+    }}
+    lazy val orderKey: Column = encounterOrderKey(df, ctx)
     val accs = outputSpec.map { case (name, spec) =>
       val (op, arg) = spec match {
         case JObject(List((o, a))) => (o, a)
         case _ => throw GraftException("$bucket output accumulator must be a single operator")
       }
-      accumulator(op, arg, None).as(name)
+      accumulator(op, arg, if (orderSensitive) Some(orderKey) else None).as(name)
     }
     val filtered = if (default.isDefined) df else df.filter(withDefault.isNotNull)
     (filtered.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*),
@@ -896,7 +941,12 @@ object StageTranslator {
         case "$count"      => count(lit(1)).over(windowed)
         case "$stdDevPop"  => stddev_pop(ExprTranslator.translate(arg)).over(windowed)
         case "$stdDevSamp" => stddev_samp(ExprTranslator.translate(arg)).over(windowed)
-        case "$push"       => collect_list(ExprTranslator.translate(arg)).over(windowed)
+        // struct-wrap so null elements survive (collect_list drops bare
+        // nulls; Mongo's $push keeps them) — same trick the $group path uses
+        // via its orderKey wrapper.
+        case "$push" =>
+          transform(collect_list(struct(ExprTranslator.translate(arg).as("v"))).over(windowed),
+            x => x.getField("v"))
         case "$first"      => first(ExprTranslator.translate(arg)).over(windowed)
         case "$last"       => last(ExprTranslator.translate(arg)).over(windowed)
         case o             => throw GraftException(s"window operator $o not supported")
@@ -977,7 +1027,14 @@ object StageTranslator {
     // Mongo $densify never removes documents: output = all original rows
     // plus one gap row (nulls outside field/partition columns) for each
     // on-grid step value that has no exact match.
-    val axis = bounds.select(pcols :+ explode(sequence(col("__lo"), col("__hi"), step)).as(field): _*)
+    // Mongo's explicit [lo, hi] bounds are half-open: hi itself is excluded
+    // from the generated grid (partition/full bounds stay inclusive of the
+    // observed max, which is an existing document anyway).
+    val axisRaw = bounds.select(pcols :+ explode(sequence(col("__lo"), col("__hi"), step)).as(field): _*)
+    val axis = boundsSpec match {
+      case JArray(List(_, hi)) => axisRaw.filter(col(field) < ExprTranslator.litOf(hi).cast(axisType))
+      case _                   => axisRaw
+    }
     val existing = df.select(pcols :+ fieldC.as(field): _*).distinct()
     val gaps = axis.join(existing, partitions :+ field, "left_anti")
     (df.withColumn(field, fieldC).unionByName(gaps, allowMissingColumns = true),

@@ -47,6 +47,33 @@ class StageSpec extends AnyFunSuite {
     assert(exc.keySet == Set("x"))
   }
 
+  test("$project inclusion of a missing field is silently omitted (Mongo parity)") {
+    val r = agg(orders, """[{"$match": {"id": 1}}, {"$project": {"id": 1, "nope": 1, "a.b.c": 1}}]""").head
+    assert(r.keySet == Set("id"))
+  }
+
+  test("$skip/$limit without $sort follow encounter order deterministically") {
+    import org.apache.spark.sql.functions.col
+    // 8 contiguous range partitions: encounter order == value order
+    val df = spark.range(0, 100, 1, 8).toDF("v")
+    val out = Aggo.aggregate(df, """[{"$skip": 10}, {"$limit": 5}]""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(10L, 11L, 12L, 13L, 14L))
+    // and stable across runs even when partitioning is scrambled
+    val scrambled = df.repartition(5)
+    val a = Aggo.aggregate(scrambled, """[{"$skip": 7}, {"$limit": 11}]""").collect().map(_.getLong(0)).toSeq
+    val b = Aggo.aggregate(scrambled, """[{"$skip": 7}, {"$limit": 11}]""").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == 11)
+  }
+
+  test("$bucket order-sensitive accumulators respect encounter order") {
+    val r = agg(orders,
+      """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 100],
+            "output": {"firstId": {"$first": "$id"}, "ids": {"$push": "$id"}}}}]""").head
+    assert(r("firstId") == 1L)
+    assert(r("ids").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("$project include/exclude/computed/nested rebuild") {
     val inc = agg(orders, """[{"$match": {"id": 1}}, {"$project": {"id": 1, "twice": {"$multiply": ["$total", 2]}}}]""").head
     assert(inc.keySet == Set("id", "twice") && inc("twice") == 20.0)
@@ -190,6 +217,15 @@ class StageSpec extends AnyFunSuite {
     val s1 = agg(orders, """[{"$sample": {"size": 2}}, {"$project": {"id": 1}}]""").map(_("id")).toSet
     val s2 = agg(orders, """[{"$sample": {"size": 2}}, {"$project": {"id": 1}}]""").map(_("id")).toSet
     assert(s1 == s2 && s1.size == 2) // seeded/hash-based → stable
+  }
+
+  test("$bucketAuto on numeric keys plans no global window (scale audit)") {
+    val df = spark.range(0, 1000).toDF("v")
+    val out = Aggo.aggregate(df, """[{"$bucketAuto": {"groupBy": "$v", "buckets": 4}}]""")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "numeric $bucketAuto must use quantile boundaries, not a single-partition ntile window")
+    val counts = out.collect().map(_.getAs[Long]("count"))
+    assert(counts.sum == 1000L && counts.length == 4 && counts.forall(c => c > 200 && c < 300))
   }
 
   test("$bucketAuto equal-count buckets; N-variant accumulators; $sortArray") {
@@ -348,6 +384,23 @@ class StageSpec extends AnyFunSuite {
                         "range": {"step": 2, "bounds": "partition"}}},
           {"$sort": {"t": 1}}, {"$project": {"t": 1}}]""")
     assert(offGrid.map(_("t")) == Seq(1L, 3L, 4L))
+    // explicit [lo, hi) bounds: Mongo's upper bound is exclusive
+    val bounded = agg(fromJsonl("""{"t": 2}"""),
+      """[{"$densify": {"field": "t", "range": {"step": 1, "bounds": [0, 3]}}},
+          {"$sort": {"t": 1}}, {"$project": {"t": 1}}]""")
+    assert(bounded.map(_("t")) == Seq(0L, 1L, 2L))
+  }
+
+  test("$setWindowFields $push preserves null elements") {
+    val docs = fromJsonl(
+      """{"k": 1, "o": 1, "v": 10}""",
+      """{"k": 1, "o": 2, "v": null}""",
+      """{"k": 1, "o": 3, "v": 30}""")
+    val r = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"o": 1},
+            "output": {"vs": {"$push": "$v", "window": {"documents": ["unbounded", "current"]}}}}},
+          {"$match": {"o": 3}}, {"$project": {"vs": 1}}]""").head
+    assert(r("vs").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(10L, null, 30L))
   }
 
   test("$graphLookup walks a hierarchy breadth-first with depth") {
