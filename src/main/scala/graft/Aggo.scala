@@ -52,17 +52,51 @@ object Aggo {
             collections: Map[String, DataFrame] = Map.empty): Long =
     aggregate(df, pipelineJson, collections).count()
 
-  /** `Aggo.explain` analogue (reference: api-enhancements.ts:13-50): returns
-    * the Catalyst formatted physical plan for the translated pipeline. */
+  /** `Aggo.explain` analogue (reference: api-enhancements.ts:13-288): per-stage
+    * operator mapping, pushdown summary read from the optimized scan
+    * (PushedFilters / ReadSchema — the reference's "stage analyses + reason
+    * codes" equivalent), then the formatted Catalyst physical plan. */
   def explain(df: DataFrame, pipelineJson: String,
               collections: Map[String, DataFrame] = Map.empty): String = {
     val stages = PipelineParser.parse(pipelineJson)
     val header = stages.zipWithIndex
-      .map { case ((name, _), i) => s"stage $i: $name" }
+      .map { case ((name, _), i) => f"stage $i%2d: $name%-18s → ${stageOperator(name)}" }
       .mkString("== Pipeline ==\n", "\n", "\n\n")
     val out = aggregateParsed(df, stages, collections)
-    header + out.queryExecution.explainString(
+    val formatted = out.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushdown = formatted.linesIterator
+      .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        l.contains("PartitionFilters"))
+      .map(_.trim).toSeq.distinct
+    val pushdownBlock =
+      if (pushdown.isEmpty) "== Pushdown ==\n(no file scan in plan)\n\n"
+      else pushdown.mkString("== Pushdown ==\n", "\n", "\n\n")
+    header + pushdownBlock + formatted
+  }
+
+  /** The Catalyst operator each pipeline stage lowers to — shown by
+    * explain() so users can see what the declarative translation bought. */
+  private def stageOperator(stage: String): String = stage match {
+    case "$match"                  => "Filter (pushed into the scan where possible)"
+    case "$project" | "$addFields" | "$set" | "$unset" | "$replaceRoot" | "$replaceWith"
+                                   => "Project (column-pruned scan)"
+    case "$group" | "$sortByCount" | "$count" => "HashAggregate (partial + final, map-side combine)"
+    case "$sort"                   => "Sort (range-partitioned exchange; TakeOrderedAndProject when followed by $limit)"
+    case "$limit" | "$skip"        => "GlobalLimit/Offset (encounter-ordered when unsorted)"
+    case "$unwind"                 => "Generate (posexplode)"
+    case "$lookup"                 => "Join (broadcast for small foreign sides) + aggregated collect"
+    case "$graphLookup"            => "iterative Join per BFS depth"
+    case "$unionWith"              => "Union"
+    case "$bucket"                 => "HashAggregate over CASE bucket assignment"
+    case "$bucketAuto"             => "approx-quantile boundaries + HashAggregate"
+    case "$setWindowFields"        => "Window"
+    case "$fill"                   => "Window (last ignoreNulls / coalesce)"
+    case "$densify"                => "sequence+explode axis ⋈ left_anti gaps + Union"
+    case "$facet"                  => "per-facet sub-plan + single-row cross join"
+    case "$sample"                 => "TakeOrdered over deterministic hash"
+    case "$out" | "$merge"         => "eager sink write"
+    case other                     => "translated Column expressions"
   }
 
   // --- standalone per-stage API (reference: Aggo.{$match, $project, ...},
@@ -86,6 +120,24 @@ object Aggo {
   def expression(df: DataFrame, exprJson: String): org.apache.spark.sql.Column =
     graft.exprs.ExprTranslator.translate(org.json4s.jackson.JsonMethods.parse(exprJson))(
       graft.exprs.ExprCtx(Some(df), rootCols = df.columns.toSeq))
+
+  /** Load a JSONL file as a collection (reference `fromJSONL`, index.ts:84)
+    * with dynamic schema inference and the widen-to-string policy for
+    * heterogeneous fields (SURVEY §7.4.1; reference FieldType.MIXED,
+    * columnar-vectors.ts:32): a field holding conflicting JSON types across
+    * documents becomes a StringType column keeping each value's raw JSON
+    * token ("5", "true", ...). Pinned coercions (MixedTypesSpec): `$type`
+    * answers "string" from the schema; `$sort` compares the string forms —
+    * the reference's own mixed-type ordering (aggregation.ts:391-399);
+    * truthiness follows the string value, so a widened "0" is truthy
+    * (documented divergence from a numeric 0). Missing keys and explicit
+    * nulls both ingest as null. */
+  def fromJSONL(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.json(path)
+
+  /** `fromJSONL` over in-memory lines — same inference and coercions. */
+  def fromJSONL(spark: org.apache.spark.sql.SparkSession, lines: Seq[String]): DataFrame =
+    spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
 
   /** Reference-API name for building a live collection
     * (`Aggo.createStreamingCollection`, index.ts:91). */

@@ -220,6 +220,13 @@ object SparkEntry {
         {"$group": {"_id": "$words", "n": {"$sum": 1}}},
         {"$project": {"word": "$_id", "n": 1, "_id": 0}}
       ]"""),
+    // deep nested path: build s.a.words, unwind at depth 3
+    "q_unwind_nested" -> run("part",
+      """[
+        {"$project": {"p_partkey": 1, "s.a.words": {"$split": ["$p_type", " "]}}},
+        {"$unwind": "$s.a.words"},
+        {"$project": {"p_partkey": 1, "w": "$s.a.words"}}
+      ]"""),
     "q_unwind_idx" -> run("part",
       """[
         {"$project": {"p_partkey": 1, "words": {"$split": ["$p_type", " "]}}},
@@ -414,6 +421,28 @@ object SparkEntry {
           expr("array_join(transform(top_orders, x -> concat(cast(x.o_orderkey as string), ':', " +
             "cast(cast(floor(x.o_totalprice * 100 + 0.5) as bigint) as string))), '|')")
             .as("top_orders"))),
+
+    // ---- heterogeneous/MIXED-type fields (SURVEY §7.4.1) ----
+    // Build JSONL where `v` is a number on even doc_ids and a string on odd
+    // ones, run it through real schema inference (widen-to-string policy),
+    // and exercise $type/$sort/$match over the widened column.
+    "q_mixed_types" -> ((spark: SparkSession, dir: String) => {
+      val raw = tbl(spark, dir, "documents").select(
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"v\":"),
+          when(col("doc_id") % 2 === 0, col("doc_id").cast("string"))
+            .otherwise(concat(lit("\""), col("lang"), lit("\""))),
+          lit("}")).as("j"))
+      import spark.implicits._
+      val mixed = spark.read.json(raw.as[String]) // distributed inference, no collect
+      Aggo.aggregate(mixed,
+        """[
+          {"$addFields": {"t": {"$type": "$v"}}},
+          {"$sort": {"v": 1, "doc_id": 1}},
+          {"$limit": 50},
+          {"$project": {"doc_id": 1, "v": 1, "t": 1}}
+        ]""")
+    }),
 
     // ---- extensions: JSON props (dynamic-document handling) ----
     "q_events_json" -> ((spark: SparkSession, dir: String) => {
@@ -692,6 +721,8 @@ object SparkEntry {
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 100",
     "q_unwind" ->
       "SELECT w AS word, count(*) AS n FROM (SELECT unnest(string_split(p_type, ' ')) AS w FROM part) GROUP BY 1",
+    "q_unwind_nested" ->
+      "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w FROM part",
     "q_unwind_idx" ->
       """SELECT p_partkey, CAST(unnest(generate_series(1, len(w))) - 1 AS BIGINT) AS idx, unnest(w) AS words
       FROM (SELECT p_partkey, string_split(p_type, ' ') AS w FROM part)""",
@@ -783,6 +814,12 @@ object SparkEntry {
           ELSE 99999 END AS bucket,
         count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer GROUP BY 1""",
+    "q_mixed_types" ->
+      """SELECT doc_id, v, 'string' AS t
+      FROM (SELECT doc_id,
+              CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id AS VARCHAR) ELSE lang END AS v
+            FROM documents)
+      ORDER BY v, doc_id LIMIT 50""",
     "q_facet" ->
       """SELECT
         (SELECT string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), '|' ORDER BY o_orderstatus)

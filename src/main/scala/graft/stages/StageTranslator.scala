@@ -455,7 +455,18 @@ object StageTranslator {
         case JInt(i) if i == 1 => count(lit(1))
         case _                 => coalesce(sum(e), lit(0))
       }
-      case "$avg"          => avg(e)
+      // Parity flag (COVERAGE.md): the reference's $avg divides the numeric
+      // sum by the GROUP SIZE, yielding 0 for an all-null group
+      // (accumulators.ts:90-94); SQL avg divides by the numeric count and
+      // yields null. Default follows SQL (it is what the DuckDB oracle and
+      // every SQL user expects); set graft.parity.avg=reference to match the
+      // reference bit-for-bit.
+      case "$avg" =>
+        val mode = org.apache.spark.sql.SparkSession.active.conf
+          .get("graft.parity.avg", "sql")
+        if (mode == "reference")
+          coalesce(sum(e.cast("double")), lit(0.0)) / count(lit(1))
+        else avg(e)
       case "$min"          => min(e)
       case "$max"          => max(e)
       case "$count"        => count(lit(1))
@@ -526,12 +537,11 @@ object StageTranslator {
       case _ => throw GraftException("$unwind requires a string path or object")
     }
     if (path.contains('.')) {
-      // One nested level: explode `top.sub` and substitute the element back
-      // into the struct (Mongo keeps the unwound value at the same path).
+      // Nested path at any depth: explode `a.b...z` and substitute the
+      // element back at the same path (Mongo keeps the unwound value in
+      // place). withField resolves the dotted remainder recursively.
       val parts = path.split('.')
-      if (parts.length != 2)
-        throw GraftException("$unwind supports at most one nested level (a.b)")
-      val (top, sub) = (parts(0), parts(1))
+      val (top, sub) = (parts.head, parts.tail.mkString("."))
       val gen = (includeIdx, preserve) match {
         case (Some(ix), true)  => posexplode_outer(col(path)).as(Seq(ix, "__u"))
         case (Some(ix), false) => posexplode(col(path)).as(Seq(ix, "__u"))

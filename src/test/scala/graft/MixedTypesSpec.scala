@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import TestSpark._
+
+/** Heterogeneous (MIXED-type) field policy — SURVEY §7.4.1; reference
+  * FieldType.MIXED (columnar-vectors.ts:32), schema inference
+  * (columnar-ivm-engine.ts:449-487). A field holding conflicting JSON types
+  * widens to string at ingest; these specs pin every coercion so the
+  * behavior is contractual, not accidental.
+  */
+class MixedTypesSpec extends AnyFunSuite {
+
+  private lazy val mixed = Aggo.fromJSONL(spark, Seq(
+    """{"id": 1, "v": 5}""",
+    """{"id": 2, "v": "five"}""",
+    """{"id": 3, "v": true}""",
+    """{"id": 4, "v": null}""",
+    """{"id": 5}""",
+    """{"id": 6, "v": 0}"""))
+
+  test("mixed-type field widens to string; values keep their raw JSON token") {
+    assert(mixed.schema("v").dataType == org.apache.spark.sql.types.StringType)
+    val byId = agg(mixed, """[{"$project": {"id": 1, "v": 1}}]""")
+      .map(m => m("id") -> m("v")).toMap
+    assert(byId(1L) == "5" && byId(2L) == "five" && byId(3L) == "true" && byId(6L) == "0")
+    assert(byId(4L) == null && byId(5L) == null) // explicit null and missing both → null
+  }
+
+  test("$type answers from the widened schema") {
+    val rows = agg(mixed, """[{"$project": {"id": 1, "t": {"$type": "$v"}}}]""")
+      .map(m => m("id") -> m("t")).toMap
+    assert(rows(1L) == "string" && rows(2L) == "string")
+    assert(rows(4L) == "null" && rows(5L) == "null")
+  }
+
+  test("mixed $sort compares as strings (reference aggregation.ts:391-399)") {
+    val sorted = agg(mixed, """[{"$sort": {"v": 1, "id": 1}}, {"$project": {"id": 1}}]""")
+      .map(_("id"))
+    // nulls (incl. missing) first, then "0" < "5" < "five" < "true"
+    assert(sorted == Seq(4L, 5L, 6L, 1L, 2L, 3L))
+  }
+
+  test("truthiness after widening: non-null strings are truthy, null/missing falsy") {
+    val r = agg(mixed, """[{"$project": {"id": 1, "b": {"$cond": ["$v", 1, 0]}}}]""")
+      .map(m => m("id") -> m("b")).toMap
+    // "0" is a non-empty string post-widening → truthy (documented
+    // divergence from a numeric 0, which Mongo treats as falsy)
+    assert(r(1L) == 1L && r(2L) == 1L && r(3L) == 1L && r(6L) == 1L)
+    assert(r(4L) == 0L && r(5L) == 0L)
+  }
+
+  test("missing-vs-null ingest normalization: $exists, $push, $ifNull pinned") {
+    val docs = Aggo.fromJSONL(spark, Seq(
+      """{"id": 1, "x": 1}""",
+      """{"id": 2, "x": null}""",
+      """{"id": 3}"""))
+    // Ingest normalizes absent keys and explicit nulls to the same SQL null,
+    // so $exists means value-presence: false for an explicit null too —
+    // documented divergence from Mongo's hasOwnProperty (aggregation.ts:267).
+    assert(agg(docs, """[{"$match": {"x": {"$exists": true}}}, {"$project": {"id": 1}}]""")
+      .map(_("id")) == Seq(1L))
+    assert(agg(docs, """[{"$match": {"x": {"$exists": false}}}, {"$project": {"id": 1}}]""")
+      .map(_("id")).toSet == Set(2L, 3L))
+    // $push keeps the normalized nulls (the reference maps missing→null too,
+    // accumulators.ts:142-163)
+    val pushed = agg(docs,
+      """[{"$sort": {"id": 1}}, {"$group": {"_id": null, "xs": {"$push": "$x"}}}]""").head
+    assert(pushed("xs").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1L, null, null))
+    // $ifNull fallback applies to both shapes
+    val f = agg(docs, """[{"$project": {"id": 1, "x2": {"$ifNull": ["$x", -1]}}}]""")
+      .map(m => m("id") -> m("x2")).toMap
+    assert(f(1L) == 1L && f(2L) == -1L && f(3L) == -1L)
+  }
+
+  test("match/group over a widened field work on the string forms") {
+    val hit = agg(mixed, """[{"$match": {"v": "5"}}, {"$project": {"id": 1}}]""").map(_("id"))
+    assert(hit == Seq(1L)) // numeric 5 ingested as "5"
+    val groups = agg(mixed,
+      """[{"$group": {"_id": "$v", "n": {"$sum": 1}}}, {"$sort": {"_id": 1}}]""")
+      .map(m => m("_id") -> m("n"))
+    assert(groups == Seq((null, 2L), ("0", 1L), ("5", 1L), ("five", 1L), ("true", 1L)))
+  }
+}

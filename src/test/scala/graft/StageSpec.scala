@@ -66,6 +66,44 @@ class StageSpec extends AnyFunSuite {
     assert(a == b && a.length == 11)
   }
 
+  test("$unwind resolves nested paths at any depth") {
+    val docs = fromJsonl(
+      """{"id": 1, "a": {"b": {"c": [10, 20]}}}""",
+      """{"id": 2, "a": {"b": {"c": [30]}}}""")
+    val rows = agg(docs,
+      """[{"$unwind": "$a.b.c"}, {"$sort": {"id": 1, "a.b.c": 1}},
+          {"$project": {"id": 1, "v": "$a.b.c"}}]""")
+    assert(rows.map(r => (r("id"), r("v"))) == Seq((1L, 10L), (1L, 20L), (2L, 30L)))
+    val withIdx = agg(docs,
+      """[{"$unwind": {"path": "$a.b.c", "includeArrayIndex": "i"}},
+          {"$sort": {"id": 1, "i": 1}}, {"$project": {"id": 1, "i": 1, "v": "$a.b.c"}}]""")
+    assert(withIdx.map(r => (r("id"), r("i"), r("v"))) ==
+      Seq((1L, 0L, 10L), (1L, 1L, 20L), (2L, 0L, 30L)))
+  }
+
+  test("explain() reports per-stage lowering and scan pushdown") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-explain").toString
+    spark.range(0, 100).toDF("v").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val text = Aggo.explain(df, """[{"$match": {"v": {"$gte": 50}}}, {"$project": {"v": 1}}]""")
+    assert(text.contains("stage  0: $match"))
+    assert(text.contains("Filter (pushed into the scan where possible)"))
+    assert(text.contains("PushedFilters") && text.contains("GreaterThanOrEqual(v,50"))
+    assert(text.contains("ReadSchema"))
+  }
+
+  test("$avg parity flag: sql default (null-skipping) vs reference group-size division") {
+    val docs = fromJsonl("""{"k": 1, "v": 10.0}""", """{"k": 1, "v": null}""", """{"k": 1}""")
+    val pipe = """[{"$group": {"_id": "$k", "a": {"$avg": "$v"}}}]"""
+    assert(agg(docs, pipe).head("a") == 10.0) // SQL: 10 / 1 numeric value
+    spark.conf.set("graft.parity.avg", "reference")
+    try {
+      assert(agg(docs, pipe).head("a") == 10.0 / 3) // reference: 10 / 3 docs
+      // all-null group → 0 in reference mode, not null
+      assert(agg(fromJsonl("""{"k": 1, "v": null}"""), pipe).head("a") == 0.0)
+    } finally spark.conf.unset("graft.parity.avg")
+  }
+
   test("$bucket order-sensitive accumulators respect encounter order") {
     val r = agg(orders,
       """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 100],
