@@ -254,9 +254,11 @@ object StageTranslator {
 
     case "$merge" =>
       // Upsert into an existing parquet dataset keyed by `on` (extension).
-      // File-granular implementation; on a cluster this maps to a table
-      // format's MERGE INTO — the plan shape (full outer join by key) is the
-      // same.
+      // NOT cluster-ready as written: the java.io.File existence check and
+      // tmp-dir swap assume a driver-local filesystem. On a real deployment
+      // this stage should be re-targeted at a table format's MERGE INTO
+      // (Delta/Iceberg), which provides the atomic swap; only the join shape
+      // below (anti-join by key + union) carries over.
       val fs = body match { case JObject(f) => f; case _ => throw GraftException("$merge requires an object") }
       val into = fs.collectFirst { case ("into", JString(s)) => s }
         .getOrElse(throw GraftException("$merge requires into"))
@@ -902,6 +904,16 @@ object StageTranslator {
     val output = fs.collectFirst { case ("output", JObject(o)) => o }
       .getOrElse(throw GraftException("$setWindowFields requires output"))
 
+    // Unpartitioned window + sortBy: try the scale-safe two-pass rewrite
+    // (range repartition + local windows + broadcast prefix offsets) before
+    // falling back to the single-task global window.
+    if (partitionBy.isEmpty && sortBy.isDefined) {
+      unpartitionedTwoPass(df, sortBy.get, output) match {
+        case Some(out) => return (out, ctx)
+        case None      => // unsupported operator mix — global window below
+      }
+    }
+
     var w = partitionBy match {
       case Some(p) => Window.partitionBy(ExprTranslator.translate(p))
       case None    => Window.partitionBy()
@@ -966,6 +978,135 @@ object StageTranslator {
     (df.withColumns(newCols.toMap), ctx)
   }
 
+  /** Scale-safe rewrite of an UNPARTITIONED sorted window: Spark would
+    * funnel every row through a single task (`Window.partitionBy()` with an
+    * ORDER BY has one partition). Instead:
+    *
+    *   1. `repartitionByRange` on the sort keys — equal keys land in the
+    *      same partition, partition index order == key order;
+    *   2. compute each window function locally per range partition;
+    *   3. aggregate one stats row per partition (row counts, running totals
+    *      at partition end — all read off the local window columns with
+    *      `max`/`max_by`), prefix-combine them with a window over this
+    *      tiny frame (≤ shuffle-partition rows), and broadcast-join the
+    *      prior-partition offsets back;
+    *   4. correct the local values with the offsets.
+    *
+    * Supports ranking ($documentNumber/$rank/$denseRank — no key straddles
+    * a range boundary, so local rank + prior row count is exact; dense rank
+    * offsets by the sum of per-partition distinct counts) and running
+    * [unbounded, current] aggregates ($sum/$avg/$min/$max/$count). Returns
+    * None for any other operator/frame mix (caller falls back to the global
+    * window). */
+  private def unpartitionedTwoPass(df: DataFrame, keys: Seq[SortKey],
+                                   output: List[(String, JValue)]): Option[DataFrame] = {
+    implicit val ec: ExprCtx = exprCtx(df)
+    final case class Out(name: String, op: String, arg: JValue, running: Boolean)
+    val parsed: Option[List[Out]] = {
+      val outs = output.map { case (name, spec) =>
+        val specFs = spec match { case JObject(s) => s; case _ => return None }
+        val (op, arg) = specFs.collectFirst { case (o, a) if o.startsWith("$") => (o, a) }
+          .getOrElse(return None)
+        val frame = specFs.collectFirst { case ("window", JObject(wf)) => wf }
+        val isRunningFrame = frame.exists(_.exists {
+          case ("documents", JArray(List(JString("unbounded"), JString("current")))) => true
+          case _ => false
+        })
+        val ranking = Set("$documentNumber", "$rank", "$denseRank")(op)
+        val runningAgg = Set("$sum", "$avg", "$min", "$max", "$count")(op) && isRunningFrame
+        if (ranking && frame.isEmpty) Out(name, op, arg, running = false)
+        else if (runningAgg) Out(name, op, arg, running = true)
+        else return None
+      }
+      Some(outs)
+    }
+    parsed.map { outs =>
+      val orderCols = keys.map(k =>
+        if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
+      val parted = df.repartitionByRange(orderCols: _*).withColumn("__wp", spark_partition_id())
+      val lw = Window.partitionBy(col("__wp")).orderBy(orderCols: _*)
+      val lwRun = lw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+      // pass 1: local window columns (one per output; $avg needs sum+count)
+      var local = parted.withColumn("__wrn", row_number().over(lw))
+      outs.zipWithIndex.foreach { case (o, i) =>
+        def e: Column = ExprTranslator.translate(o.arg)(exprCtx(parted))
+        o.op match {
+          case "$documentNumber" => // __wrn is the local value
+          case "$rank"           => local = local.withColumn(s"__l$i", rank().over(lw))
+          case "$denseRank"      => local = local.withColumn(s"__l$i", dense_rank().over(lw))
+          case "$sum"            => local = local.withColumn(s"__l$i", sum(e).over(lwRun))
+          case "$min"            => local = local.withColumn(s"__l$i", min(e).over(lwRun))
+          case "$max"            => local = local.withColumn(s"__l$i", max(e).over(lwRun))
+          case "$count"          => local = local.withColumn(s"__l$i", count(lit(1)).over(lwRun))
+          case "$avg" =>
+            local = local.withColumn(s"__l${i}s", sum(e.cast("double")).over(lwRun))
+              .withColumn(s"__l${i}c", count(e).over(lwRun))
+        }
+      }
+
+      // per-partition stats: the value of each running column at the
+      // partition's last row (max_by on the local row number), plus row and
+      // distinct counts for the ranking offsets
+      val statAggs: Seq[Column] = max(col("__wrn")).as("__rows") +:
+        outs.zipWithIndex.flatMap { case (o, i) =>
+          o.op match {
+            case "$documentNumber" | "$rank" => Nil
+            case "$denseRank" => Seq(max(col(s"__l$i")).as(s"__t$i"))
+            case "$avg" => Seq(max_by(col(s"__l${i}s"), col("__wrn")).as(s"__t${i}s"),
+              max_by(col(s"__l${i}c"), col("__wrn")).as(s"__t${i}c"))
+            case _ => Seq(max_by(col(s"__l$i"), col("__wrn")).as(s"__t$i"))
+          }
+        }
+      val stats = local.groupBy(col("__wp")).agg(statAggs.head, statAggs.tail: _*)
+
+      // prefix offsets over the tiny stats frame (bounded by the shuffle
+      // partition count — a global window here is deliberate and cheap)
+      val pw = Window.orderBy(col("__wp")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsetCols: Seq[Column] = coalesce(sum(col("__rows")).over(pw), lit(0L)).as("__prows") +:
+        outs.zipWithIndex.flatMap { case (o, i) =>
+          o.op match {
+            case "$documentNumber" | "$rank" => Nil
+            case "$denseRank" => Seq(coalesce(sum(col(s"__t$i")).over(pw), lit(0L)).as(s"__p$i"))
+            case "$sum"       => Seq(sum(col(s"__t$i")).over(pw).as(s"__p$i"))
+            case "$count"     => Seq(coalesce(sum(col(s"__t$i")).over(pw), lit(0L)).as(s"__p$i"))
+            case "$min"       => Seq(min(col(s"__t$i")).over(pw).as(s"__p$i"))
+            case "$max"       => Seq(max(col(s"__t$i")).over(pw).as(s"__p$i"))
+            case "$avg" => Seq(sum(col(s"__t${i}s")).over(pw).as(s"__p${i}s"),
+              coalesce(sum(col(s"__t${i}c")).over(pw), lit(0L)).as(s"__p${i}c"))
+          }
+        }
+      val offsets = stats.select(col("__wp") +: offsetCols: _*)
+
+      // pass 2: broadcast the offsets back and correct the local values
+      val joined = local.join(broadcast(offsets), "__wp")
+      val corrected: Seq[(String, Column)] = outs.zipWithIndex.map { case (o, i) =>
+        val c = o.op match {
+          // cast back to int: the single-window path returns IntegerType for
+          // the ranking family and the long offsets must not widen it
+          case "$documentNumber" => (col("__wrn") + col("__prows")).cast("int")
+          case "$rank"           => (col(s"__l$i") + col("__prows")).cast("int")
+          case "$denseRank"      => (col(s"__l$i") + col(s"__p$i")).cast("int")
+          case "$count"          => col(s"__l$i") + col(s"__p$i")
+          case "$sum" =>
+            when(col(s"__l$i").isNull && col(s"__p$i").isNull, lit(null))
+              .otherwise(coalesce(col(s"__l$i"), lit(0)) + coalesce(col(s"__p$i"), lit(0)))
+          case "$min" => least(col(s"__p$i"), col(s"__l$i"))
+          case "$max" => greatest(col(s"__p$i"), col(s"__l$i"))
+          case "$avg" =>
+            val cnt = col(s"__l${i}c") + col(s"__p${i}c")
+            when(cnt > 0,
+              (coalesce(col(s"__l${i}s"), lit(0.0)) + coalesce(col(s"__p${i}s"), lit(0.0))) / cnt)
+        }
+        o.name -> c
+      }
+      val helperCols = joined.columns.filter(c => c.startsWith("__l") || c.startsWith("__p") ||
+        c == "__wp" || c == "__wrn" || c.startsWith("__t"))
+      corrected.foldLeft(joined) { case (d, (n, c)) => d.withColumn(n, c) }
+        .drop(helperCols: _*)
+    }
+  }
+
   // --------------------------------------------------------------------------
   // $fill — gap filling (extension; locf via ignore-nulls window)
   // --------------------------------------------------------------------------
@@ -979,6 +1120,38 @@ object StageTranslator {
       case (f, JInt(d)) => if (d >= 0) col(f).asc_nulls_first else col(f).desc_nulls_last
       case (f, _)       => throw GraftException(s"$$fill sortBy direction for $f must be 1/-1")
     }}
+    // Unpartitioned sorted locf: same single-task global-window hazard as
+    // $setWindowFields — rewrite as local locf per range partition plus a
+    // broadcast carry-in of each prior partition's last non-null value.
+    val locfFields = output.collect { case (f, JObject(List(("method", JString("locf"))))) => f }
+    val valueFields = output.collect { case (f, JObject(List(("value", v)))) => f -> v }
+    if (partitionBy.isEmpty && sortBy.isDefined &&
+        locfFields.nonEmpty && locfFields.size + valueFields.size == output.size) {
+      val orderCols = sortBy.get
+      val parted = df.repartitionByRange(orderCols: _*).withColumn("__wp", spark_partition_id())
+      val lwBase = Window.partitionBy(col("__wp")).orderBy(orderCols: _*)
+      val lw = lwBase.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var local = parted.withColumn("__wrn", row_number().over(lwBase))
+      locfFields.zipWithIndex.foreach { case (f, i) =>
+        local = local.withColumn(s"__f$i", last(col(f), ignoreNulls = true).over(lw))
+      }
+      val statAggs = locfFields.indices.map(i => max_by(col(s"__f$i"), col("__wrn")).as(s"__t$i"))
+      val stats = local.groupBy(col("__wp")).agg(statAggs.head, statAggs.tail: _*)
+      val pw = Window.orderBy(col("__wp")).rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = stats.select(col("__wp") +:
+        locfFields.indices.map(i => last(col(s"__t$i"), ignoreNulls = true).over(pw).as(s"__p$i")): _*)
+      var joined = local.join(broadcast(offsets), "__wp")
+      locfFields.zipWithIndex.foreach { case (f, i) =>
+        joined = joined.withColumn(f, coalesce(col(s"__f$i"), col(s"__p$i")))
+      }
+      valueFields.foreach { case (f, v) =>
+        joined = joined.withColumn(f, coalesce(col(f), ExprTranslator.translate(v)))
+      }
+      val helpers = joined.columns.filter(c => c == "__wp" || c == "__wrn" ||
+        c.startsWith("__f") || c.startsWith("__p") || c.startsWith("__t"))
+      return (joined.drop(helpers: _*), ctx)
+    }
+
     lazy val w = {
       val base = partitionBy.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
       sortBy.map(s => base.orderBy(s: _*)).getOrElse(base)

@@ -92,6 +92,65 @@ class StageSpec extends AnyFunSuite {
     assert(text.contains("ReadSchema"))
   }
 
+  test("unpartitioned $fill locf two-pass carries across range partitions") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 500).toDF("t")
+      .withColumn("v", when(col("t") % 100 === 0, col("t").cast("double")))
+      .repartition(6)
+    val out = Aggo.aggregate(df,
+      """[{"$fill": {"sortBy": {"t": 1}, "output": {"v": {"method": "locf"}}}}]""")
+    assert(out.queryExecution.executedPlan.toString.toLowerCase.contains("rangepartitioning"))
+    val rows = out.collect().map(r => r.getAs[Long]("t") -> r.getAs[Double]("v")).toMap
+    (0L until 500L).foreach { t => assert(rows(t) == (t / 100 * 100).toDouble) }
+  }
+
+  test("unpartitioned $setWindowFields two-pass matches global-window semantics") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000).toDF("v")
+      .withColumn("g", col("v") % 7)
+      .withColumn("x", when(col("v") % 5 === 0, lit(null)).otherwise(col("v").cast("double")))
+      .repartition(8)
+    val out = Aggo.aggregate(df,
+      """[{"$setWindowFields": {"sortBy": {"v": 1},
+           "output": {
+             "rn":   {"$documentNumber": {}},
+             "rnk":  {"$rank": {}},
+             "rsum": {"$sum": "$x",   "window": {"documents": ["unbounded", "current"]}},
+             "rmin": {"$min": "$x",   "window": {"documents": ["unbounded", "current"]}},
+             "rmax": {"$max": "$x",   "window": {"documents": ["unbounded", "current"]}},
+             "rcnt": {"$count": {},   "window": {"documents": ["unbounded", "current"]}},
+             "ravg": {"$avg": "$x",   "window": {"documents": ["unbounded", "current"]}}}}}]""")
+    // scale audit: the plan must range-partition, not funnel one task
+    assert(out.queryExecution.executedPlan.toString.toLowerCase.contains("rangepartitioning"))
+    val rows = out.collect().map(r => (r.getAs[Long]("v"), r)).sortBy(_._1)
+    rows.foreach { case (v, r) =>
+      assert(r.getAs[Int]("rn") == v + 1 && r.getAs[Int]("rnk") == v + 1)
+      assert(r.getAs[Long]("rcnt") == v + 1)
+      val xs = (0L to v).filter(_ % 5 != 0).map(_.toDouble)
+      if (xs.isEmpty) {
+        assert(r.isNullAt(r.fieldIndex("rsum")) && r.isNullAt(r.fieldIndex("ravg")))
+      } else {
+        assert(r.getAs[Double]("rsum") == xs.sum)
+        assert(r.getAs[Double]("rmin") == xs.min && r.getAs[Double]("rmax") == xs.max)
+        assert(math.abs(r.getAs[Double]("ravg") - xs.sum / xs.size) < 1e-9)
+      }
+    }
+    // ties spanning range boundaries: rank/denseRank still exact
+    val ties = Aggo.aggregate(df,
+      """[{"$setWindowFields": {"sortBy": {"g": 1},
+           "output": {"rnk": {"$rank": {}}, "drnk": {"$denseRank": {}}}}}]""")
+      .select("g", "rnk", "drnk").distinct().collect()
+      .map(r => (r.getAs[Long]("g"), r.getAs[Int]("rnk"), r.getAs[Int]("drnk"))).toSet
+    val expected = {
+      val counts = (0L until 1000L).groupBy(_ % 7).view.mapValues(_.size).toMap
+      (0L to 6L).map { g =>
+        val before = (0L until g).map(counts).sum
+        (g, before.toInt + 1, g.toInt + 1)
+      }.toSet
+    }
+    assert(ties == expected)
+  }
+
   test("$avg parity flag: sql default (null-skipping) vs reference group-size division") {
     val docs = fromJsonl("""{"k": 1, "v": 10.0}""", """{"k": 1, "v": null}""", """{"k": 1}""")
     val pipe = """[{"$group": {"_id": "$k", "a": {"$avg": "$v"}}}]"""
