@@ -422,6 +422,69 @@ object SparkEntry {
             "cast(cast(floor(x.o_totalprice * 100 + 0.5) as bigint) as string))), '|')")
             .as("top_orders"))),
 
+    // ---- date arithmetic ($dateAdd/$dateSubtract/$dateDiff/$dateTrunc) ----
+    "q_date_ops" -> run("orders",
+      """[
+        {"$project": {"o_orderkey": 1,
+          "plus_m": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S", "date":
+            {"$dateAdd": {"startDate": "$o_orderdate", "unit": "month", "amount": 2}}}},
+          "minus_d": {"$dateToString": {"format": "%Y-%m-%d", "date":
+            {"$dateSubtract": {"startDate": "$o_orderdate", "unit": "day", "amount": 45}}}},
+          "dd": {"$dateDiff": {"startDate": {"$dateFromString": {"dateString": "1995-06-15"}},
+                               "endDate": "$o_orderdate", "unit": "day"}},
+          "md": {"$dateDiff": {"startDate": {"$dateFromString": {"dateString": "1995-06-15"}},
+                               "endDate": "$o_orderdate", "unit": "month"}},
+          "tm": {"$dateToString": {"format": "%Y-%m-%d", "date":
+            {"$dateTrunc": {"date": "$o_orderdate", "unit": "month"}}}},
+          "tw": {"$dateToString": {"format": "%Y-%m-%d", "date":
+            {"$dateTrunc": {"date": "$o_orderdate", "unit": "week"}}}}}}
+      ]"""),
+
+    // ---- regex find / percentile / top-bottom accumulators ----
+    "q_regex_find" -> ((s: SparkSession, d: String) =>
+      run("customer",
+        """[
+          {"$project": {"c_custkey": 1,
+            "m": {"$getField": {"input": {"$regexFind": {"input": "$c_name", "regex": "[0-9]+"}}, "field": "match"}},
+            "i": {"$getField": {"input": {"$regexFind": {"input": "$c_name", "regex": "[0-9]+"}}, "field": "idx"}},
+            "all_m": {"$regexFindAll": {"input": "$c_name", "regex": "[0-9]+"}}}}
+        ]""")(s, d)
+        .withColumn("all_m", array_join(col("all_m"), "|"))),
+    "q_percentile" -> ((s: SparkSession, d: String) =>
+      run("lineitem",
+        """[
+          {"$group": {"_id": "$l_returnflag",
+            "med": {"$median": {"input": "$l_quantity"}},
+            "pct": {"$percentile": {"input": "$l_quantity", "p": [0.25, 0.5, 0.9]}}}},
+          {"$project": {"rf": "$_id", "med": 1, "pct": 1, "_id": 0}}
+        ]""")(s, d)
+        .withColumn("med", expr("floor(med * 1000000 + 0.5) / 1000000"))
+        .withColumn("pct", expr(
+          "array_join(transform(pct, x -> cast(floor(x * 1000000 + 0.5) / 1000000 as string)), '|')"))),
+    "q_top_bottom" -> ((s: SparkSession, d: String) =>
+      run("orders",
+        """[
+          {"$group": {"_id": "$o_orderstatus",
+            "top_key": {"$top": {"output": "$o_orderkey", "sortBy": {"o_totalprice": -1}}},
+            "bot_key": {"$bottom": {"output": "$o_orderkey", "sortBy": {"o_totalprice": -1}}},
+            "top3": {"$topN": {"output": "$o_orderkey", "sortBy": {"o_totalprice": -1}, "n": 3}}}},
+          {"$project": {"status": "$_id", "top_key": 1, "bot_key": 1, "top3": 1, "_id": 0}}
+        ]""")(s, d)
+        .withColumn("top3", expr("array_join(transform(top3, x -> cast(x as string)), '|')"))),
+
+    // ---- $linearFill window interpolation over events ----
+    "q_linear_fill" -> ((spark: SparkSession, dir: String) => {
+      val ev = tbl(spark, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("v", when(col("value") < 5, lit(null)).otherwise(col("value")))
+      Aggo.aggregate(ev,
+        """[
+          {"$setWindowFields": {"partitionBy": "$user_id", "sortBy": {"ts_us": 1, "event_id": 1},
+            "output": {"vf": {"$linearFill": "$v"}}}},
+          {"$project": {"user_id": 1, "event_id": 1, "vf": 1}}
+        ]""").withColumn("vf", expr("floor(vf * 1000000 + 0.5) / 1000000"))
+    }),
+
     // ---- heterogeneous/MIXED-type fields (SURVEY §7.4.1) ----
     // Build JSONL where `v` is a number on even doc_ids and a string on odd
     // ones, run it through real schema inference (widen-to-string policy),
@@ -814,6 +877,53 @@ object SparkEntry {
           ELSE 99999 END AS bucket,
         count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer GROUP BY 1""",
+    "q_date_ops" ->
+      """SELECT o_orderkey,
+        strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_m,
+        strftime(o_orderdate - INTERVAL 45 DAY, '%Y-%m-%d') AS minus_d,
+        date_diff('day', TIMESTAMP '1995-06-15', o_orderdate) AS dd,
+        date_diff('month', TIMESTAMP '1995-06-15', o_orderdate) AS md,
+        strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS tm,
+        strftime(CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INTEGER), '%Y-%m-%d') AS tw
+      FROM orders""",
+    "q_regex_find" ->
+      """SELECT c_custkey,
+        regexp_extract(c_name, '[0-9]+') AS m,
+        CAST(strpos(c_name, regexp_extract(c_name, '[0-9]+')) - 1 AS INTEGER) AS i,
+        array_to_string(regexp_extract_all(c_name, '[0-9]+'), '|') AS all_m
+      FROM customer""",
+    "q_percentile" ->
+      """SELECT l_returnflag AS rf,
+        floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) / 1000000 AS med,
+        array_to_string(list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.9]),
+          x -> CAST(floor(x * 1000000 + 0.5) / 1000000 AS VARCHAR)), '|') AS pct
+      FROM lineitem GROUP BY 1""",
+    "q_top_bottom" ->
+      """WITH ranked AS (
+        SELECT o_orderstatus, o_orderkey,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+          count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        FROM orders)
+      SELECT o_orderstatus AS status,
+        min(CASE WHEN rn = 1 THEN o_orderkey END) AS top_key,
+        min(CASE WHEN rn = cnt THEN o_orderkey END) AS bot_key,
+        array_to_string(list_transform(list(o_orderkey ORDER BY rn) FILTER (WHERE rn <= 3),
+          x -> CAST(x AS VARCHAR)), '|') AS top3
+      FROM ranked GROUP BY 1""",
+    "q_linear_fill" ->
+      """SELECT user_id, event_id,
+        CASE WHEN v IS NOT NULL THEN floor(CAST(v AS DOUBLE) * 1000000 + 0.5) / 1000000
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               floor((CASE WHEN nv.x = pv.x THEN pv.v
+                      ELSE pv.v + (nv.v - pv.v) * (x - pv.x) / (nv.x - pv.x) END) * 1000000 + 0.5) / 1000000
+        END AS vf
+      FROM (
+        SELECT user_id, event_id, v, CAST(epoch_us(ts) AS DOUBLE) AS x,
+          last_value(CASE WHEN v IS NOT NULL THEN {'x': CAST(epoch_us(ts) AS DOUBLE), 'v': CAST(v AS DOUBLE)} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          first_value(CASE WHEN v IS NOT NULL THEN {'x': CAST(epoch_us(ts) AS DOUBLE), 'v': CAST(v AS DOUBLE)} END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        FROM (SELECT user_id, event_id, ts, CASE WHEN value < 5 THEN NULL ELSE value END AS v FROM events))""",
     "q_mixed_types" ->
       """SELECT doc_id, v, 'string' AS t
       FROM (SELECT doc_id,

@@ -531,9 +531,154 @@ object ExprTranslator {
             translate(field(fs, "input", op)).getField(f)
         }
 
+      // ---- date arithmetic (MongoDB 5.0 surface; extension beyond the
+      // ---- reference's operator set) ----
+      case "$dateAdd" | "$dateSubtract" =>
+        val fs = obj(arg, op)
+        val d = translate(field(fs, "startDate", op)).cast(TimestampType)
+        val unit = strField(fs, "unit", op)
+        val amt0 = translate(field(fs, "amount", op)).cast(LongType)
+        dateAddUnit(d, unit, if (op == "$dateSubtract") -amt0 else amt0)
+      case "$dateDiff" =>
+        val fs = obj(arg, op)
+        val s = translate(field(fs, "startDate", op)).cast(TimestampType)
+        val e = translate(field(fs, "endDate", op)).cast(TimestampType)
+        val unit = strField(fs, "unit", op)
+        // Mongo counts unit-boundary crossings, not elapsed full units
+        unit match {
+          case "year"    => (year(e) - year(s)).cast(LongType)
+          case "quarter" => ((year(e) * 4 + quarter(e)) - (year(s) * 4 + quarter(s))).cast(LongType)
+          case "month"   => ((year(e) * 12 + month(e)) - (year(s) * 12 + month(s))).cast(LongType)
+          case "week"    => (datediff(sundayTrunc(e), sundayTrunc(s)) / 7).cast(LongType)
+          case "day"     => datediff(e.cast(DateType), s.cast(DateType)).cast(LongType)
+          case "hour" | "minute" | "second" =>
+            val secs = Map("hour" -> 3600L, "minute" -> 60L, "second" -> 1L)(unit)
+            ((unix_seconds(date_trunc(unit, e)) - unix_seconds(date_trunc(unit, s))) / secs).cast(LongType)
+          case "millisecond" => unix_millis(e) - unix_millis(s)
+          case u => throw GraftException(s"$op: unsupported unit $u")
+        }
+      case "$dateTrunc" =>
+        val fs = obj(arg, op)
+        val d = translate(field(fs, "date", op)).cast(TimestampType)
+        val unit = strField(fs, "unit", op)
+        fieldOpt(fs, "binSize").foreach {
+          case JInt(b) if b == 1 => // default
+          case other => throw GraftException(s"$op: only binSize 1 is supported, got $other")
+        }
+        unit match {
+          case "week" => sundayTrunc(d).cast(TimestampType) // Mongo default startOfWeek=Sunday
+          case u @ ("year" | "quarter" | "month" | "day" | "hour" | "minute" | "second") =>
+            date_trunc(u, d)
+          case u => throw GraftException(s"$op: unsupported unit $u")
+        }
+      case "$dateFromString" =>
+        val fs = obj(arg, op)
+        val s = translate(field(fs, "dateString", op)).cast(StringType)
+        fieldOpt(fs, "format").collect { case JString(f) => f } match {
+          case Some(f) => to_timestamp(s, mongoDateFormat(f))
+          case None    => s.cast(TimestampType)
+        }
+      case "$dateFromParts" =>
+        val fs = obj(arg, op)
+        def part(n: String, dflt: Int): Column =
+          fieldOpt(fs, n).map(translate(_).cast(IntegerType)).getOrElse(lit(dflt))
+        val secs = part("second", 0).cast(DecimalType(16, 6)) +
+          fieldOpt(fs, "millisecond").map(translate(_).cast(DecimalType(16, 6)) / 1000)
+            .getOrElse(lit(java.math.BigDecimal.ZERO))
+        call_function("make_timestamp",
+          translate(field(fs, "year", op)).cast(IntegerType),
+          part("month", 1), part("day", 1), part("hour", 0), part("minute", 0), secs)
+
+      // ---- object ⇄ array (MongoDB 3.4.4 surface; extension) ----
+      case "$objectToArray" =>
+        ctx.typeOf(a1) match {
+          case Some(st: StructType) =>
+            // mixed value types widen to string — same policy as ingest
+            val widen = st.fields.map(_.dataType).distinct.length > 1
+            array(st.fields.map { f =>
+              val v = a1.getField(f.name)
+              struct(lit(f.name).as("k"), (if (widen) v.cast(StringType) else v).as("v"))
+            }.toSeq: _*)
+          case Some(_: MapType) =>
+            transform(map_entries(a1), e =>
+              struct(e.getField("key").as("k"), e.getField("value").as("v")))
+          case other => throw GraftException(s"$$objectToArray requires an object operand, got $other")
+        }
+      case "$arrayToObject" =>
+        // Dynamic keys cannot form a static struct — the result is a map
+        // (later duplicate keys win, as in Mongo).
+        ctx.typeOf(a1) match {
+          case Some(ArrayType(st: StructType, _)) if st.fieldNames.contains("k") =>
+            map_from_entries(transform(a1, x => struct(x.getField("k"), x.getField("v"))))
+          case Some(ArrayType(_: ArrayType, _)) =>
+            map_from_entries(transform(a1, x =>
+              struct(try_element_at(x, lit(1)), try_element_at(x, lit(2)))))
+          case other => throw GraftException(s"$$arrayToObject requires [{k,v}] or [[k,v]] operand, got $other")
+        }
+
+      // ---- regex find (captures omitted — documented divergence) ----
+      case "$regexFind" | "$regexFindAll" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op)).cast(StringType)
+        val re0 = strField(fs, "regex", op)
+        val opts = fieldOpt(fs, "options").collect { case JString(o) => o }.getOrElse("")
+        val re = if (opts.nonEmpty) s"(?$opts)$re0" else re0
+        if (op == "$regexFindAll") call_function("regexp_extract_all", in, lit(re), lit(0))
+        else when(in.rlike(re), struct(
+          regexp_extract(in, re, 0).as("match"),
+          (call_function("regexp_instr", in, lit(re)) - 1).cast(IntegerType).as("idx")))
+
+      // ---- bitwise (MongoDB 6.3 surface; extension) ----
+      case "$bitAnd" => as.reduceLeft(_ bitwiseAND _)
+      case "$bitOr"  => as.reduceLeft(_ bitwiseOR _)
+      case "$bitXor" => as.reduceLeft(_ bitwiseXOR _)
+      case "$bitNot" => bitwise_not(a1)
+
+      // ---- N-variant array expressions (MongoDB 5.2 surface) ----
+      case "$firstN" | "$lastN" | "$minN" | "$maxN" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val n = translate(field(fs, "n", op)).cast(IntegerType)
+        op match {
+          case "$firstN" => slice(in, lit(1), n)
+          case "$lastN"  => when(size(in) <= n, in).otherwise(slice(in, -n, n))
+          // min/max ignore nulls, as the accumulator forms do
+          case "$minN"   => slice(array_sort(filter(in, x => x.isNotNull)), lit(1), n)
+          case "$maxN"   => slice(reverse(array_sort(filter(in, x => x.isNotNull))), lit(1), n)
+        }
+
       case other => throw new graft.model.OperatorError(s"unknown expression operator $other")
     }
   }
+
+  /** Mongo `$dateAdd` by unit: calendar units go through `add_months` with
+    * the time-of-day re-applied (day-of-month clamping matches Mongo);
+    * fixed-width units are micros arithmetic. UTC session — no DST. */
+  private def dateAddUnit(d: Column, unit: String, amt: Column): Column = unit match {
+    case "year" | "quarter" | "month" =>
+      val months = unit match {
+        case "year"    => amt * 12
+        case "quarter" => amt * 3
+        case "month"   => amt
+      }
+      val newDay = add_months(d.cast(DateType), months.cast(IntegerType))
+      val timeOfDay = unix_micros(d) - unix_micros(d.cast(DateType).cast(TimestampType))
+      timestamp_micros(unix_micros(newDay.cast(TimestampType)) + timeOfDay)
+    case "week" | "day" | "hour" | "minute" | "second" | "millisecond" =>
+      val micros = Map("week" -> 7L * 86400000000L, "day" -> 86400000000L,
+        "hour" -> 3600000000L, "minute" -> 60000000L, "second" -> 1000000L,
+        "millisecond" -> 1000L)(unit)
+      timestamp_micros(unix_micros(d) + amt * micros)
+    case u => throw GraftException(s"$$dateAdd: unsupported unit $u")
+  }
+
+  /** Truncate to the preceding (or same) Sunday — Mongo's default week start. */
+  private def sundayTrunc(d: Column): Column =
+    date_sub(d.cast(DateType), dayofweek(d) - lit(1))
+
+  private def strField(fs: List[(String, JValue)], name: String, op: String): String =
+    fs.collectFirst { case (`name`, JString(s)) => s }
+      .getOrElse(throw GraftException(s"$op requires string '$name'"))
 
   private def trimOp(arg: JValue, simple: Column => Column,
                      withChars: (Column, String) => Column)(implicit ctx: ExprCtx): Column =

@@ -519,6 +519,61 @@ object StageTranslator {
         val ordered = transform(array_sort(collect_list(struct(k.as("o"), in.as("v")))), x => x.getField("v"))
         if (op == "$firstN") slice(ordered, 1, n)
         else reverse(slice(reverse(ordered), 1, n)) // last n, in encounter order
+      // Percentiles (Mongo 7.0 surface; extension). Mongo's default method
+      // is approximate t-digest; we use Spark's exact `percentile`/`median`
+      // (linear interpolation, same definition DuckDB's quantile_cont uses)
+      // — deterministic and oracle-checkable. At extreme cardinalities
+      // switch to percentile_approx.
+      case "$median" =>
+        val fs = arg match { case JObject(f) => f; case _ => throw GraftException("$median requires {input}") }
+        val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+          .getOrElse(throw GraftException("$median requires input"))
+        call_function("median", in)
+      case "$percentile" =>
+        val fs = arg match { case JObject(f) => f; case _ => throw GraftException("$percentile requires {input, p}") }
+        val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+          .getOrElse(throw GraftException("$percentile requires input"))
+        val ps = fs.collectFirst { case ("p", JArray(items)) => items.map {
+          case JDouble(d) => d
+          case JInt(i)    => i.toDouble
+          case other      => throw GraftException(s"$$percentile p values must be numeric, got $other")
+        }}.getOrElse(throw GraftException("$percentile requires p array"))
+        call_function("percentile", in, array(ps.map(lit): _*))
+      // $top/$bottom(/N) (Mongo 5.2 surface; extension): output expression
+      // of the first/last document(s) under the accumulator's own sortBy.
+      // Bounded sorted-collect; desc directions are encoded by numeric/date
+      // negation (desc on string keys is not supported here).
+      case "$top" | "$bottom" | "$topN" | "$bottomN" =>
+        val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {output, sortBy}") }
+        val out = fs.collectFirst { case ("output", v) => ExprTranslator.translate(v) }
+          .getOrElse(throw GraftException(s"$op requires output"))
+        val sortKeys = fs.collectFirst { case ("sortBy", JObject(s)) => s.map {
+          case (f, JInt(d)) => SortKey(f, d >= 0)
+          case (f, other)   => throw GraftException(s"$op sortBy direction for $f must be 1/-1, got $other")
+        }}.getOrElse(throw GraftException(s"$op requires sortBy"))
+        val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
+        if ((op == "$topN" || op == "$bottomN") && n.isEmpty)
+          throw GraftException(s"$op requires n")
+        val encoded = sortKeys.map { k =>
+          val c = ExprTranslator.translate(JString("$" + k.path))
+          if (k.asc) c
+          else ec.typeOf(c) match {
+            case Some(_: NumericType) => -c
+            case Some(TimestampType)  => -unix_micros(c)
+            case Some(DateType)       => -unix_date(c)
+            case other => throw GraftException(s"$op: descending sortBy on ${k.path} ($other) not supported")
+          }
+        }
+        val key = if (encoded.size == 1) struct(encoded.head.as("k0"))
+          else struct(encoded.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
+        val sorted = transform(
+          array_sort(collect_list(struct(key.as("o"), out.as("v")))), x => x.getField("v"))
+        op match {
+          case "$top"     => try_element_at(sorted, lit(1))
+          case "$bottom"  => try_element_at(sorted, lit(-1))
+          case "$topN"    => slice(sorted, 1, n.get)
+          case "$bottomN" => reverse(slice(reverse(sorted), 1, n.get))
+        }
       case "$mergeObjects" => throw GraftException("$mergeObjects accumulator not supported")
       case other => throw GraftException(s"unknown accumulator $other")
     }
@@ -971,6 +1026,26 @@ object StageTranslator {
             x => x.getField("v"))
         case "$first"      => first(ExprTranslator.translate(arg)).over(windowed)
         case "$last"       => last(ExprTranslator.translate(arg)).over(windowed)
+        // gap-filling window operators (Mongo 5.3 surface; extension)
+        case "$locf" =>
+          last(ExprTranslator.translate(arg), ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        case "$linearFill" =>
+          val e = ExprTranslator.translate(arg)
+          val sortKeys = sortBy.getOrElse(throw GraftException("$linearFill requires sortBy"))
+          val xc = col(sortKeys.head.path).cast("double")
+          val point = when(e.isNotNull, struct(xc.as("x"), e.cast("double").as("v")))
+          val prev = last(point, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          val nxt = first(point, ignoreNulls = true)
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+          when(e.isNotNull, e.cast("double")).otherwise(
+            when(prev.isNotNull && nxt.isNotNull,
+              // equal-x guard: Mongo requires unique sortBy values; with
+              // ties we carry the previous value instead of dividing by 0
+              when(nxt.getField("x") === prev.getField("x"), prev.getField("v"))
+                .otherwise(prev.getField("v") + (nxt.getField("v") - prev.getField("v")) *
+                  (xc - prev.getField("x")) / (nxt.getField("x") - prev.getField("x")))))
         case o             => throw GraftException(s"window operator $o not supported")
       }
       name -> c

@@ -194,6 +194,108 @@ class ExprSpec extends AnyFunSuite {
     assert(r("missingNested") == null && r("missingDeep") == null)
   }
 
+  test("$dateAdd/$dateSubtract/$dateDiff/$dateTrunc/$dateFromString/$dateFromParts") {
+    val docs = fromJsonl("""{"id": 1, "s": "2020-01-31T10:30:00"}""")
+      .selectExpr("id", "cast(s as timestamp) as d")
+    def one(expr: String): Any =
+      agg(docs, s"""[{"$$project": {"r": $expr}}]""").head("r")
+    def iso(expr: String): String =
+      one(s"""{"$$dateToString": {"date": $expr, "format": "%Y-%m-%d %H:%M:%S"}}""").toString
+    // calendar month add clamps day-of-month and keeps time of day
+    assert(iso("""{"$dateAdd": {"startDate": "$d", "unit": "month", "amount": 1}}""")
+      == "2020-02-29 10:30:00")
+    assert(iso("""{"$dateSubtract": {"startDate": "$d", "unit": "day", "amount": 31}}""")
+      == "2019-12-31 10:30:00")
+    assert(iso("""{"$dateAdd": {"startDate": "$d", "unit": "hour", "amount": 14}}""")
+      == "2020-02-01 00:30:00")
+    // boundary-crossing diffs (Mongo semantics), not elapsed units
+    assert(one("""{"$dateDiff": {"startDate": {"$dateFromString": {"dateString": "2019-12-31T23:00:00"}},
+                                 "endDate": "$d", "unit": "day"}}""") == 31L)
+    assert(one("""{"$dateDiff": {"startDate": {"$dateFromString": {"dateString": "2019-12-31T23:00:00"}},
+                                 "endDate": "$d", "unit": "month"}}""") == 1L)
+    assert(iso("""{"$dateTrunc": {"date": "$d", "unit": "month"}}""") == "2020-01-01 00:00:00")
+    // week truncation starts Sunday (2020-01-31 is a Friday → Sunday 01-26)
+    assert(iso("""{"$dateTrunc": {"date": "$d", "unit": "week"}}""") == "2020-01-26 00:00:00")
+    assert(iso("""{"$dateFromParts": {"year": 2021, "month": 3, "day": 4, "hour": 5}}""")
+      == "2021-03-04 05:00:00")
+  }
+
+  test("$objectToArray / $arrayToObject round-trip") {
+    val docs = fromJsonl("""{"id": 1, "o": {"a": 1, "b": 2}}""")
+    val kv = agg(docs,
+      """[{"$project": {"pairs": {"$map": {"input": {"$objectToArray": "$o"}, "as": "p",
+            "in": {"$concat": ["$$p.k", "=", {"$toString": "$$p.v"}]}}}}}]""").head("pairs")
+    assert(kv.asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("a=1", "b=2"))
+    // arrayToObject produces a map (dynamic keys); verify via $getField-like access
+    val m = agg(docs,
+      """[{"$project": {"m": {"$arrayToObject": {"$objectToArray": "$o"}}}},
+          {"$project": {"a": "$m.a", "b": "$m.b"}}]""").head
+    assert(m("a") == 1L && m("b") == 2L)
+  }
+
+  test("$regexFind / $regexFindAll") {
+    val docs = fromJsonl("""{"id": 1, "s": "ab12cd345"}""", """{"id": 2, "s": "none"}""")
+    val rows = agg(docs,
+      """[{"$sort": {"id": 1}},
+          {"$project": {"id": 1,
+            "f": {"$regexFind": {"input": "$s", "regex": "[0-9]+"}},
+            "all": {"$regexFindAll": {"input": "$s", "regex": "[0-9]+"}}}}]""")
+    val r1 = rows.head
+    val f1 = r1("f").asInstanceOf[org.apache.spark.sql.Row]
+    assert(f1.getAs[String]("match") == "12" && f1.getAs[Int]("idx") == 2)
+    assert(r1("all").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("12", "345"))
+    assert(rows(1)("f") == null)
+    assert(rows(1)("all").asInstanceOf[scala.collection.Seq[_]].isEmpty)
+  }
+
+  test("bit operators and N-variant array expressions") {
+    val docs = fromJsonl("""{"a": 12, "b": 10, "arr": [5, 1, null, 9, 3]}""")
+    val r = agg(docs,
+      """[{"$project": {
+          "and": {"$bitAnd": ["$a", "$b"]}, "or": {"$bitOr": ["$a", "$b"]},
+          "xor": {"$bitXor": ["$a", "$b"]}, "not": {"$bitNot": "$a"},
+          "f2": {"$firstN": {"input": "$arr", "n": 2}},
+          "l2": {"$lastN": {"input": "$arr", "n": 2}},
+          "mn2": {"$minN": {"input": "$arr", "n": 2}},
+          "mx2": {"$maxN": {"input": "$arr", "n": 2}}}}]""").head
+    assert(r("and") == 8L && r("or") == 14L && r("xor") == 6L && r("not") == -13L)
+    def s(x: Any) = x.asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(s(r("f2")) == Seq(5L, 1L) && s(r("l2")) == Seq(9L, 3L))
+    assert(s(r("mn2")) == Seq(1L, 3L) && s(r("mx2")) == Seq(9L, 5L))
+  }
+
+  test("$median/$percentile/$top/$bottom/$topN/$bottomN accumulators") {
+    val docs = fromJsonl(
+      """{"g": 1, "v": 10.0, "id": 1}""", """{"g": 1, "v": 30.0, "id": 2}""",
+      """{"g": 1, "v": 20.0, "id": 3}""", """{"g": 1, "v": 40.0, "id": 4}""")
+    val r = agg(docs,
+      """[{"$group": {"_id": "$g",
+          "med": {"$median": {"input": "$v"}},
+          "pct": {"$percentile": {"input": "$v", "p": [0.25, 0.75]}},
+          "top": {"$top": {"output": "$id", "sortBy": {"v": -1}}},
+          "bot": {"$bottom": {"output": "$id", "sortBy": {"v": -1}}},
+          "top2": {"$topN": {"output": "$id", "sortBy": {"v": -1}, "n": 2}},
+          "bot2": {"$bottomN": {"output": "$id", "sortBy": {"v": -1}, "n": 2}}}}]""").head
+    assert(r("med") == 25.0)
+    assert(r("pct").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(17.5, 32.5))
+    assert(r("top") == 4L && r("bot") == 1L)
+    def s(x: Any) = x.asInstanceOf[scala.collection.Seq[_]].toSeq
+    assert(s(r("top2")) == Seq(4L, 2L) && s(r("bot2")) == Seq(3L, 1L))
+  }
+
+  test("$locf and $linearFill window operators") {
+    val docs = fromJsonl(
+      """{"k": 1, "t": 0, "v": 10.0}""", """{"k": 1, "t": 1, "v": null}""",
+      """{"k": 1, "t": 2, "v": null}""", """{"k": 1, "t": 3, "v": 40.0}""",
+      """{"k": 1, "t": 4, "v": null}""")
+    val rows = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+          "output": {"lo": {"$locf": "$v"}, "li": {"$linearFill": "$v"}}}},
+          {"$sort": {"t": 1}}, {"$project": {"t": 1, "lo": 1, "li": 1}}]""")
+    assert(rows.map(_("lo")) == Seq(10.0, 10.0, 10.0, 40.0, 40.0))
+    assert(rows.map(_("li")) == Seq(10.0, 20.0, 30.0, 40.0, null))
+  }
+
   test("unknown operator throws (closed registry, expressions.ts:147)") {
     assertThrows[graft.model.GraftException] {
       agg(fromJsonl("""{"x": 1}"""), """[{"$project": {"y": {"$nope": 1}}}]""")
