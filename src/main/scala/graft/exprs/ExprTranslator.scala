@@ -531,6 +531,18 @@ object ExprTranslator {
             translate(field(fs, "input", op)).getField(f)
         }
 
+      // ---- $setField / $unsetField (Mongo 5.0 surface; extension).
+      // ---- Static field names only (dynamic names would need MapType). ----
+      case "$setField" =>
+        val fs = obj(arg, op)
+        val f = strField(fs, "field", op)
+        val in = translate(field(fs, "input", op))
+        in.withField(f, translate(field(fs, "value", op)))
+      case "$unsetField" =>
+        val fs = obj(arg, op)
+        val f = strField(fs, "field", op)
+        translate(field(fs, "input", op)).dropFields(f)
+
       // ---- date arithmetic (MongoDB 5.0 surface; extension beyond the
       // ---- reference's operator set) ----
       case "$dateAdd" | "$dateSubtract" =>

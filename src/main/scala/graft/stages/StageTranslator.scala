@@ -1026,6 +1026,30 @@ object StageTranslator {
             x => x.getField("v"))
         case "$first"      => first(ExprTranslator.translate(arg)).over(windowed)
         case "$last"       => last(ExprTranslator.translate(arg)).over(windowed)
+        // rate/area window operators (Mongo 5.0 surface; extension).
+        // $derivative: (Δ value)/(Δ sort key) across the frame, scaled to
+        // `unit` seconds when the sort key is time-valued (here: treated as
+        // already unit-scaled numeric — callers pass epoch columns).
+        case "$derivative" =>
+          val sfs = arg match { case JObject(s) => s; case _ => throw GraftException("$derivative requires object") }
+          val in = sfs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+            .getOrElse(throw GraftException("$derivative requires input"))
+          val keys = sortBy.getOrElse(throw GraftException("$derivative requires sortBy"))
+          val xc = col(keys.head.path).cast("double")
+          val dv = last(in.cast("double"), ignoreNulls = true).over(windowed) -
+            first(in.cast("double"), ignoreNulls = true).over(windowed)
+          val dx = last(xc, ignoreNulls = true).over(windowed) - first(xc, ignoreNulls = true).over(windowed)
+          when(dx =!= 0.0, dv / dx)
+        // $integral: running trapezoidal area under (sortKey, value)
+        case "$integral" =>
+          val sfs = arg match { case JObject(s) => s; case _ => throw GraftException("$integral requires object") }
+          val in = sfs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+            .getOrElse(throw GraftException("$integral requires input"))
+          val keys = sortBy.getOrElse(throw GraftException("$integral requires sortBy"))
+          val xc = col(keys.head.path).cast("double")
+          val v = in.cast("double")
+          val area = (v + lag(v, 1).over(w)) / 2 * (xc - lag(xc, 1).over(w))
+          coalesce(sum(area).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), lit(0.0))
         // gap-filling window operators (Mongo 5.3 surface; extension)
         case "$locf" =>
           last(ExprTranslator.translate(arg), ignoreNulls = true)

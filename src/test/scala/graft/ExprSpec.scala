@@ -283,6 +283,31 @@ class ExprSpec extends AnyFunSuite {
     assert(s(r("top2")) == Seq(4L, 2L) && s(r("bot2")) == Seq(3L, 1L))
   }
 
+  test("$setField / $unsetField") {
+    val docs = fromJsonl("""{"o": {"a": 1, "b": 2}}""")
+    val r = agg(docs,
+      """[{"$project": {
+          "set": {"$setField": {"field": "b", "input": "$o", "value": 9}},
+          "uns": {"$unsetField": {"field": "b", "input": "$o"}}}}]""").head
+    val set = r("set").asInstanceOf[org.apache.spark.sql.Row]
+    assert(set.getAs[Long]("a") == 1L && set.getAs[Int]("b") == 9)
+    assert(r("uns").asInstanceOf[org.apache.spark.sql.Row].schema.fieldNames.toSeq == Seq("a"))
+  }
+
+  test("$derivative and $integral window operators") {
+    val docs = fromJsonl(
+      """{"k": 1, "t": 0, "v": 0.0}""", """{"k": 1, "t": 2, "v": 10.0}""",
+      """{"k": 1, "t": 4, "v": 30.0}""")
+    val rows = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+          "output": {
+            "rate": {"$derivative": {"input": "$v"}, "window": {"documents": [-1, 0]}},
+            "area": {"$integral": {"input": "$v"}}}}},
+          {"$sort": {"t": 1}}, {"$project": {"t": 1, "rate": 1, "area": 1}}]""")
+    assert(rows.map(_("rate")) == Seq(null, 5.0, 10.0)) // Δv/Δt over trailing pair
+    assert(rows.map(_("area")) == Seq(0.0, 10.0, 50.0)) // running trapezoid
+  }
+
   test("$locf and $linearFill window operators") {
     val docs = fromJsonl(
       """{"k": 1, "t": 0, "v": 10.0}""", """{"k": 1, "t": 1, "v": null}""",
