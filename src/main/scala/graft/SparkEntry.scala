@@ -582,6 +582,19 @@ object SparkEntry {
         k = 5, planes = 3, tables = 24)
     }),
 
+    // ---- extensions: IVF ANN (exhaustive nprobe = oracle tier) ----
+    "q_ann_ivf" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      graft.ext.Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8)
+    }),
+
+    // ---- extensions: gap-based sessionization over events ----
+    "q_sessionize" -> ((spark: SparkSession, dir: String) => {
+      val ev = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
+    }),
+
     // ---- remaining expression-operator parity (SURVEY §2.5) ----
     "q_expr_math" -> run("lineitem",
       """[
@@ -877,6 +890,33 @@ object SparkEntry {
           ELSE 99999 END AS bucket,
         count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer GROUP BY 1""",
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+      tagged AS (
+        SELECT user_id, ts_us,
+          CASE WHEN lag(ts_us) OVER w IS NULL OR ts_us - lag(ts_us) OVER w > 600000000
+               THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+      sess AS (
+        SELECT user_id, ts_us,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+        FROM tagged)
+      SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
+        max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
+      FROM sess GROUP BY 1, 2""",
     "q_date_ops" ->
       """SELECT o_orderkey,
         strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_m,

@@ -172,6 +172,27 @@ object Kernels {
     (a, b) => f(a, b)
   }
 
+  /** Ids of the `nprobe` nearest centroids (squared L2) for a vector.
+    * Centroids ride in the closure — they are nlist×dim doubles, small by
+    * construction (an IVF codebook), broadcast with the task. */
+  def nearestCentroidsKernel(centroids: Array[Array[Double]], nprobe: Int): Column => Column = {
+    val f = udf { (v: Seq[Float]) =>
+      val dists = new Array[(Double, Int)](centroids.length)
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(v.length, c.length)
+        while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+        dists(i) = (d, i)
+        i += 1
+      }
+      dists.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+    }
+    c => f(c)
+  }
+
   /** All `tables` hyperplane sign-buckets of a vector in one pass. */
   def hyperplaneBucketsKernel(planes: Int, tables: Int, dim: Int, seed: Long): Column => Column = {
     val hp = Array.tabulate(tables) { t =>

@@ -76,6 +76,60 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF (inverted-file) ANN — the coarse-quantizer shape billion-vector
+    * indexes use:
+    *
+    *  1. *train*: `nlist` deterministic seed centroids (corpus vectors with
+    *     the smallest id hash — a TakeOrdered, not a collect of the corpus)
+    *     refined by `iterations` Lloyd steps, each one scan: assign every
+    *     vector to its nearest centroid, then an element-wise mean via
+    *     posexplode + groupBy(cluster, position);
+    *  2. *index*: one scan assigning each corpus vector a cluster id —
+    *     at scale this is the partitioning/bucketing column of the stored
+    *     index table;
+    *  3. *search*: each query probes its `nprobe` nearest centroids; the
+    *     candidate set is a cluster-id equi-join, re-ranked by exact cosine.
+    *
+    * With `nprobe == nlist` the search is exhaustive (oracle tier);
+    * recall/latency trade via `nprobe` as in any IVF index. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iterations: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    var centroids: Array[Array[Double]] = base
+      .withColumn("__h", xxhash64(col("vid") + lit(seed)))
+      .orderBy(col("__h"), col("vid")).limit(nlist)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("cv").toArray.map(_.toDouble))
+    for (_ <- 1 to iterations) {
+      val assign = Kernels.nearestCentroidsKernel(centroids, 1)
+      val means = base
+        .withColumn("cluster", element_at(assign(col("cv")), 1))
+        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      centroids = centroids.indices.map { cid =>
+        byCluster.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          case None       => centroids(cid) // empty cluster keeps its seed
+        }
+      }.toArray
+    }
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cluster", element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+    val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("cluster", explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(indexed, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` hyperplane
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is
     * tunable via (planes, tables); the shape is the IVF/LSH standard for

@@ -105,6 +105,44 @@ class ExtSpec extends AnyFunSuite {
     assert(lsh.nonEmpty && lsh.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("IVF topK: exhaustive probe equals brute force; narrow probe finds in-cluster neighbor") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def row(id: Long, v: Seq[Float]) = org.apache.spark.sql.Row(id, v)
+    val data = Seq(
+      row(0L, Seq(1f, 0f, 0f)), row(1L, Seq(0.9f, 0.1f, 0f)),
+      row(2L, Seq(0f, 1f, 0f)), row(3L, Seq(0f, 0.95f, 0.05f)),
+      row(4L, Seq(-1f, 0f, 0f)), row(5L, Seq(0f, 0f, 1f)))
+    val df = spark.createDataFrame(data.asJava, schema)
+    val q = df.filter(col("vec_id") === 0)
+    val brute = Similarity.bruteForceTopK(q, df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq.sorted
+    val ivfAll = Similarity.ivfTopK(q, df, "vec_id", "embedding", k = 3, nlist = 3, nprobe = 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))).toSeq.sorted
+    assert(ivfAll == brute) // exhaustive probe == exact
+    val ivf1 = Similarity.ivfTopK(q, df, "vec_id", "embedding", k = 1, nlist = 3, nprobe = 1)
+      .collect()
+    assert(ivf1.nonEmpty && ivf1.head.getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("sessionization: gap breaks, per-session stats, native session_window parity") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", 0L), ("u1", 100L), ("u1", 5000L), ("u1", 5100L), ("u2", 10L))
+      .toDF("user_id", "t")
+    val sessions = Sessions.sessionStats(ev, "user_id", "t", gapSec = 1000L)
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration"))).toSet
+    assert(sessions == Set(("u1", 0L, 2L, 100L), ("u1", 1L, 2L, 100L), ("u2", 0L, 1L, 0L)))
+    // native session_window (batch mode) groups the same events
+    val withTs = ev.withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(col("t")))
+    val sw = Sessions.streamingSessionCounts(withTs, "user_id", "ts", "1000 seconds")
+      .collect().map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events"))).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(sw == Map("u1" -> Seq(2L, 2L), "u2" -> Seq(1L)))
+  }
+
   test("text metrics: tokens, quality, language id, fingerprint") {
     val d = fromJsonl(
       """{"id": 1, "text": "The cat and the dog, with friends!"}""",
