@@ -104,7 +104,8 @@ object Cdc {
         (sum(sign * graft.exprs.ExprTranslator.translate(arg)) / sum(sign)).as(name)
       case (name, JObject(List((op, _)))) =>
         throw graft.model.GraftException(
-          s"accumulator $op is not algebraic under retraction ($name); use StreamingCollection recompute")
+          s"accumulator $op is not algebraic under retraction ($name); " +
+            "use Cdc.multisetDeltas ($min/$max/$addToSet/$push) or StreamingCollection recompute")
       case (name, other) =>
         throw graft.model.GraftException(s"accumulator for '$name' must be a $$-operator object, got $other")
     }
@@ -113,6 +114,61 @@ object Cdc {
       .groupBy(graft.exprs.ExprTranslator.translate(idExpr).as("_id"))
       .agg(accs.head, (accs.tail :+ live): _*)
     grouped.filter(col("__live") > 0).drop("__live")
+  }
+
+  /** Ref-counted multiset retraction for the NON-algebraic accumulators —
+    * the Spark equivalent of the reference's per-group multisets
+    * (crossfilter-ivm.ts:129-166). Two-level aggregation, fully
+    * declarative: level 1 nets the delta stream into a count per
+    * (group, value); level 2 keeps values whose net count is positive and
+    * folds them into the accumulator. A deleted minimum therefore yields
+    * the next-smallest survivor without replaying history.
+    *
+    * `$min`/`$max`/`$addToSet` have exact Mongo semantics; `$push` returns
+    * the surviving multiset in sorted order with multiplicity (encounter
+    * order is not recoverable under retraction — documented divergence;
+    * the reference's IVM path has the same limitation).
+    *
+    * Run on batch delta frames or per-microbatch via foreachBatch (chained
+    * stateful aggregations are not available in update mode). */
+  def multisetDeltas(deltas: DataFrame, signCol: String, groupJson: String): DataFrame = {
+    import org.json4s._
+    val fields = org.json4s.jackson.JsonMethods.parse(groupJson) match {
+      case JObject(fs) => fs
+      case other       => throw graft.model.GraftException(s"group spec must be an object, got $other")
+    }
+    implicit val ec: graft.exprs.ExprCtx =
+      graft.exprs.ExprCtx(Some(deltas), rootCols = deltas.columns.toSeq.filterNot(_ == signCol))
+    val idExpr = fields.collectFirst { case ("_id", v) => v }
+      .getOrElse(throw graft.model.GraftException("delta aggregation requires _id"))
+    val idCol = graft.exprs.ExprTranslator.translate(idExpr).as("_id")
+    val sign = col(signCol)
+
+    // live groups (empty-group deletion, as in aggregateDeltas)
+    val liveGroups = deltas.groupBy(idCol).agg(sum(sign).as("__live"))
+      .filter(col("__live") > 0).select(col("_id"))
+
+    val parts: Seq[DataFrame] = fields.filterNot(_._1 == "_id").map {
+      case (name, JObject(List((op, arg)))) =>
+        val value = graft.exprs.ExprTranslator.translate(arg)
+        val ms = deltas.groupBy(idCol, value.as("__v"))
+          .agg(sum(sign).as("__cnt")).filter(col("__cnt") > 0)
+        op match {
+          case "$min"      => ms.groupBy(col("_id")).agg(min(col("__v")).as(name))
+          case "$max"      => ms.groupBy(col("_id")).agg(max(col("__v")).as(name))
+          case "$addToSet" => ms.groupBy(col("_id")).agg(array_sort(collect_set(col("__v"))).as(name))
+          case "$push" =>
+            ms.groupBy(col("_id")).agg(
+              flatten(transform(
+                array_sort(collect_list(struct(col("__v").as("v"), col("__cnt").as("c")))),
+                s => array_repeat(s.getField("v"), s.getField("c").cast("int")))).as(name))
+          case other => throw graft.model.GraftException(
+            s"multisetDeltas supports $$min/$$max/$$addToSet/$$push, got $other ($name)")
+        }
+      case (name, other) =>
+        throw graft.model.GraftException(s"accumulator for '$name' must be a $$-operator object, got $other")
+    }
+    parts.foldLeft(liveGroups)((acc, p) => acc.join(p, Seq("_id"), "left"))
   }
 }
 

@@ -150,6 +150,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC multiset retraction: deleted min yields next survivor, sets/pushes shrink") {
+    import spark.implicits._
+    // a: insert 10,20,20,30 then delete 10 (the min) and one 20
+    // b: insert 5 then delete 5 (group disappears)
+    val deltas = Seq(
+      (1, "a", 10.0), (1, "a", 20.0), (1, "a", 20.0), (1, "a", 30.0), (1, "b", 5.0),
+      (-1, "a", 10.0), (-1, "a", 20.0), (-1, "b", 5.0)).toDF("sign", "user", "amount")
+    val out = graft.streaming.Cdc.multisetDeltas(deltas, "sign",
+      """{"_id": "$user",
+          "mn": {"$min": "$amount"}, "mx": {"$max": "$amount"},
+          "set": {"$addToSet": "$amount"}, "all": {"$push": "$amount"}}""")
+      .collect()
+    assert(out.length == 1) // b retracted to empty → gone
+    val a = out.head
+    assert(a.getAs[String]("_id") == "a")
+    assert(a.getAs[Double]("mn") == 20.0 && a.getAs[Double]("mx") == 30.0)
+    assert(a.getAs[scala.collection.Seq[Double]]("set").toSeq == Seq(20.0, 30.0))
+    assert(a.getAs[scala.collection.Seq[Double]]("all").toSeq == Seq(20.0, 30.0))
+  }
+
   test("blocking stages are rejected on unbounded streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
