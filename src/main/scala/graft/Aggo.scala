@@ -72,7 +72,12 @@ object Aggo {
     val pushdownBlock =
       if (pushdown.isEmpty) "== Pushdown ==\n(no file scan in plan)\n\n"
       else pushdown.mkString("== Pushdown ==\n", "\n", "\n\n")
-    header + pushdownBlock + formatted
+    val estimates = scala.util.Try {
+      val st = out.queryExecution.optimizedPlan.stats
+      s"== Estimates ==\nsizeInBytes: ${st.sizeInBytes}" +
+        st.rowCount.map(rc => s", rowCount: $rc").getOrElse("") + "\n\n"
+    }.getOrElse("")
+    header + pushdownBlock + estimates + formatted
   }
 
   /** The Catalyst operator each pipeline stage lowers to — shown by

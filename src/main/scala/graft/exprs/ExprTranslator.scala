@@ -497,6 +497,32 @@ object ExprTranslator {
       case "$toLong"   => a1.cast(LongType)
       case "$toDouble" => a1.cast(DoubleType)
       case "$toBool"   => a1.cast(BooleanType)
+      // $convert {input, to, onError, onNull}: try_cast gives the
+      // error-absorbing behavior (ANSI cast would throw), onError replaces
+      // failed conversions, onNull replaces null inputs.
+      case "$convert" =>
+        val fs = obj(arg, op)
+        val in = translate(field(fs, "input", op))
+        val to = strField(fs, "to", op)
+        val dt: DataType = to match {
+          case "int"               => IntegerType
+          case "long"              => LongType
+          case "double"            => DoubleType
+          case "decimal"           => DecimalType(38, 10)
+          case "bool"              => BooleanType
+          case "string"            => StringType
+          case "date" | "timestamp" => TimestampType
+          case other               => throw GraftException(s"$$convert: unsupported target type $other")
+        }
+        val converted = in.try_cast(dt)
+        val withErr = fieldOpt(fs, "onError").map(translate) match {
+          case Some(e) => when(in.isNotNull && converted.isNull, e).otherwise(converted)
+          case None    => converted
+        }
+        fieldOpt(fs, "onNull").map(translate) match {
+          case Some(n) => when(in.isNull, n).otherwise(withErr)
+          case None    => withErr
+        }
       case "$toDate" =>
         ctx.typeOf(a1) match {
           case Some(_: NumericType) => timestamp_millis(a1.cast(LongType))
@@ -639,6 +665,9 @@ object ExprTranslator {
         else when(in.rlike(re), struct(
           regexp_extract(in, re, 0).as("match"),
           (call_function("regexp_instr", in, lit(re)) - 1).cast(IntegerType).as("idx")))
+
+      // ---- randomness (seeded → deterministic per run; documented) ----
+      case "$rand" => rand(42L)
 
       // ---- bitwise (MongoDB 6.3 surface; extension) ----
       case "$bitAnd" => as.reduceLeft(_ bitwiseAND _)

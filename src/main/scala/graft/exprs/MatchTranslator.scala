@@ -26,6 +26,14 @@ object MatchTranslator {
         case ("$nor", JArray(qs))  => !qs.map(q => coalesce(translate(q), lit(false))).reduceLeft(_ || _)
         case ("$expr", e)          => ExprTranslator.truthy(ExprTranslator.translate(e))
         case ("$text", spec)       => textSearch(spec)
+        // seeded → deterministic per run (Mongo's is random per execution)
+        case ("$sampleRate", r)    =>
+          val rate = r match {
+            case JDouble(d) => d
+            case JInt(i)    => i.toDouble
+            case other      => throw GraftException(s"$$sampleRate requires a number, got $other")
+          }
+          rand(42L) < lit(rate)
         case ("$comment", _)       => lit(true)
         case (op, _) if op.startsWith("$") =>
           throw GraftException(s"unknown top-level $$match operator $op")

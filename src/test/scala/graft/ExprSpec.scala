@@ -283,6 +283,24 @@ class ExprSpec extends AnyFunSuite {
     assert(s(r("top2")) == Seq(4L, 2L) && s(r("bot2")) == Seq(3L, 1L))
   }
 
+  test("$convert with onError/onNull; seeded $rand/$sampleRate are deterministic") {
+    val docs = fromJsonl(
+      """{"id": 1, "s": "42"}""", """{"id": 2, "s": "nope"}""", """{"id": 3, "s": null}""")
+    val rows = agg(docs,
+      """[{"$sort": {"id": 1}},
+          {"$project": {"id": 1,
+            "v": {"$convert": {"input": "$s", "to": "int", "onError": -1, "onNull": 0}}}}]""")
+    assert(rows.map(_("v")) == Seq(42, -1, 0))
+    // seeded determinism: same pipeline twice → same sample
+    val big = Aggo.fromJSONL(spark, (1 to 200).map(i => s"""{"id": $i}"""))
+    def ids() = agg(big, """[{"$match": {"$sampleRate": 0.3}}, {"$project": {"id": 1}}]""")
+      .map(_("id")).toSet
+    val first = ids()
+    assert(first == ids() && first.nonEmpty && first.size < 200)
+    val r = agg(big, """[{"$match": {"id": 1}}, {"$project": {"r": {"$rand": {}}}}]""").head("r")
+    assert(r.asInstanceOf[Double] >= 0.0 && r.asInstanceOf[Double] < 1.0)
+  }
+
   test("$setField / $unsetField") {
     val docs = fromJsonl("""{"o": {"a": 1, "b": 2}}""")
     val r = agg(docs,

@@ -170,6 +170,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(a.getAs[scala.collection.Seq[Double]]("all").toSeq == Seq(20.0, 30.0))
   }
 
+  test("streaming sessionization: native session_window merges within gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("user_id", "secs")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("secs")))
+      .withWatermark("ts", "10 minutes")
+    val out = graft.ext.Sessions.streamingSessionCounts(events, "user_id", "ts", "100 seconds")
+    val q = out.writeStream.format("memory").queryName("s7").outputMode("complete").start()
+    try {
+      mem.addData(("u1", 0L), ("u1", 50L), ("u1", 500L), ("u2", 0L))
+      q.processAllAvailable()
+      val rows = spark.table("s7").collect()
+        .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("n_events"))).toSeq.sorted
+      assert(rows == Seq(("u1", 1L), ("u1", 2L), ("u2", 1L)))
+    } finally q.stop()
+  }
+
   test("blocking stages are rejected on unbounded streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
