@@ -959,6 +959,36 @@ object StageTranslator {
     val output = fs.collectFirst { case ("output", JObject(o)) => o }
       .getOrElse(throw GraftException("$setWindowFields requires output"))
 
+    // $expMovingAvg is a sequential recurrence (EMA_t = α·x_t + (1-α)·EMA_{t-1})
+    // no window frame can express: compute it with one hash repartition on
+    // the partition key + sortWithinPartitions + a per-partition streaming
+    // pass (the SURVEY §7.3 "mapPartitions as a last resort" case — state
+    // is one double per group). Remaining outputs continue on the result.
+    val (emaOuts, restOuts) = output.partition {
+      case (_, JObject(fs)) => fs.exists(_._1 == "$expMovingAvg")
+      case _                => false
+    }
+    if (emaOuts.nonEmpty) {
+      val part = partitionBy.map(ExprTranslator.translate)
+        .getOrElse(throw GraftException("$expMovingAvg requires partitionBy"))
+      val keys = sortBy.getOrElse(throw GraftException("$expMovingAvg requires sortBy"))
+      var frame = df
+      emaOuts.foreach { case (name, spec) =>
+        val fs = spec match { case JObject(s) => s; case _ => throw GraftException(s"output $name must be an object") }
+        val efs = fs.collectFirst { case ("$expMovingAvg", JObject(e)) => e }
+          .getOrElse(throw GraftException(s"$name: $$expMovingAvg requires an object"))
+        val in = efs.collectFirst { case ("input", v) => ExprTranslator.translate(v)(exprCtx(frame)) }
+          .getOrElse(throw GraftException("$expMovingAvg requires input"))
+        val alpha = efs.collectFirst { case ("alpha", JDouble(a)) => a }
+          .orElse(efs.collectFirst { case ("N", JInt(n)) => 2.0 / (n.toDouble + 1) })
+          .getOrElse(throw GraftException("$expMovingAvg requires alpha or N"))
+        frame = expMovingAvg(frame, part, keys, in, alpha, name)
+      }
+      if (restOuts.isEmpty) return (frame, ctx)
+      return setWindowFields(frame,
+        JObject(fs.filterNot(_._1 == "output") :+ ("output" -> JObject(restOuts))), ctx)
+    }
+
     // Unpartitioned window + sortBy: try the scale-safe two-pass rewrite
     // (range repartition + local windows + broadcast prefix offsets) before
     // falling back to the single-task global window.
@@ -1075,6 +1105,40 @@ object StageTranslator {
       name -> c
     }
     (df.withColumns(newCols.toMap), ctx)
+  }
+
+  /** One sequential EMA pass: hash-repartition on the partition key so each
+    * group is contiguous in one task, sort groups + sort keys within the
+    * partition, then stream rows carrying one double of state per group.
+    * Null inputs emit null and leave the state untouched. */
+  private def expMovingAvg(df: DataFrame, part: Column, keys: Seq[SortKey],
+                           in: Column, alpha: Double, outName: String): DataFrame = {
+    val prepared = df.withColumn("__ema_pk", part).withColumn("__ema_in", in.cast("double"))
+    val sortCols = col("__ema_pk") +:
+      keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
+    val sorted = prepared.repartition(col("__ema_pk")).sortWithinPartitions(sortCols: _*)
+    val schema = sorted.schema.add(outName, DoubleType)
+    val pkIdx = sorted.schema.fieldIndex("__ema_pk")
+    val inIdx = sorted.schema.fieldIndex("__ema_in")
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var hasKey = false
+      var ema: java.lang.Double = null
+      rows.map { r =>
+        val k = r.get(pkIdx)
+        if (!hasKey || k != curKey) { curKey = k; hasKey = true; ema = null }
+        val x = r.get(inIdx)
+        val out: java.lang.Double =
+          if (x == null) null
+          else {
+            val xv = x.asInstanceOf[Double]
+            ema = if (ema == null) xv else alpha * xv + (1 - alpha) * ema
+            ema
+          }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ out)
+      }
+    }(enc).drop("__ema_pk", "__ema_in")
   }
 
   /** Scale-safe rewrite of an UNPARTITIONED sorted window: Spark would

@@ -326,6 +326,26 @@ class ExprSpec extends AnyFunSuite {
     assert(rows.map(_("area")) == Seq(0.0, 10.0, 50.0)) // running trapezoid
   }
 
+  test("$expMovingAvg: sequential recurrence per partition, null passthrough") {
+    val docs = fromJsonl(
+      """{"k": 1, "t": 1, "v": 10.0}""", """{"k": 1, "t": 2, "v": 20.0}""",
+      """{"k": 1, "t": 3, "v": null}""", """{"k": 1, "t": 4, "v": 30.0}""",
+      """{"k": 2, "t": 1, "v": 100.0}""")
+    val rows = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+          "output": {"ema": {"$expMovingAvg": {"input": "$v", "alpha": 0.5}},
+                     "rn": {"$documentNumber": {}}}}},
+          {"$sort": {"k": 1, "t": 1}}, {"$project": {"k": 1, "t": 1, "ema": 1, "rn": 1}}]""")
+    assert(rows.map(_("ema")) == Seq(10.0, 15.0, null, 22.5, 100.0))
+    assert(rows.map(_("rn")) == Seq(1, 2, 3, 4, 1)) // other outputs still computed
+    // N form: alpha = 2/(N+1)
+    val n3 = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+          "output": {"ema": {"$expMovingAvg": {"input": "$v", "N": 3}}}}},
+          {"$match": {"k": 1, "t": 2}}, {"$project": {"ema": 1}}]""").head("ema")
+    assert(math.abs(n3.asInstanceOf[Double] - (0.5 * 20 + 0.5 * 10)) < 1e-12)
+  }
+
   test("$locf and $linearFill window operators") {
     val docs = fromJsonl(
       """{"k": 1, "t": 0, "v": 10.0}""", """{"k": 1, "t": 1, "v": null}""",
