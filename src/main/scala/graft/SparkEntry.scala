@@ -440,6 +440,16 @@ object SparkEntry {
             {"$dateTrunc": {"date": "$o_orderdate", "unit": "week"}}}}}}
       ]"""),
 
+    "q_iso_dates" -> run("orders",
+      """[
+        {"$project": {"o_orderkey": 1,
+          "iw": {"$isoWeek": "$o_orderdate"},
+          "idow": {"$isoDayOfWeek": "$o_orderdate"},
+          "iwy": {"$isoWeekYear": "$o_orderdate"},
+          "hyp": {"$let": {"vars": {"k2": {"$multiply": ["$o_orderkey", 2]}},
+                           "in": {"$add": ["$$k2", 1]}}}}}
+      ]"""),
+
     // ---- regex find / percentile / top-bottom accumulators ----
     "q_regex_find" -> ((s: SparkSession, d: String) =>
       run("customer",
@@ -925,6 +935,13 @@ object SparkEntry {
         date_diff('month', TIMESTAMP '1995-06-15', o_orderdate) AS md,
         strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS tm,
         strftime(CAST(o_orderdate AS DATE) - CAST(dayofweek(o_orderdate) AS INTEGER), '%Y-%m-%d') AS tw
+      FROM orders""",
+    "q_iso_dates" ->
+      """SELECT o_orderkey,
+        CAST(weekofyear(o_orderdate) AS INTEGER) AS iw,
+        CAST(isodow(o_orderdate) AS INTEGER) AS idow,
+        CAST(isoyear(o_orderdate) AS INTEGER) AS iwy,
+        o_orderkey * 2 + 1 AS hyp
       FROM orders""",
     "q_regex_find" ->
       """SELECT c_custkey,

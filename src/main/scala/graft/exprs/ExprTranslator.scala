@@ -545,6 +545,24 @@ object ExprTranslator {
 
       case "$literal" => litOf(arg)
 
+      // ---- $let: scoped variable bindings (expressions.ts vars handling) —
+      // vars are independent (reference outer scope only, like Mongo) ----
+      case "$let" =>
+        val fs = obj(arg, op)
+        val vars = field(fs, "vars", op) match {
+          case JObject(vs) => vs.map { case (n, v) => n -> translate(v) }
+          case other       => throw GraftException(s"$$let vars must be an object, got $other")
+        }
+        val inner = vars.foldLeft(ctx) { case (c, (n, v)) => c.withVar(n, v) }
+        translate(field(fs, "in", op))(inner)
+
+      // ---- ISO 8601 date parts ----
+      case "$isoWeek"      => weekofyear(a1)
+      case "$isoDayOfWeek" => weekday(a1) + 1 // 1=Monday..7=Sunday
+      case "$isoWeekYear"  =>
+        // year of the ISO week = year of that week's Thursday
+        year(date_add(a1.cast(DateType), lit(3) - weekday(a1)))
+
       case "$getField" =>
         arg match {
           case JString(f) => variable("CURRENT").getField(f)

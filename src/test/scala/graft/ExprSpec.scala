@@ -283,6 +283,21 @@ class ExprSpec extends AnyFunSuite {
     assert(s(r("top2")) == Seq(4L, 2L) && s(r("bot2")) == Seq(3L, 1L))
   }
 
+  test("$let scoped vars; ISO week/day/weekYear") {
+    val docs = fromJsonl("""{"a": 3, "b": 4, "d": "2021-01-01T00:00:00"}""")
+      .selectExpr("a", "b", "cast(d as timestamp) as d")
+    val r = agg(docs,
+      """[{"$project": {
+          "hyp": {"$let": {"vars": {"a2": {"$multiply": ["$a", "$a"]},
+                                    "b2": {"$multiply": ["$b", "$b"]}},
+                           "in": {"$sqrt": {"$add": ["$$a2", "$$b2"]}}}},
+          "iw": {"$isoWeek": "$d"}, "idow": {"$isoDayOfWeek": "$d"},
+          "iwy": {"$isoWeekYear": "$d"}}}]""").head
+    assert(r("hyp") == 5.0)
+    // 2021-01-01 is a Friday of ISO week 53 of ISO year 2020
+    assert(r("iw") == 53 && r("idow") == 5 && r("iwy") == 2020)
+  }
+
   test("$convert with onError/onNull; seeded $rand/$sampleRate are deterministic") {
     val docs = fromJsonl(
       """{"id": 1, "s": "42"}""", """{"id": 2, "s": "nope"}""", """{"id": 3, "s": null}""")
