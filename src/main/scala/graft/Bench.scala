@@ -96,8 +96,20 @@ object Bench {
       "minhashDedup" -> once(graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count()),
       "annTopK" -> once(graft.ext.Similarity.lshTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10).count()),
+      "ivfTopK" -> once(graft.ext.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10,
+        nlist = 16, nprobe = 4).count()),
       "textQuality" -> once(docs.select(
-        graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)))
+        graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)),
+      "sessionize" -> once {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+        graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L).count()
+      },
+      "windowTwoPass" -> once(Aggo.aggregate(li,
+        """[{"$setWindowFields": {"sortBy": {"l_extendedprice": 1},
+             "output": {"rn": {"$documentNumber": {}},
+                        "run": {"$sum": "$l_extendedprice", "window": {"documents": ["unbounded", "current"]}}}}},
+            {"$count": "n"}]""").first().getLong(0)))
 
     val total = results.map(_._2).sum
     def fmt(kvs: Seq[(String, Double)]): String =
