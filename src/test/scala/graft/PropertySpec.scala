@@ -188,4 +188,52 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, 20)
   }
+
+  test("random string/conditional expressions agree with an independent evaluator") {
+    sealed trait SE { def eval(d: Doc): String; def json: String }
+    case class FS() extends SE { def eval(d: Doc) = d.s; def json = "\"$s\"" }
+    case class SLit(v: String) extends SE { def eval(d: Doc) = v; def json = s""""$v"""" }
+    case class Upper(e: SE) extends SE {
+      def eval(d: Doc) = e.eval(d).toUpperCase
+      def json = s"""{"$$toUpper": ${e.json}}"""
+    }
+    case class Lower(e: SE) extends SE {
+      def eval(d: Doc) = e.eval(d).toLowerCase
+      def json = s"""{"$$toLower": ${e.json}}"""
+    }
+    case class ConcatE(l: SE, r: SE) extends SE {
+      def eval(d: Doc) = l.eval(d) + r.eval(d)
+      def json = s"""{"$$concat": [${l.json}, ${r.json}]}"""
+    }
+    case class SubstrE(e: SE, start: Int, len: Int) extends SE {
+      def eval(d: Doc) = { val s = e.eval(d)
+        if (start >= s.length) "" else s.substring(start, math.min(start + len, s.length)) }
+      def json = s"""{"$$substr": [${e.json}, $start, $len]}"""
+    }
+    case class CondE(thr: Long, t: SE, f: SE) extends SE {
+      def eval(d: Doc) = if (d.a > thr) t.eval(d) else f.eval(d)
+      def json = s"""{"$$cond": [{"$$gt": ["$$a", $thr]}, ${t.json}, ${f.json}]}"""
+    }
+    val leaf: Gen[SE] = Gen.oneOf(
+      Gen.const(FS()), Gen.alphaLowerStr.map(s => SLit(s.take(4))))
+    def genS(depth: Int): Gen[SE] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        2 -> leaf,
+        1 -> genS(depth - 1).map(Upper),
+        1 -> genS(depth - 1).map(Lower),
+        2 -> (for { l <- genS(depth - 1); r <- genS(depth - 1) } yield ConcatE(l, r)),
+        1 -> (for { e <- genS(depth - 1); st <- Gen.choose(0, 5); ln <- Gen.choose(0, 6) }
+               yield SubstrE(e, st, ln)),
+        2 -> (for { thr <- Gen.choose(-10L, 10L); t <- genS(depth - 1); f <- genS(depth - 1) }
+               yield CondE(thr, t, f)))
+
+    check(Prop.forAllNoShrink(genS(3)) { e =>
+      val got = Aggo.aggregate(df,
+        s"""[{"$$project": {"id": 1, "v": ${e.json}}}, {"$$sort": {"id": 1}}]""")
+        .collect().map(_.getString(1)).toSeq
+      val expected = docs.sortBy(_.id).map(e.eval)
+      got == expected
+    }, 25)
+  }
 }
