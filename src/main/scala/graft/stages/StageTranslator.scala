@@ -1048,6 +1048,35 @@ object StageTranslator {
         case "$count"      => count(lit(1)).over(windowed)
         case "$stdDevPop"  => stddev_pop(ExprTranslator.translate(arg)).over(windowed)
         case "$stdDevSamp" => stddev_samp(ExprTranslator.translate(arg)).over(windowed)
+        // Median/percentile/covariance are unordered aggregates Spark will
+        // not evaluate over an ordered frame — they compute over the whole
+        // partition (Mongo's default window for them).
+        case "$median" =>
+          val mfs = arg match { case JObject(s) => s; case _ => throw GraftException("$median requires {input}") }
+          val in = mfs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+            .getOrElse(throw GraftException("$median requires input"))
+          call_function("median", in).over(wholePartition(partitionBy))
+        case "$percentile" =>
+          val pfs = arg match { case JObject(s) => s; case _ => throw GraftException("$percentile requires {input, p}") }
+          val in = pfs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
+            .getOrElse(throw GraftException("$percentile requires input"))
+          val ps = pfs.collectFirst { case ("p", JArray(items)) => items.map {
+            case JDouble(d) => d; case JInt(i) => i.toDouble
+            case other => throw GraftException(s"$$percentile p values must be numeric, got $other")
+          }}.getOrElse(throw GraftException("$percentile requires p array"))
+          call_function("percentile", in, array(ps.map(lit): _*)).over(wholePartition(partitionBy))
+        case "$covariancePop" =>
+          val (x, y) = arg match {
+            case JArray(List(a, b)) => (ExprTranslator.translate(a), ExprTranslator.translate(b))
+            case _ => throw GraftException("$covariancePop requires [x, y]")
+          }
+          covar_pop(x.cast("double"), y.cast("double")).over(wholePartition(partitionBy))
+        case "$covarianceSamp" =>
+          val (x, y) = arg match {
+            case JArray(List(a, b)) => (ExprTranslator.translate(a), ExprTranslator.translate(b))
+            case _ => throw GraftException("$covarianceSamp requires [x, y]")
+          }
+          covar_samp(x.cast("double"), y.cast("double")).over(wholePartition(partitionBy))
         // struct-wrap so null elements survive (collect_list drops bare
         // nulls; Mongo's $push keeps them) — same trick the $group path uses
         // via its orderKey wrapper.
@@ -1105,6 +1134,14 @@ object StageTranslator {
       name -> c
     }
     (df.withColumns(newCols.toMap), ctx)
+  }
+
+  /** Whole-partition (unordered, unframed) window for aggregates Spark
+    * rejects over ordered frames. */
+  private def wholePartition(partitionBy: Option[JValue])(implicit ec: ExprCtx)
+      : org.apache.spark.sql.expressions.WindowSpec = partitionBy match {
+    case Some(p) => Window.partitionBy(ExprTranslator.translate(p))
+    case None    => Window.partitionBy()
   }
 
   /** One sequential EMA pass: hash-repartition on the partition key so each

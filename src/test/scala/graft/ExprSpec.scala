@@ -341,6 +341,26 @@ class ExprSpec extends AnyFunSuite {
     assert(rows.map(_("area")) == Seq(0.0, 10.0, 50.0)) // running trapezoid
   }
 
+  test("windowed $median/$percentile/$covariancePop/$covarianceSamp") {
+    val docs = fromJsonl(
+      """{"k": 1, "t": 1, "x": 1.0, "y": 2.0}""", """{"k": 1, "t": 2, "x": 2.0, "y": 4.0}""",
+      """{"k": 1, "t": 3, "x": 3.0, "y": 6.0}""", """{"k": 1, "t": 4, "x": 4.0, "y": 8.0}""")
+    val r = agg(docs,
+      """[{"$setWindowFields": {"partitionBy": "$k", "sortBy": {"t": 1},
+          "output": {
+            "med": {"$median": {"input": "$x"}},
+            "pct": {"$percentile": {"input": "$x", "p": [0.25]}},
+            "cvp": {"$covariancePop": ["$x", "$y"]},
+            "cvs": {"$covarianceSamp": ["$x", "$y"]}}}},
+          {"$match": {"t": 4}},
+          {"$project": {"med": 1, "pct": 1, "cvp": 1, "cvs": 1}}]""").head
+    assert(r("med") == 2.5)
+    assert(r("pct").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(1.75))
+    // cov(x, 2x): pop = 2·var_pop(x) = 2·1.25; samp = 2·var_samp = 2·(5/3)
+    assert(math.abs(r("cvp").asInstanceOf[Double] - 2.5) < 1e-12)
+    assert(math.abs(r("cvs").asInstanceOf[Double] - 10.0 / 3) < 1e-12)
+  }
+
   test("$expMovingAvg: sequential recurrence per partition, null passthrough") {
     val docs = fromJsonl(
       """{"k": 1, "t": 1, "v": 10.0}""", """{"k": 1, "t": 2, "v": 20.0}""",
