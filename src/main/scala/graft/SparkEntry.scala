@@ -541,6 +541,11 @@ object SparkEntry {
       tbl(spark, dir, "documents").select(col("doc_id"),
         qualityScore(col("text")).as("quality"))
     }),
+    "q_text_bpe" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        bpeTokenCountApprox(col("text")).as("n_bpe"))
+    }),
     "q_text_langid" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._
       tbl(spark, dir, "documents").select(col("doc_id"), col("lang"),
@@ -1014,6 +1019,10 @@ object SparkEntry {
       FROM (SELECT doc_id, text,
               list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
             FROM documents)""",
+    "q_text_bpe" ->
+      """SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+', 0)) AS INTEGER) AS n_bpe
+      FROM documents""",
     "q_text_langid" ->
       """SELECT doc_id, lang,
         CASE WHEN greatest(h_en, h_de, h_fr, h_es, h_zh) = 0 THEN 'und'

@@ -21,6 +21,16 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style subword-ish token count: segments the raw text the way
+    * GPT-family pre-tokenizers do (contraction suffixes, letter runs with an
+    * optional leading space, digit runs, punctuation runs, whitespace runs)
+    * and counts the segments. A real tokenizer then splits these further by
+    * merges, so this is a fast lower-bound estimate usable for length
+    * filtering and cost accounting at scan speed — no model file, no UDF. */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  def bpeTokenCountApprox(text: Column): Column =
+    size(call_function("regexp_extract_all", text, lit(BpePattern), lit(0)))
+
   def charCount(text: Column): Column = length(text)
 
   def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))

@@ -196,6 +196,29 @@ class ExtSpec extends AnyFunSuite {
     assert(prof.getString(0) == "hot" && prof.getLong(1) == 50L)
   }
 
+  test("bpe-ish token count segments like a GPT pre-tokenizer") {
+    val d = fromJsonl("""{"id": 1, "text": "don't stop, 42 times!"}""")
+      .select(TextFunctions.bpeTokenCountApprox(col("text")).as("n")).collect().head
+    // don | 't | _stop | , | _42 | _times | ! → 7
+    assert(d.getAs[Int]("n") == 7)
+  }
+
+  test("embedding normalize + int8 quantize round-trip") {
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("v ARRAY<FLOAT>")
+    val df = spark.createDataFrame(
+      Seq(org.apache.spark.sql.Row(Seq(3f, -4f, 0f))).asJava, schema)
+    val r = df.select(
+      Similarity.l2Normalize(col("v")).as("u"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("dq")).collect().head
+    val u = r.getAs[scala.collection.Seq[Float]]("u")
+    assert(math.abs(u(0) - 0.6f) < 1e-6 && math.abs(u(1) + 0.8f) < 1e-6)
+    val dq = r.getAs[scala.collection.Seq[Float]]("dq")
+    Seq(3f, -4f, 0f).zip(dq).foreach { case (x, y) =>
+      assert(math.abs(x - y) <= 4.0 / 127 + 1e-6) // within one quantization step
+    }
+  }
+
   test("kernel, declarative, and native-codegen cosine agree bit-for-bit") {
     import scala.jdk.CollectionConverters._
     graft.exprs.catalyst.GraftFunctions.register(spark)
