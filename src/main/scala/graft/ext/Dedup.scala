@@ -208,6 +208,30 @@ object Dedup {
   }
 
   // -------------------------------------------------------------------------
+  // Partial duplicates via content-defined chunking
+  // -------------------------------------------------------------------------
+
+  /** Partial/contained duplicate pairs: documents sharing at least
+    * `minShared` content-defined chunks (rolling-hash boundaries, see
+    * [[Kernels.chunkHashesKernel]]). Catches the cases whole-document
+    * Jaccard misses — a long quote, a copied section, containment — because
+    * shared regions keep identical chunk hashes regardless of surrounding
+    * edits. Candidate generation is an equi-join on the chunk hash; the
+    * shared count itself is the signal, so there is no re-read verify pass.
+    * Returns (id_a, id_b, shared_chunks). */
+  def chunkOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                        window: Int = 32, maskBits: Int = 6,
+                        minShared: Int = 2): DataFrame = {
+    val chunks = df.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Kernels.chunkHashesKernel(window, maskBits)(col(textCol)))).as("chunk"))
+    val a = chunks.select(col("chunk"), col("doc_id").as("id_a"))
+    val b = chunks.select(col("chunk"), col("doc_id").as("id_b"))
+    a.join(b, "chunk").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
+  // -------------------------------------------------------------------------
   // SimHash
   // -------------------------------------------------------------------------
 

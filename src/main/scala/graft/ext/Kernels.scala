@@ -172,6 +172,54 @@ object Kernels {
     (a, b) => f(a, b)
   }
 
+  /** Content-defined chunk hashes via a Rabin-Karp rolling hash: a window
+    * of `window` bytes rolls over the UTF-8 text; positions where the
+    * rolling hash has `maskBits` low zero bits end a chunk (expected chunk
+    * size 2^maskBits). Each chunk is FNV-hashed. Insertions/deletions only
+    * disturb neighboring chunks — the property that makes chunk-overlap
+    * detection robust for partial duplicates (rsync/LBFS recipe). */
+  def chunkHashesKernel(window: Int, maskBits: Int): Column => Column = {
+    val mask = (1L << maskBits) - 1
+    val Base = 257L
+    val Mod = (1L << 31) - 1
+    // Base^(window-1) mod Mod, for removing the outgoing byte
+    val basePow = {
+      var p = 1L
+      var i = 0
+      while (i < window - 1) { p = (p * Base) % Mod; i += 1 }
+      p
+    }
+    val f = udf { (text: String) =>
+      if (text == null || text.isEmpty) Seq.empty[Long]
+      else {
+        val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val out = scala.collection.mutable.ArrayBuffer[Long]()
+        var h = 0L
+        var start = 0
+        var i = 0
+        while (i < bytes.length) {
+          val in = bytes(i) & 0xFFL
+          h = (h * Base + in) % Mod
+          if (i >= window) {
+            val outByte = bytes(i - window) & 0xFFL
+            h = java.lang.Math.floorMod(h - (outByte * basePow) % Mod * Base % Mod, Mod)
+          }
+          if ((i - start + 1 >= window && (h & mask) == 0) || i == bytes.length - 1) {
+            // FNV-1a over the chunk bytes
+            var ch = 0xCBF29CE484222325L
+            var j = start
+            while (j <= i) { ch = (ch ^ (bytes(j) & 0xFFL)) * 0x100000001B3L; j += 1 }
+            out += ch
+            start = i + 1
+          }
+          i += 1
+        }
+        out.toSeq
+      }
+    }
+    c => f(c)
+  }
+
   /** Ids of the `nprobe` nearest centroids (squared L2) for a vector.
     * Centroids ride in the closure — they are nlist×dim doubles, small by
     * construction (an IVF codebook), broadcast with the task. */

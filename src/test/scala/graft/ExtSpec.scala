@@ -76,6 +76,23 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.get((1L, 3L)).exists(_ <= 16))
   }
 
+  test("chunk-overlap pairs catch partial duplicates that whole-doc jaccard misses") {
+    val shared = "the quick brown fox jumps over the lazy dog and then runs far away home " * 4
+    val partial = fromJsonl(
+      s"""{"doc_id": 1, "text": "AAAA unique prefix one. $shared"}""",
+      s"""{"doc_id": 2, "text": "BBBB different opening text here. $shared And an ending."}""",
+      """{"doc_id": 3, "text": "completely unrelated content about spark query engines and data"}""")
+    val pairs = Dedup.chunkOverlapPairs(partial, "doc_id", "text",
+      window = 16, maskBits = 4, minShared = 2)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+    // identical text → identical chunk sequence
+    val h = partial.select(Kernels.chunkHashesKernel(16, 4)(
+      org.apache.spark.sql.functions.col("text")).as("c")).collect()
+    assert(h(0).getAs[scala.collection.Seq[Long]]("c").nonEmpty)
+  }
+
   test("ngram jaccard within blocks") {
     val blocked = docs.withColumn("blk", lit(1))
     val pairs = Dedup.ngramJaccardPairs(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
