@@ -694,6 +694,20 @@ object SparkEntry {
                       "range": {"step": 1, "bounds": "partition"}}}
       ]"""),
 
+    // time-axis densify: hourly grid per user over the events table
+    "q_densify_time" -> ((spark: SparkSession, dir: String) => {
+      val ev = tbl(spark, dir, "events")
+        .withColumn("h", date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+      val grouped = ev.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
+      Aggo.aggregate(grouped,
+        """[
+          {"$densify": {"field": "h", "partitionByFields": ["user_id"],
+                        "range": {"step": 1, "unit": "hour", "bounds": "partition"}}},
+          {"$project": {"user_id": 1, "n": 1,
+            "hs": {"$dateToString": {"format": "%Y-%m-%d %H:%M:%S", "date": "$h"}}}}
+        ]""")
+    }),
+
     // ---- extensions: multimodal plumbing (stubbed codec, real plan shape) ----
     "q_multimodal" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
@@ -1215,6 +1229,12 @@ object SparkEntry {
       axis AS (SELECT k, unnest(generate_series(lo, hi)) AS t FROM b)
       SELECT axis.k, CAST(axis.t AS BIGINT) AS t, g.n
       FROM axis LEFT JOIN g ON axis.k = g.k AND axis.t = g.t""",
+    "q_densify_time" ->
+      """WITH g AS (SELECT user_id, date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1, 2),
+      b AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM g GROUP BY 1),
+      axis AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b)
+      SELECT axis.user_id, strftime(axis.h, '%Y-%m-%d %H:%M:%S') AS hs, g.n
+      FROM axis LEFT JOIN g ON axis.user_id = g.user_id AND axis.h = g.h""",
     "q_multimodal" ->
       """SELECT doc_id,
         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,

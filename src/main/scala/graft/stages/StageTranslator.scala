@@ -1316,10 +1316,12 @@ object StageTranslator {
     val output = fs.collectFirst { case ("output", JObject(o)) => o }
       .getOrElse(throw GraftException("$fill requires output"))
     val partitionBy = fs.collectFirst { case ("partitionBy", v) => ExprTranslator.translate(v) }
-    val sortBy = fs.collectFirst { case ("sortBy", JObject(s)) => s.map {
-      case (f, JInt(d)) => if (d >= 0) col(f).asc_nulls_first else col(f).desc_nulls_last
+    val sortFields = fs.collectFirst { case ("sortBy", JObject(s)) => s.map {
+      case (f, JInt(d)) => (f, d >= 0)
       case (f, _)       => throw GraftException(s"$$fill sortBy direction for $f must be 1/-1")
     }}
+    val sortBy = sortFields.map(_.map { case (f, asc) =>
+      if (asc) col(f).asc_nulls_first else col(f).desc_nulls_last })
     // Unpartitioned sorted locf: same single-task global-window hazard as
     // $setWindowFields — rewrite as local locf per range partition plus a
     // broadcast carry-in of each prior partition's last non-null value.
@@ -1352,18 +1354,33 @@ object StageTranslator {
       return (joined.drop(helpers: _*), ctx)
     }
 
-    lazy val w = {
+    lazy val baseW = {
       val base = partitionBy.map(Window.partitionBy(_)).getOrElse(Window.partitionBy())
       sortBy.map(s => base.orderBy(s: _*)).getOrElse(base)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
+    lazy val w = baseW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lazy val wNext = baseW.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val newCols = output.map {
       case (field, JObject(List(("method", JString("locf"))))) =>
         field -> last(col(field), ignoreNulls = true).over(w)
+      case (field, JObject(List(("method", JString("linear"))))) =>
+        // interpolate between the surrounding non-null values by the first
+        // sort key — same formula as the $linearFill window operator
+        val sf = sortFields.getOrElse(throw GraftException("$fill method linear requires sortBy"))
+        val xc = col(sf.head._1).cast("double")
+        val e = col(field)
+        val point = when(e.isNotNull, struct(xc.as("x"), e.cast("double").as("v")))
+        val prev = last(point, ignoreNulls = true).over(w)
+        val nxt = first(point, ignoreNulls = true).over(wNext)
+        field -> when(e.isNotNull, e.cast("double")).otherwise(
+          when(prev.isNotNull && nxt.isNotNull,
+            when(nxt.getField("x") === prev.getField("x"), prev.getField("v"))
+              .otherwise(prev.getField("v") + (nxt.getField("v") - prev.getField("v")) *
+                (xc - prev.getField("x")) / (nxt.getField("x") - prev.getField("x")))))
       case (field, JObject(List(("value", v)))) =>
         field -> coalesce(col(field), ExprTranslator.translate(v))
       case (field, other) =>
-        throw GraftException(s"$$fill output for $field must be {method: locf} or {value: expr}, got $other")
+        throw GraftException(s"$$fill output for $field must be {method: locf|linear} or {value: expr}, got $other")
     }
     (df.withColumns(newCols.toMap), ctx)
   }
@@ -1382,12 +1399,25 @@ object StageTranslator {
       p.collect { case JString(s) => s } }.getOrElse(Nil)
     val range = fs.collectFirst { case ("range", JObject(r)) => r }
       .getOrElse(throw GraftException("$densify requires range"))
-    // integral step → LONG axis, fractional → DOUBLE; bounds are cast to the
-    // same type so `sequence` typechecks regardless of the field's width.
-    val (step, axisType: DataType) = range.collectFirst {
-      case ("step", JInt(s))    => (lit(s.toLong), LongType)
-      case ("step", JDouble(s)) => (lit(s), DoubleType)
-    }.getOrElse(throw GraftException("$densify range requires numeric step"))
+    // integral step → LONG axis, fractional → DOUBLE; with a `unit` the
+    // axis is TIMESTAMP and the step an interval (Mongo time-series form).
+    // Bounds are cast to the axis type so `sequence` typechecks regardless
+    // of the field's width.
+    val unit = range.collectFirst { case ("unit", JString(u)) => u }
+    val (step, axisType: DataType) = unit match {
+      case Some(u) =>
+        val n = range.collectFirst {
+          case ("step", JInt(s)) => s.toLong
+        }.getOrElse(throw GraftException("$densify range requires an integer step with unit"))
+        val valid = Set("year", "quarter", "month", "week", "day", "hour", "minute", "second", "millisecond")
+        if (!valid(u)) throw GraftException(s"$$densify: unsupported unit $u")
+        val iv = if (u == "millisecond") s"interval ${n} millisecond" else s"interval $n $u"
+        (expr(iv), TimestampType)
+      case None => range.collectFirst {
+        case ("step", JInt(s))    => (lit(s.toLong), LongType)
+        case ("step", JDouble(s)) => (lit(s), DoubleType)
+      }.getOrElse(throw GraftException("$densify range requires numeric step"))
+    }
     val boundsSpec = range.collectFirst { case ("bounds", v) => v }.getOrElse(JString("partition"))
 
     val pcols = partitions.map(col)

@@ -486,6 +486,29 @@ class StageSpec extends AnyFunSuite {
       """[{"$densify": {"field": "t", "range": {"step": 1, "bounds": [0, 3]}}},
           {"$sort": {"t": 1}}, {"$project": {"t": 1}}]""")
     assert(bounded.map(_("t")) == Seq(0L, 1L, 2L))
+    // time axis: unit generates timestamp steps
+    val ts = fromJsonl(
+      """{"k": "a", "t": "2020-01-01T00:00:00"}""",
+      """{"k": "a", "t": "2020-01-01T03:00:00"}""")
+      .selectExpr("k", "cast(t as timestamp) as t")
+    val hours = agg(ts,
+      """[{"$densify": {"field": "t", "partitionByFields": ["k"],
+                        "range": {"step": 1, "unit": "hour", "bounds": "partition"}}},
+          {"$sort": {"t": 1}},
+          {"$project": {"h": {"$dateToString": {"format": "%H", "date": "$t"}}}}]""")
+    assert(hours.map(_("h")) == Seq("00", "01", "02", "03"))
+  }
+
+  test("$fill method linear interpolates between surrounding values") {
+    val docs = fromJsonl(
+      """{"k": 1, "t": 0, "v": 10.0}""", """{"k": 1, "t": 1, "v": null}""",
+      """{"k": 1, "t": 2, "v": null}""", """{"k": 1, "t": 3, "v": 40.0}""",
+      """{"k": 1, "t": 4, "v": null}""")
+    val rows = agg(docs,
+      """[{"$fill": {"partitionBy": "$k", "sortBy": {"t": 1},
+                     "output": {"v": {"method": "linear"}}}},
+          {"$sort": {"t": 1}}, {"$project": {"t": 1, "v": 1}}]""")
+    assert(rows.map(_("v")) == Seq(10.0, 20.0, 30.0, 40.0, null))
   }
 
   test("$setWindowFields $push preserves null elements") {
