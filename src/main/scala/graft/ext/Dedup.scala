@@ -20,7 +20,7 @@ object Dedup {
     * executor memory for the caller to forget about (at cluster scale this
     * is the "write the signature table once" step). The write is eager; the
     * returned frame has a plain scan lineage. */
-  private def spill(df: DataFrame, prefix: String): DataFrame = {
+  private[graft] def spill(df: DataFrame, prefix: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
     dir.deleteOnExit()
     val path = new java.io.File(dir, "data").getAbsolutePath

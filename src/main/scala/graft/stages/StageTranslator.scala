@@ -1484,6 +1484,8 @@ object StageTranslator {
     var results: DataFrame = null
     var depth = 0
     var done = false
+    // track every per-level persist so nothing stays pinned after the stage
+    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!done && depth <= maxDepth) {
       val matched = foreign.join(frontier, foreign(connectTo) === frontier("__key"))
         .select(col("__gid"), fStruct.as("__doc"),
@@ -1491,15 +1493,21 @@ object StageTranslator {
         .persist()
       if (matched.isEmpty) { matched.unpersist(); done = true }
       else {
+        pinned += matched
         results = if (results == null) matched else results.unionByName(matched)
         frontier = matched.select(col("__gid"), col("__next").as("__key"))
           .filter(col("__key").isNotNull).distinct()
           .join(visited, Seq("__gid", "__key"), "left_anti")
           .persist() // cut lineage growth across BFS levels
+        pinned += frontier
         visited = visited.unionByName(frontier)
         depth += 1
       }
     }
+    // spill the accumulated matches so the per-level persists can be
+    // released before returning (same no-pinned-RDD contract as Dedup)
+    if (results != null) results = graft.ext.Dedup.spill(results, "graft-graphlookup")
+    pinned.foreach(_.unpersist())
     val collected =
       if (results == null)
         withId.select(col("__gid")).limit(0)

@@ -523,6 +523,20 @@ class StageSpec extends AnyFunSuite {
     assert(r("vs").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(10L, null, 30L))
   }
 
+  test("$graphLookup pins no RDDs after the pipeline returns") {
+    val employees = fromJsonl(
+      """{"name": "ceo", "boss": null}""",
+      """{"name": "vp", "boss": "ceo"}""",
+      """{"name": "ic", "boss": "vp"}""")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Aggo.aggregate(employees,
+      """[{"$graphLookup": {"from": "employees", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "name", "as": "chain"}}]""",
+      Map("employees" -> employees)).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty, "$graphLookup leaked persisted RDDs")
+  }
+
   test("$graphLookup walks a hierarchy breadth-first with depth") {
     val employees = fromJsonl(
       """{"name": "ceo", "boss": null}""",
