@@ -44,7 +44,8 @@ object Aggo {
     val (out, _) = stages.foldLeft((ingested, init)) { case ((d, ctx), (name, body)) =>
       StageTranslator(d, name, body, ctx)
     }
-    if (out.columns.contains(StageTranslator.SeqCol)) out.drop(StageTranslator.SeqCol) else out
+    out.drop(out.columns.filter(c =>
+      c == StageTranslator.SeqCol || c == StageTranslator.SeqCol2): _*)
   }
 
   /** `Aggo.count` (reference: src/aggo/count.ts:9-13). */

@@ -42,8 +42,13 @@ final case class PipeCtx(
 object StageTranslator {
 
   val SeqCol = "_seq"
+  /** Intra-document tiebreak for encounter order: $unwind duplicates a
+    * document's `_seq` across its array elements, so element order needs a
+    * second key (the array position). */
+  val SeqCol2 = "_seq2"
 
-  def userCols(df: DataFrame): Seq[String] = df.columns.toSeq.filterNot(_ == SeqCol)
+  def userCols(df: DataFrame): Seq[String] =
+    df.columns.toSeq.filterNot(c => c == SeqCol || c == SeqCol2)
 
   private def exprCtx(df: DataFrame): ExprCtx = ExprCtx(Some(df), rootCols = userCols(df))
 
@@ -51,8 +56,11 @@ object StageTranslator {
     * a no-op when a $sort is already in effect (its order stands), else an
     * orderBy on the ingest `_seq` when it was stamped. */
   private def encounterOrdered(df: DataFrame, ctx: PipeCtx): DataFrame =
-    if (ctx.order.isEmpty && ctx.hasSeq && df.columns.contains(SeqCol)) df.orderBy(col(SeqCol))
-    else df
+    if (ctx.order.isEmpty && ctx.hasSeq && df.columns.contains(SeqCol)) {
+      val keys = col(SeqCol) +:
+        (if (df.columns.contains(SeqCol2)) Seq(col(SeqCol2)) else Nil)
+      df.orderBy(keys: _*)
+    } else df
 
   def apply(df: DataFrame, name: String, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = name match {
     case "$match" =>
@@ -140,7 +148,10 @@ object StageTranslator {
         case _ => body
       }
       val c = ExprTranslator.translate(newRoot)
-      val keep: Seq[Column] = if (ctx.hasSeq && df.columns.contains(SeqCol)) Seq(col(SeqCol)) else Nil
+      val keep: Seq[Column] =
+        if (ctx.hasSeq && df.columns.contains(SeqCol))
+          Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil) map col
+        else Nil
       val tmp = df.select(keep :+ c.as("__root"): _*)
       val rootT = tmp.schema("__root").dataType match {
         case st: StructType => st
@@ -170,7 +181,8 @@ object StageTranslator {
           stages.map(graft.model.PipelineParser.stageOf), ctx.collections)
         case None => foreignRaw
       }
-      val fSeq = foreign.withColumn(SeqCol, monotonically_increasing_id() + lit(Long.MaxValue / 2))
+      val fSeq0 = foreign.withColumn(SeqCol, monotonically_increasing_id() + lit(Long.MaxValue / 2))
+      val fSeq = if (df.columns.contains(SeqCol2)) fSeq0.withColumn(SeqCol2, lit(0L)) else fSeq0
       (df.unionByName(fSeq, allowMissingColumns = true), ctx)
 
     case "$sample" =>
@@ -249,7 +261,7 @@ object StageTranslator {
           (p, fs.collectFirst { case ("format", JString(f)) => f }.getOrElse("parquet"))
         case _ => throw GraftException("$out requires a path string or {path, format}")
       }
-      df.drop(df.columns.filter(_ == SeqCol): _*).write.mode("overwrite").format(format).save(path)
+      df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2): _*).write.mode("overwrite").format(format).save(path)
       (df, ctx)
 
     case "$merge" =>
@@ -267,7 +279,7 @@ object StageTranslator {
       val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("replace")
       if (whenMatched != "replace" && whenMatched != "keepExisting")
         throw new graft.model.ValidationError(s"$$merge whenMatched must be replace|keepExisting, got $whenMatched")
-      val incoming = df.drop(df.columns.filter(_ == SeqCol): _*)
+      val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2): _*)
       val spark = df.sparkSession
       val merged =
         if (!new java.io.File(into).exists()) incoming
@@ -369,7 +381,10 @@ object StageTranslator {
         case b: Branch => struct(b.children.toSeq.map { case (n, ch) => build(ch).as(n) }: _*)
       }
       val outCols: Seq[Column] = root.children.toSeq.map { case (name, node) => build(node).as(name) }
-      val withSeq = if (ctx.hasSeq && df.columns.contains(SeqCol)) outCols :+ col(SeqCol) else outCols
+      val withSeq =
+        if (ctx.hasSeq && df.columns.contains(SeqCol))
+          outCols ++ (Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil)).map(col)
+        else outCols
       (df.select(withSeq: _*), ctx)
     }
   }
@@ -436,15 +451,20 @@ object StageTranslator {
           }
         }
         if (encoded.forall(_.isDefined)) {
-          val tiebreak = if (ctx.hasSeq && df.columns.contains(SeqCol)) Seq(col(SeqCol)) else Nil
+          val tiebreak =
+            if (ctx.hasSeq && df.columns.contains(SeqCol))
+              (Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil)).map(col)
+            else Nil
           struct(encoded.flatten ++ tiebreak: _*)
         } else {
           val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
           row_number().over(Window.orderBy(sortCols: _*))
         }
       case None =>
-        if (ctx.hasSeq && df.columns.contains(SeqCol)) col(SeqCol)
-        else row_number().over(Window.orderBy(to_json(struct(col("*")))))
+        if (ctx.hasSeq && df.columns.contains(SeqCol)) {
+          if (df.columns.contains(SeqCol2)) struct(col(SeqCol), col(SeqCol2))
+          else col(SeqCol)
+        } else row_number().over(Window.orderBy(to_json(struct(col("*")))))
     }
   }
 
@@ -593,21 +613,30 @@ object StageTranslator {
         (p, idx, pres)
       case _ => throw GraftException("$unwind requires a string path or object")
     }
+    // When encounter order is tracked, the array position becomes the
+    // intra-document tiebreak `_seq2` — without it every element of one
+    // document ties on `_seq` and $limit/$push after $unwind would be
+    // partition-order-dependent.
+    val needSeq2 = ctx.hasSeq && df.columns.contains(SeqCol)
     if (path.contains('.')) {
       // Nested path at any depth: explode `a.b...z` and substitute the
       // element back at the same path (Mongo keeps the unwound value in
       // place). withField resolves the dotted remainder recursively.
       val parts = path.split('.')
       val (top, sub) = (parts.head, parts.tail.mkString("."))
-      val gen = (includeIdx, preserve) match {
-        case (Some(ix), true)  => posexplode_outer(col(path)).as(Seq(ix, "__u"))
-        case (Some(ix), false) => posexplode(col(path)).as(Seq(ix, "__u"))
-        case (None, true)      => explode_outer(col(path)).as("__u")
-        case (None, false)     => explode(col(path)).as("__u")
+      val posName = includeIdx.getOrElse("__upos")
+      val usePos = includeIdx.isDefined || needSeq2
+      val gen = (usePos, preserve) match {
+        case (true, true)   => posexplode_outer(col(path)).as(Seq(posName, "__u"))
+        case (true, false)  => posexplode(col(path)).as(Seq(posName, "__u"))
+        case (false, true)  => explode_outer(col(path)).as("__u")
+        case (false, false) => explode(col(path)).as("__u")
       }
-      val exploded = df.select(col("*"), gen)
+      var exploded = df.select(col("*"), gen)
         .withColumn(top, col(top).withField(sub, col("__u")))
         .drop("__u")
+      if (needSeq2) exploded = exploded.withColumn(SeqCol2, col(posName).cast(LongType))
+      if (usePos && includeIdx.isEmpty) exploded = exploded.drop(posName)
       val withIdx = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType)))
         .getOrElse(exploded)
       return (withIdx, ctx)
@@ -620,19 +649,26 @@ object StageTranslator {
     if (!isArr) {
       // non-array values pass through unchanged; null/missing dropped unless preserved
       val out = if (preserve) df else df.filter(col(path).isNotNull)
-      val withIdx = includeIdx.map(ix => out.withColumn(ix, lit(null).cast(LongType))).getOrElse(out)
+      val withSeq2 = if (needSeq2) out.withColumn(SeqCol2, lit(0L)) else out
+      val withIdx = includeIdx.map(ix => withSeq2.withColumn(ix, lit(null).cast(LongType))).getOrElse(withSeq2)
       return (withIdx, ctx)
     }
     val originalOrder = df.columns.toSeq
     val others = originalOrder.filterNot(_ == path).map(col)
-    val exploded = (includeIdx, preserve) match {
-      case (Some(ix), true)  => df.select(others :+ posexplode_outer(col(path)).as(Seq(ix, path)): _*)
-      case (Some(ix), false) => df.select(others :+ posexplode(col(path)).as(Seq(ix, path)): _*)
-      case (None, true)      => df.select(others :+ explode_outer(col(path)).as(path): _*)
-      case (None, false)     => df.select(others :+ explode(col(path)).as(path): _*)
+    val posName = includeIdx.getOrElse("__upos")
+    val usePos = includeIdx.isDefined || needSeq2
+    var exploded = (usePos, preserve) match {
+      case (true, true)   => df.select(others :+ posexplode_outer(col(path)).as(Seq(posName, path)): _*)
+      case (true, false)  => df.select(others :+ posexplode(col(path)).as(Seq(posName, path)): _*)
+      case (false, true)  => df.select(others :+ explode_outer(col(path)).as(path): _*)
+      case (false, false) => df.select(others :+ explode(col(path)).as(path): _*)
     }
+    if (needSeq2) exploded = exploded.withColumn(SeqCol2, col(posName).cast(LongType))
     val idxCast = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType))).getOrElse(exploded)
-    val finalOrder = originalOrder ++ includeIdx.filterNot(originalOrder.contains)
+    // a second $unwind overwrites _seq2 with its own position (the combined
+    // lexicographic order is approximated by the innermost position)
+    val finalOrder = (originalOrder ++ includeIdx.filterNot(originalOrder.contains)) ++
+      (if (needSeq2 && !originalOrder.contains(SeqCol2)) Seq(SeqCol2) else Nil)
     (idxCast.select(finalOrder.map(col): _*), ctx)
   }
 

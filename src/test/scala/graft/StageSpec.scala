@@ -135,6 +135,14 @@ class StageSpec extends AnyFunSuite {
         assert(math.abs(r.getAs[Double]("ravg") - xs.sum / xs.size) < 1e-9)
       }
     }
+    // descending sort keys: range partitions follow the sort direction
+    val desc = Aggo.aggregate(df,
+      """[{"$setWindowFields": {"sortBy": {"v": -1},
+           "output": {"rn": {"$documentNumber": {}},
+                      "rmax": {"$max": "$x", "window": {"documents": ["unbounded", "current"]}}}}}]""")
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Int]("rn"))).toMap
+    (0L until 1000L).foreach { v => assert(desc(v) == (1000 - v).toInt) }
+
     // ties spanning range boundaries: rank/denseRank still exact
     val ties = Aggo.aggregate(df,
       """[{"$setWindowFields": {"sortBy": {"g": 1},
@@ -161,6 +169,22 @@ class StageSpec extends AnyFunSuite {
       // all-null group → 0 in reference mode, not null
       assert(agg(fromJsonl("""{"k": 1, "v": null}"""), pipe).head("a") == 0.0)
     } finally spark.conf.unset("graft.parity.avg")
+  }
+
+  test("array element order survives $unwind into $limit and $push") {
+    val docs = fromJsonl(
+      """{"id": 1, "arr": [10, 20, 30, 40]}""",
+      """{"id": 2, "arr": [50, 60]}""")
+    val limited = Aggo.aggregate(docs.repartition(3),
+      """[{"$unwind": "$arr"}, {"$limit": 2}]""")
+      .collect().map(_.getAs[Long]("arr")).toSeq
+    // whichever document comes first, its elements must appear in array order
+    assert(limited == Seq(10L, 20L) || limited == Seq(50L, 60L))
+    val pushed = agg(docs,
+      """[{"$unwind": "$arr"},
+          {"$group": {"_id": "$id", "vals": {"$push": "$arr"}}}, {"$sort": {"_id": 1}}]""")
+      .map(_("vals").asInstanceOf[scala.collection.Seq[_]].toSeq)
+    assert(pushed == Seq(Seq(10L, 20L, 30L, 40L), Seq(50L, 60L)))
   }
 
   test("$bucket order-sensitive accumulators respect encounter order") {
