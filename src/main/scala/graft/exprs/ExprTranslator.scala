@@ -390,11 +390,41 @@ object ExprTranslator {
           case _ => throw GraftException("$range expects 2-3 args")
         }
       case "$zip" =>
+        // operators.ts $zip: result length = shortest input by default;
+        // useLongestLength pads with per-input defaults (null if absent);
+        // any null/missing input → null. Mongo emits array-of-arrays; we
+        // emit array-of-structs with positional field names ("0","1",...)
+        // so heterogeneous element types stay statically typed.
         val fs = obj(arg, op)
-        field(fs, "inputs", op) match {
-          case JArray(List(x, y)) => arrays_zip(translate(x), translate(y))
-          case _ => throw GraftException("$zip supports exactly 2 inputs")
+        val inputs = field(fs, "inputs", op) match {
+          case JArray(xs) if xs.nonEmpty => xs.map(translate)
+          case _ => throw GraftException("$zip requires a non-empty 'inputs' array")
         }
+        val useLongest = fieldOpt(fs, "useLongestLength")
+          .collect { case JBool(b) => b }.getOrElse(false)
+        // A missing field / literal null input is statically VOID-typed and
+        // can't feed element_at; Mongo's answer is null regardless.
+        if (inputs.exists(in => ctx.typeOf(in).contains(NullType)))
+          return lit(null)
+        val dcols: List[Column] = fieldOpt(fs, "defaults") match {
+          case Some(JArray(ds)) if useLongest =>
+            if (ds.size != inputs.size)
+              throw GraftException("$zip 'defaults' must have one entry per input")
+            ds.map(translate)
+          case _ => inputs.map(_ => lit(null))
+        }
+        val outLen =
+          if (useLongest) inputs.map(size).reduce(greatest(_, _))
+          else inputs.map(size).reduce(least(_, _))
+        // sequence() infers direction, so floor the bound at 1 and slice
+        // back down — slice(x, 1, 0) is the typed empty array.
+        val body = slice(
+          transform(sequence(lit(1), greatest(outLen, lit(1))), i =>
+            struct(inputs.zip(dcols).zipWithIndex.map { case ((in, d), k) =>
+              when(i <= size(in), element_at(in, i)).otherwise(d).as(k.toString)
+            }: _*)),
+          lit(1), outLen)
+        when(inputs.map(_.isNull).reduce(_ || _), lit(null)).otherwise(body)
       case "$isArray" =>
         ctx.typeOf(a1) match {
           case Some(_: ArrayType) => a1.isNotNull

@@ -394,6 +394,25 @@ class ExprSpec extends AnyFunSuite {
     assert(rows.map(_("li")) == Seq(10.0, 20.0, 30.0, 40.0, null))
   }
 
+  test("$zip truncates to shortest; useLongestLength pads with defaults; null input yields null") {
+    val docs = fromJsonl("""{"a": [1, 2, 3], "b": ["x", "y"]}""")
+    def elems(v: Any): Seq[(Any, Any)] =
+      v.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+        .map(r => (r.get(0), r.get(1))).toSeq
+    val short = agg(docs, """[{"$project": {"z": {"$zip": {"inputs": ["$a", "$b"]}}}}]""").head("z")
+    assert(elems(short) == Seq((1L, "x"), (2L, "y")))
+    val longPad = agg(docs,
+      """[{"$project": {"z": {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": true}}}}]"""
+    ).head("z")
+    assert(elems(longPad) == Seq((1L, "x"), (2L, "y"), (3L, null)))
+    val longDef = agg(docs,
+      """[{"$project": {"z": {"$zip": {"inputs": ["$a", "$b"], "useLongestLength": true,
+           "defaults": [0, "pad"]}}}}]""").head("z")
+    assert(elems(longDef) == Seq((1L, "x"), (2L, "y"), (3L, "pad")))
+    val nul = agg(docs, """[{"$project": {"z": {"$zip": {"inputs": ["$a", "$missing"]}}}}]""").head("z")
+    assert(nul == null)
+  }
+
   test("unknown operator throws (closed registry, expressions.ts:147)") {
     assertThrows[graft.model.GraftException] {
       agg(fromJsonl("""{"x": 1}"""), """[{"$project": {"y": {"$nope": 1}}}]""")
