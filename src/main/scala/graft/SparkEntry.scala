@@ -403,8 +403,8 @@ object SparkEntry {
       ]"""),
     "q_sample" -> run("orders",
       """[
-        {"$sample": {"size": 25}},
-        {"$project": {"o_orderkey": 1, "o_totalprice": 1}}
+        {"$project": {"o_orderkey": 1, "o_custkey": 1, "_id": 0}},
+        {"$sample": {"size": 25}}
       ]"""),
     "q_facet" -> ((s: SparkSession, d: String) =>
       run("orders",
@@ -909,6 +909,10 @@ object SparkEntry {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""",
     "q_union" ->
       "SELECT c_name AS name, c_custkey AS k FROM customer UNION ALL SELECT s_name, s_suppkey FROM supplier",
+    "q_sample" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+      ORDER BY md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)))
+      LIMIT 25""",
     "q_bucket" ->
       """SELECT CASE
           WHEN c_acctbal >= -1000 AND c_acctbal < 0 THEN -1000
@@ -940,8 +944,8 @@ object SparkEntry {
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
       sess AS (
         SELECT user_id, ts_us,
-          sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx
         FROM tagged)
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration

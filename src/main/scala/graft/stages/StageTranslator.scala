@@ -191,8 +191,14 @@ object StageTranslator {
           .getOrElse(throw GraftException("$sample requires {size: n}"))
         case _ => throw GraftException("$sample requires {size: n}")
       }
-      // Deterministic seeded sample: order by hash of the row. Scales (TakeOrdered).
-      (df.orderBy(xxhash64(struct(userCols(df).map(col): _*))).limit(n), ctx)
+      // Deterministic seeded sample: order by a hash of the row, take n
+      // (TakeOrderedAndProject — scales; no global sort materialized).
+      // md5 over a ctrl-A-joined string cast of each column, rather than
+      // xxhash64, so an external SQL engine (the DuckDB oracle) can
+      // recompute the identical ordering: md5 is universal, xxhash64's
+      // seed/variant is Spark-specific.
+      val sampleKey = md5(concat_ws("\u0001", userCols(df).map(c => col(c).cast("string")): _*))
+      (df.orderBy(sampleKey).limit(n), ctx)
 
     case "$bucket" => bucket(df, body, ctx)
 
