@@ -15,17 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Spill an intermediate frame to a session-temp parquet path and read it
+  /** Scratch root for spills, resolved per session. Priority:
+    * `spark.graft.scratchDir` conf → the SparkContext checkpoint dir →
+    * a driver-local temp dir, but ONLY under a local master. On a real
+    * cluster a driver-local path is silently wrong (executors write to
+    * *their* local disks and the read-back sees nothing), so with no
+    * cluster-visible location configured we refuse loudly instead. */
+  private[graft] def scratchRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("spark.graft.scratchDir")
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse {
+        if (spark.sparkContext.isLocal)
+          java.nio.file.Files.createTempDirectory("graft-scratch").toString
+        else
+          throw new IllegalStateException(
+            "graft spill needs a cluster-visible scratch location: set spark.graft.scratchDir " +
+              "(any Hadoop-FS URI all executors can reach) or sparkContext.setCheckpointDir")
+      }
+
+  /** Spill an intermediate frame to a scratch parquet path and read it
     * back: the multi-branch reuse a `persist()` would give, without pinning
     * executor memory for the caller to forget about (at cluster scale this
     * is the "write the signature table once" step). The write is eager; the
-    * returned frame has a plain scan lineage. */
+    * returned frame has a plain scan lineage. The path lives under
+    * [[scratchRoot]] — a shared filesystem on a cluster — and is deleted at
+    * JVM exit through the owning Hadoop FileSystem. */
   private[graft] def spill(df: DataFrame, prefix: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory(prefix).toFile
-    dir.deleteOnExit()
-    val path = new java.io.File(dir, "data").getAbsolutePath
-    df.write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
+    val spark = df.sparkSession
+    val path = new org.apache.hadoop.fs.Path(
+      scratchRoot(spark), s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
+    df.write.mode("overwrite").parquet(path.toString)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.deleteOnExit(path)
+    spark.read.parquet(path.toString)
   }
 
   // -------------------------------------------------------------------------

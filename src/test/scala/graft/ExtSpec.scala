@@ -33,6 +33,21 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("spill honors spark.graft.scratchDir and writes nothing elsewhere") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft-scratch-spec").toString
+    spark.conf.set("spark.graft.scratchDir", scratch)
+    try {
+      assert(Dedup.scratchRoot(spark) == scratch)
+      val back = Dedup.spill(docs, "spec-spill")
+      assert(back.count() == 4)
+      val children = new java.io.File(scratch).listFiles()
+      assert(children != null && children.exists(_.getName.startsWith("spec-spill-")),
+        "spill did not write under the configured scratch dir")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+    // with no conf and a local master, resolution falls back to a temp dir
+    assert(Dedup.scratchRoot(spark) != scratch)
+  }
+
   test("minhashLshPairs pins no RDDs after returning (signatures spilled, not persisted)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashLshPairs(docs, "doc_id", "text",
