@@ -64,7 +64,21 @@ object Bench {
       .repartition(nPart).cache()
     val nRows = li.count()
 
-    def timed(pipeline: String): Double = {
+    // A recorded run's number is only trustworthy if the run itself was
+    // quiet: round-2's bench recorded a phantom 4x "regression" that a
+    // re-run on an idle machine couldn't reproduce. So each query reports
+    // its full iteration spread (min/median/max) and the JSON carries a
+    // `noisy` flag when any query's max/min exceeds 2x — a self-evident
+    // "this machine was contended, re-run before concluding anything".
+    final case class Stat(iters: Seq[Double]) {
+      val sorted: Seq[Double] = iters.sorted
+      def min: Double = sorted.head
+      def med: Double = sorted(sorted.size / 2)
+      def max: Double = sorted.last
+      def noisy: Boolean = max / math.max(min, 1e-9) > 2.0
+    }
+
+    def timed(pipeline: String): Stat = {
       // Plan once, execute repeatedly: the reference compiles its JS pipeline
       // in microseconds, so including Spark's per-query analysis + Janino
       // codegen (~100 ms) in every iteration would measure the planner, not
@@ -76,13 +90,18 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       (1 to 3).foreach(_ => once()) // warm: codegen, JIT
-      Seq.fill(5)(once()).sorted.apply(2) // median of 5
+      Stat(Seq.fill(5)(once()))
     }
 
-    val results = Seq(
+    val stats = Seq(
       "simpleFilter" -> timed(SimpleFilter),
       "groupAndAggregate" -> timed(GroupAndAggregate),
       "complexPipeline" -> timed(ComplexPipeline))
+    stats.foreach { case (k, s) =>
+      System.err.println(s"[bench] $k iters=${s.iters.map(t => "%.4f".format(t)).mkString(",")}" +
+        (if (s.noisy) "  ** NOISY (max/min > 2x) **" else ""))
+    }
+    val results = stats.map { case (k, s) => k -> s.med }
 
     // Extension throughput (one timed run each; informational)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
@@ -115,8 +134,13 @@ object Bench {
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
     val docsPerSec = results.map { case (k, v) => k -> (nRows / v) }
+    val spread = stats.map { case (k, s) =>
+      s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
+    }.mkString("{", ",", "}")
+    val noisy = stats.exists(_._2.noisy)
     println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"extras":${fmt(extras)},""" +
+      s""""spread":$spread,"noisy":$noisy,""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir"}""")
     spark.stop()
