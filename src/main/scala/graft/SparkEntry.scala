@@ -227,6 +227,17 @@ object SparkEntry {
         {"$unwind": "$s.a.words"},
         {"$project": {"p_partkey": 1, "w": "$s.a.words"}}
       ]"""),
+    "q_unwind_chain" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$match": {"p_partkey": {"$lte": 200}}},
+          {"$project": {"p_partkey": 1, "a": {"$split": ["$p_name", " "]}, "b": {"$split": ["$p_type", " "]}}},
+          {"$unwind": "$a"},
+          {"$unwind": "$b"},
+          {"$group": {"_id": "$p_partkey", "pairs": {"$push": {"$concat": ["$a", "-", "$b"]}}}},
+          {"$project": {"p_partkey": "$_id", "pairs": 1, "_id": 0}}
+        ]""")(s, d)
+        .withColumn("pairs", expr("array_join(pairs, '|')"))),
     "q_unwind_idx" -> run("part",
       """[
         {"$project": {"p_partkey": 1, "words": {"$split": ["$p_type", " "]}}},
@@ -828,6 +839,15 @@ object SparkEntry {
       "SELECT w AS word, count(*) AS n FROM (SELECT unnest(string_split(p_type, ' ')) AS w FROM part) GROUP BY 1",
     "q_unwind_nested" ->
       "SELECT p_partkey, unnest(string_split(p_type, ' ')) AS w FROM part",
+    "q_unwind_chain" ->
+      """SELECT p_partkey, array_to_string(list(x || '-' || y ORDER BY i, j), '|') AS pairs
+      FROM (
+        SELECT p_partkey, i, x, unnest(generate_series(1, len(b))) AS j, unnest(b) AS y
+        FROM (
+          SELECT p_partkey, unnest(generate_series(1, len(a))) AS i, unnest(a) AS x, b
+          FROM (SELECT p_partkey, string_split(p_name, ' ') AS a, string_split(p_type, ' ') AS b
+                FROM part WHERE p_partkey <= 200)))
+      GROUP BY p_partkey""",
     "q_unwind_idx" ->
       """SELECT p_partkey, CAST(unnest(generate_series(1, len(w))) - 1 AS BIGINT) AS idx, unnest(w) AS words
       FROM (SELECT p_partkey, string_split(p_type, ' ') AS w FROM part)""",

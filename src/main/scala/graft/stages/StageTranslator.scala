@@ -182,7 +182,7 @@ object StageTranslator {
         case None => foreignRaw
       }
       val fSeq0 = foreign.withColumn(SeqCol, monotonically_increasing_id() + lit(Long.MaxValue / 2))
-      val fSeq = if (df.columns.contains(SeqCol2)) fSeq0.withColumn(SeqCol2, lit(0L)) else fSeq0
+      val fSeq = if (df.columns.contains(SeqCol2)) fSeq0.withColumn(SeqCol2, array(lit(0L))) else fSeq0
       (df.unionByName(fSeq, allowMissingColumns = true), ctx)
 
     case "$sample" =>
@@ -622,8 +622,17 @@ object StageTranslator {
     // When encounter order is tracked, the array position becomes the
     // intra-document tiebreak `_seq2` — without it every element of one
     // document ties on `_seq` and $limit/$push after $unwind would be
-    // partition-order-dependent.
+    // partition-order-dependent. `_seq2` is an array<bigint> of positions,
+    // one entry per chained $unwind, so the combined order is exactly the
+    // reference's lexicographic (outer, inner) element order
+    // (aggregation.ts:414-535) at any chain depth — Spark compares arrays
+    // lexicographically, so struct(_seq, _seq2) ordering just works.
     val needSeq2 = ctx.hasSeq && df.columns.contains(SeqCol)
+    val hadSeq2 = df.columns.contains(SeqCol2)
+    def seq2Of(pos: Column): Column = {
+      val entry = array(coalesce(pos.cast(LongType), lit(0L)))
+      if (hadSeq2) concat(col(SeqCol2), entry) else entry
+    }
     if (path.contains('.')) {
       // Nested path at any depth: explode `a.b...z` and substitute the
       // element back at the same path (Mongo keeps the unwound value in
@@ -641,7 +650,7 @@ object StageTranslator {
       var exploded = df.select(col("*"), gen)
         .withColumn(top, col(top).withField(sub, col("__u")))
         .drop("__u")
-      if (needSeq2) exploded = exploded.withColumn(SeqCol2, col(posName).cast(LongType))
+      if (needSeq2) exploded = exploded.withColumn(SeqCol2, seq2Of(col(posName)))
       if (usePos && includeIdx.isEmpty) exploded = exploded.drop(posName)
       val withIdx = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType)))
         .getOrElse(exploded)
@@ -653,9 +662,13 @@ object StageTranslator {
       case _                  => false
     }
     if (!isArr) {
-      // non-array values pass through unchanged; null/missing dropped unless preserved
+      // non-array values pass through unchanged; null/missing dropped unless
+      // preserved. No row multiplication happens, so an existing `_seq2`
+      // stays valid as-is; absent one, position 0 keeps downstream
+      // struct(_seq, _seq2) tiebreaks well-typed.
       val out = if (preserve) df else df.filter(col(path).isNotNull)
-      val withSeq2 = if (needSeq2) out.withColumn(SeqCol2, lit(0L)) else out
+      val withSeq2 =
+        if (needSeq2 && !hadSeq2) out.withColumn(SeqCol2, array(lit(0L))) else out
       val withIdx = includeIdx.map(ix => withSeq2.withColumn(ix, lit(null).cast(LongType))).getOrElse(withSeq2)
       return (withIdx, ctx)
     }
@@ -669,10 +682,8 @@ object StageTranslator {
       case (false, true)  => df.select(others :+ explode_outer(col(path)).as(path): _*)
       case (false, false) => df.select(others :+ explode(col(path)).as(path): _*)
     }
-    if (needSeq2) exploded = exploded.withColumn(SeqCol2, col(posName).cast(LongType))
+    if (needSeq2) exploded = exploded.withColumn(SeqCol2, seq2Of(col(posName)))
     val idxCast = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType))).getOrElse(exploded)
-    // a second $unwind overwrites _seq2 with its own position (the combined
-    // lexicographic order is approximated by the innermost position)
     val finalOrder = (originalOrder ++ includeIdx.filterNot(originalOrder.contains)) ++
       (if (needSeq2 && !originalOrder.contains(SeqCol2)) Seq(SeqCol2) else Nil)
     (idxCast.select(finalOrder.map(col): _*), ctx)

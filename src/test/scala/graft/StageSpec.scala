@@ -187,6 +187,46 @@ class StageSpec extends AnyFunSuite {
     assert(pushed == Seq(Seq(10L, 20L, 30L, 40L), Seq(50L, 60L)))
   }
 
+  test("chained $unwind keeps the reference's lexicographic (outer, inner) order") {
+    // reference aggregation.ts:414-535 — a second $unwind's elements expand
+    // in place, so (outer position, inner position) is the document order.
+    val docs = fromJsonl(
+      """{"id": 1, "a": ["p", "q"], "b": ["x", "y", "z"]}""",
+      """{"id": 2, "a": ["r"], "b": ["w"]}""")
+    def pairs(d: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = agg(d,
+      """[{"$unwind": "$a"}, {"$unwind": "$b"},
+          {"$group": {"_id": "$id", "vals": {"$push": {"$concat": ["$a", "-", "$b"]}}}},
+          {"$sort": {"_id": 1}}]""")
+      .map(_("vals").asInstanceOf[scala.collection.Seq[String]].toSeq)
+    val expected = Seq(
+      Seq("p-x", "p-y", "p-z", "q-x", "q-y", "q-z"),
+      Seq("r-w"))
+    assert(pairs(docs) == expected)
+    assert(pairs(docs.repartition(3)) == expected) // partition-independent
+    // $limit after two unwinds follows the same combined order
+    val limited = agg(docs,
+      """[{"$match": {"id": 1}}, {"$unwind": "$a"}, {"$unwind": "$b"},
+          {"$limit": 4}, {"$project": {"v": {"$concat": ["$a", "-", "$b"]}}}]""")
+      .map(_("v"))
+    assert(limited == Seq("p-x", "p-y", "p-z", "q-x"))
+    // three-deep chain: order composes at any depth
+    val deep = fromJsonl("""{"id": 1, "a": [1, 2], "b": [1, 2], "c": [1, 2]}""")
+    val triples = agg(deep,
+      """[{"$unwind": "$a"}, {"$unwind": "$b"}, {"$unwind": "$c"},
+          {"$group": {"_id": "$id",
+            "vals": {"$push": {"$add": [{"$multiply": ["$a", 100]}, {"$multiply": ["$b", 10]}, "$c"]}}}}]""")
+      .head("vals").asInstanceOf[scala.collection.Seq[Long]].toSeq
+    assert(triples == Seq(111L, 112L, 121L, 122L, 211L, 212L, 221L, 222L))
+    // a non-array $unwind between two real ones passes through without
+    // disturbing the accumulated order key
+    val mixed = fromJsonl("""{"id": 1, "a": ["p", "q"], "s": "k", "b": ["x", "y"]}""")
+    val mixedVals = agg(mixed,
+      """[{"$unwind": "$a"}, {"$unwind": "$s"}, {"$unwind": "$b"},
+          {"$group": {"_id": "$id", "vals": {"$push": {"$concat": ["$a", "$s", "$b"]}}}}]""")
+      .head("vals").asInstanceOf[scala.collection.Seq[String]].toSeq
+    assert(mixedVals == Seq("pkx", "pky", "qkx", "qky"))
+  }
+
   test("$bucket order-sensitive accumulators respect encounter order") {
     val r = agg(orders,
       """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 100],
