@@ -208,8 +208,11 @@ object StageTranslator {
       // approx-quantile boundaries (a bounded GK summary — no data funnels
       // through one task) followed by a codegen'd CASE bucket assignment,
       // the same shape $bucket uses. Equal key values always land in the
-      // same bucket, as in Mongo. Non-numeric keys fall back to a global
-      // ntile window — correct but single-partition; avoid at scale.
+      // same bucket, as in Mongo. Non-numeric keys compute EXACT equal-count
+      // boundaries from the distinct-key frame: per-key counts, a two-pass
+      // cumulative sum in key order (local cumsum per range partition +
+      // broadcast prefix offsets — no single-task window), then the
+      // bounded (buckets-1) boundary keys drive the same CASE assignment.
       implicit val ec: ExprCtx = exprCtx(df)
       val fs = body match { case JObject(f) => f; case _ => throw GraftException("$bucketAuto requires an object") }
       val groupBy0 = fs.collectFirst { case ("groupBy", v) => v }
@@ -221,21 +224,46 @@ object StageTranslator {
       val e = ExprTranslator.translate(groupBy0)
       val keyed = df.withColumn("__ba_key", e)
       val isNumeric = keyed.schema("__ba_key").dataType.isInstanceOf[NumericType]
+      // bucket = number of boundaries strictly below the key; null keys
+      // (null > b is null → otherwise 0) join the first bucket.
+      def caseAssign(bounds: Seq[Any]): Column = bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(col("__ba_key") > lit(b), 1).otherwise(0)
+      }
       val tiled =
-        if (isNumeric && buckets > 1) {
+        if (buckets <= 1) keyed.withColumn("__tile", lit(0))
+        else if (isNumeric) {
           val probs = (1 until buckets).map(_.toDouble / buckets).toArray
           val bounds = keyed.na.drop(Seq("__ba_key"))
             .stat.approxQuantile("__ba_key", probs, 1e-4)
             .distinct.sorted
-          // bucket = number of boundaries strictly below the key; null keys
-          // (null > b is null → otherwise 0) join the first bucket, matching
-          // the ntile asc_nulls_first ordering.
-          val idx = bounds.foldLeft(lit(0)) { (acc, b) =>
-            acc + when(col("__ba_key") > lit(b), 1).otherwise(0)
-          }
-          keyed.withColumn("__tile", idx)
+          keyed.withColumn("__tile", caseAssign(bounds))
         } else {
-          keyed.withColumn("__tile", ntile(math.max(buckets, 1)).over(Window.orderBy(col("__ba_key").asc_nulls_first)))
+          val counts = keyed.na.drop(Seq("__ba_key"))
+            .groupBy(col("__ba_key")).agg(count(lit(1)).as("__n"))
+          val parted = counts.repartitionByRange(col("__ba_key").asc_nulls_first)
+            .withColumn("__gp", spark_partition_id())
+          val lw = Window.partitionBy(col("__gp")).orderBy(col("__ba_key").asc_nulls_first)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val local = parted.withColumn("__cum", sum(col("__n")).over(lw))
+          val stats = local.groupBy(col("__gp")).agg(sum(col("__n")).as("__t"))
+          val pw = Window.orderBy(col("__gp")).rowsBetween(Window.unboundedPreceding, -1)
+          val offsets = stats.select(col("__gp"), coalesce(sum(col("__t")).over(pw), lit(0L)).as("__off"))
+          val cum = local.join(broadcast(offsets), "__gp")
+            .withColumn("__cum", col("__cum") + col("__off"))
+          val total = cum.agg(coalesce(sum(col("__n")), lit(0L))).head.getLong(0)
+          // threshold t_i = ceil(i·N/buckets); key k is the boundary (last
+          // key) of bucket i iff cum(k)-n(k) < t_i ≤ cum(k) — each boundary
+          // row found distributed, only buckets-1 values reach the driver.
+          val ts = (1 until buckets).map(i =>
+            math.ceil(i.toDouble * total / buckets).toLong).distinct
+          val isBoundary = ts.map(t => col("__cum") - col("__n") < t && col("__cum") >= t)
+            .reduce(_ || _)
+          val bounds = cum.filter(isBoundary).orderBy(col("__ba_key").asc)
+            .select(col("__ba_key")).collect().map(_.get(0)).toSeq
+          try keyed.withColumn("__tile", caseAssign(bounds))
+          catch { case _: RuntimeException =>
+            throw GraftException("$bucketAuto: groupBy key type not supported (needs an orderable atomic type)")
+          }
         }
       val accs = outputSpec.map { case (n, spec) =>
         val (op, arg) = spec match {
@@ -412,37 +440,61 @@ object StageTranslator {
       case JObject(List((op, _))) => Set("$first", "$last", "$push", "$firstN", "$lastN")(op)
       case _                      => false
     }}
-    lazy val orderKey: Column = encounterOrderKey(df, ctx)
+    // encounterOrder may restamp the frame (two-pass global rank) when the
+    // order basis can't be struct-encoded — aggregate over the restamped df.
+    val (aggSrc, orderKey) =
+      if (orderSensitive) { val (d, k) = encounterOrder(df, ctx); (d, Some(k)) }
+      else (df, None)
 
     val aggCols: Seq[Column] = accs.map { case (outName, spec) =>
       val (op, arg) = spec match {
         case JObject(List((o, a))) if o.startsWith("$") => (o, a)
         case _ => throw GraftException(s"accumulator for '$outName' must be a single $$-operator object")
       }
-      accumulator(op, arg, if (orderSensitive) Some(orderKey) else None).as(outName)
+      accumulator(op, arg, orderKey).as(outName)
     }
 
     val idCol = ExprTranslator.translate(idExpr).as("_id")
     val out =
       if (aggCols.isEmpty) df.groupBy(idCol).agg(count(lit(1)).as("__cnt")).drop("__cnt")
-      else df.groupBy(idCol).agg(aggCols.head, aggCols.tail: _*)
+      else aggSrc.groupBy(idCol).agg(aggCols.head, aggCols.tail: _*)
     (out, ctx.copy(order = None, hasSeq = false))
+  }
+
+  /** Scale-safe global row number: range-partition on the order columns,
+    * rank locally per partition, then add broadcast per-partition prefix
+    * counts. Two shuffles of the frame's own data, no single-task global
+    * Window — the same two-pass recipe `unpartitionedTwoPass` uses for
+    * `$setWindowFields`. The prefix window runs over the tiny per-partition
+    * stats frame only (bounded by the shuffle partition count). */
+  private def globalRowNumber(df: DataFrame, orderCols: Seq[Column], outName: String): DataFrame = {
+    val parted = df.repartitionByRange(orderCols: _*).withColumn("__gp", spark_partition_id())
+    val local = parted.withColumn("__grn",
+      row_number().over(Window.partitionBy(col("__gp")).orderBy(orderCols: _*)).cast(LongType))
+    val stats = local.groupBy(col("__gp")).agg(count(lit(1)).as("__rows"))
+    val pw = Window.orderBy(col("__gp")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = stats.select(col("__gp"),
+      coalesce(sum(col("__rows")).over(pw), lit(0L)).as("__prows"))
+    local.join(broadcast(offsets), "__gp")
+      .withColumn(outName, col("__grn") + col("__prows"))
+      .drop("__gp", "__grn", "__prows")
   }
 
   /** A monotonically-increasing key encoding the current encounter order, for
     * `$first/$last/$push` (accumulators.ts:96-168). After a `$sort` the order
     * is the sort key (ascending-encoded); otherwise the ingest `_seq`.
-    * Descending string keys fall back to a rank restamp (window) — correct
-    * but single-partition; avoided at scale by sorting ascending or on
-    * numeric keys. */
-  private def encounterOrderKey(df: DataFrame, ctx: PipeCtx): Column = {
+    * Order bases a struct key can't encode (descending string keys; a lost
+    * `_seq`) are restamped onto the frame as a two-pass global row number —
+    * returns the (possibly restamped) frame alongside the key column. */
+  private def encounterOrder(df: DataFrame, ctx: PipeCtx): (DataFrame, Column) = {
     implicit val ec: ExprCtx = exprCtx(df)
+    val RankCol = "__graft_rank"
     // Sort keys may have been projected away since the $sort — only encode
     // keys that still resolve; otherwise fall back to `_seq` (the current
     // frame is still in sorted order, so _seq is NOT the sort order — but a
     // dropped sort column means the user has discarded that ordering basis;
     // Mongo reads "current document order", which the fallback preserves
-    // through the row_number restamp).
+    // through the row-number restamp).
     val usable = ctx.order.filter(_.forall(k => ec.typeOf(col(k.path)).isDefined))
     usable match {
       case Some(keys) =>
@@ -461,16 +513,20 @@ object StageTranslator {
             if (ctx.hasSeq && df.columns.contains(SeqCol))
               (Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil)).map(col)
             else Nil
-          struct(encoded.flatten ++ tiebreak: _*)
+          (df, struct(encoded.flatten ++ tiebreak: _*))
         } else {
-          val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last)
-          row_number().over(Window.orderBy(sortCols: _*))
+          val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last) ++
+            (if (ctx.hasSeq && df.columns.contains(SeqCol))
+              col(SeqCol) +: (if (df.columns.contains(SeqCol2)) Seq(col(SeqCol2)) else Nil)
+            else Nil)
+          (globalRowNumber(df, sortCols, RankCol), col(RankCol))
         }
       case None =>
         if (ctx.hasSeq && df.columns.contains(SeqCol)) {
-          if (df.columns.contains(SeqCol2)) struct(col(SeqCol), col(SeqCol2))
-          else col(SeqCol)
-        } else row_number().over(Window.orderBy(to_json(struct(col("*")))))
+          if (df.columns.contains(SeqCol2)) (df, struct(col(SeqCol), col(SeqCol2)))
+          else (df, col(SeqCol))
+        } else
+          (globalRowNumber(df, Seq(to_json(struct(col("*")))), RankCol), col(RankCol))
     }
   }
 
@@ -963,15 +1019,17 @@ object StageTranslator {
       case JObject(List((op, _))) => Set("$first", "$last", "$push", "$firstN", "$lastN")(op)
       case _                      => false
     }}
-    lazy val orderKey: Column = encounterOrderKey(df, ctx)
+    val (aggSrc, orderKey) =
+      if (orderSensitive) { val (d, k) = encounterOrder(df, ctx); (d, Some(k)) }
+      else (df, None)
     val accs = outputSpec.map { case (name, spec) =>
       val (op, arg) = spec match {
         case JObject(List((o, a))) => (o, a)
         case _ => throw GraftException("$bucket output accumulator must be a single operator")
       }
-      accumulator(op, arg, if (orderSensitive) Some(orderKey) else None).as(name)
+      accumulator(op, arg, orderKey).as(name)
     }
-    val filtered = if (default.isDefined) df else df.filter(withDefault.isNotNull)
+    val filtered = if (default.isDefined) aggSrc else aggSrc.filter(withDefault.isNotNull)
     (filtered.groupBy(withDefault.as("_id")).agg(accs.head, accs.tail: _*),
       ctx.copy(order = None, hasSeq = false))
   }

@@ -389,6 +389,47 @@ class StageSpec extends AnyFunSuite {
     assert(counts.sum == 1000L && counts.length == 4 && counts.forall(c => c > 200 && c < 300))
   }
 
+  test("$bucketAuto on string keys: exact equal-count boundaries, no window in the result plan") {
+    // 9 distinct keys × 10 rows; 3 buckets → exact 30/30/30 split with equal
+    // keys kept together, and the result plan is boundary-CASE + groupBy
+    // (the boundary job ran eagerly, scale-safe two-pass — no ntile window).
+    val df = spark.range(0, 90).selectExpr("concat('k', lpad(cast(id % 9 as string), 2, '0')) as s")
+      .repartition(4)
+    val out = Aggo.aggregate(df, """[{"$bucketAuto": {"groupBy": "$s", "buckets": 3}}]""")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "string $bucketAuto must use exact count boundaries, not a single-partition ntile window")
+    val rows = out.collect()
+    assert(rows.map(_.getAs[Long]("count")).toSeq == Seq(30L, 30L, 30L))
+    val ids = rows.map(_.getStruct(0))
+    assert(ids(0).getString(0) == "k00" && ids(0).getString(1) == "k02")
+    assert(ids(1).getString(0) == "k03" && ids(1).getString(1) == "k05")
+    assert(ids(2).getString(0) == "k06" && ids(2).getString(1) == "k08")
+  }
+
+  test("desc-string $sort feeding $push restamps scale-safely (no global data window)") {
+    val docs = fromJsonl(
+      """{"id": 1, "k": "beta",  "g": 1}""",
+      """{"id": 2, "k": "alpha", "g": 1}""",
+      """{"id": 3, "k": "gamma", "g": 1}""",
+      """{"id": 4, "k": "alpha", "g": 1}""",
+      """{"id": 5, "k": "delta", "g": 1}""")
+    val res = Aggo.aggregate(docs.repartition(3),
+      """[{"$sort": {"k": -1, "id": 1}},
+          {"$group": {"_id": "$g", "ks": {"$push": "$k"}, "ids": {"$push": "$id"}}}]""")
+    val row = res.collect().head
+    assert(row.getAs[scala.collection.Seq[String]]("ks").toSeq ==
+      Seq("gamma", "delta", "beta", "alpha", "alpha"))
+    assert(row.getAs[scala.collection.Seq[Long]]("ids").toSeq == Seq(3L, 5L, 1L, 2L, 4L))
+    // every unpartitioned logical Window must sit over an aggregated (tiny
+    // per-partition stats) frame — never over the data itself
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val overData = res.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty &&
+        w.child.collectFirst { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(overData.isEmpty, s"unpartitioned window over raw data: $overData")
+  }
+
   test("$bucketAuto equal-count buckets; N-variant accumulators; $sortArray") {
     val ba = agg(orders,
       """[{"$bucketAuto": {"groupBy": "$total", "buckets": 2,
