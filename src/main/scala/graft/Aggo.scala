@@ -45,7 +45,8 @@ object Aggo {
       StageTranslator(d, name, body, ctx)
     }
     out.drop(out.columns.filter(c =>
-      c == StageTranslator.SeqCol || c == StageTranslator.SeqCol2): _*)
+      c == StageTranslator.SeqCol || c == StageTranslator.SeqCol2 ||
+        c == StageTranslator.PresenceCol): _*)
   }
 
   /** `Aggo.count` (reference: src/aggo/count.ts:9-13). */
@@ -144,6 +145,32 @@ object Aggo {
   /** `fromJSONL` over in-memory lines — same inference and coercions. */
   def fromJSONL(spark: org.apache.spark.sql.SparkSession, lines: Seq[String]): DataFrame =
     spark.read.json(spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+
+  /** `fromJSONL` with per-document field presence (reference hasOwnProperty
+    * semantics, aggregation.ts:267-271): when `preserveMissing` is true the
+    * frame carries a hidden `__present` path set, so `$exists` distinguishes
+    * `{a: null}` from `{}` and `$push` skips missing-field documents while
+    * keeping explicit nulls. `$ifNull` still treats both as null, as Mongo
+    * does. Costs one Jackson parse per line at ingest — opt-in only. */
+  def fromJSONL(spark: org.apache.spark.sql.SparkSession, path: String,
+                preserveMissing: Boolean): DataFrame =
+    if (!preserveMissing) fromJSONL(spark, path)
+    else withPresence(spark.read.text(path).toDF("value"), fromJSONL(spark, path).schema)
+
+  def fromJSONL(spark: org.apache.spark.sql.SparkSession, lines: Seq[String],
+                preserveMissing: Boolean): DataFrame =
+    if (!preserveMissing) fromJSONL(spark, lines)
+    else {
+      val raw = spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING).toDF("value")
+      withPresence(raw, fromJSONL(spark, lines).schema)
+    }
+
+  private def withPresence(raw: DataFrame,
+                           schema: org.apache.spark.sql.types.StructType): DataFrame =
+    raw.filter(length(trim(col("value"))) > 0)
+      .select(from_json(col("value"), schema).as("__doc"),
+        graft.sources.Presence.presentPathsUdf(col("value")).as(StageTranslator.PresenceCol))
+      .select(col("__doc.*"), col(StageTranslator.PresenceCol))
 
   /** Reference-API name for building a live collection
     * (`Aggo.createStreamingCollection`, index.ts:91). */

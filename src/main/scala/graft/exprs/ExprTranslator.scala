@@ -90,9 +90,13 @@ object ExprTranslator {
         else ctx.vars.getOrElse("ROOT", struct(col("*")))
       case "NOW"    => current_timestamp()
       case "REMOVE" =>
-        // Per-row field removal has no static-schema equivalent; we map
-        // $$REMOVE to null (documented divergence, SURVEY §7.3).
-        lit(null)
+        // Handled statically by $project/$addFields (bare value or top-level
+        // $cond branch — StageTranslator.removeAware, reference
+        // expressions.ts:453-456). Anywhere else there is no faithful
+        // translation, so fail loudly rather than silently null.
+        throw GraftException(
+          "$$REMOVE is only supported as a field value or a top-level $cond " +
+            "branch in $project/$addFields; it cannot be nested inside other expressions")
       case name =>
         ctx.vars.getOrElse(name, throw GraftException(s"unknown variable $$$$$name"))
     }

@@ -99,10 +99,16 @@ object MatchTranslator {
         case JInt(i)  => i != 0
         case _        => true
       }
-      // After missing→null normalization (SURVEY §7.4.2): exists ≈ not null;
-      // a field absent from the schema is statically missing.
+      // A field absent from the schema is statically missing. With a
+      // presence set (fromJSONL(preserveMissing = true)) `$exists` is true
+      // exactly when the document carries the key — even with a null value
+      // (reference hasOwnProperty, aggregation.ts:267-271). Without one,
+      // missing→null normalization applies (SURVEY §7.4.2): exists ≈ not null.
       if (ctx.df.isDefined && !ctx.hasField(path)) lit(!wanted)
-      else if (wanted) c.isNotNull else c.isNull
+      else ctx.df.flatMap(graft.stages.StageTranslator.presenceOf(_, path)) match {
+        case Some(present) => if (wanted) present else !present
+        case None          => if (wanted) c.isNotNull else c.isNull
+      }
     case "$regex" =>
       val pattern = v match {
         case JString(p) => p

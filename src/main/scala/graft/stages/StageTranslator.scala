@@ -46,9 +46,66 @@ object StageTranslator {
     * document's `_seq` across its array elements, so element order needs a
     * second key (the array position). */
   val SeqCol2 = "_seq2"
+  /** Per-document present-field paths, stamped by
+    * `fromJSONL(preserveMissing = true)` (sources/Presence.scala) —
+    * lets `$exists` and `$push` distinguish a missing key from an explicit
+    * null (reference hasOwnProperty semantics, aggregation.ts:267-271). */
+  val PresenceCol = "__present"
 
   def userCols(df: DataFrame): Seq[String] =
-    df.columns.toSeq.filterNot(c => c == SeqCol || c == SeqCol2)
+    df.columns.toSeq.filterNot(c => c == SeqCol || c == SeqCol2 || c == PresenceCol)
+
+  /** Presence test for a field path, when the frame carries `__present`. */
+  def presenceOf(df: DataFrame, path: String): Option[Column] =
+    if (df.columns.contains(PresenceCol))
+      Some(coalesce(array_contains(col(PresenceCol), path), lit(false)))
+    else None
+
+  private val RemoveLit = JString("$$REMOVE")
+
+  /** Detect a `$project`/`$addFields` field expression that can yield
+    * `$$REMOVE` (reference expressions.ts:453-456): the bare variable
+    * (static removal) or a top-level `$cond` with a `$$REMOVE` branch
+    * (per-row removal). Returns (value, removed-condition). The value is
+    * null on removed rows; when the frame tracks presence the caller also
+    * strips the path from `__present`, so `$exists`/`$push` see a genuinely
+    * missing field. Deeper `$$REMOVE` occurrences throw in
+    * ExprTranslator.variable. */
+  private def removeAware(v: JValue)(implicit ec: ExprCtx): Option[(Column, Column)] = v match {
+    case RemoveLit => Some((lit(null), lit(true)))
+    case JObject(List(("$cond", arg))) =>
+      val parts: Option[(JValue, JValue, JValue)] = arg match {
+        case JArray(List(i, t, e)) => Some((i, t, e))
+        case JObject(fs) => for {
+          i <- fs.collectFirst { case ("if", x) => x }
+          t <- fs.collectFirst { case ("then", x) => x }
+          e <- fs.collectFirst { case ("else", x) => x }
+        } yield (i, t, e)
+        case _ => None
+      }
+      parts.flatMap { case (i, t, e) =>
+        if (t != RemoveLit && e != RemoveLit) None
+        else {
+          val c = coalesce(ExprTranslator.truthy(ExprTranslator.translate(i)), lit(false))
+          val value =
+            if (t == RemoveLit && e == RemoveLit) lit(null)
+            else if (t == RemoveLit) when(!c, ExprTranslator.translate(e))
+            else when(c, ExprTranslator.translate(t))
+          val removed =
+            if (t == RemoveLit && e == RemoveLit) lit(true)
+            else if (t == RemoveLit) c
+            else !c
+          Some((value, removed))
+        }
+      }
+    case _ => None
+  }
+
+  /** Strip `path` (and its sub-paths) from a presence set on rows where
+    * `removed` holds. */
+  private def presenceMinus(pres: Column, path: String, removed: Column): Column =
+    when(removed, filter(pres, p => !(p === lit(path) || p.startsWith(path + "."))))
+      .otherwise(pres)
 
   private def exprCtx(df: DataFrame): ExprCtx = ExprCtx(Some(df), rootCols = userCols(df))
 
@@ -75,13 +132,50 @@ object StageTranslator {
         case JObject(fs) => fs
         case _           => throw GraftException(s"$name requires an object")
       }
-      val newCols: Seq[(String, Column)] = fields.map {
+      // $$REMOVE (reference expressions.ts:453-456): a bare value removes
+      // the field statically; a top-level $cond branch removes per-row
+      // (null value + presence strip when tracked).
+      val (bareRemove, restFields) = fields.partition(_._2 == RemoveLit)
+      val removals = scala.collection.mutable.ListBuffer.empty[(String, Column)]
+      def fieldValue(path: String, v: JValue): Column = removeAware(v) match {
+        case Some((value, removed)) => removals += (path -> removed); value
+        case None                   => ExprTranslator.translate(v)
+      }
+      val newCols: Seq[(String, Column)] = restFields.map {
         case (path, v) if path.contains('.') =>
           val parts = path.split('.')
-          (parts.head, col(parts.head).withField(parts.tail.mkString("."), ExprTranslator.translate(v)))
-        case (k, v) => (k, ExprTranslator.translate(v))
+          (parts.head, col(parts.head).withField(parts.tail.mkString("."), fieldValue(path, v)))
+        case (k, v) => (k, fieldValue(k, v))
       }
-      (df.withColumns(newCols.toMap), ctx)
+      // a set field exists afterwards — record it (and its path prefixes)
+      // in the presence set when one is being tracked; strip removed paths
+      val setPaths = restFields.map(_._1).flatMap { p =>
+        val parts = p.split('.'); (1 to parts.length).map(i => parts.take(i).mkString("."))
+      }.distinct
+      val presCols: Map[String, Column] =
+        if (df.columns.contains(PresenceCol)) {
+          val unioned =
+            if (setPaths.isEmpty) col(PresenceCol)
+            else array_distinct(concat(
+              coalesce(col(PresenceCol), array().cast("array<string>")),
+              array(setPaths.map(lit): _*)))
+          val afterRemovals = removals.foldLeft(unioned) { case (p, (path, removed)) =>
+            presenceMinus(p, path, removed)
+          }
+          val afterStatic = bareRemove.map(_._1).foldLeft(afterRemovals) { (p, path) =>
+            presenceMinus(p, path, lit(true))
+          }
+          Map(PresenceCol -> afterStatic)
+        } else Map.empty
+      var out = df.withColumns(newCols.toMap ++ presCols)
+      bareRemove.map(_._1).foreach { p =>
+        if (p.contains('.')) {
+          val parts = p.split('.')
+          if (out.columns.contains(parts.head))
+            out = out.withColumn(parts.head, col(parts.head).dropFields(parts.tail.mkString(".")))
+        } else out = out.drop(p)
+      }
+      (out, ctx)
 
     case "$unset" =>
       val paths = body match {
@@ -398,6 +492,7 @@ object StageTranslator {
       // Mongo default-includes _id unless explicitly excluded
       if (df.columns.contains("_id") && !fields.exists(_._1 == "_id"))
         insert(root, List("_id"), col("_id"))
+      val removals = scala.collection.mutable.ListBuffer.empty[(String, Column)]
       fields.foreach {
         case ("_id", v) if isExclude(v) => // excluded
         case (k, v) if isExclude(v)     => // ignore explicit excludes in inclusion mode
@@ -407,8 +502,15 @@ object StageTranslator {
           // policy as ExprTranslator.fieldPath, rather than an
           // AnalysisException from col(path).
           if (ec.typeOf(col(path)).isDefined) insert(root, path.split('.').toList, col(path))
+        case (_, RemoveLit) => // $$REMOVE as the whole value: statically omitted
         case (path, v) =>
-          insert(root, path.split('.').toList, ExprTranslator.translate(v))
+          removeAware(v) match {
+            case Some((value, removed)) =>
+              removals += (path -> removed) // per-row $$REMOVE via $cond branch
+              insert(root, path.split('.').toList, value)
+            case None =>
+              insert(root, path.split('.').toList, ExprTranslator.translate(v))
+          }
       }
       def build(node: Node): Column = node match {
         case Leaf(c)   => c
@@ -419,7 +521,26 @@ object StageTranslator {
         if (ctx.hasSeq && df.columns.contains(SeqCol))
           outCols ++ (Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil)).map(col)
         else outCols
-      (df.select(withSeq: _*), ctx)
+      // presence set travels through projection: fields dropped from the
+      // schema become statically missing anyway; computed fields exist in
+      // every output document, so union their paths in
+      val withPresence =
+        if (df.columns.contains(PresenceCol)) {
+          val computed = fields.collect {
+            case (p, v) if !isInclude(v) && !isExclude(v) && v != RemoveLit =>
+              val parts = p.split('.'); (1 to parts.length).map(i => parts.take(i).mkString("."))
+          }.flatten.distinct
+          val unioned =
+            if (computed.isEmpty) col(PresenceCol)
+            else array_distinct(concat(
+              coalesce(col(PresenceCol), array().cast("array<string>")),
+              array(computed.map(lit): _*)))
+          val pres = removals.foldLeft(unioned) { case (p, (path, removed)) =>
+            presenceMinus(p, path, removed)
+          }.as(PresenceCol)
+          withSeq :+ pres
+        } else withSeq
+      (df.select(withPresence: _*), ctx)
     }
   }
 
@@ -563,12 +684,24 @@ object StageTranslator {
       case "$last" =>
         orderKey.map(k => max_by(e, k)).getOrElse(last(e, ignoreNulls = false))
       case "$push" =>
+        // Mongo's $push skips a document whose field is MISSING but pushes an
+        // explicit null (accumulators.ts:142-163). With a presence set on the
+        // frame and a plain field-path argument, guard with it: when() yields
+        // a null pair for missing rows and collect_list drops bare nulls.
+        val presenceGuard: Option[Column] = arg match {
+          case JString(s) if s.startsWith("$") && !s.startsWith("$$") =>
+            ec.df.flatMap(presenceOf(_, s.substring(1)))
+          case _ => None
+        }
         orderKey match {
           case Some(k) =>
             // collect (orderKey, value) pairs, sort by key, strip the key —
             // deterministic encounter order independent of partitioning.
-            transform(array_sort(collect_list(struct(k.as("o"), e.as("v")))), x => x.getField("v"))
-          case None => collect_list(e)
+            val pair = struct(k.as("o"), e.as("v"))
+            val guarded = presenceGuard.map(g => when(g, pair)).getOrElse(pair)
+            transform(array_sort(collect_list(guarded)), x => x.getField("v"))
+          case None =>
+            collect_list(presenceGuard.map(g => when(g, e)).getOrElse(e))
         }
       case "$addToSet" => array_sort(collect_set(e))
       case "$approxDistinct" => approx_count_distinct(e) // extension: HLL sketch

@@ -81,4 +81,53 @@ class MixedTypesSpec extends AnyFunSuite {
       .map(m => m("_id") -> m("n"))
     assert(groups == Seq((null, 2L), ("0", 1L), ("5", 1L), ("five", 1L), ("true", 1L)))
   }
+
+  // --- preserveMissing: true missing-vs-null semantics (reference
+  // --- hasOwnProperty, aggregation.ts:267-271; $push accumulators.ts:142-163)
+
+  private lazy val present = Aggo.fromJSONL(spark, Seq(
+    """{"id": 1, "a": null, "n": {"b": null}}""",
+    """{"id": 2, "n": {}}""",
+    """{"id": 3, "a": 5, "n": {"b": 7}}""",
+    """{"id": 4}"""), preserveMissing = true)
+
+  test("preserveMissing: $exists distinguishes explicit null from absent key") {
+    def ids(q: String): Seq[Long] =
+      agg(present, s"""[{"$$match": $q}, {"$$project": {"id": 1}}, {"$$sort": {"id": 1}}]""")
+        .map(_("id").asInstanceOf[Long])
+    assert(ids("""{"a": {"$exists": true}}""") == Seq(1, 3))  // {a: null} EXISTS
+    assert(ids("""{"a": {"$exists": false}}""") == Seq(2, 4))
+    assert(ids("""{"n.b": {"$exists": true}}""") == Seq(1, 3)) // nested
+    assert(ids("""{"n.b": {"$exists": false}}""") == Seq(2, 4))
+    assert(ids("""{"nope": {"$exists": false}}""") == Seq(1, 2, 3, 4)) // not in schema
+  }
+
+  test("preserveMissing: $push skips missing documents but keeps explicit nulls") {
+    val pushed = agg(present,
+      """[{"$sort": {"id": 1}}, {"$group": {"_id": null, "xs": {"$push": "$a"}}}]""").head
+    // id 1 (null) and id 3 (5) push; ids 2 and 4 (missing) are skipped
+    assert(pushed("xs").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq(null, 5L))
+  }
+
+  test("preserveMissing: $ifNull still treats null and missing alike") {
+    val f = agg(present, """[{"$project": {"id": 1, "a2": {"$ifNull": ["$a", -1]}}}]""")
+      .map(m => m("id") -> m("a2")).toMap
+    assert(f(1L) == -1L && f(2L) == -1L && f(3L) == 5L && f(4L) == -1L)
+  }
+
+  test("preserveMissing: fields created by $addFields/$project exist afterwards") {
+    val added = agg(present,
+      """[{"$addFields": {"c": 1}}, {"$match": {"c": {"$exists": true}}}, {"$count": "n"}]""").head
+    assert(added("n") == 4L)
+    val computed = agg(present,
+      """[{"$project": {"id": 1, "c": {"$add": [1, 2]}}},
+          {"$match": {"c": {"$exists": true}}}, {"$count": "n"}]""").head
+    assert(computed("n") == 4L)
+    // and a field dropped by an inclusion $project stops existing
+    val dropped = agg(present,
+      """[{"$project": {"id": 1}}, {"$match": {"a": {"$exists": false}}}, {"$count": "n"}]""").head
+    assert(dropped("n") == 4L)
+    // __present never leaks into results
+    assert(agg(present, """[{"$match": {"id": 1}}]""").head.keySet == Set("id", "a", "n"))
+  }
 }

@@ -227,6 +227,39 @@ class StageSpec extends AnyFunSuite {
     assert(mixedVals == Seq("pkx", "pky", "qkx", "qky"))
   }
 
+  test("$$REMOVE: static field removal, per-row $cond removal, nested use throws") {
+    // bare $$REMOVE removes the field statically (reference expressions.ts:453-456)
+    val st = agg(orders, """[{"$match": {"id": 1}}, {"$addFields": {"status": "$$REMOVE"}}]""").head
+    assert(!st.keySet.contains("status") && st.keySet.contains("total"))
+    val pj = agg(orders, """[{"$match": {"id": 1}}, {"$project": {"id": 1, "status": "$$REMOVE"}}]""").head
+    assert(pj.keySet == Set("id"))
+    // $cond branch: removed rows read as null under missing→null normalization
+    val rows = agg(orders,
+      """[{"$project": {"id": 1, "big": {"$cond": [{"$gt": ["$total", 25]}, "$total", "$$REMOVE"]}}},
+          {"$sort": {"id": 1}}]""")
+    assert(rows.map(_("big")) == Seq(null, null, 30.0, 40.0, 50.0))
+    // nested anywhere else: loud failure, not a silent null
+    assertThrows[graft.model.GraftException] {
+      agg(orders, """[{"$project": {"x": {"$add": ["$total", "$$REMOVE"]}}}]""")
+    }
+    // with presence tracking, per-row removal is a REAL removal: $exists
+    // turns false and $push skips the removed documents
+    val docs = Aggo.fromJSONL(spark, Seq(
+      """{"id": 1, "v": 10}""", """{"id": 2, "v": 30}""", """{"id": 3, "v": 5}"""),
+      preserveMissing = true)
+    val kept = Aggo.aggregate(docs,
+      """[{"$addFields": {"v": {"$cond": [{"$lt": ["$v", 20]}, "$$REMOVE", "$v"]}}},
+          {"$match": {"v": {"$exists": true}}}]""")
+      .collect().map(_.getAs[Long]("id")).toSeq
+    assert(kept == Seq(2L))
+    val pushed = Aggo.aggregate(docs,
+      """[{"$sort": {"id": 1}},
+          {"$addFields": {"v": {"$cond": [{"$lt": ["$v", 20]}, "$$REMOVE", "$v"]}}},
+          {"$group": {"_id": null, "vs": {"$push": "$v"}}}]""")
+      .collect().head.getAs[scala.collection.Seq[Long]]("vs").toSeq
+    assert(pushed == Seq(30L))
+  }
+
   test("$bucket order-sensitive accumulators respect encounter order") {
     val r = agg(orders,
       """[{"$bucket": {"groupBy": "$total", "boundaries": [0, 100],
