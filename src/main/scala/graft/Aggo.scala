@@ -30,7 +30,8 @@ object Aggo {
     aggregateParsed(df, PipelineParser.parse(pipelineJson), collections)
 
   def aggregateParsed(df: DataFrame, stages: Seq[(String, JValue)],
-                      collections: Map[String, DataFrame]): DataFrame = {
+                      collections: Map[String, DataFrame],
+                      notes: Option[scala.collection.mutable.ListBuffer[(Int, String)]] = None): DataFrame = {
     // `_seq` carries encounter order (SURVEY §7.4.3): DataFrames are
     // unordered, but `$first/$last/$push` are order-sensitive in Mongo.
     // monotonically_increasing_id is partition-prefixed — stable for a fixed
@@ -40,9 +41,10 @@ object Aggo {
       if (needsSeq && !df.columns.contains(StageTranslator.SeqCol))
         df.withColumn(StageTranslator.SeqCol, monotonically_increasing_id())
       else df
-    val init = PipeCtx(collections = collections, hasSeq = needsSeq)
-    val (out, _) = stages.foldLeft((ingested, init)) { case ((d, ctx), (name, body)) =>
-      StageTranslator(d, name, body, ctx)
+    val init = PipeCtx(collections = collections, hasSeq = needsSeq, notes = notes)
+    val (out, _) = stages.zipWithIndex.foldLeft((ingested, init)) {
+      case ((d, ctx), ((name, body), i)) =>
+        StageTranslator(d, name, body, ctx.copy(stageIdx = i))
     }
     out.drop(out.columns.filter(c =>
       c == StageTranslator.SeqCol || c == StageTranslator.SeqCol2 ||
@@ -61,10 +63,17 @@ object Aggo {
   def explain(df: DataFrame, pipelineJson: String,
               collections: Map[String, DataFrame] = Map.empty): String = {
     val stages = PipelineParser.parse(pipelineJson)
+    // per-stage reason codes, collected during translation (the reference's
+    // stage analyses with fallback/reason codes, api-enhancements.ts:135-288)
+    val reasons = scala.collection.mutable.ListBuffer.empty[(Int, String)]
+    val out = aggregateParsed(df, stages, collections, Some(reasons))
+    val byStage = reasons.toList.groupBy(_._1)
     val header = stages.zipWithIndex
-      .map { case ((name, _), i) => f"stage $i%2d: $name%-18s → ${stageOperator(name)}" }
+      .map { case ((name, _), i) =>
+        f"stage $i%2d: $name%-18s → ${stageOperator(name)}" +
+          byStage.getOrElse(i, Nil).map("\n           · " + _._2).mkString
+      }
       .mkString("== Pipeline ==\n", "\n", "\n\n")
-    val out = aggregateParsed(df, stages, collections)
     val formatted = out.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     val pushdown = formatted.linesIterator

@@ -23,10 +23,15 @@ final case class SortKey(path: String, asc: Boolean)
 final case class PipeCtx(
     collections: Map[String, DataFrame] = Map.empty,
     order: Option[Seq[SortKey]] = None,
-    hasSeq: Boolean = true
+    hasSeq: Boolean = true,
+    /** Per-stage "why this plan" reason codes, collected when explain() asks
+      * for them (reference stage analyses, api-enhancements.ts:135-288). */
+    notes: Option[scala.collection.mutable.ListBuffer[(Int, String)]] = None,
+    stageIdx: Int = -1
 ) {
   def collection(name: String): DataFrame =
     collections.getOrElse(name, throw GraftException(s"unknown collection '$name' in $$lookup/$$unionWith"))
+  def note(msg: String): Unit = notes.foreach(_ += (stageIdx -> msg))
 }
 
 /** Translates one pipeline stage into a DataFrame transformation.
@@ -122,6 +127,7 @@ object StageTranslator {
   def apply(df: DataFrame, name: String, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = name match {
     case "$match" =>
       implicit val ec: ExprCtx = exprCtx(df)
+      ctx.note("declarative Filter — eligible predicates are pushed into the scan (see Pushdown)")
       (df.filter(MatchTranslator.translate(body)), ctx)
 
     case "$project" => project(df, body, ctx)
@@ -285,6 +291,7 @@ object StageTranslator {
           .getOrElse(throw GraftException("$sample requires {size: n}"))
         case _ => throw GraftException("$sample requires {size: n}")
       }
+      ctx.note("deterministic md5 row-hash order + TakeOrderedAndProject (no global sort materialized)")
       // Deterministic seeded sample: order by a hash of the row, take n
       // (TakeOrderedAndProject — scales; no global sort materialized).
       // md5 over a ctrl-A-joined string cast of each column, rather than
@@ -326,12 +333,14 @@ object StageTranslator {
       val tiled =
         if (buckets <= 1) keyed.withColumn("__tile", lit(0))
         else if (isNumeric) {
+          ctx.note("approx-quantile boundaries (distributed GK sketch) + codegen CASE assignment")
           val probs = (1 until buckets).map(_.toDouble / buckets).toArray
           val bounds = keyed.na.drop(Seq("__ba_key"))
             .stat.approxQuantile("__ba_key", probs, 1e-4)
             .distinct.sorted
           keyed.withColumn("__tile", caseAssign(bounds))
         } else {
+          ctx.note("exact equal-count boundaries via two-pass distinct-key cumulative counts (no global ntile)")
           val counts = keyed.na.drop(Seq("__ba_key"))
             .groupBy(col("__ba_key")).agg(count(lit(1)).as("__n"))
           val parted = counts.repartitionByRange(col("__ba_key").asc_nulls_first)
@@ -389,7 +398,8 @@ object StageTranslator {
           (p, fs.collectFirst { case ("format", JString(f)) => f }.getOrElse("parquet"))
         case _ => throw GraftException("$out requires a path string or {path, format}")
       }
-      df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2): _*).write.mode("overwrite").format(format).save(path)
+      df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
+        .write.mode("overwrite").format(format).save(path)
       (df, ctx)
 
     case "$merge" =>
@@ -399,6 +409,7 @@ object StageTranslator {
       // this stage should be re-targeted at a table format's MERGE INTO
       // (Delta/Iceberg), which provides the atomic swap; only the join shape
       // below (anti-join by key + union) carries over.
+      ctx.note("weak at scale: driver-local filesystem swap — retarget at a table-format MERGE INTO on a cluster")
       val fs = body match { case JObject(f) => f; case _ => throw GraftException("$merge requires an object") }
       val into = fs.collectFirst { case ("into", JString(s)) => s }
         .getOrElse(throw GraftException("$merge requires into"))
@@ -407,7 +418,7 @@ object StageTranslator {
       val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("replace")
       if (whenMatched != "replace" && whenMatched != "keepExisting")
         throw new graft.model.ValidationError(s"$$merge whenMatched must be replace|keepExisting, got $whenMatched")
-      val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2): _*)
+      val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
       val spark = df.sparkSession
       val merged =
         if (!new java.io.File(into).exists()) incoming
@@ -634,20 +645,24 @@ object StageTranslator {
             if (ctx.hasSeq && df.columns.contains(SeqCol))
               (Seq(SeqCol) ++ (if (df.columns.contains(SeqCol2)) Seq(SeqCol2) else Nil)).map(col)
             else Nil
+          ctx.note("encounter order: sort keys struct-encoded into the aggregate (no extra pass)")
           (df, struct(encoded.flatten ++ tiebreak: _*))
         } else {
           val sortCols = keys.map(k => if (k.asc) col(k.path).asc_nulls_first else col(k.path).desc_nulls_last) ++
             (if (ctx.hasSeq && df.columns.contains(SeqCol))
               col(SeqCol) +: (if (df.columns.contains(SeqCol2)) Seq(col(SeqCol2)) else Nil)
             else Nil)
+          ctx.note("encounter order: two-pass global-rank restamp (order basis not struct-encodable, e.g. descending string key)")
           (globalRowNumber(df, sortCols, RankCol), col(RankCol))
         }
       case None =>
         if (ctx.hasSeq && df.columns.contains(SeqCol)) {
           if (df.columns.contains(SeqCol2)) (df, struct(col(SeqCol), col(SeqCol2)))
           else (df, col(SeqCol))
-        } else
+        } else {
+          ctx.note("encounter order: two-pass restamp over a row fingerprint (ingest _seq not available)")
           (globalRowNumber(df, Seq(to_json(struct(col("*")))), RankCol), col(RankCol))
+        }
     }
   }
 
@@ -932,6 +947,7 @@ object StageTranslator {
             array_sort(collect_list(struct(col("__fseq").as("o"), struct(fCols.map(col): _*).as("v")))),
             x => x.getField("v")).as(asName))
       }
+    ctx.note("equality join on a pre-aggregated foreign side — Catalyst broadcasts it when small, AQE decides otherwise")
     val joined = df.join(grouped, df(lf) <=> grouped("__graft_k"), "left").drop("__graft_k")
     val elemType = grouped.schema(asName).dataType
     val out = joined.withColumn(asName, coalesce(col(asName), array().cast(elemType)))
@@ -995,6 +1011,7 @@ object StageTranslator {
       // Run it once, aggregate to a single-row array, broadcast cross join —
       // one tiny broadcast, no per-row execution (Mongo's uncorrelated
       // $lookup subquery pattern).
+      ctx.note("uncorrelated sub-pipeline: run once, single-row broadcast cross join (no per-row execution)")
       val subResult = graft.Aggo.aggregateParsed(foreignFiltered, rest, ctx.collections)
         .coalesce(1) // keep the (bounded) sub-result's row order in the array
       val arr = subResult.agg(
@@ -1005,6 +1022,7 @@ object StageTranslator {
       throw GraftException("$lookup pipeline form requires an $expr equality join key (or a fully uncorrelated pipeline)")
 
     // Collect matches per join key
+    ctx.note("correlated sub-pipeline decorrelated: var-free conjuncts pre-filter the foreign side, $expr equalities become join keys, residuals filter the collected array")
     val fCols = foreignFiltered.columns.toSeq
     val fSeq = foreignFiltered.withColumn("__fseq", monotonically_increasing_id())
     val keyCols = joinKeys.map(_._2).distinct
@@ -1185,6 +1203,7 @@ object StageTranslator {
       val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections).coalesce(1)
       sub.agg(collect_list(struct(sub.columns.map(col): _*)).as(name))
     }
+    ctx.note("each facet sub-result coalesced to one partition (bounded single-row output) to pin array order")
     (facets.reduceLeft(_ crossJoin _), ctx.copy(order = None, hasSeq = false))
   }
 
@@ -1238,10 +1257,14 @@ object StageTranslator {
     // falling back to the single-task global window.
     if (partitionBy.isEmpty && sortBy.isDefined) {
       unpartitionedTwoPass(df, sortBy.get, output) match {
-        case Some(out) => return (out, ctx)
-        case None      => // unsupported operator mix — global window below
+        case Some(out) =>
+          ctx.note("two-pass rewrite applied: unpartitioned window → range partition + local windows + broadcast prefix offsets")
+          return (out, ctx)
+        case None =>
+          ctx.note("fallback: single-task global window (operator mix not two-pass-rewritable)")
       }
-    }
+    } else if (partitionBy.isDefined)
+      ctx.note("partitioned Window — one hash shuffle on the partition key")
 
     var w = partitionBy match {
       case Some(p) => Window.partitionBy(ExprTranslator.translate(p))
@@ -1573,6 +1596,7 @@ object StageTranslator {
     val valueFields = output.collect { case (f, JObject(List(("value", v)))) => f -> v }
     if (partitionBy.isEmpty && sortBy.isDefined &&
         locfFields.nonEmpty && locfFields.size + valueFields.size == output.size) {
+      ctx.note("two-pass rewrite applied: unpartitioned locf → local fill per range partition + broadcast carry-in")
       val orderCols = sortBy.get
       val parted = df.repartitionByRange(orderCols: _*).withColumn("__wp", spark_partition_id())
       val lwBase = Window.partitionBy(col("__wp")).orderBy(orderCols: _*)
@@ -1716,6 +1740,7 @@ object StageTranslator {
     val asName = str("as").getOrElse(throw GraftException("$graphLookup requires as"))
     val maxDepth = fs.collectFirst { case ("maxDepth", JInt(d)) => d.toInt }.getOrElse(20)
     val depthField = str("depthField")
+    ctx.note("iterative BFS: one distributed equi-join per depth level; frontier persisted and released per level")
 
     val withId = df.withColumn("__gid", monotonically_increasing_id())
     val fCols = foreign.columns.toSeq

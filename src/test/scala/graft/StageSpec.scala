@@ -90,6 +90,36 @@ class StageSpec extends AnyFunSuite {
     assert(text.contains("Filter (pushed into the scan where possible)"))
     assert(text.contains("PushedFilters") && text.contains("GreaterThanOrEqual(v,50"))
     assert(text.contains("ReadSchema"))
+    // per-stage reason codes (reference stage analyses, api-enhancements.ts:135-288)
+    assert(text.contains("· declarative Filter — eligible predicates are pushed into the scan"))
+  }
+
+  test("explain() emits per-stage reason codes for plan-shaping decisions") {
+    def explained(pipe: String, colls: Map[String, org.apache.spark.sql.DataFrame] = Map.empty): String =
+      Aggo.explain(orders, pipe, colls)
+    // struct-encoded encounter order on an ascending sort
+    val grp = explained("""[{"$sort": {"id": 1}}, {"$group": {"_id": "$cust", "xs": {"$push": "$id"}}}]""")
+    assert(grp.contains("· encounter order: sort keys struct-encoded"))
+    // desc-string order basis → two-pass restamp code
+    val desc = explained("""[{"$sort": {"status": -1}}, {"$group": {"_id": "$cust", "xs": {"$push": "$id"}}}]""")
+    assert(desc.contains("· encounter order: two-pass global-rank restamp"))
+    // lookup: broadcast-eligible equality join
+    val lkp = explained(
+      """[{"$lookup": {"from": "o2", "localField": "id", "foreignField": "id", "as": "m"}}]""",
+      Map("o2" -> orders))
+    assert(lkp.contains("· equality join on a pre-aggregated foreign side"))
+    // unpartitioned window → two-pass rewrite code
+    val win = explained(
+      """[{"$setWindowFields": {"sortBy": {"id": 1}, "output": {"rn": {"$documentNumber": {}}}}}]""")
+    assert(win.contains("· two-pass rewrite applied"))
+    // partitioned window
+    val pwin = explained(
+      """[{"$setWindowFields": {"partitionBy": "$cust", "sortBy": {"id": 1},
+           "output": {"rn": {"$documentNumber": {}}}}}]""")
+    assert(pwin.contains("· partitioned Window — one hash shuffle"))
+    // $sample determinism code
+    val smp = explained("""[{"$sample": {"size": 2}}]""")
+    assert(smp.contains("· deterministic md5 row-hash order"))
   }
 
   test("unpartitioned $fill locf two-pass carries across range partitions") {
