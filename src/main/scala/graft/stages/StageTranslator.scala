@@ -404,12 +404,14 @@ object StageTranslator {
 
     case "$merge" =>
       // Upsert into an existing parquet dataset keyed by `on` (extension).
-      // NOT cluster-ready as written: the java.io.File existence check and
-      // tmp-dir swap assume a driver-local filesystem. On a real deployment
-      // this stage should be re-targeted at a table format's MERGE INTO
-      // (Delta/Iceberg), which provides the atomic swap; only the join shape
-      // below (anti-join by key + union) carries over.
-      ctx.note("weak at scale: driver-local filesystem swap — retarget at a table-format MERGE INTO on a cluster")
+      // Plan shape: anti-join on the key + union — one shuffle, no driver
+      // data movement. The write goes through the target's Hadoop
+      // FileSystem (works on HDFS/S3A/local alike): stage the merged result
+      // next to the target, then swap by rename. Renames are atomic on
+      // HDFS-like filesystems; object stores and multi-writer setups should
+      // retarget this stage at a table format's transactional MERGE INTO
+      // (Delta/Iceberg) — the join shape carries over unchanged.
+      ctx.note("parquet upsert: key anti-join + union, staged write + filesystem rename swap (use a table-format MERGE INTO for transactional multi-writer guarantees)")
       val fs = body match { case JObject(f) => f; case _ => throw GraftException("$merge requires an object") }
       val into = fs.collectFirst { case ("into", JString(s)) => s }
         .getOrElse(throw GraftException("$merge requires into"))
@@ -420,8 +422,11 @@ object StageTranslator {
         throw new graft.model.ValidationError(s"$$merge whenMatched must be replace|keepExisting, got $whenMatched")
       val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
       val spark = df.sparkSession
+      val target = new org.apache.hadoop.fs.Path(into)
+      val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val targetExists = hfs.exists(target)
       val merged =
-        if (!new java.io.File(into).exists()) incoming
+        if (!targetExists) incoming
         else {
           val existing = spark.read.parquet(into)
           if (whenMatched == "keepExisting")
@@ -431,13 +436,18 @@ object StageTranslator {
             incoming.unionByName(
               existing.join(incoming.select(on), Seq(on), "left_anti"), allowMissingColumns = true)
         }
-      val tmp = into + ".graft-merge-tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      val staged = spark.read.parquet(tmp).cache()
-      staged.count() // materialize before overwriting the source
-      staged.write.mode("overwrite").parquet(into)
-      staged.unpersist()
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      // Spark cannot overwrite a path it is reading from, so stage + swap.
+      val tmp = new org.apache.hadoop.fs.Path(into + ".graft-merge-tmp")
+      val old = new org.apache.hadoop.fs.Path(into + ".graft-merge-old")
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      if (hfs.exists(old)) hfs.delete(old, true)
+      if (targetExists && !hfs.rename(target, old))
+        throw GraftException(s"$$merge: could not stage-out existing $into")
+      if (!hfs.rename(tmp, target)) {
+        if (targetExists) hfs.rename(old, target) // restore
+        throw GraftException(s"$$merge: could not swap staged result into $into")
+      }
+      if (hfs.exists(old)) hfs.delete(old, true)
       (spark.read.parquet(into), ctx.copy(order = None, hasSeq = false))
 
     case "$fill" => fill(df, body, ctx)
