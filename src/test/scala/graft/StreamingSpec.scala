@@ -41,6 +41,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Batching maps latency targets and rate limits to Spark's levers") {
+    import org.apache.spark.sql.streaming.Trigger
+    import GraftStreaming.Batching
+    // latency target → ProcessingTime trigger at half the budget
+    assert(Batching(latencyTargetMs = Some(1000)).trigger == Trigger.ProcessingTime(500))
+    assert(Batching().trigger == Trigger.ProcessingTime(0))
+    assert(Batching(availableNow = true).trigger == Trigger.AvailableNow())
+    // rate limits route to the per-source admission options
+    assert(Batching(maxRowsPerBatch = Some(5000)).readerOptions("kafka") ==
+      Map("maxOffsetsPerTrigger" -> "5000"))
+    assert(Batching(maxRowsPerBatch = Some(3)).readerOptions("parquet") ==
+      Map("maxFilesPerTrigger" -> "3"))
+    assert(Batching(maxRowsPerBatch = Some(3)).readerOptions("rate").isEmpty)
+    assert(Batching().readerOptions("kafka").isEmpty)
+  }
+
+  test("start() runs a pipeline under a Batching trigger end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val out = GraftStreaming.aggregate(mem.toDF(),
+      """[{"$group": {"_id": "$user", "total": {"$sum": "$amount"}}}]""")
+    mem.addData(Ev("a", 1), Ev("b", 2), Ev("a", 3))
+    val q = GraftStreaming.start(out, "sbatch", "complete",
+      GraftStreaming.Batching(availableNow = true))
+    try {
+      q.awaitTermination(30000) // AvailableNow: drain backlog then stop
+      val rows = spark.table("sbatch").collect()
+        .map(r => (r.getAs[String]("_id"), r.getAs[Double]("total"))).toSet
+      assert(rows == Set(("a", 4.0), ("b", 2.0)))
+    } finally q.stop()
+  }
+
   test("stateless stages run in append mode") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
