@@ -412,6 +412,14 @@ object SparkEntry {
           "output": {"n": {"$sum": 1}, "avg_bal": {"$avg": "$c_acctbal"}}}},
         {"$project": {"bucket": "$_id", "n": 1, "avg_bal": {"$round": ["$avg_bal", 4]}, "_id": 0}}
       ]"""),
+    "q_bucketauto_str" -> ((s: SparkSession, d: String) =>
+      run("part",
+        """[
+          {"$bucketAuto": {"groupBy": "$p_brand", "buckets": 5,
+            "output": {"n": {"$sum": 1}, "tot": {"$sum": "$p_retailprice"}}}}
+        ]""")(s, d)
+        .select(col("_id").getField("min").as("lo"), col("_id").getField("max").as("hi"),
+          col("n"), expr("round(tot, 2)").as("tot"))),
     "q_sample" -> run("orders",
       """[
         {"$project": {"o_orderkey": 1, "o_custkey": 1, "_id": 0}},
@@ -943,6 +951,15 @@ object SparkEntry {
           ELSE 99999 END AS bucket,
         count(*) AS n, floor(avg(c_acctbal) * 10000 + 0.5) / 10000 AS avg_bal
       FROM customer GROUP BY 1""",
+    "q_bucketauto_str" ->
+      """WITH counts AS (SELECT p_brand AS k, count(*) AS n FROM part GROUP BY 1),
+           cum AS (SELECT k, n, sum(n) OVER (ORDER BY k) - n AS cumprev FROM counts),
+           total AS (SELECT sum(n) AS nn FROM counts),
+           tiles AS (SELECT k, CAST((cumprev * 5) // nn AS INT) AS tile FROM cum, total)
+      SELECT min(p.p_brand) AS lo, max(p.p_brand) AS hi, count(*) AS n,
+             floor(sum(p.p_retailprice) * 100 + 0.5) / 100 AS tot
+      FROM part p JOIN tiles ON p.p_brand = tiles.k
+      GROUP BY tiles.tile""",
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (

@@ -237,7 +237,10 @@ object ExprTranslator {
           case _ => throw GraftException("$round expects 1-2 args")
         }
       case "$trunc" =>
-        // truncate toward zero (cast-to-long semantics), optional place
+        // truncate toward zero (cast-to-long semantics), optional place.
+        // Values beyond ±2^63-1 saturate under the long cast rather than
+        // erroring — acceptable: Mongo doubles lose integer precision past
+        // 2^53 anyway, so the magnitudes differ only in already-inexact range.
         argList(arg) match {
           case List(x) => translate(x).cast(LongType)
           case List(x, JInt(p)) =>

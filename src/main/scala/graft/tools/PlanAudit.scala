@@ -51,6 +51,15 @@ object PlanAudit {
     audit("ANN LSH: bucket equi-join + windowed re-rank") {
       graft.SparkEntry.queries("q_ann_lsh")(spark, dir)
     }
+    audit("string $bucketAuto: exact boundaries, CASE + HashAggregate (no window)") {
+      graft.SparkEntry.queries("q_bucketauto_str")(spark, dir)
+    }
+    audit("desc-string $push: two-pass global-rank restamp (no unpartitioned data window)") {
+      graft.Aggo.aggregate(
+        spark.read.parquet(s"$dir/orders.parquet"),
+        """[{"$sort": {"o_orderstatus": -1, "o_orderkey": 1}},
+            {"$group": {"_id": "$o_orderpriority", "keys": {"$push": "$o_orderkey"}}}]""")
+    }
     spark.stop()
   }
 }
