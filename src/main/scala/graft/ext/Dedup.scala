@@ -116,15 +116,21 @@ object Dedup {
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // Signature pass via the JVM kernel (Kernels.minhashSig): the
+    // Signature pass via the JVM kernel (Kernels.minhashSigFromHashes): the
     // interpreted-HOF variant (minhashSignature) walks ~20k expression nodes
     // per document. Spilled to parquet (not persisted) because three join
     // branches reuse it — signatures are computed once, nothing stays pinned
-    // in executor memory after the call.
+    // in executor memory after the call. Shingles are spilled as 64-bit
+    // hashes, not strings: 8 bytes per shingle in the spill and in the
+    // verify join's shuffle, with bit-identical signatures (same base hash)
+    // and the same exact-Jaccard values (set sizes unchanged up to 2^-64
+    // collision odds) — at corpus scale the shingle payload dominates this
+    // table, so this is the difference between shipping text and shipping
+    // fingerprints.
     val shingled = spill(df.select(
       col(idCol).as("doc_id"),
-      Kernels.wordShinglesKernel(shingleSize)(col(textCol)).as("sh"))
-      .withColumn("sig", Kernels.minhashSig(numHashes, seed)(col("sh"))),
+      Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
+      .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh"))),
       "graft-minhash-sig")
     val banded = shingled.select(col("doc_id"),
       posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
@@ -136,7 +142,7 @@ object Dedup {
     val shA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", Kernels.jaccardKernel(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -103,6 +103,59 @@ object Kernels {
     (a, b) => f(a, b)
   }
 
+  /** Word n-gram shingles hashed to stable 64-bit values — the spill/ship
+    * representation: 8 bytes per shingle instead of the string. Uses the
+    * same base hash (`hash64(s, 42L)`) as [[minhashSig]], so signatures
+    * built from these values are bit-identical to the string path; set
+    * cardinalities (and therefore exact Jaccard) match the string
+    * formulation up to 2^-64 collision odds. */
+  def hashedShinglesKernel(n: Int): Column => Column = {
+    val f = udf { (text: String) =>
+      if (text == null) Seq.empty[Long]
+      else {
+        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+        val it = if (toks.length < n) Iterator(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" "))
+        it.map(hash64(_, 42L)).toSeq.distinct
+      }
+    }
+    c => f(c)
+  }
+
+  /** MinHash signature from pre-hashed shingles — identical output to
+    * [[minhashSig]] over the corresponding strings (same permutations,
+    * same base hash). */
+  def minhashSigFromHashes(numHashes: Int, seed: Long): Column => Column = {
+    val rnd = new scala.util.Random(seed)
+    val as = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
+    val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    val g = udf { (hashes: Seq[Long]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      hashes.foreach { hv =>
+        val h = java.lang.Math.floorMod(hv, Mersenne31)
+        var i = 0
+        while (i < numHashes) {
+          val v = (h * as(i) + bs(i)) % Mersenne31
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    c => g(c)
+  }
+
+  /** Exact Jaccard of two long collections treated as sets. */
+  val jaccardLongKernel: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val sa = a.toSet; val sb = b.toSet
+      val inter = sa.count(sb)
+      val union = sa.size + sb.size - inter
+      if (union > 0) inter.toDouble / union else 1.0
+    }
+    (a, b) => f(a, b)
+  }
+
   /** 64-bit SimHash over a token array. */
   def simhashKernel: Column => Column = {
     val f = udf { (tokens: Seq[String]) =>
