@@ -159,6 +159,48 @@ class PropertySpec extends AnyFunSuite {
     }, 25)
   }
 
+  test("random chained $unwind + $push agrees with a per-document interpreter") {
+    // The lexicographic (outer, inner) element order across chained unwinds
+    // rides the _seq2 position-array mechanism; fuzz random array shapes
+    // (empty arrays included) at chain depths 2 and 3 against a direct
+    // cross-product interpreter.
+    case class Shape(depth: Int, seed: Long)
+    val genShape: Gen[Shape] = for {
+      depth <- Gen.oneOf(2, 3)
+      seed  <- Gen.choose(0L, 10000L)
+    } yield Shape(depth, seed)
+
+    check(Prop.forAllNoShrink(genShape) { sh =>
+      val rnd = new scala.util.Random(sh.seed)
+      def arr(): Seq[Int] = Seq.fill(rnd.nextInt(4))(rnd.nextInt(50))
+      val rows = (0 until 12).map { i =>
+        val as = arr(); val bs = arr(); val cs = if (sh.depth == 3) arr() else Seq(0)
+        (i, as, bs, cs)
+      }
+      val lines = rows.map { case (i, as, bs, cs) =>
+        val base = s""""id": $i, "xs": [${as.mkString(",")}], "ys": [${bs.mkString(",")}]"""
+        if (sh.depth == 3) s"""{$base, "zs": [${cs.mkString(",")}]}""" else s"""{$base}"""
+      }
+      val third = if (sh.depth == 3) """{"$unwind": "$zs"},""" else ""
+      val zTerm = if (sh.depth == 3) """, "$zs"""" else ""
+      val pipeline =
+        s"""[{"$$unwind": "$$xs"}, {"$$unwind": "$$ys"}, $third
+            {"$$group": {"_id": "$$id", "vals": {"$$push": {"$$add": [
+              {"$$multiply": ["$$xs", 10000]}, {"$$multiply": ["$$ys", 100]}$zTerm]}}}},
+            {"$$sort": {"_id": 1}}]"""
+      val got = Aggo.aggregate(fromJsonl(lines: _*).repartition(3), pipeline)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val expected = rows.flatMap { case (i, as, bs, cs) =>
+        val vals = for (a <- as; b <- bs; c <- cs)
+          yield a.toLong * 10000 + b * 100 + (if (sh.depth == 3) c else 0)
+        if (vals.isEmpty) None else Some(i.toLong -> vals.toList)
+      }.toMap
+      val ok = got == expected
+      if (!ok) println(s"MISMATCH depth=${sh.depth} seed=${sh.seed}\n got=$got\n exp=$expected")
+      ok
+    }, 15)
+  }
+
   test("random numeric expressions agree with an independent evaluator") {
     sealed trait E { def eval(d: Doc): Double; def json: String }
     case class FA() extends E { def eval(d: Doc) = d.a.toDouble; def json = "\"$a\"" }
