@@ -9,9 +9,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Usage:
   *   graft.Cli --pipeline '<json>' [--in path[.jsonl|.parquet]] [--out path]
   *             [--collection name=path ...] [--explain] [--stats] [--pretty]
+  *             [--preserve-missing]
   *
   * `--in -` (default) reads JSONL from stdin; `--out -` (default) writes
   * JSONL to stdout. Parquet is selected by file extension.
+  * `--preserve-missing` tracks per-document field presence on JSONL inputs
+  * so `$exists` distinguishes `{a: null}` from `{}` (reference
+  * hasOwnProperty semantics — see Aggo.fromJSONL).
   */
 object Cli {
 
@@ -22,6 +26,7 @@ object Cli {
     var explain = false
     var stats = false
     var pretty = false
+    var preserveMissing = false
     var collections = Map.empty[String, String]
     var i = 0
     while (i < args.length) {
@@ -32,10 +37,11 @@ object Cli {
         case "--out"           => out = args(i + 1); i += 2
         case "--collection"    =>
           val Array(n, p) = args(i + 1).split("=", 2); collections += n -> p; i += 2
-        case "--explain"       => explain = true; i += 1
-        case "--stats"         => stats = true; i += 1
-        case "--pretty"        => pretty = true; i += 1
-        case other             => die(s"unknown argument $other")
+        case "--explain"          => explain = true; i += 1
+        case "--stats"            => stats = true; i += 1
+        case "--pretty"           => pretty = true; i += 1
+        case "--preserve-missing" => preserveMissing = true; i += 1
+        case other                => die(s"unknown argument $other")
       }
     }
     val pipelineJson = pipeline.getOrElse(die("--pipeline or --pipeline-file required"))
@@ -55,9 +61,9 @@ object Cli {
         // stdin JSONL → temp file (spark.read.json needs a path/RDD)
         val tmp = java.nio.file.Files.createTempFile("graft-stdin", ".jsonl")
         java.nio.file.Files.copy(System.in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        spark.read.json(tmp.toString)
+        Aggo.fromJSONL(spark, tmp.toString, preserveMissing)
       case p if p.endsWith(".parquet") => spark.read.parquet(p)
-      case p                           => spark.read.json(p)
+      case p                           => Aggo.fromJSONL(spark, p, preserveMissing)
     }
 
     val input = read(in)
