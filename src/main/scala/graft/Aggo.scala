@@ -42,9 +42,25 @@ object Aggo {
         df.withColumn(StageTranslator.SeqCol, monotonically_increasing_id())
       else df
     val init = PipeCtx(collections = collections, hasSeq = needsSeq, notes = notes)
+    // Stages that create fields mark them present. $project/$addFields and
+    // the union-shaped stages manage the presence set themselves (incl.
+    // per-row $$REMOVE strips); for every other stage, any new top-level
+    // user column it introduced ($lookup `as`, $setWindowFields outputs,
+    // includeArrayIndex, $graphLookup `as`, ...) is present on every row.
+    val selfManaged = Set("$project", "$addFields", "$set", "$unset", "$unionWith", "$densify")
     val (out, _) = stages.zipWithIndex.foldLeft((ingested, init)) {
       case ((d, ctx), ((name, body), i)) =>
-        StageTranslator(d, name, body, ctx.copy(stageIdx = i))
+        val (out0, ctx2) = StageTranslator(d, name, body, ctx.copy(stageIdx = i))
+        val out1 =
+          if (out0.columns.contains(StageTranslator.PresenceCol) && !selfManaged(name)) {
+            val before = d.columns.toSet
+            val created = StageTranslator.userCols(out0).filterNot(before)
+            if (created.isEmpty) out0
+            else out0.withColumn(StageTranslator.PresenceCol,
+              StageTranslator.presencePlus(
+                org.apache.spark.sql.functions.col(StageTranslator.PresenceCol), created))
+          } else out0
+        (out1, ctx2)
     }
     out.drop(out.columns.filter(c =>
       c == StageTranslator.SeqCol || c == StageTranslator.SeqCol2 ||
@@ -160,11 +176,15 @@ object Aggo {
     * frame carries a hidden `__present` path set, so `$exists` distinguishes
     * `{a: null}` from `{}` and `$push` skips missing-field documents while
     * keeping explicit nulls. `$ifNull` still treats both as null, as Mongo
-    * does. Costs one Jackson parse per line at ingest — opt-in only. */
+    * does. Per-line cost at ingest: one `from_json` parse plus one Jackson
+    * presence parse — and, when no `schema` is supplied, a schema-inference
+    * scan of the input up front. Large inputs should pass the schema. */
   def fromJSONL(spark: org.apache.spark.sql.SparkSession, path: String,
-                preserveMissing: Boolean): DataFrame =
+                preserveMissing: Boolean,
+                schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     if (!preserveMissing) fromJSONL(spark, path)
-    else withPresence(spark.read.text(path).toDF("value"), fromJSONL(spark, path).schema)
+    else withPresence(spark.read.text(path).toDF("value"),
+      schema.getOrElse(fromJSONL(spark, path).schema))
 
   def fromJSONL(spark: org.apache.spark.sql.SparkSession, lines: Seq[String],
                 preserveMissing: Boolean): DataFrame =

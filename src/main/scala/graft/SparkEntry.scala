@@ -939,7 +939,9 @@ object SparkEntry {
       "SELECT c_name AS name, c_custkey AS k FROM customer UNION ALL SELECT s_name, s_suppkey FROM supplier",
     "q_sample" ->
       """SELECT o_orderkey, o_custkey FROM orders
-      ORDER BY md5(concat_ws(chr(1), CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR)))
+      ORDER BY md5(concat_ws(chr(1),
+        coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+        coalesce(CAST(o_custkey AS VARCHAR), chr(2))))
       LIMIT 25""",
     "q_bucket" ->
       """SELECT CASE

@@ -75,19 +75,25 @@ object Kernels {
     c => f(c)
   }
 
+  /** Shared tokenize+window pipeline for the shingle kernels: lowercase
+    * `\W+` split, n-gram sliding window, short-text fallback. Both the
+    * string and hashed kernels map over THIS iterator, so their shingle
+    * sets (and therefore signatures and Jaccard values) stay in lockstep
+    * by construction. */
+  @inline private def shingleSeq(text: String, n: Int): Seq[String] =
+    if (text == null) Seq.empty
+    else {
+      val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      if (toks.length < n) Seq(toks.mkString(" "))
+      else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+    }
+
   /** Word n-gram shingles of raw text — same tokenization and windowing as
     * `TextFunctions.wordShingles` (lowercase `\W+` split, distinct), as a
     * single JVM pass. Produces identical shingle sets, so downstream exact
     * Jaccard matches the declarative/oracle formulation. */
   def wordShinglesKernel(n: Int): Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) Seq.empty[String]
-      else {
-        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
-        if (toks.length < n) Seq(toks.mkString(" "))
-        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
-      }
-    }
+    val f = udf { (text: String) => shingleSeq(text, n) }
     c => f(c)
   }
 
@@ -110,15 +116,7 @@ object Kernels {
     * cardinalities (and therefore exact Jaccard) match the string
     * formulation up to 2^-64 collision odds. */
   def hashedShinglesKernel(n: Int): Column => Column = {
-    val f = udf { (text: String) =>
-      if (text == null) Seq.empty[Long]
-      else {
-        val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
-        val it = if (toks.length < n) Iterator(toks.mkString(" "))
-        else toks.sliding(n).map(_.mkString(" "))
-        it.map(hash64(_, 42L)).toSeq.distinct
-      }
-    }
+    val f = udf { (text: String) => shingleSeq(text, n).map(hash64(_, 42L)) }
     c => f(c)
   }
 

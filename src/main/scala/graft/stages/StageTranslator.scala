@@ -66,6 +66,36 @@ object StageTranslator {
       Some(coalesce(array_contains(col(PresenceCol), path), lit(false)))
     else None
 
+  /** Add paths to a presence set (null-safe, deduplicated). */
+  def presencePlus(pres: Column, paths: Seq[String]): Column =
+    if (paths.isEmpty) pres
+    else array_distinct(concat(
+      coalesce(pres, array().cast("array<string>")), array(paths.map(lit): _*)))
+
+  /** All dotted struct paths of a schema (arrays not descended), internal
+    * columns excluded. */
+  private def schemaPaths(schema: StructType, prefix: String = ""): Seq[String] =
+    schema.fields.toSeq.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      if (prefix.isEmpty && (f.name == SeqCol || f.name == SeqCol2 || f.name == PresenceCol)) Nil
+      else f.dataType match {
+        case st: StructType => p +: schemaPaths(st, p)
+        case _              => Seq(p)
+      }
+    }
+
+  /** Per-row presence reconstructed from the data itself: a path is present
+    * iff its value is non-null — exactly the default missing→null
+    * normalization, expressed as a presence set. Used to stamp frames that
+    * join a presence-tracked pipeline without their own ingest presence
+    * (e.g. the foreign side of $unionWith). */
+  def presenceFromData(df: DataFrame): Column = {
+    val paths = schemaPaths(df.schema)
+    if (paths.isEmpty) array().cast("array<string>")
+    else filter(
+      array(paths.map(p => when(col(p).isNotNull, lit(p))): _*), x => x.isNotNull)
+  }
+
   private val RemoveLit = JString("$$REMOVE")
 
   /** Detect a `$project`/`$addFields` field expression that can yield
@@ -147,11 +177,17 @@ object StageTranslator {
         case Some((value, removed)) => removals += (path -> removed); value
         case None                   => ExprTranslator.translate(v)
       }
-      val newCols: Seq[(String, Column)] = restFields.map {
+      // Fold field specs in order into one column per top-level name: two
+      // nested paths under the same top ({"n.a": 1, "n.b": 2}) chain
+      // withField on the SAME base instead of last-wins via a Map, and a
+      // later spec legitimately overrides an earlier one, as in Mongo.
+      val built = scala.collection.mutable.LinkedHashMap.empty[String, Column]
+      restFields.foreach {
         case (path, v) if path.contains('.') =>
           val parts = path.split('.')
-          (parts.head, col(parts.head).withField(parts.tail.mkString("."), fieldValue(path, v)))
-        case (k, v) => (k, fieldValue(k, v))
+          val base = built.getOrElse(parts.head, col(parts.head))
+          built(parts.head) = base.withField(parts.tail.mkString("."), fieldValue(path, v))
+        case (k, v) => built(k) = fieldValue(k, v)
       }
       // a set field exists afterwards — record it (and its path prefixes)
       // in the presence set when one is being tracked; strip removed paths
@@ -160,11 +196,7 @@ object StageTranslator {
       }.distinct
       val presCols: Map[String, Column] =
         if (df.columns.contains(PresenceCol)) {
-          val unioned =
-            if (setPaths.isEmpty) col(PresenceCol)
-            else array_distinct(concat(
-              coalesce(col(PresenceCol), array().cast("array<string>")),
-              array(setPaths.map(lit): _*)))
+          val unioned = presencePlus(col(PresenceCol), setPaths)
           val afterRemovals = removals.foldLeft(unioned) { case (p, (path, removed)) =>
             presenceMinus(p, path, removed)
           }
@@ -173,7 +205,7 @@ object StageTranslator {
           }
           Map(PresenceCol -> afterStatic)
         } else Map.empty
-      var out = df.withColumns(newCols.toMap ++ presCols)
+      var out = df.withColumns(built.toMap ++ presCols)
       bareRemove.map(_._1).foreach { p =>
         if (p.contains('.')) {
           val parts = p.split('.')
@@ -282,7 +314,14 @@ object StageTranslator {
         case None => foreignRaw
       }
       val fSeq0 = foreign.withColumn(SeqCol, monotonically_increasing_id() + lit(Long.MaxValue / 2))
-      val fSeq = if (df.columns.contains(SeqCol2)) fSeq0.withColumn(SeqCol2, array(lit(0L))) else fSeq0
+      val fSeq1 = if (df.columns.contains(SeqCol2)) fSeq0.withColumn(SeqCol2, array(lit(0L))) else fSeq0
+      // presence-tracked pipeline: the union side keeps its own presence set
+      // if it has one, else reconstruct from non-null values — a null
+      // `__present` would read as everything-missing on the unioned rows
+      val fSeq =
+        if (df.columns.contains(PresenceCol) && !fSeq1.columns.contains(PresenceCol))
+          fSeq1.withColumn(PresenceCol, presenceFromData(fSeq1))
+        else fSeq1
       (df.unionByName(fSeq, allowMissingColumns = true), ctx)
 
     case "$sample" =>
@@ -297,8 +336,11 @@ object StageTranslator {
       // md5 over a ctrl-A-joined string cast of each column, rather than
       // xxhash64, so an external SQL engine (the DuckDB oracle) can
       // recompute the identical ordering: md5 is universal, xxhash64's
-      // seed/variant is Spark-specific.
-      val sampleKey = md5(concat_ws("\u0001", userCols(df).map(c => col(c).cast("string")): _*))
+      // seed/variant is Spark-specific. Nulls coalesce to a ctrl-B sentinel
+      // (concat_ws SKIPS null arguments, so without it {a:null,b:x} and
+      // {a:x,b:null} would collide and tie-break by partition order).
+      val sampleKey = md5(concat_ws("\u0001",
+        userCols(df).map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
       (df.orderBy(sampleKey).limit(n), ctx)
 
     case "$bucket" => bucket(df, body, ctx)
@@ -551,11 +593,7 @@ object StageTranslator {
             case (p, v) if !isInclude(v) && !isExclude(v) && v != RemoveLit =>
               val parts = p.split('.'); (1 to parts.length).map(i => parts.take(i).mkString("."))
           }.flatten.distinct
-          val unioned =
-            if (computed.isEmpty) col(PresenceCol)
-            else array_distinct(concat(
-              coalesce(col(PresenceCol), array().cast("array<string>")),
-              array(computed.map(lit): _*)))
+          val unioned = presencePlus(col(PresenceCol), computed)
           val pres = removals.foldLeft(unioned) { case (p, (path, removed)) =>
             presenceMinus(p, path, removed)
           }.as(PresenceCol)
@@ -1727,7 +1765,13 @@ object StageTranslator {
       case _                   => axisRaw
     }
     val existing = df.select(pcols :+ fieldC.as(field): _*).distinct()
-    val gaps = axis.join(existing, partitions :+ field, "left_anti")
+    val gaps0 = axis.join(existing, partitions :+ field, "left_anti")
+    // under presence tracking a gap document carries exactly the axis and
+    // partition fields (Mongo's densify documents contain only those)
+    val gaps =
+      if (df.columns.contains(PresenceCol))
+        gaps0.withColumn(PresenceCol, array((field +: partitions).map(lit): _*))
+      else gaps0
     (df.withColumn(field, fieldC).unionByName(gaps, allowMissingColumns = true),
       ctx.copy(order = None))
   }

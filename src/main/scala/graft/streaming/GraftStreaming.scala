@@ -112,6 +112,12 @@ object GraftStreaming {
             batching: Batching = Batching(),
             sinkFormat: String = "memory", path: Option[String] = None,
             checkpointDir: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+    // rate limits are SOURCE options — they must be applied at readStream
+    // time via readerOptions(); refusing beats silently ignoring the cap
+    if (batching.maxRowsPerBatch.isDefined)
+      throw graft.model.GraftException(
+        "maxRowsPerBatch is a source-side limit: apply Batching.readerOptions(format) " +
+          "to the readStream options; start() only controls the trigger")
     var w = out.writeStream.format(sinkFormat).queryName(queryName)
       .outputMode(outputMode).trigger(batching.trigger)
     path.foreach(p => w = w.option("path", p))

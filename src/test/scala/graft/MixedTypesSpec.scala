@@ -115,6 +115,31 @@ class MixedTypesSpec extends AnyFunSuite {
     assert(f(1L) == -1L && f(2L) == -1L && f(3L) == 5L && f(4L) == -1L)
   }
 
+  test("preserveMissing: $unionWith union-side rows keep their own presence") {
+    val other = Aggo.fromJSONL(spark, Seq("""{"id": 10, "a": 1}""", """{"id": 11}"""))
+    val ids = Aggo.aggregate(present,
+      """[{"$unionWith": "other"}, {"$match": {"a": {"$exists": true}}},
+          {"$project": {"id": 1}}, {"$sort": {"id": 1}}]""",
+      Map("other" -> other))
+      .collect().map(_.getAs[Long]("id")).toSeq
+    // union side has no ingest presence → reconstructed from non-null values
+    assert(ids == Seq(1L, 3L, 10L))
+  }
+
+  test("preserveMissing: fields created by $lookup/$setWindowFields/$unwind-idx exist") {
+    val fk = Aggo.fromJSONL(spark, Seq("""{"k": 5, "v": "x"}"""))
+    val lkp = Aggo.aggregate(present,
+      """[{"$lookup": {"from": "f", "localField": "a", "foreignField": "k", "as": "m"}},
+          {"$match": {"m": {"$exists": true}}}, {"$count": "n"}]""", Map("f" -> fk))
+      .collect().head.getAs[Long]("n")
+    assert(lkp == 4L) // `as` is set (possibly []) on every row
+    val win = Aggo.aggregate(present,
+      """[{"$setWindowFields": {"sortBy": {"id": 1}, "output": {"rn": {"$documentNumber": {}}}}},
+          {"$match": {"rn": {"$exists": true}}}, {"$count": "n"}]""")
+      .collect().head.getAs[Long]("n")
+    assert(win == 4L)
+  }
+
   test("preserveMissing: fields created by $addFields/$project exist afterwards") {
     val added = agg(present,
       """[{"$addFields": {"c": 1}}, {"$match": {"c": {"$exists": true}}}, {"$count": "n"}]""").head

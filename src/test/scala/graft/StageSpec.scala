@@ -257,6 +257,23 @@ class StageSpec extends AnyFunSuite {
     assert(mixedVals == Seq("pkx", "pky", "qkx", "qky"))
   }
 
+  test("$addFields sets multiple nested paths under the same top-level field") {
+    val r = agg(fromJsonl("""{"id": 1, "n": {"z": 0}}"""),
+      """[{"$addFields": {"n.a": 1, "n.b": 2}}]""").head
+    val n = r("n").asInstanceOf[org.apache.spark.sql.Row]
+    assert(n.getAs[Int]("a") == 1 && n.getAs[Int]("b") == 2 && n.getAs[Long]("z") == 0L)
+  }
+
+  test("$sample key distinguishes null positions (no partition-order ties)") {
+    val docs = fromJsonl(
+      """{"a": null, "b": "x"}""", """{"a": "x", "b": null}""",
+      """{"a": "y", "b": "y"}""")
+    def one(parts: Int): Set[String] =
+      Aggo.aggregate(docs.repartition(parts), """[{"$sample": {"size": 1}}]""")
+        .collect().map(r => s"${r.getAs[String]("a")}|${r.getAs[String]("b")}").toSet
+    assert(one(1) == one(3) && one(3) == one(7)) // same winner at any layout
+  }
+
   test("$$REMOVE: static field removal, per-row $cond removal, nested use throws") {
     // bare $$REMOVE removes the field statically (reference expressions.ts:453-456)
     val st = agg(orders, """[{"$match": {"id": 1}}, {"$addFields": {"status": "$$REMOVE"}}]""").head

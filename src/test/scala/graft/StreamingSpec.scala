@@ -55,6 +55,14 @@ class StreamingSpec extends AnyFunSuite {
       Map("maxFilesPerTrigger" -> "3"))
     assert(Batching(maxRowsPerBatch = Some(3)).readerOptions("rate").isEmpty)
     assert(Batching().readerOptions("kafka").isEmpty)
+    // start() cannot apply a source-side cap — refuse instead of no-op
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Ev]
+    assertThrows[graft.model.GraftException] {
+      GraftStreaming.start(mem.toDF(), "sguard", "append",
+        Batching(maxRowsPerBatch = Some(10)))
+    }
   }
 
   test("start() runs a pipeline under a Batching trigger end-to-end") {
