@@ -575,6 +575,31 @@ object SparkEntry {
       tbl(spark, dir, "documents").select(col("doc_id"),
         fingerprint(col("text")).as("fp"))
     }),
+    // PII appended per-row from doc_id so the scrub has real targets; the
+    // oracle builds the identical input and applies the same regex chain
+    "q_text_scrub" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val d = tbl(spark, dir, "documents")
+      val augmented = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +4917112"), col("doc_id").cast("string"),
+        lit(" ip 10.1.2."), (col("doc_id") % 250).cast("string"),
+        lit(" card 4111111111111111"))
+      d.select(col("doc_id"), scrubPii(augmented).as("scrubbed"))
+    }),
+    "q_text_repetition" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val d = tbl(spark, dir, "documents")
+      d.select(col("doc_id"),
+        floorRound(lineRepetitionRatio(regexp_replace(col("text"), "\\. ", "\n")), 6).as("rep"))
+    }),
+    "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.stratified(
+        tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+        Seq("o_orderstatus"), 7)),
+    "q_sample_fraction" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.deterministicFraction(
+        tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"), 0.1)),
 
     // ---- extensions: dedup ----
     "q_dedup_exact" -> ((spark: SparkSession, dir: String) =>
@@ -1101,6 +1126,39 @@ object SparkEntry {
       """SELECT doc_id,
         md5(array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0))), ' ')) AS fp
       FROM documents""",
+    "q_text_scrub" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          text || ' contact user' || doc_id || '@example.com or +4917112' || doc_id
+               || ' ip 10.1.2.' || (doc_id % 250) || ' card 4111111111111111',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+          '\+[0-9]{7,15}\b', '<PHONE>', 'g'),
+          '\b[0-9]{13,19}\b', '<NUMBER>', 'g') AS scrubbed
+      FROM documents""",
+    "q_text_repetition" ->
+      """WITH l AS (SELECT doc_id,
+          list_filter(list_transform(
+            string_split(regexp_replace(text, '\. ', chr(10), 'g'), chr(10)),
+            x -> trim(x)), x -> x <> '') AS lines
+        FROM documents)
+      SELECT doc_id, CASE WHEN len(lines) > 0
+        THEN floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 1000000 + 0.5) / 1000000
+        ELSE 0.0 END AS rep FROM l""",
+    "q_sample_stratified" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+          row_number() OVER (PARTITION BY o_orderstatus ORDER BY
+            md5(concat_ws(chr(1),
+              coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+              coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+              coalesce(CAST(o_orderstatus AS VARCHAR), chr(2))))) AS rn
+        FROM orders) WHERE rn <= 7""",
+    "q_sample_fraction" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      WHERE substring(md5(concat_ws(chr(1),
+        coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
+        coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
+        coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)))), 1, 4) < '1999'""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "q_dedup_ngram" ->

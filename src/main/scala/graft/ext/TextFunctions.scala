@@ -109,6 +109,35 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
+  /** Redact common PII shapes in place, each replaced by a typed tag:
+    * emails, IPv4 addresses, international `+`-prefixed phone numbers, and
+    * 13-19 digit card-like numbers. A chain of `regexp_replace` — codegen,
+    * one scan, no UDF — with patterns kept to the regex subset Java and
+    * RE2 agree on, so an external SQL engine reproduces the byte-identical
+    * output (the DuckDB oracle does). Conservative by design: a scrub
+    * pass for training corpora, not a compliance guarantee. */
+  def scrubPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val phone = "\\+[0-9]{7,15}\\b"
+    val card  = "\\b[0-9]{13,19}\\b"
+    val afterEmail = regexp_replace(text, email, "<EMAIL>")
+    val afterIp    = regexp_replace(afterEmail, ipv4, "<IP>")
+    val afterPhone = regexp_replace(afterIp, phone, "<PHONE>")
+    regexp_replace(afterPhone, card, "<NUMBER>")
+  }
+
+  /** Line-level repetition: the fraction of non-blank (trimmed) lines that
+    * are duplicates of another line — 0 for all-unique, →1 for boilerplate
+    * spam. A standard training-data quality signal alongside
+    * [[qualityScore]]. */
+  def lineRepetitionRatio(text: Column): Column = {
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    when(size(lines) > 0,
+      (size(lines) - size(array_distinct(lines))).cast("double") / size(lines))
+      .otherwise(lit(0.0))
+  }
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

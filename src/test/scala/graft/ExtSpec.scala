@@ -202,6 +202,38 @@ class ExtSpec extends AnyFunSuite {
     assert(fp(0).getString(0) == fp(1).getString(0))
   }
 
+  test("PII scrub redacts emails/IPs/phones/cards; repetition ratio flags boilerplate") {
+    val r = fromJsonl(
+      """{"id": 1, "text": "mail a.b@x.io or call +4915112345678, server 192.168.0.1, card 4111111111111111"}""")
+      .select(TextFunctions.scrubPii(col("text")).as("s")).collect().head.getString(0)
+    assert(r == "mail <EMAIL> or call <PHONE>, server <IP>, card <NUMBER>")
+    val rep = fromJsonl(
+      """{"id": 1, "text": "same\nsame\nsame\nsame"}""",
+      """{"id": 2, "text": "a\nb\nc\nd"}""",
+      """{"id": 3, "text": ""}""")
+      .select(col("id"), TextFunctions.lineRepetitionRatio(col("text")).as("rep"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("rep")).toMap
+    assert(rep(1L) == 0.75 && rep(2L) == 0.0 && rep(3L) == 0.0)
+  }
+
+  test("deterministic sampling: stratified caps per group; fraction is layout-stable") {
+    val df = spark.range(0, 1000).selectExpr("id", "cast(id % 4 as string) as g")
+    val strat = graft.ext.Sampling.stratified(df, Seq("g"), 10)
+    val byG = strat.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG.values.forall(_ == 10L) && byG.size == 4)
+    // same winners regardless of input partitioning
+    val strat2 = graft.ext.Sampling.stratified(df.repartition(13), Seq("g"), 10)
+    assert(strat.collect().map(_.getLong(0)).sorted.toSeq ==
+      strat2.collect().map(_.getLong(0)).sorted.toSeq)
+    val frac = graft.ext.Sampling.deterministicFraction(df, 0.25)
+    val n = frac.count()
+    assert(n > 150 && n < 350) // ~250 expected
+    val frac2 = graft.ext.Sampling.deterministicFraction(df.repartition(7), 0.25)
+    assert(frac.collect().map(_.getLong(0)).sorted.toSeq ==
+      frac2.collect().map(_.getLong(0)).sorted.toSeq)
+    assert(graft.ext.Sampling.deterministicFraction(df, 1.0).count() == 1000L)
+  }
+
   test("multimodal: synthetic media decodes to expected metadata") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
