@@ -593,6 +593,13 @@ object SparkEntry {
       d.select(col("doc_id"),
         floorRound(lineRepetitionRatio(regexp_replace(col("text"), "\\. ", "\n")), 6).as("rep"))
     }),
+    "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      graft.ext.Packing.packByTokenBudget(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tok")),
+        Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
+    }),
     "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.stratified(
         tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
@@ -1144,6 +1151,17 @@ object SparkEntry {
       SELECT doc_id, CASE WHEN len(lines) > 0
         THEN floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 1000000 + 0.5) / 1000000
         ELSE 0.0 END AS rep FROM l""",
+    "q_pack_budget" ->
+      """WITH toks AS (SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS n_tok
+        FROM documents)
+      SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok,
+        CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) AS pack_id,
+        CAST((cum - n_tok) % 512 AS BIGINT) AS pack_offset
+      FROM (SELECT doc_id, lang, n_tok,
+              sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM toks)""",
     "q_sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
         SELECT o_orderkey, o_custkey, o_orderstatus,

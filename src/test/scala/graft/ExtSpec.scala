@@ -234,6 +234,27 @@ class ExtSpec extends AnyFunSuite {
     assert(graft.ext.Sampling.deterministicFraction(df, 1.0).count() == 1000L)
   }
 
+  test("token-budget packing fills shard-local packs at budget boundaries") {
+    val df = fromJsonl(
+      """{"id": 1, "g": "a", "tok": 300}""",
+      """{"id": 2, "g": "a", "tok": 300}""",
+      """{"id": 3, "g": "a", "tok": 300}""",
+      """{"id": 4, "g": "b", "tok": 600}""",
+      """{"id": 5, "g": "b", "tok": 100}""")
+    val packed = graft.ext.Packing.packByTokenBudget(
+      df, Seq("g"), Seq(col("id")), col("tok"), 512L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    // shard a: cum-before 0, 300, 600 → packs 0, 0, 1
+    assert(packed(1L) == (0L, 0L) && packed(2L) == (0L, 300L) && packed(3L) == (1L, 88L))
+    // shard b restarts: 0, 600 → packs 0, 1
+    assert(packed(4L) == (0L, 0L) && packed(5L) == (1L, 88L))
+    // unsharded call refuses (would serialize through one window partition)
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.packByTokenBudget(df, Nil, Seq(col("id")), col("tok"), 512L)
+    }
+  }
+
   test("multimodal: synthetic media decodes to expected metadata") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
