@@ -96,6 +96,26 @@ object StageTranslator {
       array(paths.map(p => when(col(p).isNotNull, lit(p))): _*), x => x.isNotNull)
   }
 
+  /** After `$unwind` replaced `path`'s array with one element, rebuild that
+    * subtree of the presence set from the element's non-null values —
+    * per-element presence is not tracked through arrays, and non-null is
+    * the normalized equivalent. Makes `$exists`/`$push` on an unwound
+    * struct's fields (e.g. a $lookup match) behave sensibly. */
+  private def presenceAfterUnwind(df: DataFrame, path: String): DataFrame =
+    if (!df.columns.contains(PresenceCol)) df
+    else {
+      val elemType = scala.util.Try(df.select(col(path)).schema.head.dataType).toOption
+      val subPaths: Seq[String] = elemType match {
+        case Some(st: StructType) => path +: schemaPaths(st, path)
+        case _                    => Seq(path)
+      }
+      val fresh = filter(
+        array(subPaths.map(q => when(col(q).isNotNull, lit(q))): _*), x => x.isNotNull)
+      val kept = filter(coalesce(col(PresenceCol), array().cast("array<string>")),
+        x => !(x === lit(path) || x.startsWith(path + ".")))
+      df.withColumn(PresenceCol, array_distinct(concat(kept, fresh)))
+    }
+
   private val RemoveLit = JString("$$REMOVE")
 
   /** Detect a `$project`/`$addFields` field expression that can yield
@@ -906,7 +926,7 @@ object StageTranslator {
       if (usePos && includeIdx.isEmpty) exploded = exploded.drop(posName)
       val withIdx = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType)))
         .getOrElse(exploded)
-      return (withIdx, ctx)
+      return (presenceAfterUnwind(withIdx, path), ctx)
     }
     implicit val ec: ExprCtx = exprCtx(df)
     val isArr = ec.typeOf(col(path)) match {
@@ -938,7 +958,7 @@ object StageTranslator {
     val idxCast = includeIdx.map(ix => exploded.withColumn(ix, col(ix).cast(LongType))).getOrElse(exploded)
     val finalOrder = (originalOrder ++ includeIdx.filterNot(originalOrder.contains)) ++
       (if (needSeq2 && !originalOrder.contains(SeqCol2)) Seq(SeqCol2) else Nil)
-    (idxCast.select(finalOrder.map(col): _*), ctx)
+    (presenceAfterUnwind(idxCast.select(finalOrder.map(col): _*), path), ctx)
   }
 
   // --------------------------------------------------------------------------

@@ -140,6 +140,22 @@ class MixedTypesSpec extends AnyFunSuite {
     assert(win == 4L)
   }
 
+  test("preserveMissing: unwound struct elements expose per-row subfield presence") {
+    val fk = Aggo.fromJSONL(spark, Seq(
+      """{"k": 5, "v": "x"}""", """{"k": 5, "w": 9}"""))
+    // after $lookup + $unwind the match struct's fields exist iff non-null
+    // in that element (normalized equivalent — per-element presence is not
+    // tracked through arrays)
+    val rows = Aggo.aggregate(present,
+      """[{"$match": {"id": 3}},
+          {"$lookup": {"from": "f", "localField": "a", "foreignField": "k", "as": "m"}},
+          {"$unwind": "$m"},
+          {"$match": {"m.v": {"$exists": true}}},
+          {"$project": {"id": 1, "v": "$m.v"}}]""", Map("f" -> fk))
+      .collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("v") == "x")
+  }
+
   test("preserveMissing: fields created by $addFields/$project exist afterwards") {
     val added = agg(present,
       """[{"$addFields": {"c": 1}}, {"$match": {"c": {"$exists": true}}}, {"$count": "n"}]""").head
