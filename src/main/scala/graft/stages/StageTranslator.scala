@@ -405,16 +405,8 @@ object StageTranslator {
           ctx.note("exact equal-count boundaries via two-pass distinct-key cumulative counts (no global ntile)")
           val counts = keyed.na.drop(Seq("__ba_key"))
             .groupBy(col("__ba_key")).agg(count(lit(1)).as("__n"))
-          val parted = counts.repartitionByRange(col("__ba_key").asc_nulls_first)
-            .withColumn("__gp", spark_partition_id())
-          val lw = Window.partitionBy(col("__gp")).orderBy(col("__ba_key").asc_nulls_first)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val local = parted.withColumn("__cum", sum(col("__n")).over(lw))
-          val stats = local.groupBy(col("__gp")).agg(sum(col("__n")).as("__t"))
-          val pw = Window.orderBy(col("__gp")).rowsBetween(Window.unboundedPreceding, -1)
-          val offsets = stats.select(col("__gp"), coalesce(sum(col("__t")).over(pw), lit(0L)).as("__off"))
-          val cum = local.join(broadcast(offsets), "__gp")
-            .withColumn("__cum", col("__cum") + col("__off"))
+          val cum = twoPassRunningSum(counts,
+            Seq(col("__ba_key").asc_nulls_first), col("__n"), "__cum")
           val total = cum.agg(coalesce(sum(col("__n")), lit(0L))).head.getLong(0)
           // threshold t_i = ceil(i·N/buckets); key k is the boundary (last
           // key) of bucket i iff cum(k)-n(k) < t_i ≤ cum(k) — each boundary
@@ -661,24 +653,32 @@ object StageTranslator {
     (out, ctx.copy(order = None, hasSeq = false))
   }
 
-  /** Scale-safe global row number: range-partition on the order columns,
-    * rank locally per partition, then add broadcast per-partition prefix
-    * counts. Two shuffles of the frame's own data, no single-task global
-    * Window — the same two-pass recipe `unpartitionedTwoPass` uses for
-    * `$setWindowFields`. The prefix window runs over the tiny per-partition
-    * stats frame only (bounded by the shuffle partition count). */
-  private def globalRowNumber(df: DataFrame, orderCols: Seq[Column], outName: String): DataFrame = {
+  /** Scale-safe global running sum of `value` in `orderCols` order:
+    * range-partition on the order columns, sum locally per partition, then
+    * add broadcast per-partition prefix totals. Two shuffles of the frame's
+    * own data, no single-task global Window — the same two-pass recipe
+    * `unpartitionedTwoPass` uses for `$setWindowFields`. The prefix window
+    * runs over the tiny per-partition stats frame only (bounded by the
+    * shuffle partition count). */
+  private def twoPassRunningSum(df: DataFrame, orderCols: Seq[Column],
+                                value: Column, outName: String): DataFrame = {
     val parted = df.repartitionByRange(orderCols: _*).withColumn("__gp", spark_partition_id())
-    val local = parted.withColumn("__grn",
-      row_number().over(Window.partitionBy(col("__gp")).orderBy(orderCols: _*)).cast(LongType))
-    val stats = local.groupBy(col("__gp")).agg(count(lit(1)).as("__rows"))
+    val lw = Window.partitionBy(col("__gp")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__grun", sum(value).over(lw).cast(LongType))
+    val stats = local.groupBy(col("__gp")).agg(coalesce(sum(value), lit(0L)).as("__ptot"))
     val pw = Window.orderBy(col("__gp")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = stats.select(col("__gp"),
-      coalesce(sum(col("__rows")).over(pw), lit(0L)).as("__prows"))
+      coalesce(sum(col("__ptot")).over(pw), lit(0L)).as("__poff"))
     local.join(broadcast(offsets), "__gp")
-      .withColumn(outName, col("__grn") + col("__prows"))
-      .drop("__gp", "__grn", "__prows")
+      .withColumn(outName, col("__grun") + col("__poff"))
+      .drop("__gp", "__grun", "__poff")
   }
+
+  /** Scale-safe global row number: a two-pass running sum of 1 (the ROWS
+    * frame makes the local sum exactly the local row number). */
+  private def globalRowNumber(df: DataFrame, orderCols: Seq[Column], outName: String): DataFrame =
+    twoPassRunningSum(df, orderCols, lit(1L), outName)
 
   /** A monotonically-increasing key encoding the current encounter order, for
     * `$first/$last/$push` (accumulators.ts:96-168). After a `$sort` the order
