@@ -1176,7 +1176,7 @@ object SparkEntry {
       WHERE substring(md5(concat_ws(chr(1),
         coalesce(CAST(o_orderkey AS VARCHAR), chr(2)),
         coalesce(CAST(o_custkey AS VARCHAR), chr(2)),
-        coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)))), 1, 4) < '1999'""",
+        coalesce(CAST(o_orderstatus AS VARCHAR), chr(2)))), 1, 8) < '1999999a'""",
     "q_dedup_exact" ->
       "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies FROM documents GROUP BY 1",
     "q_dedup_ngram" ->

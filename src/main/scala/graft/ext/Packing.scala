@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Add `pack_id` (per-shard, 0-based) and `pack_offset` (tokens before
-    * this document within its pack) columns. `orderCols` fixes the
-    * within-shard document order — pass something deterministic. */
+  /** Add `pack_id` (per-shard, 0-based) and `pack_offset` columns.
+    * `pack_offset` is the document's start position within the idealized
+    * budget-multiple window — it INCLUDES a boundary-straddling
+    * predecessor's spill (the first document of a pack after a straddle
+    * starts at the spill size, not 0). `orderCols` fixes the within-shard
+    * document order — pass something deterministic. */
   def packByTokenBudget(df: DataFrame, shardCols: Seq[String],
                         orderCols: Seq[Column], tokenCol: Column,
                         budget: Long): DataFrame = {

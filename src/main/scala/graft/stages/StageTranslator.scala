@@ -66,6 +66,14 @@ object StageTranslator {
       Some(coalesce(array_contains(col(PresenceCol), path), lit(false)))
     else None
 
+  /** Cross-engine-reproducible row key: md5 over ctrl-A-joined string
+    * casts with a ctrl-B sentinel per null (concat_ws SKIPS null args, so
+    * without the sentinel rows differing only in null position collide).
+    * Shared by $sample and ext.Sampling so the determinism recipe an
+    * external oracle replays lives in exactly one place. */
+  def md5RowKey(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001", cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+
   /** Add paths to a presence set (null-safe, deduplicated). */
   def presencePlus(pres: Column, paths: Seq[String]): Column =
     if (paths.isEmpty) pres
@@ -100,19 +108,23 @@ object StageTranslator {
     * subtree of the presence set from the element's non-null values —
     * per-element presence is not tracked through arrays, and non-null is
     * the normalized equivalent. Makes `$exists`/`$push` on an unwound
-    * struct's fields (e.g. a $lookup match) behave sensibly. */
+    * struct's fields (e.g. a $lookup match) behave sensibly. The path's
+    * OWN ingest entry is kept as-is: a null element keeps the field
+    * present ({a: null} EXISTS — the pinned hasOwnProperty contract; the
+    * cost is that a preserved empty array also reads present, where Mongo
+    * removes the field — documented approximation). */
   private def presenceAfterUnwind(df: DataFrame, path: String): DataFrame =
     if (!df.columns.contains(PresenceCol)) df
     else {
-      val elemType = scala.util.Try(df.select(col(path)).schema.head.dataType).toOption
-      val subPaths: Seq[String] = elemType match {
-        case Some(st: StructType) => path +: schemaPaths(st, path)
-        case _                    => Seq(path)
+      // path was just produced by the explode, so it resolves by construction
+      val subPaths: Seq[String] = df.select(col(path)).schema.head.dataType match {
+        case st: StructType => path +: schemaPaths(st, path)
+        case _              => Seq(path)
       }
       val fresh = filter(
         array(subPaths.map(q => when(col(q).isNotNull, lit(q))): _*), x => x.isNotNull)
       val kept = filter(coalesce(col(PresenceCol), array().cast("array<string>")),
-        x => !(x === lit(path) || x.startsWith(path + ".")))
+        x => !x.startsWith(path + "."))
       df.withColumn(PresenceCol, array_distinct(concat(kept, fresh)))
     }
 
@@ -359,8 +371,7 @@ object StageTranslator {
       // seed/variant is Spark-specific. Nulls coalesce to a ctrl-B sentinel
       // (concat_ws SKIPS null arguments, so without it {a:null,b:x} and
       // {a:x,b:null} would collide and tie-break by partition order).
-      val sampleKey = md5(concat_ws("\u0001",
-        userCols(df).map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+      val sampleKey = md5RowKey(userCols(df).map(col))
       (df.orderBy(sampleKey).limit(n), ctx)
 
     case "$bucket" => bucket(df, body, ctx)

@@ -232,6 +232,11 @@ class ExtSpec extends AnyFunSuite {
     assert(frac.collect().map(_.getLong(0)).sorted.toSeq ==
       frac2.collect().map(_.getLong(0)).sorted.toSeq)
     assert(graft.ext.Sampling.deterministicFraction(df, 1.0).count() == 1000L)
+    assert(graft.ext.Sampling.deterministicFraction(df, 0.0).count() == 0L)
+    // unstratified call refuses (single global window partition)
+    intercept[IllegalArgumentException] {
+      graft.ext.Sampling.stratified(df, Nil, 5)
+    }
   }
 
   test("token-budget packing fills shard-local packs at budget boundaries") {

@@ -156,6 +156,22 @@ class MixedTypesSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("v") == "x")
   }
 
+  test("preserveMissing: a null array element stays present through $unwind") {
+    val docs = Aggo.fromJSONL(spark, Seq("""{"id": 1, "a": [null, "x"]}"""),
+      preserveMissing = true)
+    val n = Aggo.aggregate(docs,
+      """[{"$unwind": {"path": "$a", "preserveNullAndEmptyArrays": true}},
+          {"$match": {"a": {"$exists": true}}}, {"$count": "n"}]""")
+      .collect().head.getAs[Long]("n")
+    assert(n == 2L) // {a: null} EXISTS — hasOwnProperty contract holds per element
+    // includeArrayIndex fields exist too (central created-column fixup)
+    val idx = Aggo.aggregate(docs,
+      """[{"$unwind": {"path": "$a", "includeArrayIndex": "i"}},
+          {"$match": {"i": {"$exists": true}}}, {"$count": "n"}]""")
+      .collect().head.getAs[Long]("n")
+    assert(idx == 2L)
+  }
+
   test("preserveMissing: fields created by $addFields/$project exist afterwards") {
     val added = agg(present,
       """[{"$addFields": {"c": 1}}, {"$match": {"c": {"$exists": true}}}, {"$count": "n"}]""").head
