@@ -51,4 +51,119 @@ class ScenarioSpec extends AnyFunSuite {
     val rows = agg(orders, """[{"$sortByCount": "$shippingAddress.city"}]""")
     assert(rows.map(r => (r("_id"), r("count"))) == Seq(("SF", 2L), ("NYC", 1L)))
   }
+
+  test("IoT monitoring: alerts, location keys, $switch status (reference doc example)") {
+    // reference documentation-examples.spec.js:811-884 — environmental
+    // monitoring with alert thresholds, a composed location key, group
+    // roll-up, and a $switch status over the alert percentage.
+    val readings = fromJsonl(
+      """{"deviceId": "d1", "timestamp": "2024-03-01T10:15:00Z", "temperature": 20.0, "humidity": 40.0,
+          "location": {"building": "A", "floor": 1, "room": "r1"}}""",
+      """{"deviceId": "d1", "timestamp": "2024-03-01T11:15:00Z", "temperature": 30.0, "humidity": 40.0,
+          "location": {"building": "A", "floor": 1, "room": "r1"}}""",
+      """{"deviceId": "d2", "timestamp": "2024-03-01T10:30:00Z", "temperature": 17.0, "humidity": 20.0,
+          "location": {"building": "B", "floor": 2, "room": "r2"}}""",
+      """{"deviceId": "d2", "timestamp": "2024-03-01T11:30:00Z", "temperature": 16.0, "humidity": 70.0,
+          "location": {"building": "B", "floor": 2, "room": "r2"}}""",
+      """{"deviceId": "d3", "timestamp": "2024-03-01T12:00:00Z", "temperature": 22.0, "humidity": 50.0,
+          "location": {"building": "C", "floor": 3, "room": "r3"}}""")
+    val rows = agg(readings,
+      """[
+        {"$addFields": {
+          "hour": {"$hour": {"$toDate": "$timestamp"}},
+          "tempAlert": {"$or": [{"$lt": ["$temperature", 18]}, {"$gt": ["$temperature", 26]}]},
+          "humidityAlert": {"$or": [{"$lt": ["$humidity", 30]}, {"$gt": ["$humidity", 60]}]},
+          "locationKey": {"$concat": ["$location.building", "-",
+            {"$toString": "$location.floor"}, "-", "$location.room"]}}},
+        {"$group": {"_id": "$locationKey",
+          "deviceId": {"$first": "$deviceId"},
+          "avgTemperature": {"$avg": "$temperature"},
+          "minTemp": {"$min": "$temperature"}, "maxTemp": {"$max": "$temperature"},
+          "tempAlertCount": {"$sum": {"$cond": ["$tempAlert", 1, 0]}},
+          "humidityAlertCount": {"$sum": {"$cond": ["$humidityAlert", 1, 0]}},
+          "totalReadings": {"$sum": 1}}},
+        {"$addFields": {
+          "tempRange": {"$subtract": ["$maxTemp", "$minTemp"]},
+          "alertPercentage": {"$multiply": [{"$divide": [
+            {"$add": ["$tempAlertCount", "$humidityAlertCount"]}, "$totalReadings"]}, 100]}}},
+        {"$addFields": {
+          "status": {"$switch": {"branches": [
+            {"case": {"$gt": ["$alertPercentage", 50]}, "then": "Critical"},
+            {"case": {"$gt": ["$alertPercentage", 20]}, "then": "Warning"},
+            {"case": {"$lte": ["$alertPercentage", 20]}, "then": "Normal"}],
+            "default": "Unknown"}}}},
+        {"$sort": {"alertPercentage": -1}}
+      ]""")
+    assert(rows.map(_("_id")) == Seq("B-2-r2", "A-1-r1", "C-3-r3"))
+    val byKey = rows.map(r => r("_id") -> r).toMap
+    val b = byKey("B-2-r2")
+    assert(b("status") == "Critical" && b("alertPercentage") == 200.0)
+    assert(b("tempAlertCount") == 2L && b("humidityAlertCount") == 2L)
+    assert(b("avgTemperature") == 16.5 && b("tempRange") == 1.0)
+    val a = byKey("A-1-r1")
+    assert(a("status") == "Warning" && a("alertPercentage") == 50.0)
+    assert(a("deviceId") == "d1" && a("tempRange") == 10.0)
+    val c = byKey("C-3-r3")
+    assert(c("status") == "Normal" && c("alertPercentage") == 0.0)
+  }
+
+  test("social media: virality scoring over lookup + chained unwinds (reference doc example)") {
+    // reference documentation-examples.spec.js:887-956 — $lookup + struct
+    // unwind + hashtag unwind, $addToSet of a nested field, $push of a
+    // computed struct, and a $sqrt/$log10 scoring formula with $switch.
+    val users = fromJsonl(
+      """{"_id": 1, "username": "ada"}""", """{"_id": 2, "username": "bo"}""")
+    val posts = fromJsonl(
+      """{"postId": 1, "userId": 1, "hashtags": ["ai", "ml"], "likes": 100, "shares": 30,
+          "content": "deep dive into large-scale model training pipelines and what we learned",
+          "timestamp": "2024-03-01"}""",
+      """{"postId": 2, "userId": 2, "hashtags": ["ai"], "likes": 200, "shares": 50,
+          "content": "short take", "timestamp": "2024-03-02"}""",
+      """{"postId": 3, "userId": 1, "hashtags": ["ml"], "likes": 30, "shares": 5,
+          "content": "notebook tricks", "timestamp": "2024-03-03"}""")
+    val rows = agg(posts,
+      """[
+        {"$lookup": {"from": "users", "localField": "userId", "foreignField": "_id", "as": "user"}},
+        {"$unwind": "$user"},
+        {"$unwind": "$hashtags"},
+        {"$group": {"_id": "$hashtags",
+          "postCount": {"$sum": 1},
+          "totalLikes": {"$sum": "$likes"},
+          "avgEngagement": {"$avg": {"$add": ["$likes", {"$multiply": ["$shares", 3]}]}},
+          "uniqueUsers": {"$addToSet": "$user.username"},
+          "recentPosts": {"$push": {"title": {"$substr": ["$content", 0, 50]}, "timestamp": "$timestamp"}}}},
+        {"$addFields": {"userCount": {"$size": "$uniqueUsers"}}},
+        {"$addFields": {
+          "viralityScore": {"$multiply": ["$avgEngagement", {"$sqrt": "$userCount"},
+            {"$log10": {"$add": ["$postCount", 1]}}]}}},
+        {"$addFields": {
+          "trendingLevel": {"$switch": {"branches": [
+            {"case": {"$gt": ["$viralityScore", 100]}, "then": "Viral"},
+            {"case": {"$gt": ["$viralityScore", 50]}, "then": "Trending"},
+            {"case": {"$gt": ["$viralityScore", 20]}, "then": "Popular"}],
+            "default": "Normal"}}}},
+        {"$sort": {"viralityScore": -1}},
+        {"$project": {"hashtag": "$_id", "postCount": 1, "userCount": 1,
+          "avgEngagement": {"$round": ["$avgEngagement", 1]},
+          "viralityScore": {"$round": ["$viralityScore", 2]},
+          "trendingLevel": 1, "recentPosts": 1}}
+      ]""", Map("users" -> users))
+    def bitRound(x: Double, p: Int): Double = { val f = math.pow(10, p); math.floor(x * f + 0.5) / f }
+    val ai = rows.find(_("hashtag") == "ai").get
+    // ai: engagements 190, 350 → avg 270; users {ada, bo}; 2 posts
+    val aiV = 270.0 * math.sqrt(2.0) * math.log10(3.0)
+    assert(ai("postCount") == 2L && ai("userCount") == 2)
+    assert(ai("avgEngagement") == 270.0 && ai("viralityScore") == bitRound(aiV, 2))
+    assert(ai("trendingLevel") == "Viral")
+    val ml = rows.find(_("hashtag") == "ml").get
+    // ml: engagements 190, 45 → avg 117.5; users {ada}; 2 posts
+    val mlV = 117.5 * 1.0 * math.log10(3.0)
+    assert(ml("avgEngagement") == 117.5 && ml("viralityScore") == bitRound(mlV, 2))
+    assert(ml("trendingLevel") == "Trending")
+    assert(rows.map(_("hashtag")) == Seq("ai", "ml")) // sorted by virality desc
+    // push preserved encounter order through lookup + two unwinds
+    val titles = ai("recentPosts").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(_.getAs[String]("title"))
+    assert(titles == Seq("deep dive into large-scale model training pipeline", "short take"))
+  }
 }
