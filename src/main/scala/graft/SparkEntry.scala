@@ -600,6 +600,13 @@ object SparkEntry {
           tokenCount(col("text")).as("n_tok")),
         Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
     }),
+    "q_pack_greedy" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      graft.ext.Packing.packGreedy(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"),
+          tokenCount(col("text")).as("n_tok")),
+        Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
+    }),
     "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.stratified(
         tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
@@ -1162,6 +1169,26 @@ object SparkEntry {
               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM toks)""",
+    // greedy next-fit is a per-shard recurrence — the oracle replays it with a
+    // recursive CTE advancing one row per shard per iteration
+    "q_pack_greedy" ->
+      """WITH RECURSIVE toks AS (
+        SELECT doc_id, lang,
+          len(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS n_tok,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      state AS (
+        SELECT lang, rn, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+               CAST(n_tok AS BIGINT) AS fill
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, CAST(t.n_tok AS BIGINT),
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN s.pack_id + 1 ELSE s.pack_id END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(0 AS BIGINT) ELSE s.fill END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
+        FROM toks t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
+      SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
     "q_sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
         SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Context-window packing for training-data assembly: assign documents to
   * fixed token-budget packs.
@@ -38,5 +39,54 @@ object Packing {
     val cumBefore = sum(tokenCol).over(w) - tokenCol
     df.withColumn("pack_id", floor(cumBefore / budget).cast("long"))
       .withColumn("pack_offset", (cumBefore % budget).cast("long"))
+  }
+
+  /** Exact greedy next-fit packing: documents are visited in `orderCols`
+    * order within each shard; one that would overflow the open pack's
+    * remaining budget closes it and starts the next. Unlike
+    * [[packByTokenBudget]]'s boundary-at-multiples approximation, no
+    * document straddles a pack boundary, so `pack_offset + tokens <= budget`
+    * holds for every row except a single oversized document (tokens >
+    * budget), which gets a pack of its own.
+    *
+    * The recurrence is inherently sequential per shard, so the scan runs as
+    * one `mapPartitions` pass after hash-partitioning on the shard key —
+    * shards are the unit of parallelism (language × source × hash buckets
+    * are plentiful at corpus scale), and no window, global or otherwise, is
+    * involved. One shuffle total.
+    */
+  def packGreedy(df: DataFrame, shardCols: Seq[String], orderCols: Seq[Column],
+                 tokenCol: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shardCols.nonEmpty,
+      "packGreedy needs shard columns — an unsharded greedy pack assignment would " +
+        "serialize the corpus through one task; shard by language/source or a hash " +
+        "bucket first")
+    val tokTmp = "_graft_pack_tok"
+    val parted = df.withColumn(tokTmp, tokenCol.cast("long"))
+      .repartition(shardCols.map(col): _*)
+      .sortWithinPartitions(shardCols.map(col) ++ orderCols: _*)
+    val schema = parted.schema
+    val shardIdx = shardCols.map(schema.fieldIndex)
+    val tokIdx = schema.fieldIndex(tokTmp)
+    val outSchema = StructType(schema.fields :+
+      StructField("pack_id", LongType, nullable = false) :+
+      StructField("pack_offset", LongType, nullable = false))
+    parted.mapPartitions { it =>
+      var curShard: Seq[Any] = null
+      var packId = 0L
+      var fill = 0L
+      it.map { r =>
+        val shard = shardIdx.map(r.get)
+        if (curShard == null || shard != curShard) {
+          curShard = shard; packId = 0L; fill = 0L
+        }
+        val tok = if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
+        if (fill > 0 && fill + tok > budget) { packId += 1; fill = 0L }
+        val offset = fill
+        fill += tok
+        Row.fromSeq(r.toSeq :+ packId :+ offset)
+      }
+    }(Encoders.row(outSchema)).drop(tokTmp)
   }
 }

@@ -260,6 +260,48 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("greedy next-fit packing never straddles a boundary; oversized docs get own packs") {
+    val df = fromJsonl(
+      """{"id": 1, "g": "a", "tok": 300}""",
+      """{"id": 2, "g": "a", "tok": 300}""",
+      """{"id": 3, "g": "a", "tok": 200}""",
+      """{"id": 4, "g": "a", "tok": 900}""",
+      """{"id": 5, "g": "a", "tok": 10}""",
+      """{"id": 6, "g": "b", "tok": 600}""",
+      """{"id": 7, "g": "b", "tok": 100}""")
+    val packed = graft.ext.Packing.packGreedy(
+      df, Seq("g"), Seq(col("id")), col("tok"), 512L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    // shard a: 300 opens pack 0; 300 would overflow → pack 1; 200 fits at 300;
+    // 900 oversized → pack 2 alone; 10 can't join the oversized pack → pack 3
+    assert(packed(1L) == (0L, 0L) && packed(2L) == (1L, 0L) && packed(3L) == (1L, 300L))
+    assert(packed(4L) == (2L, 0L) && packed(5L) == (3L, 0L))
+    // shard b restarts: 600 oversized opens pack 0 alone; 100 → pack 1
+    assert(packed(6L) == (0L, 0L) && packed(7L) == (1L, 0L))
+
+    // property vs in-memory greedy on a bigger frame
+    val n = 500
+    val rows = (1 to n).map(i => s"""{"id": $i, "g": "${"g" + (i % 7)}", "tok": ${(i * 131) % 700 + 1}}""")
+    val big = fromJsonl(rows: _*)
+    val got = graft.ext.Packing.packGreedy(big, Seq("g"), Seq(col("id")), col("tok"), 1000L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val state = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for (i <- 1 to n) {
+      val g = "g" + (i % 7); val tok = (i * 131) % 700 + 1
+      var (pid, fill) = state.getOrElse(g, (0L, 0L))
+      if (fill > 0 && fill + tok > 1000L) { pid += 1; fill = 0L }
+      expected(i.toLong) = (pid, fill)
+      state(g) = (pid, fill + tok)
+    }
+    assert(got == expected.toMap)
+    intercept[IllegalArgumentException] {
+      graft.ext.Packing.packGreedy(df, Nil, Seq(col("id")), col("tok"), 512L)
+    }
+  }
+
   test("multimodal: synthetic media decodes to expected metadata") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
