@@ -2,11 +2,20 @@ package graft.streaming
 
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.StructType
 
 import graft.Aggo
+
+/** Open per-key session state for [[GraftStreaming.statefulSessions]]. */
+final case class OpenSession(start: Long, end: Long, n: Long)
+
+/** A finalized session emitted by [[GraftStreaming.statefulSessions]]. */
+final case class FinalSession(key: String, session_start: java.sql.Timestamp,
+                              session_end: java.sql.Timestamp, n_events: Long,
+                              duration_ms: Long)
 
 /** Streaming execution of Mongo-style pipelines.
   *
@@ -100,6 +109,79 @@ object GraftStreaming {
             Map("maxFilesPerTrigger" -> math.max(n, 1L).toString)
           case _ => Map.empty
         }
+      }
+  }
+
+  /** Streaming exact deduplication on `keyCols`. With `boundedState` (the
+    * default) duplicate suppression only spans the watermark horizon —
+    * Spark evicts per-key state once the watermark passes, so state stays
+    * bounded on an unbounded stream (the only safe configuration at corpus
+    * scale). `boundedState = false` keeps every key forever: exact global
+    * dedup, state grows with distinct keys — reserve it for bounded
+    * backfills. Append-mode output either way. */
+  def dedupExact(stream: DataFrame, keyCols: Seq[String], tsCol: String,
+                 watermark: String, boundedState: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "dedupExact needs at least one key column")
+    val wm = stream.withWatermark(tsCol, watermark)
+    if (boundedState) wm.dropDuplicatesWithinWatermark(keyCols)
+    else wm.dropDuplicates(keyCols)
+  }
+
+  /** Gap-based sessionization with custom per-key state — the
+    * `flatMapGroupsWithState` tier under [[graft.ext.Sessions
+    * .streamingSessionCounts]]'s native `session_window`. Where
+    * `session_window` can only aggregate, this operator owns the session
+    * lifecycle: sessions closed *within* a batch (a later event arrives
+    * more than `gap` after the open session's end) are emitted immediately,
+    * and the last open session is finalized by an event-time timeout once
+    * the watermark passes its end + gap — so the output stream contains
+    * exactly one append-mode row per completed session.
+    *
+    * State per key is one `OpenSession` (start, end, count) — O(keys held
+    * inside the watermark horizon), the same bound as any watermarked
+    * streaming aggregation. */
+  def statefulSessions(events: DataFrame, keyCol: String, tsCol: String,
+                       gap: String, watermark: String): Dataset[FinalSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = scala.concurrent.duration.Duration(gap).toMillis
+    require(gapMs > 0, s"gap must be positive, got $gap")
+    // watermark AFTER the projection — casting a watermarked column mints a
+    // new attribute and silently drops the watermark tag
+    val typed = events
+      .select(col(keyCol).cast("string").as("key"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, FinalSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state) =>
+          def finalize(s: OpenSession) = FinalSession(key,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end),
+            s.n, s.end - s.start)
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no in-flight event can extend it
+            val out = state.getOption.map(finalize).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val ts = rows.map(_._2.getTime).toArray.sorted
+            val closed = ArrayBuffer[OpenSession]()
+            var cur = state.getOption.orNull
+            for (t <- ts) cur match {
+              case null => cur = OpenSession(t, t, 1)
+              case s if t <= s.end + gapMs =>
+                cur = OpenSession(math.min(s.start, t), math.max(s.end, t), s.n + 1)
+              case s =>
+                closed += s
+                cur = OpenSession(t, t, 1)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutTimestamp(cur.end + gapMs)
+            }
+            closed.map(finalize).iterator
+          }
       }
   }
 

@@ -230,6 +230,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup suppresses duplicate keys within the watermark horizon") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("k", "secs")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("secs")))
+    val out = GraftStreaming.dedupExact(events, Seq("k"), "ts", "1 hour")
+    val q = out.writeStream.format("memory").queryName("sd1").outputMode("append").start()
+    try {
+      // event times strictly above the initial zero watermark — rows AT the
+      // watermark are dropped as late by the dedup state store
+      mem.addData(("k1", 1000L), ("k1", 1005L), ("k2", 1000L))
+      q.processAllAvailable()
+      mem.addData(("k1", 1020L), ("k3", 1030L)) // k1 still inside the horizon → suppressed
+      q.processAllAvailable()
+      val keys = spark.table("sd1").collect().map(_.getAs[String]("k")).sorted.toSeq
+      assert(keys == Seq("k1", "k2", "k3"))
+    } finally q.stop()
+    assertThrows[IllegalArgumentException] {
+      GraftStreaming.dedupExact(events, Nil, "ts", "1 hour")
+    }
+  }
+
+  test("stateful sessions: in-batch closes emit immediately, timeouts finalize the rest") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Long)]
+    val events = mem.toDF().toDF("user", "secs")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_seconds(
+        org.apache.spark.sql.functions.col("secs")))
+    val out = GraftStreaming.statefulSessions(events, "user", "ts", "100 seconds", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ss1").outputMode("append").start()
+    try {
+      // u1: events at 1000s and 1050s form one session; 1500s starts a new
+      // one and closes the first within the batch. u2 has a lone event.
+      mem.addData(("u1", 1000L), ("u1", 1050L), ("u1", 1500L), ("u2", 1000L))
+      q.processAllAvailable()
+      // watermark is now 1500s → u2's timeout (1100s) fires on the next batch
+      mem.addData(("u3", 2000L))
+      q.processAllAvailable()
+      // watermark 2000s → u1's open session (timeout 1600s) finalizes; a
+      // second u3 event 1000s later closes u3's first session in-batch
+      mem.addData(("u3", 3000L))
+      q.processAllAvailable()
+      val got = spark.table("ss1").collect().map(r => (r.getAs[String]("key"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime / 1000,
+        r.getAs[java.sql.Timestamp]("session_end").getTime / 1000,
+        r.getAs[Long]("n_events"), r.getAs[Long]("duration_ms"))).toSet
+      assert(got == Set(
+        ("u1", 1000L, 1050L, 2L, 50000L),
+        ("u2", 1000L, 1000L, 1L, 0L),
+        ("u1", 1500L, 1500L, 1L, 0L),
+        ("u3", 2000L, 2000L, 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("blocking stages are rejected on unbounded streams") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
