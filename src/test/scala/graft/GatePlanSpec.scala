@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+
+/** Scale-safety audit over the ENTIRE correctness gate: every query in
+  * `SparkEntry.queries` is planned against the sf0.001 tables and its
+  * optimized logical plan is swept for the one shape that silently serializes
+  * a cluster — an unpartitioned Window evaluated over raw data.
+  *
+  * An unpartitioned Window is permitted only above an Aggregate, which is the
+  * two-pass recipe's tiny per-partition stats frame (bounded by the shuffle
+  * partition count, not the data). Anything else funnels the whole dataset
+  * through one task at 100× scale and must be rewritten, not shipped.
+  */
+class GatePlanSpec extends AnyFunSuite {
+
+  test("no gate query plans an unpartitioned window over raw data") {
+    val dir = "/root/testdata/sf0.001"
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
+      val df = build(spark, dir)
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty => name
+      }
+    }.distinct
+    assert(violations.isEmpty,
+      s"unpartitioned data-sized window in gate queries: ${violations.mkString(", ")}")
+  }
+}
