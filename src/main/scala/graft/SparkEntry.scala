@@ -607,6 +607,17 @@ object SparkEntry {
           tokenCount(col("text")).as("n_tok")),
         Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
     }),
+    // whole-recipe composition: dedup → quality gate → scrub → pack. The
+    // union plants 50 exact duplicates so the dedup tier has real work.
+    "q_corpus_curate" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val input = d.unionAll(
+        d.filter(col("doc_id") < 50).withColumn("doc_id", col("doc_id") + 10000))
+      graft.ext.Corpus.curate(input, "doc_id", "text", Seq("lang"),
+          graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 512L))
+        .select(col("doc_id"), col("lang"), col("quality"),
+          col("n_tok"), col("pack_id"), col("pack_offset"))
+    }),
     "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.stratified(
         tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
@@ -1189,6 +1200,48 @@ object SparkEntry {
           CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
         FROM toks t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
       SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
+    "q_corpus_curate" ->
+      """WITH RECURSIVE input AS (
+        SELECT doc_id, text, lang FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id, text, lang FROM documents WHERE doc_id < 50),
+      survivors AS (
+        SELECT doc_id, text, lang FROM (
+          SELECT doc_id, text, lang,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM input) WHERE rn = 1),
+      scored AS (
+        SELECT doc_id, lang,
+          least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2 AS quality,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9]{7,15}\b', '<PHONE>', 'g'),
+            '\b[0-9]{13,19}\b', '<NUMBER>', 'g') AS clean
+        FROM (SELECT doc_id, lang, text,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM survivors)),
+      kept AS (
+        SELECT doc_id, lang, quality,
+          len(list_filter(regexp_split_to_array(lower(clean), '\W+'), t -> length(t) > 0)) AS n_tok
+        FROM scored WHERE quality > 0.6),
+      toks2 AS (
+        SELECT doc_id, lang, quality, n_tok,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM kept),
+      state AS (
+        SELECT lang, rn, doc_id, quality, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+               CAST(n_tok AS BIGINT) AS fill
+        FROM toks2 WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, t.quality, CAST(t.n_tok AS BIGINT),
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN s.pack_id + 1 ELSE s.pack_id END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(0 AS BIGINT) ELSE s.fill END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
+        FROM toks2 t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
+      SELECT doc_id, lang, quality, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
     "q_sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
         SELECT o_orderkey, o_custkey, o_orderstatus,

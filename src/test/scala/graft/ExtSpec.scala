@@ -302,6 +302,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus curation: dedup, quality gate, scrub, and pack compose") {
+    val good = "the quick brown fox jumps over the lazy dog while many other animals watch " +
+      "from the forest edge and wonder about the strange scene unfolding before them today"
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$good", "lang": "en"}""",
+      s"""{"id": 2, "text": "$good", "lang": "en"}""", // exact dup of 1 → dropped
+      s"""{"id": 3, "text": "$good contact me at jo@example.com for details", "lang": "en"}""",
+      """{"id": 4, "text": "!!! ??? ### $$$ %%% !!!", "lang": "en"}""", // junk → filtered
+      s"""{"id": 5, "text": "$good and then some more words appear here", "lang": "de"}""")
+    val out = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.3, budget = 40L))
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows.keySet == Set(1L, 3L, 5L)) // 2 deduped away, 4 quality-filtered
+    assert(rows(3L).getAs[String]("text").contains("<EMAIL>"))
+    assert(!rows(3L).getAs[String]("text").contains("example.com"))
+    // en shard: doc 1 (29 tokens) fills pack 0; doc 3 (36 tokens incl. scrub
+    // artifacts) overflows the 40-token budget → pack 1. de restarts at 0.
+    assert(rows(1L).getAs[Long]("pack_id") == 0L && rows(1L).getAs[Long]("pack_offset") == 0L)
+    assert(rows(3L).getAs[Long]("pack_id") == 1L)
+    assert(rows(5L).getAs[Long]("pack_id") == 0L)
+    assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
+  }
+
   test("multimodal: synthetic media decodes to expected metadata") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
