@@ -120,6 +120,9 @@ object Bench {
         nlist = 16, nprobe = 4).count()),
       "textQuality" -> once(docs.select(
         graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)),
+      "corpusCurate" -> once(graft.ext.Corpus.curate(
+        docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
+        Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
       "sessionize" -> once {
         val ev = spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
         graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L).count()

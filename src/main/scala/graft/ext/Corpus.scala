@@ -36,10 +36,12 @@ object Corpus {
   def curate(docs: DataFrame, idCol: String, textCol: String,
              shardCols: Seq[String], cfg: CurateConfig = CurateConfig()): DataFrame = {
     val scored = Dedup.exactDedup(docs, idCol, textCol)
-      .withColumn("quality", TextFunctions.qualityScore(col(textCol)))
+      .withColumn("__toks", TextFunctions.tokens(col(textCol)))
+      .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))
       .filter(col("quality") > cfg.minQuality &&
         col("line_repetition") <= cfg.maxLineRepetition)
+      .drop("__toks")
       .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
       .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
     Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget)

@@ -67,9 +67,18 @@ object TextFunctions {
     * punctuation signals the way C4/Gopher-style filters do (public recipe),
     * kept as a deterministic closed formula so it is oracle-checkable.
     * score = 0.4·min(1, tokens/100) + 0.4·ttr + 0.2·(1 − min(1, 4·punct)). */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(lit(1.0), tokenCount(text).cast("double") / 100.0)
-    val ttr = typeTokenRatio(text)
+  def qualityScore(text: Column): Column = qualityScoreFrom(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-computed token array. Callers that already
+    * carry `tokens(text)` as a named column (e.g. [[Corpus.curate]]) avoid
+    * re-running the tokenizing regex for each of the three signals —
+    * Catalyst declines to inline a non-trivial alias referenced more than
+    * once, so the split really does run once per row. Identical arithmetic,
+    * bit-identical result. */
+  def qualityScoreFrom(toks: Column, text: Column): Column = {
+    val lenScore = least(lit(1.0), size(toks).cast("double") / 100.0)
+    val ttr = when(size(toks) > 0, size(array_distinct(toks)).cast("double") / size(toks))
+      .otherwise(lit(0.0))
     val punct = lit(1.0) - least(lit(1.0), punctRatio(text) * 4.0)
     lenScore * 0.4 + ttr * 0.4 + punct * 0.2
   }
