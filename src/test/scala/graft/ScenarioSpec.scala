@@ -107,6 +107,100 @@ class ScenarioSpec extends AnyFunSuite {
     assert(c("status") == "Normal" && c("alertPercentage") == 0.0)
   }
 
+  test("finance: account activity summary with $switch tiers (reference doc example)") {
+    // reference documentation-examples.spec.js:712-763 — conditional sums
+    // over deposit/withdrawal signs, $addToSet categories, $max dates, and
+    // an activity-level $switch, with exact expectations.
+    val tx = fromJsonl(
+      """{"_id": 601, "accountId": "ACC001", "type": "deposit",    "amount": 5000,  "date": "2024-01-15", "category": "salary"}""",
+      """{"_id": 602, "accountId": "ACC001", "type": "withdrawal", "amount": -1200, "date": "2024-01-16", "category": "rent"}""",
+      """{"_id": 603, "accountId": "ACC002", "type": "deposit",    "amount": 2500,  "date": "2024-01-17", "category": "freelance"}""",
+      """{"_id": 604, "accountId": "ACC001", "type": "withdrawal", "amount": -350,  "date": "2024-01-18", "category": "groceries"}""",
+      """{"_id": 605, "accountId": "ACC002", "type": "withdrawal", "amount": -800,  "date": "2024-01-19", "category": "utilities"}""")
+    val rows = agg(tx,
+      """[
+        {"$addFields": {"d": {"$toDate": "$date"},
+          "month": {"$month": {"$toDate": "$date"}},
+          "isDeposit": {"$eq": ["$type", "deposit"]},
+          "absAmount": {"$abs": "$amount"}}},
+        {"$group": {"_id": "$accountId",
+          "totalTransactions": {"$sum": 1},
+          "totalDeposits": {"$sum": {"$cond": ["$isDeposit", "$amount", 0]}},
+          "totalWithdrawals": {"$sum": {"$cond": ["$isDeposit", 0, {"$abs": "$amount"}]}},
+          "netBalance": {"$sum": "$amount"},
+          "avgTransactionSize": {"$avg": "$absAmount"},
+          "largestTransaction": {"$max": "$absAmount"},
+          "categories": {"$addToSet": "$category"},
+          "lastActivity": {"$max": "$d"}}},
+        {"$addFields": {
+          "categoryCount": {"$size": "$categories"},
+          "isPositiveBalance": {"$gt": ["$netBalance", 0]},
+          "activityLevel": {"$switch": {"branches": [
+            {"case": {"$gte": ["$totalTransactions", 4]}, "then": "High"},
+            {"case": {"$gte": ["$totalTransactions", 2]}, "then": "Medium"},
+            {"case": {"$lt": ["$totalTransactions", 2]}, "then": "Low"}],
+            "default": "Unknown"}}}},
+        {"$sort": {"netBalance": -1}}
+      ]""")
+    assert(rows.map(_("_id")) == Seq("ACC001", "ACC002"))
+    val a1 = rows.head
+    assert(a1("totalTransactions") == 3L && a1("totalDeposits") == 5000L)
+    assert(a1("totalWithdrawals") == 1550L && a1("netBalance") == 3450L)
+    assert(a1("avgTransactionSize") == 6550.0 / 3)
+    assert(a1("largestTransaction") == 5000L && a1("categoryCount") == 3)
+    assert(a1("categories").asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("groceries", "rent", "salary")) // engine returns sorted sets
+    assert(a1("lastActivity").toString.startsWith("2024-01-18"))
+    assert(a1("isPositiveBalance") == true && a1("activityLevel") == "Medium")
+    val a2 = rows(1)
+    assert(a2("totalTransactions") == 2L && a2("netBalance") == 1700L)
+    assert(a2("avgTransactionSize") == 1650.0 && a2("activityLevel") == "Medium")
+  }
+
+  test("finance: spending anomalies by category (reference doc example)") {
+    // reference documentation-examples.spec.js:764-808 — negative-amount
+    // match, $abs spend, per-category stats and a derived consistency ratio.
+    val tx = fromJsonl(
+      """{"_id": 602, "accountId": "ACC001", "type": "withdrawal", "amount": -1200, "date": "2024-01-16", "category": "rent"}""",
+      """{"_id": 601, "accountId": "ACC001", "type": "deposit",    "amount": 5000,  "date": "2024-01-15", "category": "salary"}""",
+      """{"_id": 604, "accountId": "ACC001", "type": "withdrawal", "amount": -350,  "date": "2024-01-18", "category": "groceries"}""",
+      """{"_id": 605, "accountId": "ACC002", "type": "withdrawal", "amount": -800,  "date": "2024-01-19", "category": "utilities"}""")
+    val rows = agg(tx,
+      """[
+        {"$match": {"type": "withdrawal", "amount": {"$lt": 0}}},
+        {"$addFields": {"spendAmount": {"$abs": "$amount"},
+                        "dayOfWeek": {"$dayOfWeek": {"$toDate": "$date"}}}},
+        {"$group": {"_id": "$category",
+          "transactionCount": {"$sum": 1},
+          "totalSpent": {"$sum": "$spendAmount"},
+          "avgSpend": {"$avg": "$spendAmount"},
+          "maxSpend": {"$max": "$spendAmount"},
+          "minSpend": {"$min": "$spendAmount"},
+          "accounts": {"$addToSet": "$accountId"}}},
+        {"$addFields": {
+          "spendRange": {"$subtract": ["$maxSpend", "$minSpend"]},
+          "accountCount": {"$size": "$accounts"},
+          "isHighSpend": {"$gt": ["$totalSpent", 1000]},
+          "consistency": {"$divide": ["$avgSpend", {"$add": ["$spendRange", 1]}]}}},
+        {"$addFields": {
+          "consistency2": {"$divide": ["$avgSpend", {"$add": ["$spendRange", 1]}]}}},
+        {"$sort": {"totalSpent": -1}}
+      ]""")
+    assert(rows.map(_("_id")) == Seq("rent", "utilities", "groceries"))
+    val rent = rows.head
+    assert(rent("transactionCount") == 1L && rent("totalSpent") == 1200L)
+    assert(rent("spendRange") == 0L && rent("isHighSpend") == true)
+    // the reference doc example reads $spendRange from the SAME $addFields
+    // stage; like MongoDB, its engine evaluates each field against the
+    // pre-stage document (aggregation.ts:743-748), so consistency is
+    // null/NaN there too — replayed faithfully here
+    assert(rent("consistency") == null)
+    // computed in a following stage, the ratio is real
+    assert(rent("consistency2") == 1200.0)
+    assert(rows(1)("isHighSpend") == false && rows(1)("consistency2") == 800.0)
+    assert(rows(2)("totalSpent") == 350L && rows(2)("accountCount") == 1)
+  }
+
   test("social media: virality scoring over lookup + chained unwinds (reference doc example)") {
     // reference documentation-examples.spec.js:887-956 — $lookup + struct
     // unwind + hashtag unwind, $addToSet of a nested field, $push of a
