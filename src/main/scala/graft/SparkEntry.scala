@@ -593,6 +593,9 @@ object SparkEntry {
       d.select(col("doc_id"),
         floorRound(lineRepetitionRatio(regexp_replace(col("text"), "\\. ", "\n")), 6).as("rep"))
     }),
+    "q_text_tfidf" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.tfIdfTopTerms(
+        tbl(spark, dir, "documents"), "doc_id", "text", 5)),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._
       graft.ext.Packing.packByTokenBudget(
@@ -1169,6 +1172,23 @@ object SparkEntry {
       SELECT doc_id, CASE WHEN len(lines) > 0
         THEN floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 1000000 + 0.5) / 1000000
         ELSE 0.0 END AS rep FROM l""",
+    "q_text_tfidf" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      terms AS (SELECT doc_id, len(toks) AS n_terms, unnest(toks) AS term FROM toks),
+      tc AS (SELECT doc_id, n_terms, term, count(*) AS cnt FROM terms GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tc GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),
+      scored AS (
+        SELECT tc.doc_id, tc.term,
+          CAST(tc.cnt AS DOUBLE) / tc.n_terms * ln(CAST(n.n_docs AS DOUBLE) / dfq.doc_freq) AS score
+        FROM tc JOIN dfq USING (term), n)
+      SELECT doc_id, term, rank, floor(score * 1000000 + 0.5) / 1000000 AS score
+      FROM (SELECT doc_id, term, score,
+              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
     "q_pack_budget" ->
       """WITH toks AS (SELECT doc_id, lang,
           len(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS n_tok

@@ -147,6 +147,42 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** Top-k TF-IDF terms per document — the corpus-level companion to the
+    * per-document signals above (keyword extraction, topic hints, boilerplate
+    * term discovery at training-corpus scale).
+    *
+    * tf = termCount/docLength, idf = ln(nDocs/docFreq), score = tf·idf; ties
+    * broken by term so the ranking is total. Plan shape: one explode shuffle
+    * to (doc, term) counts, one term-keyed shuffle for document frequencies,
+    * a single-row corpus-count frame broadcast into the join (no driver
+    * action), and a per-document window for the top-k — every exchange is
+    * keyed, nothing global.
+    *
+    * @return (doc_id, term, rank, score) — `score` truncated to 1e-6 so the
+    *         cross-engine `ln` is comparison-stable. */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val termCounts = docs
+      .select(col("doc_id"), size(col("toks")).as("n_terms"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "n_terms", "term").agg(count(lit(1)).as("cnt"))
+    val docFreq = termCounts.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+    val scored = termCounts.join(docFreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("cnt").cast("double") / col("n_terms") *
+          log(col("n_docs").cast("double") / col("doc_freq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("rank"),
+        (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
+  }
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

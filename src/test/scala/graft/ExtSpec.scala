@@ -302,6 +302,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("tf-idf top terms: rare terms outrank common ones, ranks are total") {
+    val docs = fromJsonl(
+      """{"id": 1, "text": "apple banana apple"}""",
+      """{"id": 2, "text": "banana cherry"}""",
+      """{"id": 3, "text": "cherry durian cherry durian"}""")
+    val out = graft.ext.TextFunctions.tfIdfTopTerms(docs, "id", "text", 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Double]("score"))).toMap
+    def trunc6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // N=3; df: apple 1, banana 2, cherry 2, durian 1
+    assert(out((1L, 1)) == ("apple", trunc6(2.0 / 3 * math.log(3.0))))
+    assert(out((1L, 2)) == ("banana", trunc6(1.0 / 3 * math.log(1.5))))
+    assert(out((3L, 1)) == ("durian", trunc6(0.5 * math.log(3.0))))
+    assert(out((3L, 2)) == ("cherry", trunc6(0.5 * math.log(1.5))))
+    // d2: banana and cherry tie (same tf, same df) → term breaks the tie
+    assert(out((2L, 1))._1 == "banana" && out((2L, 2))._1 == "cherry")
+  }
+
   test("corpus curation: dedup, quality gate, scrub, and pack compose") {
     val good = "the quick brown fox jumps over the lazy dog while many other animals watch " +
       "from the forest edge and wonder about the strange scene unfolding before them today"
