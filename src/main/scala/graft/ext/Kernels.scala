@@ -320,4 +320,85 @@ object Kernels {
     }
     c => f(c)
   }
+
+  /** Product-quantization encode: split the vector into `m` contiguous
+    * subvectors and emit, per subspace, the index of the nearest codeword
+    * (L2). `codebooks(sub)(code)` is a subvector-sized centroid. Output is
+    * `array<int>` of length m — the PQ code a stored index keeps instead of
+    * the float vector (m bytes-worth vs 4·dim bytes). */
+  def pqEncodeKernel(codebooks: Array[Array[Array[Double]]]): Column => Column = {
+    val f = udf { (v: Seq[Float]) =>
+      val m = codebooks.length
+      val out = new Array[Int](m)
+      var sub = 0
+      var off = 0
+      while (sub < m) {
+        val cb = codebooks(sub)
+        val subDim = cb(0).length
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          var d = 0.0
+          var j = 0
+          while (j < subDim && off + j < v.length) {
+            val t = v(off + j) - cw(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(sub) = best
+        off += subDim
+        sub += 1
+      }
+      out
+    }
+    c => f(c)
+  }
+
+  /** Per-query ADC (asymmetric distance computation) lookup table: for each
+    * subspace, the dot product of the query's subvector with every codeword.
+    * Scoring a PQ code is then `m` table lookups instead of `dim` multiplies
+    * — the standard flat-PQ scan trick. Output `array<array<double>>`
+    * (m × ksub). */
+  def pqAdcTableKernel(codebooks: Array[Array[Array[Double]]]): Column => Column = {
+    val f = udf { (v: Seq[Float]) =>
+      val m = codebooks.length
+      val out = new Array[Seq[Double]](m)
+      var sub = 0
+      var off = 0
+      while (sub < m) {
+        val cb = codebooks(sub)
+        val subDim = cb(0).length
+        val row = new Array[Double](cb.length)
+        var c = 0
+        while (c < cb.length) {
+          val cw = cb(c)
+          var d = 0.0
+          var j = 0
+          while (j < subDim && off + j < v.length) { d += v(off + j) * cw(j); j += 1 }
+          row(c) = d
+          c += 1
+        }
+        out(sub) = row.toSeq
+        off += subDim
+        sub += 1
+      }
+      out.toSeq
+    }
+    c => f(c)
+  }
+
+  /** ADC score of a PQ code against a query's lookup table: Σ table(sub)(code). */
+  def pqAdcScoreKernel: (Column, Column) => Column = {
+    val f = udf { (table: Seq[Seq[Double]], codes: Seq[Int]) =>
+      var s = 0.0
+      var i = 0
+      val n = math.min(table.length, codes.length)
+      while (i < n) { s += table(i)(codes(i)); i += 1 }
+      s
+    }
+    (t, c) => f(t, c)
+  }
 }

@@ -153,6 +153,94 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** Train product-quantization codebooks: the vector space is split into
+    * `m` contiguous subspaces and each gets `ksub` codewords refined by
+    * Lloyd steps — the same distributed assign + per-(code, position) mean
+    * recipe as [[ivfTopK]]'s coarse quantizer, run per subspace. Only the
+    * m×ksub×(dim/m) codebook array ever reaches the driver (= dim·ksub
+    * doubles — bounded by construction, independent of corpus size). At
+    * corpus scale, train on a deterministic hash-sample; the codebooks are
+    * a model artifact, not data. */
+  def pqTrain(corpus: DataFrame, vecCol: String, idCol: String, m: Int, ksub: Int,
+              dim: Int, iterations: Int = 2, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
+    val subDim = dim / m
+    // one exploded frame: (sub, subvector) — every subspace trains from the
+    // same scan; slice is 1-based
+    val subs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
+      .withColumn("sv", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+    // deterministic seed codewords per subspace: smallest id-hash rows
+    val seedRows = subs
+      .withColumn("__h", xxhash64(col("vid") + lit(seed)))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("sub")).orderBy(col("__h"), col("vid"))))
+      .filter(col("__r") <= ksub)
+      .select(col("sub"), col("__r"), col("sv")).collect()
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      seedRows.filter(_.getAs[Int]("sub") == s).sortBy(_.getAs[Int]("__r"))
+        .map(_.getAs[scala.collection.Seq[Float]]("sv").toArray.map(_.toDouble))
+    }
+    for (_ <- 1 to iterations) {
+      val enc = Kernels.pqEncodeKernel(books)
+      // assign every vector to its per-subspace codeword, then mean per
+      // (sub, code, pos) — one distributed pass for all subspaces
+      val means = corpus.select(col(vecCol).as("v"))
+        .withColumn("codes", enc(col("v")))
+        .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("codes"), col("v"))
+        .withColumn("code", element_at(col("codes"), col("sub") + 1))
+        .withColumn("sv", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos").agg(avg(col("x")).as("mu"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getAs[Int]("sub"), r.getAs[Int]("code")))
+      books = Array.tabulate(m) { s =>
+        Array.tabulate(ksub) { c =>
+          byKey.get((s, c)) match {
+            case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("mu"))
+            case None       => books(s)(c) // empty cell keeps its seed
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** Flat-PQ ANN: the corpus is stored as m-byte PQ codes (16–64× smaller
+    * than the float vectors — at 100 TB the difference between scanning the
+    * corpus and scanning 2 TB of codes); each query broadcasts an ADC lookup
+    * table, every candidate costs m table lookups, the per-query top
+    * `rerank` by approximate score are re-ranked with exact cosine against
+    * the true vectors (an id equi-join back into the corpus). Recall is
+    * tuned by `rerank`; with honest codebooks the top-k after exact re-rank
+    * is near-exhaustive. Composable with [[ivfTopK]]'s cluster pruning —
+    * IVF picks the partitions, PQ makes scanning them cheap. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, dim: Int = 64, rerank: Int = 50,
+             iterations: Int = 2, seed: Long = 42L): DataFrame = {
+    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
+    val codes = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("adc", Kernels.pqAdcTableKernel(books)(col("q_vec"))))
+    val approx = probes.crossJoin(codes.select(col("neighbor_id"), col("codes")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("a_score", Kernels.pqAdcScoreKernel(col("adc"), col("codes")))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("neighbor_id").asc)
+    val candidates = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.join(codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` hyperplane
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is
     * tunable via (planes, tables); the shape is the IVF/LSH standard for

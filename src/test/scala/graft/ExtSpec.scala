@@ -158,6 +158,34 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf1.nonEmpty && ivf1.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("PQ topK: exhaustive rerank equals brute force; narrow rerank keeps recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(keyOf).toSet
+    // rerank covering the whole corpus → exact re-rank sees every candidate
+    val pqAll = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, dim = 64, rerank = 1 << 20)
+      .collect().map(keyOf).toSet
+    assert(pqAll == brute)
+    // narrow rerank: ADC candidate selection must keep most true neighbors
+    val pqNarrow = Similarity.pqTopK(q, emb, "vec_id", "embedding",
+      k = 5, m = 8, ksub = 16, dim = 64, rerank = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bruteIds = brute.map { case (qid, _, nid) => (qid, nid) }
+    val recall = (pqNarrow & bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.6, s"flat-PQ recall@5 with rerank=50 was $recall")
+    // codes are m small ints — the 16x-compressed index payload
+    val books = Similarity.pqTrain(emb, "embedding", "vec_id", m = 8, ksub = 16, dim = 64)
+    assert(books.length == 8 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 8)))
+    val code = emb.select(graft.ext.Kernels.pqEncodeKernel(books)(col("embedding")).as("c"))
+      .first().getAs[scala.collection.Seq[Int]]("c")
+    assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
+  }
+
   test("sessionization: gap breaks, per-session stats, native session_window parity") {
     import spark.implicits._
     val ev = Seq(
