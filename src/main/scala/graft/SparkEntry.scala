@@ -683,6 +683,11 @@ object SparkEntry {
       graft.ext.Similarity.pqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, m = 8, ksub = 16, dim = 64, rerank = 1 << 20)
     }),
+    "q_ann_ivfpq" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      graft.ext.Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, dim = 64, rerank = 1 << 20)
+    }),
 
     // ---- extensions: gap-based sessionization over events ----
     "q_sessionize" -> ((spark: SparkSession, dir: String) => {
@@ -1395,6 +1400,18 @@ object SparkEntry {
             FROM scored)
       WHERE rank <= 5""",
     // exhaustive rerank makes flat-PQ exact, so it shares the brute-force oracle
+    "q_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
     "q_ann_pq" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (

@@ -241,6 +241,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
 
+  /** IVF-PQ — the billion-vector index shape: an IVF coarse quantizer
+    * prunes the search to `nprobe` clusters, and within them candidates are
+    * scored from PQ codes via the ADC table (m lookups each), with exact
+    * re-rank of the top `rerank`. The stored index at scale is
+    * (cluster_id, pq_codes, id) — cluster_id the partition/bucket column,
+    * codes the 16–64×-compressed payload; the float vectors live only in
+    * the re-rank join. With `nprobe == nlist` and `rerank` ≥ corpus, the
+    * result is exactly brute force (oracle tier). */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
+                dim: Int = 64, rerank: Int = 50, iterations: Int = 1,
+                seed: Long = 42L): DataFrame = {
+    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    var centroids: Array[Array[Double]] = base
+      .withColumn("__h", xxhash64(col("vid") + lit(seed)))
+      .orderBy(col("__h"), col("vid")).limit(nlist)
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("cv").toArray.map(_.toDouble))
+    for (_ <- 1 to iterations) {
+      val assign = Kernels.nearestCentroidsKernel(centroids, 1)
+      val means = base
+        .withColumn("cluster", element_at(assign(col("cv")), 1))
+        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
+      centroids = centroids.indices.map { cid =>
+        byCluster.get(cid) match {
+          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
+          case None       => centroids(cid)
+        }
+      }.toArray
+    }
+    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
+    // the stored index: (cluster, codes, id) + vectors kept aside for re-rank
+    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("adc", Kernels.pqAdcTableKernel(books)(col("q_vec")))
+      .withColumn("cluster",
+        explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("neighbor_id").asc)
+    val candidates = probes.join(indexed.select("cluster", "neighbor_id", "codes"), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_vec"), col("adc"), col("neighbor_id"), col("codes")).distinct()
+      .withColumn("a_score", Kernels.pqAdcScoreKernel(col("adc"), col("codes")))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.join(indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: candidates share at least one of `tables` hyperplane
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is
     * tunable via (planes, tables); the shape is the IVF/LSH standard for

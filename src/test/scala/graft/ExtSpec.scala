@@ -186,6 +186,25 @@ class ExtSpec extends AnyFunSuite {
     assert(code.length == 8 && code.forall(c => c >= 0 && c < 16))
   }
 
+  test("IVF-PQ topK: exhaustive settings equal brute force; narrow settings keep recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+      .collect().map(keyOf).toSet
+    val exhaustive = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 4, m = 8, ksub = 16, dim = 64, rerank = 1 << 20)
+      .collect().map(keyOf).toSet
+    assert(exhaustive == brute)
+    val narrow = Similarity.ivfPqTopK(q, emb, "vec_id", "embedding",
+      k = 5, nlist = 4, nprobe = 2, m = 8, ksub = 16, dim = 64, rerank = 50)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val bruteIds = brute.map { case (qid, _, nid) => (qid, nid) }
+    val recall = (narrow & bruteIds).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 with nprobe=2/4, rerank=50 was $recall")
+  }
+
   test("sessionization: gap breaks, per-session stats, native session_window parity") {
     import spark.implicits._
     val ev = Seq(
