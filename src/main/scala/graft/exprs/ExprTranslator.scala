@@ -250,12 +250,23 @@ object ExprTranslator {
         }
 
       // ---- string (operators.ts:292-377) ----
-      case "$concat"  => concat(as.map(_.cast(StringType)): _*)
+      // reference joins evaluated values with JS Array.join(''), which
+      // renders null/undefined as "" (operators.ts:292-294) — not Mongo's
+      // null propagation
+      case "$concat"  => concat(as.map(c => coalesce(c.cast(StringType), lit(""))): _*)
       case "$substr" | "$substrCP" | "$substrBytes" =>
         argList(arg) match {
           case List(s, st, len) =>
-            // Mongo is 0-indexed, Spark 1-indexed
-            translate(s).cast(StringType).substr(translate(st) + lit(1), translate(len))
+            // reference is JS str.slice(start, start+len) (operators.ts:296-305):
+            // 0-indexed, negative indices count from the end, both ends
+            // clamped, empty when end <= start
+            val str = translate(s).cast(StringType)
+            val sl = length(str)
+            val stc = translate(st)
+            val rawEnd = stc + translate(len)
+            val ns = when(stc < 0, greatest(sl + stc, lit(0))).otherwise(least(stc, sl))
+            val ne = when(rawEnd < 0, greatest(sl + rawEnd, lit(0))).otherwise(least(rawEnd, sl))
+            when(ne > ns, str.substr(ns + lit(1), ne - ns)).otherwise(lit(""))
           case _ => throw GraftException(s"$op expects [string, start, length]")
         }
       case "$toLower" => lower(a1.cast(StringType))
@@ -269,7 +280,9 @@ object ExprTranslator {
             split(translate(s), concat(lit("\\Q"), translate(d), lit("\\E")))
           case _ => throw GraftException("$split expects [string, delimiter]")
         }
-      case "$strLen" | "$strLenCP" | "$strLenBytes" => length(a1.cast(StringType))
+      // reference: $strLen of null is 0, not null (operators.ts:325-328)
+      case "$strLen" | "$strLenCP" | "$strLenBytes" =>
+        coalesce(length(a1.cast(StringType)), lit(0))
       case "$trim"  => trimOp(arg, trim, (c, t) => trim(c, t))
       case "$ltrim" => trimOp(arg, ltrim, (c, t) => ltrim(c, t))
       case "$rtrim" => trimOp(arg, rtrim, (c, t) => rtrim(c, t))

@@ -45,6 +45,29 @@ class ExprSpec extends AnyFunSuite {
     assert(r("rx") == true)
   }
 
+  test("string edge semantics match the reference (null concat, slice substr, strLen 0)") {
+    val r = one(
+      """[{"$project": {
+          "catNull": {"$concat": ["a", "$missing", "b"]},
+          "lenNull": {"$strLen": "$missing"},
+          "subNegStart": {"$substr": ["$s", -3, 2]},
+          "subNegSpill": {"$substr": ["$s", -3, 99]},
+          "subNegLen": {"$substr": ["$s", 1, -1]},
+          "subPastEnd": {"$substr": ["$s", 10, 5]},
+          "subClamped": {"$substr": ["$s", 2, 99]}}}]""",
+      """{"s": "abcdef", "other": 1}""")
+    // reference $concat = JS Array.join(''): null renders as "" (operators.ts:292-294)
+    assert(r("catNull") == "ab")
+    // reference $strLen of null is 0 (operators.ts:325-328)
+    assert(r("lenNull") == 0)
+    // reference $substr = JS str.slice(start, start+len) (operators.ts:296-305)
+    assert(r("subNegStart") == "de")   // slice(-3, -1)
+    assert(r("subNegSpill") == "def")  // slice(-3, 96) clamps to end
+    assert(r("subNegLen") == "")       // slice(1, 0) → empty
+    assert(r("subPastEnd") == "")      // start past end
+    assert(r("subClamped") == "cdef")  // end clamps to length
+  }
+
   test("array operators incl. negative indexing and HOFs") {
     val r = one(
       """[{"$project": {
