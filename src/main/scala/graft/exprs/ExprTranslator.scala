@@ -211,8 +211,24 @@ object ExprTranslator {
           case _                                          => x - y
         }
       case "$multiply" => as.reduceLeft(_ * _)
-      case "$divide"   => { val (x, y) = binary; x / y }
-      case "$mod"      => { val (x, y) = binary; x % y }
+      // reference division is JS IEEE doubles: x/0 → ±Infinity, 0/0 → NaN
+      // (operators.ts $divide). Spark ANSI throws instead — a single bad row
+      // would kill a whole job — so emit the IEEE result explicitly; the
+      // division itself only evaluates on non-zero divisors.
+      case "$divide"   =>
+        val (x, y) = binary
+        val xd = x.cast(DoubleType)
+        val yd = y.cast(DoubleType)
+        when(yd === 0.0,
+          when(xd > 0, lit(Double.PositiveInfinity))
+            .when(xd < 0, lit(Double.NegativeInfinity))
+            .when(xd === 0, lit(Double.NaN)))
+          .otherwise(xd / yd)
+      // x % 0 is NaN in JS; null here (NaN would force the whole result to
+      // double) — either way it survives the row instead of throwing
+      case "$mod"      =>
+        val (x, y) = binary
+        when(y === 0, lit(null)).otherwise(x % y)
       case "$abs"      => abs(a1)
       case "$ceil"     => ceil(a1)
       case "$floor"    => floor(a1)

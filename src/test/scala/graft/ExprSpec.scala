@@ -68,6 +68,18 @@ class ExprSpec extends AnyFunSuite {
     assert(r("subClamped") == "cdef")  // end clamps to length
   }
 
+  test("division/mod by zero survive the row with JS IEEE results, not an ANSI crash") {
+    val r = one(
+      """[{"$project": {
+          "inf": {"$divide": [10, 0]}, "ninf": {"$divide": [-10, 0]},
+          "nan": {"$divide": [0, 0]}, "ok": {"$divide": [10, 4]},
+          "modz": {"$mod": [10, 0]}, "modOk": {"$mod": [10, 3]}}}]""",
+      """{"x": 1}""")
+    assert(r("inf") == Double.PositiveInfinity && r("ninf") == Double.NegativeInfinity)
+    assert(r("nan").asInstanceOf[Double].isNaN && r("ok") == 2.5)
+    assert(r("modz") == null && r("modOk") == 1L)
+  }
+
   test("array operators incl. negative indexing and HOFs") {
     val r = one(
       """[{"$project": {
