@@ -235,8 +235,18 @@ object ExprTranslator {
       case "$sqrt"     => sqrt(a1)
       case "$pow"      => { val (x, y) = binary; pow(x, y) }
       case "$exp"      => exp(a1)
-      case "$ln"       => log(a1)
-      case "$log10"    => log10(a1)
+      // Spark's log/log10 return null for non-positive input; the reference
+      // is JS Math.log: 0 → -Infinity, negative → NaN
+      case "$ln" =>
+        val xd = a1.cast(DoubleType)
+        when(xd === 0.0, lit(Double.NegativeInfinity))
+          .when(xd < 0, lit(Double.NaN))
+          .otherwise(log(xd))
+      case "$log10" =>
+        val xd = a1.cast(DoubleType)
+        when(xd === 0.0, lit(Double.NegativeInfinity))
+          .when(xd < 0, lit(Double.NaN))
+          .otherwise(log10(xd))
       case "$round" =>
         // Half-up rounding via floor(x·10ᵖ + 0.5)/10ᵖ — pure IEEE double ops,
         // so the result is bit-identical across engines (Spark's built-in

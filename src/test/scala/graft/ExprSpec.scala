@@ -78,6 +78,12 @@ class ExprSpec extends AnyFunSuite {
     assert(r("inf") == Double.PositiveInfinity && r("ninf") == Double.NegativeInfinity)
     assert(r("nan").asInstanceOf[Double].isNaN && r("ok") == 2.5)
     assert(r("modz") == null && r("modOk") == 1L)
+    val lg = one(
+      """[{"$project": {"l0": {"$ln": 0}, "ln1": {"$ln": -1},
+           "g0": {"$log10": 0}, "ok": {"$ln": 1}}}]""",
+      """{"x": 1}""")
+    assert(lg("l0") == Double.NegativeInfinity && lg("g0") == Double.NegativeInfinity)
+    assert(lg("ln1").asInstanceOf[Double].isNaN && lg("ok") == 0.0)
   }
 
   test("array operators incl. negative indexing and HOFs") {
