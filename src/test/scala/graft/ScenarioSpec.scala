@@ -107,6 +107,71 @@ class ScenarioSpec extends AnyFunSuite {
     assert(c("status") == "Normal" && c("alertPercentage") == 0.0)
   }
 
+  test("ecommerce: customer tiers and regional sales (reference doc examples)") {
+    // reference documentation-examples.spec.js:441-530 — double $lookup +
+    // double $unwind, $in on a tag array, $cond premium counting, and the
+    // regional rollup, with exact expectations from the fixture data.
+    val products = fromJsonl(
+      """{"_id": 1, "name": "MacBook Pro 16", "category": "laptops", "price": 2499, "stock": 15, "tags": ["premium", "professional"]}""",
+      """{"_id": 2, "name": "ThinkPad X1 Carbon", "category": "laptops", "price": 1899, "stock": 8, "tags": ["business", "lightweight"]}""",
+      """{"_id": 3, "name": "iPad Pro 12.9", "category": "tablets", "price": 1099, "stock": 25, "tags": ["premium", "creative"]}""",
+      """{"_id": 4, "name": "Surface Pro 9", "category": "tablets", "price": 999, "stock": 12, "tags": ["business", "2-in-1"]}""",
+      """{"_id": 5, "name": "iPhone 15 Pro", "category": "phones", "price": 999, "stock": 30, "tags": ["premium", "flagship"]}""")
+    val customers = fromJsonl(
+      """{"_id": 201, "name": "Alice Johnson", "tier": "premium"}""",
+      """{"_id": 202, "name": "Bob Smith", "tier": "gold"}""",
+      """{"_id": 203, "name": "Charlie Brown", "tier": "silver"}""")
+    val orders = fromJsonl(
+      """{"_id": 1001, "customerId": 201, "productId": 1, "quantity": 1, "status": "shipped",   "shippingAddress": {"city": "San Francisco", "state": "CA"}}""",
+      """{"_id": 1002, "customerId": 202, "productId": 3, "quantity": 2, "status": "delivered", "shippingAddress": {"city": "New York", "state": "NY"}}""",
+      """{"_id": 1003, "customerId": 201, "productId": 5, "quantity": 1, "status": "processing", "shippingAddress": {"city": "San Francisco", "state": "CA"}}""",
+      """{"_id": 1004, "customerId": 203, "productId": 2, "quantity": 1, "status": "shipped",   "shippingAddress": {"city": "Austin", "state": "TX"}}""",
+      """{"_id": 1005, "customerId": 202, "productId": 4, "quantity": 1, "status": "delivered", "shippingAddress": {"city": "New York", "state": "NY"}}""")
+    val colls = Map("customers" -> customers, "products" -> products)
+
+    val tiers = agg(orders,
+      """[
+        {"$lookup": {"from": "customers", "localField": "customerId", "foreignField": "_id", "as": "customer"}},
+        {"$lookup": {"from": "products", "localField": "productId", "foreignField": "_id", "as": "product"}},
+        {"$unwind": "$customer"}, {"$unwind": "$product"},
+        {"$addFields": {
+          "orderValue": {"$multiply": ["$quantity", "$product.price"]},
+          "customerName": "$customer.name", "customerTier": "$customer.tier",
+          "isPremiumProduct": {"$in": ["premium", "$product.tags"]}}},
+        {"$group": {"_id": "$customerId",
+          "customerName": {"$first": "$customerName"},
+          "customerTier": {"$first": "$customerTier"},
+          "totalOrders": {"$sum": 1},
+          "totalSpent": {"$sum": "$orderValue"},
+          "avgOrderValue": {"$avg": "$orderValue"},
+          "premiumProductsPurchased": {"$sum": {"$cond": ["$isPremiumProduct", 1, 0]}}}},
+        {"$sort": {"totalSpent": -1}}
+      ]""", colls)
+    assert(tiers.map(r => (r("_id"), r("customerName"), r("totalSpent"),
+      r("avgOrderValue"), r("premiumProductsPurchased"))) == Seq(
+      (201L, "Alice Johnson", 3498L, 1749.0, 2L),
+      (202L, "Bob Smith", 3197L, 1598.5, 1L),
+      (203L, "Charlie Brown", 1899L, 1899.0, 0L)))
+    assert(tiers.head("customerTier") == "premium" && tiers.head("totalOrders") == 2L)
+
+    val regional = agg(orders,
+      """[
+        {"$match": {"status": {"$in": ["shipped", "delivered"]}}},
+        {"$lookup": {"from": "products", "localField": "productId", "foreignField": "_id", "as": "product"}},
+        {"$unwind": "$product"},
+        {"$group": {"_id": "$shippingAddress.state",
+          "orderCount": {"$sum": 1},
+          "totalRevenue": {"$sum": {"$multiply": ["$quantity", "$product.price"]}},
+          "avgOrderValue": {"$avg": {"$multiply": ["$quantity", "$product.price"]}},
+          "topCategories": {"$addToSet": "$product.category"}}},
+        {"$sort": {"totalRevenue": -1}}
+      ]""", colls)
+    assert(regional.map(r => (r("_id"), r("orderCount"), r("totalRevenue"), r("avgOrderValue"))) ==
+      Seq(("NY", 2L, 3197L, 1598.5), ("CA", 1L, 2499L, 2499.0), ("TX", 1L, 1899L, 1899.0)))
+    assert(regional.head("topCategories").asInstanceOf[scala.collection.Seq[String]].toSeq ==
+      Seq("tablets")) // both NY orders were tablets; set dedups
+  }
+
   test("finance: account activity summary with $switch tiers (reference doc example)") {
     // reference documentation-examples.spec.js:712-763 — conditional sums
     // over deposit/withdrawal signs, $addToSet categories, $max dates, and
