@@ -172,6 +172,106 @@ class ScenarioSpec extends AnyFunSuite {
       Seq("tablets")) // both NY orders were tablets; set dedups
   }
 
+  test("content: engagement scoring and tag trends (reference doc examples)") {
+    // reference documentation-examples.spec.js:531-621 — $size-weighted
+    // engagement formula, post-lookup $match, and per-tag rollups.
+    val authors = fromJsonl(
+      """{"_id": 401, "name": "Sarah Wilson"}""",
+      """{"_id": 402, "name": "Mike Chen"}""",
+      """{"_id": 403, "name": "Emma Davis"}""")
+    val posts = fromJsonl(
+      """{"_id": 301, "title": "Getting Started with MongoDB Aggregation", "authorId": 401, "publishedDate": "2024-01-10", "tags": ["mongodb", "database", "tutorial"], "views": 1250, "likes": 89, "comments": ["Great tutorial!", "Very helpful", "Thanks for sharing"]}""",
+      """{"_id": 302, "title": "Advanced JavaScript Patterns", "authorId": 402, "publishedDate": "2024-01-12", "tags": ["javascript", "patterns", "advanced"], "views": 2100, "likes": 156, "comments": ["Mind blown!", "Excellent examples"]}""",
+      """{"_id": 303, "title": "TypeScript Best Practices", "authorId": 401, "publishedDate": "2024-01-15", "tags": ["typescript", "best-practices"], "views": 1875, "likes": 134, "comments": ["Very useful", "Bookmarked!", "Great insights"]}""",
+      """{"_id": 304, "title": "Node.js Performance Optimization", "authorId": 403, "publishedDate": "2024-01-18", "tags": ["nodejs", "performance"], "views": 1650, "likes": 112, "comments": ["Impressive results"]}""")
+    val rows = agg(posts,
+      """[
+        {"$lookup": {"from": "authors", "localField": "authorId", "foreignField": "_id", "as": "author"}},
+        {"$unwind": "$author"},
+        {"$addFields": {
+          "engagementScore": {"$add": [
+            {"$multiply": ["$views", 0.1]},
+            {"$multiply": ["$likes", 2]},
+            {"$multiply": [{"$size": "$comments"}, 5]}]},
+          "commentsCount": {"$size": "$comments"},
+          "authorName": "$author.name"}},
+        {"$match": {"views": {"$gte": 1000}}},
+        {"$sort": {"engagementScore": -1}},
+        {"$project": {"title": 1, "authorName": 1, "views": 1, "likes": 1,
+          "commentsCount": 1, "engagementScore": {"$round": ["$engagementScore", 2]}, "tags": 1}},
+        {"$limit": 10}
+      ]""", Map("authors" -> authors))
+    assert(rows.map(r => (r("authorName"), r("engagementScore"), r("commentsCount"))) == Seq(
+      ("Mike Chen", 532.0, 2),
+      ("Sarah Wilson", 470.5, 3),
+      ("Emma Davis", 394.0, 1),
+      ("Sarah Wilson", 318.0, 3)))
+
+    val trends = agg(posts,
+      """[
+        {"$unwind": "$tags"},
+        {"$group": {"_id": "$tags",
+          "postCount": {"$sum": 1}, "totalViews": {"$sum": "$views"},
+          "avgEngagement": {"$avg": {"$add": ["$views", {"$multiply": ["$likes", 10]}]}},
+          "latestPost": {"$max": "$publishedDate"},
+          "authors": {"$addToSet": "$authorId"}}},
+        {"$addFields": {"authorCount": {"$size": "$authors"},
+          "avgViewsPerPost": {"$divide": ["$totalViews", "$postCount"]}}},
+        {"$project": {"tag": "$_id", "postCount": 1, "totalViews": 1,
+          "avgViewsPerPost": {"$round": ["$avgViewsPerPost", 0]}, "authorCount": 1, "latestPost": 1}}
+      ]""")
+    assert(trends.length == 10) // every tag in the fixtures is unique to one post
+    val byTag = trends.map(r => r("tag") -> r).toMap
+    assert(byTag("mongodb")("totalViews") == 1250L && byTag("mongodb")("avgViewsPerPost") == 1250L)
+    assert(byTag("javascript")("authorCount") == 1 && byTag("javascript")("latestPost") == "2024-01-12")
+  }
+
+  test("HR: salary rollup with array $avg and $$NOW service years (reference doc example)") {
+    // reference documentation-examples.spec.js:623-670 — $avg over the
+    // per-employee performance ARRAY in $addFields, years-of-service from
+    // current time, scalar {$max: '$avgPerformance'} (= the value itself,
+    // so the $cond is always true and $first picks the encounter-first name).
+    val employees = fromJsonl(
+      """{"_id": 501, "name": "John Doe", "department": "engineering", "salary": 95000, "startDate": "2022-03-01", "performance": [8.5, 9.0, 8.8]}""",
+      """{"_id": 502, "name": "Jane Smith", "department": "engineering", "salary": 110000, "startDate": "2021-06-15", "performance": [9.2, 9.1, 9.3]}""",
+      """{"_id": 503, "name": "Bob Johnson", "department": "design", "salary": 75000, "startDate": "2023-01-20", "performance": [8.0, 8.5, 8.3]}""",
+      """{"_id": 504, "name": "Alice Brown", "department": "marketing", "salary": 85000, "startDate": "2022-08-10", "performance": [8.8, 9.0, 8.9]}""")
+    val rows = agg(employees,
+      """[
+        {"$addFields": {
+          "avgPerformance": {"$avg": "$performance"},
+          "yearsOfService": {"$divide": [
+            {"$subtract": ["$$NOW", {"$toDate": "$startDate"}]},
+            31557600000]}}},
+        {"$group": {"_id": "$department",
+          "employeeCount": {"$sum": 1},
+          "avgSalary": {"$avg": "$salary"},
+          "minSalary": {"$min": "$salary"}, "maxSalary": {"$max": "$salary"},
+          "avgPerformance": {"$avg": "$avgPerformance"},
+          "totalPayroll": {"$sum": "$salary"},
+          "minYears": {"$min": "$yearsOfService"},
+          "topPerformer": {"$first": {"$cond": [
+            {"$eq": ["$avgPerformance", {"$max": "$avgPerformance"}]}, "$name", null]}}}},
+        {"$addFields": {
+          "avgSalaryFormatted": {"$round": ["$avgSalary", 0]},
+          "salaryRange": {"$subtract": ["$maxSalary", "$minSalary"]}}},
+        {"$sort": {"avgSalary": -1}}
+      ]""")
+    assert(rows.map(_("_id")) == Seq("engineering", "marketing", "design"))
+    val eng = rows.head
+    assert(eng("employeeCount") == 2L && eng("totalPayroll") == 205000L)
+    assert(eng("avgSalary") == 102500.0 && eng("salaryRange") == 15000L)
+    assert(eng("avgSalaryFormatted") == 102500.0)
+    val john = (8.5 + 9.0 + 8.8) / 3; val jane = (9.2 + 9.1 + 9.3) / 3
+    assert(eng("avgPerformance") == (john + jane) / 2)
+    assert(eng("topPerformer") == "John Doe") // encounter-first (cond always true)
+    // service years measured from $$NOW: all hires are 2021-2023, so the
+    // department minimum sits in a sane live range rather than a fixed value
+    val minYears = eng("minYears").asInstanceOf[Double]
+    assert(minYears > 2.0 && minYears < 30.0)
+    assert(rows(2)("_id") == "design" && rows(2)("avgSalary") == 75000.0)
+  }
+
   test("finance: account activity summary with $switch tiers (reference doc example)") {
     // reference documentation-examples.spec.js:712-763 — conditional sums
     // over deposit/withdrawal signs, $addToSet categories, $max dates, and
