@@ -111,27 +111,38 @@ object Bench {
     def once(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val extras = Seq(
-      "minhashDedup" -> once(graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count()),
-      "annTopK" -> once(graft.ext.Similarity.lshTopK(
+    // Extras report cold (first run: analysis + codegen + any training jobs)
+    // and warm (second run of the identical call) — the warm number is the
+    // steady-state cost a long-running pipeline actually pays per batch.
+    def coldWarm(f: => Long): (Double, Double) = (once(f), once(f))
+    val extrasCW = Seq(
+      "minhashDedup" -> coldWarm(graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count()),
+      "annTopK" -> coldWarm(graft.ext.Similarity.lshTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10).count()),
-      "ivfTopK" -> once(graft.ext.Similarity.ivfTopK(
+      "ivfTopK" -> coldWarm(graft.ext.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10,
         nlist = 16, nprobe = 4).count()),
-      "textQuality" -> once(docs.select(
+      "pqTopK" -> coldWarm(graft.ext.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10,
+        m = 8, ksub = 16, dim = 64, rerank = 50).count()),
+      "textQuality" -> coldWarm(docs.select(
         graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)),
-      "corpusCurate" -> once(graft.ext.Corpus.curate(
+      "tfidfTopTerms" -> coldWarm(graft.ext.TextFunctions.tfIdfTopTerms(
+        docs, "doc_id", "text", 5).count()),
+      "corpusCurate" -> coldWarm(graft.ext.Corpus.curate(
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
         Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
-      "sessionize" -> once {
+      "sessionize" -> coldWarm {
         val ev = spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
         graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L).count()
       },
-      "windowTwoPass" -> once(Aggo.aggregate(li,
+      "windowTwoPass" -> coldWarm(Aggo.aggregate(li,
         """[{"$setWindowFields": {"sortBy": {"l_extendedprice": 1},
              "output": {"rn": {"$documentNumber": {}},
                         "run": {"$sum": "$l_extendedprice", "window": {"documents": ["unbounded", "current"]}}}}},
             {"$count": "n"}]""").first().getLong(0)))
+    val extras = extrasCW.map { case (k, cw) => k -> cw._1 }
+    val extrasWarm = extrasCW.map { case (k, cw) => k -> cw._2 }
 
     val total = results.map(_._2).sum
     def fmt(kvs: Seq[(String, Double)]): String =
@@ -142,7 +153,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val noisy = stats.exists(_._2.noisy)
     println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
-      s""""queries":${fmt(results)},"extras":${fmt(extras)},""" +
+      s""""queries":${fmt(results)},"extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir"}""")

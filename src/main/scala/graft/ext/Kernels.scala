@@ -401,4 +401,46 @@ object Kernels {
     }
     (t, c) => f(t, c)
   }
+
+  /** Driver-side flat ADC table (length m·ksub, row-major by subspace) for
+    * one query vector. Shipped in a closure rather than through DataFrame
+    * rows — deserializing a nested per-row table once per candidate costs
+    * more than the scoring itself. */
+  def adcTableFlat(codebooks: Array[Array[Array[Double]]],
+                   v: scala.collection.Seq[Float]): Array[Double] = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val out = new Array[Double](m * ksub)
+    var sub = 0
+    var off = 0
+    while (sub < m) {
+      val cb = codebooks(sub)
+      val subDim = cb(0).length
+      var c = 0
+      while (c < ksub) {
+        val cw = cb(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim && off + j < v.length) { d += v(off + j) * cw(j); j += 1 }
+        out(sub * ksub + c) = d
+        c += 1
+      }
+      off += subDim
+      sub += 1
+    }
+    out
+  }
+
+  /** ADC scoring against closure-held flat tables keyed by query id string:
+    * m array lookups per candidate, no per-row table deserialization. */
+  def pqAdcScoreClosureKernel(tables: Map[String, Array[Double]], ksub: Int): (Column, Column) => Column = {
+    val f = udf { (qid: String, codes: Seq[Int]) =>
+      val t = tables(qid)
+      var s = 0.0
+      var i = 0
+      while (i < codes.length) { s += t(i * ksub + codes(i)); i += 1 }
+      s
+    }
+    (q, c) => f(q, c)
+  }
 }

@@ -138,8 +138,13 @@ object Similarity {
         }
       }.toArray
     }
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cluster", element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+    // materialized once: left lazy, the cluster-assign UDF collapses past
+    // the candidate join and re-runs per candidate (see pqTopK's note)
+    val indexed = Dedup.spill(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("cluster",
+          element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1)),
+      "graft-ivf-index")
     val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("cluster", explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
     val w = Window.partitionBy(col("query_id"))
@@ -219,14 +224,26 @@ object Similarity {
              k: Int, m: Int = 8, ksub: Int = 16, dim: Int = 64, rerank: Int = 50,
              iterations: Int = 2, seed: Long = 42L): DataFrame = {
     val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
-    val codes = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("adc", Kernels.pqAdcTableKernel(books)(col("q_vec"))))
-    val approx = probes.crossJoin(codes.select(col("neighbor_id"), col("codes")))
+    // materialize the encoded index once (this IS the stored index table at
+    // scale). Left lazy, Catalyst collapses the encode projection past the
+    // candidate join and re-encodes per CANDIDATE (|queries|×|corpus| UDF
+    // calls instead of |corpus|) — measured 100× slower at the bench scale.
+    val codes = Dedup.spill(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
+      "graft-pq-index")
+    val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    // the probe set is small by contract (it is broadcast below); collect it
+    // once and ship the flat ADC tables in the scoring closure — a per-row
+    // nested table column costs more to deserialize than the scoring itself
+    val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
+      String.valueOf(r.get(0)) ->
+        Kernels.adcTableFlat(books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
+    }.toMap
+    val approx = broadcast(qdf).crossJoin(codes.select(col("neighbor_id"), col("codes")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("a_score", Kernels.pqAdcScoreKernel(col("adc"), col("codes")))
+      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, ksub)(
+        col("query_id").cast("string"), col("codes")))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("neighbor_id").asc)
     val candidates = approx.withColumn("arank", row_number().over(wa))
@@ -274,22 +291,28 @@ object Similarity {
       }.toArray
     }
     val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
-    // the stored index: (cluster, codes, id) + vectors kept aside for re-rank
-    val indexed = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-      .withColumn("cluster",
-        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
-      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
-    val probes = broadcast(queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("adc", Kernels.pqAdcTableKernel(books)(col("q_vec")))
-      .withColumn("cluster",
-        explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
+    // the stored index: (cluster, codes, id) + vectors kept aside for re-rank.
+    // Materialized once — see pqTopK's note on the collapse-past-join trap.
+    val indexed = Dedup.spill(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("cluster",
+          element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+        .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
+      "graft-ivfpq-index")
+    val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
+      String.valueOf(r.get(0)) ->
+        Kernels.adcTableFlat(books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
+    }.toMap
+    val probes = broadcast(qdf.withColumn("cluster",
+      explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("neighbor_id").asc)
     val candidates = probes.join(indexed.select("cluster", "neighbor_id", "codes"), "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_vec"), col("adc"), col("neighbor_id"), col("codes")).distinct()
-      .withColumn("a_score", Kernels.pqAdcScoreKernel(col("adc"), col("codes")))
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("codes")).distinct()
+      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, ksub)(
+        col("query_id").cast("string"), col("codes")))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("q_vec"), col("neighbor_id"))
