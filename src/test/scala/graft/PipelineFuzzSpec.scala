@@ -109,11 +109,11 @@ class PipelineFuzzSpec extends AnyFunSuite {
       val idExpr = if (idField == "null") "null" else s""""$$$idField""""
       s"""{"$$group": {"_id": $idExpr, "x": {"$op": "$$$src"}, "n": {"$$sum": 1}}}"""
     }
-    def apply(rows: Seq[D]): Map[Any, (Double, Long)] = {
-      def key(d: D): Any = idField match {
-        case "null" => null; case "a" => d.a; case "s" => d.s
-      }
-      def get(d: D): Double = if (src == "b") d.b else d.v
+    def key(d: D): Any = idField match {
+      case "null" => null; case "a" => d.a; case "s" => d.s
+    }
+    def get(d: D): Double = if (src == "b") d.b else d.v
+    def apply(rows: Seq[D]): Map[Any, (Double, Long)] =
       rows.groupBy(key).map { case (k, g) =>
         val vs = g.map(get)
         val x = op match {
@@ -124,7 +124,15 @@ class PipelineFuzzSpec extends AnyFunSuite {
         }
         k -> (x, g.size.toLong)
       }
+    /** Encounter-ordered $push of id — order within each group must follow
+      * the current row order exactly (exercises the sort-order-key encoding,
+      * including the desc-string two-pass restamp). */
+    def pushJson = {
+      val idExpr = if (idField == "null") "null" else s""""$$$idField""""
+      s"""{"$$group": {"_id": $idExpr, "ids": {"$$push": "$$id"}}}"""
     }
+    def applyPush(rows: Seq[D]): Map[Any, List[Long]] =
+      rows.groupBy(key).map { case (k, g) => k -> g.map(_.id).toList }
   }
 
   private case class Shape(stages: List[St], group: Option[GroupSt])
@@ -181,5 +189,28 @@ class PipelineFuzzSpec extends AnyFunSuite {
       if (!ok) println(s"MISMATCH shape=$sh")
       ok
     }, 30)
+  }
+
+  test("random sort + encounter-ordered $push agree with the interpreter") {
+    // $push must follow the post-$sort row order exactly — this fuzzes the
+    // order-key encoding across asc/desc numeric AND string sort keys
+    // (desc strings ride the two-pass global-rank restamp).
+    val genShape: Gen[(St, SortSt, GroupSt)] = for {
+      op <- Gen.oneOf("$gte", "$lt")
+      t <- Gen.choose(0L, 12L)
+      f <- Gen.oneOf("a", "b", "s")
+      asc <- Gen.oneOf(true, false)
+      idF <- Gen.oneOf("null", "a", "s")
+    } yield (MatchA(op, t), SortSt(f, asc), GroupSt(idF, "$sum", "b"))
+    check(Prop.forAllNoShrink(genShape) { case (m, srt, g) =>
+      val mid = srt.apply(m.apply(base))
+      val pipeline = s"""[${m.json}, ${srt.json}, ${g.pushJson}]"""
+      val got = Aggo.aggregate(df.repartition(5), pipeline).collect()
+        .map(r => r.get(0) -> r.getSeq[Long](1).toList).toMap
+      val expected = g.applyPush(mid)
+      val ok = got == expected
+      if (!ok) println(s"MISMATCH match=$m sort=$srt group=$g\n got=$got\n exp=$expected")
+      ok
+    }, 25)
   }
 }
