@@ -172,6 +172,47 @@ class ScenarioSpec extends AnyFunSuite {
       Seq("tablets")) // both NY orders were tablets; set dedups
   }
 
+  test("ecommerce: top-selling products with inventory alerts (reference doc example)") {
+    // reference documentation-examples.spec.js:398-440 — lookup+unwind
+    // enrichment, revenue rollup, low-stock flag via $first.
+    val products = fromJsonl(
+      """{"_id": 1, "name": "MacBook Pro 16", "category": "laptops", "price": 2499, "stock": 15}""",
+      """{"_id": 2, "name": "ThinkPad X1 Carbon", "category": "laptops", "price": 1899, "stock": 8}""",
+      """{"_id": 3, "name": "iPad Pro 12.9", "category": "tablets", "price": 1099, "stock": 25}""",
+      """{"_id": 4, "name": "Surface Pro 9", "category": "tablets", "price": 999, "stock": 12}""",
+      """{"_id": 5, "name": "iPhone 15 Pro", "category": "phones", "price": 999, "stock": 30}""")
+    val orders = fromJsonl(
+      """{"_id": 1001, "productId": 1, "quantity": 1}""",
+      """{"_id": 1002, "productId": 3, "quantity": 2}""",
+      """{"_id": 1003, "productId": 5, "quantity": 1}""",
+      """{"_id": 1004, "productId": 2, "quantity": 1}""",
+      """{"_id": 1005, "productId": 4, "quantity": 1}""")
+    val rows = agg(orders,
+      """[
+        {"$lookup": {"from": "products", "localField": "productId", "foreignField": "_id", "as": "product"}},
+        {"$unwind": "$product"},
+        {"$addFields": {"revenue": {"$multiply": ["$quantity", "$product.price"]},
+                        "lowStock": {"$lt": ["$product.stock", 10]}}},
+        {"$group": {"_id": "$product.name",
+          "totalRevenue": {"$sum": "$revenue"},
+          "totalQuantitySold": {"$sum": "$quantity"},
+          "averageOrderSize": {"$avg": "$quantity"},
+          "lowStockAlert": {"$first": "$lowStock"},
+          "category": {"$first": "$product.category"}}},
+        {"$sort": {"totalRevenue": -1}},
+        {"$limit": 5}
+      ]""", Map("products" -> products))
+    // iPhone and Surface tie at 999 — the reference's sort is stable on its
+    // in-memory order, ours is tie-unspecified, so the tail is a set
+    assert(rows.take(3).map(r => (r("_id"), r("totalRevenue"), r("lowStockAlert"))) == Seq(
+      ("MacBook Pro 16", 2499L, false),
+      ("iPad Pro 12.9", 2198L, false),
+      ("ThinkPad X1 Carbon", 1899L, true)))
+    assert(rows.drop(3).map(_("_id")).toSet == Set("iPhone 15 Pro", "Surface Pro 9"))
+    assert(rows.find(_("_id") == "iPad Pro 12.9").get("totalQuantitySold") == 2L)
+    assert(rows.find(_("_id") == "iPad Pro 12.9").get("averageOrderSize") == 2.0)
+  }
+
   test("content: engagement scoring and tag trends (reference doc examples)") {
     // reference documentation-examples.spec.js:531-621 — $size-weighted
     // engagement formula, post-lookup $match, and per-tag rollups.
