@@ -103,14 +103,25 @@ object ExprTranslator {
     parts.tail.foldLeft(base)((c, f) => c.getField(f))
   }
 
-  /** Mongo truthiness: null/undefined/false/0 are falsy; everything else
-    * (including "" and empty arrays) is truthy (operators.ts:59-69).
-    * Type-directed so the common boolean/numeric cases stay codegen-simple. */
-  def truthy(c: Column)(implicit ctx: ExprCtx): Column = ctx.typeOf(c) match {
-    case Some(BooleanType)    => coalesce(c, lit(false))
-    case Some(_: NumericType) => coalesce(c =!= lit(0), lit(false))
-    case Some(_)              => c.isNotNull
-    case None                 => coalesce(c.cast(BooleanType), c.isNotNull)
+  /** Truthiness, type-directed so the common boolean/numeric cases stay
+    * codegen-simple. Default is Mongo semantics: null/undefined/false/0 are
+    * falsy; everything else (including "" and empty arrays) is truthy.
+    * The reference actually applies JS `Boolean()` (operators.ts:60-68),
+    * where "" and NaN are ALSO falsy — opt into that with
+    * `graft.parity.truthiness=js` on the session (same parity-flag pattern
+    * as `graft.parity.avg`). Both modes are pinned in ExprSpec. */
+  def truthy(c: Column)(implicit ctx: ExprCtx): Column = {
+    val js = ctx.df.exists(_.sparkSession.conf.getOption("graft.parity.truthiness")
+      .contains("js"))
+    ctx.typeOf(c) match {
+      case Some(BooleanType) => coalesce(c, lit(false))
+      case Some(t: NumericType) if js && (t == DoubleType || t == FloatType) =>
+        coalesce(c =!= lit(0) && !isnan(c), lit(false))
+      case Some(_: NumericType) => coalesce(c =!= lit(0), lit(false))
+      case Some(StringType) if js => coalesce(c =!= lit(""), lit(false))
+      case Some(_)              => c.isNotNull
+      case None                 => coalesce(c.cast(BooleanType), c.isNotNull)
+    }
   }
 
   private def argList(v: JValue): List[JValue] = v match {

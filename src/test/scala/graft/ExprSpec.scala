@@ -166,6 +166,22 @@ class ExprSpec extends AnyFunSuite {
     assert(r("notX") == false)
   }
 
+  test("truthiness parity flag: js mode makes empty strings falsy like the reference") {
+    // reference applies JS Boolean() (operators.ts:60-68): "" is falsy there
+    spark.conf.set("graft.parity.truthiness", "js")
+    try {
+      val r = one(
+        """[{"$project": {
+            "andEmpty": {"$and": ["$x", "", true]},
+            "orEmpty": {"$or": ["", "$s"]},
+            "notEmpty": {"$not": [""]}}}]""",
+        """{"x": 5, "s": "y"}""")
+      assert(r("andEmpty") == false) // "" falsy in js mode
+      assert(r("orEmpty") == true)   // "y" still truthy
+      assert(r("notEmpty") == true)
+    } finally spark.conf.unset("graft.parity.truthiness")
+  }
+
   test("date operators in UTC incl. Mongo $week") {
     val r = one(
       """[{"$addFields": {"d": {"$toDate": "$iso"}}},
