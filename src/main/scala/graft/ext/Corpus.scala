@@ -22,10 +22,15 @@ object Corpus {
     *                    [[TextFunctions.qualityScore]] threshold
     * @param maxLineRepetition drop documents whose
     *                    [[TextFunctions.lineRepetitionRatio]] exceeds this
-    * @param budget token budget per training pack */
+    * @param budget token budget per training pack
+    * @param nearDupThreshold when set, additionally drop MinHash+LSH
+    *                    near-duplicates above this Jaccard threshold
+    *                    ([[Dedup.dedupNear]]: banded candidate join + exact
+    *                    verify + component survivors) after the exact tier */
   final case class CurateConfig(minQuality: Double = 0.6,
                                 maxLineRepetition: Double = 1.0,
-                                budget: Long = 2048L)
+                                budget: Long = 2048L,
+                                nearDupThreshold: Option[Double] = None)
 
   /** Curate `docs` into packed training shards. Output keeps the input
     * columns (with `textCol` scrubbed in place) plus `quality`,
@@ -35,7 +40,12 @@ object Corpus {
     * actually be trained on. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              shardCols: Seq[String], cfg: CurateConfig = CurateConfig()): DataFrame = {
-    val scored = Dedup.exactDedup(docs, idCol, textCol)
+    val exact = Dedup.exactDedup(docs, idCol, textCol)
+    val deduped = cfg.nearDupThreshold match {
+      case Some(t) => Dedup.dedupNear(exact, idCol, textCol, threshold = t)
+      case None    => exact
+    }
+    val scored = deduped
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))

@@ -390,6 +390,24 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
   }
 
+  test("corpus curation: near-dup tier drops high-Jaccard survivors of the exact tier") {
+    val base = "the quick brown fox jumps over the lazy dog while many other animals " +
+      "watch from the forest edge and wonder about the strange scene unfolding today " +
+      "as the sun slowly sets behind the tall ancient trees of the quiet northern valley"
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$base", "lang": "en"}""",
+      s"""{"id": 2, "text": "${base.replace("lazy", "sleepy")}", "lang": "en"}""", // near-dup of 1
+      s"""{"id": 3, "text": "completely different content about training large models on clusters with parquet shuffles and broadcast joins across many executor nodes in production settings", "lang": "en"}""")
+    val exactOnly = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.1, budget = 10000L))
+    assert(exactOnly.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+    val nearDedup = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.1, budget = 10000L,
+        nearDupThreshold = Some(0.5)))
+    // doc 2 is a one-word variant of doc 1 → same cluster, smaller id survives
+    assert(nearDedup.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 3L))
+  }
+
   test("multimodal: synthetic media decodes to expected metadata") {
     val ids = spark.range(0, 10).toDF("doc_id")
     val media = Multimodal.syntheticMedia(spark, ids, "doc_id").toDF
