@@ -695,6 +695,18 @@ object SparkEntry {
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
+    // ---- extensions: as-of join (temporal alignment) ----
+    "q_asof_join" -> ((spark: SparkSession, dir: String) => {
+      val ev = tbl(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      graft.ext.Joins.asOf(ev.select("event_id", "user_id", "ts_us"), purchases,
+        Seq("user_id"), "ts_us", "purchase_ts")
+    }),
+
     // ---- remaining expression-operator parity (SURVEY §2.5) ----
     "q_expr_math" -> run("lineitem",
       """[
@@ -1055,6 +1067,16 @@ object SparkEntry {
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
       FROM sess GROUP BY 1, 2""",
+    // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
+    // union+window rewrite (inclusive >= match, left-outer).
+    "q_asof_join" ->
+      """WITH ev AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      p AS (SELECT user_id, ts_us AS purchase_ts, value AS purchase_value
+            FROM ev WHERE event_type = 'purchase')
+      SELECT l.event_id, l.user_id, l.ts_us, r.purchase_ts, r.purchase_value
+      FROM ev l ASOF LEFT JOIN p r
+        ON l.user_id = r.user_id AND l.ts_us >= r.purchase_ts""",
     "q_date_ops" ->
       """SELECT o_orderkey,
         strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d %H:%M:%S') AS plus_m,

@@ -473,4 +473,65 @@ class ExtSpec extends AnyFunSuite {
     val sqlV = spark.sql("SELECT graft_cosine(a, b) AS c FROM vecs").collect().head.getDouble(0)
     assert(sqlV == r.getDouble(0))
   }
+
+  test("as-of join: backward picks latest at-or-before, left-outer keeps unmatched") {
+    val quotes = fromJsonl(
+      """{"sym": "A", "qts": 10, "px": 1.0}""",
+      """{"sym": "A", "qts": 20, "px": 2.0}""",
+      """{"sym": "A", "qts": 30, "px": 3.0}""",
+      """{"sym": "B", "qts": 25, "px": 9.0}""")
+    val trades = fromJsonl(
+      """{"sym": "A", "tts": 5,  "qty": 100}""",
+      """{"sym": "A", "tts": 20, "qty": 200}""",
+      """{"sym": "A", "tts": 27, "qty": 300}""",
+      """{"sym": "B", "tts": 24, "qty": 400}""",
+      """{"sym": "C", "tts": 50, "qty": 500}""")
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("tts"),
+        Option(r.getAs[Any]("px")))).toSet
+    assert(out == Set(
+      ("A", 5L, None),            // before any quote
+      ("A", 20L, Some(2.0)),      // inclusive: quote at the same instant
+      ("A", 27L, Some(2.0)),      // latest at-or-before
+      ("B", 24L, None),           // B's only quote is later
+      ("C", 50L, None)))          // key never quoted
+    // row count is exactly the left side: left-outer semantics
+    assert(Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts").count() == 5)
+  }
+
+  test("as-of join: forward picks earliest at-or-after; null left ts matches nothing") {
+    val quotes = fromJsonl(
+      """{"sym": "A", "qts": 10, "px": 1.0}""",
+      """{"sym": "A", "qts": 30, "px": 3.0}""")
+    val trades = fromJsonl(
+      """{"sym": "A", "tts": 10, "qty": 1}""",
+      """{"sym": "A", "tts": 15, "qty": 2}""",
+      """{"sym": "A", "tts": 31, "qty": 3}""",
+      """{"sym": "A", "tts": null, "qty": 4}""")
+    val out = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts", direction = "forward")
+      .collect().map(r => (r.getAs[Long]("qty"), Option(r.getAs[Any]("px")))).toSet
+    assert(out == Set(
+      (1L, Some(1.0)),  // inclusive at the same instant
+      (2L, Some(3.0)),  // earliest at-or-after
+      (3L, None),       // past the last quote
+      (4L, None)))      // null ts never matches
+    // backward: the null-ts left row also matches nothing (nulls sort first)
+    val back = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts")
+      .filter(col("qty") === 4).collect().head
+    assert(back.isNullAt(back.fieldIndex("px")))
+  }
+
+  test("as-of join plan shuffles once on the key and keeps the window partitioned") {
+    val quotes = fromJsonl("""{"sym": "A", "qts": 10, "px": 1.0}""")
+    val trades = fromJsonl("""{"sym": "A", "tts": 5, "qty": 100}""")
+    val qe = Joins.asOf(trades, quotes, Seq("sym"), "tts", "qts").queryExecution
+    val physical = qe.executedPlan.toString
+    assert(!physical.contains("BroadcastNestedLoop") && !physical.contains("CartesianProduct"))
+    // every window is keyed, never global
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val unpartitioned = qe.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, "as-of join planned an unpartitioned window")
+  }
 }
