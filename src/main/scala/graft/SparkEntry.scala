@@ -695,6 +695,16 @@ object SparkEntry {
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
+    // ---- extensions: benchmark decontamination ----
+    // The eval "benchmark" slice is every 37th document; the rest is the
+    // training corpus. n=4 keeps both classes populated at gate scale.
+    "q_decontam" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.flagContaminated(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text", n = 4)
+    }),
+
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
       val ev = tbl(spark, dir, "events")
@@ -1067,6 +1077,20 @@ object SparkEntry {
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
       FROM sess GROUP BY 1, 2""",
+    "q_decontam" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 4),
+                      i -> array_to_string(toks[i+1:i+4], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0),
+      dg AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_ngrams, unnest(sh) AS g
+             FROM sh WHERE doc_id % 37 <> 0)
+      SELECT doc_id, n_ngrams, count(ev.g) AS n_hits, count(ev.g) >= 1 AS contaminated
+      FROM dg LEFT JOIN ev ON dg.g = ev.g GROUP BY 1, 2""",
     // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
     // union+window rewrite (inclusive >= match, left-outer).
     "q_asof_join" ->

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the training-data step that removes documents
+  * overlapping a held-out evaluation set, so the model isn't graded on text
+  * it memorized. The standard public recipe (GPT-3 appendix C, The Pile,
+  * FineWeb) flags a document when any word n-gram (n≈13) also occurs in the
+  * eval set.
+  *
+  * Plan shape at 100 TB: the eval side is benchmark-sized (thousands of
+  * documents, millions of n-grams at most), so its distinct n-gram set is
+  * BROADCAST; the corpus side is one narrow scan + explode feeding a
+  * broadcast hash join, then a single hash aggregation back to document
+  * grain. The corpus is never shuffled by n-gram — the only exchange is the
+  * per-document count, keyed on the document id.
+  */
+object Decontamination {
+
+  /** Per-document contamination report against `eval`.
+    *
+    * N-grams are [[TextFunctions.wordShingles]] (lowercased word tokens,
+    * distinct within a document; a document shorter than `n` tokens
+    * contributes its whole token sequence as one gram, so short eval rows
+    * still match verbatim copies).
+    *
+    * @return one row per input document: `n_ngrams` (distinct grams in the
+    *         doc), `n_hits` (how many of them occur anywhere in the eval
+    *         set), `contaminated` (`n_hits >= minHits`). */
+  def flagContaminated(docs: DataFrame, idCol: String, textCol: String,
+                       eval: DataFrame, evalTextCol: String,
+                       n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
+    val evalGrams = eval
+      .select(explode(TextFunctions.wordShingles(col(evalTextCol), n)).as("__g"))
+      .distinct()
+    val docGrams = docs.select(col(idCol),
+        TextFunctions.wordShingles(col(textCol), n).as("__sh"))
+      .select(col(idCol), size(col("__sh")).as("n_ngrams"), explode(col("__sh")).as("__g"))
+    docGrams
+      .join(broadcast(evalGrams.withColumn("__hit", lit(1))), Seq("__g"), "left")
+      .groupBy(col(idCol), col("n_ngrams"))
+      .agg(count(col("__hit")).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
+
+  /** The filter form: drops contaminated documents, keeps everything else
+    * untouched (columns pass through). */
+  def removeContaminated(docs: DataFrame, idCol: String, textCol: String,
+                         eval: DataFrame, evalTextCol: String,
+                         n: Int = 13, minHits: Int = 1): DataFrame = {
+    val flags = flagContaminated(docs, idCol, textCol, eval, evalTextCol, n, minHits)
+      .filter(col("contaminated")).select(col(idCol))
+    docs.join(flags, Seq(idCol), "left_anti")
+  }
+}

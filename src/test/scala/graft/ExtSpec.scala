@@ -474,6 +474,28 @@ class ExtSpec extends AnyFunSuite {
     assert(sqlV == r.getDouble(0))
   }
 
+  test("decontamination: n-gram overlap with the eval set flags only real overlap") {
+    val eval = fromJsonl(
+      """{"q": "what is the capital of france"}""")
+    val corpus = fromJsonl(
+      """{"doc_id": 1, "text": "Quiz answers: what is the capital of France? Paris of course."}""",
+      """{"doc_id": 2, "text": "everyone knows paris is the capital of france indeed"}""",
+      """{"doc_id": 3, "text": "totally unrelated text about spark query planning internals"}""",
+      """{"doc_id": 4, "text": "short doc"}""")
+    val flags = Decontamination.flagContaminated(corpus, "doc_id", "text", eval, "q", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(flags == Map(1L -> true, 2L -> true, 3L -> false, 4L -> false))
+    // the filter form keeps exactly the clean docs, columns untouched
+    val kept = Decontamination.removeContaminated(corpus, "doc_id", "text", eval, "q", n = 5)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // the eval n-gram set reaches the corpus as a broadcast, never a shuffle
+    // of the corpus by n-gram
+    val physical = Decontamination.flagContaminated(corpus, "doc_id", "text", eval, "q", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"))
+  }
+
   test("as-of join: backward picks latest at-or-before, left-outer keeps unmatched") {
     val quotes = fromJsonl(
       """{"sym": "A", "qts": 10, "px": 1.0}""",
