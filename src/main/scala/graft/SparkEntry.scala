@@ -695,6 +695,21 @@ object SparkEntry {
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
+    // ---- extensions: line-level dedup (boilerplate removal) ----
+    // The word-soup corpus has no repeated lines of its own, so the query
+    // plants the boilerplate: a newsletter banner on every 5th document and
+    // a social footer on every 7th. Both cross the occurrence threshold and
+    // must vanish from every document; body lines survive untouched.
+    "q_line_dedup" -> ((spark: SparkSession, dir: String) => {
+      val input = tbl(spark, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            concat(lit("subscribe to our newsletter\n"), col("text"))).otherwise(col("text")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nfollow us on social media")).otherwise(lit(""))).as("text"))
+      graft.ext.Dedup.lineDedup(input, "doc_id", "text", maxCount = 3)
+    }),
+
     // ---- extensions: benchmark decontamination ----
     // The eval "benchmark" slice is every 37th document; the rest is the
     // training corpus. n=4 keeps both classes populated at gate scale.
@@ -1077,6 +1092,32 @@ object SparkEntry {
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
       FROM sess GROUP BY 1, 2""",
+    "q_line_dedup" ->
+      """WITH input AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 5 = 0 THEN 'subscribe to our newsletter' || chr(10) || text ELSE text END)
+          || (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'follow us on social media' ELSE '' END) AS text
+        FROM documents),
+      lines AS (
+        SELECT doc_id, pos, line FROM (
+          SELECT doc_id, unnest(l) AS line, unnest(generate_series(1, len(l))) AS pos
+          FROM (SELECT doc_id,
+                  list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS l
+                FROM input))),
+      counts AS (SELECT line, count(*) AS cnt FROM lines GROUP BY 1),
+      kept AS (SELECT l.doc_id, l.pos, l.line, c.cnt <= 3 AS keep
+               FROM lines l JOIN counts c USING (line))
+      SELECT i.doc_id,
+        coalesce(k.clean_text, '') AS clean_text,
+        coalesce(k.n_lines, 0) AS n_lines,
+        coalesce(k.n_removed, 0) AS n_removed
+      FROM (SELECT DISTINCT doc_id FROM input) i
+      LEFT JOIN (
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+          count(*) AS n_lines,
+          CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        FROM kept GROUP BY 1) k USING (doc_id)""",
     "q_decontam" ->
       """WITH sh AS (
         SELECT doc_id,

@@ -344,4 +344,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
   }
+
+  // -------------------------------------------------------------------------
+  // Line-level dedup (CCNet-style boilerplate removal)
+  // -------------------------------------------------------------------------
+
+  /** Remove lines that repeat across the corpus — the CCNet recipe that
+    * strips navigation chrome, cookie banners and signature blocks which
+    * whole-document dedup can't see. A line is dropped from EVERY document
+    * when its corpus-wide occurrence count exceeds `maxCount`; surviving
+    * lines are reassembled in their original order.
+    *
+    * Lines are compared after trimming; blank lines are dropped outright
+    * (they carry no content and their counts would swamp the threshold).
+    *
+    * Plan shape: explode to (line, position) — narrow — then ONE aggregation
+    * keyed on the line text for corpus counts, a shuffle whose key space is
+    * the distinct-line set; the count frame joins back by line (hash join,
+    * same key) and documents reassemble with a sort-within-group collect,
+    * keyed on the document id. No global ordering anywhere. At heavy skew
+    * (one line in half the corpus) AQE's skew handling splits the hot key;
+    * the aggregation itself is a partial/final pair so the hot line arrives
+    * pre-combined.
+    *
+    * @return one row per input document: `clean_text` (kept lines joined
+    *         with newline, "" when everything was boilerplate), `n_lines`
+    *         (non-blank input lines), `n_removed`. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxCount: Long = 1L): DataFrame = {
+    require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
+    val lines = df
+      .select(col(idCol),
+        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+          l => l =!= "")).as(Seq("__pos", "__line")))
+    val counts = lines.groupBy(col("__line")).agg(count(lit(1)).as("__cnt"))
+    val kept = lines.join(counts, Seq("__line"))
+      .withColumn("__keep", col("__cnt") <= maxCount)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__pos"), col("__line"))))),
+          s => s.getField("__line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+    // documents that were entirely blank never produced a line row — restore
+    // them with an empty clean_text so the output stays one row per input
+    df.select(col(idCol)).distinct()
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -474,6 +474,29 @@ class ExtSpec extends AnyFunSuite {
     assert(sqlV == r.getDouble(0))
   }
 
+  test("line dedup removes corpus-repeated lines, keeps order, restores empty docs") {
+    val boiler = "subscribe now"
+    val corpus = fromJsonl(
+      s"""{"doc_id": 1, "text": "$boiler\\nunique first line\\nunique second line"}""",
+      s"""{"doc_id": 2, "text": "alpha\\n$boiler\\nbeta"}""",
+      s"""{"doc_id": 3, "text": "gamma\\n  $boiler  "}""", // trimmed before comparing
+      """{"doc_id": 4, "text": ""}""",
+      s"""{"doc_id": 5, "text": "$boiler"}""")
+    val out = Dedup.lineDedup(corpus, "doc_id", "text", maxCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_lines"), r.getAs[Long]("n_removed"))))
+      .toMap
+    assert(out(1L) == (("unique first line\nunique second line", 3L, 1L)))
+    assert(out(2L) == (("alpha\nbeta", 3L, 1L)))          // order preserved around the gap
+    assert(out(3L) == (("gamma", 2L, 1L)))                // whitespace-padded copy still counted
+    assert(out(4L) == (("", 0L, 0L)))                     // empty doc survives as a row
+    assert(out(5L) == (("", 1L, 1L)))                     // all-boilerplate doc emptied, not dropped
+    // below the threshold nothing is touched
+    val loose = Dedup.lineDedup(corpus, "doc_id", "text", maxCount = 4)
+      .agg(sum(col("n_removed"))).collect().head.getLong(0)
+    assert(loose == 0L)
+  }
+
   test("decontamination: n-gram overlap with the eval set flags only real overlap") {
     val eval = fromJsonl(
       """{"q": "what is the capital of france"}""")
