@@ -695,6 +695,21 @@ object SparkEntry {
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
+    // ---- extensions: HTML strip + Unicode NFC normalization ----
+    // The corpus is plain ASCII, so the query manufactures the mess: an HTML
+    // wrapper with a script element, escaped entities, and a decomposed
+    // accent (e + U+0301) that NFC must compose before hashing.
+    "q_normalize" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val input = tbl(spark, dir, "documents").select(col("doc_id"),
+        concat(lit("<div class=\"post\"><p>"), col("text"),
+          lit("</p><script type=\"text/js\">var x = 1 &amp;&amp; 2;</script>caf"),
+          lit("é"), lit(" &lt;ok&gt;&nbsp;fin</div>")).as("html"))
+      val cleaned = normalizeNfc(stripHtml(col("html")))
+      input.select(col("doc_id"), cleaned.as("clean_text"),
+        length(cleaned).as("n_chars"), md5(cleaned).as("content_hash"))
+    }),
+
     // ---- extensions: line-level dedup (boilerplate removal) ----
     // The word-soup corpus has no repeated lines of its own, so the query
     // plants the boilerplate: a newsletter banner on every 5th document and
@@ -1092,6 +1107,28 @@ object SparkEntry {
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
       FROM sess GROUP BY 1, 2""",
+    // entity decode order matches the engine exactly (&amp; last); chr(769)
+    // is the combining acute that nfc_normalize must fold into the e
+    "q_normalize" ->
+      """WITH input AS (
+        SELECT doc_id, '<div class="post"><p>' || text
+          || '</p><script type="text/js">var x = 1 &amp;&amp; 2;</script>caf'
+          || 'e' || chr(769) || ' &lt;ok&gt;&nbsp;fin</div>' AS html
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id, nfc_normalize(trim(regexp_replace(
+          replace(replace(replace(replace(replace(replace(
+            regexp_replace(regexp_replace(regexp_replace(html,
+              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+              '(?s)<[^>]*>', ' ', 'g'),
+            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+            '&nbsp;', ' '), '&amp;', '&'),
+          '\s+', ' ', 'g'))) AS clean_text
+        FROM input)
+      SELECT doc_id, clean_text, length(clean_text) AS n_chars,
+        md5(clean_text) AS content_hash
+      FROM cleaned""",
     "q_line_dedup" ->
       """WITH input AS (
         SELECT doc_id,

@@ -64,13 +64,45 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Unicode NFC normalization as a native codegen expression.
+  *
+  * Spark has no built-in Unicode normalizer, and a corpus scrubbed for
+  * training MUST canonicalize before any hash-based dedup — "café" composed
+  * and decomposed are different byte strings with identical rendering, so
+  * unnormalized text defeats exact dedup, fingerprinting and n-gram
+  * matching. `java.text.Normalizer` is the JDK's ICU-derived implementation;
+  * the generated code calls it directly with no row boxing, keeping the
+  * normalize inside whole-stage codegen like any built-in string function.
+  * (DuckDB's `nfc_normalize` is the independent oracle.)
+  */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_nfc"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Session registration for Graft's native functions — makes them usable
   * from both the Column API (via `call_function`) and plain Spark SQL. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val NfcName = "graft_nfc"
 
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       CosineName,
       { exprs =>
@@ -79,6 +111,17 @@ object GraftFunctions {
           castToFloatArray(exprs.head), castToFloatArray(exprs(1)))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      NfcName,
+      { exprs =>
+        require(exprs.length == 1, s"$NfcName expects 1 argument")
+        NfcNormalizeExpr(exprs.head.dataType match {
+          case StringType => exprs.head
+          case _          => Cast(exprs.head, StringType)
+        })
+      },
+      "built-in")
+  }
 
   private def castToFloatArray(e: Expression): Expression = e.dataType match {
     case ArrayType(FloatType, _) => e

@@ -183,6 +183,38 @@ object TextFunctions {
         (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
   }
 
+  /** Strip HTML to visible text: script/style elements vanish with their
+    * contents, remaining tags become spaces, the six entities that survive
+    * real-world scrapes are decoded (`&amp;` last, per the spec), and runs
+    * of whitespace collapse to one space. A chain of codegen string
+    * functions — one scan, no UDF, no parser; patterns stay in the
+    * Java/RE2 common regex subset (no backreferences) so the DuckDB oracle
+    * reproduces the bytes. For full DOM fidelity plug a real parser into
+    * the multimodal mapInPandas tier; this is the scan-speed scrub that
+    * handles the web-crawl 99%. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle  = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags   = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Unicode NFC canonicalization via the native codegen expression
+    * (graft.exprs.catalyst.NfcNormalizeExpr), registered on the active
+    * session. Run this BEFORE any hash-based dedup or n-gram matching:
+    * composed and decomposed forms of the same rendered text are different
+    * byte strings and silently defeat exact-match tiers. */
+  def normalizeNfc(text: Column): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.exprs.catalyst.GraftFunctions.NfcName, text)
+  }
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

@@ -474,6 +474,33 @@ class ExtSpec extends AnyFunSuite {
     assert(sqlV == r.getDouble(0))
   }
 
+  test("NFC normalize composes decomposed accents; strip-html leaves visible text") {
+    val df = fromJsonl(
+      """{"id": 1, "composed": "café", "decomposed": "café"}""")
+    val r = df.select(
+      TextFunctions.normalizeNfc(col("composed")).as("a"),
+      TextFunctions.normalizeNfc(col("decomposed")).as("b"),
+      (col("composed") === col("decomposed")).as("raw_eq")).collect().head
+    assert(!r.getAs[Boolean]("raw_eq"), "fixture must start byte-different")
+    assert(r.getAs[String]("a") == r.getAs[String]("b"))
+    assert(r.getAs[String]("a") == "café")
+    // interpreted and codegen paths agree (nullSafeEval vs doGenCode)
+    graft.exprs.catalyst.GraftFunctions.register(spark)
+    val sqlV = spark.sql("SELECT graft_nfc('café') AS v")
+      .collect().head.getString(0)
+    assert(sqlV == "café")
+
+    val html = fromJsonl(
+      """{"id": 1, "h": "<div><p>Hello &amp; welcome</p><script>drop(); </script><style>p { color: red }</style>Tom &lt;3&nbsp;Spark</div>"}""")
+    val clean = html.select(TextFunctions.stripHtml(col("h")).as("c")).collect().head.getString(0)
+    assert(clean == "Hello & welcome Tom <3 Spark")
+    // null propagates, doesn't crash
+    val nullRow = fromJsonl("""{"id": 1, "h": null}""")
+      .select(TextFunctions.stripHtml(col("h")).as("c"),
+        TextFunctions.normalizeNfc(col("h")).as("n")).collect().head
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
+  }
+
   test("line dedup removes corpus-repeated lines, keeps order, restores empty docs") {
     val boiler = "subscribe now"
     val corpus = fromJsonl(
