@@ -221,7 +221,27 @@ object ExprTranslator {
           case (Some(TimestampType), _)                   => timestamp_millis(unix_millis(x) - y.cast(LongType))
           case _                                          => x - y
         }
-      case "$multiply" => as.reduceLeft(_ * _)
+      // The reference snaps every product to 1e-12 with JS Math.round —
+      // "normalize floating point noise" (operators.ts:247-253) — so e.g.
+      // 0.1*0.2 is 0.02 exactly, not 0.020000000000000004. IEEE precision
+      // (what every SQL engine produces) is the default; opt into the
+      // reference's snapping with `graft.parity.multiply=reference`. Under
+      // the flag the result is always DOUBLE (JS numbers are), and the
+      // round is replayed in double space — floor(x+0.5) via pmod, half
+      // toward +Infinity like Math.round, with NaN/Infinity passed through
+      // (pmod(Inf,1) is NaN, which would otherwise swallow the sign).
+      case "$multiply" =>
+        val prod = as.reduceLeft(_ * _)
+        val reference = ctx.df.exists(_.sparkSession.conf
+          .getOption("graft.parity.multiply").contains("reference"))
+        if (!reference) prod
+        else {
+          val scaled = prod.cast(DoubleType) * lit(1e12)
+          val shifted = scaled + lit(0.5)
+          val rounded = (shifted - pmod(shifted, lit(1.0))) / lit(1e12)
+          when(isnan(scaled) || abs(scaled) === lit(Double.PositiveInfinity),
+            prod.cast(DoubleType)).otherwise(rounded)
+        }
       // reference division is JS IEEE doubles: x/0 → ±Infinity, 0/0 → NaN
       // (operators.ts $divide). Spark ANSI throws instead — a single bad row
       // would kill a whole job — so emit the IEEE result explicitly; the

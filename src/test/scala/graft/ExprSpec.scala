@@ -182,6 +182,28 @@ class ExprSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.parity.truthiness")
   }
 
+  test("$multiply parity flag: reference mode snaps products to 1e-12 like JS Math.round") {
+    // default: IEEE precision, the SQL-engine answer
+    val ieee = one(
+      """[{"$project": {"p": {"$multiply": [0.1, 0.2]}}}]""", """{"x": 1}""")
+    assert(ieee("p") == 0.1 * 0.2) // 0.020000000000000004
+    // reference snaps the noise away (operators.ts:247-253)
+    spark.conf.set("graft.parity.multiply", "reference")
+    try {
+      val r = one(
+        """[{"$project": {
+            "p": {"$multiply": [0.1, 0.2]},
+            "neg": {"$multiply": [-0.1, 0.2]},
+            "ints": {"$multiply": [3, 4]},
+            "big": {"$multiply": [1.0e20, 3.0]}}}]""",
+        """{"x": 1}""")
+      assert(r("p") == 0.02)        // noise snapped
+      assert(r("neg") == -0.02)     // Math.round is half-toward-+inf; -0.02 is exact
+      assert(r("ints") == 12.0)     // always a double under the flag, like JS
+      assert(r("big") == 3.0e20)    // beyond 2^52 the snap is identity, not garbage
+    } finally spark.conf.unset("graft.parity.multiply")
+  }
+
   test("date operators in UTC incl. Mongo $week") {
     val r = one(
       """[{"$addFields": {"d": {"$toDate": "$iso"}}},
