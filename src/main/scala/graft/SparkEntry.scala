@@ -621,6 +621,11 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tok"), col("pack_id"), col("pack_offset"))
     }),
+    // weighted mix: keep all German, 30% English, 15% French, 5% of the rest
+    "q_corpus_mix" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.mix(
+        tbl(spark, dir, "documents").select("doc_id", "lang", "source"),
+        "lang", Map("en" -> 0.3, "de" -> 1.0, "fr" -> 0.15), default = 0.05)),
     "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.stratified(
         tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
@@ -1399,6 +1404,21 @@ object SparkEntry {
           CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
         FROM toks2 t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
       SELECT doc_id, lang, quality, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
+    // thresholds are round(f * 2^32) in lowercase hex, the mix() recipe
+    "q_corpus_mix" ->
+      """WITH k AS (
+        SELECT doc_id, lang, source,
+          substring(md5(concat_ws(chr(1),
+            coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+            coalesce(CAST(lang AS VARCHAR), chr(2)),
+            coalesce(CAST(source AS VARCHAR), chr(2)))), 1, 8) AS h
+        FROM documents)
+      SELECT doc_id, lang, source FROM k
+      WHERE CASE lang
+        WHEN 'de' THEN TRUE
+        WHEN 'en' THEN h < '4ccccccd'
+        WHEN 'fr' THEN h < '26666666'
+        ELSE h < '0ccccccd' END""",
     "q_sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
         SELECT o_orderkey, o_custkey, o_orderstatus,

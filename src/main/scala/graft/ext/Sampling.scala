@@ -31,6 +31,30 @@ object Sampling {
       .drop("__graft_rn")
   }
 
+  /** Weighted corpus mixing: keep a different deterministic fraction per
+    * stratum — how a training mix is rebalanced toward target source/
+    * language ratios ("2 epochs of wiki, 0.3 of common-crawl"). The same
+    * md5-threshold filter as [[deterministicFraction]], with the threshold
+    * chosen per row by the stratum column: still a pure scan-side filter —
+    * no shuffle, no per-group state, stable under repartitioning — so it
+    * costs the same at 100 TB as at 100 rows. Strata absent from
+    * `fractions` keep `default` (0.0 = drop unlisted sources, the usual
+    * allowlist posture). */
+  def mix(df: DataFrame, strataCol: String, fractions: Map[String, Double],
+          default: Double = 0.0): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0 && f <= 1),
+      "every mix fraction must be in [0,1]")
+    val key = substring(rowKey(df), 1, 8)
+    def keepFor(f: Double): Column =
+      if (f >= 1.0) lit(true)
+      else if (f <= 0.0) lit(false)
+      else key < lit(f"${math.max(1L, math.round(f * 4294967296.0))}%08x")
+    val keep = fractions.toSeq.sortBy(_._1).foldRight(keepFor(default)) {
+      case ((value, f), els) => when(col(strataCol) === lit(value), keepFor(f)).otherwise(els)
+    }
+    df.filter(keep)
+  }
+
   /** Keep ~`fraction` of rows deterministically: a pure filter comparing
     * the first 8 hex digits of the row hash against a threshold — no
     * shuffle, no state, scales to any size, and the kept set is stable

@@ -286,6 +286,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted mix keeps per-stratum fractions deterministically") {
+    val rows = (1 to 400).map(i =>
+      s"""{"id": $i, "src": "${if (i % 2 == 0) "wiki" else "crawl"}"}""")
+    val df = fromJsonl(rows: _*)
+    val mixed = Sampling.mix(df, "src", Map("wiki" -> 1.0, "crawl" -> 0.2))
+    val bySrc = mixed.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("wiki") == 200L)                       // keep-all stratum intact
+    val crawl = bySrc.getOrElse("crawl", 0L)
+    assert(crawl > 10L && crawl < 80L, s"~20% of 200 expected, got $crawl")
+    // unlisted strata drop by default, keep under an explicit default
+    val withOther = fromJsonl((rows :+ """{"id": 999, "src": "books"}"""): _*)
+    assert(Sampling.mix(withOther, "src", Map("wiki" -> 1.0))
+      .filter(col("src") =!= "wiki").count() == 0L)
+    assert(Sampling.mix(withOther, "src", Map("wiki" -> 1.0), default = 1.0)
+      .count() == 401L)
+    // deterministic: same filter, same survivors, any run
+    val again = Sampling.mix(df, "src", Map("wiki" -> 1.0, "crawl" -> 0.2))
+    assert(again.select("id").collect().map(_.getLong(0)).toSet ==
+      mixed.select("id").collect().map(_.getLong(0)).toSet)
+    // pure filter: no exchange in the plan
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("token-budget packing fills shard-local packs at budget boundaries") {
     val df = fromJsonl(
       """{"id": 1, "g": "a", "tok": 300}""",
