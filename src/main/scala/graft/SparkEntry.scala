@@ -1121,15 +1121,18 @@ object SparkEntry {
           || 'e' || chr(769) || ' &lt;ok&gt;&nbsp;fin</div>' AS html
         FROM documents),
       cleaned AS (
-        SELECT doc_id, nfc_normalize(trim(regexp_replace(
-          replace(replace(replace(replace(replace(replace(
-            regexp_replace(regexp_replace(regexp_replace(html,
-              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-              '(?s)<[^>]*>', ' ', 'g'),
-            '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-            '&nbsp;', ' '), '&amp;', '&'),
-          '\s+', ' ', 'g'))) AS clean_text
+        SELECT doc_id, nfc_normalize(array_to_string(list_filter(list_transform(
+          string_split(regexp_replace(
+            replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                '(?i)<br[^>]*>|</p>', chr(10), 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+              '&nbsp;', ' '), '&amp;', '&'),
+            '[^\S\n]+', ' ', 'g'), chr(10)),
+          l -> trim(l)), l -> l <> ''), chr(10))) AS clean_text
         FROM input)
       SELECT doc_id, clean_text, length(clean_text) AS n_chars,
         md5(clean_text) AS content_hash

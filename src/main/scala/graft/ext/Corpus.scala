@@ -6,15 +6,19 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation: the composition the individual
   * `ext` primitives exist for, packaged as one declarative recipe —
   *
-  *   exact dedup → quality filter → PII scrub → token accounting →
+  *   (HTML strip + NFC normalize) → (line-level boilerplate dedup) →
+  *   exact dedup → (MinHash near-dedup) → (benchmark decontamination) →
+  *   quality filter → PII scrub → token accounting →
   *   shard-local greedy context-window packing.
   *
-  * Everything is a single lazy plan until [[Packing.packGreedy]]'s shard
-  * repartition: one md5 hash-shuffle for dedup, a codegen'd scan for the
-  * scoring/scrubbing stages, one shard shuffle for packing — three exchanges
-  * total regardless of corpus size, no driver-side state anywhere. Each
-  * constituent is oracle-checked on its own (q_dedup_exact, q_text_quality,
-  * q_text_scrub, q_pack_greedy); q_corpus_curate checks the composition.
+  * Parenthesized tiers are opt-in. Everything is a single lazy plan until
+  * [[Packing.packGreedy]]'s shard repartition: the mandatory path costs one
+  * md5 hash-shuffle for dedup, a codegen'd scan for normalize/score/scrub,
+  * and one shard shuffle for packing; each opt-in tier adds only its own
+  * keyed exchange (line text, LSH band key, n-gram broadcast). No
+  * driver-side state anywhere. Each constituent is oracle-checked on its
+  * own (q_normalize, q_line_dedup, q_dedup_exact, q_decontam,
+  * q_text_quality, q_pack_greedy); q_corpus_curate checks the composition.
   */
 object Corpus {
 
@@ -26,26 +30,60 @@ object Corpus {
     * @param nearDupThreshold when set, additionally drop MinHash+LSH
     *                    near-duplicates above this Jaccard threshold
     *                    ([[Dedup.dedupNear]]: banded candidate join + exact
-    *                    verify + component survivors) after the exact tier */
+    *                    verify + component survivors) after the exact tier
+    * @param normalize when true, strip HTML and NFC-normalize the text
+    *                    FIRST — canonical bytes are what make the
+    *                    hash-based dedup tiers below actually match
+    * @param lineDedupMaxCount when set, drop lines occurring more than
+    *                    this many times corpus-wide ([[Dedup.lineDedup]])
+    *                    before whole-document dedup, so shared boilerplate
+    *                    can't mask otherwise-identical documents
+    * @param decontamN word n-gram size for the decontamination tier
+    *                    (only used when `eval` is passed to [[curate]]) */
   final case class CurateConfig(minQuality: Double = 0.6,
                                 maxLineRepetition: Double = 1.0,
                                 budget: Long = 2048L,
-                                nearDupThreshold: Option[Double] = None)
+                                nearDupThreshold: Option[Double] = None,
+                                normalize: Boolean = false,
+                                lineDedupMaxCount: Option[Long] = None,
+                                decontamN: Int = 13)
 
   /** Curate `docs` into packed training shards. Output keeps the input
-    * columns (with `textCol` scrubbed in place) plus `quality`,
-    * `line_repetition`, `n_tok`, `pack_id`, `pack_offset`. Quality gates
-    * are evaluated on the RAW text (scrubbing must not rescue a junk
-    * document); token accounting runs on the scrubbed text that would
-    * actually be trained on. */
+    * columns (with `textCol` normalized/line-deduped/scrubbed in place)
+    * plus `quality`, `line_repetition`, `n_tok`, `pack_id`, `pack_offset`.
+    * Quality gates are evaluated on the cleaned-but-unscrubbed text
+    * (scrubbing must not rescue a junk document); token accounting runs on
+    * the scrubbed text that would actually be trained on.
+    *
+    * @param eval held-out benchmark frame and its text column; when given,
+    *             documents sharing any `decontamN`-gram with it are dropped
+    *             ([[Decontamination.removeContaminated]]) */
   def curate(docs: DataFrame, idCol: String, textCol: String,
-             shardCols: Seq[String], cfg: CurateConfig = CurateConfig()): DataFrame = {
-    val exact = Dedup.exactDedup(docs, idCol, textCol)
+             shardCols: Seq[String], cfg: CurateConfig = CurateConfig(),
+             eval: Option[(DataFrame, String)] = None): DataFrame = {
+    val normalized =
+      if (cfg.normalize)
+        docs.withColumn(textCol,
+          TextFunctions.normalizeNfc(TextFunctions.stripHtml(col(textCol))))
+      else docs
+    val lineDeduped = cfg.lineDedupMaxCount match {
+      case Some(k) =>
+        val clean = Dedup.lineDedup(normalized, idCol, textCol, k)
+          .select(col(idCol), col("clean_text").as(textCol))
+        normalized.drop(textCol).join(clean, Seq(idCol))
+      case None => normalized
+    }
+    val exact = Dedup.exactDedup(lineDeduped, idCol, textCol)
     val deduped = cfg.nearDupThreshold match {
       case Some(t) => Dedup.dedupNear(exact, idCol, textCol, threshold = t)
       case None    => exact
     }
-    val scored = deduped
+    val decontaminated = eval match {
+      case Some((ev, evCol)) =>
+        Decontamination.removeContaminated(deduped, idCol, textCol, ev, evCol, cfg.decontamN)
+      case None => deduped
+    }
+    val scored = decontaminated
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))

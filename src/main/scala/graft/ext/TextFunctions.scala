@@ -184,24 +184,31 @@ object TextFunctions {
   }
 
   /** Strip HTML to visible text: script/style elements vanish with their
-    * contents, remaining tags become spaces, the six entities that survive
-    * real-world scrapes are decoded (`&amp;` last, per the spec), and runs
-    * of whitespace collapse to one space. A chain of codegen string
-    * functions — one scan, no UDF, no parser; patterns stay in the
-    * Java/RE2 common regex subset (no backreferences) so the DuckDB oracle
-    * reproduces the bytes. For full DOM fidelity plug a real parser into
-    * the multimodal mapInPandas tier; this is the scan-speed scrub that
-    * handles the web-crawl 99%. */
+    * contents, `<br>` and closing `</p>` become newlines, remaining tags
+    * become spaces, the six entities that survive real-world scrapes are
+    * decoded (`&amp;` last, per the spec), horizontal whitespace collapses
+    * to one space, and lines are trimmed with blanks dropped. Newlines are
+    * deliberately PRESERVED — line structure is what the line-level dedup
+    * tier keys on, so a scrub that flattened it would silently disable
+    * boilerplate removal downstream. A chain of codegen string functions —
+    * one scan, no UDF, no parser; patterns stay in the Java/RE2 common
+    * regex subset (no backreferences) so the DuckDB oracle reproduces the
+    * bytes. For full DOM fidelity plug a real parser into the multimodal
+    * mapInPandas tier; this is the scan-speed scrub that handles the
+    * web-crawl 99%. */
   def stripHtml(text: Column): Column = {
     val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle  = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
-    val noTags   = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val breaks   = regexp_replace(noStyle, "(?i)<br[^>]*>|</p>", "\n")
+    val noTags   = regexp_replace(breaks, "(?s)<[^>]*>", " ")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
         "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
         call_function("replace", c, lit(from), lit(to))
       }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    val hCollapsed = regexp_replace(decoded, "[^\\S\\n]+", " ")
+    array_join(filter(transform(split(hCollapsed, "\n"), l => trim(l)),
+      l => l =!= ""), "\n")
   }
 
   /** Unicode NFC canonicalization via the native codegen expression

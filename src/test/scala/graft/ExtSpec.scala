@@ -414,6 +414,30 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
   }
 
+  test("corpus curation: normalize, line-dedup, and decontamination tiers compose") {
+    val body = "the quick brown fox jumps over the lazy dog while many other animals watch " +
+      "from the forest edge and wonder about the strange scene unfolding before them today"
+    val boiler = "subscribe to our newsletter"
+    // docs 1 and 2 differ only by HTML wrapping + the boilerplate line —
+    // normalize + line-dedup must reveal them as exact duplicates
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "<p>$body</p>", "lang": "en"}""",
+      s"""{"id": 2, "text": "$boiler\\n$body", "lang": "en"}""",
+      s"""{"id": 3, "text": "$boiler\\nthe benchmark asks what is the capital of france and this document leaks the answer paris to the training set", "lang": "en"}""",
+      s"""{"id": 4, "text": "$boiler\\nperfectly clean document with plenty of ordinary words speaking about weather mountains rivers and the slow passage of seasons across the wide valley", "lang": "en"}""")
+    val eval = fromJsonl("""{"q": "what is the capital of france"}""")
+    val out = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.3, budget = 512L,
+        normalize = true, lineDedupMaxCount = Some(2L), decontamN = 5),
+      eval = Some((eval, "q")))
+    val rows = out.collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // 2 deduped against 1 (after normalize+line-dedup), 3 decontaminated away
+    assert(rows.keySet == Set(1L, 4L))
+    // the surviving text is the cleaned form: no tags, no boilerplate
+    assert(rows(1L).getAs[String]("text") == body)
+    assert(!rows(4L).getAs[String]("text").contains(boiler))
+  }
+
   test("corpus curation: near-dup tier drops high-Jaccard survivors of the exact tier") {
     val base = "the quick brown fox jumps over the lazy dog while many other animals " +
       "watch from the forest edge and wonder about the strange scene unfolding today " +
@@ -517,7 +541,7 @@ class ExtSpec extends AnyFunSuite {
     val html = fromJsonl(
       """{"id": 1, "h": "<div><p>Hello &amp; welcome</p><script>drop(); </script><style>p { color: red }</style>Tom &lt;3&nbsp;Spark</div>"}""")
     val clean = html.select(TextFunctions.stripHtml(col("h")).as("c")).collect().head.getString(0)
-    assert(clean == "Hello & welcome Tom <3 Spark")
+    assert(clean == "Hello & welcome\nTom <3 Spark") // </p> keeps the line break
     // null propagates, doesn't crash
     val nullRow = fromJsonl("""{"id": 1, "h": null}""")
       .select(TextFunctions.stripHtml(col("h")).as("c"),
