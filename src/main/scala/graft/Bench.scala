@@ -140,7 +140,28 @@ object Bench {
         """[{"$setWindowFields": {"sortBy": {"l_extendedprice": 1},
              "output": {"rn": {"$documentNumber": {}},
                         "run": {"$sum": "$l_extendedprice", "window": {"documents": ["unbounded", "current"]}}}}},
-            {"$count": "n"}]""").first().getLong(0)))
+            {"$count": "n"}]""").first().getLong(0)),
+      "asofJoin" -> coldWarm {
+        val ev = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_type"), col("value"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us").as("purchase_ts"),
+            col("value").as("purchase_value"))
+        graft.ext.Joins.asOf(ev.select("event_id", "user_id", "ts_us"), purchases,
+          Seq("user_id"), "ts_us", "purchase_ts").count()
+      },
+      "decontaminate" -> coldWarm(graft.ext.Decontamination.flagContaminated(
+        docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 37 === 0), "text", n = 4).count()),
+      "lineDedup" -> coldWarm(graft.ext.Dedup.lineDedup(
+        docs.select(col("doc_id"),
+          concat(col("text"), lit("\nsubscribe to our newsletter")).as("text")),
+        "doc_id", "text", maxCount = 3).count()),
+      "normalizeHtml" -> coldWarm(docs.select(
+        graft.ext.TextFunctions.normalizeNfc(graft.ext.TextFunctions.stripHtml(
+          concat(lit("<p>"), col("text"), lit("</p>")))).as("t"))
+        .agg(count(lit(1))).first().getLong(0)))
     val extras = extrasCW.map { case (k, cw) => k -> cw._1 }
     val extrasWarm = extrasCW.map { case (k, cw) => k -> cw._2 }
 

@@ -1173,10 +1173,10 @@ object SparkEntry {
                 list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
               FROM documents)),
       ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0),
-      dg AS (SELECT doc_id, CAST(len(sh) AS INTEGER) AS n_ngrams, unnest(sh) AS g
-             FROM sh WHERE doc_id % 37 <> 0)
-      SELECT doc_id, n_ngrams, count(ev.g) AS n_hits, count(ev.g) >= 1 AS contaminated
-      FROM dg LEFT JOIN ev ON dg.g = ev.g GROUP BY 1, 2""",
+      dg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 37 <> 0)
+      SELECT doc_id, count(*) AS n_ngrams, count(ev.g) AS n_hits,
+        count(ev.g) >= 1 AS contaminated
+      FROM dg LEFT JOIN ev ON dg.g = ev.g GROUP BY 1""",
     // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
     // union+window rewrite (inclusive >= match, left-outer).
     "q_asof_join" ->
