@@ -278,4 +278,65 @@ class PropertySpec extends AnyFunSuite {
       got == expected
     }, 25)
   }
+
+  test("as-of join agrees with a brute-force interpreter on random keys/ts incl. ties") {
+    // Tiny key and timestamp domains force key collisions, equal-instant
+    // matches, and right-side (key, ts) ties — exactly the cases where the
+    // union+window rewrite could silently diverge from as-of semantics.
+    // Tie-break contract (documented on Joins.asOf): among right rows at the
+    // matched instant, backward takes the MAX payload struct, forward the
+    // MIN (struct = non-key right columns in column order).
+    val genCase = for {
+      seed <- Gen.choose(0L, 100000L)
+      dir <- Gen.oneOf("backward", "forward")
+      nLeft <- Gen.choose(0, 50)
+      nRight <- Gen.choose(0, 30)
+    } yield (seed, dir, nLeft, nRight)
+    check(Prop.forAllNoShrink(genCase) { case (seed, dir, nl, nr) =>
+      val rnd = new scala.util.Random(seed)
+      // row 0 always has a real ts: an all-null column would JSON-infer as
+      // string and fail the union on types (a fixture artifact, not as-of)
+      val left = (0 until nl).map { i =>
+        val ts = if (i > 0 && rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toLong)
+        (i.toLong, s"k${rnd.nextInt(4)}", ts)
+      }
+      val right = (0 until nr).map { j =>
+        val ts = if (j > 0 && rnd.nextInt(10) == 0) None else Some(rnd.nextInt(20).toLong)
+        (s"k${rnd.nextInt(4)}", ts, j.toLong)
+      }
+      val leftDf = fromJsonl(left.map { case (id, k, ts) =>
+        s"""{"lid": $id, "k": "$k", "lts": ${ts.map(_.toString).getOrElse("null")}}""" }: _*)
+      val rightDf = fromJsonl(right.map { case (k, ts, v) =>
+        s"""{"k": "$k", "rts": ${ts.map(_.toString).getOrElse("null")}, "rv": $v}""" }: _*)
+      if (nl == 0) true // empty left: nothing to check (fromJsonl needs rows)
+      else {
+        val rDf = if (nr == 0)
+          fromJsonl("""{"k": "x", "rts": 0, "rv": 0}""")
+            .filter(org.apache.spark.sql.functions.col("rv") < 0L)
+        else rightDf
+        val got = graft.ext.Joins.asOf(leftDf, rDf, Seq("k"), "lts", "rts", dir)
+          .collect().map { r =>
+            (r.getAs[Long]("lid"),
+              Option(r.getAs[Any]("rts")).map(_.asInstanceOf[Long]),
+              Option(r.getAs[Any]("rv")).map(_.asInstanceOf[Long]))
+          }.toSet
+        val expected = left.map { case (id, k, lts) =>
+          val m: Option[(Long, Long)] = lts.flatMap { t =>
+            val cands: Seq[(Long, Long)] = right.collect {
+              case (rk, Some(rts), rv) if rk == k &&
+                (if (dir == "backward") rts <= t else rts >= t) => (rts, rv)
+            }
+            if (cands.isEmpty) None
+            else if (dir == "backward") Some(cands.max)        // max ts, then max payload
+            else {
+              val best = cands.map(_._1).min                   // nearest forward instant
+              Some(cands.filter(_._1 == best).min)             // then min payload
+            }
+          }
+          (id, m.map(_._1), m.map(_._2))
+        }.toSet
+        got == expected
+      }
+    }, 30)
+  }
 }
