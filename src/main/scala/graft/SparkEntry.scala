@@ -700,6 +700,22 @@ object SparkEntry {
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
+    // ---- extensions: URL/domain extraction + blocklist filter ----
+    // URLs are synthesized from the corpus deterministically (userinfo +
+    // port + path exercise every stripping rule); every 3rd document lands
+    // on the blocked registered domain and must drop out.
+    "q_url_filter" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val d = tbl(spark, dir, "documents").select(col("doc_id"),
+        concat(lit("https://user:pw@www."), col("source"),
+          when(col("doc_id") % 3 === 0, lit(".example.com")).otherwise(lit(".example.org")),
+          lit(":8080/p/"), col("doc_id").cast("string")).as("url"))
+      val withDomain = d.select(col("doc_id"), col("url"),
+        extractHost(col("url")).as("host"),
+        registeredDomain(extractHost(col("url"))).as("domain"))
+      filterBlockedDomains(withDomain, "url", Seq("example.com"))
+    }),
+
     // ---- extensions: HTML strip + Unicode NFC normalization ----
     // The corpus is plain ASCII, so the query manufactures the mess: an HTML
     // wrapper with a script element, escaped entities, and a decomposed
@@ -1112,6 +1128,22 @@ object SparkEntry {
       SELECT user_id, session_idx, count(*) AS n_events, min(ts_us) AS session_start,
         max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration
       FROM sess GROUP BY 1, 2""",
+    "q_url_filter" ->
+      """WITH u AS (
+        SELECT doc_id,
+          'https://user:pw@www.' || source ||
+          (CASE WHEN doc_id % 3 = 0 THEN '.example.com' ELSE '.example.org' END) ||
+          ':8080/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents),
+      h AS (
+        SELECT doc_id, url,
+          nullif(regexp_extract(lower(url),
+            '^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1), '') AS host
+        FROM u)
+      SELECT doc_id, url, host,
+        regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
+      FROM h
+      WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> 'example.com'""",
     // entity decode order matches the engine exactly (&amp; last); chr(769)
     // is the combining acute that nfc_normalize must fold into the e
     "q_normalize" ->

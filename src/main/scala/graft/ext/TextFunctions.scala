@@ -222,6 +222,34 @@ object TextFunctions {
     call_function(graft.exprs.catalyst.GraftFunctions.NfcName, text)
   }
 
+  /** Host part of a URL, lowercased: scheme and userinfo stripped, cut at
+    * the first `/:?#`. A single regex (RE2-compatible, reproduced by the
+    * oracle) rather than `parse_url` so the extraction is engine-portable;
+    * null for strings with no scheme://host shape. The C4-style crawl
+    * filters key on this. */
+  def extractHost(url: Column): Column = {
+    val h = regexp_extract(lower(url),
+      "^[a-z][a-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)", 1)
+    when(h =!= "", h)
+  }
+
+  /** Naive registered domain: the last two dot-labels of the host
+    * ("a.b.example.com" → "example.com"). Real pipelines substitute the
+    * Public Suffix List here; the operator shape (host → group key) is the
+    * stable part. Hosts with fewer than two labels pass through. */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+
+  /** Drop rows whose URL's registered domain is on `blocked` — blocklist
+    * filtering, the first gate of a crawl pipeline. Pure scan-side filter:
+    * no shuffle, no join (the blocklist compiles into the predicate; for
+    * million-entry lists switch to a broadcast left-anti join instead). */
+  def filterBlockedDomains(df: org.apache.spark.sql.DataFrame, urlCol: String,
+                           blocked: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val dom = registeredDomain(extractHost(col(urlCol)))
+    df.filter(dom.isNull || !dom.isin(blocked.map(_.toLowerCase): _*))
+  }
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

@@ -522,6 +522,28 @@ class ExtSpec extends AnyFunSuite {
     assert(sqlV == r.getDouble(0))
   }
 
+  test("URL host/domain extraction and blocklist filtering") {
+    val rows = fromJsonl(
+      """{"id": 1, "url": "https://user:pw@WWW.Sub.Example.COM:8443/path?q=1"}""",
+      """{"id": 2, "url": "http://blog.other.org/post#frag"}""",
+      """{"id": 3, "url": "ftp://files.example.com/x"}""",
+      """{"id": 4, "url": "not a url at all"}""",
+      """{"id": 5, "url": "https://localhost/admin"}""")
+    val got = rows.select(col("id"),
+      TextFunctions.extractHost(col("url")).as("h"),
+      TextFunctions.registeredDomain(TextFunctions.extractHost(col("url"))).as("d"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("h")), r.getAs[String]("d")))).toMap
+    assert(got(1L) == ((Some("www.sub.example.com"), "example.com"))) // case, userinfo, port
+    assert(got(2L) == ((Some("blog.other.org"), "other.org")))
+    assert(got(3L) == ((Some("files.example.com"), "example.com")))   // any scheme
+    assert(got(4L)._1.isEmpty)                                        // no URL shape → null host
+    assert(got(5L) == ((Some("localhost"), "")))                      // single label: no reg domain
+    val kept = TextFunctions.filterBlockedDomains(rows, "url", Seq("EXAMPLE.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 5L)) // 1 and 3 blocked; null/blank domains pass
+  }
+
   test("NFC normalize composes decomposed accents; strip-html leaves visible text") {
     val df = fromJsonl(
       """{"id": 1, "composed": "café", "decomposed": "café"}""")
