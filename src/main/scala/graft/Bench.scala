@@ -127,6 +127,12 @@ object Bench {
         m = 8, ksub = 16, dim = 64, rerank = 50).count()),
       "textQuality" -> coldWarm(docs.select(
         graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)),
+      "gopherRules" -> coldWarm(docs.select(
+        graft.ext.TextFunctions.gopherPass(col("text")).as("p"))
+        .filter(col("p")).agg(count(lit(1))).first().getLong(0)),
+      "incrDedup" -> coldWarm(graft.ext.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()),
       "tfidfTopTerms" -> coldWarm(graft.ext.TextFunctions.tfIdfTopTerms(
         docs, "doc_id", "text", 5).count()),
       "corpusCurate" -> coldWarm(graft.ext.Corpus.curate(

@@ -596,6 +596,31 @@ object SparkEntry {
     "q_text_tfidf" -> ((spark: SparkSession, dir: String) =>
       graft.ext.TextFunctions.tfIdfTopTerms(
         tbl(spark, dir, "documents"), "doc_id", "text", 5)),
+    // Gopher rule-set over structurally-augmented text: sentence breaks
+    // become lines, and doc_id-keyed suffixes plant bullets, ellipses,
+    // hashes, repeated lines and repeated paragraphs so every rule fires
+    // both ways somewhere in the corpus.
+    "q_text_gopher" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val d = tbl(spark, dir, "documents")
+      val base = regexp_replace(col("text"), "\\. ", "\n")
+      val aug = concat(base,
+        when(col("doc_id") % 5 === 0,
+          lit("\n• item one\n• item two\n• item three")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("\nto be continued...\n###")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\nrepeat line\nrepeat line\nrepeat line")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("\n\n"), substring(base, 1, 80),
+            lit("\n\n"), substring(base, 1, 80))).otherwise(lit("")))
+      val f = gopherFlags(aug)
+      val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+        "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
+        "r_dup_lines", "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars")
+      d.select(col("doc_id") +: f.getField("words").as("words") +:
+        ruleNames.map(n => f.getField(n).as(n)) :+ gopherPass(aug).as("pass"): _*)
+    }),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._
       graft.ext.Packing.packByTokenBudget(
@@ -658,6 +683,29 @@ object SparkEntry {
     "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 0)),
+    // ---- incremental ingestion dedup (new shard vs already-ingested store) ----
+    // store = even doc_ids; new shard = odd doc_ids, with every doc_id ≡ 1
+    // (mod 14) carrying its even neighbor's text so the exact tier has real
+    // cross-shard duplicates to drop.
+    "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+        .join(even.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          col("doc_id") - 1 === col("nid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1 && col("ntext").isNotNull, col("ntext"))
+            .otherwise(col("text")).as("text"))
+      graft.ext.Dedup.incrementalExact(newDocs, "doc_id", "text",
+        graft.ext.Dedup.exactGroups(even, "doc_id", "text"))
+        .select(col("doc_id"))
+    }),
+    "q_dedup_incr_minhash" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      graft.ext.Dedup.minhashLshPairsAgainst(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
 
     // ---- extensions: similarity search ----
     "q_ann_brute" -> ((spark: SparkSession, dir: String) => {
@@ -1349,6 +1397,53 @@ object SparkEntry {
       SELECT doc_id, CASE WHEN len(lines) > 0
         THEN floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 1000000 + 0.5) / 1000000
         ELSE 0.0 END AS rep FROM l""",
+    "q_text_gopher" ->
+      """WITH a AS (
+        SELECT doc_id,
+          regexp_replace(text, '\. ', chr(10), 'g')
+          || (CASE WHEN doc_id % 5 = 0 THEN chr(10)||'• item one'||chr(10)||'• item two'||chr(10)||'• item three' ELSE '' END)
+          || (CASE WHEN doc_id % 7 = 0 THEN chr(10)||'to be continued...'||chr(10)||'###' ELSE '' END)
+          || (CASE WHEN doc_id % 11 = 0 THEN chr(10)||'repeat line'||chr(10)||'repeat line'||chr(10)||'repeat line' ELSE '' END)
+          || (CASE WHEN doc_id % 13 = 0 THEN chr(10)||chr(10)||substr(regexp_replace(text, '\. ', chr(10), 'g'),1,80)||chr(10)||chr(10)||substr(regexp_replace(text, '\. ', chr(10), 'g'),1,80) ELSE '' END)
+          AS t
+        FROM documents),
+      parts AS (
+        SELECT doc_id, t,
+          list_filter(regexp_split_to_array(t, '\s+'), w -> length(w) > 0) AS words,
+          list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+          list_filter(list_transform(regexp_split_to_array(t, '\n\s*\n'), x -> trim(x)), x -> x <> '') AS paras,
+          list_filter(regexp_split_to_array(lower(t), '\W+'), x -> length(x) > 0) AS toks
+        FROM a),
+      m AS (
+        SELECT doc_id,
+          len(words) AS nw, len(lines) AS nl, len(paras) AS np,
+          CASE WHEN len(words) > 0 THEN CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE) / len(words) ELSE 0.0 END AS mwl,
+          CASE WHEN len(words) > 0 THEN CAST((len(string_split(t, '...')) - 1) + (length(t) - length(replace(t, '#', ''))) AS DOUBLE) / len(words) ELSE 0.0 END AS symr,
+          CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> left(x,1) = chr(8226) OR left(x,2) = '- ' OR left(x,2) = '* ')) AS DOUBLE) / len(lines) ELSE 0.0 END AS bulletf,
+          CASE WHEN len(lines) > 0 THEN CAST(len(list_filter(lines, x -> right(x,3) = '...' OR right(x,1) = chr(8230))) AS DOUBLE) / len(lines) ELSE 0.0 END AS ellipf,
+          CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) ELSE 0.0 END AS alphaf,
+          len(list_intersect(list_distinct(toks), ['the','be','to','of','and','that','have','with'])) AS stophits,
+          CASE WHEN len(lines) > 0 THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) ELSE 0.0 END AS dlf,
+          CASE WHEN len(paras) > 0 THEN CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE) / len(paras) ELSE 0.0 END AS dpf,
+          CASE WHEN coalesce(list_sum(list_transform(lines, x -> length(x))), 0) > 0 THEN CAST(list_sum(list_transform(lines, x -> length(x))) - list_sum(list_transform(list_distinct(lines), x -> length(x))) AS DOUBLE) / list_sum(list_transform(lines, x -> length(x))) ELSE 0.0 END AS dlcf,
+          CASE WHEN coalesce(list_sum(list_transform(paras, x -> length(x))), 0) > 0 THEN CAST(list_sum(list_transform(paras, x -> length(x))) - list_sum(list_transform(list_distinct(paras), x -> length(x))) AS DOUBLE) / list_sum(list_transform(paras, x -> length(x))) ELSE 0.0 END AS dpcf
+        FROM parts)
+      SELECT doc_id, CAST(nw AS INTEGER) AS words,
+        (nw >= 50 AND nw <= 100000) AS r_word_count,
+        (mwl >= 3.0 AND mwl <= 10.0) AS r_mean_word_len,
+        (symr < 0.1) AS r_symbol_ratio,
+        (bulletf < 0.9) AS r_bullet_lines,
+        (ellipf < 0.3) AS r_ellipsis_lines,
+        (alphaf > 0.8) AS r_alpha_words,
+        (stophits >= 2) AS r_stopwords,
+        (dlf < 0.3) AS r_dup_lines,
+        (dpf < 0.3) AS r_dup_paras,
+        (dlcf < 0.2) AS r_dup_line_chars,
+        (dpcf < 0.2) AS r_dup_para_chars,
+        ((nw >= 50 AND nw <= 100000) AND (mwl >= 3.0 AND mwl <= 10.0) AND (symr < 0.1)
+          AND (bulletf < 0.9) AND (ellipf < 0.3) AND (alphaf > 0.8) AND (stophits >= 2)
+          AND (dlf < 0.3) AND (dpf < 0.3) AND (dlcf < 0.2) AND (dpcf < 0.2)) AS pass
+      FROM m""",
     "q_text_tfidf" ->
       """WITH toks AS (
         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
@@ -1509,6 +1604,36 @@ object SparkEntry {
         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+    "q_dedup_incr_exact" ->
+      """WITH evens AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      news AS (
+        SELECT o.doc_id,
+          CASE WHEN o.doc_id % 7 = 1 AND e.text IS NOT NULL THEN e.text ELSE o.text END AS text
+        FROM documents o LEFT JOIN evens e ON e.doc_id = o.doc_id - 1
+        WHERE o.doc_id % 2 = 1),
+      batch AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM news)
+        WHERE rn = 1)
+      SELECT b.doc_id FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM evens e WHERE md5(e.text) = md5(b.text))""",
+    "q_dedup_incr_minhash" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents))
+      SELECT a.doc_id AS new_id, b.doc_id AS seen_id,
+        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+      FROM sh a JOIN sh b ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
     "q_dedup_simhash" ->

@@ -147,6 +147,74 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // -------------------------------------------------------------------------
+  // Incremental ingestion dedup: a new shard vs the already-ingested corpus
+  // -------------------------------------------------------------------------
+
+  /** Exact tier of incremental ingestion: dedup `newDocs` within the batch
+    * (smallest id wins), then drop rows whose content hash already exists in
+    * `store` — a frame carrying a `content_hash` column, e.g. accumulated
+    * [[exactGroups]] output from earlier shards. Plan: one in-batch hash
+    * shuffle + one hash anti-join; the store is scanned once, never
+    * collected, so it can be arbitrarily large (at 100 TB: a bucketed
+    * parquet table keyed on `content_hash`, making the anti-join
+    * exchange-free on the store side). */
+  def incrementalExact(newDocs: DataFrame, idCol: String, contentCol: String,
+                       store: DataFrame): DataFrame =
+    exactDedup(newDocs, idCol, contentCol)
+      .join(store.select(col("content_hash")),
+        md5(col(contentCol)) === col("content_hash"), "left_anti")
+
+  /** Near-dup tier of incremental ingestion: candidate (new, seen) pairs via
+    * a bipartite MinHash-LSH band join — same recipe as [[minhashLshPairs]]
+    * but new docs are only ever compared against the store, never against
+    * each other (run [[minhashLshPairs]] on the batch separately if
+    * intra-batch near-dups also matter). Returns (new_id, seen_id, jaccard)
+    * with exact Jaccard ≥ `threshold`, verified over hashed shingle sets.
+    *
+    * `store` carries (id, text) here; at scale the store side would persist
+    * its hashed shingles + band keys once at ingest (both are deterministic
+    * functions of the text) so later shards skip recomputing them. */
+  def minhashLshPairsAgainst(newDocs: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    def prep(df: DataFrame, tag: String): DataFrame = spill(df.select(
+      col(idCol).as("doc_id"),
+      Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
+      .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh"))),
+      s"graft-incr-sig-$tag")
+    val newSide  = prep(newDocs, "new")
+    val seenSide = prep(store, "seen")
+    def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
+      col("doc_id").as(idAs),
+      posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
+    val candidates = banded(newSide, "new_id").join(banded(seenSide, "seen_id"), Seq("band", "band_key"))
+      .select("new_id", "seen_id").distinct()
+    candidates
+      .join(newSide.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
+      .join(seenSide.select(col("doc_id").as("seen_id"), col("sh").as("sh_s")), "seen_id")
+      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_n"), col("sh_s")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("seen_id"), col("jaccard"))
+  }
+
+  /** Full incremental ingest step: exact tier, then drop new docs
+    * near-duplicating the store. Returns the surviving rows of `newDocs`. */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, contentCol: String,
+                       store: DataFrame, storeIdCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                       threshold: Double = 0.5): DataFrame = {
+    val exactSurvivors = incrementalExact(newDocs, idCol, contentCol,
+      exactGroups(store, storeIdCol, contentCol))
+    val flagged = minhashLshPairsAgainst(exactSurvivors, store.select(
+      col(storeIdCol).as(idCol), col(contentCol)), idCol, contentCol,
+      shingleSize, numHashes, bands, threshold)
+      .select(col("new_id").as(idCol)).distinct()
+    exactSurvivors.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

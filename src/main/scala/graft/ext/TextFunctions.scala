@@ -250,6 +250,88 @@ object TextFunctions {
     df.filter(dom.isNull || !dom.isin(blocked.map(_.toLowerCase): _*))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
+    * heuristics — same family the reference's quality filtering belongs to).
+    * Returns a struct of per-rule booleans (`true` = rule passed) plus the
+    * word count and an overall `pass` conjunction, so pipelines can either
+    * hard-filter on `pass` or keep the flags as features.
+    *
+    * Pure `Column` arithmetic — one scan, codegen, no UDF — and every rule
+    * is reproducible bit-for-bit in another SQL engine (the DuckDB oracle
+    * recomputes all of them). Thresholds are the published ones:
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - symbol-to-word ratio (`#` and `...`) < 0.1
+    *  - < 90% of lines start with a bullet; < 30% end with an ellipsis
+    *  - > 80% of words contain an alphabetic character
+    *  - ≥ 2 of the 8 required English stopwords appear
+    *  - duplicate-line / duplicate-paragraph fraction < 0.30
+    *  - characters in duplicate lines / paragraphs < 0.20
+    *
+    * "Duplicate" counts all-but-first occurrences, so the char fraction is
+    * (total chars − chars of the distinct set) / total chars — no quadratic
+    * per-document work. */
+  def gopherFlags(text: Column): Column = {
+    val words  = filter(split(text, "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val lines  = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+    val nLines = size(lines)
+    val paras  = filter(transform(split(text, "\n\\s*\n"), p => trim(p)), p => p =!= "")
+    val nParas = size(paras)
+
+    val meanWordLen = when(nWords > 0,
+      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
+      .otherwise(lit(0.0))
+    // non-overlapping "..." occurrences + lone '#' characters, per word
+    val nEllipsis = size(split(text, "\\.\\.\\.")) - 1
+    val nHash     = length(text) - length(call_function("replace", text, lit("#"), lit("")))
+    val symbolRatio = when(nWords > 0, (nEllipsis + nHash).cast("double") / nWords)
+      .otherwise(lit(0.0))
+
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
+    val bulletFrac = frac(size(filter(lines,
+      l => l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))), nLines)
+    val ellipsisFrac = frac(size(filter(lines,
+      l => l.endsWith("...") || l.endsWith("…"))), nLines)
+    val alphaFrac = frac(size(filter(words, w => w.rlike("[A-Za-z]"))), nWords)
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = size(array_intersect(array_distinct(tokens(text)),
+      array(requiredStops.map(lit): _*)))
+
+    def dupFrac(arr: Column, n: Column): Column =
+      frac(n - size(array_distinct(arr)), n)
+    def charSum(arr: Column): Column = aggregate(arr, lit(0L), (a, x) => a + length(x))
+    def dupCharFrac(arr: Column): Column = {
+      val total = charSum(arr)
+      frac(total - charSum(array_distinct(arr)), total)
+    }
+
+    struct(
+      nWords.as("words"),
+      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+      (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("r_mean_word_len"),
+      (symbolRatio < 0.1).as("r_symbol_ratio"),
+      (bulletFrac < 0.9).as("r_bullet_lines"),
+      (ellipsisFrac < 0.3).as("r_ellipsis_lines"),
+      (alphaFrac > 0.8).as("r_alpha_words"),
+      (stopHits >= 2).as("r_stopwords"),
+      (dupFrac(lines, nLines) < 0.3).as("r_dup_lines"),
+      (dupFrac(paras, nParas) < 0.3).as("r_dup_paras"),
+      (dupCharFrac(lines) < 0.2).as("r_dup_line_chars"),
+      (dupCharFrac(paras) < 0.2).as("r_dup_para_chars"))
+  }
+
+  /** `true` iff every [[gopherFlags]] rule passes — the hard-filter form. */
+  def gopherPass(text: Column): Column = {
+    val f = gopherFlags(text)
+    Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+      "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "r_dup_lines",
+      "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars")
+      .map(f.getField).reduce(_ && _)
+  }
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

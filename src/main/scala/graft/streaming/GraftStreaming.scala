@@ -127,6 +127,61 @@ object GraftStreaming {
     else wm.dropDuplicates(keyCols)
   }
 
+  /** Streaming incremental ingest dedup: every micro-batch is deduped
+    * against the accumulated parquet store at `storePath` (exact
+    * content-hash tier, plus the MinHash near-dup tier when `nearThreshold`
+    * is set) and the survivors are appended to the store — so the store
+    * converges to one copy of every distinct (or near-distinct) document
+    * across the whole stream. The batch-mode building blocks
+    * ([[graft.ext.Dedup.incrementalExact]]/[[graft.ext.Dedup.incrementalDedup]])
+    * do the work; this owns the store lifecycle.
+    *
+    * Survivors are persisted and counted before the append so the store
+    * read underlying the dedup plan is not re-executed against a store that
+    * already contains them. State is the store itself — nothing driver-side
+    * — and each batch costs one store scan + the batch's own shuffles, the
+    * same bound as the batch operator. */
+  def incrementalDedupSink(stream: DataFrame, idCol: String, contentCol: String,
+                           storePath: String, checkpointDir: String,
+                           queryName: String = "graft-incr-dedup",
+                           nearThreshold: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(storePath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // within-batch dedup first (exact, plus near when configured —
+        // keep-the-smaller-id greedy drop), then the cross-store tiers
+        val inBatch = nearThreshold match {
+          case Some(t) =>
+            val ex = graft.ext.Dedup.exactDedup(batch, idCol, contentCol)
+            val near = graft.ext.Dedup.minhashLshPairs(ex, idCol, contentCol, threshold = t)
+              .select(org.apache.spark.sql.functions.greatest(col("id_a"), col("id_b")).as(idCol))
+              .distinct()
+            ex.join(near, Seq(idCol), "left_anti")
+          case None => graft.ext.Dedup.exactDedup(batch, idCol, contentCol)
+        }
+        val survivors =
+          if (!fs.exists(p)) inBatch
+          else {
+            val store = spark.read.parquet(storePath)
+            nearThreshold match {
+              case Some(t) => graft.ext.Dedup.incrementalDedup(
+                inBatch, idCol, contentCol, store, idCol, threshold = t)
+              case None => graft.ext.Dedup.incrementalExact(
+                inBatch, idCol, contentCol, graft.ext.Dedup.exactGroups(store, idCol, contentCol))
+            }
+          }
+        survivors.persist()
+        try {
+          survivors.count() // materialize BEFORE appending to the path we read
+          survivors.write.mode("append").parquet(storePath)
+        } finally survivors.unpersist()
+        ()
+      }
+      .start()
+
   /** Gap-based sessionization with custom per-key state — the
     * `flatMapGroupsWithState` tier under [[graft.ext.Sessions
     * .streamingSessionCounts]]'s native `session_window`. Where
@@ -206,6 +261,57 @@ object GraftStreaming {
     checkpointDir.foreach(d => w = w.option("checkpointLocation", d))
     w.start()
   }
+}
+
+/** Adaptive mutation batching for [[StreamingCollection]] — the live-
+  * collection analogue of the reference's delta-batch optimizer
+  * (streaming-delta-optimizer.ts:1-60: adaptive batch sizing against a
+  * latency target). Incoming documents are buffered and applied as one bulk
+  * mutation; each flush's observed cost feeds an EWMA of per-document
+  * recompute time, and the next batch is sized to `targetMs`:
+  *
+  *   batch = clamp(targetMs / ewmaPerDocCost, minBatch, maxBatch)
+  *
+  * so a cheap pipeline converges to near-per-document latency while an
+  * expensive one automatically coarsens its batches instead of falling
+  * behind. (The unbounded-stream path doesn't need this: Spark's
+  * micro-batch engine owns admission there — see [[GraftStreaming.Batching]].)
+  *
+  * `clock` is injectable for deterministic tests. */
+final class AdaptiveBatcher(coll: StreamingCollection, targetMs: Long = 100,
+                            initialBatch: Int = 64, minBatch: Int = 1,
+                            maxBatch: Int = 65536,
+                            clock: () => Long = () => System.nanoTime()) {
+  require(targetMs > 0 && initialBatch > 0 && minBatch > 0 && maxBatch >= minBatch,
+    s"invalid batcher config: targetMs=$targetMs initial=$initialBatch min=$minBatch max=$maxBatch")
+  private val pending = ArrayBuffer[Row]()
+  private var batchSize = math.min(math.max(initialBatch, minBatch), maxBatch)
+  private var ewmaPerDocNs = 0.0
+
+  /** Queue one document; flushes when the current batch size is reached. */
+  def add(row: Row): Unit = synchronized {
+    pending += row
+    if (pending.size >= batchSize) flush()
+  }
+
+  /** Apply all queued documents as one bulk mutation and re-size the next
+    * batch from the observed cost. */
+  def flush(): Unit = synchronized {
+    if (pending.nonEmpty) {
+      val n = pending.size
+      val t0 = clock()
+      coll.addBulk(pending.toSeq)
+      val dt = math.max(clock() - t0, 0L)
+      pending.clear()
+      val perDoc = dt.toDouble / n
+      ewmaPerDocNs = if (ewmaPerDocNs == 0.0) perDoc else 0.7 * ewmaPerDocNs + 0.3 * perDoc
+      batchSize = math.max(minBatch,
+        math.min(maxBatch.toLong, (targetMs * 1e6 / math.max(ewmaPerDocNs, 1.0)).toLong).toInt)
+    }
+  }
+
+  def currentBatchSize: Int = synchronized(batchSize)
+  def pendingCount: Int = synchronized(pending.size)
 }
 
 /** Incrementally-maintainable aggregation over a change stream — the

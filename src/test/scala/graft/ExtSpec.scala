@@ -56,6 +56,62 @@ class ExtSpec extends AnyFunSuite {
     assert((after -- before).isEmpty, "minhashLshPairs leaked persisted RDDs")
   }
 
+  test("incremental dedup drops exact and near matches against the store, keeps fresh docs") {
+    val store = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "completely different words about spark and data processing here"}""")
+    val fresh = fromJsonl(
+      """{"doc_id": 11, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 12, "text": "the quick brown fox jumps over the lazy cat again and again"}""",
+      """{"doc_id": 13, "text": "entirely novel content that matches nothing previously ingested at all"}""",
+      """{"doc_id": 14, "text": "entirely novel content that matches nothing previously ingested at all"}""")
+    // bipartite pairs: fresh docs are compared against the store only
+    val pairs = Dedup.minhashLshPairsAgainst(fresh, store, "doc_id", "text",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("seen_id"))).toSet
+    assert(pairs.contains((11L, 1L)), "exact cross-shard copy not found")
+    assert(pairs.contains((12L, 1L)), "near-dup of a stored doc not found")
+    assert(!pairs.exists { case (n, s) => n == 13L || n == 14L || s > 2L },
+      s"unexpected pairs: $pairs")
+    // full step: 11 dies in the exact tier, 12 in the near tier, 14 is an
+    // in-batch duplicate of 13 — exactly one novel survivor remains
+    val survivors = Dedup.incrementalDedup(fresh, "doc_id", "text", store, "doc_id",
+      threshold = 0.4).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(13L), s"got $survivors")
+  }
+
+  test("gopher rules pass clean prose and flag each spam shape") {
+    import graft.ext.TextFunctions._
+    def flags(text: String): Map[String, Any] = {
+      val df = spark.range(1).select(gopherFlags(lit(text)).as("f"))
+      val row = df.select(col("f.*")).collect().head
+      row.schema.fieldNames.zip(row.toSeq).toMap
+    }
+    val clean = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the of and that have to be with more text"
+    val cf = flags(clean)
+    assert(Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+      "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "r_dup_lines",
+      "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars").forall(r => cf(r) == true),
+      s"clean prose failed a rule: $cf")
+    assert(spark.range(1).select(gopherPass(lit(clean))).collect().head.getBoolean(0))
+
+    assert(flags("short text")("r_word_count") == false)
+    assert(flags((1 to 60).map(_ => "• buy now with the of").mkString("\n"))("r_bullet_lines") == false)
+    assert(flags((1 to 60).map(i => s"line$i ends like this...").mkString("\n"))("r_ellipsis_lines") == false)
+    assert(flags(((1 to 60).map(i => s"w$i").mkString(" ")) + " ### ### ### ### ### ### ###")("r_symbol_ratio") == false)
+    assert(flags((1 to 60).map(_ => "123 456 789").mkString(" "))("r_alpha_words") == false)
+    assert(flags((1 to 60).map(i => s"word$i").mkString(" "))("r_stopwords") == false)
+    val dupLines = (1 to 20).map(_ => "the same line of text appears here").mkString("\n")
+    val df2 = flags(dupLines)
+    assert(df2("r_dup_lines") == false)
+    assert(df2("r_dup_line_chars") == false)
+    val dupParas = (1 to 10).map(_ => "the same paragraph of text with many words appears").mkString("\n\n")
+    val pf = flags(dupParas)
+    assert(pf("r_dup_paras") == false)
+    assert(pf("r_dup_para_chars") == false)
+  }
+
   test("simhash md5-compat variant agrees with itself and finds the planted dup") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, md5Compat = true)
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap

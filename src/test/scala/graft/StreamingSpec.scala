@@ -133,6 +133,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates >= 2)
   }
 
+  test("streaming incremental dedup: store converges to one copy per distinct doc") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("graft-store").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = GraftStreaming.incrementalDedupSink(stream, "doc_id", "text", store, ckpt)
+    try {
+      mem.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
+      q.processAllAvailable()
+      val s1 = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s1 == Set(1L, 3L), s"after batch 1: $s1")
+      // batch 2: 4 duplicates stored content, 5 is novel
+      mem.addData((4L, "alpha"), (5L, "gamma"))
+      q.processAllAvailable()
+      val s2 = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s2 == Set(1L, 3L, 5L), s"after batch 2: $s2")
+    } finally q.stop()
+  }
+
+  test("AdaptiveBatcher sizes batches from observed cost toward the latency target") {
+    val schema = StructType.fromDDL("id BIGINT, v DOUBLE")
+    val coll = new StreamingCollection(spark, schema)
+    // fake clock: advances `stepNs` per read; a flush reads twice, so each
+    // flush appears to cost exactly `stepNs`
+    var now = 0L
+    var stepNs = 8L * 1000000L // 8 ms per flush
+    val clock = () => { now += stepNs; now }
+    val batcher = new graft.streaming.AdaptiveBatcher(coll, targetMs = 16,
+      initialBatch = 4, minBatch = 1, maxBatch = 1024, clock = clock)
+    (1 to 4).foreach(i => batcher.add(Row(i.toLong, i.toDouble)))
+    assert(batcher.pendingCount == 0, "batcher should flush at the batch boundary")
+    // 8 ms for 4 docs = 2 ms/doc; 16 ms target → 8 docs per batch
+    assert(batcher.currentBatchSize == 8, s"got ${batcher.currentBatchSize}")
+    assert(coll.size == 4)
+    // recompute becomes expensive: 6400 ms per flush of 8 docs = 800 ms/doc;
+    // EWMA = 0.7·2 + 0.3·800 = 241.4 ms/doc → 16 ms target → clamps to min
+    stepNs = 6400L * 1000000L
+    (5 to 12).foreach(i => batcher.add(Row(i.toLong, i.toDouble)))
+    assert(coll.size == 12)
+    assert(batcher.currentBatchSize == 1, s"got ${batcher.currentBatchSize}")
+    // cheap again: the EWMA decays (0.7^k) and the batch size recovers
+    stepNs = 1L * 1000000L
+    (13 to 32).foreach(i => batcher.add(Row(i.toLong, i.toDouble)))
+    assert(batcher.currentBatchSize > 1, s"got ${batcher.currentBatchSize}")
+    batcher.flush() // drain any partial batch left by the larger batch size
+    assert(coll.size == 32)
+    batcher.flush() // idempotent on empty
+    assert(coll.size == 32)
+  }
+
   test("stream-static $lookup joins a static collection per micro-batch") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
