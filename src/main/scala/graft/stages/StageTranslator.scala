@@ -482,24 +482,71 @@ object StageTranslator {
         .getOrElse(throw GraftException("$merge requires into"))
       val on = fs.collectFirst { case ("on", JString(s)) => s }
         .getOrElse(throw GraftException("$merge requires on"))
-      val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("replace")
-      if (whenMatched != "replace" && whenMatched != "keepExisting")
-        throw new graft.model.ValidationError(s"$$merge whenMatched must be replace|keepExisting, got $whenMatched")
+      val whenMatched = fs.collectFirst { case ("whenMatched", JString(s)) => s }.getOrElse("merge")
+      if (!Set("replace", "keepExisting", "merge", "fail")(whenMatched))
+        throw new graft.model.ValidationError(
+          s"$$merge whenMatched must be replace|keepExisting|merge|fail, got $whenMatched")
+      val whenNotMatched = fs.collectFirst { case ("whenNotMatched", JString(s)) => s }.getOrElse("insert")
+      if (!Set("insert", "discard", "fail")(whenNotMatched))
+        throw new graft.model.ValidationError(
+          s"$$merge whenNotMatched must be insert|discard|fail, got $whenNotMatched")
       val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
       val spark = df.sparkSession
       val target = new org.apache.hadoop.fs.Path(into)
       val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val targetExists = hfs.exists(target)
       val merged =
-        if (!targetExists) incoming
-        else {
+        if (!targetExists) {
+          if (whenNotMatched == "fail" && !incoming.isEmpty)
+            throw new graft.model.ValidationError(
+              s"$$merge whenNotMatched=fail: target $into does not exist, every document is unmatched")
+          if (whenNotMatched == "discard") incoming.limit(0) else incoming
+        } else {
           val existing = spark.read.parquet(into)
-          if (whenMatched == "keepExisting")
-            existing.unionByName(
-              incoming.join(existing.select(on), Seq(on), "left_anti"), allowMissingColumns = true)
-          else // replace: incoming wins on key collision
-            incoming.unionByName(
-              existing.join(incoming.select(on), Seq(on), "left_anti"), allowMissingColumns = true)
+          // Mongo's mode matrix (documented divergence: "merge" is a
+          // top-level field merge under the missing→null policy, so an
+          // incoming null cannot erase an existing value — Mongo needs
+          // $$REMOVE for that anyway)
+          val unmatchedNew = whenNotMatched match {
+            case "insert"  => incoming.join(existing.select(on), Seq(on), "left_anti")
+            case "discard" => incoming.limit(0)
+            case "fail" =>
+              val stray = incoming.join(existing.select(on), Seq(on), "left_anti")
+              if (!stray.isEmpty) throw new graft.model.ValidationError(
+                s"$$merge whenNotMatched=fail: incoming documents have no match in $into")
+              incoming.limit(0)
+          }
+          whenMatched match {
+            case "keepExisting" => existing.unionByName(unmatchedNew, allowMissingColumns = true)
+            case "replace" =>
+              incoming.join(existing.select(on), Seq(on), "left_semi")
+                .unionByName(existing.join(incoming.select(on), Seq(on), "left_anti"),
+                  allowMissingColumns = true)
+                .unionByName(unmatchedNew, allowMissingColumns = true)
+            case "merge" =>
+              // per-field merge on matched keys: incoming's non-null field
+              // wins, existing's value survives otherwise; columns unique to
+              // either side pass through
+              val shared = existing.columns.toSet.intersect(incoming.columns.toSet) - on
+              val exOnly = existing.columns.filterNot(c => shared(c) || c == on)
+              val inOnly = incoming.columns.filterNot(c => shared(c) || c == on)
+              val e = existing.alias("__e")
+              val i = incoming.alias("__i")
+              val mergedRows = i.join(e, Seq(on), "inner").select(
+                col(on) +:
+                  (shared.toSeq.sorted.map(c =>
+                    coalesce(col(s"__i.$c"), col(s"__e.$c")).as(c)) ++
+                    exOnly.map(c => col(s"__e.$c").as(c)) ++
+                    inOnly.map(c => col(s"__i.$c").as(c))): _*)
+              existing.join(incoming.select(on), Seq(on), "left_anti")
+                .unionByName(mergedRows, allowMissingColumns = true)
+                .unionByName(unmatchedNew, allowMissingColumns = true)
+            case "fail" =>
+              if (!incoming.join(existing.select(on), Seq(on), "left_semi").isEmpty)
+                throw new graft.model.ValidationError(
+                  s"$$merge whenMatched=fail: incoming documents collide with $into on $on")
+              existing.unionByName(unmatchedNew, allowMissingColumns = true)
+          }
         }
       // Spark cannot overwrite a path it is reading from, so stage + swap.
       val tmp = new org.apache.hadoop.fs.Path(into + ".graft-merge-tmp")

@@ -602,6 +602,44 @@ class StageSpec extends AnyFunSuite {
     assert(merged == Map(1L -> "merged", 2L -> "new", 5L -> "new", 9L -> "new"))
   }
 
+  test("$merge mode matrix: merge keeps existing fields, discard/fail honor contracts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge-modes").toString
+    val tgt = s"$dir/t.parquet"
+    fromJsonl(
+      """{"id": 1, "a": "keep_a", "b": "old_b"}""",
+      """{"id": 2, "a": "only_existing", "b": "b2"}""")
+      .write.parquet(tgt)
+    // whenMatched=merge (the Mongo default): incoming null cannot erase, a
+    // present incoming field wins, existing-only fields survive
+    val up = fromJsonl(
+      """{"id": 1, "b": "new_b", "c": "new_c"}""",
+      """{"id": 3, "b": "b3", "c": "c3"}""")
+    Aggo.aggregate(up, s"""[{"$$merge": {"into": "$tgt", "on": "id"}}]""").count()
+    val rows = spark.read.parquet(tgt).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[String]("a")), r.getAs[String]("b"), Option(r.getAs[String]("c"))))).toMap
+    assert(rows(1L) == ((Some("keep_a"), "new_b", Some("new_c"))), s"got ${rows(1L)}")
+    assert(rows(2L) == ((Some("only_existing"), "b2", None)))
+    assert(rows(3L) == ((None, "b3", Some("c3"))))
+    // whenNotMatched=discard drops novel keys
+    val up2 = fromJsonl("""{"id": 1, "b": "b1x", "c": "c1x"}""", """{"id": 7, "b": "b7", "c": "c7"}""")
+    Aggo.aggregate(up2,
+      s"""[{"$$merge": {"into": "$tgt", "on": "id", "whenNotMatched": "discard"}}]""").count()
+    val ids = spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet
+    assert(ids == Set(1L, 2L, 3L), s"discard inserted a novel key: $ids")
+    // whenMatched=fail rejects collisions; whenNotMatched=fail rejects strays
+    intercept[graft.model.ValidationError] {
+      Aggo.aggregate(fromJsonl("""{"id": 1, "b": "boom"}"""),
+        s"""[{"$$merge": {"into": "$tgt", "on": "id", "whenMatched": "fail"}}]""").count()
+    }
+    intercept[graft.model.ValidationError] {
+      Aggo.aggregate(fromJsonl("""{"id": 42, "b": "stray"}"""),
+        s"""[{"$$merge": {"into": "$tgt", "on": "id", "whenNotMatched": "fail"}}]""").count()
+    }
+    // failed merges must not have mutated the target
+    assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+  }
+
   test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
     assert(Aggo.matchStage(orders, """{"status": "new"}""").count() == 3)
     assert(Aggo.projectStage(orders, """{"id": 1}""").columns.toSeq == Seq("id"))
