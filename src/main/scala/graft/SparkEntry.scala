@@ -596,6 +596,14 @@ object SparkEntry {
     "q_text_tfidf" -> ((spark: SparkSession, dir: String) =>
       graft.ext.TextFunctions.tfIdfTopTerms(
         tbl(spark, dir, "documents"), "doc_id", "text", 5)),
+    "q_text_bm25" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.bm25Search(
+        tbl(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), 20)),
+    "q_text_chunk" -> ((spark: SparkSession, dir: String) =>
+      tbl(spark, dir, "documents").select(col("doc_id"),
+        posexplode(graft.ext.TextFunctions.chunkByTokens(col("text"), 12, 8))
+          .as(Seq("chunk_idx", "chunk")))),
     // Gopher rule-set over structurally-augmented text: sentence breaks
     // become lines, and doc_id-keyed suffixes plant bullets, ellipses,
     // hashes, repeated lines and repeated paragraphs so every rule fires
@@ -1397,6 +1405,35 @@ object SparkEntry {
       SELECT doc_id, CASE WHEN len(lines) > 0
         THEN floor(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines) * 1000000 + 0.5) / 1000000
         ELSE 0.0 END AS rep FROM l""",
+    "q_text_bm25" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+      scored AS (
+        SELECT tf.doc_id,
+          floor(sum(ln(1.0 + (c.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+            * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf JOIN dfq USING (term), corpus c
+        GROUP BY tf.doc_id)
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank, score
+      FROM scored ORDER BY score DESC, doc_id LIMIT 20""",
+    "q_text_chunk" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      c AS (SELECT doc_id, toks,
+              CAST(1 + ceil(greatest(len(toks) - 12, 0) / 8.0) AS INTEGER) AS nc
+            FROM toks)
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk
+      FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM c)""",
     "q_text_gopher" ->
       """WITH a AS (
         SELECT doc_id,

@@ -39,14 +39,18 @@ object Corpus {
     *                    before whole-document dedup, so shared boilerplate
     *                    can't mask otherwise-identical documents
     * @param decontamN word n-gram size for the decontamination tier
-    *                    (only used when `eval` is passed to [[curate]]) */
+    *                    (only used when `eval` is passed to [[curate]])
+    * @param gopherRules when true, additionally require every
+    *                    [[TextFunctions.gopherPass]] rule (the published
+    *                    Gopher §A1.1 heuristics) in the quality gate */
   final case class CurateConfig(minQuality: Double = 0.6,
                                 maxLineRepetition: Double = 1.0,
                                 budget: Long = 2048L,
                                 nearDupThreshold: Option[Double] = None,
                                 normalize: Boolean = false,
                                 lineDedupMaxCount: Option[Long] = None,
-                                decontamN: Int = 13)
+                                decontamN: Int = 13,
+                                gopherRules: Boolean = false)
 
   /** Curate `docs` into packed training shards. Output keeps the input
     * columns (with `textCol` normalized/line-deduped/scrubbed in place)
@@ -88,7 +92,8 @@ object Corpus {
       .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))
       .filter(col("quality") > cfg.minQuality &&
-        col("line_repetition") <= cfg.maxLineRepetition)
+        col("line_repetition") <= cfg.maxLineRepetition &&
+        (if (cfg.gopherRules) TextFunctions.gopherPass(col(textCol)) else lit(true)))
       .drop("__toks")
       .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
       .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))

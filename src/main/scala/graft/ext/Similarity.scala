@@ -329,6 +329,23 @@ object Similarity {
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is
     * tunable via (planes, tables); the shape is the IVF/LSH standard for
     * billion-vector corpora. */
+  /** Per-query recall of an approximate ANN result against the exact one:
+    * |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs — the
+    * standard index-quality metric, computed distributedly so an index can
+    * be evaluated on a sampled query set at corpus scale (two keyed
+    * aggregations + one semi join, no driver state). Both inputs use the
+    * (query_id, neighbor_id) column shape every `*TopK` here returns. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+                queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
+    val hits = exact.select(col(queryCol), col(neighborCol))
+      .join(approx.select(col(queryCol), col(neighborCol)), Seq(queryCol, neighborCol), "left_semi")
+      .groupBy(queryCol).agg(count(lit(1)).as("hits"))
+    exact.groupBy(queryCol).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq(queryCol), "left")
+      .select(col(queryCol),
+        (coalesce(col("hits"), lit(0L)).cast("double") / col("n_exact")).as("recall"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8, tables: Int = 4,
               dim: Int = 64, seed: Long = 42L): DataFrame = {

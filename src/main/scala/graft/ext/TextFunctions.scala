@@ -183,6 +183,73 @@ object TextFunctions {
         (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
   }
 
+  /** BM25-ranked retrieval of the top-k documents for a bag of query terms —
+    * the classic probabilistic ranking function (Robertson et al.; Lucene's
+    * default), used in data pipelines for retrieval-based corpus filtering
+    * and eval-set mining. Lucene-style non-negative IDF:
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Plan shape: one explode shuffle to (doc, term) counts filtered to the
+    * query terms (the filter lands before the shuffle, so only matching
+    * terms move), document frequencies from a term-keyed aggregation over
+    * that pre-filtered frame, the single-row (N, avgdl) corpus frame
+    * broadcast in, and a global top-k that fuses to TakeOrderedAndProject.
+    * Scores truncated to 1e-6 for cross-engine comparison stability.
+    *
+    * @return (doc_id, rank, score) — rank ties broken by doc id. */
+  def bm25Search(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(queryTerms.nonEmpty, "bm25Search needs at least one query term")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val docs = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val corpus = docs.agg(count(lit(1)).as("n_docs"), avg(size(col("toks"))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms.map(lit): _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
+    val scored = tf.join(docFreq, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5)))
+      .withColumn("part", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + (col("dl") / col("avgdl") * b + (1 - b)) * k1))
+      .groupBy("doc_id").agg(sum(col("part")).as("score_raw"))
+      // rank on the TRUNCATED score: the raw per-term sum can differ by an
+      // ulp between engines (FP addition order), which would flip near-tied
+      // ranks; after 1e-6 quantization the ordering is engine-stable
+      .withColumn("score", floor(col("score_raw") * 1e6 + 0.5) / 1e6)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    // global top-k over the scored docs fuses to TakeOrderedAndProject; the
+    // rank window then runs over ≤ k rows
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col("doc_id"), col("rank"), col("score"))
+  }
+
+  /** Split a document into token-window chunks of `chunkSize` tokens with
+    * `stride` tokens between chunk starts (stride < chunkSize ⇒ overlap) —
+    * the standard preprocessing step for context-window-bounded training
+    * and embedding pipelines. Operates on the normalized [[tokens]] stream,
+    * so chunks come back space-joined and lowercased. Pure array ops on one
+    * scan; explode the result to get one row per chunk.
+    *
+    * Chunk count = 1 + ceil(max(0, |d| − chunkSize) / stride), so every
+    * token lands in ≥ 1 chunk and a short doc yields exactly itself. */
+  def chunkByTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, s"need positive chunkSize/stride, got $chunkSize/$stride")
+    val ts = tokens(text)
+    val n = size(ts)
+    val nChunks = lit(1) + ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(ts, i * stride + 1, lit(chunkSize)), " "))
+  }
+
   /** Strip HTML to visible text: script/style elements vanish with their
     * contents, `<br>` and closing `</p>` become newlines, remaining tags
     * become spaces, the six entities that survive real-world scrapes are

@@ -80,6 +80,43 @@ class ExtSpec extends AnyFunSuite {
     assert(survivors == Set(13L), s"got $survivors")
   }
 
+  test("bm25 ranks term-dense short docs first; chunking covers every token with overlap") {
+    import graft.ext.TextFunctions._
+    val corpus = fromJsonl(
+      """{"doc_id": 1, "text": "spark spark spark pipeline"}""",
+      """{"doc_id": 2, "text": "spark appears once in a much longer document about other engines entirely"}""",
+      """{"doc_id": 3, "text": "nothing relevant here at all"}""")
+    val ranked = bm25Search(corpus, "doc_id", "text", Seq("spark"), 10).collect()
+    assert(ranked.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L),
+      "tf-dense short doc must outrank the long one; non-matching doc excluded")
+    assert(ranked.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2))
+    assert(ranked.head.getAs[Double]("score") > ranked.last.getAs[Double]("score"))
+
+    // 25 tokens, chunk 10, stride 5 → 1 + ceil(15/5) = 4 chunks
+    val text = (1 to 25).map(i => s"t$i").mkString(" ")
+    val chunks = spark.range(1).select(chunkByTokens(lit(text), 10, 5).as("c"))
+      .collect().head.getAs[scala.collection.Seq[String]]("c")
+    assert(chunks.length == 4)
+    assert(chunks.head == (1 to 10).map(i => s"t$i").mkString(" "))
+    assert(chunks(1) == (6 to 15).map(i => s"t$i").mkString(" "), "stride-5 overlap expected")
+    assert(chunks.last == (16 to 25).map(i => s"t$i").mkString(" "))
+    // short doc → exactly itself
+    val short = spark.range(1).select(chunkByTokens(lit("only three tokens"), 10, 5).as("c"))
+      .collect().head.getAs[scala.collection.Seq[String]]("c")
+    assert(short == Seq("only three tokens"))
+  }
+
+  test("recallAtK scores approximate ANN results per query") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (3L, 30L)).toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (1L, 98L), (1L, 99L),
+      (2L, 20L), (2L, 21L)).toDF("query_id", "neighbor_id")
+    val r = Similarity.recallAtK(approx, exact).collect()
+      .map(row => row.getAs[Long]("query_id") -> row.getAs[Double]("recall")).toMap
+    assert(r == Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.0), s"got $r")
+  }
+
   test("gopher rules pass clean prose and flag each spam shape") {
     import graft.ext.TextFunctions._
     def flags(text: String): Map[String, Any] = {
@@ -468,6 +505,22 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(3L).getAs[Long]("pack_id") == 1L)
     assert(rows(5L).getAs[Long]("pack_id") == 0L)
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
+  }
+
+  test("corpus curation: the gopher tier drops rule-violating docs the score gate missed") {
+    // both docs clear the closed-formula quality score, but the second is
+    // under Gopher's 50-word floor — only the gopher tier catches it
+    val long = ((1 to 55).map(i => s"area$i").mkString(" ")) + " the of and that have to be with"
+    val short = "the quick brown fox jumps over the lazy dog with spirit and style that we have"
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$long", "lang": "en"}""",
+      s"""{"id": 2, "text": "$short", "lang": "en"}""")
+    val base = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.3, budget = 512L))
+    assert(base.collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    val gated = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.3, budget = 512L, gopherRules = true))
+    assert(gated.collect().map(_.getAs[Long]("id")).toSet == Set(1L))
   }
 
   test("corpus curation: normalize, line-dedup, and decontamination tiers compose") {
