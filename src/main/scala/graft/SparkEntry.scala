@@ -716,6 +716,17 @@ object SparkEntry {
     }),
 
     // ---- extensions: similarity search ----
+    // query vector components are exactly float-representable (k/4) so the
+    // engine's float cast and the oracle's double literals agree bit-for-bit
+    "q_vector_search" -> ((spark: SparkSession, dir: String) => {
+      val qv = (0 until 64).map(i => ((i % 7) - 3) / 4.0).mkString("[", ", ", "]")
+      Aggo.aggregate(tbl(spark, dir, "embeddings"),
+        s"""[
+          {"$$vectorSearch": {"path": "embedding", "queryVector": $qv,
+            "limit": 25, "scoreField": "score"}},
+          {"$$project": {"vec_id": 1, "score": 1, "_id": 0}}
+        ]""")
+    }),
     "q_ann_brute" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings")
       graft.ext.Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding", 5)
@@ -1643,6 +1654,15 @@ object SparkEntry {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5""",
+    "q_vector_search" ->
+      """WITH q AS (SELECT list_transform(generate_series(0, 63), i -> ((i % 7) - 3) / 4.0) AS qv),
+      scored AS (
+        SELECT e.vec_id,
+          list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i])))) AS score
+        FROM embeddings e, q)
+      SELECT vec_id, score FROM scored ORDER BY score DESC LIMIT 25""",
     "q_dedup_incr_exact" ->
       """WITH evens AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
       news AS (

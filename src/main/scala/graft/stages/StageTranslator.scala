@@ -374,6 +374,41 @@ object StageTranslator {
       val sampleKey = md5RowKey(userCols(df).map(col))
       (df.orderBy(sampleKey).limit(n), ctx)
 
+    case "$vectorSearch" =>
+      // Mongo 7 $vectorSearch surface (extension): exact cosine scoring of
+      // the current frame against a literal query vector, optional
+      // Mongo-query pre-filter, top-`limit` by score. Plan: optional
+      // pushed-down filter → one codegen scan (native cosine Expression) →
+      // TakeOrderedAndProject — no shuffle of the corpus. `numCandidates`
+      // and `index` are accepted for surface compatibility; the exact scan
+      // ignores them (at corpus scale route through Similarity.ivfTopK /
+      // ivfPqTopK and store the cluster id as the bucketing column).
+      val fs = body match { case JObject(f) => f; case _ => throw GraftException("$vectorSearch requires an object") }
+      val vPath = fs.collectFirst { case ("path", JString(s)) => s }
+        .getOrElse(throw GraftException("$vectorSearch requires path"))
+      val qvec = fs.collectFirst { case ("queryVector", JArray(xs)) => xs.map {
+        case JDouble(d) => d
+        case JInt(i)    => i.toDouble
+        case other      => throw GraftException(s"$$vectorSearch queryVector must be numeric, got $other")
+      }}.getOrElse(throw GraftException("$vectorSearch requires queryVector"))
+      val vLimit = fs.collectFirst { case ("limit", JInt(i)) => i.toInt }
+        .getOrElse(throw GraftException("$vectorSearch requires limit"))
+      val scoreField = fs.collectFirst { case ("scoreField", JString(s)) => s }.getOrElse("search_score")
+      val preFilter = fs.collectFirst { case ("filter", o @ JObject(_)) => o }
+      ctx.note("exact cosine scan (native codegen expression) + TakeOrderedAndProject; " +
+        "ties at the limit boundary are unspecified, as in Mongo")
+      implicit val ec: ExprCtx = exprCtx(df)
+      val pre = preFilter match {
+        case Some(f) => df.filter(graft.exprs.MatchTranslator.translate(f))
+        case None    => df
+      }
+      graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+      val vecC = ExprTranslator.translate(JString("$" + vPath))
+      val score = call_function(graft.exprs.catalyst.GraftFunctions.CosineName,
+        vecC, array(qvec.map(lit): _*))
+      (pre.withColumn(scoreField, score).orderBy(col(scoreField).desc).limit(vLimit),
+        ctx.copy(order = Some(Seq(SortKey(scoreField, asc = false))), hasSeq = false))
+
     case "$bucket" => bucket(df, body, ctx)
 
     case "$bucketAuto" =>

@@ -602,6 +602,27 @@ class StageSpec extends AnyFunSuite {
     assert(merged == Map(1L -> "merged", 2L -> "new", 5L -> "new", 9L -> "new"))
   }
 
+  test("$vectorSearch ranks by cosine, honors filter/limit/scoreField") {
+    val vecs = fromJsonl(
+      """{"id": 1, "cat": "a", "v": [1.0, 0.0]}""",
+      """{"id": 2, "cat": "a", "v": [0.8, 0.6]}""",
+      """{"id": 3, "cat": "b", "v": [0.0, 1.0]}""",
+      """{"id": 4, "cat": "a", "v": [-1.0, 0.0]}""")
+    val top = agg(vecs, """[
+      {"$vectorSearch": {"path": "v", "queryVector": [1.0, 0.0], "limit": 2}},
+      {"$project": {"id": 1, "search_score": 1}}]""")
+    assert(top.map(_("id")) == Seq(1L, 2L))
+    assert(top.head("search_score") == 1.0)
+    assert(math.abs(top(1)("search_score").asInstanceOf[Double] - 0.8) < 1e-6)
+    // pre-filter excludes the would-be winner; custom score field name
+    val filtered = agg(vecs, """[
+      {"$vectorSearch": {"path": "v", "queryVector": [0.0, 1.0], "limit": 1,
+        "filter": {"cat": "a"}, "scoreField": "sim"}},
+      {"$project": {"id": 1, "sim": 1}}]""")
+    assert(filtered.map(_("id")) == Seq(2L))
+    assert(math.abs(filtered.head("sim").asInstanceOf[Double] - 0.6) < 1e-6)
+  }
+
   test("$merge mode matrix: merge keeps existing fields, discard/fail honor contracts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-merge-modes").toString
     val tgt = s"$dir/t.parquet"
