@@ -604,6 +604,21 @@ object SparkEntry {
       tbl(spark, dir, "documents").select(col("doc_id"),
         posexplode(graft.ext.TextFunctions.chunkByTokens(col("text"), 12, 8))
           .as(Seq("chunk_idx", "chunk")))),
+    // hybrid retrieval: lexical bm25 leg over documents + vector leg over
+    // the aligned embeddings (query id -1 sidesteps self-match exclusion),
+    // fused by reciprocal rank
+    "q_hybrid_rrf" -> ((spark: SparkSession, dir: String) => {
+      val bm = graft.ext.TextFunctions.bm25Search(
+        tbl(spark, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), 20).select(col("doc_id"), col("rank"))
+      val qv = (0 until 64).map(i => ((i % 7) - 3) / 4.0)
+      val qdf = spark.range(1).select(lit(-1L).as("vec_id"),
+        array(qv.map(lit): _*).as("embedding"))
+      val vec = graft.ext.Similarity.bruteForceTopK(
+        qdf, tbl(spark, dir, "embeddings"), "vec_id", "embedding", 20)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.ext.Retrieval.rrfFuse(Seq(bm, vec), "doc_id", "rank", topK = 15)
+    }),
     // Gopher rule-set over structurally-augmented text: sentence breaks
     // become lines, and doc_id-keyed suffixes plant bullets, ellipses,
     // hashes, repeated lines and repeated paragraphs so every rule fires
@@ -1445,6 +1460,40 @@ object SparkEntry {
       SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
         array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk
       FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM c)""",
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      corpus AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM toks),
+      tf AS (
+        SELECT doc_id, dl, term, count(*) AS tf
+        FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks)
+        WHERE term IN ('spark', 'window', 'merge')
+        GROUP BY 1, 2, 3),
+      dfq AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1),
+      bscored AS (
+        SELECT tf.doc_id,
+          floor(sum(ln(1.0 + (c.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5))
+            * tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / c.avgdl))) * 1e6 + 0.5) / 1e6 AS score
+        FROM tf JOIN dfq USING (term), corpus c
+        GROUP BY tf.doc_id),
+      bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+             FROM bscored ORDER BY score DESC, doc_id LIMIT 20),
+      q AS (SELECT list_transform(generate_series(0, 63), i -> ((i % 7) - 3) / 4.0) AS qv),
+      vscored AS (
+        SELECT e.vec_id AS doc_id,
+          list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+               * sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i])))) AS score
+        FROM embeddings e, q),
+      vec AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+              FROM vscored ORDER BY score DESC, doc_id LIMIT 20),
+      fused AS (
+        SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+        FROM (SELECT * FROM bm UNION ALL SELECT * FROM vec)
+        GROUP BY doc_id)
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank, rrf_score
+      FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 15""",
     "q_text_gopher" ->
       """WITH a AS (
         SELECT doc_id,

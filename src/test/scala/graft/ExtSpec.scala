@@ -106,6 +106,17 @@ class ExtSpec extends AnyFunSuite {
     assert(short == Seq("only three tokens"))
   }
 
+  test("rrf fusion: doc in both legs wins, ranks total, scores exact") {
+    import spark.implicits._
+    val lexical = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
+    val vector  = Seq(("b", 1), ("d", 2)).toDF("id", "rank")
+    val out = Retrieval.rrfFuse(Seq(lexical, vector), "id", "rank", topK = 3).collect()
+    assert(out.map(_.getAs[String]("id")).toSeq == Seq("b", "a", "d"))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+    assert(math.abs(out.head.getAs[Double]("rrf_score") - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(out(1).getAs[Double]("rrf_score") - 1.0 / 61) < 1e-15)
+  }
+
   test("recallAtK scores approximate ANN results per query") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
