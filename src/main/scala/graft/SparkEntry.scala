@@ -604,6 +604,20 @@ object SparkEntry {
       tbl(spark, dir, "documents").select(col("doc_id"),
         posexplode(graft.ext.TextFunctions.chunkByTokens(col("text"), 12, 8))
           .as(Seq("chunk_idx", "chunk")))),
+    // interval-containment join, bin-blocked: every event attributed to the
+    // 30-minute windows opened by same-user purchase events (bin = 10 min;
+    // correctness is bin-independent, the oracle is the naive range join)
+    "q_interval_join" -> ((spark: SparkSession, dir: String) => {
+      val ev = tbl(spark, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val iv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("lo"),
+          (col("ts_us") + 1800000000L).as("hi"), col("event_id").as("purchase_id"))
+      graft.ext.Joins.intervalJoin(
+        ev.select("event_id", "user_id", "ts_us"), "ts_us",
+        iv, "lo", "hi", binWidth = 600000000L, on = Seq("user_id"))
+        .select("event_id", "user_id", "ts_us", "purchase_id")
+    }),
     // hybrid retrieval: lexical bm25 leg over documents + vector leg over
     // the aligned embeddings (query id -1 sidesteps self-match exclusion),
     // fused by reciprocal rank
@@ -1460,6 +1474,13 @@ object SparkEntry {
       SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
         array_to_string(toks[i*8+1 : i*8+12], ' ') AS chunk
       FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM c)""",
+    "q_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      iv AS (SELECT user_id, ts_us AS lo, ts_us + 1800000000 AS hi, event_id AS purchase_id
+             FROM ev WHERE event_type = 'purchase')
+      SELECT e.event_id, e.user_id, e.ts_us, i.purchase_id
+      FROM ev e JOIN iv i
+        ON e.user_id = i.user_id AND e.ts_us >= i.lo AND e.ts_us < i.hi""",
     "q_hybrid_rrf" ->
       """WITH toks AS (
         SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks

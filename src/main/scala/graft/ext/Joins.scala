@@ -96,4 +96,41 @@ object Joins {
       left.columns.toSeq.map(c => col("__l").getField(c).as(c)) ++
         payloadCols.map(c => col("__m").getField(c).as(c)): _*)
   }
+
+  /** Interval-containment join: every `points` row paired with every
+    * `intervals` row (same `on` keys, when given) whose
+    * `[loCol, hiCol)` half-open range contains the point.
+    *
+    * The naive formulation (`p >= lo AND p < hi` as the join condition) has
+    * no equality key, so Catalyst executes it as a broadcast/cartesian
+    * nested-loop — a non-starter at scale. This rewrite bin-blocks it:
+    * intervals explode to the grid cells of width `binWidth` they overlap,
+    * points compute their one cell, the join is a plain equi-join on
+    * (keys, cell) followed by the exact range predicate. Shuffle volume is
+    * |points| + |intervals| · (avg interval length / binWidth + 1), so pick
+    * `binWidth` near the typical interval length. Long outlier intervals
+    * only widen their own replication factor; correctness never depends on
+    * the choice.
+    *
+    * Caller contract: `loCol`/`hiCol`/`pointCol` are the same integral type
+    * (epoch micros, day numbers, …); intervals with null/inverted bounds
+    * and points with null values drop out (inner-join semantics).
+    */
+  def intervalJoin(points: DataFrame, pointCol: String,
+                   intervals: DataFrame, loCol: String, hiCol: String,
+                   binWidth: Long, on: Seq[String] = Nil): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points.filter(col(pointCol).isNotNull)
+      .withColumn("__cell", floor(col(pointCol) / binWidth))
+    // a half-open [lo, hi) touches cells floor(lo/w) .. floor((hi-1)/w);
+    // an empty interval (hi <= lo) contains nothing and is dropped
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull && col(hiCol) > col(loCol))
+      .withColumn("__cell",
+        explode(sequence(floor(col(loCol) / binWidth),
+          floor((col(hiCol) - 1) / binWidth))))
+    p.join(iv, on :+ "__cell")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__cell")
+  }
 }

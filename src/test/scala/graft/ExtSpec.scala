@@ -106,6 +106,33 @@ class ExtSpec extends AnyFunSuite {
     assert(short == Seq("only three tokens"))
   }
 
+  test("intervalJoin equals the naive range join for any bin width; half-open bounds") {
+    import spark.implicits._
+    val points = (0L to 100L).map(p => (p, p)).toDF("pid", "t")
+    val intervals = Seq(
+      (1L, 0L, 10L),    // contains 0..9 (half-open: 10 excluded)
+      (2L, 9L, 9L),     // empty → contributes nothing
+      (3L, 5L, 40L),    // spans several bins
+      (4L, 95L, 200L),  // runs past the point range
+      (5L, 50L, 51L)    // single point
+    ).toDF("iid", "lo", "hi")
+    val naive = points.join(intervals, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bin <- Seq(1L, 7L, 1000L)) {
+      val fast = graft.ext.Joins.intervalJoin(points, "t", intervals, "lo", "hi", bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == naive, s"bin=$bin diverged")
+    }
+    assert(naive.contains((0L, 1L)) && !naive.contains((10L, 1L)), "half-open sanity")
+    assert(!naive.exists(_._2 == 2L), "empty interval must match nothing")
+    // keyed variant restricts to same-key pairs
+    val kp = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("pid", "t", "k")
+    val ki = Seq((7L, 0L, 10L, "a")).toDF("iid", "lo", "hi", "k")
+    val keyed = graft.ext.Joins.intervalJoin(kp, "t", ki, "lo", "hi", 4L, on = Seq("k"))
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(keyed == Set(1L))
+  }
+
   test("rrf fusion: doc in both legs wins, ranks total, scores exact") {
     import spark.implicits._
     val lexical = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("id", "rank")
