@@ -115,13 +115,23 @@ object Similarity {
     *
     * With `nprobe == nlist` the search is exhaustive (oracle tier);
     * recall/latency trade via `nprobe` as in any IVF index. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int, nprobe: Int, iterations: Int = 1,
-              seed: Long = 42L): DataFrame = {
+  /** Distributed Lloyd k-means over a float-vector column: `k` deterministic
+    * seed centroids (smallest id-hash rows — a TakeOrdered, not a corpus
+    * collect) refined by `iterations` steps, each one scan (assign every
+    * vector to its nearest centroid, then an element-wise mean via
+    * posexplode + groupBy(cluster, position)). Only the k×dim centroid
+    * array reaches the driver — bounded by construction.
+    *
+    * This is [[ivfTopK]]'s coarse quantizer, public because the centroids
+    * are useful on their own: topic/embedding clustering for
+    * cluster-balanced corpus sampling ([[kmeansAssign]] +
+    * [[Sampling.stratified]] on the cluster id). */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iterations: Int = 1, seed: Long = 42L): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
     var centroids: Array[Array[Double]] = base
       .withColumn("__h", xxhash64(col("vid") + lit(seed)))
-      .orderBy(col("__h"), col("vid")).limit(nlist)
+      .orderBy(col("__h"), col("vid")).limit(k)
       .collect().map(_.getAs[scala.collection.Seq[Float]]("cv").toArray.map(_.toDouble))
     for (_ <- 1 to iterations) {
       val assign = Kernels.nearestCentroidsKernel(centroids, 1)
@@ -138,6 +148,18 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  /** Nearest-centroid cluster id (0-based) for a vector column — one scan,
+    * centroids broadcast inside the kernel closure. */
+  def kmeansAssign(vec: Column, centroids: Array[Array[Double]]): Column =
+    element_at(Kernels.nearestCentroidsKernel(centroids, 1)(vec), 1)
+
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iterations: Int = 1,
+              seed: Long = 42L): DataFrame = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
     // materialized once: left lazy, the cluster-assign UDF collapses past
     // the candidate join and re-runs per candidate (see pqTopK's note)
     val indexed = Dedup.spill(

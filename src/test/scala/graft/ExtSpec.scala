@@ -144,6 +144,25 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(out(1).getAs[Double]("rrf_score") - 1.0 / 61) < 1e-15)
   }
 
+  test("kmeans clustering + stratified sampling gives cluster-balanced subsets") {
+    import spark.implicits._
+    // two well-separated blobs
+    val pts = ((1 to 20).map(i => (i.toLong, Array(10.0f + i * 0.01f, 10f))) ++
+      (21 to 40).map(i => (i.toLong, Array(-10.0f - i * 0.01f, -10f)))).toDF("id", "v")
+    val cents = Similarity.kmeansTrain(pts, "id", "v", k = 2, iterations = 3)
+    assert(cents.length == 2)
+    val assigned = pts.withColumn("cluster", Similarity.kmeansAssign(col("v"), cents))
+    val sizes = assigned.groupBy("cluster").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(20L, 20L), s"blobs not separated: ${sizes.toSeq}")
+    // cluster-balanced sampling: the cluster id is just a stratum
+    val sampled = Sampling.stratified(assigned, Seq("cluster"), 5)
+    assert(sampled.groupBy("cluster").count().collect().forall(_.getLong(1) == 5L))
+    // deterministic: same call, same rows
+    val again = Sampling.stratified(assigned, Seq("cluster"), 5)
+    assert(sampled.select("id").collect().map(_.getLong(0)).toSet ==
+      again.select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("recallAtK scores approximate ANN results per query") {
     import spark.implicits._
     val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
