@@ -135,6 +135,19 @@ object Bench {
         docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()),
       "tfidfTopTerms" -> coldWarm(graft.ext.TextFunctions.tfIdfTopTerms(
         docs, "doc_id", "text", 5).count()),
+      "bm25Search" -> coldWarm(graft.ext.TextFunctions.bm25Search(
+        docs, "doc_id", "text", Seq("spark", "window", "merge"), 20).count()),
+      "hybridRrf" -> coldWarm {
+        val bm = graft.ext.TextFunctions.bm25Search(
+          docs, "doc_id", "text", Seq("spark", "window", "merge"), 20)
+          .select(col("doc_id"), col("rank"))
+        val qv = (0 until 64).map(i => ((i % 7) - 3) / 4.0)
+        val qdf = spark.range(1).select(lit(-1L).as("vec_id"),
+          array(qv.map(lit): _*).as("embedding"))
+        val vec = graft.ext.Similarity.bruteForceTopK(qdf, emb, "vec_id", "embedding", 20)
+          .select(col("neighbor_id").as("doc_id"), col("rank"))
+        graft.ext.Retrieval.rrfFuse(Seq(bm, vec), "doc_id", "rank", topK = 15).count()
+      },
       "corpusCurate" -> coldWarm(graft.ext.Corpus.curate(
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
         Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),

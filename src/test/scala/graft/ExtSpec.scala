@@ -125,6 +125,19 @@ class ExtSpec extends AnyFunSuite {
     }
     assert(naive.contains((0L, 1L)) && !naive.contains((10L, 1L)), "half-open sanity")
     assert(!naive.exists(_._2 == 2L), "empty interval must match nothing")
+    // seeded fuzz: random intervals over a wider domain, two bin widths
+    val rnd = new scala.util.Random(7)
+    val fuzzIv = (1 to 60).map { i =>
+      val lo = rnd.nextInt(1000).toLong; (i.toLong, lo, lo + rnd.nextInt(80).toLong)
+    }.toDF("iid", "lo", "hi")
+    val fuzzPts = (0L until 1000L by 3L).map(p => (p, p)).toDF("pid", "t")
+    val fuzzNaive = fuzzPts.join(fuzzIv, col("t") >= col("lo") && col("t") < col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (bin <- Seq(16L, 128L)) {
+      val fast = graft.ext.Joins.intervalJoin(fuzzPts, "t", fuzzIv, "lo", "hi", bin)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fast == fuzzNaive, s"fuzz diverged at bin=$bin")
+    }
     // keyed variant restricts to same-key pairs
     val kp = Seq((1L, 5L, "a"), (2L, 5L, "b")).toDF("pid", "t", "k")
     val ki = Seq((7L, 0L, 10L, "a")).toDF("iid", "lo", "hi", "k")

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 import TestSpark._
@@ -10,10 +10,15 @@ import TestSpark._
   * optimized logical plan is swept for the one shape that silently serializes
   * a cluster — an unpartitioned Window evaluated over raw data.
   *
-  * An unpartitioned Window is permitted only above an Aggregate, which is the
-  * two-pass recipe's tiny per-partition stats frame (bounded by the shuffle
-  * partition count, not the data). Anything else funnels the whole dataset
-  * through one task at 100× scale and must be rewritten, not shipped.
+  * An unpartitioned Window is permitted only above
+  *  - an Aggregate — the two-pass recipe's tiny per-partition stats frame
+  *    (bounded by the shuffle partition count, not the data), or
+  *  - a GlobalLimit — a data-independent row bound (Catalyst pushes a
+  *    `filter(row_number <= k)` below its own window as Sort+Limit, so a
+  *    top-k rank window legitimately sits above `GlobalLimit k`).
+  *
+  * Anything else funnels the whole dataset through one task at 100× scale
+  * and must be rewritten, not shipped.
   */
 class GatePlanSpec extends AnyFunSuite {
 
@@ -23,7 +28,8 @@ class GatePlanSpec extends AnyFunSuite {
       val df = build(spark, dir)
       df.queryExecution.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collectFirst { case a: Aggregate => a }.isEmpty => name
+          w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
+          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => name
       }
     }.distinct
     assert(violations.isEmpty,
