@@ -112,39 +112,59 @@ object Dedup {
     *
     * Returns (id_a, id_b, jaccard) with id_a < id_b.
     */
+  /** (doc_id, sh, sig) MinHash signature frame over hashed shingles — the
+    * artifact an ingest pipeline persists once per shard so later shards
+    * never re-shingle already-seen text. Signature pass via the JVM kernel
+    * (Kernels.minhashSigFromHashes): the interpreted-HOF variant
+    * (minhashSignature) walks ~20k expression nodes per document. Shingles
+    * are carried as 64-bit hashes, not strings: 8 bytes per shingle in any
+    * spill and in the verify join's shuffle, with bit-identical signatures
+    * (same base hash) and the same exact-Jaccard values (set sizes
+    * unchanged up to 2^-64 collision odds). */
+  def signatureTable(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 3, numHashes: Int = 64,
+                     seed: Long = 42L): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
+      .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh")))
+
+  /** Verified near-dup pairs from two precomputed [[signatureTable]]
+    * frames. The one recipe both the self-join and bipartite tiers share:
+    * band-key equi-join for candidates, exact Jaccard over the hashed
+    * shingle sets for the verify. Caller owns materialization of the
+    * inputs — each side is scanned by the band join and the verify join.
+    * `selfPairs = true` treats both inputs as the same table and keeps each
+    * unordered pair once (left id < right id). */
+  def minhashPairsFromSignatures(left: DataFrame, right: DataFrame,
+                                 bands: Int, rowsPerBand: Int, threshold: Double,
+                                 selfPairs: Boolean,
+                                 leftName: String, rightName: String): DataFrame = {
+    def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
+      col("doc_id").as(idAs),
+      posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
+    val cand0 = banded(left, leftName).join(banded(right, rightName), Seq("band", "band_key"))
+    val candidates = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
+      .select(leftName, rightName).distinct()
+    candidates
+      .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
+      .join(right.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
+      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftName), col(rightName), col("jaccard"))
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    // Signature pass via the JVM kernel (Kernels.minhashSigFromHashes): the
-    // interpreted-HOF variant (minhashSignature) walks ~20k expression nodes
-    // per document. Spilled to parquet (not persisted) because three join
-    // branches reuse it — signatures are computed once, nothing stays pinned
-    // in executor memory after the call. Shingles are spilled as 64-bit
-    // hashes, not strings: 8 bytes per shingle in the spill and in the
-    // verify join's shuffle, with bit-identical signatures (same base hash)
-    // and the same exact-Jaccard values (set sizes unchanged up to 2^-64
-    // collision odds) — at corpus scale the shingle payload dominates this
-    // table, so this is the difference between shipping text and shipping
-    // fingerprints.
-    val shingled = spill(df.select(
-      col(idCol).as("doc_id"),
-      Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
-      .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh"))),
+    // Spilled to parquet (not persisted) because three join branches reuse
+    // the signature table — computed once, nothing stays pinned in executor
+    // memory after the call.
+    val shingled = spill(signatureTable(df, idCol, textCol, shingleSize, numHashes, seed),
       "graft-minhash-sig")
-    val banded = shingled.select(col("doc_id"),
-      posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"), col("doc_id").as("id_a"))
-    val b = banded.select(col("band"), col("band_key"), col("doc_id").as("id_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val shA = shingled.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = shingled.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    candidates.join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    minhashPairsFromSignatures(shingled, shingled, bands, numHashes / bands,
+      threshold, selfPairs = true, "id_a", "id_b")
   }
 
   // -------------------------------------------------------------------------
@@ -161,9 +181,12 @@ object Dedup {
     * exchange-free on the store side). */
   def incrementalExact(newDocs: DataFrame, idCol: String, contentCol: String,
                        store: DataFrame): DataFrame =
+    // null-safe equality: md5(null) is null, and a plain === would let a
+    // null-content row through on every call even when the store already
+    // holds one — <=> makes the anti-join treat null hashes as equal
     exactDedup(newDocs, idCol, contentCol)
       .join(store.select(col("content_hash")),
-        md5(col(contentCol)) === col("content_hash"), "left_anti")
+        md5(col(contentCol)) <=> col("content_hash"), "left_anti")
 
   /** Near-dup tier of incremental ingestion: candidate (new, seen) pairs via
     * a bipartite MinHash-LSH band join — same recipe as [[minhashLshPairs]]
@@ -180,34 +203,26 @@ object Dedup {
                              shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                              threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    def prep(df: DataFrame, tag: String): DataFrame = spill(df.select(
-      col(idCol).as("doc_id"),
-      Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
-      .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh"))),
-      s"graft-incr-sig-$tag")
-    val newSide  = prep(newDocs, "new")
-    val seenSide = prep(store, "seen")
-    def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
-      col("doc_id").as(idAs),
-      posexplode(Kernels.bandKeysKernel(bands, numHashes / bands)(col("sig"))).as(Seq("band", "band_key")))
-    val candidates = banded(newSide, "new_id").join(banded(seenSide, "seen_id"), Seq("band", "band_key"))
-      .select("new_id", "seen_id").distinct()
-    candidates
-      .join(newSide.select(col("doc_id").as("new_id"), col("sh").as("sh_n")), "new_id")
-      .join(seenSide.select(col("doc_id").as("seen_id"), col("sh").as("sh_s")), "seen_id")
-      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_n"), col("sh_s")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("new_id"), col("seen_id"), col("jaccard"))
+    val newSide = spill(signatureTable(newDocs, idCol, textCol, shingleSize, numHashes, seed),
+      "graft-incr-sig-new")
+    val seenSide = spill(signatureTable(store, idCol, textCol, shingleSize, numHashes, seed),
+      "graft-incr-sig-seen")
+    minhashPairsFromSignatures(newSide, seenSide, bands, numHashes / bands,
+      threshold, selfPairs = false, "new_id", "seen_id")
   }
 
   /** Full incremental ingest step: exact tier, then drop new docs
-    * near-duplicating the store. Returns the surviving rows of `newDocs`. */
+    * near-duplicating the store. Returns the surviving rows of `newDocs`.
+    * The exact-tier survivors are spilled once so the near tier's signature
+    * pass and the final anti-join don't each re-execute the exact tier.
+    * Repeated callers (a streaming ingest loop) should keep a persistent
+    * signature store instead — see `GraftStreaming.incrementalDedupSink`. */
   def incrementalDedup(newDocs: DataFrame, idCol: String, contentCol: String,
                        store: DataFrame, storeIdCol: String,
                        shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                        threshold: Double = 0.5): DataFrame = {
-    val exactSurvivors = incrementalExact(newDocs, idCol, contentCol,
-      exactGroups(store, storeIdCol, contentCol))
+    val exactSurvivors = spill(incrementalExact(newDocs, idCol, contentCol,
+      exactGroups(store, storeIdCol, contentCol)), "graft-incr-exact")
     val flagged = minhashLshPairsAgainst(exactSurvivors, store.select(
       col(storeIdCol).as(idCol), col(contentCol)), idCol, contentCol,
       shingleSize, numHashes, bands, threshold)

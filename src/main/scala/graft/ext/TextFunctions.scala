@@ -243,6 +243,8 @@ object TextFunctions {
     * token lands in ≥ 1 chunk and a short doc yields exactly itself. */
   def chunkByTokens(text: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0, s"need positive chunkSize/stride, got $chunkSize/$stride")
+    require(stride <= chunkSize,
+      s"stride ($stride) > chunkSize ($chunkSize) would silently skip tokens between chunks")
     val ts = tokens(text)
     val n = size(ts)
     val nChunks = lit(1) + ceil(greatest(n - chunkSize, lit(0)).cast("double") / stride).cast("int")

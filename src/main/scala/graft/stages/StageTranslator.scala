@@ -406,7 +406,12 @@ object StageTranslator {
       val vecC = ExprTranslator.translate(JString("$" + vPath))
       val score = call_function(graft.exprs.catalyst.GraftFunctions.CosineName,
         vecC, array(qvec.map(lit): _*))
-      (pre.withColumn(scoreField, score).orderBy(col(scoreField).desc).limit(vLimit),
+      // deterministic boundary: score ties (duplicate embeddings) are broken
+      // by the md5 row key, same device as $sample — Mongo leaves tie order
+      // unspecified, but a nondeterministic result SET would flake any
+      // downstream comparison
+      (pre.withColumn(scoreField, score)
+        .orderBy(col(scoreField).desc, md5RowKey(userCols(pre).map(col))).limit(vLimit),
         ctx.copy(order = Some(Seq(SortKey(scoreField, asc = false))), hasSeq = false))
 
     case "$bucket" => bucket(df, body, ctx)

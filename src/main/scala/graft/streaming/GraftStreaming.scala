@@ -132,55 +132,98 @@ object GraftStreaming {
     * content-hash tier, plus the MinHash near-dup tier when `nearThreshold`
     * is set) and the survivors are appended to the store — so the store
     * converges to one copy of every distinct (or near-distinct) document
-    * across the whole stream. The batch-mode building blocks
-    * ([[graft.ext.Dedup.incrementalExact]]/[[graft.ext.Dedup.incrementalDedup]])
-    * do the work; this owns the store lifecycle.
+    * across the whole stream.
     *
-    * Survivors are persisted and counted before the append so the store
-    * read underlying the dedup plan is not re-executed against a store that
-    * already contains them. State is the store itself — nothing driver-side
-    * — and each batch costs one store scan + the batch's own shuffles, the
-    * same bound as the batch operator. */
+    * Per-batch cost is bounded: the exact tier reads only the store's
+    * content column (column-pruned scan, hash anti-join), and the near tier
+    * never re-shingles the store — survivors' MinHash signatures are
+    * appended to a compact signature store at `storePath + "_sigs"`
+    * ([[graft.ext.Dedup.signatureTable]]'s shape: doc_id, shingle hashes,
+    * signature) and each batch band-joins only its own signatures against
+    * it ([[graft.ext.Dedup.minhashPairsFromSignatures]]). Null-content
+    * documents pass through the exact tier only (null-safe hash equality
+    * dedups them). All intermediates are persisted and materialized BEFORE
+    * appending to the paths they read. State is the two stores — nothing
+    * driver-side. */
   def incrementalDedupSink(stream: DataFrame, idCol: String, contentCol: String,
                            storePath: String, checkpointDir: String,
                            queryName: String = "graft-incr-dedup",
-                           nearThreshold: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+                           nearThreshold: Option[Double] = None,
+                           shingleSize: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.ext.Dedup
         val spark = batch.sparkSession
-        val p = new org.apache.hadoop.fs.Path(storePath)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // within-batch dedup first (exact, plus near when configured —
-        // keep-the-smaller-id greedy drop), then the cross-store tiers
-        val inBatch = nearThreshold match {
-          case Some(t) =>
-            val ex = graft.ext.Dedup.exactDedup(batch, idCol, contentCol)
-            val near = graft.ext.Dedup.minhashLshPairs(ex, idCol, contentCol, threshold = t)
-              .select(org.apache.spark.sql.functions.greatest(col("id_a"), col("id_b")).as(idCol))
-              .distinct()
-            ex.join(near, Seq(idCol), "left_anti")
-          case None => graft.ext.Dedup.exactDedup(batch, idCol, contentCol)
+        val conf = spark.sparkContext.hadoopConfiguration
+        def exists(path: String): Boolean = {
+          val p = new org.apache.hadoop.fs.Path(path)
+          p.getFileSystem(conf).exists(p)
         }
-        val survivors =
-          if (!fs.exists(p)) inBatch
-          else {
-            val store = spark.read.parquet(storePath)
-            nearThreshold match {
-              case Some(t) => graft.ext.Dedup.incrementalDedup(
-                inBatch, idCol, contentCol, store, idCol, threshold = t)
-              case None => graft.ext.Dedup.incrementalExact(
-                inBatch, idCol, contentCol, graft.ext.Dedup.exactGroups(store, idCol, contentCol))
-            }
-          }
-        survivors.persist()
+        val sigPath = storePath + "_sigs"
+
+        // exact tier: in-batch dedup, then null-safe content-hash anti-join
+        // against the store's (column-pruned) content hashes
+        val exact0 = Dedup.exactDedup(batch, idCol, contentCol)
+        val exact = (
+          if (exists(storePath))
+            exact0.join(
+              spark.read.parquet(storePath)
+                .select(md5(col(contentCol)).as("__seen_hash")).distinct(),
+              md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
+          else exact0).persist()
         try {
-          survivors.count() // materialize BEFORE appending to the path we read
-          survivors.write.mode("append").parquet(storePath)
-        } finally survivors.unpersist()
+          exact.count()
+          nearThreshold match {
+            case None =>
+              // reads of storePath inside exact's plan see the pre-append
+              // file snapshot, so appending its own survivors is consistent
+              exact.write.mode("append").parquet(storePath)
+            case Some(t) =>
+              // near tier over non-null text only; null-content rows are
+              // exact-tier-only (no shingles to compare)
+              val sigs = Dedup.signatureTable(exact.filter(col(contentCol).isNotNull),
+                idCol, contentCol, shingleSize, numHashes).persist()
+              // surviving signatures round-trip through a per-batch scratch
+              // file rather than cache: appending them to sigPath triggers
+              // Spark's recacheByPath for that path, which would invalidate
+              // a cached plan whose lineage READS sigPath and silently
+              // recompute it against the just-appended self-signatures
+              val tmpSig = s"${Dedup.scratchRoot(spark)}/graft-sink-" +
+                java.util.UUID.randomUUID().toString
+              try {
+                val rpb = numHashes / bands
+                val dropInBatch = Dedup.minhashPairsFromSignatures(
+                  sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")
+                  .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+                val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti")
+                val dropCross =
+                  if (exists(sigPath))
+                    Dedup.minhashPairsFromSignatures(
+                      fresh, spark.read.parquet(sigPath), bands, rpb, t,
+                      selfPairs = false, "new_id", "seen_id")
+                      .select(col("new_id").as("doc_id")).distinct()
+                  else fresh.select(col("doc_id")).limit(0)
+                fresh.join(dropCross, Seq("doc_id"), "left_anti")
+                  .write.parquet(tmpSig)
+                val keepSigs = spark.read.parquet(tmpSig)
+                keepSigs.write.mode("append").parquet(sigPath)
+                exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+                  .unionByName(exact.filter(col(contentCol).isNull))
+                  .write.mode("append").parquet(storePath)
+              } finally {
+                sigs.unpersist()
+                val tp = new org.apache.hadoop.fs.Path(tmpSig)
+                tp.getFileSystem(conf).delete(tp, true)
+              }
+          }
+        } finally exact.unpersist()
         ()
       }
       .start()
+  }
 
   /** Gap-based sessionization with custom per-key state — the
     * `flatMapGroupsWithState` tier under [[graft.ext.Sessions

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, UnaryNode, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 import TestSpark._
@@ -10,26 +10,35 @@ import TestSpark._
   * optimized logical plan is swept for the one shape that silently serializes
   * a cluster — an unpartitioned Window evaluated over raw data.
   *
-  * An unpartitioned Window is permitted only above
+  * An unpartitioned Window is permitted only when its input is provably
+  * bounded: walking the unary chain directly beneath it (projections,
+  * filters, sorts — nothing that can re-widen the row count) reaches
   *  - an Aggregate — the two-pass recipe's tiny per-partition stats frame
   *    (bounded by the shuffle partition count, not the data), or
   *  - a GlobalLimit — a data-independent row bound (Catalyst pushes a
   *    `filter(row_number <= k)` below its own window as Sort+Limit, so a
   *    top-k rank window legitimately sits above `GlobalLimit k`).
   *
-  * Anything else funnels the whole dataset through one task at 100× scale
-  * and must be rewritten, not shipped.
+  * The walk deliberately stops at joins/unions/scans: a limit or aggregate
+  * somewhere in a *branch* below a join does NOT bound the window's input.
+  * Anything unbounded funnels the whole dataset through one task at 100×
+  * scale and must be rewritten, not shipped.
   */
 class GatePlanSpec extends AnyFunSuite {
+
+  private def boundedInput(p: LogicalPlan): Boolean = p match {
+    case _: Aggregate   => true
+    case _: GlobalLimit => true
+    case u: UnaryNode   => boundedInput(u.child)
+    case _              => false
+  }
 
   test("no gate query plans an unpartitioned window over raw data") {
     val dir = "/root/testdata/sf0.001"
     val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
       val df = build(spark, dir)
       df.queryExecution.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-          w.child.collectFirst { case a: Aggregate => a }.isEmpty &&
-          w.child.collectFirst { case l: GlobalLimit => l }.isEmpty => name
+        case w: LWindow if w.partitionSpec.isEmpty && !boundedInput(w.child) => name
       }
     }.distinct
     assert(violations.isEmpty,

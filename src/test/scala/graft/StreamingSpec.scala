@@ -152,6 +152,29 @@ class StreamingSpec extends AnyFunSuite {
       val s2 = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(s2 == Set(1L, 3L, 5L), s"after batch 2: $s2")
     } finally q.stop()
+
+    // near tier: cross-batch near-dups die against the signature store,
+    // which accumulates instead of re-shingling the document store
+    val mem2 = MemoryStream[(Long, String)]
+    val store2 = java.nio.file.Files.createTempDirectory("graft-store2").toString + "/docs"
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val q2 = GraftStreaming.incrementalDedupSink(mem2.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store2, ckpt2, queryName = "graft-incr-near",
+      nearThreshold = Some(0.4))
+    try {
+      mem2.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "unrelated words about spark engines and data processing here"))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(store2).count() == 2)
+      assert(spark.read.parquet(store2 + "_sigs").count() == 2, "signature store not maintained")
+      mem2.addData(
+        (3L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
+        (4L, "brand new sentences never observed anywhere previously at all"))
+      q2.processAllAvailable()
+      val n2 = spark.read.parquet(store2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(n2 == Set(1L, 2L, 4L), s"near tier failed: $n2")
+    } finally q2.stop()
   }
 
   test("AdaptiveBatcher sizes batches from observed cost toward the latency target") {
