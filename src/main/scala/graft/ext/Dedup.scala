@@ -230,6 +230,91 @@ object Dedup {
     exactSurvivors.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** One shard's step of store-convergent ingestion — the batch form of
+    * `GraftStreaming.incrementalDedupSink` (which delegates here per
+    * micro-batch): dedup `batch` within itself and against the accumulated
+    * parquet store at `storePath`, then append the survivors. Call it
+    * shard-by-shard over a 100 TB corpus and the store converges to one
+    * copy per distinct (or, with `nearThreshold`, near-distinct) document.
+    *
+    * Per-call cost is bounded: the exact tier reads only the store's
+    * content column (column-pruned scan, null-safe hash anti-join), and the
+    * near tier never re-shingles the store — survivors' MinHash signatures
+    * accumulate in a compact signature store at `storePath + "_sigs"`
+    * ([[signatureTable]]'s shape) and each shard band-joins only its own
+    * signatures against it. Null-content documents pass through the exact
+    * tier only.
+    *
+    * Surviving signatures round-trip through a per-call scratch file
+    * (deleted before returning) rather than a cache: appending them to the
+    * signature store fires Spark's recacheByPath for that path, which would
+    * invalidate a cached plan whose lineage READS the store and silently
+    * recompute it against the just-appended self-signatures. */
+  def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
+                 storePath: String, nearThreshold: Option[Double] = None,
+                 shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    def exists(path: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf).exists(p)
+    }
+    val sigPath = storePath + "_sigs"
+
+    // exact tier: in-batch dedup, then null-safe content-hash anti-join
+    // against the store's (column-pruned) content hashes
+    val exact0 = exactDedup(batch, idCol, contentCol)
+    val exact = (
+      if (exists(storePath))
+        exact0.join(
+          spark.read.parquet(storePath)
+            .select(md5(col(contentCol)).as("__seen_hash")).distinct(),
+          md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
+      else exact0).persist()
+    try {
+      exact.count()
+      nearThreshold match {
+        case None =>
+          // reads of storePath inside exact's plan see the pre-append
+          // file snapshot, so appending its own survivors is consistent
+          exact.write.mode("append").parquet(storePath)
+        case Some(t) =>
+          // near tier over non-null text only; null-content rows are
+          // exact-tier-only (no shingles to compare)
+          val sigs = signatureTable(exact.filter(col(contentCol).isNotNull),
+            idCol, contentCol, shingleSize, numHashes).persist()
+          val tmpSig = s"${scratchRoot(spark)}/graft-ingest-" +
+            java.util.UUID.randomUUID().toString
+          try {
+            val rpb = numHashes / bands
+            val dropInBatch = minhashPairsFromSignatures(
+              sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")
+              .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
+            val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti")
+            val dropCross =
+              if (exists(sigPath))
+                minhashPairsFromSignatures(
+                  fresh, spark.read.parquet(sigPath), bands, rpb, t,
+                  selfPairs = false, "new_id", "seen_id")
+                  .select(col("new_id").as("doc_id")).distinct()
+              else fresh.select(col("doc_id")).limit(0)
+            fresh.join(dropCross, Seq("doc_id"), "left_anti")
+              .write.parquet(tmpSig)
+            val keepSigs = spark.read.parquet(tmpSig)
+            keepSigs.write.mode("append").parquet(sigPath)
+            exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+              .unionByName(exact.filter(col(contentCol).isNull))
+              .write.mode("append").parquet(storePath)
+          } finally {
+            sigs.unpersist()
+            val tp = new org.apache.hadoop.fs.Path(tmpSig)
+            tp.getFileSystem(conf).delete(tp, true)
+          }
+      }
+    } finally exact.unpersist()
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -155,71 +155,8 @@ object GraftStreaming {
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import graft.ext.Dedup
-        val spark = batch.sparkSession
-        val conf = spark.sparkContext.hadoopConfiguration
-        def exists(path: String): Boolean = {
-          val p = new org.apache.hadoop.fs.Path(path)
-          p.getFileSystem(conf).exists(p)
-        }
-        val sigPath = storePath + "_sigs"
-
-        // exact tier: in-batch dedup, then null-safe content-hash anti-join
-        // against the store's (column-pruned) content hashes
-        val exact0 = Dedup.exactDedup(batch, idCol, contentCol)
-        val exact = (
-          if (exists(storePath))
-            exact0.join(
-              spark.read.parquet(storePath)
-                .select(md5(col(contentCol)).as("__seen_hash")).distinct(),
-              md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
-          else exact0).persist()
-        try {
-          exact.count()
-          nearThreshold match {
-            case None =>
-              // reads of storePath inside exact's plan see the pre-append
-              // file snapshot, so appending its own survivors is consistent
-              exact.write.mode("append").parquet(storePath)
-            case Some(t) =>
-              // near tier over non-null text only; null-content rows are
-              // exact-tier-only (no shingles to compare)
-              val sigs = Dedup.signatureTable(exact.filter(col(contentCol).isNotNull),
-                idCol, contentCol, shingleSize, numHashes).persist()
-              // surviving signatures round-trip through a per-batch scratch
-              // file rather than cache: appending them to sigPath triggers
-              // Spark's recacheByPath for that path, which would invalidate
-              // a cached plan whose lineage READS sigPath and silently
-              // recompute it against the just-appended self-signatures
-              val tmpSig = s"${Dedup.scratchRoot(spark)}/graft-sink-" +
-                java.util.UUID.randomUUID().toString
-              try {
-                val rpb = numHashes / bands
-                val dropInBatch = Dedup.minhashPairsFromSignatures(
-                  sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")
-                  .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-                val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti")
-                val dropCross =
-                  if (exists(sigPath))
-                    Dedup.minhashPairsFromSignatures(
-                      fresh, spark.read.parquet(sigPath), bands, rpb, t,
-                      selfPairs = false, "new_id", "seen_id")
-                      .select(col("new_id").as("doc_id")).distinct()
-                  else fresh.select(col("doc_id")).limit(0)
-                fresh.join(dropCross, Seq("doc_id"), "left_anti")
-                  .write.parquet(tmpSig)
-                val keepSigs = spark.read.parquet(tmpSig)
-                keepSigs.write.mode("append").parquet(sigPath)
-                exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-                  .unionByName(exact.filter(col(contentCol).isNull))
-                  .write.mode("append").parquet(storePath)
-              } finally {
-                sigs.unpersist()
-                val tp = new org.apache.hadoop.fs.Path(tmpSig)
-                tp.getFileSystem(conf).delete(tp, true)
-              }
-          }
-        } finally exact.unpersist()
+        graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
+          nearThreshold, shingleSize, numHashes, bands)
         ()
       }
       .start()

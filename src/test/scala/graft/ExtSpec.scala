@@ -187,6 +187,23 @@ class ExtSpec extends AnyFunSuite {
     assert(r == Map(1L -> 0.5, 2L -> 1.0, 3L -> 0.0), s"got $r")
   }
 
+  test("ingestStep: shard-by-shard batch ingestion converges the store") {
+    val store = java.nio.file.Files.createTempDirectory("graft-ingest").toString + "/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog again and again"}""", // exact dup of 1
+      """{"doc_id": 4, "text": "the quick brown fox jumps over the lazy cat again and again"}""", // near-dup of 1
+      """{"doc_id": 5, "text": "brand new sentences never observed anywhere previously at all"}""")
+    Dedup.ingestStep(shard1, "doc_id", "text", store, nearThreshold = Some(0.4))
+    Dedup.ingestStep(shard2, "doc_id", "text", store, nearThreshold = Some(0.4))
+    val ids = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    // the signature store tracks exactly the surviving documents
+    assert(spark.read.parquet(store + "_sigs").count() == 3)
+  }
+
   test("gopher rules pass clean prose and flag each spam shape") {
     import graft.ext.TextFunctions._
     def flags(text: String): Map[String, Any] = {
