@@ -651,12 +651,17 @@ object SparkEntry {
         when(col("doc_id") % 13 === 0,
           concat(lit("\n\n"), substring(base, 1, 80),
             lit("\n\n"), substring(base, 1, 80))).otherwise(lit("")))
-      val f = gopherFlags(aug)
       val ruleNames = Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
         "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords",
         "r_dup_lines", "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars")
-      d.select(col("doc_id") +: f.getField("words").as("words") +:
-        ruleNames.map(n => f.getField(n).as(n)) :+ gopherPass(aug).as("pass"): _*)
+      // materialize the flags struct as a named column: CollapseProject keeps
+      // an expensive alias referenced 13 times, so the rules evaluate from
+      // one struct instead of re-running gopherFlags per extracted field
+      val f = col("_gf")
+      d.withColumn("_gf", gopherFlags(aug))
+        .select(col("doc_id") +: f.getField("words").as("words") +:
+          ruleNames.map(n => f.getField(n).as(n)) :+
+          ruleNames.map(n => f.getField(n)).reduce(_ && _).as("pass"): _*)
     }),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._

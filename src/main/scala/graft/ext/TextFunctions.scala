@@ -319,6 +319,18 @@ object TextFunctions {
     df.filter(dom.isNull || !dom.isin(blocked.map(_.toLowerCase): _*))
   }
 
+  /** Evaluate `bound` exactly once per row and feed the result to `f`.
+    *
+    * Catalyst's `SimplifyExtractValueOps` inlines every field extracted from
+    * a literal `struct(...)`, re-evaluating the field's defining expression
+    * at each use site — for [[gopherFlags]] that meant the `words`/`lines`/
+    * `paras` splits ran once per rule (~20 array materializations per row).
+    * A lambda variable cannot be inlined, so routing the value through a
+    * single-element `transform` pins it to one evaluation. Costs one
+    * 1-element array allocation per row. */
+  private def bindOnce(bound: Column)(f: Column => Column): Column =
+    element_at(transform(array(bound), f), 1)
+
   /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, public
     * heuristics — same family the reference's quality filtering belongs to).
     * Returns a struct of per-rule booleans (`true` = rule passed) plus the
@@ -342,64 +354,87 @@ object TextFunctions {
     * (total chars − chars of the distinct set) / total chars — no quadratic
     * per-document work. */
   def gopherFlags(text: Column): Column = {
-    val words  = filter(split(text, "\\s+"), w => length(w) > 0)
-    val nWords = size(words)
-    val lines  = filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
-    val nLines = size(lines)
-    val paras  = filter(transform(split(text, "\n\\s*\n"), p => trim(p)), p => p =!= "")
-    val nParas = size(paras)
-
-    val meanWordLen = when(nWords > 0,
-      aggregate(words, lit(0L), (a, w) => a + length(w)).cast("double") / nWords)
-      .otherwise(lit(0.0))
-    // non-overlapping "..." occurrences + lone '#' characters, per word
-    val nEllipsis = size(split(text, "\\.\\.\\.")) - 1
-    val nHash     = length(text) - length(call_function("replace", text, lit("#"), lit("")))
-    val symbolRatio = when(nWords > 0, (nEllipsis + nHash).cast("double") / nWords)
-      .otherwise(lit(0.0))
-
+    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def charSum(arr: Column): Column = aggregate(arr, lit(0L), (a, x) => a + length(x))
     def frac(num: Column, den: Column): Column =
       when(den > 0, num.cast("double") / den).otherwise(lit(0.0))
-    val bulletFrac = frac(size(filter(lines,
-      l => l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))), nLines)
-    val ellipsisFrac = frac(size(filter(lines,
-      l => l.endsWith("...") || l.endsWith("…"))), nLines)
-    val alphaFrac = frac(size(filter(words, w => w.rlike("[A-Za-z]"))), nWords)
-    val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val stopHits = size(array_intersect(array_distinct(tokens(text)),
-      array(requiredStops.map(lit): _*)))
 
-    def dupFrac(arr: Column, n: Column): Column =
-      frac(n - size(array_distinct(arr)), n)
-    def charSum(arr: Column): Column = aggregate(arr, lit(0L), (a, x) => a + length(x))
-    def dupCharFrac(arr: Column): Column = {
-      val total = charSum(arr)
-      frac(total - charSum(array_distinct(arr)), total)
+    // Three binding levels: the tokenized arrays, their distinct sets, then
+    // the scalar reductions — each expensive intermediate evaluated once.
+    val arrays = struct(
+      filter(split(text, "\\s+"), w => length(w) > 0).as("words"),
+      filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "").as("lines"),
+      filter(transform(split(text, "\n\\s*\n"), p => trim(p)), p => p =!= "").as("paras"))
+    bindOnce(arrays) { a =>
+      val words = a.getField("words")
+      val lines = a.getField("lines")
+      val paras = a.getField("paras")
+      val distincts = struct(
+        array_distinct(lines).as("dlines"), array_distinct(paras).as("dparas"))
+      bindOnce(distincts) { d =>
+        val stats = struct(
+          size(words).as("n_words"),
+          charSum(words).as("word_chars"),
+          size(filter(words, w => w.rlike("[A-Za-z]"))).as("alpha_words"),
+          size(lines).as("n_lines"),
+          size(filter(lines, l =>
+            l.startsWith("•") || l.startsWith("- ") || l.startsWith("* "))).as("bullet_lines"),
+          size(filter(lines, l =>
+            l.endsWith("...") || l.endsWith("…"))).as("ellipsis_lines"),
+          size(d.getField("dlines")).as("n_dist_lines"),
+          charSum(lines).as("line_chars"),
+          charSum(d.getField("dlines")).as("dist_line_chars"),
+          size(paras).as("n_paras"),
+          size(d.getField("dparas")).as("n_dist_paras"),
+          charSum(paras).as("para_chars"),
+          charSum(d.getField("dparas")).as("dist_para_chars"),
+          // non-overlapping "..." occurrences + lone '#' characters, per word
+          (size(split(text, "\\.\\.\\.")) - 1).as("n_ellipsis"),
+          (length(text) -
+            length(call_function("replace", text, lit("#"), lit("")))).as("n_hash"),
+          size(array_intersect(array_distinct(tokens(text)),
+            array(requiredStops.map(lit): _*))).as("stop_hits"))
+        bindOnce(stats) { s =>
+          val nWords = s.getField("n_words")
+          val nLines = s.getField("n_lines")
+          val nParas = s.getField("n_paras")
+          val meanWordLen = when(nWords > 0,
+            s.getField("word_chars").cast("double") / nWords).otherwise(lit(0.0))
+          val symbolRatio = when(nWords > 0,
+            (s.getField("n_ellipsis") + s.getField("n_hash")).cast("double") / nWords)
+            .otherwise(lit(0.0))
+          val lineChars = s.getField("line_chars")
+          val paraChars = s.getField("para_chars")
+          struct(
+            nWords.as("words"),
+            (nWords >= 50 && nWords <= 100000).as("r_word_count"),
+            (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("r_mean_word_len"),
+            (symbolRatio < 0.1).as("r_symbol_ratio"),
+            (frac(s.getField("bullet_lines"), nLines) < 0.9).as("r_bullet_lines"),
+            (frac(s.getField("ellipsis_lines"), nLines) < 0.3).as("r_ellipsis_lines"),
+            (frac(s.getField("alpha_words"), nWords) > 0.8).as("r_alpha_words"),
+            (s.getField("stop_hits") >= 2).as("r_stopwords"),
+            (frac(nLines - s.getField("n_dist_lines"), nLines) < 0.3).as("r_dup_lines"),
+            (frac(nParas - s.getField("n_dist_paras"), nParas) < 0.3).as("r_dup_paras"),
+            (frac(lineChars - s.getField("dist_line_chars"), lineChars) < 0.2)
+              .as("r_dup_line_chars"),
+            (frac(paraChars - s.getField("dist_para_chars"), paraChars) < 0.2)
+              .as("r_dup_para_chars"))
+        }
+      }
     }
-
-    struct(
-      nWords.as("words"),
-      (nWords >= 50 && nWords <= 100000).as("r_word_count"),
-      (meanWordLen >= 3.0 && meanWordLen <= 10.0).as("r_mean_word_len"),
-      (symbolRatio < 0.1).as("r_symbol_ratio"),
-      (bulletFrac < 0.9).as("r_bullet_lines"),
-      (ellipsisFrac < 0.3).as("r_ellipsis_lines"),
-      (alphaFrac > 0.8).as("r_alpha_words"),
-      (stopHits >= 2).as("r_stopwords"),
-      (dupFrac(lines, nLines) < 0.3).as("r_dup_lines"),
-      (dupFrac(paras, nParas) < 0.3).as("r_dup_paras"),
-      (dupCharFrac(lines) < 0.2).as("r_dup_line_chars"),
-      (dupCharFrac(paras) < 0.2).as("r_dup_para_chars"))
   }
 
-  /** `true` iff every [[gopherFlags]] rule passes — the hard-filter form. */
-  def gopherPass(text: Column): Column = {
-    val f = gopherFlags(text)
-    Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
-      "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "r_dup_lines",
-      "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars")
-      .map(f.getField).reduce(_ && _)
-  }
+  /** `true` iff every [[gopherFlags]] rule passes — the hard-filter form.
+    * The flags struct is bound once; extracting the 11 fields from a plain
+    * `gopherFlags(text)` would duplicate the whole tree per rule. */
+  def gopherPass(text: Column): Column =
+    bindOnce(gopherFlags(text)) { f =>
+      Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio", "r_bullet_lines",
+        "r_ellipsis_lines", "r_alpha_words", "r_stopwords", "r_dup_lines",
+        "r_dup_paras", "r_dup_line_chars", "r_dup_para_chars")
+        .map(f.getField).reduce(_ && _)
+    }
 
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
