@@ -725,6 +725,13 @@ object SparkEntry {
     "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 0)),
+    // The bucketed scale tier under the same brute-force oracle: with 2
+    // hyperplanes per table and 32 independent tables the miss probability
+    // for a pair at the cos=0.45 threshold is (1-0.6485^2)^32 ≈ 3e-8 — and
+    // the hyperplanes are seeded, so the gate result is deterministic.
+    "q_dedup_embedding_lsh" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.45, planes = 2, tables = 32)),
     // ---- incremental ingestion dedup (new shard vs already-ingested store) ----
     // store = even doc_ids; new shard = odd doc_ids, with every doc_id ≡ 1
     // (mod 14) carrying its even neighbor's text so the exact tier has real
@@ -1704,6 +1711,16 @@ object SparkEntry {
       FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.05""",
+    "q_dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
     "q_dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,

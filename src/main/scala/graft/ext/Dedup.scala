@@ -486,12 +486,18 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Blocked by LSH
-    * sign-buckets when `planes` > 0 (random hyperplanes, one equi-join);
-    * planes = 0 falls back to the exact all-pairs comparison (oracle tier,
-    * small inputs only). Returns (id_a, id_b, cos) with id_a < id_b. */
+    * sign-buckets when `planes` > 0 (random hyperplanes, `tables`
+    * independent bucketings, one equi-join on (table, bucket)); planes = 0
+    * falls back to the exact all-pairs comparison (oracle cross-check tier,
+    * small inputs only). More tables raises recall (a pair is a candidate
+    * if it agrees in ANY table: miss probability (1−(1−θ/π)^planes)^tables),
+    * fewer planes widens buckets; the gate uses few-planes/many-tables so
+    * recall is effectively total and the brute-force oracle hash matches.
+    * Returns (id_a, id_b, cos) with id_a < id_b. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                            threshold: Double, planes: Int = 0, seed: Long = 42L,
-                            dim: Int = 64): DataFrame = {
+                            threshold: Double, planes: Int = 0, tables: Int = 1,
+                            seed: Long = 42L, dim: Int = 64): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
     val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
     val candidates =
       if (planes <= 0) {
@@ -499,11 +505,13 @@ object Dedup {
         val b = base.select(col("vid").as("id_b"), col("v").as("v_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
-        val bucketed = base.withColumn("bucket",
-          element_at(Kernels.hyperplaneBucketsKernel(planes, 1, dim, seed)(col("v")), 1))
-        val a = bucketed.select(col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
-        val b = bucketed.select(col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
-        a.join(b, "bucket").filter(col("id_a") < col("id_b")).drop("bucket")
+        val bucketed = base.select(col("vid"), col("v"),
+          posexplode(Kernels.hyperplaneBucketsKernel(planes, tables, dim, seed)(col("v")))
+            .as(Seq("t", "bucket")))
+        val a = bucketed.select(col("t"), col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
+        val b = bucketed.select(col("t"), col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+        a.join(b, Seq("t", "bucket")).filter(col("id_a") < col("id_b"))
+          .drop("t", "bucket")
       }
     graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
     candidates

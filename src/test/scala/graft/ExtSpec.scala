@@ -338,6 +338,23 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf1.nonEmpty && ivf1.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("embedding near-dup: bucketed multi-table tier matches the exact all-pairs tier") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairs(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, planes = 0))
+    // few planes + many tables → recall effectively total even for pairs at
+    // the threshold boundary (miss prob (1-0.6485^2)^32 ≈ 3e-8 per pair)
+    val lsh = pairs(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, planes = 2, tables = 32))
+    assert(lsh == exact, s"bucketed tier diverged: missing=${exact -- lsh} extra=${lsh -- exact}")
+    // a single tight bucketing is a strict candidate subset (precision tier)
+    val narrow = pairs(Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, planes = 8, tables = 1))
+    assert(narrow.subsetOf(exact))
+  }
+
   test("PQ topK: exhaustive rerank equals brute force; narrow rerank keeps recall") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") < 5)
