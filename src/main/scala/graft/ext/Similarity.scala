@@ -156,29 +156,52 @@ object Similarity {
   def kmeansAssign(vec: Column, centroids: Array[Array[Double]]): Column =
     element_at(Kernels.nearestCentroidsKernel(centroids, 1)(vec), 1)
 
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-              k: Int, nlist: Int, nprobe: Int, iterations: Int = 1,
-              seed: Long = 42L): DataFrame = {
+  /** A trained + materialized IVF index: the coarse-quantizer centroids
+    * (k×dim doubles, a driver-side model artifact) and the (cluster, id,
+    * vector) index table — the store-side artifact a retrieval service
+    * builds once and probes many times. */
+  final case class IvfIndex(centroids: Array[Array[Double]], indexed: DataFrame)
+
+  /** Train the coarse quantizer and materialize the index table once.
+    * The materialization matters: left lazy, the cluster-assign UDF would
+    * collapse past every probe's candidate join and re-run per candidate. */
+  def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+               iterations: Int = 1, seed: Long = 42L): IvfIndex = {
     val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
-    // materialized once: left lazy, the cluster-assign UDF collapses past
-    // the candidate join and re-runs per candidate (see pqTopK's note)
     val indexed = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1)),
       "graft-ivf-index")
+    IvfIndex(centroids, indexed)
+  }
+
+  /** Probe-only IVF search against a prebuilt [[IvfIndex]]: steady-state
+    * cost is the cluster equi-join + exact re-rank only — no training jobs
+    * per query batch. */
+  def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
+              k: Int, nprobe: Int): DataFrame = {
     val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .withColumn("cluster", explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
+      .withColumn("cluster",
+        explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(indexed, "cluster")
+    probes.join(index.indexed, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
-      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+      .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Train-and-search convenience form — [[ivfBuild]] + the probe-only
+    * [[ivfTopK]]. One-shot jobs only; a service keeps the [[IvfIndex]]. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int, nprobe: Int, iterations: Int = 1,
+              seed: Long = 42L): DataFrame =
+    ivfTopK(queries, ivfBuild(corpus, idCol, vecCol, nlist, iterations, seed),
+      idCol, vecCol, k, nprobe)
 
   /** Train product-quantization codebooks: the vector space is split into
     * `m` contiguous subspaces and each gets `ksub` codewords refined by
@@ -242,29 +265,45 @@ object Similarity {
     * tuned by `rerank`; with honest codebooks the top-k after exact re-rank
     * is near-exhaustive. Composable with [[ivfTopK]]'s cluster pruning —
     * IVF picks the partitions, PQ makes scanning them cheap. */
-  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-             k: Int, m: Int = 8, ksub: Int = 16, dim: Int = 64, rerank: Int = 50,
-             iterations: Int = 2, seed: Long = 42L): DataFrame = {
+  /** A trained + materialized flat-PQ index: the per-subspace codebooks
+    * (m×ksub×(dim/m) doubles, a model artifact) and the (id, codes, vector)
+    * index table. The codes column IS the compressed scan payload at scale;
+    * the vectors ride along for the exact re-rank join. */
+  final case class PqIndex(books: Array[Array[Array[Double]]], codes: DataFrame) {
+    def ksub: Int = books(0).length
+  }
+
+  /** Train codebooks and materialize the encoded index once. Left lazy,
+    * Catalyst collapses the encode projection past the candidate join and
+    * re-encodes per CANDIDATE (|queries|×|corpus| UDF calls instead of
+    * |corpus|) — measured 100× slower at the bench scale. */
+  def pqBuild(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+              ksub: Int = 16, dim: Int = 64, iterations: Int = 2,
+              seed: Long = 42L): PqIndex = {
     val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
-    // materialize the encoded index once (this IS the stored index table at
-    // scale). Left lazy, Catalyst collapses the encode projection past the
-    // candidate join and re-encodes per CANDIDATE (|queries|×|corpus| UDF
-    // calls instead of |corpus|) — measured 100× slower at the bench scale.
     val codes = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
       "graft-pq-index")
+    PqIndex(books, codes)
+  }
+
+  /** Probe-only flat-PQ search against a prebuilt [[PqIndex]]: ADC scoring
+    * over the code table + exact re-rank of the top `rerank` — no training
+    * jobs per query batch. */
+  def pqTopK(queries: DataFrame, index: PqIndex, idCol: String, vecCol: String,
+             k: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // the probe set is small by contract (it is broadcast below); collect it
     // once and ship the flat ADC tables in the scoring closure — a per-row
     // nested table column costs more to deserialize than the scoring itself
     val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
       String.valueOf(r.get(0)) ->
-        Kernels.adcTableFlat(books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
+        Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
     }.toMap
-    val approx = broadcast(qdf).crossJoin(codes.select(col("neighbor_id"), col("codes")))
+    val approx = broadcast(qdf).crossJoin(index.codes.select(col("neighbor_id"), col("codes")))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, ksub)(
+      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
         col("query_id").cast("string"), col("codes")))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("neighbor_id").asc)
@@ -273,12 +312,20 @@ object Similarity {
       .select(col("query_id"), col("q_vec"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
-      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+    candidates.join(index.codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Train-and-search convenience form — [[pqBuild]] + the probe-only
+    * [[pqTopK]]. One-shot jobs only; a service keeps the [[PqIndex]]. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, dim: Int = 64, rerank: Int = 50,
+             iterations: Int = 2, seed: Long = 42L): DataFrame =
+    pqTopK(queries, pqBuild(corpus, idCol, vecCol, m, ksub, dim, iterations, seed),
+      idCol, vecCol, k, rerank)
 
   /** IVF-PQ — the billion-vector index shape: an IVF coarse quantizer
     * prunes the search to `nprobe` clusters, and within them candidates are
@@ -288,64 +335,72 @@ object Similarity {
     * codes the 16–64×-compressed payload; the float vectors live only in
     * the re-rank join. With `nprobe == nlist` and `rerank` ≥ corpus, the
     * result is exactly brute force (oracle tier). */
-  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-                k: Int, nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
-                dim: Int = 64, rerank: Int = 50, iterations: Int = 1,
-                seed: Long = 42L): DataFrame = {
-    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
-    var centroids: Array[Array[Double]] = base
-      .withColumn("__h", xxhash64(col("vid") + lit(seed)))
-      .orderBy(col("__h"), col("vid")).limit(nlist)
-      .collect().map(_.getAs[scala.collection.Seq[Float]]("cv").toArray.map(_.toDouble))
-    for (_ <- 1 to iterations) {
-      val assign = Kernels.nearestCentroidsKernel(centroids, 1)
-      val means = base
-        .withColumn("cluster", element_at(assign(col("cv")), 1))
-        .select(col("cluster"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos")).agg(avg(col("x")).as("m"))
-        .collect()
-      val byCluster = means.groupBy(_.getAs[Int]("cluster"))
-      centroids = centroids.indices.map { cid =>
-        byCluster.get(cid) match {
-          case Some(rows) => rows.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toArray
-          case None       => centroids(cid)
-        }
-      }.toArray
-    }
+  /** A trained + materialized IVF-PQ index — the billion-vector shape:
+    * coarse-quantizer centroids, PQ codebooks, and the
+    * (cluster, id, codes, vector) index table. cluster_id is the
+    * partition/bucket column at scale, codes the 16–64×-compressed scan
+    * payload; the float vectors live only in the re-rank join. */
+  final case class IvfPqIndex(centroids: Array[Array[Double]],
+                              books: Array[Array[Array[Double]]],
+                              indexed: DataFrame) {
+    def ksub: Int = books(0).length
+  }
+
+  /** Train both quantizers and materialize the combined index table once
+    * (see [[pqBuild]] for why materialization is load-bearing). */
+  def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+                 m: Int = 8, ksub: Int = 16, dim: Int = 64, iterations: Int = 1,
+                 seed: Long = 42L): IvfPqIndex = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
     val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
-    // the stored index: (cluster, codes, id) + vectors kept aside for re-rank.
-    // Materialized once — see pqTopK's note on the collapse-past-join trap.
     val indexed = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
       "graft-ivfpq-index")
+    IvfPqIndex(centroids, books, indexed)
+  }
+
+  /** Probe-only IVF-PQ search against a prebuilt [[IvfPqIndex]]: cluster
+    * pruning + ADC scoring + exact re-rank, no training jobs per batch. */
+  def ivfPqTopK(queries: DataFrame, index: IvfPqIndex, idCol: String, vecCol: String,
+                k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
       String.valueOf(r.get(0)) ->
-        Kernels.adcTableFlat(books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
+        Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
     }.toMap
     val probes = broadcast(qdf.withColumn("cluster",
-      explode(Kernels.nearestCentroidsKernel(centroids, nprobe)(col("q_vec")))))
+      explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
     val wa = Window.partitionBy(col("query_id"))
       .orderBy(col("a_score").desc, col("neighbor_id").asc)
-    val candidates = probes.join(indexed.select("cluster", "neighbor_id", "codes"), "cluster")
+    val candidates = probes.join(index.indexed.select("cluster", "neighbor_id", "codes"), "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("codes")).distinct()
-      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, ksub)(
+      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
         col("query_id").cast("string"), col("codes")))
       .withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select(col("query_id"), col("q_vec"), col("neighbor_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
-      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+    candidates.join(index.indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
   }
+
+  /** Train-and-search convenience form — [[ivfPqBuild]] + the probe-only
+    * [[ivfPqTopK]]. One-shot jobs only; a service keeps the [[IvfPqIndex]]. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+                k: Int, nlist: Int, nprobe: Int, m: Int = 8, ksub: Int = 16,
+                dim: Int = 64, rerank: Int = 50, iterations: Int = 1,
+                seed: Long = 42L): DataFrame =
+    ivfPqTopK(queries,
+      ivfPqBuild(corpus, idCol, vecCol, nlist, m, ksub, dim, iterations, seed),
+      idCol, vecCol, k, nprobe, rerank)
 
   /** LSH-bucketed ANN: candidates share at least one of `tables` hyperplane
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is

@@ -44,9 +44,22 @@ object MicroBench {
       "ivfTopK" -> (() => graft.ext.Similarity.ivfTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10,
         nlist = 16, nprobe = 4).count()),
+      "ivfProbe" -> {
+        lazy val idx = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 16)
+        () => graft.ext.Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 100), idx, "vec_id", "embedding",
+          k = 10, nprobe = 4).count()
+      },
       "pqTopK" -> (() => graft.ext.Similarity.pqTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10,
         m = 8, ksub = 16, dim = 64, rerank = 50).count()),
+      "pqProbe" -> {
+        lazy val idx = graft.ext.Similarity.pqBuild(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, dim = 64)
+        () => graft.ext.Similarity.pqTopK(
+          emb.filter(col("vec_id") < 100), idx, "vec_id", "embedding",
+          k = 10, rerank = 50).count()
+      },
       "incrDedup" -> (() => graft.ext.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()))

@@ -338,6 +338,42 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf1.nonEmpty && ivf1.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("prebuilt ANN indexes: probe-only overloads match the train-and-search forms") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id"))
+    val q1 = emb.filter(col("vec_id") < 5)
+    val q2 = emb.filter(col("vec_id") >= 5 && col("vec_id") < 10)
+
+    val ivfIdx = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 8)
+    val oneShot = Similarity.ivfTopK(q1, emb, "vec_id", "embedding",
+      k = 3, nlist = 8, nprobe = 8).collect().map(keyOf).toSet
+    val probed = Similarity.ivfTopK(q1, ivfIdx, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect().map(keyOf).toSet
+    assert(probed == oneShot)
+    // the same index serves a second query batch without retraining
+    val probed2 = Similarity.ivfTopK(q2, ivfIdx, "vec_id", "embedding",
+      k = 3, nprobe = 8).collect().map(keyOf).toSet
+    val brute2 = Similarity.bruteForceTopK(q2, emb, "vec_id", "embedding", 3)
+      .collect().map(keyOf).toSet
+    assert(probed2 == brute2)
+
+    val pqIdx = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64)
+    val pqProbed = Similarity.pqTopK(q1, pqIdx, "vec_id", "embedding",
+      k = 3, rerank = 1 << 20).collect().map(keyOf).toSet
+    val pqOneShot = Similarity.pqTopK(q1, emb, "vec_id", "embedding",
+      k = 3, m = 8, ksub = 16, dim = 64, rerank = 1 << 20).collect().map(keyOf).toSet
+    assert(pqProbed == pqOneShot)
+
+    val ivfPqIdx = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, dim = 64)
+    val ivfPqProbed = Similarity.ivfPqTopK(q1, ivfPqIdx, "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 1 << 20).collect().map(keyOf).toSet
+    val brute1 = Similarity.bruteForceTopK(q1, emb, "vec_id", "embedding", 3)
+      .collect().map(keyOf).toSet
+    assert(ivfPqProbed == brute1)
+  }
+
   test("embedding near-dup: bucketed multi-table tier matches the exact all-pairs tier") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
