@@ -476,9 +476,11 @@ object SparkEntry {
           {"$project": {"c_custkey": 1,
             "m": {"$getField": {"input": {"$regexFind": {"input": "$c_name", "regex": "[0-9]+"}}, "field": "match"}},
             "i": {"$getField": {"input": {"$regexFind": {"input": "$c_name", "regex": "[0-9]+"}}, "field": "idx"}},
+            "cap": {"$getField": {"input": {"$regexFind": {"input": "$c_name", "regex": "Customer#([0-9]+)"}}, "field": "captures"}},
             "all_m": {"$regexFindAll": {"input": "$c_name", "regex": "[0-9]+"}}}}
         ]""")(s, d)
-        .withColumn("all_m", array_join(col("all_m"), "|"))),
+        .withColumn("cap", array_join(col("cap"), "|"))
+        .withColumn("all_m", expr("array_join(transform(all_m, x -> x.match), '|')"))),
     "q_percentile" -> ((s: SparkSession, d: String) =>
       run("lineitem",
         """[
@@ -911,6 +913,7 @@ object SparkEntry {
           {"$project": {"p_partkey": 1,
             "combined": {"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]},
             "idx_from1": {"$indexOfArray": [{"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]}, "gear", 1]},
+            "idx_bounded": {"$indexOfArray": [{"$concatArrays": [{"$split": ["$p_name", " "]}, {"$split": ["$p_type", " "]}]}, "gear", 0, 3]},
             "eq_self": {"$setEquals": [{"$split": ["$p_name", " "]}, {"$reverseArray": {"$split": ["$p_name", " "]}}]},
             "any_long": {"$anyElementTrue": [{"$map": {"input": {"$split": ["$p_name", " "]}, "as": "w",
                           "in": {"$gte": [{"$strLen": "$$w"}, 6]}}}]},
@@ -1347,6 +1350,7 @@ object SparkEntry {
       """SELECT c_custkey,
         regexp_extract(c_name, '[0-9]+') AS m,
         CAST(strpos(c_name, regexp_extract(c_name, '[0-9]+')) - 1 AS INTEGER) AS i,
+        regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cap,
         array_to_string(regexp_extract_all(c_name, '[0-9]+'), '|') AS all_m
       FROM customer""",
     "q_percentile" ->
@@ -1908,6 +1912,9 @@ object SparkEntry {
         CAST(CASE WHEN coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) = 0
              THEN -1
              ELSE coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[2:], 'gear'), 0) END AS INTEGER) AS idx_from1,
+        CAST(CASE WHEN coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[1:3], 'gear'), 0) = 0
+             THEN -1
+             ELSE coalesce(list_position(list_concat(string_split(p_name, ' '), string_split(p_type, ' '))[1:3], 'gear'), 0) - 1 END AS INTEGER) AS idx_bounded,
         list_sort(list_distinct(string_split(p_name, ' '))) = list_sort(list_distinct(list_reverse(string_split(p_name, ' ')))) AS eq_self,
         len(list_filter(string_split(p_name, ' '), w -> length(w) >= 6)) > 0 AS any_long,
         len(list_filter(string_split(p_name, ' '), w -> NOT (length(w) < 10))) = 0 AS all_short

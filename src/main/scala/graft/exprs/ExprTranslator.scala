@@ -442,7 +442,14 @@ object ExprTranslator {
             val c = translate(arr); val sc = translate(st)
             val p = array_position(slice(c, (sc + 1).cast(IntegerType), size(c)), translate(v))
             when(p === 0, -1).otherwise(p - 1 + sc).cast(IntegerType)
-          case _ => throw GraftException("$indexOfArray expects 2-3 args")
+          case List(arr, v, st, en) =>
+            // 4-arg form scans [start, min(end, len)) — operators.ts:500-519
+            val c = translate(arr); val sc = translate(st); val ec = translate(en)
+            val winLen = greatest(least(ec, size(c)) - sc, lit(0))
+            val p = array_position(
+              slice(c, (sc + 1).cast(IntegerType), winLen.cast(IntegerType)), translate(v))
+            when(p === 0, -1).otherwise(p - 1 + sc).cast(IntegerType)
+          case _ => throw GraftException("$indexOfArray expects 2-4 args")
         }
       case "$reverseArray" => reverse(a1)
       case "$sortArray" =>
@@ -779,17 +786,21 @@ object ExprTranslator {
           case other => throw GraftException(s"$$arrayToObject requires [{k,v}] or [[k,v]] operand, got $other")
         }
 
-      // ---- regex find (captures omitted — documented divergence) ----
+      // ---- regex find: full Mongo {match, idx, captures} shape via the
+      // native one-pass expression (graft.exprs.catalyst.RegexFindAllExpr);
+      // non-participating groups are null captures entries ----
       case "$regexFind" | "$regexFindAll" =>
         val fs = obj(arg, op)
         val in = translate(field(fs, "input", op)).cast(StringType)
         val re0 = strField(fs, "regex", op)
         val opts = fieldOpt(fs, "options").collect { case JString(o) => o }.getOrElse("")
         val re = if (opts.nonEmpty) s"(?$opts)$re0" else re0
-        if (op == "$regexFindAll") call_function("regexp_extract_all", in, lit(re), lit(0))
-        else when(in.rlike(re), struct(
-          regexp_extract(in, re, 0).as("match"),
-          (call_function("regexp_instr", in, lit(re)) - 1).cast(IntegerType).as("idx")))
+        graft.exprs.catalyst.GraftFunctions.register(
+          org.apache.spark.sql.SparkSession.active)
+        val all = call_function(graft.exprs.catalyst.GraftFunctions.RegexFindAllName, in, lit(re))
+        // $regexFind = first occurrence or null (Mongo returns null, not a
+        // missing field, when nothing matches)
+        if (op == "$regexFindAll") all else try_element_at(all, lit(1))
 
       // ---- randomness (seeded → deterministic per run; documented) ----
       case "$rand" => rand(42L)

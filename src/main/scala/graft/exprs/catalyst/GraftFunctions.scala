@@ -95,11 +95,74 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All regex matches of a string with their offsets and capture groups, in
+  * one pass: `array<struct<match string, idx int, captures array<string>>>`
+  * — the MongoDB `$regexFind`/`$regexFindAll` result shape. A native
+  * expression because no composition of built-ins yields per-occurrence
+  * offsets AND per-group captures without re-running the regex 2+g times;
+  * here one `Matcher` walk produces everything. Non-participating groups
+  * are null captures entries (Mongo semantics — `regexp_extract` would
+  * flatten them to ""). `idx` is the UTF-16 offset, consistent with the
+  * JVM regex engine Spark's own regexp functions run on. The pattern is a
+  * plan-time literal, compiled once per expression instance. */
+case class RegexFindAllExpr(child: Expression, pattern: String) extends UnaryExpression {
+  @transient private lazy val compiled = java.util.regex.Pattern.compile(pattern)
+
+  override def dataType: DataType = RegexFindAllExpr.resultType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_regex_find_all"
+
+  override def nullSafeEval(input: Any): Any =
+    RegexFindAllExpr.findAll(compiled, input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patRef = ctx.addReferenceObj("graftRegexPattern", compiled,
+      classOf[java.util.regex.Pattern].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.catalyst.RegexFindAllExpr.findAll($patRef, $c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RegexFindAllExpr {
+  val resultType: DataType = ArrayType(StructType(Seq(
+    StructField("match", StringType, nullable = false),
+    StructField("idx", IntegerType, nullable = false),
+    StructField("captures", ArrayType(StringType, containsNull = true), nullable = false))),
+    containsNull = false)
+
+  /** Shared by interpreted eval and generated code. */
+  def findAll(pattern: java.util.regex.Pattern,
+              input: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = input.toString
+    val m = pattern.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    while (m.find()) {
+      val caps = new Array[Any](m.groupCount())
+      var g = 0
+      while (g < m.groupCount()) {
+        val c = m.group(g + 1)
+        caps(g) = if (c == null) null
+                  else org.apache.spark.unsafe.types.UTF8String.fromString(c)
+        g += 1
+      }
+      out += org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(m.group(0)),
+        m.start(),
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(caps))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Session registration for Graft's native functions — makes them usable
   * from both the Column API (via `call_function`) and plain Spark SQL. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
   val NfcName = "graft_nfc"
+  val RegexFindAllName = "graft_regex_find_all"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -119,6 +182,21 @@ object GraftFunctions {
           case StringType => exprs.head
           case _          => Cast(exprs.head, StringType)
         })
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RegexFindAllName,
+      { exprs =>
+        require(exprs.length == 2, s"$RegexFindAllName expects 2 arguments")
+        val pat = exprs(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType) => s.toString
+          case other => throw new graft.model.ExpressionError(
+            s"$RegexFindAllName requires a literal string pattern, got $other")
+        }
+        RegexFindAllExpr(exprs.head.dataType match {
+          case StringType => exprs.head
+          case _          => Cast(exprs.head, StringType)
+        }, pat)
       },
       "built-in")
   }

@@ -322,9 +322,34 @@ class ExprSpec extends AnyFunSuite {
     val r1 = rows.head
     val f1 = r1("f").asInstanceOf[org.apache.spark.sql.Row]
     assert(f1.getAs[String]("match") == "12" && f1.getAs[Int]("idx") == 2)
-    assert(r1("all").asInstanceOf[scala.collection.Seq[_]].toSeq == Seq("12", "345"))
+    assert(f1.getAs[scala.collection.Seq[_]]("captures").isEmpty)
+    def matches(x: Any): Seq[String] = x.asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+      .map(_.getAs[String]("match")).toSeq
+    assert(matches(r1("all")) == Seq("12", "345"))
     assert(rows(1)("f") == null)
     assert(rows(1)("all").asInstanceOf[scala.collection.Seq[_]].isEmpty)
+  }
+
+  test("$regexFind captures: groups, non-participating groups, findAll per-occurrence") {
+    val docs = fromJsonl("""{"id": 1, "s": "ab12cd345"}""", """{"id": 2, "s": "zz9"}""")
+    val rows = agg(docs,
+      """[{"$sort": {"id": 1}},
+          {"$project": {"id": 1,
+            "f": {"$regexFind": {"input": "$s", "regex": "([a-z]+)([0-9]+)"}},
+            "alt": {"$regexFind": {"input": "$s", "regex": "(ab)|(zz)"}},
+            "all": {"$regexFindAll": {"input": "$s", "regex": "([a-z]+)([0-9]+)"}}}}]""")
+    val f1 = rows.head("f").asInstanceOf[org.apache.spark.sql.Row]
+    assert(f1.getAs[String]("match") == "ab12" && f1.getAs[Int]("idx") == 0)
+    assert(f1.getAs[scala.collection.Seq[String]]("captures").toSeq == Seq("ab", "12"))
+    // alternation: the branch that did not participate yields a null entry
+    val alt1 = rows.head("alt").asInstanceOf[org.apache.spark.sql.Row]
+    assert(alt1.getAs[scala.collection.Seq[String]]("captures").toSeq == Seq("ab", null))
+    val alt2 = rows(1)("alt").asInstanceOf[org.apache.spark.sql.Row]
+    assert(alt2.getAs[scala.collection.Seq[String]]("captures").toSeq == Seq(null, "zz"))
+    val all1 = rows.head("all").asInstanceOf[scala.collection.Seq[org.apache.spark.sql.Row]]
+    assert(all1.map(r => (r.getAs[String]("match"), r.getAs[Int]("idx"),
+      r.getAs[scala.collection.Seq[String]]("captures").toSeq)).toSeq ==
+      Seq(("ab12", 0, Seq("ab", "12")), ("cd345", 4, Seq("cd", "345"))))
   }
 
   test("bit operators and N-variant array expressions") {
