@@ -75,12 +75,7 @@ object Cli {
       System.err.println(Aggo.explain(input, pipelineJson, colls))
     }
     out match {
-      case "-" =>
-        if (pretty)
-          result.toJSON.collect().foreach { line =>
-            println(org.json4s.jackson.JsonMethods.pretty(org.json4s.jackson.JsonMethods.parse(line)))
-          }
-        else result.toJSON.collect().foreach(println)
+      case "-"                         => jsonLines(result, pretty).foreach(println)
       case p if p.endsWith(".parquet") => result.write.mode("overwrite").parquet(p)
       case p                           => result.write.mode("overwrite").json(p)
     }
@@ -89,6 +84,19 @@ object Cli {
       System.err.println(f"[stats] ${input.count()} docs in, ${result.count()} out, $secs%.3f s")
     }
     spark.stop()
+  }
+
+  /** JSONL lines of a result, streamed partition-at-a-time: `toLocalIterator`
+    * keeps driver memory bounded by one partition instead of the whole
+    * result, so `--out -` on a large result cannot OOM the driver. (The
+    * reference CLI materializes the full output array, cli.ts:283 — an
+    * acceptable shape in-process, an unbounded allocation here.) */
+  private[graft] def jsonLines(result: DataFrame, pretty: Boolean = false): Iterator[String] = {
+    import scala.jdk.CollectionConverters._
+    val lines = result.toJSON.toLocalIterator().asScala
+    if (pretty)
+      lines.map(l => org.json4s.jackson.JsonMethods.pretty(org.json4s.jackson.JsonMethods.parse(l)))
+    else lines
   }
 
   private def die(msg: String): Nothing = { System.err.println(s"error: $msg"); sys.exit(2) }

@@ -466,4 +466,17 @@ class ScenarioSpec extends AnyFunSuite {
       .map(_.getAs[String]("title"))
     assert(titles == Seq("deep dive into large-scale model training pipeline", "short take"))
   }
+
+  test("CLI stdout path streams partition-at-a-time without collecting") {
+    import org.apache.spark.sql.functions._
+    // multi-partition result: jsonLines must yield every row lazily via
+    // toLocalIterator (bounded driver memory), in partition order
+    val df = spark.range(0, 1000).repartition(8).select(col("id"))
+    val lines = Cli.jsonLines(Aggo.aggregate(df, """[{"$match": {"id": {"$gte": 0}}}]"""))
+    assert(lines.map(l => org.json4s.jackson.JsonMethods.parse(l) \ "id")
+      .map { case org.json4s.JInt(v) => v.toLong; case other => sys.error(s"bad line: $other") }
+      .toSet == (0L until 1000L).toSet)
+    val prettyLines = Cli.jsonLines(df.limit(3), pretty = true)
+    assert(prettyLines.next().contains("\"id\""))
+  }
 }
