@@ -1526,7 +1526,7 @@ object SparkEntry {
       vec AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank
               FROM vscored ORDER BY score DESC, doc_id LIMIT 20),
       fused AS (
-        SELECT doc_id, sum(1.0 / (60 + rank)) AS rrf_score
+        SELECT doc_id, floor(sum(1.0 / (60 + rank)) * 1e6 + 0.5) / 1e6 AS rrf_score
         FROM (SELECT * FROM bm UNION ALL SELECT * FROM vec)
         GROUP BY doc_id)
       SELECT doc_id, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank, rrf_score

@@ -29,8 +29,11 @@ object Retrieval {
     require(topK > 0 && k > 0, s"need positive topK/k, got $topK/$k")
     val union = legs.map(_.select(col(idCol), col(rankCol).cast("long").as("__r")))
       .reduce(_ unionByName _)
+    // rank on the TRUNCATED sum (same 1e-6 floor as bm25Search): with 3+
+    // legs the FP addition order is engine-dependent, and an ulp difference
+    // on near-tied fused scores would flip ranks cross-engine
     val fused = union.groupBy(idCol)
-      .agg(sum(lit(1.0) / (col("__r") + k)).as("rrf_score"))
+      .agg((floor(sum(lit(1.0) / (col("__r") + k)) * 1e6 + 0.5) / 1e6).as("rrf_score"))
     val w = Window.orderBy(col("rrf_score").desc, col(idCol))
     // the rank window runs over the ≤ topK surviving rows (child contains
     // the fused Aggregate, so this is the bounded two-pass-style tail)

@@ -531,6 +531,15 @@ object StageTranslator {
         throw new graft.model.ValidationError(
           s"$$merge whenNotMatched must be insert|discard|fail, got $whenNotMatched")
       val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
+      // Mongo requires a unique index on the on-field(s), so two incoming
+      // documents with the same key error instead of racing to modify one
+      // target document — mirror that rather than silently fanning matched
+      // rows out (inner join) or inserting duplicate keys
+      val dupKey = incoming.groupBy(col(on)).count()
+        .filter(col("count") > 1).limit(1).collect()
+      if (dupKey.nonEmpty) throw new graft.model.ValidationError(
+        s"$$merge: incoming documents contain duplicate values of on-field '$on' " +
+          s"(e.g. ${dupKey.head.get(0)}); Mongo requires the on-field to be unique")
       val spark = df.sparkSession
       val target = new org.apache.hadoop.fs.Path(into)
       val hfs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

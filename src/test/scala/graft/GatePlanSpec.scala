@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, UnaryNode, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, RepartitionOperation, Sort, SubqueryAlias, Window => LWindow}
 import org.scalatest.funsuite.AnyFunSuite
 
 import TestSpark._
@@ -26,11 +26,18 @@ import TestSpark._
   */
 class GatePlanSpec extends AnyFunSuite {
 
+  // Only operators that provably cannot re-widen the row count may sit
+  // between the window and its bound. A bare `UnaryNode` match would also
+  // accept Generate (explode) and Expand — row-WIDENING unary operators —
+  // silently weakening the audit, so the narrow set is whitelisted
+  // explicitly and anything unrecognized fails closed.
   private def boundedInput(p: LogicalPlan): Boolean = p match {
-    case _: Aggregate   => true
-    case _: GlobalLimit => true
-    case u: UnaryNode   => boundedInput(u.child)
-    case _              => false
+    case _: Aggregate                => true
+    case _: GlobalLimit              => true
+    case n @ (_: Project | _: Filter | _: Sort | _: SubqueryAlias |
+              _: LocalLimit | _: RepartitionOperation | _: LWindow) =>
+      boundedInput(n.children.head)
+    case _ => false
   }
 
   test("no gate query plans an unpartitioned window over raw data") {

@@ -659,6 +659,13 @@ class StageSpec extends AnyFunSuite {
     }
     // failed merges must not have mutated the target
     assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+    // duplicate incoming on-keys error (Mongo: unique-index requirement)
+    // instead of fanning matched rows out or inserting duplicate keys
+    intercept[graft.model.ValidationError] {
+      Aggo.aggregate(fromJsonl("""{"id": 1, "b": "x"}""", """{"id": 1, "b": "y"}"""),
+        s"""[{"$$merge": {"into": "$tgt", "on": "id"}}]""").count()
+    }
+    assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
   }
 
   test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
