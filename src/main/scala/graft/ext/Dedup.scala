@@ -230,45 +230,111 @@ object Dedup {
     exactSurvivors.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Batch subdirectories of a store root (see [[ingestStep]]'s layout). */
+  private def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                            root: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).filter(s => s.isDirectory && s.getPath.getName.startsWith("batch-"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Read an [[ingestStep]]-maintained store (document or signature): the
+    * union of its batch subdirectories, one plain parquet scan. */
+  def readStore(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    val dirs = listBatchDirs(spark, root)
+    require(dirs.nonEmpty, s"no ingested batches under $root")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** The signature parameters a store was built with — recorded next to the
+    * signature store so every later shard provably shingles the same way
+    * (mismatched shingleSize/numHashes/bands would silently stop detecting
+    * near-dups against everything already ingested). */
+  private def checkOrWriteSigParams(spark: org.apache.spark.sql.SparkSession,
+                                    sigPath: String, shingleSize: Int,
+                                    numHashes: Int, bands: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(sigPath, "_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands}"""
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      if (seen != params) throw new graft.model.ValidationError(
+        s"signature store $sigPath was built with $seen; this call uses $params — " +
+          "near-dup detection against prior shards would silently miss, refusing")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** One shard's step of store-convergent ingestion — the batch form of
     * `GraftStreaming.incrementalDedupSink` (which delegates here per
     * micro-batch): dedup `batch` within itself and against the accumulated
-    * parquet store at `storePath`, then append the survivors. Call it
-    * shard-by-shard over a 100 TB corpus and the store converges to one
-    * copy per distinct (or, with `nearThreshold`, near-distinct) document.
+    * store at `storePath`, then write the survivors. Call it shard-by-shard
+    * over a 100 TB corpus and the store converges to one copy per distinct
+    * (or, with `nearThreshold`, near-distinct) document.
+    *
+    * Store layout: each call writes `storePath/batch-<tag>/` (and, with the
+    * near tier, `storePath + "_sigs"/batch-<tag>/`); readers take the union
+    * of batch directories via [[readStore]]. Writing a FRESH directory
+    * instead of appending to the path being read is load-bearing twice
+    * over: no plan ever has lineage across its own write target (the
+    * recache-on-append trap that previously forced a per-batch scratch
+    * round-trip), and a retried batch — `foreachBatch` is at-least-once —
+    * overwrites its own directory idempotently, because the batch's own
+    * tag is EXCLUDED from the read set, so a partial earlier attempt can
+    * neither duplicate documents nor flag the retry's documents as dups of
+    * their own orphaned signatures. Callers with natural batch identities
+    * (a shard id, the streaming batchId) should pass `batchTag`; the
+    * default random tag keeps one-shot calls convergent but makes a
+    * *crashed-and-retried* call append a second directory.
+    *
+    * Within a call the document directory is written BEFORE the signature
+    * directory: a crash between the two costs only near-dup recall against
+    * that batch, never documents (the reverse order could permanently drop
+    * a retried batch against its own orphaned signatures).
     *
     * Per-call cost is bounded: the exact tier reads only the store's
-    * content column (column-pruned scan, null-safe hash anti-join), and the
-    * near tier never re-shingles the store — survivors' MinHash signatures
-    * accumulate in a compact signature store at `storePath + "_sigs"`
-    * ([[signatureTable]]'s shape) and each shard band-joins only its own
-    * signatures against it. Null-content documents pass through the exact
-    * tier only.
-    *
-    * Surviving signatures round-trip through a per-call scratch file
-    * (deleted before returning) rather than a cache: appending them to the
-    * signature store fires Spark's recacheByPath for that path, which would
-    * invalidate a cached plan whose lineage READS the store and silently
-    * recompute it against the just-appended self-signatures. */
+    * content column (column-pruned scan, null-safe hash anti-join), and
+    * the near tier never re-shingles the store — survivors' MinHash
+    * signatures accumulate in the signature store ([[signatureTable]]'s
+    * shape) and each shard band-joins only its own signatures against it.
+    * Null-content documents pass through the exact tier only. The
+    * signature parameters are recorded in `_sigs/_params.json` and checked
+    * on every call; a parameter mismatch — or a near-tier call against a
+    * store previously built without signatures — refuses loudly instead of
+    * silently losing recall. */
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
-                 shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+                 shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                 batchTag: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    def exists(path: String): Boolean = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      p.getFileSystem(conf).exists(p)
-    }
+    val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
+      .getOrElse(java.util.UUID.randomUUID().toString.take(12))
     val sigPath = storePath + "_sigs"
+    // read set = every batch directory EXCEPT this call's own (retry safety)
+    val docDirs = listBatchDirs(spark, storePath).filterNot(_.endsWith("/" + tag))
+    val sigDirs = listBatchDirs(spark, sigPath).filterNot(_.endsWith("/" + tag))
+    nearThreshold.foreach { _ =>
+      if (docDirs.nonEmpty && sigDirs.isEmpty) throw new graft.model.ValidationError(
+        s"store $storePath holds ingested batches but $sigPath has no signatures: " +
+          "prior shards were ingested without a near tier, so cross-store near-dup " +
+          "detection would silently skip them — rebuild the store or backfill signatures")
+      checkOrWriteSigParams(spark, sigPath, shingleSize, numHashes, bands)
+    }
 
     // exact tier: in-batch dedup, then null-safe content-hash anti-join
     // against the store's (column-pruned) content hashes
     val exact0 = exactDedup(batch, idCol, contentCol)
     val exact = (
-      if (exists(storePath))
+      if (docDirs.nonEmpty)
         exact0.join(
-          spark.read.parquet(storePath)
+          spark.read.parquet(docDirs: _*)
             .select(md5(col(contentCol)).as("__seen_hash")).distinct(),
           md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
       else exact0).persist()
@@ -276,16 +342,12 @@ object Dedup {
       exact.count()
       nearThreshold match {
         case None =>
-          // reads of storePath inside exact's plan see the pre-append
-          // file snapshot, so appending its own survivors is consistent
-          exact.write.mode("append").parquet(storePath)
+          exact.write.mode("overwrite").parquet(s"$storePath/$tag")
         case Some(t) =>
           // near tier over non-null text only; null-content rows are
           // exact-tier-only (no shingles to compare)
           val sigs = signatureTable(exact.filter(col(contentCol).isNotNull),
             idCol, contentCol, shingleSize, numHashes).persist()
-          val tmpSig = s"${scratchRoot(spark)}/graft-ingest-" +
-            java.util.UUID.randomUUID().toString
           try {
             val rpb = numHashes / bands
             val dropInBatch = minhashPairsFromSignatures(
@@ -293,24 +355,21 @@ object Dedup {
               .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
             val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti")
             val dropCross =
-              if (exists(sigPath))
+              if (sigDirs.nonEmpty)
                 minhashPairsFromSignatures(
-                  fresh, spark.read.parquet(sigPath), bands, rpb, t,
+                  fresh, spark.read.parquet(sigDirs: _*), bands, rpb, t,
                   selfPairs = false, "new_id", "seen_id")
                   .select(col("new_id").as("doc_id")).distinct()
               else fresh.select(col("doc_id")).limit(0)
-            fresh.join(dropCross, Seq("doc_id"), "left_anti")
-              .write.parquet(tmpSig)
-            val keepSigs = spark.read.parquet(tmpSig)
-            keepSigs.write.mode("append").parquet(sigPath)
-            exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
-              .unionByName(exact.filter(col(contentCol).isNull))
-              .write.mode("append").parquet(storePath)
-          } finally {
-            sigs.unpersist()
-            val tp = new org.apache.hadoop.fs.Path(tmpSig)
-            tp.getFileSystem(conf).delete(tp, true)
-          }
+            val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
+            try {
+              keepSigs.count() // materialize before any store mutation
+              exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+                .unionByName(exact.filter(col(contentCol).isNull))
+                .write.mode("overwrite").parquet(s"$storePath/$tag")
+              keepSigs.write.mode("overwrite").parquet(s"$sigPath/$tag")
+            } finally keepSigs.unpersist()
+          } finally sigs.unpersist()
       }
     } finally exact.unpersist()
   }

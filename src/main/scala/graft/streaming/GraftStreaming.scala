@@ -130,20 +130,22 @@ object GraftStreaming {
   /** Streaming incremental ingest dedup: every micro-batch is deduped
     * against the accumulated parquet store at `storePath` (exact
     * content-hash tier, plus the MinHash near-dup tier when `nearThreshold`
-    * is set) and the survivors are appended to the store — so the store
+    * is set) and the survivors are written to the store — so the store
     * converges to one copy of every distinct (or near-distinct) document
-    * across the whole stream.
+    * across the whole stream. Read the result with
+    * [[graft.ext.Dedup.readStore]] (the store is a set of per-batch
+    * subdirectories, not a flat parquet dir).
     *
-    * Per-batch cost is bounded: the exact tier reads only the store's
-    * content column (column-pruned scan, hash anti-join), and the near tier
-    * never re-shingles the store — survivors' MinHash signatures are
-    * appended to a compact signature store at `storePath + "_sigs"`
-    * ([[graft.ext.Dedup.signatureTable]]'s shape: doc_id, shingle hashes,
-    * signature) and each batch band-joins only its own signatures against
-    * it ([[graft.ext.Dedup.minhashPairsFromSignatures]]). Null-content
-    * documents pass through the exact tier only (null-safe hash equality
-    * dedups them). All intermediates are persisted and materialized BEFORE
-    * appending to the paths they read. State is the two stores — nothing
+    * Each micro-batch writes `batch-<batchId>/` subdirectories keyed by the
+    * streaming batch id, so the at-least-once `foreachBatch` contract is
+    * idempotent: a retried batch overwrites its own directory and its own
+    * partial output is excluded from the read set (see
+    * [[graft.ext.Dedup.ingestStep]] for the full layout and crash-ordering
+    * contract). Per-batch cost is bounded: the exact tier reads only the
+    * store's content column (column-pruned scan, hash anti-join), and the
+    * near tier never re-shingles the store — survivors' MinHash signatures
+    * accumulate in `storePath + "_sigs"` and each batch band-joins only its
+    * own signatures against it. State is the two stores — nothing
     * driver-side. */
   def incrementalDedupSink(stream: DataFrame, idCol: String, contentCol: String,
                            storePath: String, checkpointDir: String,
@@ -154,9 +156,10 @@ object GraftStreaming {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
-          nearThreshold, shingleSize, numHashes, bands)
+          nearThreshold, shingleSize, numHashes, bands,
+          batchTag = Some(batchId.toString))
         ()
       }
       .start()

@@ -196,12 +196,34 @@ class ExtSpec extends AnyFunSuite {
       """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog again and again"}""", // exact dup of 1
       """{"doc_id": 4, "text": "the quick brown fox jumps over the lazy cat again and again"}""", // near-dup of 1
       """{"doc_id": 5, "text": "brand new sentences never observed anywhere previously at all"}""")
-    Dedup.ingestStep(shard1, "doc_id", "text", store, nearThreshold = Some(0.4))
-    Dedup.ingestStep(shard2, "doc_id", "text", store, nearThreshold = Some(0.4))
-    val ids = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+    Dedup.ingestStep(shard1, "doc_id", "text", store, nearThreshold = Some(0.4),
+      batchTag = Some("shard1"))
+    Dedup.ingestStep(shard2, "doc_id", "text", store, nearThreshold = Some(0.4),
+      batchTag = Some("shard2"))
+    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 5L), s"got $ids")
     // the signature store tracks exactly the surviving documents
-    assert(spark.read.parquet(store + "_sigs").count() == 3)
+    assert(Dedup.readStore(spark, store + "_sigs").count() == 3)
+    // a RETRY of shard2 (same tag, at-least-once semantics) overwrites its
+    // own directory instead of duplicating or self-colliding
+    Dedup.ingestStep(shard2, "doc_id", "text", store, nearThreshold = Some(0.4),
+      batchTag = Some("shard2"))
+    val retried = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(retried == Set(1L, 2L, 5L), s"retry diverged: $retried")
+    assert(Dedup.readStore(spark, store + "_sigs").count() == 3)
+    // mismatched signature parameters against an existing store refuse
+    intercept[graft.model.ValidationError] {
+      Dedup.ingestStep(shard2, "doc_id", "text", store, nearThreshold = Some(0.4),
+        shingleSize = 5, batchTag = Some("shard3"))
+    }
+    // a near-tier call against a store built WITHOUT signatures refuses
+    val bare = java.nio.file.Files.createTempDirectory("graft-ingest-bare").toString + "/docs"
+    Dedup.ingestStep(shard1, "doc_id", "text", bare, nearThreshold = None,
+      batchTag = Some("s1"))
+    intercept[graft.model.ValidationError] {
+      Dedup.ingestStep(shard2, "doc_id", "text", bare, nearThreshold = Some(0.4),
+        batchTag = Some("s2"))
+    }
   }
 
   test("gopher rules pass clean prose and flag each spam shape") {

@@ -144,12 +144,12 @@ class StreamingSpec extends AnyFunSuite {
     try {
       mem.addData((1L, "alpha"), (2L, "alpha"), (3L, "beta"))
       q.processAllAvailable()
-      val s1 = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      val s1 = graft.ext.Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(s1 == Set(1L, 3L), s"after batch 1: $s1")
       // batch 2: 4 duplicates stored content, 5 is novel
       mem.addData((4L, "alpha"), (5L, "gamma"))
       q.processAllAvailable()
-      val s2 = spark.read.parquet(store).select("doc_id").collect().map(_.getLong(0)).toSet
+      val s2 = graft.ext.Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(s2 == Set(1L, 3L, 5L), s"after batch 2: $s2")
     } finally q.stop()
 
@@ -166,13 +166,13 @@ class StreamingSpec extends AnyFunSuite {
         (1L, "the quick brown fox jumps over the lazy dog again and again"),
         (2L, "unrelated words about spark engines and data processing here"))
       q2.processAllAvailable()
-      assert(spark.read.parquet(store2).count() == 2)
-      assert(spark.read.parquet(store2 + "_sigs").count() == 2, "signature store not maintained")
+      assert(graft.ext.Dedup.readStore(spark, store2).count() == 2)
+      assert(graft.ext.Dedup.readStore(spark, store2 + "_sigs").count() == 2, "signature store not maintained")
       mem2.addData(
         (3L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
         (4L, "brand new sentences never observed anywhere previously at all"))
       q2.processAllAvailable()
-      val n2 = spark.read.parquet(store2).select("doc_id").collect().map(_.getLong(0)).toSet
+      val n2 = graft.ext.Dedup.readStore(spark, store2).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(n2 == Set(1L, 2L, 4L), s"near tier failed: $n2")
     } finally q2.stop()
   }
