@@ -163,6 +163,7 @@ object GraftFunctions {
   val CosineName = "graft_cosine"
   val NfcName = "graft_nfc"
   val RegexFindAllName = "graft_regex_find_all"
+  val TopKName = "graft_top_k"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -197,6 +198,23 @@ object GraftFunctions {
           case StringType => exprs.head
           case _          => Cast(exprs.head, StringType)
         }, pat)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName,
+      { exprs =>
+        require(exprs.length == 4, s"$TopKName expects (key, value, k, smallest)")
+        val k = exprs(2) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new graft.model.ExpressionError(
+            s"$TopKName k must be an int literal, got $other")
+        }
+        val smallest = exprs(3) match {
+          case Literal(b: Boolean, BooleanType) => b
+          case other => throw new graft.model.ExpressionError(
+            s"$TopKName smallest must be a boolean literal, got $other")
+        }
+        BoundedTopKAggregate(exprs.head, exprs(1), k, smallest)
       },
       "built-in")
   }

@@ -843,6 +843,16 @@ object StageTranslator {
 
   /** `$group` accumulator → Spark aggregate Column (accumulators.ts:20-317).
     * All reference accumulators map to Catalyst built-ins (SURVEY §7.3). */
+  /** Bounded-heap top-k accumulator (native TypedImperativeAggregate):
+    * values of `value` for the k best rows by `key`, ordered best-first.
+    * Null keys are ignored, like Mongo's `$minN`/`$maxN`. */
+  private def boundedTopK(key: Column, value: Column, n: Int, smallest: Boolean): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function(graft.exprs.catalyst.GraftFunctions.TopKName,
+      key, value, lit(n), lit(smallest))
+  }
+
   def accumulator(op: String, arg: JValue, orderKey: Option[Column])(implicit ec: ExprCtx): Column = {
     def e: Column = ExprTranslator.translate(arg)
     op match {
@@ -895,25 +905,17 @@ object StageTranslator {
         }
       case "$addToSet" => array_sort(collect_set(e))
       case "$approxDistinct" => approx_count_distinct(e) // extension: HLL sketch
-      // N-variants (extension; Mongo 5.2 surface): bounded results from a
-      // sorted collect. At scale these should become a TypedImperativeAggregate
-      // heap; collect+slice is correct and bounded-output.
+      // N-variants (extension; Mongo 5.2 surface): every one lowers to the
+      // bounded-heap BoundedTopKAggregate — O(k) per-group state for ANY
+      // orderable key type (numbers, strings, timestamps, encounter-order
+      // structs), where collect_list+slice would buffer the whole group.
       case "$minN" | "$maxN" =>
         val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {input, n}") }
         val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
           .getOrElse(throw GraftException(s"$op requires input"))
         val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
           .getOrElse(throw GraftException(s"$op requires n"))
-        ec.typeOf(in) match {
-          case Some(DoubleType) =>
-            // bounded-heap Aggregator: O(k) per-group memory at any scale
-            if (op == "$minN") graft.ext.TopKAggregator.minK(in, n)
-            else graft.ext.TopKAggregator.maxK(in, n)
-          case _ =>
-            val sorted = array_sort(collect_list(in))
-            if (op == "$minN") slice(sorted, 1, n)
-            else slice(reverse(sorted), 1, n)
-        }
+        boundedTopK(in, in, n, smallest = op == "$minN")
       case "$firstN" | "$lastN" =>
         val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {input, n}") }
         val in = fs.collectFirst { case ("input", v) => ExprTranslator.translate(v) }
@@ -921,9 +923,9 @@ object StageTranslator {
         val n = fs.collectFirst { case ("n", JInt(i)) => i.toInt }
           .getOrElse(throw GraftException(s"$op requires n"))
         val k = orderKey.getOrElse(throw GraftException(s"$op requires encounter order"))
-        val ordered = transform(array_sort(collect_list(struct(k.as("o"), in.as("v")))), x => x.getField("v"))
-        if (op == "$firstN") slice(ordered, 1, n)
-        else reverse(slice(reverse(ordered), 1, n)) // last n, in encounter order
+        if (op == "$firstN") boundedTopK(k, in, n, smallest = true)
+        // last n, re-reversed back into encounter order
+        else reverse(boundedTopK(k, in, n, smallest = false))
       // Percentiles (Mongo 7.0 surface; extension). Mongo's default method
       // is approximate t-digest; we use Spark's exact `percentile`/`median`
       // (linear interpolation, same definition DuckDB's quantile_cont uses)
@@ -946,7 +948,7 @@ object StageTranslator {
         call_function("percentile", in, array(ps.map(lit): _*))
       // $top/$bottom(/N) (Mongo 5.2 surface; extension): output expression
       // of the first/last document(s) under the accumulator's own sortBy.
-      // Bounded sorted-collect; desc directions are encoded by numeric/date
+      // Bounded heap; desc directions are encoded by numeric/date
       // negation (desc on string keys is not supported here).
       case "$top" | "$bottom" | "$topN" | "$bottomN" =>
         val fs = arg match { case JObject(f) => f; case _ => throw GraftException(s"$op requires {output, sortBy}") }
@@ -971,13 +973,12 @@ object StageTranslator {
         }
         val key = if (encoded.size == 1) struct(encoded.head.as("k0"))
           else struct(encoded.zipWithIndex.map { case (c, i) => c.as(s"k$i") }: _*)
-        val sorted = transform(
-          array_sort(collect_list(struct(key.as("o"), out.as("v")))), x => x.getField("v"))
         op match {
-          case "$top"     => try_element_at(sorted, lit(1))
-          case "$bottom"  => try_element_at(sorted, lit(-1))
-          case "$topN"    => slice(sorted, 1, n.get)
-          case "$bottomN" => reverse(slice(reverse(sorted), 1, n.get))
+          case "$top"     => try_element_at(boundedTopK(key, out, 1, smallest = true), lit(1))
+          case "$bottom"  => try_element_at(boundedTopK(key, out, 1, smallest = false), lit(1))
+          case "$topN"    => boundedTopK(key, out, n.get, smallest = true)
+          // bottom n, re-reversed back into sortBy order
+          case "$bottomN" => reverse(boundedTopK(key, out, n.get, smallest = false))
         }
       case "$mergeObjects" => throw GraftException("$mergeObjects accumulator not supported")
       case other => throw GraftException(s"unknown accumulator $other")

@@ -535,6 +535,28 @@ class StageSpec extends AnyFunSuite {
       """[{"$group": {"_id": null, "nc": {"$approxDistinct": "$cust"}}}]""").head
     assert(approx("nc") == 3L)
 
+    // bounded-heap accumulators on NON-double keys: strings sort
+    // lexicographically, nulls are skipped, and a group spanning many
+    // partitions exercises partial-buffer merge
+    val wide = fromJsonl((1 to 200).map(i =>
+      s"""{"id": $i, "s": ${if (i % 7 == 0) "null" else s""""w${f"$i%03d"}""""}}"""): _*)
+      .repartition(16)
+    val sacc = agg(wide,
+      """[{"$group": {"_id": null,
+            "min3": {"$minN": {"input": "$s", "n": 3}},
+            "max3": {"$maxN": {"input": "$s", "n": 3}}}}]""").head
+    assert(sacc("min3").asInstanceOf[scala.collection.Seq[_]] == Seq("w001", "w002", "w003"))
+    assert(sacc("max3").asInstanceOf[scala.collection.Seq[_]] == Seq("w200", "w199", "w198"))
+    // string $topN under the accumulator's own sortBy (ascending)
+    val stop = agg(orders,
+      """[{"$group": {"_id": null,
+            "t2": {"$topN": {"output": "$id", "sortBy": {"status": 1, "id": 1}, "n": 2}},
+            "b2": {"$bottomN": {"output": "$id", "sortBy": {"status": 1, "id": 1}, "n": 2}}}}]""").head
+    val statuses = agg(orders, """[{"$sort": {"status": 1, "id": 1}}, {"$project": {"id": 1}}]""")
+      .map(_("id"))
+    assert(stop("t2").asInstanceOf[scala.collection.Seq[_]] == statuses.take(2))
+    assert(stop("b2").asInstanceOf[scala.collection.Seq[_]] == statuses.takeRight(2))
+
     val ranged = agg(orders,
       """[{"$setWindowFields": {"sortBy": {"total": 1},
            "output": {"near": {"$count": {}, "window": {"range": [-15, 15]}}}}},
