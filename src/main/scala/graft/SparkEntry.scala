@@ -985,6 +985,18 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.channels").as("channels"), col("meta.sizeBytes").as("size_bytes"))
+    }),
+    // REAL codec path: render procedural PNGs (dimensions derived from the
+    // id), decode them with the JDK ImageIO decoder, and let the oracle
+    // predict the round-tripped dimensions closed-form.
+    "q_multimodal_decode" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val media = graft.ext.Multimodal.syntheticImageMedia(spark, docs, "doc_id").toDF
+      graft.ext.Multimodal.decodeAndFeaturize(spark, media,
+        graft.ext.Multimodal.ImageIoDecoder)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"))
     })
   )
 
@@ -1959,6 +1971,13 @@ object SparkEntry {
         CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
         3 AS channels,
         CAST(16 + (doc_id % 1024) + 32 AS BIGINT) AS size_bytes
+      FROM documents""",
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        'png' AS format,
+        CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+        CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+        3 AS channels
       FROM documents"""
   )
 }

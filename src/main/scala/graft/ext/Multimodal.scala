@@ -6,13 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `binary` columns travelling next to a typed metadata struct.
   *
-  * The Spark-side mechanics here are real and tested — schema, per-partition
-  * batched processing, deterministic output — while the actual codec work is
-  * STUBBED (`DecoderStub`): the image/audio libraries are not present in
-  * this environment. Swapping `DecoderStub.decode` for a real JNI/FFmpeg/
-  * libvips call changes nothing about the plan shape: decode stays a
-  * narrow (shuffle-free) per-partition map whose parallelism is the file
-  * split count, which is exactly what a 100 TB media crawl needs.
+  * The Spark-side mechanics — schema, per-partition batched processing,
+  * deterministic output — are codec-agnostic: decode is a narrow
+  * (shuffle-free) per-partition map whose parallelism is the file split
+  * count, which is exactly what a 100 TB media crawl needs. The codec
+  * itself is a pluggable [[MediaDecoder]]:
+  *
+  *  - [[ImageIoDecoder]] — a REAL image decode via the JDK's `javax.imageio`
+  *    (PNG/JPEG/GIF/BMP), no external libraries;
+  *  - [[HeaderStubDecoder]] — a deterministic fake-header parser standing in
+  *    for codecs whose libraries aren't present (audio/video); swap in a
+  *    JNI/FFmpeg/libvips-backed decoder without touching the plan shape.
   */
 object Multimodal {
 
@@ -23,11 +27,19 @@ object Multimodal {
   case class MediaRow(doc_id: Long, content: Array[Byte])
   case class DecodedRow(doc_id: Long, meta: MediaMeta, features: Array[Float])
 
-  /** STUB decoder: parses our deterministic fake header instead of a real
-    * codec. Replace the body (only) with e.g. ImageIO/libvips to go live. */
-  object DecoderStub {
+  /** Pluggable codec boundary: bytes in, typed metadata + a fixed-width
+    * feature vector out. Implementations must be Serializable (the decoder
+    * ships inside the task closure) and thread-safe per executor. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+    def features(payload: Array[Byte], n: Int = 8): Array[Float]
+  }
+
+  /** STUB decoder: parses the deterministic fake header [[syntheticMedia]]
+    * writes — the stand-in for codecs with no JVM library here. */
+  object HeaderStubDecoder extends MediaDecoder {
     val HeaderLen = 16
-    def decode(payload: Array[Byte]): MediaMeta = {
+    override def decode(payload: Array[Byte]): MediaMeta = {
       require(payload.length >= HeaderLen, "truncated media payload")
       val bb = java.nio.ByteBuffer.wrap(payload)
       val fmt = payload(0) match {
@@ -36,7 +48,7 @@ object Multimodal {
       MediaMeta(fmt, bb.getInt(4), bb.getInt(8), bb.getInt(12) & 0x7, payload.length.toLong)
     }
     /** Fake feature extractor: 8 deterministic moments of the payload bytes. */
-    def features(payload: Array[Byte], n: Int = 8): Array[Float] = {
+    override def features(payload: Array[Byte], n: Int = 8): Array[Float] = {
       val out = new Array[Float](n)
       var i = 0
       while (i < payload.length) {
@@ -49,6 +61,56 @@ object Multimodal {
     }
   }
 
+  /** Real image decode on the JDK's ImageIO (PNG/JPEG/GIF/BMP — headless,
+    * no native deps). Format comes from the matched ImageReader, dimensions
+    * and band count from the decoded raster; features are per-strip mean
+    * luminances over `n` vertical strips of the image — a deterministic,
+    * resolution-independent 8-float thumbnail signature. */
+  object ImageIoDecoder extends MediaDecoder {
+    private def read(payload: Array[Byte]): (String, java.awt.image.BufferedImage) = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "no ImageIO reader recognizes this payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (reader.getFormatName.toLowerCase, reader.read(0))
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+
+    override def decode(payload: Array[Byte]): MediaMeta = {
+      val (fmt, img) = read(payload)
+      MediaMeta(fmt, img.getWidth, img.getHeight,
+        img.getRaster.getNumBands, payload.length.toLong)
+    }
+
+    override def features(payload: Array[Byte], n: Int = 8): Array[Float] = {
+      val (_, img) = read(payload)
+      val out = new Array[Float](n)
+      val counts = new Array[Int](n)
+      val w = img.getWidth; val h = img.getHeight
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val strip = math.min(n - 1, x * n / w)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / (3f * 255f)
+          out(strip) += lum
+          counts(strip) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < n) { out(i) /= math.max(1, counts(i)); i += 1 }
+      out
+    }
+  }
+
   /** Synthesize a deterministic binary media column from an integer id —
     * stands in for reading real media files; keeps tests hermetic. The
     * generation itself is a narrow typed map (same shape as reading real
@@ -57,28 +119,56 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].map { id =>
       val bodyLen = (id % 1024).toInt + 32
-      val bb = java.nio.ByteBuffer.allocate(DecoderStub.HeaderLen + bodyLen)
+      val bb = java.nio.ByteBuffer.allocate(HeaderStubDecoder.HeaderLen + bodyLen)
       bb.put(0, (id % 3).toByte)
       bb.putInt(4, (id % 64).toInt * 16 + 16)  // width
       bb.putInt(8, (id % 48).toInt * 16 + 16)  // height
       bb.putInt(12, 3)                          // channels
       var i = 0
       while (i < bodyLen) {
-        bb.put(DecoderStub.HeaderLen + i, ((id * 31 + i * 7) % 251).toByte)
+        bb.put(HeaderStubDecoder.HeaderLen + i, ((id * 31 + i * 7) % 251).toByte)
         i += 1
       }
       MediaRow(id, bb.array())
     }
   }
 
+  /** Synthesize REAL PNG payloads (procedural gradient, dimensions derived
+    * from the id the same way [[syntheticMedia]] stamps its header) — real
+    * bytes for the [[ImageIoDecoder]] path with no media files on disk.
+    * Same narrow typed-map shape as a `binaryFile` read. */
+  def syntheticImageMedia(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (id % 64).toInt * 16 + 16
+      val h = (id % 48).toInt * 16 + 16
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((x * 255 / w) << 16) | ((y * 255 / h) << 8) |
+            ((id % 251).toInt)).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      MediaRow(id, bos.toByteArray)
+    }
+  }
+
   /** Decode + feature-extract: batched per-partition map (no shuffle). The
     * real-world analogue of `mapInPandas` batches on the JVM side. */
-  def decodeAndFeaturize(spark: SparkSession, media: DataFrame): Dataset[DecodedRow] = {
+  def decodeAndFeaturize(spark: SparkSession, media: DataFrame,
+                         decoder: MediaDecoder = HeaderStubDecoder): Dataset[DecodedRow] = {
     import spark.implicits._
     media.select(col("doc_id"), col("content")).as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          DecodedRow(r.doc_id, DecoderStub.decode(r.content), DecoderStub.features(r.content))
+          DecodedRow(r.doc_id, decoder.decode(r.content), decoder.features(r.content))
         }
       }
   }

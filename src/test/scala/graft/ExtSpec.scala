@@ -741,6 +741,28 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() > 1)
   }
 
+  test("multimodal: real PNG round-trip through the ImageIO decoder") {
+    val ids = spark.range(0, 6).toDF("doc_id")
+    val media = Multimodal.syntheticImageMedia(spark, ids, "doc_id").toDF
+    val decoded = Multimodal.decodeAndFeaturize(spark, media,
+      Multimodal.ImageIoDecoder).collect()
+    assert(decoded.length == 6)
+    decoded.foreach { d =>
+      assert(d.meta.format == "png", s"doc ${d.doc_id}: ${d.meta.format}")
+      assert(d.meta.width == (d.doc_id % 64) * 16 + 16)
+      assert(d.meta.height == (d.doc_id % 48) * 16 + 16)
+      assert(d.meta.channels == 3)
+      // left→right red gradient ⇒ strip luminances strictly ordered
+      assert(d.features.length == 8 && d.features.head < d.features.last)
+    }
+    // the decoder refuses bytes no ImageReader recognizes
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAndFeaturize(spark,
+        Multimodal.syntheticMedia(spark, ids, "doc_id").toDF,
+        Multimodal.ImageIoDecoder).collect()
+    }
+  }
+
   test("salted join equals plain join; key profile finds hot keys") {
     import spark.implicits._
     val fact = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).zipWithIndex
