@@ -201,6 +201,72 @@ object Aggo {
         graft.sources.Presence.presentPathsUdf(col("value")).as(StageTranslator.PresenceCol))
       .select(col("__doc.*"), col(StageTranslator.PresenceCol))
 
+  /** Batching/backpressure knobs for the streaming JSONL loader — the
+    * Spark-native analog of the reference's `StreamLoaderOptions`
+    * (api-enhancements.ts:90-113):
+    *
+    *  - `batchSize`/`maxMemoryBytes` bound how much one processing step
+    *    swallows; here `maxFilesPerBatch` caps the files pulled per
+    *    micro-batch (Structured Streaming's `maxFilesPerTrigger` — the file
+    *    source's unit of backpressure);
+    *  - `errorStrategy` maps onto Spark's JSON parse modes:
+    *    "skip" → DROPMALFORMED (bad lines vanish), "stop" → FAILFAST
+    *    (the query errors), "collect" → PERMISSIVE with the raw bad line
+    *    kept in a `__corrupt` column for the caller to route;
+    *  - `onBatch` is [[forEachJSONLBatch]]'s callback (`foreachBatch`).
+    *
+    * The JSON file source cannot infer a schema while streaming; when
+    * `schema` is None the loader runs one batch-mode inference pass over
+    * the files present at start (documented cost — large inputs should
+    * pass the schema). */
+  final case class StreamLoaderOptions(
+      maxFilesPerBatch: Option[Int] = None,
+      errorStrategy: String = "skip",
+      schema: Option[org.apache.spark.sql.types.StructType] = None) {
+    require(Set("skip", "stop", "collect")(errorStrategy),
+      s"errorStrategy must be skip|stop|collect, got $errorStrategy")
+  }
+
+  /** Streaming JSONL reader over a path/glob: new files appearing under
+    * `path` arrive as micro-batches, bounded by
+    * [[StreamLoaderOptions.maxFilesPerBatch]]. Returns a streaming frame —
+    * compose with [[aggregate]] and `writeStream`, or use
+    * [[forEachJSONLBatch]] for the reference's onBatch callback shape. */
+  def fromJSONLStream(spark: org.apache.spark.sql.SparkSession, path: String,
+                      options: StreamLoaderOptions = StreamLoaderOptions()): DataFrame = {
+    val schema = options.schema.getOrElse(spark.read.json(path).schema)
+    val reader = spark.readStream
+      .schema(options.errorStrategy match {
+        case "collect" => schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+        case _         => schema
+      })
+      .option("mode", options.errorStrategy match {
+        case "skip"    => "DROPMALFORMED"
+        case "stop"    => "FAILFAST"
+        case "collect" => "PERMISSIVE"
+      })
+      .option("columnNameOfCorruptRecord", "__corrupt")
+    options.maxFilesPerBatch.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.json(path)
+  }
+
+  /** The reference loader's `onBatch` shape (api-enhancements.ts:105):
+    * `onBatch(batchFrame, batchNumber)` per micro-batch, backpressured by
+    * [[StreamLoaderOptions.maxFilesPerBatch]]. Blocks until the files
+    * present at call time are processed, then returns the (still running)
+    * query for the caller to stop or await further files on. */
+  def forEachJSONLBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+                        checkpointDir: String,
+                        options: StreamLoaderOptions = StreamLoaderOptions())
+                       (onBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    val q = fromJSONLStream(spark, path, options).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) => onBatch(batch, batchId) }
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
   /** Reference-API name for building a live collection
     * (`Aggo.createStreamingCollection`, index.ts:91). */
   def createStreamingCollection(spark: org.apache.spark.sql.SparkSession,

@@ -177,6 +177,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("fromJSONLStream: batched loading with onBatch callback and error strategies") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
+    def write(name: String, lines: String*): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/$name"),
+        lines.mkString("\n").getBytes("UTF-8"))
+    write("a.jsonl", """{"id": 1, "v": "x"}""", """{"id": 2, "v": "y"}""")
+    write("b.jsonl", """{"id": 3, "v": "z"}""", """not json at all""")
+
+    // maxFilesPerBatch=1 → one micro-batch per file; bad line skipped
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-jsonl-ckpt").toString
+    val q = Aggo.forEachJSONLBatch(spark, s"$dir/*.jsonl", ckpt,
+      Aggo.StreamLoaderOptions(maxFilesPerBatch = Some(1))) { (batch, n) =>
+      seen += ((n, batch.collect().map(_.getAs[Long]("id")).toSet))
+    }
+    try {
+      assert(seen.size == 2, s"expected one batch per file, got $seen")
+      assert(seen.flatMap(_._2).toSet == Set(1L, 2L, 3L))
+    } finally q.stop()
+
+    // collect strategy keeps the malformed line in __corrupt
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-jsonl-ckpt2").toString
+    @volatile var corrupt = Seq.empty[String]
+    val q2 = Aggo.forEachJSONLBatch(spark, s"$dir/*.jsonl", ckpt2,
+      Aggo.StreamLoaderOptions(errorStrategy = "collect")) { (batch, _) =>
+      corrupt = corrupt ++ batch.filter(
+        org.apache.spark.sql.functions.col("__corrupt").isNotNull)
+        .collect().map(_.getAs[String]("__corrupt"))
+    }
+    try assert(corrupt == Seq("not json at all"), s"got $corrupt")
+    finally q2.stop()
+  }
+
   test("AdaptiveBatcher sizes batches from observed cost toward the latency target") {
     val schema = StructType.fromDDL("id BIGINT, v DOUBLE")
     val coll = new StreamingCollection(spark, schema)
