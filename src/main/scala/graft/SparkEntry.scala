@@ -758,6 +758,18 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
 
+    // ---- extensions: skew tools ----
+    // salted join is semantics-preserving (only the shuffle distribution
+    // changes), so the plain-join SQL is its oracle
+    "q_skew_join" -> ((spark: SparkSession, dir: String) => {
+      val fact = tbl(spark, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val dim = tbl(spark, dir, "supplier").select(col("s_suppkey").as("suppkey"), col("s_name"))
+      graft.ext.Skew.saltedJoin(fact, dim, "suppkey", salt = 8)
+    }),
+    "q_skew_profile" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Skew.keyProfile(tbl(spark, dir, "lineitem"), "l_suppkey", topN = 10)),
+
     // ---- extensions: similarity search ----
     // query vector components are exactly float-representable (k/4) so the
     // engine's float cast and the oracle's double literals agree bit-for-bit
@@ -1972,6 +1984,12 @@ object SparkEntry {
         3 AS channels,
         CAST(16 + (doc_id % 1024) + 32 AS BIGINT) AS size_bytes
       FROM documents""",
+    "q_skew_join" ->
+      """SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, l_quantity, s_name
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey""",
+    "q_skew_profile" ->
+      """SELECT l_suppkey, count(*) AS n
+      FROM lineitem GROUP BY 1 ORDER BY n DESC, l_suppkey LIMIT 10""",
     "q_multimodal_decode" ->
       """SELECT doc_id,
         'png' AS format,

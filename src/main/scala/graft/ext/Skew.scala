@@ -31,8 +31,10 @@ object Skew {
   }
 
   /** Per-key frequency profile — quick skew diagnosis before choosing a
-    * strategy (broadcast / salt / AQE default). */
+    * strategy (broadcast / salt / AQE default). Ties at the topN boundary
+    * break by key so the result set is deterministic; the sort+limit fuses
+    * to TakeOrderedAndProject over the keyed aggregate. */
   def keyProfile(df: DataFrame, key: String, topN: Int = 20): DataFrame =
     df.groupBy(col(key)).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc).limit(topN)
+      .orderBy(col("n").desc, col(key)).limit(topN)
 }
