@@ -758,6 +758,23 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
 
+    // ---- extensions: $rankFusion stage (Mongo 8.0 hybrid-search surface) ----
+    // two ranked legs over orders (price-first weighted 2x, oldest-first),
+    // fused by weighted RRF; sort keys carry o_orderkey tiebreaks so every
+    // leg's rank order is total
+    "q_rank_fusion" -> ((spark: SparkSession, dir: String) =>
+      Aggo.aggregate(tbl(spark, dir, "orders"),
+        """[
+          {"$rankFusion": {
+            "input": {"pipelines": {
+              "price": [{"$sort": {"o_totalprice": -1, "o_orderkey": 1}}, {"$limit": 20}],
+              "date":  [{"$sort": {"o_orderdate": 1, "o_orderkey": 1}}, {"$limit": 20}]}},
+            "combination": {"weights": {"price": 2}},
+            "scoreDetails": true}},
+          {"$limit": 25},
+          {"$project": {"o_orderkey": 1, "score": 1}}
+        ]""")),
+
     // ---- extensions: skew tools ----
     // salted join is semantics-preserving (only the shuffle distribution
     // changes), so the plain-join SQL is its oracle
@@ -1984,6 +2001,19 @@ object SparkEntry {
         3 AS channels,
         CAST(16 + (doc_id % 1024) + 32 AS BIGINT) AS size_bytes
       FROM documents""",
+    "q_rank_fusion" ->
+      """WITH p AS (
+        SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20),
+      d AS (
+        SELECT o_orderkey, row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS r
+        FROM orders ORDER BY o_orderdate, o_orderkey LIMIT 20),
+      fused AS (
+        SELECT o_orderkey, floor(sum(w / (60 + r)) * 1e6 + 0.5) / 1e6 AS score
+        FROM (SELECT o_orderkey, 2.0 AS w, r FROM p
+              UNION ALL SELECT o_orderkey, 1.0 AS w, r FROM d)
+        GROUP BY 1)
+      SELECT o_orderkey, score FROM fused ORDER BY score DESC, o_orderkey LIMIT 25""",
     "q_skew_join" ->
       """SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, l_quantity, s_name
       FROM lineitem JOIN supplier ON s_suppkey = l_suppkey""",

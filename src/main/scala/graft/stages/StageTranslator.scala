@@ -489,6 +489,8 @@ object StageTranslator {
 
     case "$facet" => facet(df, body, ctx)
 
+    case "$rankFusion" => rankFusion(df, body, ctx)
+
     case "$setWindowFields" => setWindowFields(df, body, ctx)
 
     case "$out" =>
@@ -1381,6 +1383,69 @@ object StageTranslator {
     }
     ctx.note("each facet sub-result coalesced to one partition (bounded single-row output) to pin array order")
     (facets.reduceLeft(_ crossJoin _), ctx.copy(order = None, hasSeq = false))
+  }
+
+  // --------------------------------------------------------------------------
+  // $rankFusion — MongoDB 8.0 hybrid-search combiner: reciprocal-rank fusion
+  // over named ranked sub-pipelines ([[graft.ext.Retrieval.rrfFuse]] is the
+  // library form; this is the pipeline-language face).
+  // --------------------------------------------------------------------------
+  private def rankFusion(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$rankFusion requires an object") }
+    val pipelines = fs.collectFirst { case ("input", JObject(in)) => in }
+      .flatMap(_.collectFirst { case ("pipelines", JObject(p)) => p })
+      .getOrElse(throw GraftException("$rankFusion requires input.pipelines"))
+    if (pipelines.isEmpty) throw GraftException("$rankFusion needs at least one pipeline")
+    val weights: Map[String, Double] = fs.collectFirst { case ("combination", JObject(c)) => c }
+      .flatMap(_.collectFirst { case ("weights", JObject(w)) => w.map {
+        case (n, JInt(i))    => n -> i.toDouble
+        case (n, JDouble(d)) => n -> d
+        case (n, other)      => throw GraftException(s"$$rankFusion weight for $n must be numeric, got $other")
+      }.toMap })
+      .getOrElse(Map.empty)
+    weights.foreach { case (n, w) =>
+      if (w < 0) throw new graft.model.ValidationError(
+        s"$$rankFusion weight for $n must be non-negative, got $w")
+    }
+    val unknown = weights.keySet -- pipelines.map(_._1).toSet
+    if (unknown.nonEmpty) throw new graft.model.ValidationError(
+      s"$$rankFusion weights name unknown pipelines: ${unknown.mkString(", ")}")
+    val scoreDetails = fs.collectFirst { case ("scoreDetails", JBool(b)) => b }.getOrElse(false)
+    val rrfK = 60 // Mongo's fixed RRF constant
+    val docCols = df.columns.filterNot(c => c == SeqCol || c == SeqCol2 || c == PresenceCol)
+
+    val legs = pipelines.map { case (name, pipe) =>
+      val stages = pipe match {
+        case JArray(p) => p.map(graft.model.PipelineParser.stageOf)
+        case _         => throw GraftException(s"$$rankFusion pipeline $name must be an array")
+      }
+      val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections)
+      val missing = docCols.toSet -- sub.columns.toSet
+      if (missing.nonEmpty) throw new graft.model.ValidationError(
+        s"$$rankFusion pipeline '$name' must preserve the document shape " +
+          s"(selection/sort/limit stages only); dropped: ${missing.mkString(", ")}")
+      // Ranked legs are bounded by contract (a rank needs a total order, so
+      // real legs end in $sort [+ $limit]); coalesce(1) pins the leg's row
+      // order — a sorted frame's partitions are range-ordered, and coalesce
+      // concatenates them without a shuffle — and monotonically_increasing_id
+      // on the single partition is then 0..n-1 in exactly that order, giving
+      // the 1-based rank without an unpartitioned data-sized window.
+      val w = weights.getOrElse(name, 1.0)
+      sub.select(docCols.map(col): _*).coalesce(1)
+        .withColumn("__rid", monotonically_increasing_id())
+        .select(struct(docCols.map(col): _*).as("__doc"),
+          (lit(w) / (col("__rid") + 1 + rrfK)).as("__contrib"))
+    }
+    ctx.note("each ranked leg coalesced to one partition (bounded by contract) to pin rank order; " +
+      "fused score = Σ weight/(60+rank), 1e-6-quantized for a stable total order")
+    val fused = legs.reduceLeft(_ unionByName _)
+      .groupBy("__doc")
+      .agg((floor(sum(col("__contrib")) * 1e6 + 0.5) / 1e6).as("__score"))
+      .orderBy(col("__score").desc, col("__doc"))
+    val out =
+      if (scoreDetails) fused.select(col("__doc.*") +: Seq(col("__score").as("score")): _*)
+      else fused.select(col("__doc.*"))
+    (out, ctx.copy(order = None, hasSeq = false))
   }
 
   // --------------------------------------------------------------------------

@@ -690,6 +690,41 @@ class StageSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("$rankFusion fuses ranked legs with weighted RRF") {
+    // doc 4 (total 40) is 2nd by price and 2nd-cheapest; doc 5 (total 50)
+    // tops price; doc 1 (total 10) tops cheap
+    val rows = agg(orders,
+      """[{"$rankFusion": {
+            "input": {"pipelines": {
+              "expensive": [{"$sort": {"total": -1, "id": 1}}, {"$limit": 2}],
+              "cheap":     [{"$sort": {"total": 1, "id": 1}}, {"$limit": 2}]}},
+            "scoreDetails": true}},
+          {"$project": {"id": 1, "score": 1}}]""")
+    def q(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val byId = rows.map(r => r("id") -> r("score")).toMap
+    assert(byId.keySet == Set(5L, 4L, 1L, 2L))
+    assert(byId(5L) == q(1.0 / 61) && byId(1L) == q(1.0 / 61))
+    assert(byId(4L) == q(1.0 / 62) && byId(2L) == q(1.0 / 62))
+    // fused order: score desc, then document tiebreak
+    assert(rows.map(_("id")) == Seq(1L, 5L, 2L, 4L))
+
+    // weights skew the fusion; a leg that reshapes the document is rejected
+    val weighted = agg(orders,
+      """[{"$rankFusion": {
+            "input": {"pipelines": {
+              "expensive": [{"$sort": {"total": -1, "id": 1}}, {"$limit": 2}],
+              "cheap":     [{"$sort": {"total": 1, "id": 1}}, {"$limit": 2}]}},
+            "combination": {"weights": {"expensive": 3}},
+            "scoreDetails": true}},
+          {"$limit": 1}, {"$project": {"id": 1}}]""")
+    assert(weighted.head("id") == 5L)
+    intercept[graft.model.ValidationError] {
+      agg(orders,
+        """[{"$rankFusion": {"input": {"pipelines": {
+             "bad": [{"$project": {"id": 1}}]}}}}]""")
+    }
+  }
+
   test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
     assert(Aggo.matchStage(orders, """{"status": "new"}""").count() == 3)
     assert(Aggo.projectStage(orders, """{"id": 1}""").columns.toSeq == Seq("id"))
