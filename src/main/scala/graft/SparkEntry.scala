@@ -775,6 +775,25 @@ object SparkEntry {
           {"$project": {"o_orderkey": 1, "score": 1}}
         ]""")),
 
+    // ---- extensions: $scoreFusion stage (Mongo 8.1 hybrid-search surface) ----
+    // two scored legs (price magnitude 2x-weighted, low-orderkey freshness
+    // proxy), min-max normalized per leg, averaged across containing legs
+    "q_score_fusion" -> ((spark: SparkSession, dir: String) =>
+      Aggo.aggregate(tbl(spark, dir, "orders"),
+        """[
+          {"$scoreFusion": {
+            "input": {"pipelines": {
+              "value": [{"$addFields": {"score": "$o_totalprice"}},
+                        {"$sort": {"score": -1, "o_orderkey": 1}}, {"$limit": 20}],
+              "fresh": [{"$addFields": {"score": {"$multiply": [-1.0, "$o_orderkey"]}}},
+                        {"$sort": {"score": -1, "o_orderkey": 1}}, {"$limit": 20}]},
+              "normalization": "minMaxScaler"},
+            "combination": {"weights": {"value": 2}},
+            "scoreDetails": true}},
+          {"$limit": 25},
+          {"$project": {"o_orderkey": 1, "score": 1}}
+        ]""")),
+
     // ---- extensions: skew tools ----
     // salted join is semantics-preserving (only the shuffle distribution
     // changes), so the plain-join SQL is its oracle
@@ -2012,6 +2031,27 @@ object SparkEntry {
         SELECT o_orderkey, floor(sum(w / (60 + r)) * 1e6 + 0.5) / 1e6 AS score
         FROM (SELECT o_orderkey, 2.0 AS w, r FROM p
               UNION ALL SELECT o_orderkey, 1.0 AS w, r FROM d)
+        GROUP BY 1)
+      SELECT o_orderkey, score FROM fused ORDER BY score DESC, o_orderkey LIMIT 25""",
+    "q_score_fusion" ->
+      """WITH v AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS s
+        FROM orders ORDER BY s DESC, o_orderkey LIMIT 20),
+      f AS (
+        SELECT o_orderkey, CAST(-o_orderkey AS DOUBLE) AS s
+        FROM orders ORDER BY s DESC, o_orderkey LIMIT 20),
+      vn AS (
+        SELECT o_orderkey, CASE WHEN max(s) OVER () > min(s) OVER ()
+          THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) ELSE 1.0 END AS n
+        FROM v),
+      fn AS (
+        SELECT o_orderkey, CASE WHEN max(s) OVER () > min(s) OVER ()
+          THEN (s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()) ELSE 1.0 END AS n
+        FROM f),
+      fused AS (
+        SELECT o_orderkey, floor(sum(c) / count(*) * 1e6 + 0.5) / 1e6 AS score
+        FROM (SELECT o_orderkey, 2.0 * n AS c FROM vn
+              UNION ALL SELECT o_orderkey, 1.0 * n AS c FROM fn)
         GROUP BY 1)
       SELECT o_orderkey, score FROM fused ORDER BY score DESC, o_orderkey LIMIT 25""",
     "q_skew_join" ->

@@ -491,6 +491,8 @@ object StageTranslator {
 
     case "$rankFusion" => rankFusion(df, body, ctx)
 
+    case "$scoreFusion" => scoreFusion(df, body, ctx)
+
     case "$setWindowFields" => setWindowFields(df, body, ctx)
 
     case "$out" =>
@@ -1441,6 +1443,83 @@ object StageTranslator {
     val fused = legs.reduceLeft(_ unionByName _)
       .groupBy("__doc")
       .agg((floor(sum(col("__contrib")) * 1e6 + 0.5) / 1e6).as("__score"))
+      .orderBy(col("__score").desc, col("__doc"))
+    val out =
+      if (scoreDetails) fused.select(col("__doc.*") +: Seq(col("__score").as("score")): _*)
+      else fused.select(col("__doc.*"))
+    (out, ctx.copy(order = None, hasSeq = false))
+  }
+
+  // --------------------------------------------------------------------------
+  // $scoreFusion — MongoDB 8.1 score-based hybrid-search combiner: each leg
+  // is a SCORED sub-pipeline (it must yield a `score` column, e.g. from
+  // $vectorSearch's scoreField or an $addFields expression); scores are
+  // normalized per leg, weighted, and averaged across the legs a document
+  // appears in. Where $rankFusion discards magnitudes and fuses ranks,
+  // $scoreFusion preserves them.
+  // --------------------------------------------------------------------------
+  private def scoreFusion(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
+    val fs = body match { case JObject(f) => f; case _ => throw GraftException("$scoreFusion requires an object") }
+    val input = fs.collectFirst { case ("input", JObject(in)) => in }
+      .getOrElse(throw GraftException("$scoreFusion requires input"))
+    val pipelines = input.collectFirst { case ("pipelines", JObject(p)) => p }
+      .getOrElse(throw GraftException("$scoreFusion requires input.pipelines"))
+    if (pipelines.isEmpty) throw GraftException("$scoreFusion needs at least one pipeline")
+    val normalization = input.collectFirst { case ("normalization", JString(n)) => n }.getOrElse("none")
+    if (!Set("none", "sigmoid", "minMaxScaler")(normalization))
+      throw new graft.model.ValidationError(
+        s"$$scoreFusion normalization must be none|sigmoid|minMaxScaler, got $normalization")
+    val combination = fs.collectFirst { case ("combination", JObject(c)) => c }.getOrElse(Nil)
+    combination.collectFirst { case ("method", JString(m)) if m != "avg" =>
+      throw new graft.model.ValidationError(s"$$scoreFusion combination.method supports only avg, got $m") }
+    val weights: Map[String, Double] = combination.collectFirst { case ("weights", JObject(w)) => w.map {
+      case (n, JInt(i))    => n -> i.toDouble
+      case (n, JDouble(d)) => n -> d
+      case (n, other)      => throw GraftException(s"$$scoreFusion weight for $n must be numeric, got $other")
+    }.toMap }.getOrElse(Map.empty)
+    weights.foreach { case (n, w) =>
+      if (w < 0) throw new graft.model.ValidationError(
+        s"$$scoreFusion weight for $n must be non-negative, got $w")
+    }
+    val unknown = weights.keySet -- pipelines.map(_._1).toSet
+    if (unknown.nonEmpty) throw new graft.model.ValidationError(
+      s"$$scoreFusion weights name unknown pipelines: ${unknown.mkString(", ")}")
+    val scoreDetails = fs.collectFirst { case ("scoreDetails", JBool(b)) => b }.getOrElse(false)
+    val docCols = df.columns.filterNot(c => c == SeqCol || c == SeqCol2 || c == PresenceCol || c == "score")
+
+    val legs = pipelines.map { case (name, pipe) =>
+      val stages = pipe match {
+        case JArray(p) => p.map(graft.model.PipelineParser.stageOf)
+        case _         => throw GraftException(s"$$scoreFusion pipeline $name must be an array")
+      }
+      val sub = graft.Aggo.aggregateParsed(df, stages, ctx.collections)
+      val missing = docCols.toSet -- sub.columns.toSet
+      if (missing.nonEmpty) throw new graft.model.ValidationError(
+        s"$$scoreFusion pipeline '$name' must preserve the document shape; dropped: ${missing.mkString(", ")}")
+      if (!sub.columns.contains("score")) throw new graft.model.ValidationError(
+        s"$$scoreFusion pipeline '$name' must be a scored pipeline (yield a 'score' column, " +
+          "e.g. $vectorSearch's scoreField or an $addFields expression)")
+      val scored = sub.select((docCols.map(col) :+ col("score").cast("double").as("__s")): _*)
+      // normalization is per leg; minMaxScaler's leg-wide min/max come from
+      // a single-row aggregate broadcast back in (no unpartitioned window)
+      val normed = normalization match {
+        case "none"    => scored.withColumn("__norm", col("__s"))
+        case "sigmoid" => scored.withColumn("__norm", lit(1.0) / (lit(1.0) + exp(-col("__s"))))
+        case "minMaxScaler" =>
+          val mm = scored.agg(min(col("__s")).as("__mn"), max(col("__s")).as("__mx"))
+          scored.crossJoin(broadcast(mm)).withColumn("__norm",
+            when(col("__mx") > col("__mn"),
+              (col("__s") - col("__mn")) / (col("__mx") - col("__mn")))
+              .otherwise(lit(1.0)))
+      }
+      normed.select(struct(docCols.map(col): _*).as("__doc"),
+        (col("__norm") * weights.getOrElse(name, 1.0)).as("__contrib"))
+    }
+    ctx.note(s"per-leg $normalization normalization (minMax via broadcast single-row aggregate); " +
+      "fused score = avg of weighted normalized scores over the legs containing the document, 1e-6-quantized")
+    val fused = legs.reduceLeft(_ unionByName _)
+      .groupBy("__doc")
+      .agg((floor(sum(col("__contrib")) / count(lit(1)) * 1e6 + 0.5) / 1e6).as("__score"))
       .orderBy(col("__score").desc, col("__doc"))
     val out =
       if (scoreDetails) fused.select(col("__doc.*") +: Seq(col("__score").as("score")): _*)

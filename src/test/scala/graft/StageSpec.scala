@@ -725,6 +725,43 @@ class StageSpec extends AnyFunSuite {
     }
   }
 
+  test("$scoreFusion normalizes per leg and averages weighted scores") {
+    // totals: 1→10, 2→20, 3→30, 4→40, 5→50
+    // value leg (top 3 by total, minMax over {50,40,30} → {1.0, 0.5, 0.0})
+    // cheap leg (top 3 by -total, minMax over {-10,-20,-30} → {1.0, 0.5, 0.0})
+    val rows = agg(orders,
+      """[{"$scoreFusion": {
+            "input": {"pipelines": {
+              "value": [{"$addFields": {"score": "$total"}},
+                        {"$sort": {"score": -1, "id": 1}}, {"$limit": 3}],
+              "cheap": [{"$addFields": {"score": {"$multiply": [-1.0, "$total"]}}},
+                        {"$sort": {"score": -1, "id": 1}}, {"$limit": 3}]},
+              "normalization": "minMaxScaler"},
+            "scoreDetails": true}},
+          {"$project": {"id": 1, "score": 1}}]""")
+    val byId = rows.map(r => r("id") -> r("score")).toMap
+    // doc 3 appears in both legs (norm 0.0 each) → avg 0.0; doc 5 only in
+    // value (1.0); doc 1 only in cheap (1.0); doc 4: value 0.5; doc 2: 0.5
+    assert(byId(5L) == 1.0 && byId(1L) == 1.0)
+    assert(byId(4L) == 0.5 && byId(2L) == 0.5)
+    assert(byId(3L) == 0.0)
+    // sigmoid keeps magnitudes without leg-relative scaling
+    val sig = agg(orders,
+      """[{"$scoreFusion": {
+            "input": {"pipelines": {
+              "value": [{"$addFields": {"score": 0.0}}, {"$sort": {"id": 1}}, {"$limit": 1}]},
+              "normalization": "sigmoid"},
+            "scoreDetails": true}},
+          {"$project": {"id": 1, "score": 1}}]""").head
+    assert(sig("score") == 0.5) // sigmoid(0) = 0.5
+    // a leg without a score column is rejected
+    intercept[graft.model.ValidationError] {
+      agg(orders,
+        """[{"$scoreFusion": {"input": {"pipelines": {
+             "bad": [{"$sort": {"id": 1}}, {"$limit": 2}]}}}}]""")
+    }
+  }
+
   test("standalone per-stage API (reference Aggo.$match/$group/... surface)") {
     assert(Aggo.matchStage(orders, """{"status": "new"}""").count() == 3)
     assert(Aggo.projectStage(orders, """{"id": 1}""").columns.toSeq == Seq("id"))
