@@ -758,6 +758,19 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
 
+    // ---- $documents literal source (Mongo 5.1) ----
+    "q_documents" -> ((spark: SparkSession, dir: String) =>
+      Aggo.aggregate(tbl(spark, dir, "region"),
+        """[
+          {"$documents": [
+            {"k": 1, "grp": "a", "v": 10.5},
+            {"k": 2, "grp": "b", "v": 4.0},
+            {"k": 3, "grp": "a", "v": 2.25},
+            {"k": 4, "grp": "b", "v": 8.0}]},
+          {"$group": {"_id": "$grp", "total": {"$sum": "$v"}, "n": {"$sum": 1}}},
+          {"$sort": {"_id": 1}}
+        ]""")),
+
     // ---- extensions: $rankFusion stage (Mongo 8.0 hybrid-search surface) ----
     // two ranked legs over orders (price-first weighted 2x, oldest-first),
     // fused by weighted RRF; sort keys carry o_orderkey tiebreaks so every
@@ -2020,6 +2033,10 @@ object SparkEntry {
         3 AS channels,
         CAST(16 + (doc_id % 1024) + 32 AS BIGINT) AS size_bytes
       FROM documents""",
+    "q_documents" ->
+      """SELECT grp AS _id, sum(v) AS total, CAST(count(*) AS BIGINT) AS n
+      FROM (VALUES (1, 'a', 10.5), (2, 'b', 4.0), (3, 'a', 2.25), (4, 'b', 8.0)) AS t(k, grp, v)
+      GROUP BY 1 ORDER BY 1""",
     "q_rank_fusion" ->
       """WITH p AS (
         SELECT o_orderkey, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS r

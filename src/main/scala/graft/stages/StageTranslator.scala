@@ -489,6 +489,23 @@ object StageTranslator {
 
     case "$facet" => facet(df, body, ctx)
 
+    // $documents (Mongo 5.1): a literal-document source — replaces the input
+    // with a frame built from the given array. Mongo requires it first in
+    // the pipeline; the same restriction applies here (the incoming frame is
+    // discarded, so anywhere else it would silently drop prior stages).
+    case "$documents" =>
+      if (ctx.stageIdx > 0) throw new graft.model.ValidationError(
+        "$documents must be the first stage in the pipeline")
+      val docs = body match {
+        case JArray(ds) => ds.map(d => org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(d)))
+        case _ => throw GraftException("$documents requires an array of documents")
+      }
+      if (docs.isEmpty) throw GraftException("$documents needs at least one document")
+      val frame = graft.Aggo.fromJSONL(df.sparkSession, docs)
+        .withColumn(SeqCol, monotonically_increasing_id())
+      (frame, ctx.copy(order = None, hasSeq = true))
+
     case "$rankFusion" => rankFusion(df, body, ctx)
 
     case "$scoreFusion" => scoreFusion(df, body, ctx)

@@ -690,6 +690,17 @@ class StageSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("$documents replaces the input with a literal collection, first stage only") {
+    val rows = agg(orders,
+      """[{"$documents": [{"x": 3}, {"x": 1}, {"x": 2}]},
+          {"$limit": 2}, {"$project": {"x": 1}}]""")
+    // encounter order of the literal array survives into $limit
+    assert(rows.map(_("x")) == Seq(3L, 1L))
+    intercept[graft.model.ValidationError] {
+      agg(orders, """[{"$match": {}}, {"$documents": [{"x": 1}]}]""")
+    }
+  }
+
   test("$rankFusion fuses ranked legs with weighted RRF") {
     // doc 4 (total 40) is 2nd by price and 2nd-cheapest; doc 5 (total 50)
     // tops price; doc 1 (total 10) tops cheap
