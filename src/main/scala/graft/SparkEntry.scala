@@ -734,6 +734,12 @@ object SparkEntry {
     "q_dedup_embedding_lsh" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 2, tables = 32)),
+    // SemDeDup at k=1 (the exact global tier): all-pairs cosine components,
+    // smallest id survives. The clustered tier (k>1) is spec-covered.
+    "q_dedup_semantic" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.semDedup(tbl(spark, dir, "embeddings"),
+        "vec_id", "embedding", k = 1, threshold = 0.45)
+        .select(col("vec_id"))),
     // ---- incremental ingestion dedup (new shard vs already-ingested store) ----
     // store = even doc_ids; new shard = odd doc_ids, with every doc_id ≡ 1
     // (mod 14) carrying its even neighbor's text so the exact tier has real
@@ -1808,6 +1814,23 @@ object SparkEntry {
       WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
              * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
+    "q_dedup_semantic" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      half AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45),
+      prs AS (SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half),
+      reach(id, lbl) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN prs p ON p.src = r.id WHERE r.lbl < p.dst)
+      SELECT e2.vec_id
+      FROM embeddings e2
+      JOIN (SELECT id, min(lbl) AS comp FROM reach GROUP BY id) c ON c.id = e2.vec_id
+      WHERE c.comp = e2.vec_id""",
     "q_dedup_minhash" ->
       """WITH sh AS (
         SELECT doc_id,

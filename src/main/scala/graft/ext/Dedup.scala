@@ -580,6 +580,40 @@ object Dedup {
       .distinct()
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public recipe):
+    * semantic dedup over an embedding column. K-means clusters the corpus,
+    * near-duplicate pairs are found only WITHIN each cluster
+    * (cos ≥ threshold), and every connected component keeps its smallest
+    * id (a deterministic stand-in for the paper's keep-one policy).
+    *
+    * The cluster restriction is the scale lever: candidate generation is an
+    * equi-join on the cluster id (expected block size n/k) instead of an
+    * all-pairs comparison, which is how the recipe runs on billion-document
+    * corpora; pairs straddling a cluster boundary are missed by design (the
+    * paper's recall/cost trade). `k = 1` disables the restriction — the
+    * exact global tier the oracle gates. Returns the surviving rows. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               threshold: Double, iterations: Int = 1, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val centroids = Similarity.kmeansTrain(df, idCol, vecCol, k, iterations, seed)
+    val assigned = spill(df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("__cluster", Similarity.kmeansAssign(col("v"), centroids)),
+      "graft-semdedup-assign")
+    val a = assigned.select(col("__cluster"), col("vid").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("__cluster"), col("vid").as("id_b"), col("v").as("v_b"))
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    val pairs = a.join(b, Seq("__cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", call_function(
+        graft.exprs.catalyst.GraftFunctions.CosineName, col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val losers = clusterPairs(pairs)
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------------------
   // Line-level dedup (CCNet-style boilerplate removal)
   // -------------------------------------------------------------------------

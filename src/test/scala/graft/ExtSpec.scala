@@ -399,6 +399,33 @@ class ExtSpec extends AnyFunSuite {
     assert(ivfPqProbed == brute1)
   }
 
+  test("semDedup: k=1 equals global components; clustered tier is a safe subset of drops") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = ids(emb)
+    val global = ids(Dedup.semDedup(emb, "vec_id", "embedding", k = 1, threshold = 0.45))
+    // exactly the non-smallest member of every cosine component is dropped
+    val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+      threshold = 0.45, planes = 0)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs.nonEmpty)
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val componentMins = {
+      // union-find over the pair graph: expected survivors = component minima
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      pairs.foreach { case (x, y) => val (rx, ry) = (find(x), find(y)); if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry) }
+      paired.groupBy(find).values.map(_.min).toSet
+    }
+    assert(all -- global == paired -- componentMins,
+      s"drops ${all -- global} != expected ${paired -- componentMins}")
+    // clustered tier: only within-cluster pairs can drop documents, so its
+    // drop set is a subset of the global one (the paper's recall trade)
+    val clustered = ids(Dedup.semDedup(emb, "vec_id", "embedding", k = 8, threshold = 0.45))
+    assert((all -- clustered).subsetOf(all -- global))
+  }
+
   test("embedding near-dup: bucketed multi-table tier matches the exact all-pairs tier") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def pairs(df: org.apache.spark.sql.DataFrame) =
