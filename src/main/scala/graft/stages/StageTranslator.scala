@@ -966,7 +966,20 @@ object StageTranslator {
           case JInt(i)    => i.toDouble
           case other      => throw GraftException(s"$$percentile p values must be numeric, got $other")
         }}.getOrElse(throw GraftException("$percentile requires p array"))
-        call_function("percentile", in, array(ps.map(lit): _*))
+        // method "approximate" is Mongo's default (t-digest); here it maps
+        // to Spark's percentile_approx sketch — bounded memory at any group
+        // size, the right tier at corpus scale. Our default stays "exact"
+        // (linear-interpolation definition DuckDB's quantile_cont shares) so
+        // the oracle gate is hash-checkable; flip per call when groups are
+        // huge. Mongo 7.0 surface: {input, p, method}.
+        val method = fs.collectFirst { case ("method", JString(m)) => m }.getOrElse("exact")
+        method match {
+          case "exact" => call_function("percentile", in, array(ps.map(lit): _*))
+          case "approximate" =>
+            call_function("percentile_approx", in, array(ps.map(lit): _*), lit(10000))
+          case other => throw new graft.model.ValidationError(
+            s"$$percentile method must be exact|approximate, got $other")
+        }
       // $top/$bottom(/N) (Mongo 5.2 surface; extension): output expression
       // of the first/last document(s) under the accumulator's own sortBy.
       // Bounded heap; desc directions are encoded by numeric/date

@@ -690,6 +690,23 @@ class StageSpec extends AnyFunSuite {
     assert(spark.read.parquet(tgt).collect().map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("$percentile method=approximate uses the bounded-memory sketch") {
+    val rows = agg(orders,
+      """[{"$group": {"_id": null,
+            "ex": {"$percentile": {"input": "$total", "p": [0.5]}},
+            "ap": {"$percentile": {"input": "$total", "p": [0.5], "method": "approximate"}}}}]""").head
+    def arr(x: Any) = x.asInstanceOf[scala.collection.Seq[Double]]
+    // totals 10..50: exact interpolated median 30; the sketch returns an
+    // actual observed value, which for an odd count is the same 30
+    assert(arr(rows("ex")) == Seq(30.0))
+    assert(arr(rows("ap")) == Seq(30.0))
+    intercept[graft.model.ValidationError] {
+      agg(orders,
+        """[{"$group": {"_id": null,
+              "x": {"$percentile": {"input": "$total", "p": [0.5], "method": "discrete"}}}}]""")
+    }
+  }
+
   test("$documents replaces the input with a literal collection, first stage only") {
     val rows = agg(orders,
       """[{"$documents": [{"x": 3}, {"x": 1}, {"x": 2}]},
