@@ -160,6 +160,22 @@ object Multimodal {
     }
   }
 
+  /** Read a directory of real media files through Spark's `binaryFile`
+    * source into the (doc_id, content) shape the decode tier consumes:
+    * one row per file, content as the raw bytes, doc_id a deterministic
+    * hash of the file path (the path itself rides along for lineage).
+    * Parallelism is the file-split count — the same narrow-scan shape every
+    * other tier here assumes. `pathGlobFilter` (e.g. "*.png") prunes at the
+    * listing, not after the read. */
+  def readMediaDir(spark: SparkSession, path: String,
+                   globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(path)
+      .select(xxhash64(col("path")).as("doc_id"), col("path"),
+        col("length").as("size_bytes"), col("content"))
+  }
+
   /** Decode + feature-extract: batched per-partition map (no shuffle). The
     * real-world analogue of `mapInPandas` batches on the JVM side. */
   def decodeAndFeaturize(spark: SparkSession, media: DataFrame,

@@ -771,6 +771,23 @@ class ExtSpec extends AnyFunSuite {
     assert(frames.count() > 1)
   }
 
+  test("multimodal: binaryFile source reads real files into the decode tier") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    def writePng(name: String, w: Int, h: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(s"$dir/$name"))
+    }
+    writePng("a.png", 32, 16)
+    writePng("b.png", 64, 48)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/junk.txt"), "nope".getBytes)
+    val media = Multimodal.readMediaDir(spark, dir, globFilter = Some("*.png"))
+    assert(media.count() == 2) // the glob prunes junk.txt at listing time
+    val decoded = Multimodal.decodeAndFeaturize(spark, media, Multimodal.ImageIoDecoder)
+      .collect().map(d => (d.meta.width, d.meta.height)).toSet
+    assert(decoded == Set((32, 16), (64, 48)))
+  }
+
   test("multimodal: real PNG round-trip through the ImageIO decoder") {
     val ids = spark.range(0, 6).toDF("doc_id")
     val media = Multimodal.syntheticImageMedia(spark, ids, "doc_id").toDF
