@@ -104,7 +104,28 @@ object Aggo {
       s"== Estimates ==\nsizeInBytes: ${st.sizeInBytes}" +
         st.rowCount.map(rc => s", rowCount: $rc").getOrElse("") + "\n\n"
     }.getOrElse("")
-    header + pushdownBlock + estimates + formatted
+    // Exchanges are what a pipeline costs at cluster scale: each shuffle
+    // exchange rewrites the data over the network; broadcasts ship one small
+    // side to every executor. Counted from the pre-AQE physical plan (AQE
+    // may later elide or convert some at runtime).
+    val shuffleBlock = scala.util.Try {
+      // exchanges are inserted by EnsureRequirements, which runs in the
+      // executedPlan preparations (sparkPlan predates them); under AQE the
+      // executed plan is an adaptive shell whose initialPlan holds the
+      // statically-planned exchanges
+      val plan = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+        case p => p
+      }
+      val shuffles = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+      }.size
+      val bcasts = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => e
+      }.size
+      s"== Shuffles ==\nshuffle exchanges: $shuffles, broadcast exchanges: $bcasts\n\n"
+    }.getOrElse("")
+    header + pushdownBlock + shuffleBlock + estimates + formatted
   }
 
   /** The Catalyst operator each pipeline stage lowers to — shown by

@@ -92,6 +92,11 @@ class StageSpec extends AnyFunSuite {
     assert(text.contains("ReadSchema"))
     // per-stage reason codes (reference stage analyses, api-enhancements.ts:135-288)
     assert(text.contains("· declarative Filter — eligible predicates are pushed into the scan"))
+    // scan+filter+project: zero exchanges
+    assert(text.contains("shuffle exchanges: 0, broadcast exchanges: 0"))
+    // a group adds exactly one shuffle exchange
+    val g = Aggo.explain(df, """[{"$group": {"_id": "$v", "n": {"$sum": 1}}}]""")
+    assert(g.contains("shuffle exchanges: 1, broadcast exchanges: 0"))
   }
 
   test("explain() emits per-stage reason codes for plan-shaping decisions") {
