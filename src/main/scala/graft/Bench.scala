@@ -145,6 +145,13 @@ object Bench {
       "pqTopK" -> coldWarm(graft.ext.Similarity.pqTopK(
         emb.filter(col("vec_id") < 100), pqIdx, "vec_id", "embedding",
         k = 10, rerank = 50).count()),
+      "semDedup" -> coldWarm(graft.ext.Dedup.semDedup(
+        emb, "vec_id", "embedding", k = 16, threshold = 0.7).count()),
+      "rankFusion" -> coldWarm(Aggo.aggregate(li,
+        """[{"$rankFusion": {"input": {"pipelines": {
+             "price": [{"$sort": {"l_extendedprice": -1, "l_orderkey": 1, "l_linenumber": 1}}, {"$limit": 100}],
+             "qty":   [{"$sort": {"l_quantity": -1, "l_orderkey": 1, "l_linenumber": 1}}, {"$limit": 100}]}},
+           "scoreDetails": true}}]""").count()),
       "textQuality" -> coldWarm(docs.select(
         graft.ext.TextFunctions.qualityScore(col("text"))).agg(count(lit(1))).first().getLong(0)),
       "gopherRules" -> coldWarm(docs.select(
