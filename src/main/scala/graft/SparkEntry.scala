@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -17,6 +17,23 @@ object SparkEntry {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic messy URL for the canonicalization gates: even ids get an
+    * uppercase scheme/host + userinfo, ports rotate default/non-default on
+    * doc_id%4, tracking params and param order rotate on doc_id%3, every 5th
+    * URL carries a fragment, and the path collides mod 50. */
+  private def synthUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTP://user:pw@WWW.Site")).otherwise(lit("https://www.site")),
+    lit(".example.org"),
+    when(col("doc_id") % 4 === 0, lit(":80"))
+      .when(col("doc_id") % 4 === 1, lit(":443"))
+      .when(col("doc_id") % 4 === 2, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/P/"), (col("doc_id") % 50).cast("string"),
+    when(col("doc_id") % 3 === 0, lit("?utm_source=news&b=2&a=1"))
+      .when(col("doc_id") % 3 === 1, lit("?a=1&b=2&fbclid=xyz"))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
 
   private def run(table: String, pipeline: String, extra: Seq[String] = Nil)(
       spark: SparkSession, dir: String): DataFrame = {
@@ -893,6 +910,66 @@ object SparkEntry {
       filterBlockedDomains(withDomain, "url", Seq("example.com"))
     }),
 
+    // ---- extensions: URL canonicalization + crawl URL dedup ----
+    // Synthesized URLs exercise every canonicalization rule: uppercase
+    // scheme/host, userinfo, default vs non-default ports, tracking params,
+    // out-of-order params, fragments. The path repeats mod 50 so the dedup
+    // tier has real collisions; the oracle derives the canonical form
+    // INDEPENDENTLY (closed-form from doc_id, not by re-running the string
+    // rules), which gates the parser end to end.
+    "q_url_canonical" -> ((spark: SparkSession, dir: String) =>
+      tbl(spark, dir, "documents").select(col("doc_id"), synthUrl.as("url"),
+        graft.ext.TextFunctions.canonicalizeUrl(synthUrl).as("canon"))),
+    "q_url_dedup" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.urlDedup(
+        tbl(spark, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
+        "doc_id", "url")),
+
+    // ---- extensions: n-gram LM perplexity scoring (CCNet quality filter) ----
+    // Trigram stupid-backoff, self-scored (counts from the corpus itself) —
+    // the oracle replays the whole thing in SQL: counts, per-position
+    // backoff chain, per-document mean log10 score.
+    "q_lm_score" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val counts = graft.ext.LanguageModel.ngramCounts(docs, "text", 3)
+      graft.ext.LanguageModel.stupidBackoffScore(docs, "doc_id", "text", counts, 3)
+    }),
+    "q_lm_filter" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val counts = graft.ext.LanguageModel.ngramCounts(docs, "text", 3)
+      graft.ext.LanguageModel.perplexityFilter(docs, "doc_id", "text", counts, 3,
+        maxPpl = 17.5)
+    }),
+
+    // ---- extensions: embedding quantization (int8 / binary / matryoshka) ----
+    "q_emb_int8" -> ((spark: SparkSession, dir: String) => {
+      val q = graft.ext.Similarity.quantizeInt8(col("embedding"))
+      tbl(spark, dir, "embeddings").select(col("vec_id"),
+        q.getField("codes").as("codes"), q.getField("scale").as("scale"))
+    }),
+    "q_emb_int8dot" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id"), graft.ext.Similarity.quantizeInt8(col("embedding")).as("q"))
+      val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"))
+      val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.ext.Similarity.int8Dot(col("qa"), col("qb")).as("dot8"))
+    }),
+    "q_emb_hamming" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), graft.ext.Similarity.binaryQuantize(col("embedding"), 64).as("b"))
+      val a = e.select(col("vec_id").as("id_a"), col("b").as("ba"))
+      val b = e.select(col("vec_id").as("id_b"), col("b").as("bb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .withColumn("ham", graft.ext.Similarity.hammingDistance(col("ba"), col("bb")))
+        .filter(col("ham") <= 22)
+        .select(col("id_a"), col("id_b"), col("ham"))
+    }),
+    "q_emb_matryoshka" -> ((spark: SparkSession, dir: String) =>
+      tbl(spark, dir, "embeddings").select(col("vec_id"),
+        graft.ext.Similarity.matryoshka(col("embedding"), 16).as("mvec"))),
+
     // ---- extensions: HTML strip + Unicode NFC normalization ----
     // The corpus is plain ASCII, so the query manufactures the mess: an HTML
     // wrapper with a script element, escaped entities, and a decomposed
@@ -1334,6 +1411,169 @@ object SparkEntry {
         regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain
       FROM h
       WHERE regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> 'example.com'""",
+    // canonical form derived CLOSED-FORM from doc_id (not by re-running the
+    // string rules) — an independent derivation that gates the parser
+    "q_url_canonical" ->
+      """SELECT doc_id,
+        (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://user:pw@WWW.Site' ELSE 'https://www.site' END)
+          || '.example.org'
+          || (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+                   WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+          || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'
+                   WHEN doc_id % 3 = 1 THEN '?a=1&b=2&fbclid=xyz' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+        (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+          || '://www.site.example.org'
+          || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+          || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+          || (CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END) AS canon
+      FROM documents""",
+    "q_url_dedup" ->
+      """WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://user:pw@WWW.Site' ELSE 'https://www.site' END)
+            || '.example.org'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+                     WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+            || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'
+                     WHEN doc_id % 3 = 1 THEN '?a=1&b=2&fbclid=xyz' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+            || '://www.site.example.org'
+            || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+            || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END) AS canon
+        FROM documents),
+      w AS (SELECT canon, min(doc_id) AS doc_id FROM u GROUP BY 1)
+      SELECT u.doc_id, u.url FROM u JOIN w ON u.doc_id = w.doc_id""",
+    // trigram stupid backoff (alpha=0.4), self-scored: the whole LM —
+    // counts, per-position backoff chain, per-document mean log10 score —
+    // replayed in SQL
+    "q_lm_score" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS t
+        FROM documents),
+      c1 AS (SELECT gram, count(*) AS cnt FROM (SELECT unnest(t) AS gram FROM toks) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c1),
+      c2 AS (SELECT gram, count(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(generate_series(0, len(t)-2),
+          i -> array_to_string(t[i+1:i+2], ' ')) ELSE [] END) AS gram FROM toks) GROUP BY 1),
+      c3 AS (SELECT gram, count(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN len(t) >= 3 THEN list_transform(generate_series(0, len(t)-3),
+          i -> array_to_string(t[i+1:i+3], ' ')) ELSE [] END) AS gram FROM toks) GROUP BY 1),
+      pos AS (SELECT doc_id, len(t) AS nt,
+          t[i+1] AS g1,
+          CASE WHEN i >= 1 THEN array_to_string(t[i:i+1], ' ') END AS g2,
+          CASE WHEN i >= 1 THEN t[i] END AS c2g,
+          CASE WHEN i >= 2 THEN array_to_string(t[i-1:i+1], ' ') END AS g3,
+          CASE WHEN i >= 2 THEN array_to_string(t[i-1:i], ' ') END AS c3g
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-1)) AS i FROM toks)),
+      joined AS (SELECT p.doc_id, p.nt, p.g2, p.g3,
+          k1.cnt AS cg1, k2.cnt AS cg2, kc2.cnt AS cc2, k3.cnt AS cg3, kc3.cnt AS cc3, tt.n AS n
+        FROM pos p
+        LEFT JOIN c1 k1 ON p.g1 = k1.gram
+        LEFT JOIN c2 k2 ON p.g2 = k2.gram
+        LEFT JOIN c1 kc2 ON p.c2g = kc2.gram
+        LEFT JOIN c3 k3 ON p.g3 = k3.gram
+        LEFT JOIN c2 kc3 ON p.c3g = kc3.gram
+        CROSS JOIN tot tt),
+      s1 AS (SELECT doc_id, nt, g2, g3, cg2, cc2, cg3, cc3,
+          CASE WHEN cg1 IS NOT NULL THEN cg1 / n ELSE 0.4 / n END AS s FROM joined),
+      s2 AS (SELECT doc_id, nt, g3, cg3, cc3,
+          CASE WHEN g2 IS NULL THEN s WHEN cg2 IS NOT NULL THEN CAST(cg2 AS DOUBLE) / cc2
+               ELSE 0.4 * s END AS s FROM s1),
+      s3 AS (SELECT doc_id, nt,
+          CASE WHEN g3 IS NULL THEN s WHEN cg3 IS NOT NULL THEN CAST(cg3 AS DOUBLE) / cc3
+               ELSE 0.4 * s END AS s FROM s2),
+      agg AS (SELECT doc_id, max(nt) AS ntok,
+          floor(avg(log10(s)) * 1e6 + 0.5) / 1e6 AS avg_logp FROM s3 GROUP BY 1)
+      SELECT d.doc_id, coalesce(a.ntok, 0) AS n_tokens, a.avg_logp,
+        floor(power(10, -a.avg_logp) * 1e6 + 0.5) / 1e6 AS ppl
+      FROM documents d LEFT JOIN agg a USING (doc_id)""",
+    "q_lm_filter" ->
+      """WITH toks AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS t
+        FROM documents),
+      c1 AS (SELECT gram, count(*) AS cnt FROM (SELECT unnest(t) AS gram FROM toks) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c1),
+      c2 AS (SELECT gram, count(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(generate_series(0, len(t)-2),
+          i -> array_to_string(t[i+1:i+2], ' ')) ELSE [] END) AS gram FROM toks) GROUP BY 1),
+      c3 AS (SELECT gram, count(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN len(t) >= 3 THEN list_transform(generate_series(0, len(t)-3),
+          i -> array_to_string(t[i+1:i+3], ' ')) ELSE [] END) AS gram FROM toks) GROUP BY 1),
+      pos AS (SELECT doc_id, len(t) AS nt,
+          t[i+1] AS g1,
+          CASE WHEN i >= 1 THEN array_to_string(t[i:i+1], ' ') END AS g2,
+          CASE WHEN i >= 1 THEN t[i] END AS c2g,
+          CASE WHEN i >= 2 THEN array_to_string(t[i-1:i+1], ' ') END AS g3,
+          CASE WHEN i >= 2 THEN array_to_string(t[i-1:i], ' ') END AS c3g
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-1)) AS i FROM toks)),
+      joined AS (SELECT p.doc_id, p.nt, p.g2, p.g3,
+          k1.cnt AS cg1, k2.cnt AS cg2, kc2.cnt AS cc2, k3.cnt AS cg3, kc3.cnt AS cc3, tt.n AS n
+        FROM pos p
+        LEFT JOIN c1 k1 ON p.g1 = k1.gram
+        LEFT JOIN c2 k2 ON p.g2 = k2.gram
+        LEFT JOIN c1 kc2 ON p.c2g = kc2.gram
+        LEFT JOIN c3 k3 ON p.g3 = k3.gram
+        LEFT JOIN c2 kc3 ON p.c3g = kc3.gram
+        CROSS JOIN tot tt),
+      s1 AS (SELECT doc_id, nt, g2, g3, cg2, cc2, cg3, cc3,
+          CASE WHEN cg1 IS NOT NULL THEN cg1 / n ELSE 0.4 / n END AS s FROM joined),
+      s2 AS (SELECT doc_id, nt, g3, cg3, cc3,
+          CASE WHEN g2 IS NULL THEN s WHEN cg2 IS NOT NULL THEN CAST(cg2 AS DOUBLE) / cc2
+               ELSE 0.4 * s END AS s FROM s1),
+      s3 AS (SELECT doc_id, nt,
+          CASE WHEN g3 IS NULL THEN s WHEN cg3 IS NOT NULL THEN CAST(cg3 AS DOUBLE) / cc3
+               ELSE 0.4 * s END AS s FROM s2),
+      agg AS (SELECT doc_id,
+          floor(avg(log10(s)) * 1e6 + 0.5) / 1e6 AS avg_logp FROM s3 GROUP BY 1),
+      ppl AS (SELECT doc_id, floor(power(10, -avg_logp) * 1e6 + 0.5) / 1e6 AS ppl FROM agg)
+      SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, p.ppl
+      FROM documents d JOIN ppl p USING (doc_id)
+      WHERE p.ppl <= 17.5""",
+    // int8 quantization: scale = max|x|/127 (1e-30 floor), codes =
+    // round(x/scale) — max and divide are order-independent IEEE ops, so
+    // the doubles compare exactly
+    "q_emb_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      q AS (SELECT vec_id, v,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale FROM e)
+      SELECT vec_id,
+        list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS codes,
+        scale
+      FROM q""",
+    "q_emb_int8dot" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 60),
+      q AS (SELECT vec_id,
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale,
+        list_transform(v, x -> CAST(round(x / (greatest(list_max(list_transform(v, y -> abs(y))), 1e-30) / 127.0)) AS BIGINT)) AS c
+        FROM e)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        a.scale * b.scale * CAST(list_sum(list_transform(generate_series(1, len(a.c)),
+          i -> a.c[i] * b.c[i])) AS DOUBLE) AS dot8
+      FROM q a JOIN q b ON a.vec_id < b.vec_id""",
+    // sign-bit binary quantization packed little-endian into one 64-bit
+    // word; hamming = popcount(xor)
+    "q_emb_hamming" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT vec_id, list_aggregate(list_transform(generate_series(0, 63),
+          i -> CASE WHEN v[i+1] > 0 THEN (CASE WHEN i = 63 THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                 ELSE (CAST(1 AS BIGINT) << i) END) ELSE CAST(0 AS BIGINT) END),
+          'bit_or') AS w FROM e)
+      SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+        CAST(bit_count(xor(a.w, b2.w)) AS BIGINT) AS ham
+      FROM b a JOIN b b2 ON a.vec_id < b2.vec_id
+      WHERE bit_count(xor(a.w, b2.w)) <= 22""",
+    "q_emb_matryoshka" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      p AS (SELECT vec_id, v[1:16] AS pv FROM e),
+      n AS (SELECT vec_id, pv, sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p)
+      SELECT vec_id,
+        CASE WHEN nrm > 0 THEN list_transform(pv, x -> CAST(x / nrm AS FLOAT)) END AS mvec
+      FROM n""",
     // entity decode order matches the engine exactly (&amp; last); chr(769)
     // is the combining acute that nfc_normalize must fold into the e
     "q_normalize" ->

@@ -65,6 +65,48 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q.getField("codes"), c => (c.cast("double") * q.getField("scale")).cast("float"))
 
+  /** Approximate dot product straight off two int8 quantized vectors
+    * (scaleₐ·scale_b·Σ codesₐᵢ·codes_bᵢ) — the integer sum stays in longs,
+    * one multiply at the end. */
+  def int8Dot(qa: Column, qb: Column): Column =
+    qa.getField("scale") * qb.getField("scale") *
+      aggregate(zip_with(qa.getField("codes"), qb.getField("codes"),
+        (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x)
+        .cast("double")
+
+  /** Sign-bit binary quantization: bit `i` of word `i/64` is set when
+    * `v[i] > 0`, packed little-endian into `ceil(dim/64)` longs — a 32×
+    * smaller representation whose Hamming distance approximates angular
+    * distance (Charikar 2002 SimHash bound). `dim` must be the exact vector
+    * length (compile-time word layout; a plan-time constant, like the
+    * hyperplane tier's `dim`). */
+  def binaryQuantize(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val words = (dim + 63) / 64
+    array((0 until words).map { w =>
+      val hi = math.min(dim, (w + 1) * 64)
+      (w * 64 until hi).map { i =>
+        when(element_at(v, i + 1) > 0, lit(1L << (i - w * 64))).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed bit vectors ([[binaryQuantize]]
+    * outputs): popcount of the XOR, summed across words. */
+  def hammingDistance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Matryoshka truncation (Kusupati et al. 2022): keep the first `dim`
+    * components and re-normalize, the standard cheap-tier trick for
+    * MRL-trained embeddings — candidate generation runs on the short
+    * prefix, exact re-rank on the full vector. Null for zero-norm
+    * prefixes. */
+  def matryoshka(v: Column, dim: Int): Column = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    l2Normalize(slice(v, 1, dim))
+  }
+
   /** Deterministic pseudo-random hyperplane components, seeded. */
   private def randUnit(seed: Long, planes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -309,6 +309,65 @@ object TextFunctions {
   def registeredDomain(host: Column): Column =
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 
+  /** Canonical form of a URL for crawl deduplication — the same page
+    * reached through different surface forms should map to one string.
+    * Applied rules (each engine-portable `Column` arithmetic, reproduced by
+    * the oracle):
+    *
+    *  - scheme and host lowercased; userinfo (`user:pw@`) dropped
+    *  - fragment (`#...`) dropped
+    *  - default ports stripped (`:80` for http, `:443` for https)
+    *  - empty path becomes `/`
+    *  - tracking query parameters removed (`utm_*`, `fbclid`, `gclid`,
+    *    `msclkid`, `mc_eid`, `igshid`); survivors sorted lexicographically
+    *    so parameter order is irrelevant; an emptied query drops its `?`
+    *
+    * Path case and percent-encoding are preserved (they can be
+    * significant). Null for strings without a `scheme://host` shape. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = element_at(split(url, "#", 2), 1)
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)", 1))
+    val port = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?[^/:?#]+:([0-9]+)", 1)
+    val path = regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val query = try_element_at(split(noFrag, "\\?", 2), lit(2))
+    val keptParams = array_sort(filter(split(query, "&"), p =>
+      p =!= "" &&
+        !lower(element_at(split(p, "=", 2), 1)).startsWith("utm_") &&
+        !lower(element_at(split(p, "=", 2), 1))
+          .isin("fbclid", "gclid", "msclkid", "mc_eid", "igshid")))
+    val portPart = when(port === "" ||
+      (scheme === "http" && port === "80") ||
+      (scheme === "https" && port === "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val queryPart = when(query.isNull || size(keptParams) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(keptParams, "&")))
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, portPart,
+        when(path === "", "/").otherwise(path), queryPart))
+  }
+
+  /** Crawl URL dedup: one row per [[canonicalizeUrl]] form, the row with
+    * the smallest `idCol` winning (deterministic keep-first). Rows whose
+    * URL does not parse are kept unconditionally (their canonical form is
+    * null, never equal to another's). One hash aggregation keyed on the
+    * canonical string + a self equi-join on the id — no window, no global
+    * sort. */
+  def urlDedup(df: org.apache.spark.sql.DataFrame, idCol: String,
+               urlCol: String): org.apache.spark.sql.DataFrame = {
+    val canon = df.withColumn("__canon", canonicalizeUrl(col(urlCol)))
+    val winners = canon.filter(col("__canon").isNotNull)
+      .groupBy(col("__canon")).agg(min(col(idCol)).as("__keep_id"))
+      .select(col("__keep_id"))
+    canon.filter(col("__canon").isNull)
+      .unionByName(canon.join(winners,
+        col(idCol) === col("__keep_id"), "left_semi"))
+      .drop("__canon")
+  }
+
   /** Drop rows whose URL's registered domain is on `blocked` — blocklist
     * filtering, the first gate of a crawl pipeline. Pure scan-side filter:
     * no shuffle, no join (the blocklist compiles into the predicate; for
