@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import TestSpark._
+import graft.ext._
+
+/** Round-4 extensions: n-gram LM perplexity scoring, URL canonicalization,
+  * embedding quantization. */
+class LmUrlEmbSpec extends AnyFunSuite {
+
+  // --------------------------------------------------------------- LM ----
+
+  private lazy val lmCorpus = fromJsonl(
+    """{"doc_id": 1, "text": "a b a b"}""",
+    """{"doc_id": 2, "text": "a b c"}""")
+
+  test("ngramCounts emits every order with the right counts") {
+    val counts = LanguageModel.ngramCounts(lmCorpus, "text", 2)
+      .collect().map(r => (r.getAs[Int]("order"), r.getAs[String]("gram")) -> r.getAs[Long]("cnt")).toMap
+    assert(counts((1, "a")) == 3L && counts((1, "b")) == 3L && counts((1, "c")) == 1L)
+    assert(counts((2, "a b")) == 3L && counts((2, "b a")) == 1L && counts((2, "b c")) == 1L)
+    assert(counts.keys.count(_._1 == 1) == 3 && counts.keys.count(_._1 == 2) == 3)
+  }
+
+  test("stupidBackoffScore matches a hand computation, with backoff and OOV") {
+    val counts = LanguageModel.ngramCounts(lmCorpus, "text", 2)
+    val doc = fromJsonl("""{"doc_id": 9, "text": "a b x"}""")
+    val row = LanguageModel.stupidBackoffScore(doc, "doc_id", "text", counts, 2)
+      .collect().head
+    // pos0 "a" (no context): 3/7; pos1 "b"|"a": cnt("a b")/cnt("a") = 3/3;
+    // pos2 "x"|"b": "b x" unseen -> 0.4 * unigram(x); x OOV -> 0.4 * (0.4/7)
+    val expected = math.floor(
+      (math.log10(3.0 / 7) + math.log10(1.0) + math.log10(0.16 / 7)) / 3 * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Long]("n_tokens") == 3L)
+    assert(row.getAs[Double]("avg_logp") == expected)
+    val ppl = math.floor(math.pow(10, -expected) * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Double]("ppl") == ppl)
+  }
+
+  test("token-less documents score null with n_tokens 0") {
+    val counts = LanguageModel.ngramCounts(lmCorpus, "text", 2)
+    val doc = fromJsonl("""{"doc_id": 9, "text": ""}""")
+    val row = LanguageModel.stupidBackoffScore(doc, "doc_id", "text", counts, 2)
+      .collect().head
+    assert(row.getAs[Long]("n_tokens") == 0L)
+    assert(row.isNullAt(row.fieldIndex("avg_logp")))
+  }
+
+  test("perplexityFilter keeps in-distribution text, drops gibberish") {
+    val counts = LanguageModel.ngramCounts(lmCorpus, "text", 2)
+    val mixed = fromJsonl(
+      """{"doc_id": 1, "text": "a b a b c"}""",
+      """{"doc_id": 2, "text": "zz qq ww vv"}""")
+    val kept = LanguageModel.perplexityFilter(mixed, "doc_id", "text", counts, 2, maxPpl = 20.0)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L))
+    assert(kept.columns.toSet == Set("doc_id", "text", "ppl"))
+  }
+
+  // -------------------------------------------------------------- URL ----
+
+  private def canon(url: String): Option[String] = {
+    val r = fromJsonl(s"""{"u": "$url"}""")
+      .select(TextFunctions.canonicalizeUrl(col("u")).as("c")).collect().head
+    Option(r.getAs[String]("c"))
+  }
+
+  test("canonicalizeUrl applies every rule") {
+    assert(canon("HTTP://User:pw@WWW.Example.COM:80/Path?utm_source=x&b=2&a=1#f")
+      .contains("http://www.example.com/Path?a=1&b=2"))
+    assert(canon("https://Site.org:443/p").contains("https://site.org/p"))
+    assert(canon("https://site.org:8443/x").contains("https://site.org:8443/x"))
+    assert(canon("https://site.org").contains("https://site.org/"))
+    assert(canon("https://site.org/p?fbclid=z").contains("https://site.org/p"))
+    assert(canon("https://site.org/p?").contains("https://site.org/p"))
+    assert(canon("not a url").isEmpty)
+  }
+
+  test("urlDedup keeps the smallest id per canonical form and all unparseable rows") {
+    val rows = fromJsonl(
+      """{"id": 3, "url": "https://a.org/x?utm_source=1"}""",
+      """{"id": 1, "url": "HTTPS://A.ORG/x"}""",
+      """{"id": 2, "url": "https://b.org/y"}""",
+      """{"id": 4, "url": "garbage"}""")
+    val kept = TextFunctions.urlDedup(rows, "id", "url")
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+    assert(kept.columns.toSet == Set("id", "url"))
+  }
+
+  // -------------------------------------------- embedding quantization ----
+
+  test("binaryQuantize packs sign bits little-endian; hammingDistance counts flips") {
+    val df = fromJsonl("""{"id": 1}""").select(
+      Similarity.binaryQuantize(array(lit(1.0f), lit(-1.0f), lit(2.0f)), 3).as("b1"),
+      Similarity.binaryQuantize(array(lit(1.0f), lit(1.0f), lit(2.0f)), 3).as("b2"))
+    val r = df.select(col("b1"), col("b2"),
+      Similarity.hammingDistance(col("b1"), col("b2")).as("h")).collect().head
+    assert(r.getAs[scala.collection.Seq[Long]]("b1").toList == List(5L))
+    assert(r.getAs[scala.collection.Seq[Long]]("b2").toList == List(7L))
+    assert(r.getAs[Long]("h") == 1L)
+  }
+
+  test("binaryQuantize spans words past 64 dims") {
+    val v = array((0 until 65).map(i => lit(if (i == 64) 1.0f else -1.0f)): _*)
+    val r = fromJsonl("""{"id": 1}""")
+      .select(Similarity.binaryQuantize(v, 65).as("b")).collect().head
+    assert(r.getAs[scala.collection.Seq[Long]]("b").toList == List(0L, 1L))
+  }
+
+  test("matryoshka truncates and re-normalizes") {
+    val r = fromJsonl("""{"id": 1}""")
+      .select(Similarity.matryoshka(array(lit(3.0f), lit(4.0f), lit(100.0f)), 2).as("m"))
+      .collect().head
+    assert(r.getAs[scala.collection.Seq[Float]]("m").toList == List(0.6f, 0.8f))
+  }
+
+  test("int8Dot approximates the exact dot product") {
+    val v = array(lit(1.0f), lit(-0.5f))
+    val df = fromJsonl("""{"id": 1}""")
+      .select(Similarity.quantizeInt8(v).as("q"))
+      .select(Similarity.int8Dot(col("q"), col("q")).as("d"))
+    val d = df.collect().head.getAs[Double]("d")
+    assert(math.abs(d - 1.25) < 0.01)
+  }
+}
