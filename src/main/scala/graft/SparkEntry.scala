@@ -707,6 +707,21 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("quality"),
           col("n_tok"), col("pack_id"), col("pack_offset"))
     }),
+    // the round-4 tiers composed: crawl URL dedup (canonical-form keep-first,
+    // which collapses doc_ids ≡ mod 300) → exact dedup → bigram perplexity
+    // gate (LM trained on the FULL corpus, survivors scored) → quality gate →
+    // PII scrub → greedy packing. Oracle replays the whole composition.
+    "q_corpus_curate_v2" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .withColumn("url", synthUrl)
+      val counts = graft.ext.LanguageModel.ngramCounts(d, "text", 2)
+      graft.ext.Corpus.curate(d, "doc_id", "text", Seq("lang"),
+          graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 512L,
+            urlCol = Some("url")),
+          lm = Some((counts, 2, 30.0)))
+        .select(col("doc_id"), col("lang"), col("ppl"), col("quality"),
+          col("n_tok"), col("pack_id"), col("pack_offset"))
+    }),
     // weighted mix: keep all German, 30% English, 15% French, 5% of the rest
     "q_corpus_mix" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.mix(
@@ -1987,6 +2002,85 @@ object SparkEntry {
           CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
         FROM toks2 t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
       SELECT doc_id, lang, quality, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
+    "q_corpus_curate_v2" ->
+      """WITH RECURSIVE u AS (
+        SELECT doc_id, text, lang,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+            || '://www.site.example.org'
+            || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+            || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END) AS canon
+        FROM documents),
+      w AS (SELECT canon, min(doc_id) AS keep FROM u GROUP BY 1),
+      urld AS (SELECT u.doc_id, u.text, u.lang FROM u JOIN w ON u.doc_id = w.keep),
+      survivors AS (
+        SELECT doc_id, text, lang FROM (
+          SELECT doc_id, text, lang,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM urld) WHERE rn = 1),
+      toksall AS (
+        SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS t
+        FROM documents),
+      c1 AS (SELECT gram, count(*) AS cnt FROM (SELECT unnest(t) AS gram FROM toksall) GROUP BY 1),
+      tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c1),
+      c2 AS (SELECT gram, count(*) AS cnt FROM (
+        SELECT unnest(CASE WHEN len(t) >= 2 THEN list_transform(generate_series(0, len(t)-2),
+          i -> array_to_string(t[i+1:i+2], ' ')) ELSE [] END) AS gram FROM toksall) GROUP BY 1),
+      tokss AS (
+        SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS t
+        FROM survivors),
+      pos AS (SELECT doc_id, t[i+1] AS g1,
+          CASE WHEN i >= 1 THEN array_to_string(t[i:i+1], ' ') END AS g2,
+          CASE WHEN i >= 1 THEN t[i] END AS c2g
+        FROM (SELECT doc_id, t, unnest(generate_series(0, len(t)-1)) AS i FROM tokss)),
+      joined AS (SELECT p.doc_id, p.g2, k1.cnt AS cg1, k2.cnt AS cg2, kc2.cnt AS cc2, tt.n AS n
+        FROM pos p
+        LEFT JOIN c1 k1 ON p.g1 = k1.gram
+        LEFT JOIN c2 k2 ON p.g2 = k2.gram
+        LEFT JOIN c1 kc2 ON p.c2g = kc2.gram
+        CROSS JOIN tot tt),
+      sa AS (SELECT doc_id, g2, cg2, cc2,
+          CASE WHEN cg1 IS NOT NULL THEN cg1 / n ELSE 0.4 / n END AS s FROM joined),
+      sb AS (SELECT doc_id,
+          CASE WHEN g2 IS NULL THEN s WHEN cg2 IS NOT NULL THEN CAST(cg2 AS DOUBLE) / cc2
+               ELSE 0.4 * s END AS s FROM sa),
+      lmagg AS (SELECT doc_id, floor(avg(log10(s)) * 1e6 + 0.5) / 1e6 AS avg_logp FROM sb GROUP BY 1),
+      lmkept AS (SELECT sv.doc_id, sv.text, sv.lang,
+          floor(power(10, -a.avg_logp) * 1e6 + 0.5) / 1e6 AS ppl
+        FROM survivors sv JOIN lmagg a USING (doc_id)
+        WHERE floor(power(10, -a.avg_logp) * 1e6 + 0.5) / 1e6 <= 30.0),
+      scored AS (
+        SELECT doc_id, lang, ppl,
+          least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2 AS quality,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+            '\+[0-9]{7,15}\b', '<PHONE>', 'g'),
+            '\b[0-9]{13,19}\b', '<NUMBER>', 'g') AS clean
+        FROM (SELECT doc_id, lang, ppl, text,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM lmkept)),
+      kept AS (
+        SELECT doc_id, lang, ppl, quality,
+          len(list_filter(regexp_split_to_array(lower(clean), '\W+'), t -> length(t) > 0)) AS n_tok
+        FROM scored WHERE quality > 0.6),
+      toks2 AS (
+        SELECT doc_id, lang, ppl, quality, n_tok,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn FROM kept),
+      state AS (
+        SELECT lang, rn, doc_id, ppl, quality, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_offset,
+               CAST(n_tok AS BIGINT) AS fill
+        FROM toks2 WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, t.ppl, t.quality, CAST(t.n_tok AS BIGINT),
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN s.pack_id + 1 ELSE s.pack_id END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(0 AS BIGINT) ELSE s.fill END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
+        FROM toks2 t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
+      SELECT doc_id, lang, ppl, quality, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
     // thresholds are round(f * 2^32) in lowercase hex, the mix() recipe
     "q_corpus_mix" ->
       """WITH k AS (

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end training-corpus curation: the composition the individual
   * `ext` primitives exist for, packaged as one declarative recipe —
   *
-  *   (HTML strip + NFC normalize) → (line-level boilerplate dedup) →
-  *   exact dedup → (MinHash near-dedup) → (benchmark decontamination) →
+  *   (crawl URL dedup) → (HTML strip + NFC normalize) →
+  *   (line-level boilerplate dedup) → exact dedup → (MinHash near-dedup) →
+  *   (benchmark decontamination) → (LM perplexity filter) →
   *   quality filter → PII scrub → token accounting →
   *   shard-local greedy context-window packing.
   *
@@ -42,7 +43,11 @@ object Corpus {
     *                    (only used when `eval` is passed to [[curate]])
     * @param gopherRules when true, additionally require every
     *                    [[TextFunctions.gopherPass]] rule (the published
-    *                    Gopher §A1.1 heuristics) in the quality gate */
+    *                    Gopher §A1.1 heuristics) in the quality gate
+    * @param urlCol when set, crawl-dedup FIRST on
+    *                    [[TextFunctions.canonicalizeUrl]] of this column
+    *                    (keep-first by id) — the cheapest tier, it runs on
+    *                    metadata before any content is touched */
   final case class CurateConfig(minQuality: Double = 0.6,
                                 maxLineRepetition: Double = 1.0,
                                 budget: Long = 2048L,
@@ -50,7 +55,8 @@ object Corpus {
                                 normalize: Boolean = false,
                                 lineDedupMaxCount: Option[Long] = None,
                                 decontamN: Int = 13,
-                                gopherRules: Boolean = false)
+                                gopherRules: Boolean = false,
+                                urlCol: Option[String] = None)
 
   /** Curate `docs` into packed training shards. Output keeps the input
     * columns (with `textCol` normalized/line-deduped/scrubbed in place)
@@ -61,15 +67,26 @@ object Corpus {
     *
     * @param eval held-out benchmark frame and its text column; when given,
     *             documents sharing any `decontamN`-gram with it are dropped
-    *             ([[Decontamination.removeContaminated]]) */
+    *             ([[Decontamination.removeContaminated]])
+    * @param lm reference language model as `(counts, order, maxPpl)` —
+    *           a [[LanguageModel.ngramCounts]] frame (CCNet trains it on a
+    *           high-quality corpus, so it broadcast-joins), the n-gram
+    *           order, and the perplexity ceiling. When given, documents
+    *           scoring above `maxPpl` under stupid backoff are dropped in
+    *           the quality gate and the output gains a `ppl` column. */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              shardCols: Seq[String], cfg: CurateConfig = CurateConfig(),
-             eval: Option[(DataFrame, String)] = None): DataFrame = {
+             eval: Option[(DataFrame, String)] = None,
+             lm: Option[(DataFrame, Int, Double)] = None): DataFrame = {
+    val urlDeduped = cfg.urlCol match {
+      case Some(u) => TextFunctions.urlDedup(docs, idCol, u)
+      case None    => docs
+    }
     val normalized =
       if (cfg.normalize)
-        docs.withColumn(textCol,
+        urlDeduped.withColumn(textCol,
           TextFunctions.normalizeNfc(TextFunctions.stripHtml(col(textCol))))
-      else docs
+      else urlDeduped
     val lineDeduped = cfg.lineDedupMaxCount match {
       case Some(k) =>
         val clean = Dedup.lineDedup(normalized, idCol, textCol, k)
@@ -87,7 +104,13 @@ object Corpus {
         Decontamination.removeContaminated(deduped, idCol, textCol, ev, evCol, cfg.decontamN)
       case None => deduped
     }
-    val scored = decontaminated
+    val lmFiltered = lm match {
+      case Some((counts, order, maxPpl)) =>
+        LanguageModel.perplexityFilter(decontaminated, idCol, textCol,
+          counts, order, maxPpl)
+      case None => decontaminated
+    }
+    val scored = lmFiltered
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))
