@@ -124,7 +124,24 @@ object Bench {
     def coldWarm(f: => Long): (Double, Double) = (once(f), once(f))
     var ivfIdx: graft.ext.Similarity.IvfIndex = null
     var pqIdx: graft.ext.Similarity.PqIndex = null
+    var lmCounts: DataFrame = null
     val extrasCW = Seq(
+      // train cost separated from score cost, same split as ivf/pq: the
+      // CCNet shape trains the LM once on a reference corpus and pays only
+      // the (broadcast-joined) scoring scan per batch
+      "lmTrain" -> coldWarm {
+        if (lmCounts != null) lmCounts.unpersist()
+        lmCounts = graft.ext.LanguageModel.ngramCounts(docs, "text", 3).persist()
+        lmCounts.count()
+      },
+      "lmScore" -> coldWarm(graft.ext.LanguageModel.stupidBackoffScore(
+        docs, "doc_id", "text", lmCounts, 3).count()),
+      "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(
+        docs.select(col("doc_id"),
+          concat(lit("https://Host"), (col("doc_id") % 1000).cast("string"),
+            lit(".example.org/p/"), (col("doc_id") % 5000).cast("string"),
+            lit("?utm_source=x&a=1")).as("url")),
+        "doc_id", "url").count()),
       "minhashDedup" -> coldWarm(graft.ext.Dedup.minhashLshPairs(docs, "doc_id", "text").count()),
       "annTopK" -> coldWarm(graft.ext.Similarity.lshTopK(
         emb.filter(col("vec_id") < 100), emb, "vec_id", "embedding", k = 10).count()),

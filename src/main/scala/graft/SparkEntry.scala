@@ -727,6 +727,22 @@ object SparkEntry {
       graft.ext.Sampling.mix(
         tbl(spark, dir, "documents").select("doc_id", "lang", "source"),
         "lang", Map("en" -> 0.3, "de" -> 1.0, "fr" -> 0.15), default = 0.05)),
+    // temperature-rescaled mixing at T=2 (flatten toward uniform): the
+    // corpus's natural strata are uniform, so the query plants a 60/30/10
+    // skew; T=2 must keep all of `small` and downsample `big` hardest
+    "q_temperature_mix" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.temperatureMix(
+        tbl(spark, dir, "documents").withColumn("bucket",
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small")),
+        "bucket", temperature = 2.0)),
+    // deterministic training order: seeded-hash shard + in-shard position,
+    // reproducible on any partitioning/engine
+    "q_training_order" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.trainingOrder(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", shards = 8, seed = "r4")),
     "q_sample_stratified" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Sampling.stratified(
         tbl(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
@@ -1024,6 +1040,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 37 === 0), "text", n = 4)
     }),
+    // bloom tier: the filter's bit pattern is a Spark implementation
+    // detail, so no cross-engine oracle — rows-only driver check; the
+    // bloom-vs-exact agreement is spec-gated (ExtSpec)
+    "q_decontam_bloom" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.flagContaminatedBloom(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text", n = 4,
+        expectedGrams = 100000L, fpp = 0.001)
+    }),
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
@@ -1156,6 +1182,17 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           col("meta.channels").as("channels"))
+    }),
+    // same trick for audio: synthesize real RIFF/WAVE payloads (rate/
+    // channels/frames derived from the id), decode with the JDK sound API,
+    // oracle predicts the round-tripped header closed-form
+    "q_multimodal_audio" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val media = graft.ext.Multimodal.syntheticWavMedia(spark, docs, "doc_id").toDF
+      graft.ext.Multimodal.decodeAndFeaturizeAudio(spark, media)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.sampleRate").as("sample_rate"),
+          col("meta.channels").as("channels"), col("meta.frames").as("frames"))
     })
   )
 
@@ -2096,6 +2133,36 @@ object SparkEntry {
         WHEN 'en' THEN h < '4ccccccd'
         WHEN 'fr' THEN h < '26666666'
         ELSE h < '0ccccccd' END""",
+    "q_temperature_mix" ->
+      """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+          CASE WHEN doc_id % 10 < 6 THEN 'big'
+               WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS bucket
+        FROM documents),
+      c AS (SELECT bucket, count(*) AS n FROM d GROUP BY 1),
+      f AS (SELECT bucket, least(1.0, power(n, -0.5) / (SELECT max(power(n, -0.5)) FROM c)) AS f FROM c),
+      t AS (SELECT bucket, f,
+          printf('%08x', CAST(greatest(1, floor(f * 4294967296.0 + 0.5)) AS BIGINT)) AS th
+        FROM f),
+      k AS (SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars, d.bucket, t.th, t.f
+        FROM d JOIN t USING (bucket))
+      SELECT doc_id, text, lang, source, n_chars, bucket FROM k
+      WHERE f >= 1.0 OR substring(md5(concat_ws(chr(1),
+        coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+        coalesce(CAST(text AS VARCHAR), chr(2)),
+        coalesce(CAST(lang AS VARCHAR), chr(2)),
+        coalesce(CAST(source AS VARCHAR), chr(2)),
+        coalesce(CAST(n_chars AS VARCHAR), chr(2)),
+        coalesce(CAST(bucket AS VARCHAR), chr(2)))), 1, 8) < th""",
+    "q_training_order" ->
+      """WITH h AS (SELECT doc_id, lang, source,
+          md5(concat_ws(chr(1), 'r4', coalesce(CAST(doc_id AS VARCHAR), chr(2)))) AS hh
+        FROM documents),
+      s AS (SELECT doc_id, lang, source, hh,
+          CAST(concat('0x', substring(hh, 1, 8)) AS BIGINT) % 8 AS shard FROM h)
+      SELECT doc_id, lang, source,
+        CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) - 1 AS pos,
+        shard
+      FROM s""",
     "q_sample_stratified" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM (
         SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -2440,6 +2507,13 @@ object SparkEntry {
         CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
         CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
         3 AS channels
+      FROM documents""",
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        'wave' AS format,
+        CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+        CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
+        CAST(256 + (doc_id % 512) AS BIGINT) AS frames
       FROM documents"""
   )
 }

@@ -60,4 +60,43 @@ object Decontamination {
       .filter(col("contaminated")).select(col(idCol))
     docs.join(flags, Seq(idCol), "left_anti")
   }
+
+  /** Bloom-filter variant of [[flagContaminated]] for eval sets whose
+    * distinct-gram table is too big to broadcast exactly: the grams are
+    * folded into a Bloom filter (`expectedGrams` capacity, `fpp` false-
+    * positive rate — ~12 MB for 10M grams at 1%, a 10-50× smaller broadcast
+    * than the exact string set) and the corpus probes it per gram.
+    *
+    * False positives flag a small fraction of CLEAN documents as
+    * contaminated — the conservative direction for decontamination (you
+    * drop slightly more than needed, never keep a contaminated doc that
+    * the exact tier would drop). The filter build is deterministic for a
+    * given input, but the bit pattern is Spark's implementation detail, so
+    * this tier is gated by spec + a rows-only driver check rather than a
+    * cross-engine oracle.
+    *
+    * Plan shape: the eval side reduces to one driver-bounded Bloom filter
+    * (same bounded-materialization class as the ANN centroids); the corpus
+    * side stays one scan + explode + hash aggregate keyed on the document
+    * id. The probe is a broadcast-local bit test per gram — no join at
+    * all, where the exact tier pays a broadcast hash join. */
+  def flagContaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+                            eval: DataFrame, evalTextCol: String,
+                            n: Int = 13, minHits: Int = 1,
+                            expectedGrams: Long = 10000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val shingle = Kernels.wordShinglesKernel(n)
+    val bf = eval.select(explode(shingle(col(evalTextCol))).as("__g"))
+      .stat.bloomFilter("__g", expectedGrams, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val hit = org.apache.spark.sql.functions.udf(
+      (g: String) => g != null && bfB.value.mightContainString(g))
+    docs.select(col(idCol), explode(shingle(col(textCol))).as("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(hit(col("__g")), 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+  }
 }

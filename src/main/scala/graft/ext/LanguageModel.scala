@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions._
   *    on the gram — still no cross product anywhere.
   *  - Per-document reduction is a single hash aggregate keyed on the
   *    document id.
+  *  - The counts frame is referenced once per (order, context) key — five
+  *    times at n=3 — and Spark re-executes its aggregation per reference.
+  *    Materialize it (`.persist()`, or write it out: it IS the trained
+  *    model) before scoring; the bench does exactly that.
   *
   * Tokenization is [[TextFunctions.tokens]] (lowercase, split on `\W+`) so
   * scores line up with the rest of the text stack and with the DuckDB

@@ -160,6 +160,103 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- audio ----
+
+  case class AudioMeta(format: String, sampleRate: Int, channels: Int,
+                       frames: Long, sizeBytes: Long)
+  case class DecodedAudioRow(doc_id: Long, meta: AudioMeta, features: Array[Float])
+
+  /** Audio twin of [[MediaDecoder]]: bytes in, typed audio metadata + a
+    * fixed-width feature vector out. */
+  trait AudioDecoder extends Serializable {
+    def decode(payload: Array[Byte]): AudioMeta
+    def features(payload: Array[Byte], n: Int = 8): Array[Float]
+  }
+
+  /** REAL audio decode on the JDK's `javax.sound.sampled` (WAV/AIFF/AU —
+    * headless, no native deps). Metadata comes from the parsed header;
+    * features are per-window RMS amplitudes over `n` equal windows of the
+    * 16-bit PCM stream — a deterministic, duration-independent loudness
+    * envelope. */
+  object WavDecoder extends AudioDecoder {
+    override def decode(payload: Array[Byte]): AudioMeta = {
+      val bis = new java.io.ByteArrayInputStream(payload)
+      val fileFmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(bis)
+      val fmt = fileFmt.getFormat
+      AudioMeta(fileFmt.getType.toString.toLowerCase,
+        fmt.getSampleRate.toInt, fmt.getChannels,
+        fileFmt.getFrameLength.toLong, payload.length.toLong)
+    }
+
+    override def features(payload: Array[Byte], n: Int = 8): Array[Float] = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16, "WavDecoder features expect 16-bit PCM")
+        val bytes = ais.readAllBytes()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nSamples = bytes.length / 2
+        val out = new Array[Float](n)
+        val counts = new Array[Int](n)
+        var i = 0
+        while (i < nSamples) {
+          val w = math.min(n - 1, i * n / math.max(1, nSamples))
+          val s = bb.getShort(i * 2) / 32768.0f
+          out(w) += s * s
+          counts(w) += 1
+          i += 1
+        }
+        var j = 0
+        while (j < n) {
+          out(j) = math.sqrt(out(j) / math.max(1, counts(j))).toFloat; j += 1
+        }
+        out
+      } finally ais.close()
+    }
+  }
+
+  /** Synthesize REAL RIFF/WAVE payloads (16-bit PCM, deterministic
+    * pseudo-noise, rate/channels/length derived from the id) — real bytes
+    * for the [[WavDecoder]] path with no media files on disk. */
+  def syntheticWavMedia(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val rate = 8000 + (id % 4).toInt * 4000
+      val channels = 1 + (id % 2).toInt
+      val frames = 256 + (id % 512).toInt
+      val pcm = new Array[Byte](frames * channels * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var i = 0
+      while (i < frames * channels) {
+        bb.putShort(i * 2, (((id * 31 + i * 7) % 251 - 125) * 200).toShort)
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      MediaRow(id, bos.toByteArray)
+    }
+  }
+
+  /** Audio decode + feature-extract: same batched per-partition map shape
+    * as [[decodeAndFeaturize]] (no shuffle). */
+  def decodeAndFeaturizeAudio(spark: SparkSession, media: DataFrame,
+                              decoder: AudioDecoder = WavDecoder): Dataset[DecodedAudioRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          DecodedAudioRow(r.doc_id, decoder.decode(r.content), decoder.features(r.content))
+        }
+      }
+  }
+
   /** Read a directory of real media files through Spark's `binaryFile`
     * source into the (doc_id, content) shape the decode tier consumes:
     * one row per file, content as the raw bytes, doc_id a deterministic

@@ -55,6 +55,62 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Temperature-rescaled source mixing (the multilingual sampling recipe
+    * of Conneau & Lample 2019 / mT5): target share `q_s ∝ p_s^(1/T)` where
+    * `p_s` is stratum `s`'s natural share. `T > 1` flattens the mix toward
+    * uniform (upweights rare sources), `T < 1` sharpens it, `T = 1` keeps
+    * everything. Realized by pure downsampling: keep fraction
+    * `f_s = n_s^(1/T-1) / max_s' n_s'^(1/T-1)`, which hits the target
+    * ratios exactly while the most-upweighted stratum keeps 100% (no
+    * upsampling, maximal retained data).
+    *
+    * Cost: one aggregate over the strata column — its result is
+    * strata-bounded, the same bounded driver materialization class as the
+    * ANN centroids — then the same scan-side md5-threshold filter as
+    * [[mix]]. Rows with a null stratum are dropped (no natural share). */
+  def temperatureMix(df: DataFrame, strataCol: String,
+                     temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val e = 1.0 / temperature - 1.0
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df.filter(lit(false))
+    else {
+      val wMax = counts.values.map(n => math.pow(n.toDouble, e)).max
+      val fractions = counts.map { case (s, n) =>
+        s -> math.min(1.0, math.pow(n.toDouble, e) / wMax)
+      }
+      mix(df.filter(col(strataCol).isNotNull), strataCol, fractions)
+    }
+  }
+
+  /** Deterministic global shuffle for training-data ordering: every row
+    * gets a `shard` (seeded-hash mod `shards`) and a 0-based `pos` within
+    * its shard (seeded-hash order, id tiebreak). Same (seed, id) ⇒ same
+    * (shard, pos) on any cluster, any partitioning, any engine — the
+    * property a resumable training run needs from its data order.
+    *
+    * Plan shape: one hash exchange on the shard id + a per-shard window
+    * sort. No global sort, no driver state; each window partition is
+    * `1/shards` of the corpus — pick `shards` ≥ the downstream file/worker
+    * count (thousands at 100 TB) and the sort stays partition-local. */
+  def trainingOrder(df: DataFrame, idCol: String, shards: Int,
+                    seed: String = ""): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = md5(concat_ws("\u0001", lit(seed),
+      coalesce(col(idCol).cast("string"), lit("\u0002"))))
+    val w = Window.partitionBy(col("__graft_shard"))
+      .orderBy(col("__graft_h"), col(idCol))
+    df.withColumn("__graft_h", h)
+      .withColumn("__graft_shard",
+        conv(substring(col("__graft_h"), 1, 8), 16, 10).cast("long") % shards)
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .withColumn("shard", col("__graft_shard"))
+      .drop("__graft_h", "__graft_shard")
+  }
+
   /** Keep ~`fraction` of rows deterministically: a pure filter comparing
     * the first 8 hex digits of the row hash against a threshold — no
     * shuffle, no state, scales to any size, and the kept set is stable

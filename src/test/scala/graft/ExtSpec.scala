@@ -810,6 +810,30 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real WAV round-trip through the JDK sound decoder") {
+    val ids = spark.range(0, 6).toDF("doc_id")
+    val media = Multimodal.syntheticWavMedia(spark, ids, "doc_id").toDF
+    val decoded = Multimodal.decodeAndFeaturizeAudio(spark, media).collect()
+    assert(decoded.length == 6)
+    decoded.foreach { d =>
+      assert(d.meta.format == "wave", s"doc ${d.doc_id}: ${d.meta.format}")
+      assert(d.meta.sampleRate == 8000 + (d.doc_id % 4) * 4000)
+      assert(d.meta.channels == 1 + (d.doc_id % 2))
+      assert(d.meta.frames == 256 + (d.doc_id % 512))
+      // pseudo-noise PCM ⇒ every RMS window is strictly positive
+      assert(d.features.length == 8 && d.features.forall(_ > 0f))
+    }
+    // deterministic: same ids ⇒ bit-identical features
+    val again = Multimodal.decodeAndFeaturizeAudio(spark, media).collect()
+    assert(decoded.sortBy(_.doc_id).map(_.features.toSeq).toSeq ==
+      again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
+    // the decoder refuses non-audio bytes
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeAndFeaturizeAudio(spark,
+        Multimodal.syntheticMedia(spark, ids, "doc_id").toDF).collect()
+    }
+  }
+
   test("salted join equals plain join; key profile finds hot keys") {
     import spark.implicits._
     val fact = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).zipWithIndex
@@ -954,6 +978,28 @@ class ExtSpec extends AnyFunSuite {
     val physical = Decontamination.flagContaminated(corpus, "doc_id", "text", eval, "q", n = 5)
       .queryExecution.executedPlan.toString
     assert(physical.contains("BroadcastHashJoin"))
+  }
+
+  test("decontamination: bloom tier agrees with the exact tier (modulo FPs)") {
+    val eval = fromJsonl(
+      """{"q": "what is the capital of france"}""")
+    val corpus = fromJsonl(
+      """{"doc_id": 1, "text": "Quiz answers: what is the capital of France? Paris of course."}""",
+      """{"doc_id": 2, "text": "everyone knows paris is the capital of france indeed"}""",
+      """{"doc_id": 3, "text": "totally unrelated text about spark query planning internals"}""",
+      """{"doc_id": 4, "text": "short doc"}""")
+    val flags = Decontamination.flagContaminatedBloom(corpus, "doc_id", "text",
+      eval, "q", n = 5, expectedGrams = 1000L, fpp = 0.001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    // every exact-tier hit MUST be a bloom hit (no false negatives); at
+    // fpp=0.1% over a handful of grams the clean docs stay clean too
+    assert(flags(1L) && flags(2L))
+    assert(!flags(3L) && !flags(4L))
+    // no join in the plan at all — the probe is a broadcast-local bit test
+    val physical = Decontamination.flagContaminatedBloom(corpus, "doc_id", "text",
+      eval, "q", n = 5, expectedGrams = 1000L, fpp = 0.001)
+      .queryExecution.executedPlan.toString
+    assert(!physical.contains("Join"))
   }
 
   test("as-of join: backward picks latest at-or-before, left-outer keeps unmatched") {

@@ -116,6 +116,39 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Float]]("m").toList == List(0.6f, 0.8f))
   }
 
+  // ------------------------------------------------ sampling additions ----
+
+  test("temperatureMix keeps all of the rarest stratum and downsamples the rest") {
+    val rows = (1 to 90).map(i => s"""{"id": $i, "s": "big"}""") ++
+      (91 to 100).map(i => s"""{"id": $i, "s": "rare"}""")
+    val df = fromJsonl(rows: _*)
+    val kept = Sampling.temperatureMix(df, "s", temperature = 2.0)
+      .collect().map(r => r.getAs[String]("s"))
+    val (big, rare) = (kept.count(_ == "big"), kept.count(_ == "rare"))
+    assert(rare == 10)                    // most-upweighted stratum keeps 100%
+    // big keeps ~ (10/90)^0.5 = 1/3 of its 90 rows (hash-exact, so just
+    // bound it away from both extremes)
+    assert(big > 10 && big < 60, s"big kept $big")
+    // T=1 is the identity mix
+    assert(Sampling.temperatureMix(df, "s", temperature = 1.0).count() == 100)
+  }
+
+  test("trainingOrder is deterministic with contiguous per-shard positions") {
+    val df = fromJsonl((1 to 40).map(i => s"""{"id": $i}"""): _*)
+    val a = Sampling.trainingOrder(df, "id", shards = 4, seed = "s1")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    val b = Sampling.trainingOrder(df.repartition(7), "id", shards = 4, seed = "s1")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // partitioning-invariant
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // a different seed produces a different order
+    val c = Sampling.trainingOrder(df, "id", shards = 4, seed = "s2")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard"), r.getAs[Long]("pos")))
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
+
   test("int8Dot approximates the exact dot product") {
     val v = array(lit(1.0f), lit(-0.5f))
     val df = fromJsonl("""{"id": 1}""")
