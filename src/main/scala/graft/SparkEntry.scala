@@ -727,6 +727,11 @@ object SparkEntry {
       graft.ext.Sampling.mix(
         tbl(spark, dir, "documents").select("doc_id", "lang", "source"),
         "lang", Map("en" -> 0.3, "de" -> 1.0, "fr" -> 0.15), default = 0.05)),
+    // per-stratum curation dashboard: volumes, exact-dup rate, quality and
+    // length means
+    "q_corpus_stats" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Corpus.stats(tbl(spark, dir, "documents"), "text",
+        Seq("lang", "source"))),
     // temperature-rescaled mixing at T=2 (flatten toward uniform): the
     // corpus's natural strata are uniform, so the query plants a 60/30/10
     // skew; T=2 must keep all of `small` and downsample `big` hardest
@@ -2133,6 +2138,27 @@ object SparkEntry {
         WHEN 'en' THEN h < '4ccccccd'
         WHEN 'fr' THEN h < '26666666'
         ELSE h < '0ccccccd' END""",
+    "q_corpus_stats" ->
+      """WITH t AS (SELECT lang, source, text,
+          list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      per AS (SELECT lang, source, text, len(toks) AS nt,
+          least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2 AS q
+        FROM t),
+      base AS (SELECT lang, source, count(*) AS n_docs,
+          CAST(sum(nt) AS BIGINT) AS n_tokens,
+          CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          avg(q) AS mq, avg(CAST(nt AS DOUBLE)) AS mt
+        FROM per GROUP BY 1, 2),
+      d AS (SELECT lang, source, count(*) AS n_distinct_texts FROM
+          (SELECT DISTINCT lang, source, md5(text) AS h FROM documents) GROUP BY 1, 2)
+      SELECT b.lang, b.source, n_docs, n_tokens, n_chars, n_distinct_texts,
+        floor((1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs) * 1e6 + 0.5) / 1e6 AS dup_ratio,
+        floor(mq * 1e6 + 0.5) / 1e6 AS mean_quality,
+        floor(mt * 1e6 + 0.5) / 1e6 AS mean_tokens
+      FROM base b JOIN d USING (lang, source)""",
     "q_temperature_mix" ->
       """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
           CASE WHEN doc_id % 10 < 6 THEN 'big'

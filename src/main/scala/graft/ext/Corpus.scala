@@ -122,4 +122,38 @@ object Corpus {
       .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
     Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget)
   }
+
+  /** Per-stratum corpus report — the dashboard numbers a curation run is
+    * judged by: document/token/char volumes, exact-duplicate rate, quality
+    * and length distribution. One hash aggregation keyed on the strata
+    * (plus one md5-keyed distinct for the dup rate) — scales like any
+    * other groupBy; no windows, no driver state.
+    *
+    * @return one row per stratum: `n_docs`, `n_tokens`, `n_chars`,
+    *         `n_distinct_texts` (md5-exact), `dup_ratio`
+    *         (`1 - distinct/docs`, 1e-6-quantized), `mean_quality`
+    *         (1e-6-quantized [[TextFunctions.qualityScore]]),
+    *         `mean_tokens` (1e-6-quantized). */
+  def stats(docs: DataFrame, textCol: String, strataCols: Seq[String]): DataFrame = {
+    require(strataCols.nonEmpty, "stats needs at least one strata column")
+    val sc = strataCols.map(col)
+    val toks = TextFunctions.tokens(col(textCol))
+    val perDoc = docs.select(sc :+ col(textCol) :+ size(toks).cast("long").as("__nt")
+      :+ TextFunctions.qualityScore(col(textCol)).as("__q"): _*)
+    val base = perDoc.groupBy(sc: _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__nt")).as("n_tokens"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      avg(col("__q")).as("__mq"),
+      avg(col("__nt")).as("__mt"))
+    val distincts = docs.select(sc :+ md5(col(textCol)).as("__h"): _*)
+      .distinct()
+      .groupBy(sc: _*).agg(count(lit(1)).as("n_distinct_texts"))
+    base.join(distincts, strataCols)
+      .select(sc ++ Seq(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_distinct_texts"),
+        (floor((lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs")) * 1e6 + 0.5) / 1e6).as("dup_ratio"),
+        (floor(col("__mq") * 1e6 + 0.5) / 1e6).as("mean_quality"),
+        (floor(col("__mt") * 1e6 + 0.5) / 1e6).as("mean_tokens")): _*)
+  }
 }

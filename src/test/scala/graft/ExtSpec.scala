@@ -810,6 +810,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus stats reports volumes, dup rate and means per stratum") {
+    val docs = fromJsonl(
+      """{"doc_id": 1, "s": "a", "text": "one two three"}""",
+      """{"doc_id": 2, "s": "a", "text": "one two three"}""",
+      """{"doc_id": 3, "s": "a", "text": "four five"}""",
+      """{"doc_id": 4, "s": "b", "text": "six"}""")
+    val out = Corpus.stats(docs, "text", Seq("s"))
+      .collect().map(r => r.getAs[String]("s") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n_docs") == 3L)
+    assert(a.getAs[Long]("n_tokens") == 8L)
+    assert(a.getAs[Long]("n_distinct_texts") == 2L)
+    assert(a.getAs[Double]("dup_ratio") == math.floor((1.0 - 2.0 / 3) * 1e6 + 0.5) / 1e6)
+    assert(a.getAs[Double]("mean_tokens") == math.floor(8.0 / 3 * 1e6 + 0.5) / 1e6)
+    val b = out("b")
+    assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Double]("dup_ratio") == 0.0)
+  }
+
   test("multimodal: real WAV round-trip through the JDK sound decoder") {
     val ids = spark.range(0, 6).toDF("doc_id")
     val media = Multimodal.syntheticWavMedia(spark, ids, "doc_id").toDF

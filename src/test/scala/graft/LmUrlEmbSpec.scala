@@ -78,6 +78,51 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(canon("not a url").isEmpty)
   }
 
+  test("canonicalizeUrl agrees with an independent java.net.URI reference on random URLs") {
+    val rnd = new scala.util.Random(42)
+    def randUrl(): String = {
+      val scheme = Seq("http", "HTTP", "https", "HTTPS", "ftp")(rnd.nextInt(5))
+      val user = if (rnd.nextBoolean()) "u:p@" else ""
+      val host = Seq("Example.COM", "www.site.org", "A.b.C.net", "host")(rnd.nextInt(4))
+      val port = Seq("", ":80", ":443", ":8080", ":65000")(rnd.nextInt(5))
+      val path = Seq("", "/", "/P/x", "/a/B/c.html")(rnd.nextInt(4))
+      val query = Seq("", "?a=1", "?utm_source=n&a=1", "?b=2&a=1&gclid=z",
+        "?fbclid=x", "?z=9&y=8&x=7&UTM_medium=m")(rnd.nextInt(6))
+      val frag = Seq("", "#f", "#Frag/with?stuff")(rnd.nextInt(3))
+      s"$scheme://$user$host$port$path$query$frag"
+    }
+    // independent implementation: JDK URI parser + collection ops, no regex
+    def reference(url: String): String = {
+      val u = new java.net.URI(url.split("#", 2)(0))
+      val scheme = u.getScheme.toLowerCase
+      val host = u.getHost.toLowerCase
+      val port = u.getPort match {
+        case -1 => ""
+        case 80 if scheme == "http" => ""
+        case 443 if scheme == "https" => ""
+        case p => s":$p"
+      }
+      val path = if (u.getRawPath == null || u.getRawPath.isEmpty) "/" else u.getRawPath
+      val tracking = Set("fbclid", "gclid", "msclkid", "mc_eid", "igshid")
+      val kept = Option(u.getRawQuery).toSeq
+        .flatMap(_.split("&").toSeq)
+        .filter(p => p.nonEmpty && {
+          val k = p.split("=", 2)(0).toLowerCase
+          !k.startsWith("utm_") && !tracking(k)
+        }).sorted
+      val queryPart = if (kept.isEmpty) "" else kept.mkString("?", "&", "")
+      s"$scheme://$host$port$path$queryPart"
+    }
+    val urls = Seq.fill(120)(randUrl()).distinct
+    val rows = urls.zipWithIndex.map { case (u, i) => s"""{"i": $i, "u": "$u"}""" }
+    val got = fromJsonl(rows: _*)
+      .select(col("i"), TextFunctions.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => r.getAs[Long]("i") -> r.getAs[String]("c")).toMap
+    urls.zipWithIndex.foreach { case (u, i) =>
+      assert(got(i.toLong) == reference(u), s"url $u")
+    }
+  }
+
   test("urlDedup keeps the smallest id per canonical form and all unparseable rows") {
     val rows = fromJsonl(
       """{"id": 3, "url": "https://a.org/x?utm_source=1"}""",
