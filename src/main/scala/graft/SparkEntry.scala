@@ -1035,6 +1035,20 @@ object SparkEntry {
             lit("\nfollow us on social media")).otherwise(lit(""))).as("text"))
       graft.ext.Dedup.lineDedup(input, "doc_id", "text", maxCount = 3)
     }),
+    // paragraph grain: planted multi-line ad/legal blocks recur verbatim as
+    // BLOCKS (their individual lines also recur, but the unit here is the
+    // blank-line-separated paragraph)
+    "q_para_dedup" -> ((spark: SparkSession, dir: String) => {
+      val input = tbl(spark, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0,
+            lit("sponsored content\nvisit our store\n\n")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit("\n\nall rights reserved\nlegal notice")).otherwise(lit("")))
+          .as("text"))
+      graft.ext.Dedup.paragraphDedup(input, "doc_id", "text", maxCount = 3)
+    }),
 
     // ---- extensions: benchmark decontamination ----
     // The eval "benchmark" slice is every 37th document; the rest is the
@@ -1679,6 +1693,33 @@ object SparkEntry {
       LEFT JOIN (
         SELECT doc_id,
           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '') AS clean_text,
+          count(*) AS n_lines,
+          CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        FROM kept GROUP BY 1) k USING (doc_id)""",
+    "q_para_dedup" ->
+      """WITH input AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 4 = 0 THEN 'sponsored content' || chr(10) || 'visit our store' || chr(10) || chr(10) ELSE '' END)
+          || text
+          || (CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10) || 'all rights reserved' || chr(10) || 'legal notice' ELSE '' END) AS text
+        FROM documents),
+      paras AS (
+        SELECT doc_id, pos, para FROM (
+          SELECT doc_id, unnest(l) AS para, unnest(generate_series(1, len(l))) AS pos
+          FROM (SELECT doc_id,
+                  list_filter(list_transform(regexp_split_to_array(text, '\n{2,}'), x -> trim(x)), x -> x <> '') AS l
+                FROM input))),
+      counts AS (SELECT para, count(*) AS cnt FROM paras GROUP BY 1),
+      kept AS (SELECT p.doc_id, p.pos, p.para, c.cnt <= 3 AS keep
+               FROM paras p JOIN counts c USING (para))
+      SELECT i.doc_id,
+        coalesce(k.clean_text, '') AS clean_text,
+        coalesce(k.n_lines, 0) AS n_lines,
+        coalesce(k.n_removed, 0) AS n_removed
+      FROM (SELECT DISTINCT doc_id FROM input) i
+      LEFT JOIN (
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN keep THEN para END, chr(10) || chr(10) ORDER BY pos), '') AS clean_text,
           count(*) AS n_lines,
           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         FROM kept GROUP BY 1) k USING (doc_id)""",

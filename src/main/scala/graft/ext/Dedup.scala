@@ -640,11 +640,12 @@ object Dedup {
     *         with newline, "" when everything was boilerplate), `n_lines`
     *         (non-blank input lines), `n_removed`. */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
-                maxCount: Long = 1L): DataFrame = {
+                maxCount: Long = 1L, sepRegex: String = "\n",
+                joinStr: String = "\n"): DataFrame = {
     require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
     val lines = df
       .select(col(idCol),
-        posexplode(filter(transform(split(col(textCol), "\n"), l => trim(l)),
+        posexplode(filter(transform(split(col(textCol), sepRegex), l => trim(l)),
           l => l =!= "")).as(Seq("__pos", "__line")))
     val counts = lines.groupBy(col("__line")).agg(count(lit(1)).as("__cnt"))
     val kept = lines.join(counts, Seq("__line"))
@@ -654,7 +655,7 @@ object Dedup {
         array_join(transform(
           array_sort(collect_list(when(col("__keep"),
             struct(col("__pos"), col("__line"))))),
-          s => s.getField("__line")), "\n").as("clean_text"),
+          s => s.getField("__line")), joinStr).as("clean_text"),
         count(lit(1)).as("n_lines"),
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
     // documents that were entirely blank never produced a line row — restore
@@ -666,4 +667,13 @@ object Dedup {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** Paragraph-grain [[lineDedup]]: units are blank-line-separated blocks,
+    * the granularity at which templated page sections (footers, legal
+    * blocks, repeated intros) recur verbatim while individual lines might
+    * not. Same corpus-count plan shape; survivors reassemble with a blank
+    * line between paragraphs. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     maxCount: Long = 1L): DataFrame =
+    lineDedup(df, idCol, textCol, maxCount, sepRegex = "\n{2,}", joinStr = "\n\n")
 }

@@ -165,6 +165,49 @@ object GraftStreaming {
       .start()
   }
 
+  /** Streaming corpus curation: [[incrementalDedupSink]] with the quality
+    * tiers in front — each micro-batch is gated (minimum
+    * [[graft.ext.TextFunctions.qualityScore]], optional Gopher rules,
+    * optional LM perplexity ceiling against a static
+    * [[graft.ext.LanguageModel.ngramCounts]] frame), then deduped against
+    * the accumulated store. The production shard-ingest shape: junk never
+    * reaches the dedup joins, the store converges to one copy of every
+    * distinct clean document.
+    *
+    * The `lm` counts frame is static reference data (CCNet trains it once
+    * on a high-quality corpus); every micro-batch replans its scoring
+    * joins, so pass it persisted. Store layout, retry idempotence and
+    * crash ordering are [[graft.ext.Dedup.ingestStep]]'s contract,
+    * unchanged — the quality gate is stateless and commutes with retries. */
+  def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
+                        storePath: String, checkpointDir: String,
+                        queryName: String = "graft-curated-ingest",
+                        minQuality: Double = 0.6,
+                        gopherRules: Boolean = false,
+                        lm: Option[(DataFrame, Int, Double)] = None,
+                        nearThreshold: Option[Double] = None,
+                        shingleSize: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    stream.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        var b = batch.filter(
+          graft.ext.TextFunctions.qualityScore(col(contentCol)) > minQuality)
+        if (gopherRules)
+          b = b.filter(graft.ext.TextFunctions.gopherPass(col(contentCol)))
+        lm.foreach { case (counts, order, maxPpl) =>
+          b = graft.ext.LanguageModel.perplexityFilter(
+            b, idCol, contentCol, counts, order, maxPpl).drop("ppl")
+        }
+        graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
+          nearThreshold, shingleSize, numHashes, bands,
+          batchTag = Some(batchId.toString))
+        ()
+      }
+      .start()
+  }
+
   /** Gap-based sessionization with custom per-key state — the
     * `flatMapGroupsWithState` tier under [[graft.ext.Sessions
     * .streamingSessionCounts]]'s native `session_window`. Where

@@ -810,6 +810,24 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraphDedup drops repeated blocks that line dedup would shred") {
+    val docs = fromJsonl(
+      """{"doc_id": 1, "text": "body one unique\n\nfooter line a\nfooter line b"}""",
+      """{"doc_id": 2, "text": "body two unique\n\nfooter line a\nfooter line b"}""",
+      """{"doc_id": 3, "text": "body three unique"}""")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", maxCount = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("n_removed"))).toMap
+    assert(out(1L) == (("body one unique", 1L)))   // footer BLOCK removed whole
+    assert(out(2L) == (("body two unique", 1L)))
+    assert(out(3L) == (("body three unique", 0L)))
+    // multi-line paragraphs survive intact when unique
+    val keep = Dedup.paragraphDedup(fromJsonl(
+      """{"doc_id": 1, "text": "line a\nline b\n\nother para"}"""),
+      "doc_id", "text", maxCount = 1).collect().head
+    assert(keep.getAs[String]("clean_text") == "line a\nline b\n\nother para")
+  }
+
   test("corpus stats reports volumes, dup rate and means per stratum") {
     val docs = fromJsonl(
       """{"doc_id": 1, "s": "a", "text": "one two three"}""",

@@ -59,6 +59,50 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(kept.columns.toSet == Set("doc_id", "text", "ppl"))
   }
 
+  test("stupidBackoffScore agrees with an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    def randDoc(): String =
+      Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    (1 to 5).foreach { trial =>
+      val n = 1 + rnd.nextInt(3)
+      val corpusDocs = Seq.fill(4 + rnd.nextInt(5))(randDoc())
+      val scoreDocs = Seq.fill(3)(randDoc()) :+ "z z a" // force OOV coverage
+      // in-memory reference: count maps + per-token recursive backoff
+      val grams = (1 to n).map { k =>
+        k -> corpusDocs.flatMap(_.split(" ").toSeq.sliding(k).filter(_.size == k)
+          .map(_.mkString(" "))).groupBy(identity).map { case (g, v) => g -> v.size.toLong }
+      }.toMap
+      val bigN = grams(1).values.sum.toDouble
+      def score(toks: IndexedSeq[String], i: Int, k: Int): Double =
+        if (k == 1) grams(1).get(toks(i)).map(_ / bigN).getOrElse(0.4 / bigN)
+        else if (i < k - 1) score(toks, i, k - 1)
+        else {
+          val g = (i - k + 1 to i).map(toks).mkString(" ")
+          grams(k).get(g) match {
+            case Some(c) =>
+              c.toDouble / grams(k - 1)((i - k + 1 until i).map(toks).mkString(" "))
+            case None => 0.4 * score(toks, i, k - 1)
+          }
+        }
+      val expected = scoreDocs.zipWithIndex.map { case (d, i) =>
+        val toks = d.split(" ").toIndexedSeq
+        val avg = toks.indices.map(p => math.log10(score(toks, p, n))).sum / toks.size
+        i.toLong -> math.floor(avg * 1e6 + 0.5) / 1e6
+      }.toMap
+      val corpusDf = fromJsonl(corpusDocs.zipWithIndex.map {
+        case (d, i) => s"""{"doc_id": $i, "text": "$d"}""" }: _*)
+      val scoreDf = fromJsonl(scoreDocs.zipWithIndex.map {
+        case (d, i) => s"""{"doc_id": $i, "text": "$d"}""" }: _*)
+      val counts = LanguageModel.ngramCounts(corpusDf, "text", n)
+      val got = LanguageModel.stupidBackoffScore(scoreDf, "doc_id", "text", counts, n)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logp")).toMap
+      expected.foreach { case (id, e) =>
+        assert(got(id) == e, s"trial $trial n=$n doc $id: got ${got(id)}, want $e")
+      }
+    }
+  }
+
   // -------------------------------------------------------------- URL ----
 
   private def canon(url: String): Option[String] = {

@@ -177,6 +177,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("curatedIngestSink gates quality and perplexity before the dedup store") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft-cur-store").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString
+    val ref = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val counts = graft.ext.LanguageModel.ngramCounts(ref, "text", 2).persist()
+    val q = GraftStreaming.curatedIngestSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, ckpt, minQuality = 0.3,
+      lm = Some((counts, 2, 20.0)))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // clean, in-distribution
+        (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+        (3L, "??? !!! ###"),                                 // junk: quality gate
+        (4L, "zzz qqq vvv www"))                             // OOV gibberish: ppl gate
+      q.processAllAvailable()
+      val kept = graft.ext.Dedup.readStore(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"store after curated ingest: $kept")
+      // a later clean novel doc still lands; the old dup still dies
+      mem.addData((5L, "the quick brown fox jumps over the lazy dog"),
+        (6L, "the lazy dog jumps over the quick brown fox"))
+      q.processAllAvailable()
+      val kept2 = graft.ext.Dedup.readStore(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept2 == Set(1L, 6L), s"store after batch 2: $kept2")
+    } finally { q.stop(); counts.unpersist() }
+  }
+
   test("fromJSONLStream: batched loading with onBatch callback and error strategies") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
     def write(name: String, lines: String*): Unit =
