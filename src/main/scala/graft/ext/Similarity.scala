@@ -454,6 +454,68 @@ object Similarity {
     * be evaluated on a sampled query set at corpus scale (two keyed
     * aggregations + one semi join, no driver state). Both inputs use the
     * (query_id, neighbor_id) column shape every `*TopK` here returns. */
+  // ------------------------------------------------- index persistence ----
+  // A trained ANN index is parquet all the way down: the data-sized table
+  // (cluster assignments / PQ codes) as a partitioned parquet dir, the
+  // driver-bounded model (centroids/codebooks) as a tiny parquet table
+  // beside it. Train once in the indexing job, load and probe from any
+  // number of serving jobs — no re-training, no JVM-serialized blobs.
+
+  private def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                            cents: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
+      .toDF("cid", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  private def saveBooks(spark: org.apache.spark.sql.SparkSession,
+                        books: Array[Array[Array[Double]]], path: String): Unit = {
+    import spark.implicits._
+    (for { (sub, m) <- books.zipWithIndex.toSeq; (v, k) <- sub.zipWithIndex }
+      yield (m, k, v.toSeq))
+      .toDF("sub", "code", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  private def loadBooks(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Array[Array[Array[Double]]] =
+    spark.read.parquet(path).orderBy("sub", "code").collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray).toArray)
+      .toArray
+
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
+    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(loadCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/index"))
+
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    saveBooks(idx.codes.sparkSession, idx.books, s"$path/books")
+    idx.codes.write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
+    PqIndex(loadBooks(spark, s"$path/books"), spark.read.parquet(s"$path/index"))
+
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
+    saveBooks(idx.indexed.sparkSession, idx.books, s"$path/books")
+    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(loadCentroids(spark, s"$path/centroids"),
+      loadBooks(spark, s"$path/books"),
+      spark.read.parquet(s"$path/index"))
+
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
     val hits = exact.select(col(queryCol), col(neighborCol))

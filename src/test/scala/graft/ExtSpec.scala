@@ -828,6 +828,45 @@ class ExtSpec extends AnyFunSuite {
     assert(keep.getAs[String]("clean_text") == "line a\nline b\n\nother para")
   }
 
+  test("ANN indexes round-trip through parquet persistence") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val emb = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+
+    val ivf = Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 4)
+    Similarity.saveIvfIndex(ivf, s"$dir/ivf")
+    val ivf2 = Similarity.loadIvfIndex(spark, s"$dir/ivf")
+    assert(ivf2.centroids.map(_.toSeq).toSeq == ivf.centroids.map(_.toSeq).toSeq)
+    val a = Similarity.ivfTopK(queries, ivf, "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Similarity.ivfTopK(queries, ivf2, "vec_id", "embedding", k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+
+    val pq = Similarity.pqBuild(emb, "vec_id", "embedding", m = 4, ksub = 8, dim = 16)
+    Similarity.savePqIndex(pq, s"$dir/pq")
+    val pq2 = Similarity.loadPqIndex(spark, s"$dir/pq")
+    assert(pq2.books.map(_.map(_.toSeq).toSeq).toSeq == pq.books.map(_.map(_.toSeq).toSeq).toSeq)
+    val pa = Similarity.pqTopK(queries, pq, "vec_id", "embedding", k = 3, rerank = 20)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pb = Similarity.pqTopK(queries, pq2, "vec_id", "embedding", k = 3, rerank = 20)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pa == pb && pa.nonEmpty)
+
+    val ivfpq = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      nlist = 4, m = 4, ksub = 8, dim = 16)
+    Similarity.saveIvfPqIndex(ivfpq, s"$dir/ivfpq")
+    val ivfpq2 = Similarity.loadIvfPqIndex(spark, s"$dir/ivfpq")
+    val xa = Similarity.ivfPqTopK(queries, ivfpq, "vec_id", "embedding",
+      k = 3, nprobe = 4, rerank = 20).select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xb = Similarity.ivfPqTopK(queries, ivfpq2, "vec_id", "embedding",
+      k = 3, nprobe = 4, rerank = 20).select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(xa == xb && xa.nonEmpty)
+  }
+
   test("corpus stats reports volumes, dup rate and means per stratum") {
     val docs = fromJsonl(
       """{"doc_id": 1, "s": "a", "text": "one two three"}""",
