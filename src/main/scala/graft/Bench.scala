@@ -136,6 +136,8 @@ object Bench {
       },
       "lmScore" -> coldWarm(graft.ext.LanguageModel.stupidBackoffScore(
         docs, "doc_id", "text", lmCounts, 3).count()),
+      "corpusStats" -> coldWarm(graft.ext.Corpus.stats(
+        docs, "text", Seq("lang", "source")).count()),
       "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(
         docs.select(col("doc_id"),
           concat(lit("https://Host"), (col("doc_id") % 1000).cast("string"),

@@ -133,8 +133,16 @@ object Corpus {
     *         `n_distinct_texts` (md5-exact), `dup_ratio`
     *         (`1 - distinct/docs`, 1e-6-quantized), `mean_quality`
     *         (1e-6-quantized [[TextFunctions.qualityScore]]),
-    *         `mean_tokens` (1e-6-quantized). */
-  def stats(docs: DataFrame, textCol: String, strataCols: Seq[String]): DataFrame = {
+    *         `mean_tokens` (1e-6-quantized).
+    *
+    * @param exactDistinct `true` (the oracle-gated default) counts distinct
+    *         texts exactly — one extra md5-keyed distinct shuffle. At
+    *         dashboard scale set `false`: `approx_count_distinct` (HLL++,
+    *         ~2% rsd) folds the distinct count into the SAME single
+    *         aggregation as everything else — one pass, one shuffle, no
+    *         distinct key space materialized. */
+  def stats(docs: DataFrame, textCol: String, strataCols: Seq[String],
+            exactDistinct: Boolean = true): DataFrame = {
     require(strataCols.nonEmpty, "stats needs at least one strata column")
     val sc = strataCols.map(col)
     val toks = TextFunctions.tokens(col(textCol))
@@ -146,9 +154,14 @@ object Corpus {
       sum(length(col(textCol)).cast("long")).as("n_chars"),
       avg(col("__q")).as("__mq"),
       avg(col("__nt")).as("__mt"))
-    val distincts = docs.select(sc :+ md5(col(textCol)).as("__h"): _*)
-      .distinct()
-      .groupBy(sc: _*).agg(count(lit(1)).as("n_distinct_texts"))
+    val distincts =
+      if (exactDistinct)
+        docs.select(sc :+ md5(col(textCol)).as("__h"): _*)
+          .distinct()
+          .groupBy(sc: _*).agg(count(lit(1)).as("n_distinct_texts"))
+      else
+        docs.groupBy(sc: _*)
+          .agg(approx_count_distinct(md5(col(textCol))).as("n_distinct_texts"))
     base.join(distincts, strataCols)
       .select(sc ++ Seq(col("n_docs"), col("n_tokens"), col("n_chars"),
         col("n_distinct_texts"),

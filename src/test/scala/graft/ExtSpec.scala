@@ -883,6 +883,10 @@ class ExtSpec extends AnyFunSuite {
     assert(a.getAs[Double]("mean_tokens") == math.floor(8.0 / 3 * 1e6 + 0.5) / 1e6)
     val b = out("b")
     assert(b.getAs[Long]("n_docs") == 1L && b.getAs[Double]("dup_ratio") == 0.0)
+    // approx tier: same row set, distinct count within HLL error (exact here)
+    val approx = Corpus.stats(docs, "text", Seq("s"), exactDistinct = false)
+      .collect().map(r => r.getAs[String]("s") -> r.getAs[Long]("n_distinct_texts")).toMap
+    assert(approx("a") == 2L && approx("b") == 1L)
   }
 
   test("multimodal: real WAV round-trip through the JDK sound decoder") {
