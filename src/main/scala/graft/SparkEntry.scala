@@ -696,6 +696,17 @@ object SparkEntry {
           tokenCount(col("text")).as("n_tok")),
         Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
     }),
+    // the packs as a training loader reads them: greedy assignment, then
+    // one row per (lang, pack) with texts joined in doc order
+    "q_pack_materialize" -> ((spark: SparkSession, dir: String) => {
+      import graft.ext.TextFunctions._
+      val packed = graft.ext.Packing.packGreedy(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"),
+          tokenCount(col("text")).as("n_tok")),
+        Seq("lang"), Seq(col("doc_id")), col("n_tok"), 512L)
+      graft.ext.Packing.materializePacks(packed, Seq("lang"),
+        Seq(col("doc_id")), col("text"), col("n_tok"))
+    }),
     // whole-recipe composition: dedup → quality gate → scrub → pack. The
     // union plants 50 exact duplicates so the dedup tier has real work.
     "q_corpus_curate" -> ((spark: SparkSession, dir: String) => {
@@ -742,6 +753,15 @@ object SparkEntry {
             .when(col("doc_id") % 10 < 9, "mid")
             .otherwise("small")),
         "bucket", temperature = 2.0)),
+    // epoch-weighted mixing over the same planted skew: big thins to 0.5
+    // epochs, small UPsamples to 2.5 (2 copies + a deterministic half)
+    "q_epoch_mix" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.epochMix(
+        tbl(spark, dir, "documents").withColumn("bucket",
+          when(col("doc_id") % 10 < 6, "big")
+            .when(col("doc_id") % 10 < 9, "mid")
+            .otherwise("small")),
+        "bucket", Map("big" -> 0.5, "mid" -> 1.0, "small" -> 2.5))),
     // deterministic training order: seeded-hash shard + in-shard position,
     // reproducible on any partitioning/engine
     "q_training_order" -> ((spark: SparkSession, dir: String) =>
@@ -2023,6 +2043,26 @@ object SparkEntry {
               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
             FROM toks)""",
+    "q_pack_materialize" ->
+      """WITH RECURSIVE toks AS (
+        SELECT doc_id, lang, text,
+          len(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS n_tok,
+          row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents),
+      state AS (
+        SELECT lang, rn, doc_id, text, CAST(n_tok AS BIGINT) AS n_tok,
+               CAST(0 AS BIGINT) AS pack_id, CAST(n_tok AS BIGINT) AS fill
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.lang, t.rn, t.doc_id, t.text, CAST(t.n_tok AS BIGINT),
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN s.pack_id + 1 ELSE s.pack_id END,
+          CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
+        FROM toks t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
+      SELECT lang, pack_id,
+        string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS pack_text,
+        count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      FROM state GROUP BY 1, 2""",
     // greedy next-fit is a per-shard recurrence — the oracle replays it with a
     // recursive CTE advancing one row per shard per iteration
     "q_pack_greedy" ->
@@ -2220,6 +2260,27 @@ object SparkEntry {
         coalesce(CAST(source AS VARCHAR), chr(2)),
         coalesce(CAST(n_chars AS VARCHAR), chr(2)),
         coalesce(CAST(bucket AS VARCHAR), chr(2)))), 1, 8) < th""",
+    "q_epoch_mix" ->
+      """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
+          CASE WHEN doc_id % 10 < 6 THEN 'big'
+               WHEN doc_id % 10 < 9 THEN 'mid' ELSE 'small' END AS bucket
+        FROM documents),
+      k AS (SELECT *, substring(md5(concat_ws(chr(1),
+          coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+          coalesce(CAST(text AS VARCHAR), chr(2)),
+          coalesce(CAST(lang AS VARCHAR), chr(2)),
+          coalesce(CAST(source AS VARCHAR), chr(2)),
+          coalesce(CAST(n_chars AS VARCHAR), chr(2)),
+          coalesce(CAST(bucket AS VARCHAR), chr(2)))), 1, 8) AS h
+        FROM d),
+      n AS (SELECT *, CASE bucket
+          WHEN 'big' THEN (CASE WHEN h < '80000000' THEN 1 ELSE 0 END)
+          WHEN 'mid' THEN 1
+          ELSE 2 + (CASE WHEN h < '80000000' THEN 1 ELSE 0 END) END AS nn
+        FROM k)
+      SELECT doc_id, text, lang, source, n_chars, bucket,
+        unnest(generate_series(0, CAST(nn AS BIGINT) - 1)) AS epoch
+      FROM n WHERE nn >= 1""",
     "q_training_order" ->
       """WITH h AS (SELECT doc_id, lang, source,
           md5(concat_ws(chr(1), 'r4', coalesce(CAST(doc_id AS VARCHAR), chr(2)))) AS hh

@@ -89,4 +89,26 @@ object Packing {
       }
     }(Encoders.row(outSchema)).drop(tokTmp)
   }
+
+  /** Emit the packed training rows themselves: one row per (shard, pack)
+    * with the member texts concatenated in `orderCols` order (joined with
+    * `sep`), the member count and the token total — the artifact a
+    * training loader actually reads, downstream of [[packGreedy]]/
+    * [[packByTokenBudget]]'s assignment columns.
+    *
+    * One hash aggregation keyed on (shard, pack_id); each group is
+    * pack-sized (≤ budget tokens) by construction, so the collected array
+    * is bounded however big the corpus is. */
+  def materializePacks(packed: DataFrame, shardCols: Seq[String],
+                       orderCols: Seq[Column], textCol: Column,
+                       tokenCol: Column, sep: String = "\n\n"): DataFrame = {
+    require(shardCols.nonEmpty, "materializePacks needs the shard columns")
+    packed.groupBy(shardCols.map(col) :+ col("pack_id"): _*)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(orderCols :+ textCol.as("__t"): _*))),
+          s => s.getField("__t")), sep).as("pack_text"),
+        count(lit(1)).as("n_docs"),
+        sum(tokenCol.cast("long")).as("n_tokens"))
+  }
 }

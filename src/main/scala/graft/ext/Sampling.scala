@@ -55,6 +55,41 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Epoch-weighted mixing: each stratum's rows appear `epochs_s` times in
+    * the output — the "2 epochs of wiki, 0.3 of common-crawl" recipe with
+    * UPsampling, where [[mix]] can only thin. A row in a stratum with
+    * `e = 2.3` is emitted twice unconditionally plus once more for the
+    * deterministic 30% of rows whose md5 hash clears the fractional
+    * threshold — so the corpus-level expectation is exactly `e` epochs and
+    * the selection is reproducible anywhere. Output rows carry a 0-based
+    * `epoch` copy index (downstream shuffles spread copies; nothing else
+    * distinguishes them).
+    *
+    * Pure scan-side arithmetic + a row generator — no shuffle, no state;
+    * strata with `e = 0` vanish. */
+  def epochMix(df: DataFrame, strataCol: String, epochs: Map[String, Double],
+               default: Double = 1.0): DataFrame = {
+    require((epochs.values ++ Seq(default)).forall(_ >= 0),
+      "every epoch weight must be non-negative")
+    val key = substring(rowKey(df), 1, 8)
+    def thresholdHex(f: Double): String =
+      f"${math.max(1L, math.round(f * 4294967296.0))}%08x"
+    def copiesFor(e: Double): Column = {
+      val whole = math.floor(e).toLong
+      val frac = e - whole
+      if (frac <= 0.0) lit(whole)
+      else lit(whole) + when(key < lit(thresholdHex(frac)), 1L).otherwise(0L)
+    }
+    val n = epochs.toSeq.sortBy(_._1).foldRight(copiesFor(default)) {
+      case ((value, e), els) => when(col(strataCol) === lit(value), copiesFor(e)).otherwise(els)
+    }
+    df.withColumn("__graft_n", n)
+      .filter(col("__graft_n") >= 1)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__graft_n") - 1)))
+      .drop("__graft_n")
+  }
+
   /** Temperature-rescaled source mixing (the multilingual sampling recipe
     * of Conneau & Lample 2019 / mT5): target share `q_s ∝ p_s^(1/T)` where
     * `p_s` is stratum `s`'s natural share. `T > 1` flattens the mix toward

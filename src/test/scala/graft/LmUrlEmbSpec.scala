@@ -222,6 +222,47 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(Sampling.temperatureMix(df, "s", temperature = 1.0).count() == 100)
   }
 
+  test("epochMix upsamples with copy indexes and thins fractional strata") {
+    val rows = (1 to 40).map(i => s"""{"id": $i, "s": "up"}""") ++
+      (41 to 80).map(i => s"""{"id": $i, "s": "down"}""") ++
+      (81 to 90).map(i => s"""{"id": $i, "s": "keep"}""")
+    val df = fromJsonl(rows: _*)
+    val out = Sampling.epochMix(df, "s",
+      Map("up" -> 2.5, "down" -> 0.5, "keep" -> 1.0))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"), r.getAs[Long]("epoch")))
+    val byS = out.groupBy(_._2)
+    // every 'up' row appears at least twice (epochs 0 and 1), some thrice
+    val upCounts = byS("up").groupBy(_._1).view.mapValues(_.length).toMap
+    assert(upCounts.values.forall(c => c == 2 || c == 3))
+    assert(upCounts.values.sum > 80 && upCounts.values.sum < 120)
+    // 'down' is a plain deterministic half-thinning, epoch always 0
+    assert(byS("down").forall(_._3 == 0L))
+    assert(byS("down").length > 5 && byS("down").length < 35)
+    // 'keep' passes through exactly once
+    assert(byS("keep").map(_._1).sorted.toSeq == (81L to 90L))
+    // deterministic: second run identical
+    val again = Sampling.epochMix(df, "s",
+      Map("up" -> 2.5, "down" -> 0.5, "keep" -> 1.0))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s"), r.getAs[Long]("epoch")))
+    assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
+  test("materializePacks emits one bounded row per pack in document order") {
+    val df = fromJsonl(
+      """{"id": 1, "s": "a", "text": "one", "tok": 3}""",
+      """{"id": 2, "s": "a", "text": "two", "tok": 3}""",
+      """{"id": 3, "s": "a", "text": "three", "tok": 3}""",
+      """{"id": 4, "s": "b", "text": "four", "tok": 5}""")
+    val packed = Packing.packGreedy(df, Seq("s"), Seq(col("id")), col("tok"), budget = 6L)
+    val packs = Packing.materializePacks(packed, Seq("s"), Seq(col("id")),
+      col("text"), col("tok"), sep = " | ")
+      .collect().map(r => (r.getAs[String]("s"), r.getAs[Long]("pack_id")) ->
+        (r.getAs[String]("pack_text"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"))).toMap
+    assert(packs(("a", 0L)) == (("one | two", 2L, 6L)))
+    assert(packs(("a", 1L)) == (("three", 1L, 3L)))
+    assert(packs(("b", 0L)) == (("four", 1L, 5L)))
+  }
+
   test("trainingOrder is deterministic with contiguous per-shard positions") {
     val df = fromJsonl((1 to 40).map(i => s"""{"id": $i}"""): _*)
     val a = Sampling.trainingOrder(df, "id", shards = 4, seed = "s1")
