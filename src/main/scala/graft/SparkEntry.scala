@@ -753,6 +753,10 @@ object SparkEntry {
             .when(col("doc_id") % 10 < 9, "mid")
             .otherwise("small")),
         "bucket", temperature = 2.0)),
+    // deterministic 80/10/10 train/val/test assignment on the row hash
+    "q_split" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.assignSplit(tbl(spark, dir, "documents"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))),
     // epoch-weighted mixing over the same planted skew: big thins to 0.5
     // epochs, small UPsamples to 2.5 (2 copies + a deterministic half)
     "q_epoch_mix" -> ((spark: SparkSession, dir: String) =>
@@ -2260,6 +2264,17 @@ object SparkEntry {
         coalesce(CAST(source AS VARCHAR), chr(2)),
         coalesce(CAST(n_chars AS VARCHAR), chr(2)),
         coalesce(CAST(bucket AS VARCHAR), chr(2)))), 1, 8) < th""",
+    "q_split" ->
+      """SELECT doc_id, text, lang, source, n_chars,
+        CASE WHEN h < 'cccccccd' THEN 'train'
+             WHEN h < 'e6666666' THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT *, substring(md5(concat_ws(chr(1),
+          coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+          coalesce(CAST(text AS VARCHAR), chr(2)),
+          coalesce(CAST(lang AS VARCHAR), chr(2)),
+          coalesce(CAST(source AS VARCHAR), chr(2)),
+          coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 8) AS h
+        FROM documents)""",
     "q_epoch_mix" ->
       """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
           CASE WHEN doc_id % 10 < 6 THEN 'big'

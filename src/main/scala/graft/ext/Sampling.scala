@@ -55,6 +55,28 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Deterministic train/val/test assignment: the row hash's first 8 hex
+    * digits land in cumulative `[0, 2^32)` ranges sized by `fractions`
+    * (which must sum to 1; the last split absorbs the rounding remainder so
+    * every row gets exactly one label). Pure scan-side arithmetic — stable
+    * under repartitioning, re-runs and engines, which is what keeps a
+    * held-out set held out across pipeline versions. */
+  def assignSplit(df: DataFrame,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty, "assignSplit needs at least one split")
+    require(fractions.forall(_._2 > 0), "every split fraction must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val key = substring(rowKey(df), 1, 8)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    val labeled = fractions.init.zip(cum.init).foldRight(
+      lit(fractions.last._1): Column) { case (((name, _), c), els) =>
+      when(key < lit(f"${math.max(1L, math.round(c * 4294967296.0))}%08x"), lit(name))
+        .otherwise(els)
+    }
+    df.withColumn("split", labeled)
+  }
+
   /** Epoch-weighted mixing: each stratum's rows appear `epochs_s` times in
     * the output — the "2 epochs of wiki, 0.3 of common-crawl" recipe with
     * UPsampling, where [[mix]] can only thin. A row in a stratum with

@@ -222,6 +222,24 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(Sampling.temperatureMix(df, "s", temperature = 1.0).count() == 100)
   }
 
+  test("assignSplit covers every row exactly once, deterministically") {
+    val df = fromJsonl((1 to 200).map(i => s"""{"id": $i}"""): _*)
+    val fr = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.assignSplit(df, fr)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(a.size == 200 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 120, s"train ${counts("train")}")  // ~160 expected
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) > 10)
+    // stable under repartitioning
+    val b = Sampling.assignSplit(df.repartition(7), fr)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
   test("epochMix upsamples with copy indexes and thins fractional strata") {
     val rows = (1 to 40).map(i => s"""{"id": $i, "s": "up"}""") ++
       (41 to 80).map(i => s"""{"id": $i, "s": "down"}""") ++
