@@ -1083,6 +1083,23 @@ object SparkEntry {
         d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 37 === 0), "text", n = 4)
     }),
+    // C4 rules (Raffel et al. 2020): planted short/javascript lines must
+    // die at the line stage; surviving brace and lorem-ipsum lines kill
+    // their pages at the page stage
+    "q_c4_filter" -> ((spark: SparkSession, dir: String) => {
+      val input = tbl(spark, dir, "documents").select(col("doc_id"), concat(
+        col("text"), lit(".\n"),
+        lit("short line.\n"),
+        when(col("doc_id") % 3 === 0,
+          lit("this line uses javascript heavily today.\n")).otherwise(lit("")),
+        lit("a second real sentence appears right here!\n"),
+        when(col("doc_id") % 7 === 0,
+          lit("code with braces looks like this {ok}.\n")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("we insert lorem ipsum filler text here.\n")).otherwise(lit("")),
+        lit("a third real sentence appears right here?")).as("text"))
+      graft.ext.TextFunctions.c4Filter(input, "text")
+    }),
     // bloom tier: the filter's bit pattern is a Spark implementation
     // detail, so no cross-engine oracle — rows-only driver check; the
     // bloom-vs-exact agreement is spec-gated (ExtSpec)
@@ -1720,6 +1737,31 @@ object SparkEntry {
           count(*) AS n_lines,
           CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         FROM kept GROUP BY 1) k USING (doc_id)""",
+    "q_c4_filter" ->
+      """WITH input AS (
+        SELECT doc_id,
+          text || '.' || chr(10)
+          || 'short line.' || chr(10)
+          || (CASE WHEN doc_id % 3 = 0 THEN 'this line uses javascript heavily today.' || chr(10) ELSE '' END)
+          || 'a second real sentence appears right here!' || chr(10)
+          || (CASE WHEN doc_id % 7 = 0 THEN 'code with braces looks like this {ok}.' || chr(10) ELSE '' END)
+          || (CASE WHEN doc_id % 11 = 0 THEN 'we insert lorem ipsum filler text here.' || chr(10) ELSE '' END)
+          || 'a third real sentence appears right here?' AS text
+        FROM documents),
+      cleaned AS (
+        SELECT doc_id,
+          array_to_string(list_filter(
+            list_transform(string_split(text, chr(10)), x -> trim(x)),
+            x -> regexp_matches(x, '[.!?"]$')
+              AND len(list_filter(regexp_split_to_array(x, '\s+'), w -> w <> '')) >= 5
+              AND NOT contains(lower(x), 'javascript')), chr(10)) AS text
+        FROM input)
+      SELECT doc_id, text,
+        CAST(len(list_filter(string_split(text, chr(10)), l -> l <> '')) AS BIGINT) AS n_lines_kept
+      FROM cleaned
+      WHERE len(list_filter(regexp_split_to_array(text, '[.!?]'), s -> trim(s) <> '')) >= 3
+        AND NOT contains(text, '{')
+        AND NOT contains(lower(text), 'lorem ipsum')""",
     "q_para_dedup" ->
       """WITH input AS (
         SELECT doc_id,

@@ -495,6 +495,48 @@ object TextFunctions {
         .map(f.getField).reduce(_ && _)
     }
 
+  // ---------------------------------------------------------- C4 rules ----
+
+  /** C4 line cleaning (Raffel et al. 2020 §2.2, the public recipe): keep
+    * only lines that end in terminal punctuation (`.`, `!`, `?`, `"`),
+    * have at least `minWordsPerLine` words, and do not contain the word
+    * "javascript" (case-insensitive). Kept lines are trimmed and rejoined
+    * with newlines; a page with no surviving lines becomes "".
+    * Pure array ops — one codegen scan, reproduced by the oracle. */
+  def c4LineClean(text: Column, minWordsPerLine: Int = 5): Column =
+    array_join(
+      filter(transform(split(text, "\n"), l => trim(l)), l =>
+        l.rlike("[.!?\"]$") &&
+          size(filter(split(l, "\\s+"), w => w =!= "")) >= minWordsPerLine &&
+          !lower(l).contains("javascript")),
+      "\n")
+
+  /** C4 page rules over [[c4LineClean]]ed text: at least `minSentences`
+    * sentences (terminal-punctuation count — C4's own sentence proxy), no
+    * curly brace (code), no "lorem ipsum", and none of `badWords` as a
+    * word (the public recipe uses the "List of Dirty, Naughty ..." list;
+    * pass your own — the default is empty). */
+  def c4PagePass(cleaned: Column, badWords: Seq[String] = Nil,
+                 minSentences: Int = 3): Column = {
+    val base =
+      size(filter(split(cleaned, "[.!?]"), s => trim(s) =!= "")) >= minSentences &&
+        !cleaned.contains("{") && !lower(cleaned).contains("lorem ipsum")
+    if (badWords.isEmpty) base
+    else base && !arrays_overlap(tokens(cleaned),
+      array(badWords.map(w => lit(w.toLowerCase)): _*))
+  }
+
+  /** The composed C4 filter: line-clean every page, drop pages failing the
+    * page rules, return survivors with `textCol` cleaned in place plus an
+    * `n_lines_kept` count. Scan-side only — no shuffle at all. */
+  def c4Filter(df: org.apache.spark.sql.DataFrame, textCol: String,
+               minWordsPerLine: Int = 5, minSentences: Int = 3,
+               badWords: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    df.withColumn(textCol, c4LineClean(col(textCol), minWordsPerLine))
+      .filter(c4PagePass(col(textCol), badWords, minSentences))
+      .withColumn("n_lines_kept",
+        size(filter(split(col(textCol), "\n"), l => l =!= "")).cast("long"))
+
   /** Character k-gram shingles (distinct) of the lowercased text. */
   def charShingles(text: Column, k: Int): Column = {
     val t = lower(text)

@@ -810,6 +810,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("C4 rules: each line and page filter trips on its planted violation") {
+    import org.apache.spark.sql.functions.col
+    val good = "the first proper sentence sits right here.\n" +
+      "and the second one follows immediately after!\n" +
+      "finally a third sentence closes the page?"
+    val docs = fromJsonl(
+      s"""{"doc_id": 1, "text": ${jsonStr(good)}}""",
+      s"""{"doc_id": 2, "text": ${jsonStr(good + "\nno terminal punctuation on this line")}}""",
+      s"""{"doc_id": 3, "text": ${jsonStr(good + "\ntiny line.")}}""",
+      s"""{"doc_id": 4, "text": ${jsonStr(good + "\nthis line mentions JavaScript libraries today.")}}""",
+      s"""{"doc_id": 5, "text": ${jsonStr(good + "\nbrace bearing line looks like this {x}.")}}""",
+      s"""{"doc_id": 6, "text": ${jsonStr(good + "\nsome lorem ipsum filler appears right here.")}}""",
+      s"""{"doc_id": 7, "text": "only one real sentence lives here."}""")
+    val out = TextFunctions.c4Filter(docs, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))   // 5 brace, 6 lorem, 7 sentences
+    assert(out(1L) == good)
+    assert(out(2L) == good)                      // unpunctuated line dropped
+    assert(out(3L) == good)                      // short line dropped
+    assert(out(4L) == good)                      // javascript line dropped
+    // bad-words page rule
+    val bw = TextFunctions.c4Filter(docs.filter(col("doc_id") === 1), "text",
+      badWords = Seq("sentence"))
+    assert(bw.count() == 0)
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n") + "\""
+
   test("paragraphDedup drops repeated blocks that line dedup would shred") {
     val docs = fromJsonl(
       """{"doc_id": 1, "text": "body one unique\n\nfooter line a\nfooter line b"}""",
