@@ -1111,6 +1111,17 @@ object SparkEntry {
         expectedGrams = 100000L, fpp = 0.001)
     }),
 
+    // semantic decontamination: eval = every 37th embedding; the bucketed
+    // LSH tier carries the gate (same 2-plane × 32-table miss-prob ≈ 3e-8
+    // argument as q_dedup_embedding_lsh), oracle = brute-force bipartite
+    "q_decontam_semantic" -> ((spark: SparkSession, dir: String) => {
+      val emb = tbl(spark, dir, "embeddings")
+      graft.ext.Decontamination.flagSemantic(
+        emb.filter(col("vec_id") % 37 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 37 === 0), "embedding",
+        threshold = 0.3, planes = 2, tables = 32)
+    }),
+
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
       val ev = tbl(spark, dir, "events")
@@ -2400,6 +2411,18 @@ object SparkEntry {
       WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
              * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
+    "q_decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT v FROM e WHERE vec_id % 37 = 0),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0),
+      hits AS (
+        SELECT c.vec_id,
+          list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * ev.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i])))) AS cos
+        FROM c, ev)
+      SELECT vec_id, max(cos) AS max_cos FROM hits
+      WHERE cos >= 0.3 GROUP BY 1""",
     "q_dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       half AS (

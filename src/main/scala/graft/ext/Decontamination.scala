@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — the training-data step that removes documents
@@ -59,6 +59,47 @@ object Decontamination {
     val flags = flagContaminated(docs, idCol, textCol, eval, evalTextCol, n, minHits)
       .filter(col("contaminated")).select(col(idCol))
     docs.join(flags, Seq(idCol), "left_anti")
+  }
+
+  /** Semantic decontamination: flag corpus documents whose EMBEDDING is
+    * within `threshold` cosine of any eval-set embedding — catches
+    * paraphrased leakage the n-gram tiers can't see (the SemDeDup insight
+    * applied across the train/eval boundary).
+    *
+    * `planes = 0` is the exact bipartite tier (corpus × eval cosine —
+    * eval is benchmark-sized, so Spark broadcasts it and the "cross join"
+    * is one broadcast nested loop over a single corpus scan). `planes > 0`
+    * buckets BOTH sides with the seeded hyperplane LSH
+    * ([[Dedup.embeddingNearDupPairs]]'s scale lever) and equi-joins on
+    * (table, bucket) — the shape for eval sets too big to broadcast.
+    *
+    * @return one row per flagged corpus id: `(idCol, max_cos)`. */
+  def flagSemantic(corpusEmb: DataFrame, idCol: String, vecCol: String,
+                   evalEmb: DataFrame, evalVecCol: String,
+                   threshold: Double, planes: Int = 0, tables: Int = 32,
+                   dim: Int = 64, seed: Long = 42L): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    graft.exprs.catalyst.GraftFunctions.register(corpusEmb.sparkSession)
+    val cos = (a: Column, b: Column) => org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.CosineName, a, b)
+    val c = corpusEmb.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val e = evalEmb.select(col(evalVecCol).as("__ev"))
+    val candidates =
+      if (planes <= 0) c.crossJoin(broadcast(e))
+      else {
+        val bucket = Kernels.hyperplaneBucketsKernel(planes, tables, dim, seed)
+        val cb = c.select(col("__cid"), col("__cv"),
+          posexplode(bucket(col("__cv"))).as(Seq("__t", "__b")))
+        val eb = e.select(col("__ev"),
+          posexplode(bucket(col("__ev"))).as(Seq("__t", "__b")))
+        cb.join(eb, Seq("__t", "__b")).drop("__t", "__b")
+      }
+    candidates
+      .withColumn("__cos", cos(col("__cv"), col("__ev")))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__cid"))
+      .agg(max(col("__cos")).as("max_cos"))
+      .select(col("__cid").as(idCol), col("max_cos"))
   }
 
   /** Bloom-filter variant of [[flagContaminated]] for eval sets whose

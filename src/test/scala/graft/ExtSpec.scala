@@ -1088,6 +1088,22 @@ class ExtSpec extends AnyFunSuite {
     assert(physical.contains("BroadcastHashJoin"))
   }
 
+  test("semantic decontamination flags near-eval embeddings, exact and LSH tiers agree") {
+    import spark.implicits._
+    val mk = (id: Long, base: Double) =>
+      (id, (0 until 64).map(i => (math.sin(base + i * 0.1)).toFloat).toSeq)
+    val corpus = Seq(mk(1L, 0.0), mk(2L, 0.05), mk(3L, 2.5)).toDF("vec_id", "embedding")
+    val eval = Seq(mk(10L, 0.02)).toDF("vec_id", "embedding")
+    val exact = Decontamination.flagSemantic(corpus, "vec_id", "embedding",
+      eval, "embedding", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1L, 2L))     // 3 points elsewhere on the curve
+    val lsh = Decontamination.flagSemantic(corpus, "vec_id", "embedding",
+      eval, "embedding", threshold = 0.9, planes = 2, tables = 32)
+      .collect().map(_.getLong(0)).toSet
+    assert(lsh == exact)
+  }
+
   test("decontamination: bloom tier agrees with the exact tier (modulo FPs)") {
     val eval = fromJsonl(
       """{"q": "what is the capital of france"}""")
