@@ -1111,6 +1111,10 @@ object SparkEntry {
         expectedGrams = 100000L, fpp = 0.001)
     }),
 
+    // cross-document duplicated-trigram fraction (FineWeb dup-ngram signal)
+    "q_dup_ngram" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.dupNgramFraction(
+        tbl(spark, dir, "documents"), "doc_id", "text", n = 3)),
     // semantic decontamination: eval = every 37th embedding; the bucketed
     // LSH tier carries the gate (same 2-plane × 32-table miss-prob ≈ 3e-8
     // argument as q_dedup_embedding_lsh), oracle = brute-force bipartite
@@ -2411,6 +2415,23 @@ object SparkEntry {
       WHERE list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
           / (sqrt(list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * a.v[i])))
              * sqrt(list_sum(list_transform(generate_series(1, len(b.v)), i -> b.v[i] * b.v[i])))) >= 0.45""",
+    "q_dup_ngram" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      g AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+      dc AS (SELECT g, count(DISTINCT doc_id) AS docs FROM g GROUP BY 1),
+      per AS (SELECT g.doc_id, count(*) AS n_ngrams,
+          CAST(sum(CASE WHEN dc.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        FROM g JOIN dc USING (g) GROUP BY 1)
+      SELECT d.doc_id, coalesce(p.n_ngrams, 0) AS n_ngrams, coalesce(p.n_dup, 0) AS n_dup,
+        coalesce(floor(CAST(p.n_dup AS DOUBLE) / p.n_ngrams * 1e6 + 0.5) / 1e6, 0.0) AS dup_fraction
+      FROM documents d LEFT JOIN per p USING (doc_id)""",
     "q_decontam_semantic" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       ev AS (SELECT v FROM e WHERE vec_id % 37 = 0),

@@ -495,6 +495,43 @@ object TextFunctions {
         .map(f.getField).reduce(_ && _)
     }
 
+  /** Cross-document duplicated-n-gram fraction (the FineWeb/RefinedWeb
+    * "dup n-gram" signal): for each document, the share of its DISTINCT
+    * word n-grams that also occur in at least one OTHER document. High
+    * values mark templated or heavily copied text that whole-document and
+    * line dedup both miss. Distinct from [[gopherFlags]]' intra-document
+    * repetition rules — this one is corpus-relative.
+    *
+    * Plan shape: one explode of distinct grams per document, one count
+    * aggregation keyed on the gram (partial/final, so hot boilerplate
+    * grams pre-combine), a join back on the same key, and a per-document
+    * aggregation. Two keyed shuffles, no windows, no driver state — the
+    * same scale class as [[graft.ext.Dedup.lineDedup]].
+    *
+    * @return one row per document: `n_ngrams` (distinct grams),
+    *         `n_dup` (grams seen in ≥2 documents), `dup_fraction`
+    *         (1e-6-quantized; 0.0 for documents shorter than `n`). */
+  def dupNgramFraction(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = df.select(col(idCol),
+      explode(Kernels.wordShinglesKernel(n)(col(textCol))).as("__g"))
+    val docCounts = grams.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+    val per = grams.join(docCounts, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_fraction",
+        floor(col("n_dup").cast("double") / col("n_ngrams") * 1e6 + 0.5) / 1e6)
+    df.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_fraction"), lit(0.0)).as("dup_fraction"))
+  }
+
   // ---------------------------------------------------------- C4 rules ----
 
   /** C4 line cleaning (Raffel et al. 2020 §2.2, the public recipe): keep

@@ -810,6 +810,22 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("dupNgramFraction is corpus-relative: shared spans count, unique text scores 0") {
+    val docs = fromJsonl(
+      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"}""",
+      """{"doc_id": 2, "text": "alpha beta gamma completely different ending"}""",
+      """{"doc_id": 3, "text": "nothing here overlaps with any other row"}""",
+      """{"doc_id": 4, "text": ""}""")
+    val out = TextFunctions.dupNgramFraction(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_dup"), r.getAs[Double]("dup_fraction"))).toMap
+    // docs 1 and 2 share exactly the trigram "alpha beta gamma"
+    assert(out(1L) == ((4L, 1L, 0.25)))
+    assert(out(2L) == ((4L, 1L, 0.25)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+    assert(out(4L)._2 == 0L)   // empty text contributes no duplicated span
+  }
+
   test("C4 rules: each line and page filter trips on its planted violation") {
     import org.apache.spark.sql.functions.col
     val good = "the first proper sentence sits right here.\n" +
