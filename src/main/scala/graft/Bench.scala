@@ -136,6 +136,8 @@ object Bench {
       },
       "lmScore" -> coldWarm(graft.ext.LanguageModel.stupidBackoffScore(
         docs, "doc_id", "text", lmCounts, 3).count()),
+      "dupNgram" -> coldWarm(graft.ext.TextFunctions.dupNgramFraction(
+        docs, "doc_id", "text", n = 3).count()),
       "corpusStats" -> coldWarm(graft.ext.Corpus.stats(
         docs, "text", Seq("lang", "source")).count()),
       "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(
