@@ -102,6 +102,18 @@ object Decontamination {
       .select(col("__cid").as(idCol), col("max_cos"))
   }
 
+  /** The filter form of [[flagSemantic]]: drops corpus rows whose embedding
+    * is within `threshold` cosine of any eval embedding; columns pass
+    * through untouched. */
+  def removeSemantic(corpusEmb: DataFrame, idCol: String, vecCol: String,
+                     evalEmb: DataFrame, evalVecCol: String,
+                     threshold: Double, planes: Int = 0, tables: Int = 32,
+                     dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val flagged = flagSemantic(corpusEmb, idCol, vecCol, evalEmb, evalVecCol,
+      threshold, planes, tables, dim, seed).select(col(idCol))
+    corpusEmb.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-filter variant of [[flagContaminated]] for eval sets whose
     * distinct-gram table is too big to broadcast exactly: the grams are
     * folded into a Bloom filter (`expectedGrams` capacity, `fpp` false-

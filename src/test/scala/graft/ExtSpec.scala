@@ -1118,6 +1118,11 @@ class ExtSpec extends AnyFunSuite {
       eval, "embedding", threshold = 0.9, planes = 2, tables = 32)
       .collect().map(_.getLong(0)).toSet
     assert(lsh == exact)
+    // filter form keeps exactly the clean rows, columns untouched
+    val kept = Decontamination.removeSemantic(corpus, "vec_id", "embedding",
+      eval, "embedding", threshold = 0.9)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
   test("decontamination: bloom tier agrees with the exact tier (modulo FPs)") {
