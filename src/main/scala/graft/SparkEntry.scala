@@ -1002,10 +1002,16 @@ object SparkEntry {
     }),
 
     // ---- extensions: embedding quantization (int8 / binary / matryoshka) ----
+    // Exploded to (vec_id, scale, pos, code) scalar rows: the oracle harness
+    // sorts result frames with pandas, which cannot sort top-level array
+    // columns, so gate queries must never project a raw array.
     "q_emb_int8" -> ((spark: SparkSession, dir: String) => {
       val q = graft.ext.Similarity.quantizeInt8(col("embedding"))
-      tbl(spark, dir, "embeddings").select(col("vec_id"),
-        q.getField("codes").as("codes"), q.getField("scale").as("scale"))
+      tbl(spark, dir, "embeddings")
+        .select(col("vec_id"), q.getField("scale").as("scale"),
+          posexplode(q.getField("codes")))
+        .select(col("vec_id"), col("scale"), col("pos"),
+          col("col").cast("int").as("code"))
     }),
     "q_emb_int8dot" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings").filter(col("vec_id") < 60)
@@ -1026,9 +1032,12 @@ object SparkEntry {
         .filter(col("ham") <= 22)
         .select(col("id_a"), col("id_b"), col("ham"))
     }),
+    // Same scalar-row shape as q_emb_int8 (no top-level arrays in gates).
     "q_emb_matryoshka" -> ((spark: SparkSession, dir: String) =>
-      tbl(spark, dir, "embeddings").select(col("vec_id"),
-        graft.ext.Similarity.matryoshka(col("embedding"), 16).as("mvec"))),
+      tbl(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(graft.ext.Similarity.matryoshka(col("embedding"), 16)))
+        .select(col("vec_id"), col("pos"), col("col").as("val"))),
 
     // ---- extensions: HTML strip + Unicode NFC normalization ----
     // The corpus is plain ASCII, so the query manufactures the mess: an HTML
@@ -1667,11 +1676,12 @@ object SparkEntry {
     "q_emb_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       q AS (SELECT vec_id, v,
-        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale FROM e)
-      SELECT vec_id,
-        list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS codes,
-        scale
-      FROM q""",
+        greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale FROM e),
+      x AS (SELECT vec_id, scale, v,
+        unnest(generate_series(1, len(v))) AS i FROM q)
+      SELECT vec_id, scale, CAST(i - 1 AS INT) AS pos,
+        CAST(round(v[CAST(i AS INT)] / scale) AS INT) AS code
+      FROM x""",
     "q_emb_int8dot" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 60),
       q AS (SELECT vec_id,
@@ -1697,10 +1707,13 @@ object SparkEntry {
     "q_emb_matryoshka" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       p AS (SELECT vec_id, v[1:16] AS pv FROM e),
-      n AS (SELECT vec_id, pv, sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p)
-      SELECT vec_id,
+      n AS (SELECT vec_id, pv, sqrt(list_sum(list_transform(pv, x -> x * x))) AS nrm FROM p),
+      m AS (SELECT vec_id,
         CASE WHEN nrm > 0 THEN list_transform(pv, x -> CAST(x / nrm AS FLOAT)) END AS mvec
-      FROM n""",
+        FROM n),
+      x AS (SELECT vec_id, mvec, unnest(generate_series(1, len(mvec))) AS i FROM m)
+      SELECT vec_id, CAST(i - 1 AS INT) AS pos, mvec[CAST(i AS INT)] AS val
+      FROM x""",
     // entity decode order matches the engine exactly (&amp; last); chr(769)
     // is the combining acute that nfc_normalize must fold into the e
     "q_normalize" ->
