@@ -150,7 +150,9 @@ object RegexFindAllExpr {
       }
       out += org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(m.group(0)),
-        m.start(),
+        // MongoDB reports idx in code points, not UTF-16 code units —
+        // Matcher.start() alone would diverge on supplementary characters
+        s.codePointCount(0, m.start()),
         new org.apache.spark.sql.catalyst.util.GenericArrayData(caps))
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)

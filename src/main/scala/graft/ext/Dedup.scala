@@ -290,8 +290,10 @@ object Dedup {
     * neither duplicate documents nor flag the retry's documents as dups of
     * their own orphaned signatures. Callers with natural batch identities
     * (a shard id, the streaming batchId) should pass `batchTag`; the
-    * default random tag keeps one-shot calls convergent but makes a
-    * *crashed-and-retried* call append a second directory.
+    * default tag is a deterministic digest of the batch's id set, so even a
+    * *crashed-and-retried* one-shot call overwrites its own directory
+    * rather than appending a duplicate (two genuinely different batches
+    * with no explicit tags still get distinct digests).
     *
     * Within a call the document directory is written BEFORE the signature
     * directory: a crash between the two costs only near-dup recall against
@@ -314,8 +316,19 @@ object Dedup {
                  batchTag: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
+    // Default tag = order-independent digest of the batch's id set, so a
+    // crashed-and-retried one-shot call lands in the SAME directory (the
+    // overwrite makes the retry idempotent instead of duplicating the
+    // batch's survivors). One extra column-pruned scan of the batch.
     val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
-      .getOrElse(java.util.UUID.randomUUID().toString.take(12))
+      .getOrElse {
+        val d = batch
+          .select(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+            .cast("long").as("h"))
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n"))
+          .head()
+        f"auto-${d.getLong(0)}%016x-${d.getLong(1)}"
+      }
     val sigPath = storePath + "_sigs"
     // read set = every batch directory EXCEPT this call's own (retry safety)
     val docDirs = listBatchDirs(spark, storePath).filterNot(_.endsWith("/" + tag))

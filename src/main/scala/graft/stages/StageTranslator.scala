@@ -551,7 +551,14 @@ object StageTranslator {
       if (!Set("insert", "discard", "fail")(whenNotMatched))
         throw new graft.model.ValidationError(
           s"$$merge whenNotMatched must be insert|discard|fail, got $whenNotMatched")
+      // Persisted so the dup-key check, the matched/unmatched probes, and
+      // the staged write all read ONE materialization of the incoming
+      // pipeline — a non-deterministic source can't pass the check and then
+      // hand different rows to the write, and the pipeline runs once.
       val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
+        .persist()
+      try {
+      incoming.count() // materialize fully before any probe reads it
       // Mongo requires a unique index on the on-field(s), so two incoming
       // documents with the same key error instead of racing to modify one
       // target document — mirror that rather than silently fanning matched
@@ -631,6 +638,7 @@ object StageTranslator {
       }
       if (hfs.exists(old)) hfs.delete(old, true)
       (spark.read.parquet(into), ctx.copy(order = None, hasSeq = false))
+      } finally incoming.unpersist()
 
     case "$fill" => fill(df, body, ctx)
 
@@ -1456,8 +1464,16 @@ object StageTranslator {
       if (missing.nonEmpty) throw new graft.model.ValidationError(
         s"$$rankFusion pipeline '$name' must preserve the document shape " +
           s"(selection/sort/limit stages only); dropped: ${missing.mkString(", ")}")
-      // Ranked legs are bounded by contract (a rank needs a total order, so
-      // real legs end in $sort [+ $limit]); coalesce(1) pins the leg's row
+      // Ranked legs must be bounded — enforced, not just contractual: the
+      // coalesce(1) below funnels the leg through one task, so an unbounded
+      // leg would pull the whole table into a single partition's memory.
+      val lastSort = stages.lastIndexWhere(_._1 == "$sort")
+      if (!stages.drop(lastSort + 1).exists(_._1 == "$limit"))
+        throw new graft.model.ValidationError(
+          s"$$rankFusion pipeline '$name' must bound its result with a $$limit " +
+            "after its final $sort (ranked legs are fused on one task; an " +
+            "unbounded leg would funnel the whole collection through it)")
+      // coalesce(1) pins the leg's row
       // order — a sorted frame's partitions are range-ordered, and coalesce
       // concatenates them without a shuffle — and monotonically_increasing_id
       // on the single partition is then 0..n-1 in exactly that order, giving
