@@ -1134,6 +1134,24 @@ object SparkEntry {
         emb.filter(col("vec_id") % 37 === 0), "embedding",
         threshold = 0.3, planes = 2, tables = 32)
     }),
+    // the left-anti filter forms users compose in pipelines, gated in
+    // their own right (not just through q_corpus_curate_v2)
+    "q_decontam_remove" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.removeContaminated(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text", n = 4)
+    }),
+    // embedding column dropped from the projection (top-level arrays break
+    // the oracle harness's sort); survivors identified by (vec_id, label)
+    "q_decontam_semantic_remove" -> ((spark: SparkSession, dir: String) => {
+      val emb = tbl(spark, dir, "embeddings")
+      graft.ext.Decontamination.removeSemantic(
+        emb.filter(col("vec_id") % 37 =!= 0), "vec_id", "embedding",
+        emb.filter(col("vec_id") % 37 === 0), "embedding",
+        threshold = 0.3, planes = 2, tables = 32)
+        .select(col("vec_id"), col("label"))
+    }),
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
@@ -2457,6 +2475,32 @@ object SparkEntry {
         FROM c, ev)
       SELECT vec_id, max(cos) AS max_cos FROM hits
       WHERE cos >= 0.3 GROUP BY 1""",
+    "q_decontam_remove" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 4),
+                      i -> array_to_string(toks[i+1:i+4], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0),
+      dg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 37 <> 0),
+      bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN ev ON dg.g = ev.g)
+      SELECT d.* FROM documents d
+      WHERE d.doc_id % 37 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    "q_decontam_semantic_remove" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      ev AS (SELECT v FROM e WHERE vec_id % 37 = 0),
+      c AS (SELECT vec_id, v FROM e WHERE vec_id % 37 <> 0),
+      bad AS (
+        SELECT DISTINCT c.vec_id
+        FROM c, ev
+        WHERE list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * ev.v[i]))
+          / (sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))
+             * sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i])))) >= 0.3)
+      SELECT vec_id, label FROM embeddings
+      WHERE vec_id % 37 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""",
     "q_dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       half AS (

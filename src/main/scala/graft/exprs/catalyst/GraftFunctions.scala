@@ -166,6 +166,7 @@ object GraftFunctions {
   val NfcName = "graft_nfc"
   val RegexFindAllName = "graft_regex_find_all"
   val TopKName = "graft_top_k"
+  val MightContainName = "graft_bloom_might_contain"
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -217,6 +218,16 @@ object GraftFunctions {
             s"$TopKName smallest must be a boolean literal, got $other")
         }
         BoundedTopKAggregate(exprs.head, exprs(1), k, smallest)
+      },
+      "built-in")
+    // Spark's own codegen'd Bloom probe (not in the public registry):
+    // bloom filter as a foldable binary, value as an xxhash64 long.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MightContainName,
+      { exprs =>
+        require(exprs.length == 2, s"$MightContainName expects (bloomBinary, longValue)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))
       },
       "built-in")
   }

@@ -129,10 +129,12 @@ object Decontamination {
     * cross-engine oracle.
     *
     * Plan shape: the eval side reduces to one driver-bounded Bloom filter
-    * (same bounded-materialization class as the ANN centroids); the corpus
-    * side stays one scan + explode + hash aggregate keyed on the document
-    * id. The probe is a broadcast-local bit test per gram — no join at
-    * all, where the exact tier pays a broadcast hash join. */
+    * (same bounded-materialization class as the ANN centroids), embedded as
+    * a foldable binary literal; the corpus side stays one scan + explode +
+    * hash aggregate keyed on the document id. The probe is Spark's
+    * codegen'd `BloomFilterMightContain` bit test over `xxhash64` of the
+    * gram — no row-at-a-time UDF, no join at all, where the exact tier
+    * pays a broadcast hash join. */
   def flagContaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
                             eval: DataFrame, evalTextCol: String,
                             n: Int = 13, minHits: Int = 1,
@@ -141,15 +143,21 @@ object Decontamination {
     require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val shingle = Kernels.wordShinglesKernel(n)
+    // Build over xxhash64 LONGS (putLong) so the probe side's
+    // might_contain(bf, xxhash64(gram)) hashes identically — building over
+    // raw strings would putBinary and the long probe would miss.
     val bf = eval.select(explode(shingle(col(evalTextCol))).as("__g"))
-      .stat.bloomFilter("__g", expectedGrams, fpp)
-    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
-    val hit = org.apache.spark.sql.functions.udf(
-      (g: String) => g != null && bfB.value.mightContainString(g))
+      .select(xxhash64(col("__g")).as("__h"))
+      .stat.bloomFilter("__h", expectedGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    graft.exprs.catalyst.GraftFunctions.register(docs.sparkSession)
+    val hit = call_function(graft.exprs.catalyst.GraftFunctions.MightContainName,
+      lit(bos.toByteArray), xxhash64(col("__g")))
     docs.select(col(idCol), explode(shingle(col(textCol))).as("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
-        sum(when(hit(col("__g")), 1L).otherwise(0L)).as("n_hits"))
+        sum(when(hit, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") >= minHits)
   }
 }

@@ -1140,11 +1140,13 @@ class ExtSpec extends AnyFunSuite {
     // fpp=0.1% over a handful of grams the clean docs stay clean too
     assert(flags(1L) && flags(2L))
     assert(!flags(3L) && !flags(4L))
-    // no join in the plan at all — the probe is a broadcast-local bit test
+    // no join in the plan at all — the probe is a codegen'd bloom bit test
+    // (BloomFilterMightContain), not a row-at-a-time Scala UDF
     val physical = Decontamination.flagContaminatedBloom(corpus, "doc_id", "text",
       eval, "q", n = 5, expectedGrams = 1000L, fpp = 0.001)
       .queryExecution.executedPlan.toString
     assert(!physical.contains("Join"))
+    assert(!physical.contains("ScalaUDF"))
   }
 
   test("as-of join: backward picks latest at-or-before, left-outer keeps unmatched") {
