@@ -934,6 +934,14 @@ object SparkEntry {
       graft.ext.Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 8)
     }),
+    // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
+    // brute force regardless of the int8 approximation — same argument as
+    // q_ann_ivf / q_ann_pq
+    "q_ann_ivf_sq8" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      graft.ext.Similarity.ivfSq8TopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, rerank = 1 << 20)
+    }),
 
     // ---- extensions: flat-PQ ANN (exhaustive rerank = oracle tier: exact
     // re-rank over all candidates equals brute force regardless of codebooks) ----
@@ -1523,6 +1531,18 @@ object SparkEntry {
       FROM part p JOIN tiles ON p.p_brand = tiles.k
       GROUP BY tiles.tile""",
     "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    "q_ann_ivf_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -245,6 +245,82 @@ object Similarity {
     ivfTopK(queries, ivfBuild(corpus, idCol, vecCol, nlist, iterations, seed),
       idCol, vecCol, k, nprobe)
 
+  /** IVF-SQ8 — IVF cluster pruning over an int8 scalar-quantized code
+    * table (the public FAISS `IVF…,SQ8` shape, the step between float IVF
+    * and PQ): the stored per-vector payload is [[quantizeInt8]]'s
+    * {codes, scale} — 4× smaller than float32 — candidates are scored by
+    * the approximate [[int8Dot]] cosine straight off the codes, and the
+    * per-query top `rerank` are re-ranked with exact cosine against the
+    * true vectors (an id equi-join, as in [[pqTopK]]). With
+    * `nprobe == nlist` and `rerank` ≥ corpus the result is exactly brute
+    * force (oracle tier); recall/latency trade via `nprobe` and `rerank`. */
+  final case class IvfSq8Index(centroids: Array[Array[Double]], indexed: DataFrame)
+
+  /** Train the coarse quantizer and materialize the (cluster, id, sq8
+    * codes, vector) index table once. cluster is the partition/bucket
+    * column at scale, the int8 codes the 4×-compressed scan payload; the
+    * float vectors live only in the re-rank join. */
+  def ivfSq8Build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
+                  iterations: Int = 1, seed: Long = 42L): IvfSq8Index = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
+    val indexed = Dedup.spill(
+      corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+        .withColumn("cluster",
+          element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+        .withColumn("q8", quantizeInt8(col("c_vec"))),
+      "graft-ivfsq8-index")
+    IvfSq8Index(centroids, indexed)
+  }
+
+  /** Approximate cosine straight off two int8 quantized vectors — the
+    * per-vector scales cancel out of dot/(|a||b|), so it is just the
+    * integer dot over the integer norms. */
+  private def int8Cosine(qa: Column, qb: Column): Column = {
+    def rawDot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x).cast("double")
+    val d = rawDot(qa.getField("codes"), qb.getField("codes"))
+    val n = sqrt(rawDot(qa.getField("codes"), qa.getField("codes")) *
+      rawDot(qb.getField("codes"), qb.getField("codes")))
+    when(n > 0, d / n)
+  }
+
+  /** Probe-only IVF-SQ8 search against a prebuilt [[IvfSq8Index]]: cluster
+    * equi-join + int8 approximate scoring + exact re-rank of the top
+    * `rerank` — no training jobs per query batch. */
+  def ivfSq8TopK(queries: DataFrame, index: IvfSq8Index, idCol: String,
+                 vecCol: String, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+        .withColumn("q8q", quantizeInt8(col("q_vec")))
+        .withColumn("cluster",
+          explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
+    val wa = Window.partitionBy(col("query_id"))
+      .orderBy(col("a_score").desc, col("neighbor_id").asc)
+    val candidates = probes.join(index.indexed.select("cluster", "neighbor_id", "q8"), "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("q_vec"), col("q8q"), col("neighbor_id"), col("q8")).distinct()
+      .withColumn("a_score", int8Cosine(col("q8q"), col("q8")))
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    candidates.join(index.indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Train-and-search convenience form — [[ivfSq8Build]] + the probe-only
+    * [[ivfSq8TopK]]. One-shot jobs only; a service keeps the index. */
+  def ivfSq8TopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nlist: Int, nprobe: Int, rerank: Int,
+                 iterations: Int = 1, seed: Long = 42L): DataFrame =
+    ivfSq8TopK(queries, ivfSq8Build(corpus, idCol, vecCol, nlist, iterations, seed),
+      idCol, vecCol, k, nprobe, rerank)
+
   /** Train product-quantization codebooks: the vector space is split into
     * `m` contiguous subspaces and each gets `ksub` codewords refined by
     * Lloyd steps — the same distributed assign + per-(code, position) mean
@@ -495,6 +571,15 @@ object Similarity {
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
     IvfIndex(loadCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(s"$path/index"))
+
+  def saveIvfSq8Index(idx: IvfSq8Index, path: String): Unit = {
+    saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
+    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+  }
+
+  def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession, path: String): IvfSq8Index =
+    IvfSq8Index(loadCentroids(spark, s"$path/centroids"),
       spark.read.parquet(s"$path/index"))
 
   def savePqIndex(idx: PqIndex, path: String): Unit = {

@@ -397,6 +397,31 @@ class ExtSpec extends AnyFunSuite {
     val brute1 = Similarity.bruteForceTopK(q1, emb, "vec_id", "embedding", 3)
       .collect().map(keyOf).toSet
     assert(ivfPqProbed == brute1)
+
+    // IVF-SQ8: exhaustive setting equals brute force; the same prebuilt
+    // index serves a second batch; the narrow int8-scored path (bounded
+    // rerank) keeps high recall against exact
+    val sq8Idx = Similarity.ivfSq8Build(emb, "vec_id", "embedding", nlist = 8)
+    val sq8Probed = Similarity.ivfSq8TopK(q1, sq8Idx, "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 1 << 20).collect().map(keyOf).toSet
+    assert(sq8Probed == brute1)
+    val sq8Probed2 = Similarity.ivfSq8TopK(q2, sq8Idx, "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 1 << 20).collect().map(keyOf).toSet
+    assert(sq8Probed2 == brute2)
+    val sq8Narrow = Similarity.ivfSq8TopK(q1, sq8Idx, "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brutePairs = brute1.map { case (q, _, n) => (q, n) }
+    assert(brutePairs.intersect(sq8Narrow).size * 10 >= brutePairs.size * 8,
+      s"int8-scored recall@rerank=8 below 0.8: ${brutePairs.intersect(sq8Narrow).size}/${brutePairs.size}")
+
+    // persistence round-trip: load serves identical results
+    val sq8Path = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.saveIvfSq8Index(sq8Idx, sq8Path)
+    val sq8Loaded = Similarity.loadIvfSq8Index(spark, sq8Path)
+    val sq8FromDisk = Similarity.ivfSq8TopK(q1, sq8Loaded, "vec_id", "embedding",
+      k = 3, nprobe = 8, rerank = 1 << 20).collect().map(keyOf).toSet
+    assert(sq8FromDisk == brute1)
   }
 
   test("semDedup: k=1 equals global components; clustered tier is a safe subset of drops") {
