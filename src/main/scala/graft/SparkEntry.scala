@@ -1303,6 +1303,19 @@ object SparkEntry {
         .select(col("doc_id"), col("meta.format").as("format"),
           col("meta.sampleRate").as("sample_rate"),
           col("meta.channels").as("channels"), col("meta.frames").as("frames"))
+    }),
+    // real container-metadata probe: the writer emits genuine ISO-BMFF /
+    // EBML bytes and the box/EBML walk reads them back; the oracle computes
+    // the same metadata arithmetically from the id, so a parser that
+    // shortcut the container structure could not pass by accident
+    "q_multimodal_video" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val media = graft.ext.Multimodal.syntheticVideoMedia(spark, docs, "doc_id").toDF
+      graft.ext.Multimodal.decodeVideoMeta(spark, media)
+        .select(col("doc_id"), col("meta.format").as("format"),
+          col("meta.codec").as("codec"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
     })
   )
 
@@ -2820,6 +2833,16 @@ object SparkEntry {
         CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
         CAST(1 + (doc_id % 2) AS INTEGER) AS channels,
         CAST(256 + (doc_id % 512) AS BIGINT) AS frames
+      FROM documents""",
+    "q_multimodal_video" ->
+      """SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'matroska' END AS format,
+        CASE WHEN doc_id % 2 = 0
+             THEN (CASE WHEN doc_id % 4 = 0 THEN 'avc1' ELSE 'hev1' END)
+             ELSE (CASE WHEN doc_id % 4 = 1 THEN 'V_VP9' ELSE 'V_AV1' END) END AS codec,
+        CAST((doc_id % 64) * 16 + 16 AS INTEGER) AS width,
+        CAST((doc_id % 48) * 16 + 16 AS INTEGER) AS height,
+        CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms
       FROM documents"""
   )
 }

@@ -286,6 +286,286 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------- video ----
+  // No JVM video CODEC ships in this container, so frame DECODE stays out of
+  // scope — but container METADATA needs no codec: MP4 metadata lives in
+  // plain ISO-BMFF boxes (ISO/IEC 14496-12) and Matroska/WebM metadata in
+  // EBML elements (RFC 8794), both walkable with nothing but ByteBuffer.
+
+  /** Typed video-container metadata — what a demuxer's probe returns:
+    * container format, video codec id, track dimensions, duration. */
+  case class VideoMeta(format: String, codec: String, width: Int, height: Int,
+                       duration_ms: Long, sizeBytes: Long)
+  case class DecodedVideoRow(doc_id: Long, meta: VideoMeta)
+
+  trait VideoDecoder extends Serializable {
+    def decode(payload: Array[Byte]): VideoMeta
+  }
+
+  /** REAL container-metadata parse for MP4 (ISO-BMFF box walk: ftyp,
+    * moov/mvhd for timescale+duration, trak/tkhd for track dims,
+    * stbl/stsd for the codec fourcc) and Matroska/WebM (EBML walk:
+    * DocType, Info/TimestampScale+Duration, Tracks/TrackEntry/Video for
+    * dims and CodecID). Sniffs the container from the leading bytes. */
+  object ContainerVideoDecoder extends VideoDecoder {
+
+    override def decode(payload: Array[Byte]): VideoMeta = {
+      require(payload.length >= 8, "truncated video payload")
+      if (payload(4) == 'f' && payload(5) == 't' && payload(6) == 'y' && payload(7) == 'p')
+        parseMp4(payload)
+      else if ((payload(0) & 0xFF) == 0x1A && (payload(1) & 0xFF) == 0x45 &&
+               (payload(2) & 0xFF) == 0xDF && (payload(3) & 0xFF) == 0xA3)
+        parseMkv(payload)
+      else throw new IllegalArgumentException("neither an ISO-BMFF nor an EBML container")
+    }
+
+    // ---- ISO-BMFF ----
+
+    private def u32(b: Array[Byte], off: Int): Long =
+      ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+        ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+    private def u64(b: Array[Byte], off: Int): Long =
+      (u32(b, off) << 32) | u32(b, off + 4)
+
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    private final class Mp4State {
+      var codec = ""; var w = 0; var h = 0; var timescale = 0L; var dur = 0L
+    }
+
+    private def parseMp4(b: Array[Byte]): VideoMeta = {
+      val st = new Mp4State
+      walkBoxes(b, 0, b.length, st)
+      val ms = if (st.timescale > 0) st.dur * 1000L / st.timescale else 0L
+      VideoMeta("mp4", st.codec, st.w, st.h, ms, b.length.toLong)
+    }
+
+    private def walkBoxes(b: Array[Byte], start: Int, end: Int, st: Mp4State): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val size = u32(b, off)
+        val typ = fourcc(b, off + 4)
+        val (hdr, boxEnd) =
+          if (size == 1L && off + 16 <= end) (16, off + u64(b, off + 8).toInt)
+          else if (size == 0L) (8, end) // "to end of file"
+          else (8, off + size.toInt)
+        if (boxEnd <= off || boxEnd > end) return // corrupt size: stop
+        typ match {
+          case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+            walkBoxes(b, off + hdr, boxEnd, st)
+          case "mvhd" =>
+            val v = b(off + hdr) & 0xFF
+            if (v == 1) { // 64-bit times
+              st.timescale = u32(b, off + hdr + 4 + 16)
+              st.dur = u64(b, off + hdr + 4 + 20)
+            } else {
+              st.timescale = u32(b, off + hdr + 4 + 8)
+              st.dur = u32(b, off + hdr + 4 + 12)
+            }
+          case "tkhd" =>
+            val v = b(off + hdr) & 0xFF
+            val wOff = off + hdr + (if (v == 1) 88 else 76) // width: 16.16 fixed
+            val tw = (u32(b, wOff) >>> 16).toInt
+            val th = (u32(b, wOff + 4) >>> 16).toInt
+            if (tw > 0) { st.w = tw; st.h = th } // the video track
+          case "stsd" =>
+            if (u32(b, off + hdr + 4) >= 1) // entry_count; fourcc of entry 1
+              st.codec = fourcc(b, off + hdr + 12)
+          case _ => // mdat / free / unknown: skip
+        }
+        off = boxEnd
+      }
+    }
+
+    // ---- EBML (Matroska/WebM) ----
+
+    /** Read an EBML vint at `off`: (value, encodedLength). For element IDs
+      * keep the marker bit (IDs are compared with it); for sizes clear it. */
+    private def vint(b: Array[Byte], off: Int, clearMarker: Boolean): (Long, Int) = {
+      val first = b(off) & 0xFF
+      val len = java.lang.Integer.numberOfLeadingZeros(first) - 23 // 1..8
+      require(len >= 1 && len <= 8, s"bad EBML vint lead byte $first")
+      var v = if (clearMarker) (first & (0xFF >>> len)).toLong else first.toLong
+      var i = 1
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+      (v, len)
+    }
+
+    private final class MkvState {
+      var docType = "matroska"; var codec = ""; var w = 0; var h = 0
+      var tsScale = 1000000L; var durTicks = 0.0
+      var inVideoTrack = false; var trackCodec = ""
+    }
+
+    private def parseMkv(b: Array[Byte]): VideoMeta = {
+      val st = new MkvState
+      walkEbml(b, 0, b.length, st)
+      val ms = math.round(st.durTicks * st.tsScale / 1e6)
+      VideoMeta(st.docType, st.codec, st.w, st.h, ms, b.length.toLong)
+    }
+
+    private def uintAt(b: Array[Byte], off: Int, len: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < len) { v = (v << 8) | (b(off + i) & 0xFFL); i += 1 }
+      v
+    }
+
+    private def floatAt(b: Array[Byte], off: Int, len: Int): Double = len match {
+      case 4 => java.lang.Float.intBitsToFloat(uintAt(b, off, 4).toInt).toDouble
+      case 8 => java.lang.Double.longBitsToDouble(uintAt(b, off, 8))
+      case _ => 0.0
+    }
+
+    private def walkEbml(b: Array[Byte], start: Int, end: Int, st: MkvState): Unit = {
+      var off = start
+      while (off < end) {
+        val (id, idLen) = vint(b, off, clearMarker = false)
+        val (sz, szLen) = vint(b, off + idLen, clearMarker = true)
+        val bodyOff = off + idLen + szLen
+        val bodyEnd = bodyOff + sz.toInt
+        if (bodyEnd > end || bodyEnd <= off) return // corrupt: stop
+        id match {
+          case 0x1A45DFA3L | 0x18538067L | 0x1549A966L | 0x1654AE6BL | 0xE0L =>
+            walkEbml(b, bodyOff, bodyEnd, st) // header/Segment/Info/Tracks/Video
+          case 0xAEL => // TrackEntry: commit codec only for the video track
+            st.inVideoTrack = false; st.trackCodec = ""
+            walkEbml(b, bodyOff, bodyEnd, st)
+            if (st.inVideoTrack && st.trackCodec.nonEmpty) st.codec = st.trackCodec
+          case 0x4282L => st.docType = new String(b, bodyOff, sz.toInt,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          case 0x2AD7B1L => st.tsScale = uintAt(b, bodyOff, sz.toInt)
+          case 0x4489L => st.durTicks = floatAt(b, bodyOff, sz.toInt)
+          case 0x83L => st.inVideoTrack = uintAt(b, bodyOff, sz.toInt) == 1L
+          case 0x86L => st.trackCodec = new String(b, bodyOff, sz.toInt,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          case 0xB0L => st.w = uintAt(b, bodyOff, sz.toInt).toInt
+          case 0xBAL => st.h = uintAt(b, bodyOff, sz.toInt).toInt
+          case _ => // Void / Cluster / unknown: skip
+        }
+        off = bodyEnd
+      }
+    }
+  }
+
+  // ---- synthetic container writers (REAL bytes, deterministic from id) ----
+
+  private def mp4Box(typ: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length)
+    bb.put(typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put(body)
+    bb.array()
+  }
+
+  private def be32(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+
+  private def buildMp4(codec: String, w: Int, h: Int, durMs: Long,
+                       bodyLen: Int, id: Long): Array[Byte] = {
+    val ftyp = mp4Box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    val mvhd = { // version 0: timescale 1000 ⇒ duration field is in ms
+      val bb = java.nio.ByteBuffer.allocate(100)
+      bb.putInt(12, 1000); bb.putInt(16, durMs.toInt)
+      bb.putInt(20, 0x00010000); bb.putShort(24, 0x0100.toShort)
+      bb.putInt(36, 0x00010000); bb.putInt(52, 0x00010000); bb.putInt(68, 0x40000000)
+      bb.putInt(96, 2) // next track id
+      mp4Box("mvhd", bb.array())
+    }
+    val tkhd = { // version 0, flags=3 (enabled|in-movie); width/height 16.16
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.putInt(0, 3); bb.putInt(12, 1); bb.putInt(20, durMs.toInt)
+      bb.putInt(40, 0x00010000); bb.putInt(56, 0x00010000); bb.putInt(72, 0x40000000)
+      bb.putInt(76, w << 16); bb.putInt(80, h << 16)
+      mp4Box("tkhd", bb.array())
+    }
+    val hdlr = mp4Box("hdlr", new Array[Byte](8), "vide".getBytes,
+      new Array[Byte](12), Array[Byte](0))
+    val stsd = { // entry_count=1, one 16-byte sample entry: its fourcc IS the codec id
+      val entry = java.nio.ByteBuffer.allocate(16)
+      entry.putInt(0, 16)
+      entry.position(4); entry.put(codec.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      mp4Box("stsd", new Array[Byte](4), be32(1), entry.array())
+    }
+    val moov = mp4Box("moov", mvhd,
+      mp4Box("trak", tkhd, mp4Box("mdia", hdlr, mp4Box("minf", mp4Box("stbl", stsd)))))
+    val body = new Array[Byte](bodyLen)
+    var i = 0
+    while (i < bodyLen) { body(i) = ((id * 31 + i * 7) % 251).toByte; i += 1 }
+    ftyp ++ moov ++ mp4Box("mdat", body)
+  }
+
+  /** EBML element: raw id bytes + 8-octet size (always-maximal encoding,
+    * legal per RFC 8794 §4.2 and simplest to nest). */
+  private def ebmlEl(idBytes: Array[Byte], parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatten.toArray
+    val size = new Array[Byte](8)
+    size(0) = 0x01 // 8-octet length marker
+    var v = body.length.toLong; var i = 7
+    while (i >= 1) { size(i) = (v & 0xFF).toByte; v >>= 8; i -= 1 }
+    idBytes ++ size ++ body
+  }
+
+  private def ebmlUint(v: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len); var x = v; var i = len - 1
+    while (i >= 0) { out(i) = (x & 0xFF).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  private def buildMkv(codec: String, w: Int, h: Int, durMs: Long,
+                       bodyLen: Int, id: Long): Array[Byte] = {
+    def idb(bytes: Int*): Array[Byte] = bytes.map(_.toByte).toArray
+    val header = ebmlEl(idb(0x1A, 0x45, 0xDF, 0xA3),
+      ebmlEl(idb(0x42, 0x82), "matroska".getBytes)) // DocType
+    val info = ebmlEl(idb(0x15, 0x49, 0xA9, 0x66),
+      ebmlEl(idb(0x2A, 0xD7, 0xB1), ebmlUint(1000000L, 3)), // ns per tick
+      ebmlEl(idb(0x44, 0x89), // Duration: float64 ticks (= ms at this scale)
+        java.nio.ByteBuffer.allocate(8).putDouble(durMs.toDouble).array()))
+    val trackEntry = ebmlEl(idb(0xAE),
+      ebmlEl(idb(0x83), ebmlUint(1L, 1)), // TrackType video
+      ebmlEl(idb(0x86), codec.getBytes),  // CodecID
+      ebmlEl(idb(0xE0),
+        ebmlEl(idb(0xB0), ebmlUint(w.toLong, 2)),
+        ebmlEl(idb(0xBA), ebmlUint(h.toLong, 2))))
+    val tracks = ebmlEl(idb(0x16, 0x54, 0xAE, 0x6B), trackEntry)
+    val body = new Array[Byte](bodyLen)
+    var i = 0
+    while (i < bodyLen) { body(i) = ((id * 31 + i * 7) % 251).toByte; i += 1 }
+    val voidEl = ebmlEl(idb(0xEC), body) // Void: skippable padding
+    header ++ ebmlEl(idb(0x18, 0x53, 0x80, 0x67), info, tracks, voidEl)
+  }
+
+  /** Synthesize REAL MP4 / Matroska container payloads (even ids ISO-BMFF,
+    * odd ids EBML; codec/dims/duration derived from the id) — real bytes
+    * for the [[ContainerVideoDecoder]] path with no media files on disk.
+    * Same narrow typed-map shape as a `binaryFile` read. */
+  def syntheticVideoMedia(spark: SparkSession, df: DataFrame, idCol: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (id % 64).toInt * 16 + 16
+      val h = (id % 48).toInt * 16 + 16
+      val durMs = 1000L + (id % 60) * 500L
+      val bodyLen = (id % 1024).toInt + 32
+      val payload =
+        if (id % 2 == 0)
+          buildMp4(if (id % 4 == 0) "avc1" else "hev1", w, h, durMs, bodyLen, id)
+        else
+          buildMkv(if (id % 4 == 1) "V_VP9" else "V_AV1", w, h, durMs, bodyLen, id)
+      MediaRow(id, payload)
+    }
+  }
+
+  /** Video-container probe: same batched per-partition map shape as
+    * [[decodeAndFeaturize]] (no shuffle). */
+  def decodeVideoMeta(spark: SparkSession, media: DataFrame,
+                      decoder: VideoDecoder = ContainerVideoDecoder): Dataset[DecodedVideoRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("content")).as[MediaRow]
+      .mapPartitions(rows => rows.map(r => DecodedVideoRow(r.doc_id, decoder.decode(r.content))))
+  }
+
   /** Frame sampling for video-like payloads: emit every `stride`-th chunk of
     * the body as a frame row — demonstrates the 1→N generator shape
     * (posexplode over in-row chunking, still shuffle-free). Frames are

@@ -474,9 +474,24 @@ final class StreamingCollection(spark: SparkSession, schema: StructType,
   def addBulk(bulk: Seq[Row]): Unit = { synchronized(rows ++= bulk); fire() }
 
   /** Remove every document matching the `$match`-style predicate; returns
-    * the number removed (reference: streaming.ts:211-260). */
+    * the number removed (reference: streaming.ts:211-260).
+    *
+    * SCALE BOUNDARY: the kept set round-trips through the driver
+    * (`collect()`), faithful to the reference's in-memory mutable
+    * collection and bounded by the rows the caller already chose to hold
+    * in this driver-side collection — this surface is for
+    * reference-parity workloads, NOT 100-TB frames. Batch pipelines
+    * belong on [[Aggo.aggregate]] over parquet-backed frames (the
+    * left-anti filter forms in `graft.ext`), unbounded streams on
+    * [[GraftStreaming.aggregate]]. Collections above
+    * [[StreamingCollection.RemoveWhereWarnRows]] rows log a warning. */
   def removeWhere(matchJson: String): Int = {
     val n = synchronized {
+      if (rows.size > StreamingCollection.RemoveWhereWarnRows)
+        org.slf4j.LoggerFactory.getLogger(classOf[StreamingCollection]).warn(
+          s"removeWhere over ${rows.size} driver-held rows (> " +
+            s"${StreamingCollection.RemoveWhereWarnRows}); this API is for " +
+            "reference-parity workloads — use the batch/streaming paths at scale")
       val keep = Aggo.aggregate(toDF, s"""[{"$$match": {"$$nor": [$matchJson]}}]""", collections)
         .collect()
       val removed = rows.size - keep.length
@@ -504,4 +519,11 @@ final class StreamingCollection(spark: SparkSession, schema: StructType,
     val (ps, ls) = synchronized((pipelines, listeners))
     for ((name, p) <- ps; l <- ls) l(name, aggregate(p))
   }
+}
+
+object StreamingCollection {
+  /** Row count above which [[StreamingCollection.removeWhere]] logs its
+    * driver-materialization warning — a tripwire, not a limit (the API
+    * stays correct; it just isn't the scale surface). */
+  @volatile var RemoveWhereWarnRows: Int = 1000000
 }

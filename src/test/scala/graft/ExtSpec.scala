@@ -983,6 +983,45 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: real MP4/MKV container metadata through the box/EBML walk") {
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val media = Multimodal.syntheticVideoMedia(spark, ids, "doc_id").toDF
+    val decoded = Multimodal.decodeVideoMeta(spark, media).collect()
+    assert(decoded.length == 8)
+    decoded.foreach { d =>
+      val id = d.doc_id
+      assert(d.meta.format == (if (id % 2 == 0) "mp4" else "matroska"),
+        s"doc $id: ${d.meta.format}")
+      val expectCodec =
+        if (id % 2 == 0) { if (id % 4 == 0) "avc1" else "hev1" }
+        else { if (id % 4 == 1) "V_VP9" else "V_AV1" }
+      assert(d.meta.codec == expectCodec, s"doc $id: ${d.meta.codec}")
+      assert(d.meta.width == (id % 64) * 16 + 16 && d.meta.height == (id % 48) * 16 + 16)
+      assert(d.meta.duration_ms == 1000 + (id % 60) * 500)
+      assert(d.meta.sizeBytes > 0)
+    }
+    // a 64-bit (version 1) mvhd parses through the large-time path too
+    val v1mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(120)
+      bb.put(0, 1.toByte)            // version 1
+      bb.putInt(4 + 16, 1000)        // timescale after two 8-byte times
+      bb.putLong(4 + 20, 7500L)      // 64-bit duration
+      bb.array()
+    }
+    def box(typ: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(typ.getBytes("US-ASCII")); bb.put(body)
+      bb.array()
+    }
+    val mp4v1 = box("ftyp", "isom".getBytes ++ new Array[Byte](8)) ++
+      box("moov", box("mvhd", v1mvhd))
+    assert(Multimodal.ContainerVideoDecoder.decode(mp4v1).duration_ms == 7500L)
+    // the decoder refuses non-container bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.ContainerVideoDecoder.decode(Array.fill[Byte](64)(7))
+    }
+  }
+
   test("salted join equals plain join; key profile finds hot keys") {
     import spark.implicits._
     val fact = (Seq.fill(50)("hot") ++ Seq("a", "b", "c")).zipWithIndex
