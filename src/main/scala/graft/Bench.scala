@@ -77,11 +77,19 @@ object Bench {
     // extras: a warm run materially slower than its own cold run is
     // physically implausible and flags the record too (that inversion —
     // ivfTopK warm 87s vs cold 14s — was r3's actual smoking gun).
-    final case class Stat(iters: Seq[Double]) {
-      val sorted: Seq[Double] = iters.sorted
-      def min: Double = sorted.head
-      def med: Double = sorted(sorted.size / 2)
-      def max: Double = sorted.last
+    // Process-CPU seconds ride next to every wall time: on a contended box
+    // wall inflates but the query's own CPU does not, so the CPU column
+    // makes a noisy record auditable instead of merely discardable.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    def cpuNs(): Long = osBean.getProcessCpuTime
+
+    final case class Stat(iters: Seq[(Double, Double)]) { // (wall, cpu) pairs
+      val sorted: Seq[(Double, Double)] = iters.sortBy(_._1)
+      def min: Double = sorted.head._1
+      def med: Double = sorted(sorted.size / 2)._1
+      def medCpu: Double = sorted(sorted.size / 2)._2
+      def max: Double = sorted.last._1
       def noisy: Boolean = med / math.max(min, 1e-9) > 1.5
     }
 
@@ -91,10 +99,10 @@ object Bench {
       // codegen (~100 ms) in every iteration would measure the planner, not
       // the engine. toRdd pins the physical plan; each count() re-executes it.
       val rdd = Aggo.aggregate(li, pipeline).queryExecution.toRdd
-      def once(): Double = {
-        val t0 = System.nanoTime()
+      def once(): (Double, Double) = {
+        val t0 = System.nanoTime(); val c0 = cpuNs()
         rdd.count()
-        (System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
       }
       (1 to 3).foreach(_ => once()) // warm: codegen, JIT
       Stat(Seq.fill(5)(once()))
@@ -105,7 +113,8 @@ object Bench {
       "groupAndAggregate" -> timed(GroupAndAggregate),
       "complexPipeline" -> timed(ComplexPipeline))
     stats.foreach { case (k, s) =>
-      System.err.println(s"[bench] $k iters=${s.iters.map(t => "%.4f".format(t)).mkString(",")}" +
+      System.err.println(s"[bench] $k iters=${s.iters.map(t => "%.4f".format(t._1)).mkString(",")}" +
+        s" cpu=${s.iters.map(t => "%.4f".format(t._2)).mkString(",")}" +
         (if (s.noisy) "  ** NOISY (max/min > 2x) **" else ""))
     }
     val results = stats.map { case (k, s) => k -> s.med }
@@ -115,15 +124,17 @@ object Bench {
     docs.count()
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").cache()
     emb.count()
-    def once(f: => Long): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    def once(f: => Long): (Double, Double) = {
+      val t0 = System.nanoTime(); val c0 = cpuNs(); f
+      ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
     }
     // Extras report cold (first run: analysis + codegen + any training jobs)
     // and warm (second run of the identical call) — the warm number is the
     // steady-state cost a long-running pipeline actually pays per batch.
-    def coldWarm(f: => Long): (Double, Double) = (once(f), once(f))
+    def coldWarm(f: => Long): ((Double, Double), (Double, Double)) = (once(f), once(f))
     var ivfIdx: graft.ext.Similarity.IvfIndex = null
     var pqIdx: graft.ext.Similarity.PqIndex = null
+    var sq8Idx: graft.ext.Similarity.IvfSq8Index = null
     var lmCounts: DataFrame = null
     val extrasCW = Seq(
       // train cost separated from score cost, same split as ivf/pq: the
@@ -166,6 +177,13 @@ object Bench {
       "pqTopK" -> coldWarm(graft.ext.Similarity.pqTopK(
         emb.filter(col("vec_id") < 100), pqIdx, "vec_id", "embedding",
         k = 10, rerank = 50).count()),
+      "ivfSq8Build" -> coldWarm {
+        sq8Idx = graft.ext.Similarity.ivfSq8Build(emb, "vec_id", "embedding", nlist = 16)
+        sq8Idx.indexed.count()
+      },
+      "ivfSq8TopK" -> coldWarm(graft.ext.Similarity.ivfSq8TopK(
+        emb.filter(col("vec_id") < 100), sq8Idx, "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 50).count()),
       "semDedup" -> coldWarm(graft.ext.Dedup.semDedup(
         emb, "vec_id", "embedding", k = 16, threshold = 0.7).count()),
       "rankFusion" -> coldWarm(Aggo.aggregate(li,
@@ -229,20 +247,56 @@ object Bench {
         graft.ext.TextFunctions.normalizeNfc(graft.ext.TextFunctions.stripHtml(
           concat(lit("<p>"), col("text"), lit("</p>")))).as("t"))
         .agg(count(lit(1))).first().getLong(0)))
-    val extras = extrasCW.map { case (k, cw) => k -> cw._1 }
-    val extrasWarm = extrasCW.map { case (k, cw) => k -> cw._2 }
+    // 10×-scale soak (opt-in: SPARK_GRAFT_SOAK=1): the composed pipelines —
+    // full curate recipe and semDedup — on a corpus synthesized at 10× the
+    // bench SF (ids remapped, text/vectors lightly perturbed so the scale-up
+    // isn't pure duplicates), written to parquet so the run is scan-shaped.
+    // The first real datapoint for skew behavior the plan audits only
+    // reason about; sane scaling ≈ ≤15× the 1× warm cost.
+    val soakCW =
+      if (!sys.env.get("SPARK_GRAFT_SOAK").contains("1")) Seq.empty else {
+        val rep = explode(sequence(lit(0), lit(9))).as("k")
+        val docs10Path = "/tmp/graft-soak-docs.parquet"
+        docs.select(rep, col("doc_id"), col("text"), col("lang"))
+          .select((col("doc_id") * 10 + col("k")).as("doc_id"),
+            concat(col("text"), lit(" rep"), col("k")).as("text"), col("lang"))
+          .write.mode("overwrite").parquet(docs10Path)
+        val emb10Path = "/tmp/graft-soak-emb.parquet"
+        emb.select(rep, col("vec_id"), col("embedding"))
+          .select((col("vec_id") * 10 + col("k")).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x + ((col("k") * 7 + i) % 13 - lit(6)) * lit(0.001)).cast("float"))
+              .as("embedding"))
+          .write.mode("overwrite").parquet(emb10Path)
+        val docs10 = spark.read.parquet(docs10Path)
+        val emb10 = spark.read.parquet(emb10Path)
+        Seq(
+          "soakCorpusCurate10x" -> coldWarm(graft.ext.Corpus.curate(
+            docs10, "doc_id", "text", Seq("lang"),
+            graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
+          "soakSemDedup10x" -> coldWarm(graft.ext.Dedup.semDedup(
+            emb10, "vec_id", "embedding", k = 16, threshold = 0.7).count()))
+      }
+    val allCW = extrasCW ++ soakCW
+    val extras = allCW.map { case (k, cw) => k -> cw._1._1 }
+    val extrasWarm = allCW.map { case (k, cw) => k -> cw._2._1 }
+    val extrasCpu = allCW.map { case (k, cw) => k -> cw._1._2 }
+    val extrasWarmCpu = allCW.map { case (k, cw) => k -> cw._2._2 }
 
     val total = results.map(_._2).sum
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
     val docsPerSec = results.map { case (k, v) => k -> (nRows / v) }
+    val queriesCpu = stats.map { case (k, s) => k -> s.medCpu }
     val spread = stats.map { case (k, s) =>
       s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
     }.mkString("{", ",", "}")
-    val warmColdInverted = extrasCW.exists { case (_, (cold, warm)) => warm > 2 * cold + 0.5 }
+    val warmColdInverted = allCW.exists { case (_, ((cold, _), (warm, _))) => warm > 2 * cold + 0.5 }
     val noisy = stats.exists(_._2.noisy) || warmColdInverted
     println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
-      s""""queries":${fmt(results)},"extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
+      s""""queries":${fmt(results)},"queries_cpu":${fmt(queriesCpu)},""" +
+      s""""extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
+      s""""extras_cpu":${fmt(extrasCpu)},"extras_warm_cpu":${fmt(extrasWarmCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir"}""")
