@@ -834,6 +834,23 @@ object SparkEntry {
         graft.ext.Dedup.exactGroups(even, "doc_id", "text"))
         .select(col("doc_id"))
     }),
+    // same planted batch/store split as q_dedup_incr_exact; the bloom
+    // pre-filter must leave the result set bit-identical (misses skip the
+    // join, false positives take it), so the oracle is the same SQL
+    "q_dedup_incr_bloom" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents")
+      val even = docs.filter(col("doc_id") % 2 === 0)
+      val newDocs = docs.filter(col("doc_id") % 2 === 1)
+        .join(even.select(col("doc_id").as("nid"), col("text").as("ntext")),
+          col("doc_id") - 1 === col("nid"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 1 && col("ntext").isNotNull, col("ntext"))
+            .otherwise(col("text")).as("text"))
+      graft.ext.Dedup.incrementalExactBloom(newDocs, "doc_id", "text",
+        graft.ext.Dedup.exactGroups(even, "doc_id", "text"),
+        expectedDocs = 100000L, fpp = 0.001)
+        .select(col("doc_id"))
+    }),
     "q_dedup_incr_minhash" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       graft.ext.Dedup.minhashLshPairsAgainst(
@@ -1132,6 +1149,18 @@ object SparkEntry {
     "q_dup_ngram" -> ((spark: SparkSession, dir: String) =>
       graft.ext.TextFunctions.dupNgramFraction(
         tbl(spark, dir, "documents"), "doc_id", "text", n = 3)),
+    // ...and its transform companion: cut every token covered by a
+    // cross-document trigram (word soup has abundant natural ones)
+    "q_dedup_spans" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Dedup.removeDupSpans(
+        tbl(spark, dir, "documents"), "doc_id", "text", n = 3)),
+    // hashed linear classifier gate: seeded pseudo-random weights derived
+    // from the same integer formula on both sides; ~half the corpus passes
+    "q_classifier" -> ((spark: SparkSession, dir: String) => {
+      val weights = (0 until 64).map(j => ((j * 2654435761L) % 1000) / 500.0 - 1.0)
+      graft.ext.TextFunctions.classifierFilter(
+        tbl(spark, dir, "documents"), "text", weights, bias = 0.0, threshold = 0.5)
+    }),
     // semantic decontamination: eval = every 37th embedding; the bucketed
     // LSH tier carries the gate (same 2-plane × 32-table miss-prob ≈ 3e-8
     // argument as q_dedup_embedding_lsh), oracle = brute-force bipartite
@@ -2590,6 +2619,60 @@ object SparkEntry {
         WHERE rn = 1)
       SELECT b.doc_id FROM batch b
       WHERE NOT EXISTS (SELECT 1 FROM evens e WHERE md5(e.text) = md5(b.text))""",
+    // bloom pre-filter changes the plan, never the answer — same oracle
+    "q_dedup_incr_bloom" ->
+      """WITH evens AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      news AS (
+        SELECT o.doc_id,
+          CASE WHEN o.doc_id % 7 = 1 AND e.text IS NOT NULL THEN e.text ELSE o.text END AS text
+        FROM documents o LEFT JOIN evens e ON e.doc_id = o.doc_id - 1
+        WHERE o.doc_id % 2 = 1),
+      batch AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM news)
+        WHERE rn = 1)
+      SELECT b.doc_id FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM evens e WHERE md5(e.text) = md5(b.text))""",
+    "q_dedup_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      g AS (
+        SELECT doc_id, i AS s,
+          array_to_string(toks[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS gram
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 3)) AS i
+              FROM tok WHERE len(toks) >= 3)),
+      hot AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      ds AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS starts
+             FROM g JOIN hot USING (gram) GROUP BY doc_id),
+      k AS (SELECT t.doc_id, t.toks, coalesce(d.starts, []) AS starts
+            FROM tok t LEFT JOIN ds d USING (doc_id))
+      SELECT doc_id,
+        coalesce(array_to_string(list_filter(toks, (t, i) ->
+          len(list_filter(starts, s -> s >= i - 3 AND s <= i - 1)) = 0), ' '), '') AS cleaned_text,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(toks) - len(list_filter(toks, (t, i) ->
+          len(list_filter(starts, s -> s >= i - 3 AND s <= i - 1)) = 0)) AS BIGINT) AS n_removed
+      FROM k""",
+    "q_classifier" ->
+      """WITH w AS (SELECT list_transform(generate_series(0, 63),
+          j -> ((j * 2654435761) % 1000) / 500.0 - 1.0) AS wts),
+      s AS (
+        SELECT doc_id, text, lang, source, n_chars,
+          list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks, wts
+        FROM documents, w),
+      sc AS (
+        SELECT doc_id, text, lang, source, n_chars,
+          CASE WHEN len(toks) > 0 THEN
+            1.0 / (1.0 + exp(-(0.0 + list_sum(list_transform(toks, t ->
+              wts[CAST(CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 64 AS INT) + 1])) / len(toks))))
+          ELSE 0.5 END AS raw
+        FROM s)
+      SELECT doc_id, text, lang, source, n_chars,
+        floor(raw * 1e6 + 0.5) / 1e6 AS classifier_score
+      FROM sc WHERE floor(raw * 1e6 + 0.5) / 1e6 >= 0.5""",
     "q_dedup_incr_minhash" ->
       """WITH sh AS (
         SELECT doc_id,

@@ -188,6 +188,38 @@ object Dedup {
       .join(store.select(col("content_hash")),
         md5(col(contentCol)) <=> col("content_hash"), "left_anti")
 
+  /** Bloom-prefiltered [[incrementalExact]] for store scales where the
+    * content-hash anti-join is the dominant cost: the store's hashes fold
+    * into one driver-bounded Bloom filter (~12 MB per 10M docs at 1% —
+    * 10-50× smaller than the hash set), the batch probes it SCAN-SIDE
+    * through Spark's codegen'd `BloomFilterMightContain`, and only the
+    * possible members enter the anti-join. The result set is IDENTICAL to
+    * [[incrementalExact]]: bloom misses are definite non-members (kept with
+    * no join at all), false positives just take the exact join anyway —
+    * the filter prunes work, never answers. Null-content rows route
+    * through the join unconditionally (null hashes never probe). */
+  def incrementalExactBloom(newDocs: DataFrame, idCol: String, contentCol: String,
+                            store: DataFrame, expectedDocs: Long = 10000000L,
+                            fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val spark = newDocs.sparkSession
+    val bf = store.select(xxhash64(col("content_hash")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .stat.bloomFilter("__h", expectedDocs, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    graft.exprs.catalyst.GraftFunctions.register(spark)
+    val mightSeen = org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.MightContainName,
+      lit(bos.toByteArray), xxhash64(md5(col(contentCol))))
+    val batch = spill(exactDedup(newDocs, idCol, contentCol), "graft-incr-bloom")
+    val definiteNew = batch.filter(col(contentCol).isNotNull && !mightSeen)
+    val maybeSeen = batch.filter(col(contentCol).isNull || mightSeen)
+      .join(store.select(col("content_hash")),
+        md5(col(contentCol)) <=> col("content_hash"), "left_anti")
+    definiteNew.unionByName(maybeSeen)
+  }
+
   /** Near-dup tier of incremental ingestion: candidate (new, seen) pairs via
     * a bipartite MinHash-LSH band join — same recipe as [[minhashLshPairs]]
     * but new docs are only ever compared against the store, never against
@@ -689,4 +721,52 @@ object Dedup {
   def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
                      maxCount: Long = 1L): DataFrame =
     lineDedup(df, idCol, textCol, maxCount, sepRegex = "\n{2,}", joinStr = "\n\n")
+
+  /** Cross-document duplicated-span REMOVAL — the transform companion of
+    * [[TextFunctions.dupNgramFraction]] (which only measures): every token
+    * covered by a word `n`-gram that also occurs in at least one OTHER
+    * document is cut, the practical distributed form of exact-substring
+    * dedup (Lee et al. 2021; FineWeb removes such spans rather than whole
+    * documents). Token grain: the result is the kept token sequence, not a
+    * byte-offset splice of the raw text — spans are judged on the same
+    * lowercased `\W+` tokens every other text tier here uses.
+    *
+    * Plan shape: one positional gram explode per document, one count
+    * aggregation keyed on the gram (partial/final combine, so hot
+    * boilerplate grams pre-combine map-side), a join back on the same key,
+    * one per-document aggregation of duplicated start positions, and a
+    * scan-side coverage filter. Two keyed shuffles, no windows; per-row
+    * work is |tokens|·|dup starts| with both factors document-bounded.
+    *
+    * @return one row per document: cleaned token text, `n_tokens`,
+    *         `n_removed` (tokens cut). Documents shorter than `n` tokens
+    *         have no grams and pass through whole. */
+  def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 8): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val base = spill(
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
+      "graft-dupspan-toks")
+    val grams = base
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+        .as(Seq("__s", "__g")))
+    val hot = grams.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .filter(col("__d") >= 2).select(col("__g"))
+    val dupStarts = grams.join(hot, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__s"))).as("__starts"))
+    val kept = filter(col("__toks"), (_, p) =>
+      !exists(col("__starts"), s => s.between(p - (n - 1), p)))
+    base.join(dupStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(kept, " ").as("cleaned_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
+  }
 }

@@ -532,6 +532,40 @@ object TextFunctions {
         coalesce(col("dup_fraction"), lit(0.0)).as("dup_fraction"))
   }
 
+  /** Hashed-bag-of-words linear classifier score — the fastText-shaped
+    * model-based quality filter of the public curation recipes (C4's
+    * badwords successor: DCLM and FineWeb-Edu both gate on a linear
+    * classifier over token features). Tokens hash into `weights.length`
+    * buckets (md5-derived, engine-reproducible); the score is
+    * `sigmoid(bias + mean(weights[bucket(token)]))`. Purely scan-side
+    * codegen — at 100 TB this is one more column on the quality pass, no
+    * shuffle, no UDF; swap in trained weights without changing the plan.
+    * Token-less documents score `sigmoid(bias)`. */
+  def linearClassifierScore(text: Column, weights: Seq[Double],
+                            bias: Double = 0.0): Column = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    val b = weights.length
+    val wArr = array(weights.map(lit): _*)
+    val toks = tokens(text)
+    val contrib = transform(toks, t =>
+      element_at(wArr,
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % b).cast("int") + 1))
+    val mean = aggregate(contrib, lit(0.0), (acc, x) => acc + x) / size(toks)
+    when(size(toks) > 0,
+      lit(1.0) / (lit(1.0) + exp(-(lit(bias) + mean))))
+      .otherwise(lit(1.0 / (1.0 + math.exp(-bias))))
+  }
+
+  /** The filter form of [[linearClassifierScore]]: keep documents scoring
+    * at least `threshold`, score surfaced (1e-6-quantized so downstream
+    * ordering is ulp-stable across engines). */
+  def classifierFilter(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       weights: Seq[Double], bias: Double,
+                       threshold: Double): org.apache.spark.sql.DataFrame = {
+    val s = floor(linearClassifierScore(col(textCol), weights, bias) * 1e6 + 0.5) / 1e6
+    df.withColumn("classifier_score", s).filter(col("classifier_score") >= threshold)
+  }
+
   // ---------------------------------------------------------- C4 rules ----
 
   /** C4 line cleaning (Raffel et al. 2020 §2.2, the public recipe): keep

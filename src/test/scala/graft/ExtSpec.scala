@@ -80,6 +80,77 @@ class ExtSpec extends AnyFunSuite {
     assert(survivors == Set(13L), s"got $survivors")
   }
 
+  test("bloom-prefiltered incremental exact dedup equals the plain tier, nulls included") {
+    val store = fromJsonl(
+      """{"doc_id": 1, "text": "alpha beta gamma"}""",
+      """{"doc_id": 2, "text": null}""",
+      """{"doc_id": 3, "text": "delta epsilon zeta"}""")
+    val batch = fromJsonl(
+      """{"doc_id": 11, "text": "alpha beta gamma"}""",
+      """{"doc_id": 12, "text": "entirely new content"}""",
+      """{"doc_id": 13, "text": null}""",
+      """{"doc_id": 14, "text": "entirely new content"}""",
+      """{"doc_id": 15, "text": "another fresh one"}""")
+    val groups = Dedup.exactGroups(store, "doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = ids(Dedup.incrementalExact(batch, "doc_id", "text", groups))
+    val bloom = ids(Dedup.incrementalExactBloom(batch, "doc_id", "text", groups,
+      expectedDocs = 1000L, fpp = 0.001))
+    assert(bloom == exact, s"bloom tier diverged: $bloom vs $exact")
+    // 11 dies (stored), 13 dies (store holds a null-content doc),
+    // 14 dies in-batch against 12 — survivors are exactly {12, 15}
+    assert(exact == Set(12L, 15L), s"got $exact")
+  }
+
+  test("removeDupSpans cuts cross-document spans, keeps unique text and short docs") {
+    val docs = fromJsonl(
+      """{"doc_id": 1, "text": "one two three four unique tail here"}""",
+      """{"doc_id": 2, "text": "prefix words one two three four suffix stuff"}""",
+      """{"doc_id": 3, "text": "completely fresh sentence with no overlap at all"}""",
+      """{"doc_id": 4, "text": "tiny"}""")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned_text"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))))
+      .toMap
+    // "one two three four" is the only cross-doc 4-gram: its four tokens
+    // vanish from both docs, everything else survives in order
+    assert(out(1L) == (("unique tail here", 7L, 4L)), s"got ${out(1L)}")
+    assert(out(2L) == (("prefix words suffix stuff", 8L, 4L)), s"got ${out(2L)}")
+    assert(out(3L) == (("completely fresh sentence with no overlap at all", 8L, 0L)))
+    // shorter than n: no grams, passes through whole
+    assert(out(4L) == (("tiny", 1L, 0L)))
+  }
+
+  test("linear classifier score: hashed-bucket mean + sigmoid, hand-checked") {
+    import graft.ext.TextFunctions._
+    // two buckets with opposite weights: score is monotone in the share of
+    // tokens hashing to bucket 0
+    val w = Seq(4.0, -4.0)
+    def bucket(t: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md5.take(15), 16) % 2).toInt
+    }
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val expectMean = toks.map(t => w(bucket(t))).sum / toks.length
+    val expect = 1.0 / (1.0 + math.exp(-(0.5 + expectMean)))
+    val got = spark.range(1)
+      .select(linearClassifierScore(lit(toks.mkString(" ")), w, bias = 0.5).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(got - expect) < 1e-12, s"got $got expect $expect")
+    // token-less text scores sigmoid(bias)
+    val empty = spark.range(1)
+      .select(linearClassifierScore(lit("  ... "), w, bias = 0.5).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(empty - 1.0 / (1.0 + math.exp(-0.5))) < 1e-12)
+    // filter form keeps scorers above threshold and surfaces the column
+    val kept = classifierFilter(fromJsonl(
+      """{"doc_id": 1, "text": "alpha beta gamma delta"}"""),
+      "text", w, 0.5, threshold = 0.0)
+    assert(kept.columns.contains("classifier_score") && kept.count() == 1)
+  }
+
   test("bm25 ranks term-dense short docs first; chunking covers every token with overlap") {
     import graft.ext.TextFunctions._
     val corpus = fromJsonl(
