@@ -149,6 +149,15 @@ object Bench {
         docs, "doc_id", "text", lmCounts, 3).count()),
       "dupNgram" -> coldWarm(graft.ext.TextFunctions.dupNgramFraction(
         docs, "doc_id", "text", n = 3).count()),
+      "dupSpans" -> coldWarm(graft.ext.Dedup.removeDupSpans(
+        docs, "doc_id", "text", n = 3).agg(sum(col("n_removed"))).first().getLong(0)),
+      "classifierScore" -> coldWarm(graft.ext.TextFunctions.classifierFilter(
+        docs, "text", (0 until 64).map(j => ((j * 2654435761L) % 1000) / 500.0 - 1.0),
+        bias = 0.0, threshold = 0.5).count()),
+      "chunkIndex" -> coldWarm(graft.ext.Packing.concatChunkIndex(
+        docs.select(col("doc_id"), col("lang"), col("text")), Seq("lang"),
+        Seq(col("doc_id")), graft.ext.TextFunctions.tokenCount(col("text")),
+        seqLen = 2048L).count()),
       "corpusStats" -> coldWarm(graft.ext.Corpus.stats(
         docs, "text", Seq("lang", "source")).count()),
       "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(

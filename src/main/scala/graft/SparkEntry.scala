@@ -1154,6 +1154,23 @@ object SparkEntry {
     "q_dedup_spans" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.removeDupSpans(
         tbl(spark, dir, "documents"), "doc_id", "text", n = 3)),
+    // GPT-style concat-and-chunk: per-lang token stream (1 reserved EOS
+    // slot per doc) split into 128-token examples crossing doc boundaries;
+    // the slice index is metadata-only (no token explosion)
+    "q_chunk_index" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Packing.concatChunkIndex(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+        Seq("lang"), Seq(col("doc_id")),
+        graft.ext.TextFunctions.tokenCount(col("text")), seqLen = 128L)
+        .select(col("doc_id"), col("lang"), col("example_id"),
+          col("slice_start"), col("slice_len"), col("example_pos"))),
+    "q_chunk_materialize" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Packing.materializeChunks(
+        graft.ext.Packing.concatChunkIndex(
+          tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          Seq("lang"), Seq(col("doc_id")),
+          graft.ext.TextFunctions.tokenCount(col("text")), seqLen = 128L),
+        Seq("lang"), col("text"))),
     // hashed linear classifier gate: seeded pseudo-random weights derived
     // from the same integer formula on both sides; ~half the corpus passes
     "q_classifier" -> ((spark: SparkSession, dir: String) => {
@@ -2656,6 +2673,45 @@ object SparkEntry {
         CAST(len(toks) - len(list_filter(toks, (t, i) ->
           len(list_filter(starts, s -> s >= i - 3 AND s <= i - 1)) = 0)) AS BIGINT) AS n_removed
       FROM k""",
+    "q_chunk_index" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      o AS (SELECT doc_id, lang, len(toks) AS n,
+        sum(len(toks) + 1) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (len(toks) + 1) AS off
+        FROM tok),
+      x AS (SELECT doc_id, lang, n, off,
+        unnest(generate_series(CAST(floor(off / 128.0) AS BIGINT),
+                               CAST(floor((off + n - 1) / 128.0) AS BIGINT))) AS ex
+        FROM o WHERE n > 0)
+      SELECT doc_id, lang, ex AS example_id,
+        greatest(0, ex * 128 - off) AS slice_start,
+        least(off + n, (ex + 1) * 128) - greatest(off, ex * 128) AS slice_len,
+        greatest(0, off - ex * 128) AS example_pos
+      FROM x""",
+    "q_chunk_materialize" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      o AS (SELECT doc_id, lang, toks, len(toks) AS n,
+        sum(len(toks) + 1) OVER (PARTITION BY lang ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - (len(toks) + 1) AS off
+        FROM tok),
+      x AS (SELECT doc_id, lang, toks, n, off,
+        unnest(generate_series(CAST(floor(off / 128.0) AS BIGINT),
+                               CAST(floor((off + n - 1) / 128.0) AS BIGINT))) AS ex
+        FROM o WHERE n > 0),
+      sl AS (SELECT lang, ex AS example_id,
+        greatest(0, off - ex * 128) AS example_pos,
+        CAST(least(off + n, (ex + 1) * 128) - greatest(off, ex * 128) AS BIGINT) AS slice_len,
+        array_to_string(toks[CAST(greatest(0, ex * 128 - off) + 1 AS INT):
+                             CAST(greatest(0, ex * 128 - off) +
+                                  least(off + n, (ex + 1) * 128) - greatest(off, ex * 128) AS INT)], ' ') AS sl
+        FROM x)
+      SELECT lang, example_id, string_agg(sl, ' ' ORDER BY example_pos) AS example_text,
+        CAST(sum(slice_len) AS BIGINT) AS n_tokens
+      FROM sl GROUP BY 1, 2""",
     "q_classifier" ->
       """WITH w AS (SELECT list_transform(generate_series(0, 63),
           j -> ((j * 2654435761) % 1000) / 500.0 - 1.0) AS wts),

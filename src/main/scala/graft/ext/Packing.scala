@@ -111,4 +111,67 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(tokenCol.cast("long")).as("n_tokens"))
   }
+
+  /** GPT-style concat-and-chunk example INDEX: within each shard the
+    * documents form one virtual token stream — each contributes `tokenCol`
+    * content tokens plus `sepTokens` reserved end-of-document positions —
+    * and the stream splits into fixed `seqLen`-token examples that CROSS
+    * document boundaries (where [[packGreedy]] keeps documents whole, this
+    * is the pretraining recipe that wastes zero context positions).
+    *
+    * The output is one row per (document, example) overlap — a SLICE INDEX
+    * `(example_id, slice_start, slice_len, example_pos)`: token grain is
+    * never exploded, so a corpus of any size costs one shard-partitioned
+    * window plus a generator bounded by ceil(tokens/seqLen) per document.
+    * `slice_start` is the slice's offset within the document's own tokens,
+    * `example_pos` its offset within the example. Token-less documents
+    * occupy only separator positions and emit no slice. */
+  def concatChunkIndex(df: DataFrame, shardCols: Seq[String], orderCols: Seq[Column],
+                       tokenCol: Column, seqLen: Long,
+                       sepTokens: Long = 1L): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    require(sepTokens >= 0, s"sepTokens must be non-negative, got $sepTokens")
+    require(shardCols.nonEmpty,
+      "concatChunkIndex needs shard columns — an unsharded stream would serialize " +
+        "the corpus through one window partition; shard by language/source or a " +
+        "hash bucket first")
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val stream = tokenCol.cast("long") + sepTokens
+    df.withColumn("__n", tokenCol.cast("long"))
+      .withColumn("__off", sum(stream).over(w) - stream)
+      .filter(col("__n") > 0)
+      .withColumn("example_id", explode(sequence(
+        floor(col("__off") / seqLen).cast("long"),
+        floor((col("__off") + col("__n") - 1) / seqLen).cast("long"))))
+      .withColumn("slice_start",
+        greatest(lit(0L), col("example_id") * seqLen - col("__off")))
+      .withColumn("slice_len",
+        least(col("__off") + col("__n"), (col("example_id") + 1) * seqLen) -
+          greatest(col("__off"), col("example_id") * seqLen))
+      .withColumn("example_pos",
+        greatest(lit(0L), col("__off") - col("example_id") * seqLen))
+      .drop("__n", "__off")
+  }
+
+  /** Materialize [[concatChunkIndex]] examples as text: each slice cuts its
+    * tokens out of its document and the slices concatenate in
+    * `example_pos` order — one hash aggregation keyed on (shard,
+    * example_id), each group ≤ `seqLen` tokens by construction. Separator
+    * positions stay reserved-but-empty here; the training tokenizer owns
+    * the actual EOS symbol. */
+  def materializeChunks(indexed: DataFrame, shardCols: Seq[String],
+                        textCol: Column): DataFrame = {
+    require(shardCols.nonEmpty, "materializeChunks needs the shard columns")
+    val sliceTxt = array_join(slice(TextFunctions.tokens(textCol),
+      (col("slice_start") + 1).cast("int"), col("slice_len").cast("int")), " ")
+    indexed
+      .withColumn("__slice", sliceTxt)
+      .groupBy(shardCols.map(col) :+ col("example_id"): _*)
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("example_pos"), col("__slice").as("__t")))),
+          s => s.getField("__t")), " ").as("example_text"),
+        sum(col("slice_len")).as("n_tokens"))
+  }
 }

@@ -80,6 +80,37 @@ class ExtSpec extends AnyFunSuite {
     assert(survivors == Set(13L), s"got $survivors")
   }
 
+  test("concat-and-chunk: examples cross doc boundaries; slices reconstruct the stream") {
+    import graft.ext.{Packing, TextFunctions}
+    // one shard, docs of 3/4/2 tokens + 1 sep each → stream offsets 0, 4, 9;
+    // seqLen 5 → examples: 0 covers [0,5), 1 covers [5,10), 2 covers [10,11)
+    val docs = fromJsonl(
+      """{"doc_id": 1, "sh": "s", "text": "a b c"}""",
+      """{"doc_id": 2, "sh": "s", "text": "d e f g"}""",
+      """{"doc_id": 3, "sh": "s", "text": "h i"}""")
+    val idx = Packing.concatChunkIndex(docs, Seq("sh"), Seq(col("doc_id")),
+      TextFunctions.tokenCount(col("text")), seqLen = 5L)
+    val rows = idx.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("example_id"),
+      r.getAs[Long]("slice_start"), r.getAs[Long]("slice_len"), r.getAs[Long]("example_pos"))).toSet
+    // doc1 [0,3) → ex0 pos0; doc2 [4,8) → ex0 gets token d at pos4, ex1 gets e f g at pos0;
+    // doc3 [9,11) → ex1 gets h at pos4, ex2 gets i at pos0
+    assert(rows == Set(
+      (1L, 0L, 0L, 3L, 0L),
+      (2L, 0L, 0L, 1L, 4L), (2L, 1L, 1L, 3L, 0L),
+      (3L, 1L, 0L, 1L, 4L), (3L, 2L, 1L, 1L, 0L)), s"got $rows")
+    val mat = Packing.materializeChunks(idx, Seq("sh"), col("text"))
+      .collect().map(r => r.getAs[Long]("example_id") ->
+        ((r.getAs[String]("example_text"), r.getAs[Long]("n_tokens")))).toMap
+    assert(mat(0L) == (("a b c d", 4L)), s"got ${mat(0L)}")
+    assert(mat(1L) == (("e f g h", 4L)), s"got ${mat(1L)}")
+    assert(mat(2L) == (("i", 1L)), s"got ${mat(2L)}")
+    // unsharded use refuses loudly
+    intercept[IllegalArgumentException] {
+      Packing.concatChunkIndex(docs, Seq.empty, Seq(col("doc_id")),
+        TextFunctions.tokenCount(col("text")), 5L)
+    }
+  }
+
   test("bloom-prefiltered incremental exact dedup equals the plain tier, nulls included") {
     val store = fromJsonl(
       """{"doc_id": 1, "text": "alpha beta gamma"}""",
