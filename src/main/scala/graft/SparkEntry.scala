@@ -1206,6 +1206,25 @@ object SparkEntry {
         threshold = 0.3, planes = 2, tables = 32)
         .select(col("vec_id"), col("label"))
     }),
+    // fuzzy (near-dup) decontamination: eval = every 37th document; LSH
+    // band candidates + exact-Jaccard verify. Same band parameters as the
+    // green q_dedup_minhash self-join on this table — the bipartite
+    // corpus×eval pairs at threshold are a subset of the pairs that gate
+    // already proves the bands recover, so the LSH tier carries the gate.
+    "q_decontam_fuzzy" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.flagFuzzy(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
+    "q_decontam_fuzzy_remove" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.removeFuzzy(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text",
+        shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    }),
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
@@ -2580,6 +2599,37 @@ object SparkEntry {
              * sqrt(list_sum(list_transform(generate_series(1, len(ev.v)), i -> ev.v[i] * ev.v[i])))) >= 0.3)
       SELECT vec_id, label FROM embeddings
       WHERE vec_id % 37 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""",
+    "q_decontam_fuzzy" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      j AS (
+        SELECT c.doc_id,
+          CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+            / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) AS jac
+        FROM sh c JOIN sh e ON c.doc_id % 37 <> 0 AND e.doc_id % 37 = 0)
+      SELECT doc_id, max(jac) AS max_jaccard FROM j WHERE jac >= 0.5 GROUP BY 1""",
+    "q_decontam_fuzzy_remove" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      bad AS (
+        SELECT DISTINCT c.doc_id
+        FROM sh c JOIN sh e ON c.doc_id % 37 <> 0 AND e.doc_id % 37 = 0
+        WHERE CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+            / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) >= 0.5)
+      SELECT d.* FROM documents d
+      WHERE d.doc_id % 37 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
     "q_dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       half AS (

@@ -114,6 +114,59 @@ object Decontamination {
     corpusEmb.join(flagged, Seq(idCol), "left_anti")
   }
 
+  /** Fuzzy decontamination: flag corpus documents whose shingle-set Jaccard
+    * similarity to ANY eval document reaches `threshold` — the tier between
+    * [[flagContaminated]] (any single shared n-gram) and [[flagSemantic]]
+    * (embedding cosine). This is the document-level overlap definition the
+    * public near-dup-decontamination recipes use (FineWeb / Dolma style:
+    * "drop training docs that are near-duplicates of an eval doc").
+    *
+    * Plan shape: both sides run through [[Dedup.signatureTable]] (hashed
+    * shingles + MinHash signatures — 8 bytes per shingle in every exchange),
+    * candidates come from the banded LSH equi-join on (band, band_key), and
+    * each candidate pair is verified with EXACT Jaccard over the hashed
+    * shingle sets, so band collisions never inflate the answer. The corpus
+    * is shuffled only on band keys and candidate ids — never all-pairs; the
+    * eval side is benchmark-sized. Band parameters set the recall knee
+    * exactly as in [[Dedup.minhashLshPairs]] (16 bands × 4 rows ⇒ miss
+    * probability (1−j⁴)¹⁶, ≈1e−12 at j=0.95).
+    *
+    * @return one row per flagged corpus id: `(idCol, max_jaccard)`. */
+  def flagFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                eval: DataFrame, evalTextCol: String,
+                shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val corpusSigs = Dedup.spill(
+      Dedup.signatureTable(docs, idCol, textCol, shingleSize, numHashes, seed),
+      "graft-decontam-fuzzy-corpus")
+    // The eval id only needs to be unique (the verify join keys on it; the
+    // output aggregates it away), so a synthesized id is safe here.
+    val evalWithId = eval.select(col(evalTextCol))
+      .withColumn("__evalid", monotonically_increasing_id())
+    val evalSigs = Dedup.spill(
+      Dedup.signatureTable(evalWithId, "__evalid", evalTextCol, shingleSize,
+        numHashes, seed),
+      "graft-decontam-fuzzy-eval")
+    Dedup.minhashPairsFromSignatures(corpusSigs, evalSigs, bands, numHashes / bands,
+      threshold, selfPairs = false, "__cid", "__eid")
+      .groupBy(col("__cid"))
+      .agg(max(col("jaccard")).as("max_jaccard"))
+      .select(col("__cid").as(idCol), col("max_jaccard"))
+  }
+
+  /** The filter form of [[flagFuzzy]]: drops corpus rows near-duplicating
+    * any eval document; columns pass through untouched. */
+  def removeFuzzy(docs: DataFrame, idCol: String, textCol: String,
+                  eval: DataFrame, evalTextCol: String,
+                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                  threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val flagged = flagFuzzy(docs, idCol, textCol, eval, evalTextCol,
+      shingleSize, numHashes, bands, threshold, seed).select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Bloom-filter variant of [[flagContaminated]] for eval sets whose
     * distinct-gram table is too big to broadcast exactly: the grams are
     * folded into a Bloom filter (`expectedGrams` capacity, `fpp` false-

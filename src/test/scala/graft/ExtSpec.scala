@@ -1291,6 +1291,29 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("fuzzy decontamination flags near-duplicates of eval docs, not topical overlap") {
+    val eval = fromJsonl(
+      """{"q": "the quick brown fox jumps over the lazy dog every single morning"}""")
+    val corpus = fromJsonl(
+      // verbatim copy → jaccard 1.0
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog every single morning"}""",
+      // light edit → still above 0.5
+      """{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog every single evening"}""",
+      // shares words but few trigrams → below threshold
+      """{"doc_id": 3, "text": "a lazy dog sleeps while the morning fox hunts somewhere else entirely"}""",
+      """{"doc_id": 4, "text": "completely unrelated prose about catalyst query planning internals"}""")
+    val flags = Decontamination.flagFuzzy(corpus, "doc_id", "text", eval, "q",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("max_jaccard")).toMap
+    assert(flags.keySet == Set(1L, 2L))
+    assert(flags(1L) == 1.0 && flags(2L) >= 0.5)
+    // the filter form keeps exactly the clean docs, columns untouched
+    val kept = Decontamination.removeFuzzy(corpus, "doc_id", "text", eval, "q",
+      shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+  }
+
   test("decontamination: bloom tier agrees with the exact tier (modulo FPs)") {
     val eval = fromJsonl(
       """{"q": "what is the capital of france"}""")
