@@ -707,6 +707,21 @@ object SparkEntry {
       graft.ext.Packing.materializePacks(packed, Seq("lang"),
         Seq(col("doc_id")), col("text"), col("n_tok"))
     }),
+    // length-bucketed batching (the SFT/fine-tuning loader shape): bucket
+    // by n_chars, deterministic doc_id order, batches of 8, plus the
+    // per-batch padding report
+    "q_length_batch" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Packing.lengthBucketBatches(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), col("n_chars"), Seq(100L, 300L, 1000L, 3000L),
+        batchSize = 8, Seq(col("doc_id")))),
+    "q_length_batch_stats" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Packing.batchPaddingStats(
+        graft.ext.Packing.lengthBucketBatches(
+          tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          Seq("lang"), col("n_chars"), Seq(100L, 300L, 1000L, 3000L),
+          batchSize = 8, Seq(col("doc_id"))),
+        Seq("lang"), col("n_chars"))),
     // whole-recipe composition: dedup → quality gate → scrub → pack. The
     // union plants 50 exact duplicates so the dedup tier has real work.
     "q_corpus_curate" -> ((spark: SparkSession, dir: String) => {
@@ -2253,6 +2268,38 @@ object SparkEntry {
         count(*) AS n_docs,
         CAST(sum(n_tok) AS BIGINT) AS n_tokens
       FROM state GROUP BY 1, 2""",
+    "q_length_batch" ->
+      """WITH b AS (
+        SELECT doc_id, lang, n_chars,
+          CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END AS INTEGER) AS length_bucket
+        FROM documents),
+      r AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang, length_bucket ORDER BY doc_id) - 1 AS BIGINT) AS rn
+        FROM b)
+      SELECT doc_id, lang, n_chars, length_bucket,
+        CAST(rn // 8 AS BIGINT) AS batch_id,
+        CAST(rn % 8 AS INTEGER) AS batch_pos
+      FROM r""",
+    "q_length_batch_stats" ->
+      """WITH b AS (
+        SELECT doc_id, lang, n_chars,
+          CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END AS INTEGER) AS length_bucket
+        FROM documents),
+      r AS (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang, length_bucket ORDER BY doc_id) - 1 AS BIGINT) AS rn
+        FROM b)
+      SELECT lang, length_bucket, CAST(rn // 8 AS BIGINT) AS batch_id,
+        count(*) AS n_rows,
+        CAST(max(n_chars) AS BIGINT) AS max_len,
+        CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS pad_tokens
+      FROM r GROUP BY 1, 2, 3""",
     // greedy next-fit is a per-shard recurrence — the oracle replays it with a
     // recursive CTE advancing one row per shard per iteration
     "q_pack_greedy" ->

@@ -174,4 +174,59 @@ object Packing {
           s => s.getField("__t")), " ").as("example_text"),
         sum(col("slice_len")).as("n_tokens"))
   }
+
+  /** Length-bucketed batch assembly: group examples of similar length into
+    * fixed-size batches so per-batch padding (every sequence padded to the
+    * batch max) is minimized — the standard dynamic-batching recipe for
+    * SFT/fine-tuning loaders, where examples stay whole (contrast
+    * [[concatChunkIndex]], the pretraining recipe that concatenates).
+    *
+    * `bucketEdges` (ascending) split the length axis: bucket k holds
+    * lengths in [edge_k, edge_{k+1}), bucket 0 everything below the first
+    * edge. Within each (shard, bucket) the rows take a deterministic
+    * `orderCols` order and fill batches of `batchSize` in sequence.
+    *
+    * Plan shape: the bucket is a scan-side when-chain; the only exchange is
+    * the (shard, bucket) window partitioning. Shards bound each window
+    * partition exactly as in [[packByTokenBudget]] — at corpus scale pass a
+    * hash bucket alongside language/source so no single (shard, bucket)
+    * group exceeds a partition.
+    *
+    * @return input columns plus `length_bucket` (int), `batch_id`
+    *         (per-(shard, bucket), 0-based), `batch_pos` (0..batchSize-1). */
+  def lengthBucketBatches(df: DataFrame, shardCols: Seq[String], lenCol: Column,
+                          bucketEdges: Seq[Long], batchSize: Int,
+                          orderCols: Seq[Column]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(bucketEdges.nonEmpty, "lengthBucketBatches needs at least one bucket edge")
+    require(bucketEdges == bucketEdges.sorted && bucketEdges.distinct == bucketEdges,
+      s"bucketEdges must be strictly ascending, got $bucketEdges")
+    require(shardCols.nonEmpty,
+      "lengthBucketBatches needs shard columns — an unsharded batch numbering would " +
+        "serialize the corpus through one window partition; shard by language/source " +
+        "or a hash bucket first")
+    val bucket = bucketEdges.map(e => when(lenCol >= lit(e), 1).otherwise(0))
+      .reduce(_ + _)
+    val w = Window.partitionBy(shardCols.map(col) :+ col("length_bucket"): _*)
+      .orderBy(orderCols: _*)
+    df.withColumn("length_bucket", bucket.cast("int"))
+      .withColumn("__rn", row_number().over(w).cast("long") - 1)
+      .withColumn("batch_id", floor(col("__rn") / batchSize).cast("long"))
+      .withColumn("batch_pos", (col("__rn") % batchSize).cast("int"))
+      .drop("__rn")
+  }
+
+  /** Per-batch padding report over [[lengthBucketBatches]] output: rows,
+    * longest member, token total, and `pad_tokens` — positions wasted when
+    * every member pads to the batch max. One hash aggregation keyed on
+    * (shard, bucket, batch). */
+  def batchPaddingStats(batched: DataFrame, shardCols: Seq[String],
+                        lenCol: Column): DataFrame =
+    batched
+      .groupBy(shardCols.map(col) ++ Seq(col("length_bucket"), col("batch_id")): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(lenCol.cast("long")).as("max_len"),
+        sum(lenCol.cast("long")).as("sum_len"))
+      .withColumn("pad_tokens", col("max_len") * col("n_rows") - col("sum_len"))
 }

@@ -111,6 +111,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("length-bucketed batching fills batches within buckets and reports padding") {
+    import graft.ext.Packing
+    val docs = fromJsonl(
+      """{"id": 1, "sh": "s", "len": 5}""",
+      """{"id": 2, "sh": "s", "len": 7}""",
+      """{"id": 3, "sh": "s", "len": 9}""",
+      """{"id": 4, "sh": "s", "len": 55}""",
+      """{"id": 5, "sh": "s", "len": 60}""",
+      """{"id": 6, "sh": "s", "len": 200}""")
+    val batched = Packing.lengthBucketBatches(docs, Seq("sh"), col("len"),
+      Seq(10L, 100L), batchSize = 2, Seq(col("id")))
+    val rows = batched.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Int]("length_bucket"), r.getAs[Long]("batch_id"), r.getAs[Int]("batch_pos")))).toMap
+    // bucket 0: lens < 10 (ids 1,2,3) → batches [1,2], [3]; bucket 1: ids 4,5;
+    // bucket 2: id 6
+    assert(rows(1L) == ((0, 0L, 0)) && rows(2L) == ((0, 0L, 1)) && rows(3L) == ((0, 1L, 0)))
+    assert(rows(4L) == ((1, 0L, 0)) && rows(5L) == ((1, 0L, 1)))
+    assert(rows(6L) == ((2, 0L, 0)))
+    val stats = Packing.batchPaddingStats(batched, Seq("sh"), col("len"))
+      .collect().map(r => (r.getAs[Int]("length_bucket"), r.getAs[Long]("batch_id")) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("max_len"), r.getAs[Long]("pad_tokens")))).toMap
+    // bucket 0 batch 0: lens 5,7 pad to 7 → 2 wasted; singletons waste 0
+    assert(stats((0, 0L)) == ((2L, 7L, 2L)))
+    assert(stats((0, 1L)) == ((1L, 9L, 0L)))
+    assert(stats((1, 0L)) == ((2L, 60L, 5L)))
+    assert(stats((2, 0L)) == ((1L, 200L, 0L)))
+    // unsharded use refuses loudly
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucketBatches(docs, Nil, col("len"), Seq(10L), 2, Seq(col("id")))
+    }
+  }
+
   test("bloom-prefiltered incremental exact dedup equals the plain tier, nulls included") {
     val store = fromJsonl(
       """{"doc_id": 1, "text": "alpha beta gamma"}""",
