@@ -758,6 +758,14 @@ object SparkEntry {
     "q_corpus_stats" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Corpus.stats(tbl(spark, dir, "documents"), "text",
         Seq("lang", "source"))),
+    // snapshot drift monitor: PSI per (feature, bucket) between the even-
+    // and odd-doc_id halves over lang/source/length features
+    "q_corpus_drift" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Corpus.drift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        Seq("lang", "source"), col("n_chars"))
+    }),
     // temperature-rescaled mixing at T=2 (flatten toward uniform): the
     // corpus's natural strata are uniform, so the query plants a 60/30/10
     // skew; T=2 must keep all of `small` and downsample `big` hardest
@@ -2477,6 +2485,34 @@ object SparkEntry {
         floor(mq * 1e6 + 0.5) / 1e6 AS mean_quality,
         floor(mt * 1e6 + 0.5) / 1e6 AS mean_tokens
       FROM base b JOIN d USING (lang, source)""",
+    "q_corpus_drift" ->
+      """WITH feats AS (
+        SELECT doc_id % 2 AS half, 'lang' AS feature,
+          coalesce(CAST(lang AS VARCHAR), '__null__') AS bucket FROM documents
+        UNION ALL SELECT doc_id % 2, 'source',
+          coalesce(CAST(source AS VARCHAR), '__null__') FROM documents
+        UNION ALL SELECT doc_id % 2, 'length',
+          CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END
+             + CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END AS VARCHAR) FROM documents),
+      ha AS (SELECT feature, bucket, count(*) AS n_a FROM feats WHERE half = 0 GROUP BY 1, 2),
+      hb AS (SELECT feature, bucket, count(*) AS n_b FROM feats WHERE half = 1 GROUP BY 1, 2),
+      j AS (
+        SELECT coalesce(ha.feature, hb.feature) AS feature,
+               coalesce(ha.bucket, hb.bucket) AS bucket,
+               coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        FROM ha FULL OUTER JOIN hb ON ha.feature = hb.feature AND ha.bucket = hb.bucket),
+      t AS (
+        SELECT *,
+          greatest(CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER (PARTITION BY feature) AS DOUBLE), 1e-6) AS pa,
+          greatest(CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER (PARTITION BY feature) AS DOUBLE), 1e-6) AS pb
+        FROM j)
+      SELECT feature, bucket, n_a, n_b,
+        floor(pa * 1e6 + 0.5) / 1e6 AS p_a,
+        floor(pb * 1e6 + 0.5) / 1e6 AS p_b,
+        floor((pa - pb) * ln(pa / pb) * 1e6 + 0.5) / 1e6 AS psi
+      FROM t""",
     "q_temperature_mix" ->
       """WITH d AS (SELECT doc_id, text, lang, source, n_chars,
           CASE WHEN doc_id % 10 < 6 THEN 'big'

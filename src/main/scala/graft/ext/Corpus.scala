@@ -169,4 +169,52 @@ object Corpus {
         (floor(col("__mq") * 1e6 + 0.5) / 1e6).as("mean_quality"),
         (floor(col("__mt") * 1e6 + 0.5) / 1e6).as("mean_tokens")): _*)
   }
+
+  /** Distribution drift between two corpus snapshots — the monitoring
+    * signal a production ingestion pipeline watches so a crawl change or
+    * filter regression shows up as a number before it shows up in a model.
+    * For every categorical feature (each strata column, plus a bucketed
+    * length feature over `lenCol` with `lengthEdges` boundaries) the two
+    * snapshots' bucket proportions are compared with the Population
+    * Stability Index: psi = (p_a − p_b) · ln(p_a / p_b) per bucket, with
+    * both proportions floored at `eps` so empty buckets stay finite
+    * (industry rule of thumb: Σpsi < 0.1 stable, > 0.25 investigate).
+    *
+    * Plan shape: each snapshot costs one scan (features explode from a
+    * scan-side array literal) into a hash aggregation whose key space is
+    * the bucket cardinality — vanishingly small next to the corpus — then
+    * the tiny histograms full-outer join and a feature-partitioned window
+    * computes totals. Nothing corpus-sized crosses an exchange except the
+    * one per-snapshot histogram aggregation.
+    *
+    * @return one row per (feature, bucket): counts `n_a`/`n_b`,
+    *         proportions `p_a`/`p_b`, and the bucket's `psi` contribution
+    *         (proportions and psi quantized to 1e-6 for FP stability). */
+  def drift(a: DataFrame, b: DataFrame, strataCols: Seq[String], lenCol: Column,
+            lengthEdges: Seq[Long] = Seq(100L, 300L, 1000L, 3000L),
+            eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, s"eps must be positive, got $eps")
+    require(lengthEdges == lengthEdges.sorted && lengthEdges.distinct == lengthEdges,
+      s"lengthEdges must be strictly ascending, got $lengthEdges")
+    val lenBucket = lengthEdges.map(e => when(lenCol >= lit(e), 1).otherwise(0))
+      .reduceOption(_ + _).getOrElse(lit(0))
+    def hist(df: DataFrame, cntName: String): DataFrame = {
+      val feats = strataCols.map(c => struct(lit(c).as("feature"),
+        coalesce(col(c).cast("string"), lit("__null__")).as("bucket"))) :+
+        struct(lit("length").as("feature"), lenBucket.cast("string").as("bucket"))
+      df.select(explode(array(feats: _*)).as("__f"))
+        .groupBy(col("__f.feature").as("feature"), col("__f.bucket").as("bucket"))
+        .agg(count(lit(1)).as(cntName))
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
+    val q6 = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val pA = greatest(col("n_a").cast("double") / sum("n_a").over(w), lit(eps))
+    val pB = greatest(col("n_b").cast("double") / sum("n_b").over(w), lit(eps))
+    hist(a, "n_a").join(hist(b, "n_b"), Seq("feature", "bucket"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+      .withColumn("p_a", pA).withColumn("p_b", pB)
+      .select(col("feature"), col("bucket"), col("n_a"), col("n_b"),
+        q6(col("p_a")).as("p_a"), q6(col("p_b")).as("p_b"),
+        q6((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))).as("psi"))
+  }
 }

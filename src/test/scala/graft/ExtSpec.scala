@@ -1323,6 +1323,27 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("corpus drift: identical snapshots score zero PSI; a shifted stratum lights up") {
+    import graft.ext.Corpus
+    val a = fromJsonl(
+      """{"doc_id": 1, "lang": "en", "text": "aaaa"}""",
+      """{"doc_id": 2, "lang": "en", "text": "bbbb"}""",
+      """{"doc_id": 3, "lang": "de", "text": "cccc"}""",
+      """{"doc_id": 4, "lang": "de", "text": "dddd"}""")
+    val same = Corpus.drift(a, a, Seq("lang"), length(col("text")), Seq(3L))
+      .collect()
+    assert(same.nonEmpty && same.forall(_.getAs[Double]("psi") == 0.0))
+    // b drops every 'de' doc: the lang feature must dominate total PSI and
+    // the de bucket must carry it (p_b floored at eps)
+    val b = a.filter(col("lang") === "en")
+    val drifted = Corpus.drift(a, b, Seq("lang"), length(col("text")), Seq(3L))
+      .collect().map(r => (r.getAs[String]("feature"), r.getAs[String]("bucket")) ->
+        r.getAs[Double]("psi")).toMap
+    assert(drifted(("lang", "de")) > 1.0, s"got $drifted")   // 0.5 vs eps → huge psi
+    assert(drifted(("lang", "en")) > 0.0 && drifted(("lang", "en")) < 1.0)
+    assert(drifted(("length", "1")) == 0.0)                  // lengths unchanged
+  }
+
   test("fuzzy decontamination flags near-duplicates of eval docs, not topical overlap") {
     val eval = fromJsonl(
       """{"q": "the quick brown fox jumps over the lazy dog every single morning"}""")
