@@ -758,6 +758,11 @@ object SparkEntry {
     "q_corpus_stats" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Corpus.stats(tbl(spark, dir, "documents"), "text",
         Seq("lang", "source"))),
+    // reproducibility manifest: per-(lang, source) counts + the order-
+    // insensitive mod-2^61 content fingerprint
+    "q_corpus_manifest" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Corpus.manifest(tbl(spark, dir, "documents"),
+        "doc_id", "text", Seq("lang", "source"))),
     // snapshot drift monitor: PSI per (feature, bucket) between the even-
     // and odd-doc_id halves over lang/source/length features
     "q_corpus_drift" -> ((spark: SparkSession, dir: String) => {
@@ -2485,6 +2490,14 @@ object SparkEntry {
         floor(mq * 1e6 + 0.5) / 1e6 AS mean_quality,
         floor(mt * 1e6 + 0.5) / 1e6 AS mean_tokens
       FROM base b JOIN d USING (lang, source)""",
+    "q_corpus_manifest" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        count(DISTINCT md5(text)) AS n_distinct_texts,
+        CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+             % 2305843009213693951 AS BIGINT) AS content_fingerprint,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM documents GROUP BY 1, 2""",
     "q_corpus_drift" ->
       """WITH feats AS (
         SELECT doc_id % 2 AS half, 'lang' AS feature,

@@ -170,6 +170,28 @@ object Corpus {
         (floor(col("__mt") * 1e6 + 0.5) / 1e6).as("mean_tokens")): _*)
   }
 
+  /** Reproducibility manifest: one row per shard with the counts and an
+    * ORDER-INSENSITIVE content fingerprint that any engine can recompute —
+    * the artifact a training run records so "same corpus?" is a manifest
+    * diff, not a 100 TB scan-and-compare. The fingerprint is the sum of
+    * each document's md5-derived 60-bit integer, reduced mod 2^61−1
+    * (summed through decimal so no intermediate overflows); row order,
+    * partitioning, and file layout don't affect it, duplicate documents
+    * do. One hash aggregation keyed on the shard columns — nothing else.
+    */
+  def manifest(docs: DataFrame, idCol: String, textCol: String,
+               shardCols: Seq[String]): DataFrame = {
+    require(shardCols.nonEmpty, "manifest needs at least one shard column")
+    val h = conv(substring(md5(col(textCol)), 1, 15), 16, 10).cast("decimal(20,0)")
+    docs.groupBy(shardCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("n_chars"),
+      countDistinct(md5(col(textCol))).as("n_distinct_texts"),
+      (sum(h) % lit(2305843009213693951L)).cast("long").as("content_fingerprint"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
+  }
+
   /** Distribution drift between two corpus snapshots — the monitoring
     * signal a production ingestion pipeline watches so a crawl change or
     * filter regression shows up as a number before it shows up in a model.

@@ -1323,6 +1323,28 @@ class ExtSpec extends AnyFunSuite {
     assert(kept.select("vec_id").collect().map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("corpus manifest fingerprint is order-insensitive but duplicate- and edit-sensitive") {
+    import graft.ext.Corpus
+    val a = fromJsonl(
+      """{"doc_id": 1, "sh": "s", "text": "alpha"}""",
+      """{"doc_id": 2, "sh": "s", "text": "beta"}""",
+      """{"doc_id": 3, "sh": "s", "text": "gamma"}""")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = Corpus.manifest(df, "doc_id", "text", Seq("sh")).collect().head
+      (r.getAs[Long]("content_fingerprint"), r.getAs[Long]("n_docs"))
+    }
+    val (base, n) = fp(a)
+    assert(n == 3L)
+    // same rows, reversed order → identical fingerprint
+    assert(fp(a.orderBy(col("doc_id").desc))._1 == base)
+    // a duplicated document changes it (multiset, not set, semantics)
+    assert(fp(a.unionAll(a.filter(col("doc_id") === 1)))._1 != base)
+    // a one-character edit changes it
+    val edited = a.withColumn("text",
+      when(col("doc_id") === 2, lit("beta!")).otherwise(col("text")))
+    assert(fp(edited)._1 != base)
+  }
+
   test("corpus drift: identical snapshots score zero PSI; a shifted stratum lights up") {
     import graft.ext.Corpus
     val a = fromJsonl(
