@@ -1092,6 +1092,20 @@ object SparkEntry {
           posexplode(graft.ext.Similarity.matryoshka(col("embedding"), 16)))
         .select(col("vec_id"), col("pos"), col("col").as("val"))),
 
+    // ---- extensions: Z-order (Morton) clustering codes ----
+    // Gates the value computation behind Layout.zorderWrite: boundedBucket
+    // linearizes each column onto the 2^bits grid, mortonCode interleaves
+    // the bits. The file-layout effect (small per-file bounding boxes on
+    // BOTH dims) is audited in LayoutSpec; this row pins the arithmetic
+    // against an independent engine.
+    "q_zorder" -> ((spark: SparkSession, dir: String) => {
+      import graft.sources.Layout
+      tbl(spark, dir, "orders").select(col("o_orderkey"),
+        Layout.mortonCode(Seq(
+          Layout.boundedBucket(col("o_custkey"), 0L, 2047L, 10),
+          Layout.boundedBucket(col("o_totalprice"), 0L, 524287L, 10)), 10).as("z"))
+    }),
+
     // ---- extensions: HTML strip + Unicode NFC normalization ----
     // The corpus is plain ASCII, so the query manufactures the mess: an HTML
     // wrapper with a script element, escaped entities, and a decomposed
@@ -1858,6 +1872,19 @@ object SparkEntry {
       x AS (SELECT vec_id, mvec, unnest(generate_series(1, len(mvec))) AS i FROM m)
       SELECT vec_id, CAST(i - 1 AS INT) AS pos, mvec[CAST(i AS INT)] AS val
       FROM x""",
+    // morton interleave: bit i of column j lands at output position i*k+j
+    // (k=2; custkey at j=0, totalprice at j=1); bucket = clamped
+    // floor((v - min) / (max - min + 1) * 2^bits), identical IEEE double
+    // ops in both engines
+    "q_zorder" ->
+      """WITH b AS (SELECT o_orderkey,
+        least(greatest(CAST(floor(CAST(o_custkey AS DOUBLE) / 2048 * 1024) AS BIGINT), 0), 1023) AS bx,
+        least(greatest(CAST(floor(CAST(o_totalprice AS DOUBLE) / 524288 * 1024) AS BIGINT), 0), 1023) AS by
+        FROM orders)
+      SELECT o_orderkey,
+        (SELECT CAST(sum((((bx >> i) & 1) << (i*2)) + (((by >> i) & 1) << (i*2+1))) AS BIGINT)
+         FROM range(10) t(i)) AS z
+      FROM b""",
     // entity decode order matches the engine exactly (&amp; last); chr(769)
     // is the combining acute that nfc_normalize must fold into the e
     "q_normalize" ->

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Storage-layout helpers for the 100 TB posture: pre-shuffled (bucketed)
   * tables make every downstream equi-join and aggregation on the bucket
@@ -8,6 +9,15 @@ import org.apache.spark.sql.DataFrame
   * per query. This is the standard Spark answer to the "co-located join"
   * requirement (SURVEY §4.2); pair fact and dimension tables on the same
   * key and bucket count.
+  *
+  * Z-ORDER clustering is the complementary read-side lever: bucketing
+  * co-locates JOINS, z-ordering co-locates RANGE PREDICATES on several
+  * columns at once. Sorting a table by one column gives parquet row-group
+  * min/max stats that prune scans on that column only; interleaving the
+  * bits of k bounded columns into one Morton code and sorting by it gives
+  * every file a small bounding BOX over all k columns, so a predicate on
+  * ANY of them skips most files. At 100 TB the difference between "scan
+  * 2%" and "scan 100%" on the second predicate column is the whole game.
   */
 object Layout {
 
@@ -25,4 +35,58 @@ object Layout {
     * partitioning and plans no further exchanges). */
   def colocate(df: DataFrame, partitions: Int, keys: Seq[String]): DataFrame =
     df.repartition(partitions, keys.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of each column —
+    * bit i of column j lands at output position `i*k + j` — so lexicographic
+    * order on the code is the Z-order space-filling curve over the k-dim
+    * grid. Inputs must already be bounded in [0, 2^bits); see
+    * [[boundedBucket]] for arbitrary ranges.
+    *
+    * Built from shift/mask/add primitives only (disjoint target bits make
+    * `+` exactly bitwise-OR), so it stays inside whole-stage codegen and
+    * any SQL engine can replay it — the q_zorder oracle does. */
+  def mortonCode(cols: Seq[Column], bits: Int): Column = {
+    require(cols.size >= 2, s"mortonCode needs >= 2 columns, got ${cols.size}")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"bits * columns must fit a signed long: got $bits * ${cols.size}")
+    val k = cols.size
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** Linear bucketing of `c` from [minV, maxV] onto the [0, 2^bits) grid a
+    * [[mortonCode]] dimension needs; out-of-range values clamp to the edge
+    * cells. min/max come from the caller (a metadata lookup or a cheap
+    * agg), never computed here — at 100 TB you know your value bounds. */
+  def boundedBucket(c: Column, minV: Long, maxV: Long, bits: Int): Column = {
+    require(maxV > minV, s"need maxV > minV, got [$minV, $maxV]")
+    require(bits > 0 && bits < 63, s"bits must be in (0, 63), got $bits")
+    val cells = 1L << bits
+    val scaled = floor((c.cast("double") - minV) / (maxV - minV + 1L) * cells).cast("long")
+    least(greatest(scaled, lit(0L)), lit(cells - 1L))
+  }
+
+  /** Z-order-clustered parquet write: range-partition on the Morton code of
+    * `zCols` (each already bucketed to [0, 2^bits)) and sort within each
+    * partition by it, so every output file covers a small bounding box over
+    * ALL the z dimensions and carries row-group min/max stats to match.
+    * Range predicates on any z column then prune most files/row groups at
+    * scan time (file-grain bounding boxes audited in LayoutSpec).
+    *
+    * One range exchange (sampled boundaries, AQE-friendly) + a local sort —
+    * the write-once cost that buys every subsequent scan its skipping. The
+    * morton column itself is not persisted; the layout, not the value, is
+    * the point. */
+  def zorderWrite(df: DataFrame, zCols: Seq[Column], bits: Int, path: String,
+                  partitions: Int): Unit = {
+    require(partitions > 0, s"partitions must be positive, got $partitions")
+    df.withColumn("__z", mortonCode(zCols, bits))
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

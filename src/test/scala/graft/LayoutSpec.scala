@@ -34,6 +34,51 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("morton code interleaves bits; z-order files carry small bounding boxes on BOTH dims") {
+    import spark.implicits._
+    // hand-checked interleave: x=0b101, y=0b011 → z = y2x2 y1x1 y0x0 = 0b011011...
+    // bit i of col j at position i*2+j: x bits at even, y bits at odd positions
+    val one = Seq((5L, 3L)).toDF("x", "y")
+    val z = one.select(graft.sources.Layout.mortonCode(Seq(col("x"), col("y")), 3).as("z"))
+      .collect().head.getLong(0)
+    // x=101 → bits 0,4 ; wait: x bit0=1→pos0, bit1=0→pos2, bit2=1→pos4 = 10001
+    // y=011 → bit0=1→pos1, bit1=1→pos3, bit2=0→pos5 = 01010 → z = 11011 = 27
+    assert(z == 27L, s"got $z")
+    // boundedBucket clamps and scales
+    val bb = Seq(-5L, 0L, 511L, 1023L, 5000L).toDF("v")
+      .select(graft.sources.Layout.boundedBucket(col("v"), 0L, 1023L, 4).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bb == Seq(0L, 0L, 7L, 15L, 15L), s"got $bb")
+
+    // data-skipping audit: a grid of (a, b) points written z-ordered must
+    // give every file a bounding box far smaller than the global range on
+    // BOTH dimensions — a single-column sort can only do that for one
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      pmod(hash(col("id")), lit(128)).cast("long").as("a"),
+      pmod(hash(col("id"), lit(1)), lit(128)).cast("long").as("b"))
+    val dir: String = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    graft.sources.Layout.zorderWrite(grid, Seq(col("a"), col("b")), 7,
+      s"$dir/z", partitions = 16)
+    val sorted = grid.repartitionByRange(16, col("a")).sortWithinPartitions("a")
+    sorted.write.mode("overwrite").parquet(s"$dir/s")
+    def avgSpan(path: String, c: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name()).agg((max(col(c)) - min(col(c))).as("span"))
+        .collect().map(_.getAs[Long]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val (za, zb) = (avgSpan(s"$dir/z", "a"), avgSpan(s"$dir/z", "b"))
+    val (sa, sb) = (avgSpan(s"$dir/s", "a"), avgSpan(s"$dir/s", "b"))
+    // z-order: both dims well under half the 0..127 range per file
+    assert(za < 64 && zb < 64, s"z-order spans a=$za b=$zb")
+    // single-column sort: a is tight but b spans ~everything
+    assert(sa < 16, s"sorted-by-a span a=$sa")
+    assert(sb > 100, s"sorted-by-a span b=$sb (should be ~global)")
+    // and z-order beats the single-sort layout on the second dimension 2x+
+    assert(zb * 2 < sb, s"zb=$zb sb=$sb")
+  }
+
   test("colocate repartitioning is reused across same-key operations") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 20, i)).toDF("k", "v")
