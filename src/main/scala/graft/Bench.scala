@@ -158,6 +158,28 @@ object Bench {
         docs.select(col("doc_id"), col("lang"), col("text")), Seq("lang"),
         Seq(col("doc_id")), graft.ext.TextFunctions.tokenCount(col("text")),
         seqLen = 2048L).count()),
+      "fuzzyDecontam" -> coldWarm(graft.ext.Decontamination.flagFuzzy(
+        docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 37 === 0), "text").count()),
+      "lengthBuckets" -> coldWarm(graft.ext.Packing.lengthBucketBatches(
+        docs.select(col("doc_id"), col("lang"), col("text")), Seq("lang"),
+        graft.ext.TextFunctions.tokenCount(col("text")),
+        bucketEdges = Seq(64L, 128L, 256L, 512L, 1024L), batchSize = 16,
+        orderCols = Seq(col("doc_id"))).count()),
+      "corpusDrift" -> coldWarm(graft.ext.Corpus.drift(
+        docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+        Seq("lang"), length(col("text")).cast("long")).count()),
+      "corpusManifest" -> coldWarm(graft.ext.Corpus.manifest(
+        docs, "doc_id", "text", Seq("lang", "source")).count()),
+      "zorderWrite" -> coldWarm {
+        val p = "/tmp/graft-bench-zorder.parquet"
+        graft.sources.Layout.zorderWrite(
+          spark.read.parquet(s"$sfDir/orders.parquet"),
+          Seq(graft.sources.Layout.boundedBucket(col("o_custkey"), 0L, 2047L, 10),
+            graft.sources.Layout.boundedBucket(col("o_totalprice"), 0L, 524287L, 10)),
+          bits = 10, p, partitions = 32)
+        spark.read.parquet(p).count()
+      },
       "corpusStats" -> coldWarm(graft.ext.Corpus.stats(
         docs, "text", Seq("lang", "source")).count()),
       "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(
