@@ -794,6 +794,14 @@ object SparkEntry {
             .when(col("doc_id") % 10 < 9, "mid")
             .otherwise("small")),
         "bucket", Map("big" -> 0.5, "mid" -> 1.0, "small" -> 2.5))),
+    // token-budget mixing: per-lang quotas in n_chars units over the
+    // hash-ordered stream — en partial cut, fr near-total, de small,
+    // es explicit 0, zh absent (both drop)
+    "q_token_budget_mix" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.tokenBudgetMix(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", col("n_chars"),
+        Map("en" -> 20000L, "de" -> 5000L, "es" -> 0L, "fr" -> 21000L))),
     // deterministic training order: seeded-hash shard + in-shard position,
     // reproducible on any partitioning/engine
     "q_training_order" -> ((spark: SparkSession, dir: String) =>
@@ -2605,6 +2613,22 @@ object SparkEntry {
       SELECT doc_id, text, lang, source, n_chars, bucket,
         unnest(generate_series(0, CAST(nn AS BIGINT) - 1)) AS epoch
       FROM n WHERE nn >= 1""",
+    // keep while the exclusive prefix of already-kept chars is under the
+    // stratum budget; absent/zero-budget strata drop
+    "q_token_budget_mix" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+          md5(concat_ws(chr(1),
+            coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+            coalesce(CAST(lang AS VARCHAR), chr(2)),
+            coalesce(CAST(n_chars AS VARCHAR), chr(2)))) AS h
+        FROM documents),
+      p AS (SELECT doc_id, lang, n_chars,
+          CAST(coalesce(sum(n_chars) OVER (PARTITION BY lang ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prefix
+        FROM d)
+      SELECT doc_id, lang, n_chars FROM p
+      WHERE prefix < CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 20000
+        WHEN 'es' THEN 0 WHEN 'fr' THEN 21000 ELSE 0 END""",
     "q_training_order" ->
       """WITH h AS (SELECT doc_id, lang, source,
           md5(concat_ws(chr(1), 'r4', coalesce(CAST(doc_id AS VARCHAR), chr(2)))) AS hh

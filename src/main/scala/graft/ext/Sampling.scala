@@ -143,6 +143,33 @@ object Sampling {
     }
   }
 
+  /** Token-budget mixing: keep documents per stratum, in md5 row-hash
+    * order, until the stratum's token budget is met — the "N tokens of
+    * source X" form real pretraining mixes are specified in (documents are
+    * what a crawl gives you; tokens are what the training run consumes,
+    * so the quota lives in token units). A row is kept while the running
+    * total of already-kept tokens is below its stratum's budget: every
+    * positive budget takes at least one document and overshoots by less
+    * than one document; budget 0 and strata absent from `budgets` drop
+    * entirely (allowlist posture, like [[mix]]).
+    *
+    * One hash exchange on the stratum column + a per-stratum window —
+    * same skew posture as [[stratified]]: pre-thin a dominant stratum
+    * with [[deterministicFraction]] before the exact cut if its window
+    * partition would be huge. */
+  def tokenBudgetMix(df: DataFrame, strataCol: String, tokenCol: Column,
+                     budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "every token budget must be >= 0")
+    val w = Window.partitionBy(col(strataCol)).orderBy(rowKey(df))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val budget = budgets.toSeq.sortBy(_._1).foldRight(lit(0L): Column) {
+      case ((value, b), els) => when(col(strataCol) === lit(value), lit(b)).otherwise(els)
+    }
+    df.withColumn("__graft_prefix", coalesce(sum(tokenCol).over(w), lit(0L)))
+      .filter(col("__graft_prefix") < budget)
+      .drop("__graft_prefix")
+  }
+
   /** Deterministic global shuffle for training-data ordering: every row
     * gets a `shard` (seeded-hash mod `shards`) and a 0-based `pos` within
     * its shard (seeded-hash order, id tiebreak). Same (seed, id) ⇒ same

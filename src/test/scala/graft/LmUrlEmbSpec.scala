@@ -265,6 +265,34 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("tokenBudgetMix cuts each stratum at its token quota in hash order") {
+    val rows = (1 to 20).map(i => s"""{"id": $i, "s": "a", "tok": 10}""") ++
+      (21 to 40).map(i => s"""{"id": $i, "s": "b", "tok": 10}""") ++
+      (41 to 50).map(i => s"""{"id": $i, "s": "c", "tok": 10}""")
+    val df = fromJsonl(rows: _*)
+    val out = Sampling.tokenBudgetMix(df, "s", col("tok"),
+      Map("a" -> 55L, "b" -> 1000L, "c" -> 0L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s")))
+    val byS = out.groupBy(_._2)
+    // 55-token budget over 10-token docs: prefix < 55 keeps exactly 6
+    // (prefixes 0..50), overshooting by under one document
+    assert(byS("a").length == 6, s"got ${byS("a").length}")
+    // budget above the stratum total keeps everything
+    assert(byS("b").map(_._1).sorted.toSeq == (21L to 40L))
+    // zero budget and absent strata drop entirely
+    assert(!byS.contains("c"))
+    assert(Sampling.tokenBudgetMix(df, "s", col("tok"), Map("a" -> 55L))
+      .select(countDistinct(col("s"))).first().getLong(0) == 1)
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetMix(df.repartition(7), "s", col("tok"),
+      Map("a" -> 55L, "b" -> 1000L, "c" -> 0L))
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("s")))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a positive budget smaller than one document still takes that document
+    val one = Sampling.tokenBudgetMix(df, "s", col("tok"), Map("a" -> 3L))
+    assert(one.count() == 1)
+  }
+
   test("materializePacks emits one bounded row per pack in document order") {
     val df = fromJsonl(
       """{"id": 1, "s": "a", "text": "one", "tok": 3}""",
