@@ -1275,6 +1275,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 37 === 0), "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
+    // span-grain decontamination: tokens covered by an eval 4-gram are cut,
+    // the rest of the document survives
+    "q_decontam_spans" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.removeContaminatedSpans(
+        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 37 === 0), "text", n = 4)
+    }),
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
@@ -2777,6 +2785,33 @@ object SparkEntry {
             / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) >= 0.5)
       SELECT d.* FROM documents d
       WHERE d.doc_id % 37 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""",
+    // same replay as q_dedup_spans, with the hot-gram set swapped for the
+    // eval side's positional 4-grams
+    "q_decontam_spans" ->
+      """WITH tok AS (SELECT doc_id,
+        list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      eg AS (SELECT DISTINCT
+          array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ') AS gram
+        FROM (SELECT toks, unnest(generate_series(0, len(toks) - 4)) AS i
+              FROM tok WHERE doc_id % 37 = 0 AND len(toks) >= 4)),
+      c AS (SELECT doc_id, toks FROM tok WHERE doc_id % 37 <> 0),
+      g AS (
+        SELECT doc_id, i AS s,
+          array_to_string(toks[CAST(i+1 AS INT):CAST(i+4 AS INT)], ' ') AS gram
+        FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 4)) AS i
+              FROM c WHERE len(toks) >= 4)),
+      ds AS (SELECT doc_id, list_sort(list(DISTINCT s)) AS starts
+             FROM g JOIN eg USING (gram) GROUP BY doc_id),
+      k AS (SELECT t.doc_id, t.toks, coalesce(d.starts, []) AS starts
+            FROM c t LEFT JOIN ds d USING (doc_id))
+      SELECT doc_id,
+        coalesce(array_to_string(list_filter(toks, (t, i) ->
+          len(list_filter(starts, s -> s >= i - 4 AND s <= i - 1)) = 0), ' '), '') AS cleaned_text,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(toks) - len(list_filter(toks, (t, i) ->
+          len(list_filter(starts, s -> s >= i - 4 AND s <= i - 1)) = 0)) AS BIGINT) AS n_removed
+      FROM k""",
     "q_dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       half AS (

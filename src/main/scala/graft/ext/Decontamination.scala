@@ -61,6 +61,58 @@ object Decontamination {
     docs.join(flags, Seq(idCol), "left_anti")
   }
 
+  /** Span-grain decontamination: cut exactly the tokens covered by an
+    * eval-set word n-gram instead of dropping the document whole — the
+    * treatment for a long, otherwise-good document that shares only a
+    * quoted benchmark passage with the eval set ([[Dedup.removeDupSpans]]'s
+    * surgical cut applied across the train/eval boundary).
+    *
+    * Same plan posture as [[flagContaminated]]: the eval side's distinct
+    * n-grams are benchmark-sized and BROADCAST; the corpus side is one
+    * scan + positional explode into a broadcast hash join, then one
+    * id-keyed aggregation of matching start positions — the corpus is
+    * never shuffled by n-gram. The cut itself is scan-side array work
+    * bounded per document.
+    *
+    * Matching is fixed-length only: eval documents shorter than `n`
+    * tokens contribute no grams here (use [[removeContaminated]]'s
+    * whole-sequence short-row handling when verbatim short eval rows
+    * matter); corpus documents shorter than `n` pass through whole.
+    *
+    * @return one row per input document: `cleaned_text` (space-joined
+    *         surviving tokens), `n_tokens`, `n_removed`. */
+  def removeContaminatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                              eval: DataFrame, evalTextCol: String,
+                              n: Int = 13): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val base = Dedup.spill(
+      docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
+      "graft-decontspan-toks")
+    def posGrams(toks: Column): Column = transform(
+      sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    val evalGrams = eval
+      .select(TextFunctions.tokens(col(evalTextCol)).as("__etoks"))
+      .filter(size(col("__etoks")) >= n)
+      .select(explode(posGrams(col("__etoks"))).as("__g"))
+      .distinct()
+    val grams = base
+      .filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(posGrams(col("__toks"))).as(Seq("__s", "__g")))
+    val hitStarts = grams.join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__s"))).as("__starts"))
+    val kept = filter(col("__toks"), (_, p) =>
+      !exists(col("__starts"), s => s.between(p - (n - 1), p)))
+    base.join(hitStarts, Seq(idCol), "left")
+      .withColumn("__starts",
+        coalesce(col("__starts"), array().cast("array<int>")))
+      .select(col(idCol),
+        array_join(kept, " ").as("cleaned_text"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
+  }
+
   /** Semantic decontamination: flag corpus documents whose EMBEDDING is
     * within `threshold` cosine of any eval-set embedding — catches
     * paraphrased leakage the n-gram tiers can't see (the SemDeDup insight

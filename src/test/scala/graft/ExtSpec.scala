@@ -1302,6 +1302,31 @@ class ExtSpec extends AnyFunSuite {
     assert(physical.contains("BroadcastHashJoin"))
   }
 
+  test("removeContaminatedSpans cuts exactly the eval-covered tokens") {
+    val eval = fromJsonl("""{"q": "what is the capital of france"}""")
+    val corpus = fromJsonl(
+      """{"doc_id": 1, "text": "Quiz answers: what is the capital of France? Paris of course."}""",
+      """{"doc_id": 2, "text": "totally unrelated text about spark query planning internals"}""",
+      """{"doc_id": 3, "text": "tiny doc"}""")
+    val out = Decontamination.removeContaminatedSpans(
+      corpus, "doc_id", "text", eval, "q", n = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned_text"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_removed")))).toMap
+    // starts {2,3} cover tokens 2..7: the quoted question dies, the
+    // framing around it survives
+    assert(out(1L) == (("quiz answers paris of course", 11L, 6L)))
+    // clean and short docs pass through whole
+    assert(out(2L) ==
+      (("totally unrelated text about spark query planning internals", 8L, 0L)))
+    assert(out(3L) == (("tiny doc", 2L, 0L)))
+    // eval grams arrive as a broadcast — the corpus is never shuffled by gram
+    val physical = Decontamination.removeContaminatedSpans(
+      corpus, "doc_id", "text", eval, "q", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"))
+  }
+
   test("semantic decontamination flags near-eval embeddings, exact and LSH tiers agree") {
     import spark.implicits._
     val mk = (id: Long, base: Double) =>
