@@ -161,6 +161,18 @@ object Bench {
       "fuzzyDecontam" -> coldWarm(graft.ext.Decontamination.flagFuzzy(
         docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         docs.filter(col("doc_id") % 37 === 0), "text").count()),
+      "decontamSpans" -> coldWarm(graft.ext.Decontamination.removeContaminatedSpans(
+        docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        docs.filter(col("doc_id") % 37 === 0), "text", n = 4)
+        .agg(sum(col("n_removed"))).first().getLong(0)),
+      "dedupSurvivor" -> coldWarm(graft.ext.Dedup.dedupNearBy(
+        docs, "doc_id", "text", priority = col("n_chars"),
+        threshold = 0.5).count()),
+      "tokenBudgetMix" -> coldWarm(graft.ext.Sampling.tokenBudgetMix(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", col("n_chars"),
+        Map("en" -> 2000000L, "de" -> 500000L, "es" -> 500000L,
+          "fr" -> 500000L, "zh" -> 500000L)).count()),
       "lengthBuckets" -> coldWarm(graft.ext.Packing.lengthBucketBatches(
         docs.select(col("doc_id"), col("lang"), col("text")), Seq("lang"),
         graft.ext.TextFunctions.tokenCount(col("text")),

@@ -837,6 +837,22 @@ object SparkEntry {
       graft.ext.Dedup.dedupNearExact(tbl(spark, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), shingleSize = 3, threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // same cluster graph, quality-priority survivor: keep the LONGEST
+    // member of each duplicate group instead of min id. The union plants a
+    // longer high-id copy of each doc so the priority choice is the
+    // opposite of the min-id convention — a min-id engine fails this gate.
+    "q_dedup_survivor" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .filter(col("doc_id") < 40)
+      val longer = d.select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra tail tokens for the survivor gate")).as("text"),
+        col("lang"), col("source"), (col("n_chars") + 100).as("n_chars"))
+      graft.ext.Dedup.dedupNearExactBy(d.unionAll(longer), "doc_id", "text",
+        Seq("lang", "source"), priority = col("n_chars"),
+        shingleSize = 3, threshold = 0.8)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    }),
     "q_dedup_embedding" -> ((spark: SparkSession, dir: String) =>
       graft.ext.Dedup.embeddingNearDupPairs(tbl(spark, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.45, planes = 0)),
@@ -3019,6 +3035,38 @@ object SparkEntry {
       FROM documents d
       JOIN (SELECT id, min(lbl) AS comp FROM reach GROUP BY id) c ON c.id = d.doc_id
       WHERE c.comp = d.doc_id""",
+    // same component computation; survivor = argmax(n_chars, min doc_id)
+    // per component — the planted longer copies must win over their min-id
+    // originals (singleton components keep their only member)
+    "q_dedup_survivor" ->
+      """WITH RECURSIVE base AS (
+        SELECT doc_id, text, lang, source, n_chars FROM documents WHERE doc_id < 40
+        UNION ALL
+        SELECT doc_id + 10000, text || ' extra tail tokens for the survivor gate',
+          lang, source, n_chars + 100 FROM documents WHERE doc_id < 40),
+      sh AS (
+        SELECT doc_id, lang, source, n_chars,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id, lang, source, n_chars,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM base)),
+      prs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN prs p ON p.src = r.id WHERE r.lbl < p.dst),
+      ranked AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+          row_number() OVER (PARTITION BY c.comp ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        FROM base d
+        JOIN (SELECT id, min(lbl) AS comp FROM reach GROUP BY id) c ON c.id = d.doc_id)
+      SELECT doc_id, lang, source, n_chars FROM ranked WHERE rn = 1""",
     "q_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (

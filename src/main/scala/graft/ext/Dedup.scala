@@ -507,6 +507,43 @@ object Dedup {
     df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Survivor selection with an explicit quality policy: given cluster
+    * labels from [[clusterPairs]], keep per cluster the member with the
+    * HIGHEST `priority` (smallest id on ties) instead of [[dedupNear]]'s
+    * smallest-id convention — the FineWeb/RefinedWeb posture of retaining
+    * the best representative (longest document, highest quality score) of
+    * each duplicate group. Documents in no cluster pass through untouched.
+    *
+    * Cost: one per-cluster window over the cluster-MEMBER table (bounded
+    * by the pair set, not the corpus) + the usual anti join back. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+                         priority: Column): DataFrame = {
+    val members = df.select(col(idCol), priority.as("__pri"))
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("__pri").desc, col(idCol).asc)
+    val losers = members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupNear]] with [[keepBestPerCluster]] survivor selection. */
+  def dedupNearBy(df: DataFrame, idCol: String, textCol: String,
+                  priority: Column, shingleSize: Int = 3, numHashes: Int = 64,
+                  bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
+    keepBestPerCluster(df, idCol, clusterPairs(pairs), priority)
+  }
+
+  /** Exact-tier companion of [[dedupNearBy]] (deterministic O(block²)
+    * pair generation — the oracle-checkable tier, like [[dedupNearExact]]). */
+  def dedupNearExactBy(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[String], priority: Column,
+                       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
+    keepBestPerCluster(df, idCol, clusterPairs(pairs), priority)
+  }
+
   // -------------------------------------------------------------------------
   // Partial duplicates via content-defined chunking
   // -------------------------------------------------------------------------

@@ -423,6 +423,35 @@ class ExtSpec extends AnyFunSuite {
     assert(surviving == Set(1L, 4L))
   }
 
+  test("keepBestPerCluster keeps the highest-priority member, min id on ties") {
+    import spark.implicits._
+    val frame = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L),   // component {1,2,3}: 2 wins (pri tie with 3, lower id)
+      (7L, 5L), (8L, 9L),                // component {7,8}: 8 wins on priority
+      (9L, 1L)                           // unclustered: passes through
+    ).toDF("doc_id", "pri")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.95), (7L, 8L, 0.92))
+      .toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.keepBestPerCluster(frame, "doc_id",
+      Dedup.clusterPairs(pairs), col("pri"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 8L, 9L))
+
+    // end-to-end exact tier on the planted corpus: same clusters as
+    // dedupNearExact, but the longest member survives instead of min id
+    val blocked = docs.withColumn("blk", lit(1))
+    val byLen = Dedup.dedupNearExactBy(blocked, "doc_id", "text", Seq("blk"),
+      priority = length(col("text")), shingleSize = 3, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minId = Dedup.dedupNearExact(blocked, "doc_id", "text", Seq("blk"), 3, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byLen.size == minId.size)   // same number of duplicate groups
+    val lens = docs.select(col("doc_id"), length(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every survivor is at least as long as the min-id survivor it replaced
+    assert(byLen.map(lens).sum >= minId.map(lens).sum)
+  }
+
   test("simhash: identical docs have distance 0, near dups small distance") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 16).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Int]("hamming")).toMap
