@@ -318,7 +318,12 @@ object Bench {
             docs10, "doc_id", "text", Seq("lang"),
             graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
           "soakSemDedup10x" -> coldWarm(graft.ext.Dedup.semDedup(
-            emb10, "vec_id", "embedding", k = 16, threshold = 0.7).count()))
+            emb10, "vec_id", "embedding", k = 16, threshold = 0.7).count()),
+          "soakMinhash10x" -> coldWarm(graft.ext.Dedup.minhashLshPairs(
+            docs10, "doc_id", "text").count()),
+          "soakDupSpans10x" -> coldWarm(graft.ext.Dedup.removeDupSpans(
+            docs10, "doc_id", "text", n = 3)
+            .agg(sum(col("n_removed"))).first().getLong(0)))
       }
     val allCW = extrasCW ++ soakCW
     val extras = allCW.map { case (k, cw) => k -> cw._1._1 }

@@ -245,20 +245,39 @@ object Decontamination {
                             n: Int = 13, minHits: Int = 1,
                             expectedGrams: Long = 10000000L,
                             fpp: Double = 0.01): DataFrame = {
-    require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
+    flagContaminatedBloom(docs, idCol, textCol,
+      evalGramBloom(eval, evalTextCol, n, expectedGrams, fpp), n, minHits)
+  }
+
+  /** Build the serialized eval-set n-gram Bloom filter once — the static
+    * artifact a long-running (or streaming) ingest probes per batch
+    * instead of re-deriving the eval grams every micro-batch. Built over
+    * xxhash64 LONGS (putLong) so the probe side's
+    * `might_contain(bf, xxhash64(gram))` hashes identically — building
+    * over raw strings would putBinary and the long probe would miss. */
+  def evalGramBloom(eval: DataFrame, evalTextCol: String, n: Int = 13,
+                    expectedGrams: Long = 10000000L,
+                    fpp: Double = 0.01): Array[Byte] = {
+    require(n > 0, s"n must be positive, got $n")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     val shingle = Kernels.wordShinglesKernel(n)
-    // Build over xxhash64 LONGS (putLong) so the probe side's
-    // might_contain(bf, xxhash64(gram)) hashes identically — building over
-    // raw strings would putBinary and the long probe would miss.
     val bf = eval.select(explode(shingle(col(evalTextCol))).as("__g"))
       .select(xxhash64(col("__g")).as("__h"))
       .stat.bloomFilter("__h", expectedGrams, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Probe-only overload: flag against a prebuilt [[evalGramBloom]]. */
+  def flagContaminatedBloom(docs: DataFrame, idCol: String, textCol: String,
+                            bloom: Array[Byte], n: Int,
+                            minHits: Int): DataFrame = {
+    require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
+    val shingle = Kernels.wordShinglesKernel(n)
     graft.exprs.catalyst.GraftFunctions.register(docs.sparkSession)
     val hit = call_function(graft.exprs.catalyst.GraftFunctions.MightContainName,
-      lit(bos.toByteArray), xxhash64(col("__g")))
+      lit(bloom), xxhash64(col("__g")))
     docs.select(col(idCol), explode(shingle(col(textCol))).as("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),

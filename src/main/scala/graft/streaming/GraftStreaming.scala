@@ -176,15 +176,22 @@ object GraftStreaming {
     *
     * The `lm` counts frame is static reference data (CCNet trains it once
     * on a high-quality corpus); every micro-batch replans its scoring
-    * joins, so pass it persisted. Store layout, retry idempotence and
-    * crash ordering are [[graft.ext.Dedup.ingestStep]]'s contract,
-    * unchanged — the quality gate is stateless and commutes with retries. */
+    * joins, so pass it persisted. `decontamBloom` is a prebuilt
+    * [[graft.ext.Decontamination.evalGramBloom]] `(bytes, n)` — build it
+    * once from the eval set before starting the stream; each micro-batch
+    * probes it scan-side (codegen `might_contain`, no join) and drops
+    * contaminated documents. Bloom false positives only ever drop CLEAN
+    * documents — nothing contaminated leaks past the gate. Store layout,
+    * retry idempotence and crash ordering are
+    * [[graft.ext.Dedup.ingestStep]]'s contract, unchanged — every gate
+    * tier is stateless and commutes with retries. */
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,
                         queryName: String = "graft-curated-ingest",
                         minQuality: Double = 0.6,
                         gopherRules: Boolean = false,
                         lm: Option[(DataFrame, Int, Double)] = None,
+                        decontamBloom: Option[(Array[Byte], Int)] = None,
                         nearThreshold: Option[Double] = None,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -199,6 +206,12 @@ object GraftStreaming {
         lm.foreach { case (counts, order, maxPpl) =>
           b = graft.ext.LanguageModel.perplexityFilter(
             b, idCol, contentCol, counts, order, maxPpl).drop("ppl")
+        }
+        decontamBloom.foreach { case (bloom, n) =>
+          val bad = graft.ext.Decontamination.flagContaminatedBloom(
+            b, idCol, contentCol, bloom, n, minHits = 1)
+            .filter(col("contaminated")).select(col(idCol))
+          b = b.join(bad, Seq(idCol), "left_anti")
         }
         graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,

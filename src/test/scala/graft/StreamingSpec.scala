@@ -208,6 +208,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); counts.unpersist() }
   }
 
+  test("curatedIngestSink decontamination tier drops eval-overlapping docs scan-side") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft-dec-store").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dec-ckpt").toString
+    // the bloom is built ONCE before the stream starts — the static artifact
+    val eval = Seq("what is the capital of france").toDF("q")
+    val bloom = graft.ext.Decontamination.evalGramBloom(
+      eval, "q", n = 4, expectedGrams = 1000L)
+    val q = GraftStreaming.curatedIngestSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, ckpt, minQuality = 0.0,
+      decontamBloom = Some((bloom, 4)))
+    try {
+      mem.addData(
+        (1L, "students often ask what is the capital of france during class"), // leaked
+        (2L, "a perfectly clean document about distributed query planning"))
+      q.processAllAvailable()
+      val kept = graft.ext.Dedup.readStore(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L), s"store after decontaminated ingest: $kept")
+    } finally q.stop()
+  }
+
   test("fromJSONLStream: batched loading with onBatch callback and error strategies") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
     def write(name: String, lines: String*): Unit =
