@@ -1299,6 +1299,16 @@ object SparkEntry {
         d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
         d.filter(col("doc_id") % 37 === 0), "text", n = 4)
     }),
+    // per-benchmark contamination report: two eval slices checked in one
+    // plan, zero-hit sets still reported
+    "q_decontam_report" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+      graft.ext.Decontamination.report(
+        d.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0),
+        "doc_id", "text",
+        Map("eval_a" -> d.filter(col("doc_id") % 37 === 0),
+            "eval_b" -> d.filter(col("doc_id") % 41 === 0)), "text", n = 4)
+    }),
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
@@ -2828,6 +2838,31 @@ object SparkEntry {
         CAST(len(toks) - len(list_filter(toks, (t, i) ->
           len(list_filter(starts, s -> s >= i - 4 AND s <= i - 1)) = 0)) AS BIGINT) AS n_removed
       FROM k""",
+    "q_decontam_report" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 4),
+                      i -> array_to_string(toks[i+1:i+4], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0),
+      ea AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0),
+      eb AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 41 = 0),
+      dg AS (SELECT doc_id, unnest(sh) AS g FROM corpus),
+      ca AS (SELECT count(*) AS nc FROM
+        (SELECT dg.doc_id FROM dg JOIN ea ON dg.g = ea.g GROUP BY 1)),
+      cb AS (SELECT count(*) AS nc FROM
+        (SELECT dg.doc_id FROM dg JOIN eb ON dg.g = eb.g GROUP BY 1)),
+      tot AS (SELECT count(*) AS n_docs FROM corpus)
+      SELECT 'eval_a' AS eval_name, CAST(ca.nc AS BIGINT) AS n_contaminated,
+        tot.n_docs, CAST(ca.nc AS DOUBLE) / tot.n_docs AS contamination_rate
+      FROM ca, tot
+      UNION ALL
+      SELECT 'eval_b', CAST(cb.nc AS BIGINT),
+        tot.n_docs, CAST(cb.nc AS DOUBLE) / tot.n_docs
+      FROM cb, tot""",
     "q_dedup_semantic" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       half AS (

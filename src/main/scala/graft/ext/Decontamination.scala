@@ -249,6 +249,43 @@ object Decontamination {
       evalGramBloom(eval, evalTextCol, n, expectedGrams, fpp), n, minHits)
   }
 
+  /** Per-benchmark contamination report — the overlap table a data card
+    * publishes (GPT-3 appendix C, The Pile §6): one row per eval set with
+    * how many corpus documents share at least `minHits` word n-grams with
+    * it. All eval sets are checked in ONE plan: their tagged distinct
+    * grams union into a single broadcast, the corpus is scanned and
+    * exploded once, and two keyed aggregations produce the table — adding
+    * an eval set adds broadcast bytes, not corpus passes.
+    *
+    * @return one row per `evals` key (zero-contamination sets included):
+    *         `(eval_name, n_contaminated, n_docs, contamination_rate)`. */
+  def report(docs: DataFrame, idCol: String, textCol: String,
+             evals: Map[String, DataFrame], evalTextCol: String,
+             n: Int = 13, minHits: Int = 1): DataFrame = {
+    require(evals.nonEmpty, "report needs at least one eval set")
+    require(n > 0 && minHits > 0, s"n=$n and minHits=$minHits must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val shingle = Kernels.wordShinglesKernel(n)
+    val tagged = evals.toSeq.sortBy(_._1).map { case (name, ev) =>
+      ev.select(lit(name).as("__eval"),
+        explode(shingle(col(evalTextCol))).as("__g")).distinct()
+    }.reduce(_ unionAll _)
+    val docGrams = docs.select(col(idCol), explode(shingle(col(textCol))).as("__g"))
+    val contaminated = docGrams
+      .join(broadcast(tagged), Seq("__g"))
+      .groupBy(col("__eval"), col(idCol)).agg(count(lit(1)).as("__h"))
+      .filter(col("__h") >= minHits)
+      .groupBy(col("__eval")).agg(count(lit(1)).as("n_contaminated"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    evals.keys.toSeq.sorted.toDF("eval_name")
+      .join(contaminated.withColumnRenamed("__eval", "eval_name"), Seq("eval_name"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("contamination_rate",
+        col("n_contaminated").cast("double") / col("n_docs"))
+  }
+
   /** Build the serialized eval-set n-gram Bloom filter once — the static
     * artifact a long-running (or streaming) ingest probes per batch
     * instead of re-deriving the eval grams every micro-batch. Built over

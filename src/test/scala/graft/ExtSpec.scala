@@ -1331,6 +1331,25 @@ class ExtSpec extends AnyFunSuite {
     assert(physical.contains("BroadcastHashJoin"))
   }
 
+  test("contamination report covers every eval set in one pass, zero-hit sets included") {
+    val corpus = fromJsonl(
+      """{"doc_id": 1, "text": "Quiz answers: what is the capital of France? Paris of course."}""",
+      """{"doc_id": 2, "text": "everyone knows paris is the capital of france indeed"}""",
+      """{"doc_id": 3, "text": "totally unrelated text about spark query planning internals"}""",
+      """{"doc_id": 4, "text": "short doc"}""")
+    val evals = Map(
+      "trivia" -> fromJsonl("""{"q": "what is the capital of france"}"""),
+      "planning" -> fromJsonl("""{"q": "everything about spark query planning internals"}"""),
+      "untouched" -> fromJsonl("""{"q": "completely absent benchmark phrasing here"}"""))
+    val rep = Decontamination.report(corpus, "doc_id", "text", evals, "q", n = 5)
+      .collect().map(r => r.getAs[String]("eval_name") ->
+        ((r.getAs[Long]("n_contaminated"), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("contamination_rate")))).toMap
+    assert(rep("trivia") == ((2L, 4L, 0.5)))
+    assert(rep("planning") == ((1L, 4L, 0.25)))
+    assert(rep("untouched") == ((0L, 4L, 0.0)))
+  }
+
   test("removeContaminatedSpans cuts exactly the eval-covered tokens") {
     val eval = fromJsonl("""{"q": "what is the capital of france"}""")
     val corpus = fromJsonl(
