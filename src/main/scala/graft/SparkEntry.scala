@@ -837,6 +837,21 @@ object SparkEntry {
       graft.ext.Dedup.dedupNearExact(tbl(spark, dir, "documents"), "doc_id", "text",
         Seq("lang", "source"), shingleSize = 3, threshold = 0.8)
         .select(col("doc_id"), col("lang"), col("source"))),
+    // cluster-size histogram over the exact-tier pair graph; two extra
+    // exact copies of every doc_id < 20 plant size-3 clusters beside the
+    // corpus's natural size-2 ones so the histogram has real shape
+    "q_dedup_cluster_stats" -> ((spark: SparkSession, dir: String) => {
+      val d = tbl(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      val c1 = d.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val c2 = d.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 20000)
+      graft.ext.Dedup.clusterStats(
+        graft.ext.Dedup.ngramJaccardPairs(d.unionAll(c1).unionAll(c2),
+          "doc_id", "text", Seq("lang", "source"), shingleSize = 3,
+          threshold = 0.8))
+    }),
     // same cluster graph, quality-priority survivor: keep the LONGEST
     // member of each duplicate group instead of min id. The union plants a
     // longer high-id copy of each doc so the priority choice is the
@@ -3070,6 +3085,38 @@ object SparkEntry {
       FROM documents d
       JOIN (SELECT id, min(lbl) AS comp FROM reach GROUP BY id) c ON c.id = d.doc_id
       WHERE c.comp = d.doc_id""",
+    // components over the pair graph, restricted to ids that appear in a
+    // pair (clusterStats covers clustered docs only), then a size histogram
+    "q_dedup_cluster_stats" ->
+      """WITH RECURSIVE base AS (
+        SELECT doc_id, text, lang, source FROM documents
+        UNION ALL
+        SELECT doc_id + 10000, text, lang, source FROM documents WHERE doc_id < 20
+        UNION ALL
+        SELECT doc_id + 20000, text, lang, source FROM documents WHERE doc_id < 20),
+      sh AS (
+        SELECT doc_id, lang, source,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id, lang, source,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM base)),
+      prs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+        WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM base
+        UNION
+        SELECT p.dst, r.lbl FROM reach r JOIN prs p ON p.src = r.id WHERE r.lbl < p.dst),
+      m AS (SELECT DISTINCT id FROM (SELECT src AS id FROM prs UNION ALL SELECT dst AS id FROM prs)),
+      comp AS (SELECT r.id, min(r.lbl) AS comp FROM reach r JOIN m USING (id) GROUP BY r.id),
+      sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY comp)
+      SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+        CAST(size * count(*) AS BIGINT) AS n_docs
+      FROM sz GROUP BY size""",
     // same component computation; survivor = argmax(n_chars, min doc_id)
     // per component — the planted longer copies must win over their min-id
     // originals (singleton components keep their only member)

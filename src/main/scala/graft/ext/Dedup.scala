@@ -129,6 +129,30 @@ object Dedup {
       Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
       .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh")))
 
+  /** Pick LSH banding for a target Jaccard threshold: among the (bands b,
+    * rows-per-band r) factorizations of `numHashes`, the s-curve
+    * `P(candidate | jaccard=s) = 1 − (1 − s^r)^b` crosses 1/2 at
+    * `s* ≈ (1/b)^(1/r)` (Leskovec/Rajaraman/Ullman, Mining of Massive
+    * Datasets §3.4); choose the factorization whose s* lands closest to
+    * `threshold`, biasing ties toward MORE bands (recall over join cost —
+    * false candidates die in the exact-Jaccard verify anyway).
+    *
+    * A driver-side arithmetic helper — call it once to configure
+    * [[minhashLshPairs]] / [[Decontamination.flagFuzzy]] instead of
+    * hand-tuning `bands`.
+    *
+    * @return (bands, rowsPerBand) with bands * rowsPerBand == numHashes */
+  def lshParams(threshold: Double, numHashes: Int = 64): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, s"threshold must be in (0,1), got $threshold")
+    require(numHashes > 1, s"numHashes must be > 1, got $numHashes")
+    val options = (1 to numHashes).filter(numHashes % _ == 0)
+      .map { b => (b, numHashes / b) }
+      .filter { case (b, r) => b > 0 && r > 0 }
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -b)
+    }
+  }
+
   /** Verified near-dup pairs from two precomputed [[signatureTable]]
     * frames. The one recipe both the self-join and bipartite tiers share:
     * band-key equi-join for candidates, exact Jaccard over the hashed
@@ -481,6 +505,21 @@ object Dedup {
     labels.unpersist()
     out
   }
+
+  /** Duplicate-cluster size report — what you inspect BEFORE committing a
+    * dedup run at scale: one row per cluster size with how many clusters
+    * and documents sit at that size (a heavy tail or one giant cluster
+    * means the threshold, shingle size, or a boilerplate pattern needs
+    * attention, and predicts the skew the in-cluster joins will see).
+    * Covers documents that appear in `pairs` — singletons by definition
+    * join no cluster. Two keyed aggregations over [[clusterPairs]] labels.
+    *
+    * @return rows of (size, n_clusters, n_docs = size * n_clusters). */
+  def clusterStats(pairs: DataFrame): DataFrame =
+    clusterPairs(pairs)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", (col("size") * col("n_clusters")).cast("long"))
 
   /** Full near-dup dedup: MinHash-LSH pairs → connected components → keep
     * the smallest doc id per cluster (plus all documents that joined no

@@ -423,6 +423,29 @@ class ExtSpec extends AnyFunSuite {
     assert(surviving == Set(1L, 4L))
   }
 
+  test("lshParams picks the factorization whose s-curve midpoint hits the threshold") {
+    // s* = (1/b)^(1/r): 64 hashes at 0.5 → (16,4) (0.5 exactly); at 0.8 →
+    // (8,8) (0.771, closest); at 0.95 → (4,16) (0.917) over (2,32) (0.978)?
+    // |0.917-0.95|=0.033 < |0.978-0.95|=0.028 is false — (2,32) wins
+    assert(Dedup.lshParams(0.5, 64) == ((16, 4)))
+    assert(Dedup.lshParams(0.8, 64) == ((8, 8)))
+    assert(Dedup.lshParams(0.95, 64) == ((2, 32)))
+    val (b, r) = Dedup.lshParams(0.7, 128)
+    assert(b * r == 128)
+    assert(math.abs(math.pow(1.0 / b, 1.0 / r) - 0.7) < 0.1)
+  }
+
+  test("clusterStats histograms duplicate-cluster sizes") {
+    import spark.implicits._
+    // components {1,2,3} (size 3), {7,8} and {9,10} (two of size 2)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.95), (7L, 8L, 0.92), (9L, 10L, 0.85))
+      .toDF("id_a", "id_b", "jaccard")
+    val stats = Dedup.clusterStats(pairs).collect()
+      .map(r => r.getAs[Long]("size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    assert(stats == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
+  }
+
   test("keepBestPerCluster keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     val frame = Seq(
