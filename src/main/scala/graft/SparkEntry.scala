@@ -615,6 +615,10 @@ object SparkEntry {
     "q_text_tfidf" -> ((spark: SparkSession, dir: String) =>
       graft.ext.TextFunctions.tfIdfTopTerms(
         tbl(spark, dir, "documents"), "doc_id", "text", 5)),
+    // corpus vocabulary: top-50 tokens by total count with doc frequencies
+    "q_vocab" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.vocab(
+        tbl(spark, dir, "documents"), "doc_id", "text", 50)),
     "q_text_bm25" -> ((spark: SparkSession, dir: String) =>
       graft.ext.TextFunctions.bm25Search(
         tbl(spark, dir, "documents"), "doc_id", "text",
@@ -2334,6 +2338,17 @@ object SparkEntry {
               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    "q_vocab" ->
+      """WITH t AS (
+        SELECT doc_id,
+          unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> length(x) > 0)) AS token
+        FROM documents),
+      a AS (SELECT token, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM t GROUP BY token)
+      SELECT token, n_tokens, n_docs,
+        CAST(row_number() OVER (ORDER BY n_tokens DESC, token ASC) AS INTEGER) AS rank
+      FROM a ORDER BY n_tokens DESC, token ASC LIMIT 50""",
     "q_pack_budget" ->
       """WITH toks AS (SELECT doc_id, lang,
           len(list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0)) AS n_tok

@@ -239,4 +239,33 @@ object Corpus {
         q6(col("p_a")).as("p_a"), q6(col("p_b")).as("p_b"),
         q6((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))).as("psi"))
   }
+
+  /** Materialize the training artifact: [[graft.ext.Sampling.trainingOrder]]
+    * stamps every row with a deterministic `(shard, pos)`, the data lands
+    * as `<path>/data/shard=<s>/` parquet (rows written in `pos` order
+    * inside each shard so a sequential reader streams the training order
+    * off disk), and the per-shard [[manifest]] lands beside it at
+    * `<path>/manifest/` — the reproducibility receipt for the exact bytes
+    * shipped. One hash exchange on the shard id, one per-shard window, one
+    * write; re-running with the same (input, shards, seed) produces
+    * byte-identical shard contents on any cluster.
+    *
+    * @return the manifest frame (read back from disk, so what you inspect
+    *         is what was written). */
+  def export(docs: DataFrame, idCol: String, textCol: String, path: String,
+             shards: Int, seed: String = ""): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val ordered = Sampling.trainingOrder(docs, idCol, shards, seed)
+    ordered
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+    val spark = docs.sparkSession
+    // partition-dir read-back infers `shard` as int — restore the long type
+    val written = spark.read.parquet(s"$path/data")
+      .withColumn("shard", col("shard").cast("long"))
+    manifest(written, idCol, textCol, Seq("shard"))
+      .write.mode("overwrite").parquet(s"$path/manifest")
+    spark.read.parquet(s"$path/manifest")
+  }
 }

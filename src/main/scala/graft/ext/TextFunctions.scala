@@ -183,6 +183,29 @@ object TextFunctions {
         (floor(col("score") * 1e6 + 0.5) / 1e6).as("score"))
   }
 
+  /** Corpus vocabulary: the top-`k` tokens by total term count with their
+    * document frequencies — the frequency table tokenizer training starts
+    * from (and the quick sanity view of what a corpus is made of). Two
+    * keyed aggregations (term count + doc frequency in one pass over the
+    * exploded (doc, token) grain, partial-aggregated map-side) and a
+    * global top-k that fuses to `TakeOrderedAndProject`. Ties break by
+    * token text so the cut is total and engine-reproducible.
+    *
+    * @return (token, n_tokens, n_docs, rank), rank 1-based. */
+  def vocab(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val ranked = df
+      .select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("__doc")).as("n_docs"))
+      .orderBy(col("n_tokens").desc, col("token").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens").desc, col("token").asc)
+    ranked.withColumn("rank", row_number().over(w))
+  }
+
   /** BM25-ranked retrieval of the top-k documents for a bag of query terms —
     * the classic probabilistic ranking function (Robertson et al.; Lucene's
     * default), used in data pipelines for retrieval-based corpus filtering

@@ -423,6 +423,18 @@ class ExtSpec extends AnyFunSuite {
     assert(surviving == Set(1L, 4L))
   }
 
+  test("vocab ranks tokens by total count with doc frequencies, token-text ties") {
+    val df = fromJsonl(
+      """{"doc_id": 1, "text": "alpha alpha beta"}""",
+      """{"doc_id": 2, "text": "alpha beta gamma"}""",
+      """{"doc_id": 3, "text": "delta delta delta"}""")
+    val v = graft.ext.TextFunctions.vocab(df, "doc_id", "text", 3)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("n_docs"))).sortBy(_._1)
+    // alpha and delta tie at 3 total — alpha wins on token text
+    assert(v.toSeq == Seq((1, "alpha", 3L, 2L), (2, "delta", 3L, 1L), (3, "beta", 2L, 2L)))
+  }
+
   test("lshParams picks the factorization whose s-curve midpoint hits the threshold") {
     // s* = (1/b)^(1/r): 64 hashes at 0.5 → (16,4) (0.5 exactly); at 0.8 →
     // (8,8) (0.771, closest); at 0.95 → (4,16) (0.917) over (2,32) (0.978)?
@@ -1439,6 +1451,36 @@ class ExtSpec extends AnyFunSuite {
     val edited = a.withColumn("text",
       when(col("doc_id") === 2, lit("beta!")).otherwise(col("text")))
     assert(fp(edited)._1 != base)
+  }
+
+  test("corpus export writes pos-ordered shards with a manifest receipt, reproducibly") {
+    import graft.ext.Corpus
+    val docs = fromJsonl((1 to 40).map(i =>
+      s"""{"doc_id": $i, "text": "document number $i body"}"""): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
+    val man = Corpus.export(docs, "doc_id", "text", s"$dir/a", shards = 4, seed = "s1")
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("content_fingerprint")))).toMap
+    assert(man.keySet == Set(0L, 1L, 2L, 3L))
+    assert(man.values.map(_._1).sum == 40L)
+    // every shard's pos is contiguous from 0
+    val data = spark.read.parquet(s"$dir/a/data")
+      .select(col("shard").cast("long").as("shard"), col("pos"))
+    val byShard = data.collect()
+      .groupBy(_.getAs[Long]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("pos")).sorted.toSeq).toMap
+    byShard.foreach { case (s, ps) =>
+      assert(ps == (0L until ps.length).toSeq, s"shard $s positions: $ps")
+    }
+    // re-export to a fresh path: identical manifest (same bytes shipped)
+    val man2 = Corpus.export(docs, "doc_id", "text", s"$dir/b", shards = 4, seed = "s1")
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("content_fingerprint")))).toMap
+    assert(man2 == man)
+    // a different seed reshuffles membership but ships the same corpus
+    val man3 = Corpus.export(docs, "doc_id", "text", s"$dir/c", shards = 4, seed = "s2")
+      .collect().map(r => r.getAs[Long]("n_docs")).sum
+    assert(man3 == 40L)
   }
 
   test("corpus drift: identical snapshots score zero PSI; a shifted stratum lights up") {
