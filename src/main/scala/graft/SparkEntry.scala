@@ -798,6 +798,12 @@ object SparkEntry {
             .when(col("doc_id") % 10 < 9, "mid")
             .otherwise("small")),
         "bucket", Map("big" -> 0.5, "mid" -> 1.0, "small" -> 2.5))),
+    // score-weighted (soft) sampling: keep probability = the row's own
+    // derived score, realized against the deterministic md5 hash fraction
+    "q_score_keep" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.Sampling.scoreWeightedKeep(
+        tbl(spark, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        (col("n_chars") % 100) / lit(100.0))),
     // token-budget mixing: per-lang quotas in n_chars units over the
     // hash-ordered stream — en partial cut, fr near-total, de small,
     // es explicit 0, zh absent (both drop)
@@ -2677,6 +2683,16 @@ object SparkEntry {
       SELECT doc_id, text, lang, source, n_chars, bucket,
         unnest(generate_series(0, CAST(nn AS BIGINT) - 1)) AS epoch
       FROM n WHERE nn >= 1""",
+    "q_score_keep" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+          CAST(CAST(concat('0x', substring(md5(concat_ws(chr(1),
+            coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+            coalesce(CAST(lang AS VARCHAR), chr(2)),
+            coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 8)) AS BIGINT) AS DOUBLE)
+            / 4294967296.0 AS frac
+        FROM documents)
+      WHERE frac < least(greatest((n_chars % 100) / 100.0, 0.0), 1.0)""",
     // keep while the exclusive prefix of already-kept chars is under the
     // stratum budget; absent/zero-budget strata drop
     "q_token_budget_mix" ->

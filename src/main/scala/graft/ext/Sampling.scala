@@ -143,6 +143,24 @@ object Sampling {
     }
   }
 
+  /** Score-weighted sampling: keep each row with probability equal to its
+    * (clamped to [0,1]) `score` — soft quality filtering, where a hard
+    * threshold would cliff: a 0.9-quality document keeps 90% of its mass,
+    * a 0.2 document still contributes 20% instead of dying at the gate
+    * (the shape model-scored corpus filters use when the classifier is
+    * noisy). Realized deterministically: the row's md5-hash fraction in
+    * [0,1) is compared to its own score — a pure scan-side filter, no
+    * shuffle, no RNG, stable under repartitioning, replayable by any
+    * engine. Null scores drop (no signal, no keep).
+    *
+    * The hash fraction is the first 8 hex digits / 2^32 — the same
+    * uniform key [[mix]] thresholds against, compared row-wise here. */
+  def scoreWeightedKeep(df: DataFrame, score: Column): DataFrame = {
+    val frac = conv(substring(rowKey(df), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.filter(frac < least(greatest(score.cast("double"), lit(0.0)), lit(1.0)))
+  }
+
   /** Token-budget mixing: keep documents per stratum, in md5 row-hash
     * order, until the stratum's token budget is met — the "N tokens of
     * source X" form real pretraining mixes are specified in (documents are

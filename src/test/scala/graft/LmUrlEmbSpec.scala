@@ -265,6 +265,27 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("scoreWeightedKeep keeps rows in proportion to their own score, deterministically") {
+    val rows = (1 to 400).map(i => s"""{"id": $i, "s": ${if (i <= 100) "0.0"
+      else if (i <= 200) "1.0" else if (i <= 300) "0.5" else "null"}}""")
+    val df = fromJsonl(rows: _*)
+    val kept = Sampling.scoreWeightedKeep(df, col("s"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    // score 0 and null never keep; score 1 always keeps
+    assert(kept.forall(i => i > 100 && i <= 300))
+    assert((101L to 200L).forall(kept))
+    // score 0.5 keeps roughly half (hash-uniform; generous bounds)
+    val half = kept.count(i => i > 200 && i <= 300)
+    assert(half > 25 && half < 75, s"kept $half of 100 at score 0.5")
+    // stable under repartitioning
+    val again = Sampling.scoreWeightedKeep(df.repartition(7), col("s"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(again == kept)
+    // out-of-range scores clamp instead of misbehaving
+    val clamped = Sampling.scoreWeightedKeep(df, col("s") * 100 - 30)
+    assert(clamped.count() > 0)
+  }
+
   test("tokenBudgetMix cuts each stratum at its token quota in hash order") {
     val rows = (1 to 20).map(i => s"""{"id": $i, "s": "a", "tok": 10}""") ++
       (21 to 40).map(i => s"""{"id": $i, "s": "b", "tok": 10}""") ++
