@@ -1086,6 +1086,13 @@ object SparkEntry {
       graft.ext.TextFunctions.urlDedup(
         tbl(spark, dir, "documents").select(col("doc_id"), synthUrl.as("url")),
         "doc_id", "url")),
+    // recrawl dedup: freshest fetch per canonical URL wins (ts is a
+    // deterministic shuffle of ids so max-ts ≠ min-id)
+    "q_url_dedup_latest" -> ((spark: SparkSession, dir: String) =>
+      graft.ext.TextFunctions.urlDedupLatest(
+        tbl(spark, dir, "documents").select(col("doc_id"), synthUrl.as("url"),
+          ((col("doc_id") * 37) % 1000).as("fetch_ts")),
+        "doc_id", "url", "fetch_ts")),
 
     // ---- extensions: n-gram LM perplexity scoring (CCNet quality filter) ----
     // Trigram stupid-backoff, self-scored (counts from the corpus itself) —
@@ -1809,6 +1816,28 @@ object SparkEntry {
         FROM documents),
       w AS (SELECT canon, min(doc_id) AS doc_id FROM u GROUP BY 1)
       SELECT u.doc_id, u.url FROM u JOIN w ON u.doc_id = w.doc_id""",
+    "q_url_dedup_latest" ->
+      """WITH u AS (
+        SELECT doc_id, (doc_id * 37) % 1000 AS fetch_ts,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://user:pw@WWW.Site' ELSE 'https://www.site' END)
+            || '.example.org'
+            || (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':443'
+                     WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+            || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'
+                     WHEN doc_id % 3 = 1 THEN '?a=1&b=2&fbclid=xyz' ELSE '' END)
+            || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+          (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+            || '://www.site.example.org'
+            || (CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END)
+            || '/P/' || CAST(doc_id % 50 AS VARCHAR)
+            || (CASE WHEN doc_id % 3 < 2 THEN '?a=1&b=2' ELSE '' END) AS canon
+        FROM documents),
+      w AS (SELECT canon, doc_id FROM (
+        SELECT canon, doc_id,
+          row_number() OVER (PARTITION BY canon ORDER BY fetch_ts DESC, doc_id ASC) AS rn
+        FROM u) WHERE rn = 1)
+      SELECT u.doc_id, u.url, u.fetch_ts FROM u JOIN w ON u.doc_id = w.doc_id""",
     // trigram stupid backoff (alpha=0.4), self-scored: the whole LM —
     // counts, per-position backoff chain, per-document mean log10 score —
     // replayed in SQL

@@ -391,6 +391,27 @@ object TextFunctions {
       .drop("__canon")
   }
 
+  /** Recrawl dedup: one row per [[canonicalizeUrl]] form, the FRESHEST
+    * fetch winning (max `tsCol`, smallest id on ties) — [[urlDedup]]'s
+    * keep-first is right for a single crawl snapshot; a corpus built from
+    * repeated crawls wants the latest content for each page. Same plan
+    * shape: one hash aggregation keyed on the canonical string (`max_by`
+    * on the (ts, -id) pair) + a semi join back — no window, no global
+    * sort. Unparseable URLs are kept unconditionally. */
+  def urlDedupLatest(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
+    val canon = df.withColumn("__canon", canonicalizeUrl(col(urlCol)))
+    val winners = canon.filter(col("__canon").isNotNull)
+      .groupBy(col("__canon"))
+      .agg(max_by(col(idCol),
+        struct(col(tsCol), (-col(idCol)).as("__negid"))).as("__keep_id"))
+      .select(col("__keep_id"))
+    canon.filter(col("__canon").isNull)
+      .unionByName(canon.join(winners,
+        col(idCol) === col("__keep_id"), "left_semi"))
+      .drop("__canon")
+  }
+
   /** Drop rows whose URL's registered domain is on `blocked` — blocklist
     * filtering, the first gate of a crawl pipeline. Pure scan-side filter:
     * no shuffle, no join (the blocklist compiles into the predicate; for

@@ -89,4 +89,38 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Compact a parquet directory's small files into ~`targetFileMB` files —
+    * the maintenance pass every incremental ingest eventually owes: a
+    * micro-batched or per-batch-directory store accumulates files far below
+    * the scan-efficient 128-256 MB band, and scan parallelism degrades into
+    * per-file task overhead. Sizes the output from the ACTUAL on-disk bytes
+    * (Hadoop FS listing, so compression is accounted for) and `coalesce`s —
+    * no shuffle; partition merging only. Row order within merged files is
+    * input-file order: a sorted layout (e.g. [[zorderWrite]]) should be
+    * re-written through its own path instead, compaction would interleave
+    * its carefully-bounded files.
+    *
+    * Reads from `path`, writes to `outPath` (must differ — never compact a
+    * directory onto itself while something may read it; swap directories at
+    * the orchestration layer).
+    *
+    * @return the number of output files planned. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              outPath: String, targetFileMB: Int = 256): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    require(path != outPath, "compact cannot write onto its own input")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+    }
+    val parts = math.max(1L, (bytes + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
+    spark.read.parquet(path).coalesce(parts)
+      .write.mode("overwrite").parquet(outPath)
+    parts
+  }
 }

@@ -79,6 +79,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(zb * 2 < sb, s"zb=$zb sb=$sb")
   }
 
+  test("compact merges small files without losing or reordering rows within groups") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // 64 tiny files
+    (1 to 2048).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/in")
+    def files(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files(s"$dir/in") == 64)
+    val planned = graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out",
+      targetFileMB = 256)
+    // tiny input → one output file, all rows intact
+    assert(planned == 1)
+    assert(files(s"$dir/out") == 1)
+    val back = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 2048 && back(7L) == "row 7")
+    // refuses to clobber its own input
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/in")
+    }
+  }
+
   test("colocate repartitioning is reused across same-key operations") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 20, i)).toDF("k", "v")

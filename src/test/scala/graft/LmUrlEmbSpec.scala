@@ -265,6 +265,25 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("urlDedupLatest keeps the freshest fetch per canonical URL") {
+    val df = fromJsonl(
+      """{"id": 1, "url": "https://site.example.org/p?a=1", "ts": 100}""",
+      """{"id": 2, "url": "HTTPS://SITE.example.org/p?a=1&utm_source=x", "ts": 300}""",
+      """{"id": 3, "url": "https://site.example.org/p?a=1#frag", "ts": 200}""",
+      """{"id": 4, "url": "https://other.example.org/q", "ts": 50}""",
+      """{"id": 5, "url": "not a url at all", "ts": 10}""")
+    val kept = TextFunctions.urlDedupLatest(df, "id", "url", "ts")
+      .collect().map(_.getAs[Long]("id")).toSet
+    // 1/2/3 share a canonical form — ts=300 (id 2) wins; 4 unique; 5 unparseable kept
+    assert(kept == Set(2L, 4L, 5L))
+    // tie on ts → smallest id wins
+    val tied = fromJsonl(
+      """{"id": 7, "url": "https://site.example.org/t", "ts": 100}""",
+      """{"id": 8, "url": "https://site.example.org/t", "ts": 100}""")
+    assert(TextFunctions.urlDedupLatest(tied, "id", "url", "ts")
+      .collect().map(_.getAs[Long]("id")).toSet == Set(7L))
+  }
+
   test("scoreWeightedKeep keeps rows in proportion to their own score, deterministically") {
     val rows = (1 to 400).map(i => s"""{"id": $i, "s": ${if (i <= 100) "0.0"
       else if (i <= 200) "1.0" else if (i <= 300) "0.5" else "null"}}""")
