@@ -194,6 +194,16 @@ object Bench {
       },
       "corpusStats" -> coldWarm(graft.ext.Corpus.stats(
         docs, "text", Seq("lang", "source")).count()),
+      "vocabTop" -> coldWarm(graft.ext.TextFunctions.vocab(
+        docs, "doc_id", "text", 1000).count()),
+      "scoreKeep" -> coldWarm(graft.ext.Sampling.scoreWeightedKeep(
+        docs.select(col("doc_id"), col("lang"), col("n_chars")),
+        (col("n_chars") % 100) / lit(100.0)).count()),
+      "contamReport" -> coldWarm(graft.ext.Decontamination.report(
+        docs.filter(col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0),
+        "doc_id", "text",
+        Map("eval_a" -> docs.filter(col("doc_id") % 37 === 0),
+          "eval_b" -> docs.filter(col("doc_id") % 41 === 0)), "text", n = 4).count()),
       "urlDedup" -> coldWarm(graft.ext.TextFunctions.urlDedup(
         docs.select(col("doc_id"),
           concat(lit("https://Host"), (col("doc_id") % 1000).cast("string"),

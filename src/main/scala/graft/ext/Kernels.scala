@@ -443,4 +443,63 @@ object Kernels {
     }
     (q, c) => f(q, c)
   }
+
+  /** Mojibake repair kernel: undo the classic UTF-8-bytes-decoded-as-
+    * Windows-1252/Latin-1 corruption a web scrape accumulates
+    * ("Ã©" → "é", "â€™" → "’"). A string whose chars all re-encode to
+    * single cp1252/Latin-1 bytes is reinterpreted as those bytes and
+    * STRICTLY decoded as UTF-8; only a clean decode that actually shrank
+    * the text (i.e. contained a multi-byte sequence) replaces the input —
+    * clean ASCII and real Unicode pass through untouched, and a repaired
+    * string is a fixed point (its é no longer re-encodes to a lead byte).
+    * One pass per row; deterministic and pure. */
+  val mojibakeRepairKernel: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null) null
+      else {
+        var canBytes = true
+        var hasHigh = false
+        var i = 0
+        while (i < s.length && canBytes) {
+          val c = s.charAt(i)
+          if (c >= 0x80) hasHigh = true
+          if (c >= 0x100) {
+            // chars above FF: representable only if cp1252 maps them back
+            // to a high byte (€ ‚ ƒ „ … † ‡ ˆ ‰ Š ‹ Œ Ž ‘ ’ “ ” • – — ˜ ™ š › œ ž Ÿ)
+            if (Cp1252Reverse.getOrElse(c, -1) < 0) canBytes = false
+          }
+          i += 1
+        }
+        if (!canBytes || !hasHigh) s
+        else {
+          val bytes = new Array[Byte](s.length)
+          var j = 0
+          while (j < s.length) {
+            val c = s.charAt(j)
+            bytes(j) = (if (c < 0x100) c else Cp1252Reverse(c)).toByte
+            j += 1
+          }
+          try {
+            val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+              .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+              .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+            val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+            if (out.length < s.length) out else s
+          } catch { case _: java.nio.charset.CharacterCodingException => s }
+        }
+      }
+    }
+    c => f(c)
+  }
+
+  /** cp1252's 0x80-0x9F block as unicode-char → byte, for re-encoding
+    * mojibake that passed through Windows-1252 (not plain Latin-1). */
+  private val Cp1252Reverse: Map[Char, Int] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84,
+    '…' -> 0x85, '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88,
+    '‰' -> 0x89, 'Š' -> 0x8A, '‹' -> 0x8B, 'Œ' -> 0x8C,
+    'Ž' -> 0x8E, '‘' -> 0x91, '’' -> 0x92, '“' -> 0x93,
+    '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9A, '›' -> 0x9B,
+    'œ' -> 0x9C, 'ž' -> 0x9E, 'Ÿ' -> 0x9F)
 }

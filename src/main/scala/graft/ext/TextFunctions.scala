@@ -391,6 +391,13 @@ object TextFunctions {
       .drop("__canon")
   }
 
+  /** Repair UTF-8-as-Windows-1252 mojibake ("Ã©" → "é", "â€™" → "’") —
+    * the ftfy-style fix for the double-encoding corruption web scrapes
+    * accumulate. Strict re-decode, clean text untouched, idempotent; run
+    * BEFORE [[normalizeNfc]] in a cleaning chain so NFC composes the
+    * repaired code points. See [[Kernels.mojibakeRepairKernel]]. */
+  def repairMojibake(text: Column): Column = Kernels.mojibakeRepairKernel(text)
+
   /** Recrawl dedup: one row per [[canonicalizeUrl]] form, the FRESHEST
     * fetch winning (max `tsCol`, smallest id on ties) — [[urlDedup]]'s
     * keep-first is right for a single crawl snapshot; a corpus built from

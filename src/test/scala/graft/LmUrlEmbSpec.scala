@@ -265,6 +265,31 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("repairMojibake fixes UTF-8-as-cp1252 double encoding, leaves clean text alone") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "CafÃ© au lait"),          // Ã© → é (latin-1 block)
+      (2L, "donâ€™t stop"),      // â€™ → ’ (cp1252 0x80 block)
+      (3L, "plain ascii text"),
+      (4L, "Café déjà vu"),      // real accented text: not valid UTF-8 bytes
+      (5L, "中文 stays"),               // chars with no byte form: untouched
+      (6L, null.asInstanceOf[String]))
+    val out = rows.toDF("id", "t")
+      .select(col("id"), TextFunctions.repairMojibake(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("r")).toMap
+    assert(out(1L) == "Café au lait")
+    assert(out(2L) == "don’t stop")
+    assert(out(3L) == "plain ascii text")
+    assert(out(4L) == "Café déjà vu")
+    assert(out(5L) == "中文 stays")
+    assert(out(6L) == null)
+    // idempotent: repairing repaired text is a no-op
+    val twice = rows.toDF("id", "t").select(col("id"),
+      TextFunctions.repairMojibake(TextFunctions.repairMojibake(col("t"))).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("r")).toMap
+    assert(twice == out)
+  }
+
   test("urlDedupLatest keeps the freshest fetch per canonical URL") {
     val df = fromJsonl(
       """{"id": 1, "url": "https://site.example.org/p?a=1", "ts": 100}""",

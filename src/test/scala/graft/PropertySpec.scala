@@ -339,4 +339,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }, 30)
   }
+
+  test("removeDupSpans agrees with a brute-force interpreter on random corpora") {
+    // A 5-word vocabulary forces heavy cross-document n-gram sharing —
+    // overlapping spans, spans at document edges, whole-document coverage.
+    val vocab = Vector("ash", "birch", "cedar", "dawn", "elm")
+    val genCase = for {
+      seed <- Gen.choose(0L, 100000L)
+      nDocs <- Gen.choose(1, 10)
+      n <- Gen.choose(2, 4)
+    } yield (seed, nDocs, n)
+    check(Prop.forAllNoShrink(genCase) { case (seed, nDocs, n) =>
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0 until nDocs).map { i =>
+        i.toLong -> Vector.fill(rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+      }
+      // brute force: hot gram = join of n consecutive tokens seen in >= 2 docs
+      val gramDocs = corpus.flatMap { case (id, toks) =>
+        toks.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val expected = corpus.map { case (id, toks) =>
+        val starts = toks.sliding(n).zipWithIndex
+          .filter { case (g, _) => g.size == n && gramDocs(g.mkString(" ")) >= 2 }
+          .map(_._2).toSet
+        val covered = starts.flatMap(s => s until (s + n))
+        val kept = toks.zipWithIndex.collect { case (t, p) if !covered(p) => t }
+        (id, kept.mkString(" "), toks.size.toLong, (toks.size - kept.size).toLong)
+      }.toSet
+      val df = fromJsonl(corpus.map { case (id, toks) =>
+        s"""{"doc_id": $id, "text": "${toks.mkString(" ")}"}""" }: _*)
+      val got = graft.ext.Dedup.removeDupSpans(df, "doc_id", "text", n)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("cleaned_text"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"))).toSet
+      got == expected
+    }, 25)
+  }
 }
