@@ -35,6 +35,9 @@ object Corpus {
     * @param normalize when true, strip HTML and NFC-normalize the text
     *                    FIRST — canonical bytes are what make the
     *                    hash-based dedup tiers below actually match
+    * @param repairEncoding when true, run [[TextFunctions.repairMojibake]]
+    *                    before the normalize step (repair feeds NFC the
+    *                    true code points; clean text is untouched)
     * @param lineDedupMaxCount when set, drop lines occurring more than
     *                    this many times corpus-wide ([[Dedup.lineDedup]])
     *                    before whole-document dedup, so shared boilerplate
@@ -53,6 +56,7 @@ object Corpus {
                                 budget: Long = 2048L,
                                 nearDupThreshold: Option[Double] = None,
                                 normalize: Boolean = false,
+                                repairEncoding: Boolean = false,
                                 lineDedupMaxCount: Option[Long] = None,
                                 decontamN: Int = 13,
                                 gopherRules: Boolean = false,
@@ -82,11 +86,15 @@ object Corpus {
       case Some(u) => TextFunctions.urlDedup(docs, idCol, u)
       case None    => docs
     }
+    val repaired =
+      if (cfg.repairEncoding)
+        urlDeduped.withColumn(textCol, TextFunctions.repairMojibake(col(textCol)))
+      else urlDeduped
     val normalized =
       if (cfg.normalize)
-        urlDeduped.withColumn(textCol,
+        repaired.withColumn(textCol,
           TextFunctions.normalizeNfc(TextFunctions.stripHtml(col(textCol))))
-      else urlDeduped
+      else repaired
     val lineDeduped = cfg.lineDedupMaxCount match {
       case Some(k) =>
         val clean = Dedup.lineDedup(normalized, idCol, textCol, k)

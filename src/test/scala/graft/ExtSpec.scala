@@ -922,6 +922,25 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
   }
 
+  test("corpus curation: the encoding-repair tier lets mojibake dups hash-match") {
+    val clean = "the café story keeps going with many plain words that fill the " +
+      "quality gate comfortably and then continues for a while longer still"
+    // the same text after a UTF-8-as-latin-1 round trip: é → Ã©
+    val broken = clean.replace("é", "Ã©")
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$clean", "lang": "en"}""",
+      s"""{"id": 2, "text": "$broken", "lang": "en"}""")
+    // without repair the two hash differently and both survive
+    val plain = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.2, budget = 2048L))
+    assert(plain.count() == 2)
+    // with repair the mojibake copy canonicalizes and dedups away
+    val repaired = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.2, budget = 2048L,
+        repairEncoding = true))
+    assert(repaired.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("corpus curation: the gopher tier drops rule-violating docs the score gate missed") {
     // both docs clear the closed-formula quality score, but the second is
     // under Gopher's 50-word floor — only the gopher tier catches it
