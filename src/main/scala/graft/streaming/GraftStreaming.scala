@@ -181,8 +181,12 @@ object GraftStreaming {
     * once from the eval set before starting the stream; each micro-batch
     * probes it scan-side (codegen `might_contain`, no join) and drops
     * contaminated documents. Bloom false positives only ever drop CLEAN
-    * documents — nothing contaminated leaks past the gate. Store layout,
-    * retry idempotence and crash ordering are
+    * documents — nothing contaminated leaks past the gate. `customGate`
+    * plugs any further batch-tier transform into the gate chain (fuzzy
+    * decontamination against a static eval frame, a classifier filter,
+    * span removal) — it runs after the built-in tiers, must preserve
+    * `idCol`/`contentCol`, and must be stateless across batches. Store
+    * layout, retry idempotence and crash ordering are
     * [[graft.ext.Dedup.ingestStep]]'s contract, unchanged — every gate
     * tier is stateless and commutes with retries. */
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
@@ -192,6 +196,7 @@ object GraftStreaming {
                         gopherRules: Boolean = false,
                         lm: Option[(DataFrame, Int, Double)] = None,
                         decontamBloom: Option[(Array[Byte], Int)] = None,
+                        customGate: Option[DataFrame => DataFrame] = None,
                         nearThreshold: Option[Double] = None,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
@@ -213,6 +218,12 @@ object GraftStreaming {
             .filter(col("contaminated")).select(col(idCol))
           b = b.join(bad, Seq(idCol), "left_anti")
         }
+        // escape hatch: plug ANY batch-tier op into the streaming gate
+        // (fuzzy decontamination, a classifier filter, span removal...).
+        // Contract: a row-filtering/rewriting transform of the batch frame;
+        // it must keep idCol + contentCol and stay stateless across batches
+        // (per-batch retries replay it).
+        customGate.foreach { g => b = g(b) }
         graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,
           batchTag = Some(batchId.toString))

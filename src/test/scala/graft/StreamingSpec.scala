@@ -232,6 +232,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curatedIngestSink customGate plugs a batch-tier op into the streaming chain") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft-cg-store").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cg-ckpt").toString
+    // the custom gate: fuzzy decontamination against a static eval frame
+    val eval = Seq("the quick brown fox jumps over the lazy dog every day")
+      .toDF("q").persist()
+    eval.count()
+    val q = GraftStreaming.curatedIngestSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, ckpt, minQuality = 0.0,
+      customGate = Some(b => graft.ext.Decontamination.removeFuzzy(
+        b, "doc_id", "text", eval, "q", threshold = 0.5)))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog every single day"), // near-dup of eval
+        (2L, "a completely different document about catalyst plan rewrites"))
+      q.processAllAvailable()
+      val kept = graft.ext.Dedup.readStore(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L), s"store after custom-gated ingest: $kept")
+    } finally { q.stop(); eval.unpersist() }
+  }
+
   test("fromJSONLStream: batched loading with onBatch callback and error strategies") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream").toString
     def write(name: String, lines: String*): Unit =
