@@ -82,10 +82,23 @@ object Corpus {
              shardCols: Seq[String], cfg: CurateConfig = CurateConfig(),
              eval: Option[(DataFrame, String)] = None,
              lm: Option[(DataFrame, Int, Double)] = None): DataFrame = {
+    val scored = curateStages(docs, idCol, textCol, cfg, eval, lm).last._2
+    Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget)
+  }
+
+  /** The row-DROPPING tiers of [[curate]], named and in order; the last
+    * frame is the scored+scrubbed input [[Packing.packGreedy]] consumes.
+    * Text-rewriting steps (encoding repair, normalize, line dedup) fold
+    * into the frame that follows them — they change bytes, not row counts. */
+  private def curateStages(docs: DataFrame, idCol: String, textCol: String,
+                           cfg: CurateConfig, eval: Option[(DataFrame, String)],
+                           lm: Option[(DataFrame, Int, Double)]): Vector[(String, DataFrame)] = {
+    var out = Vector.empty[(String, DataFrame)]
     val urlDeduped = cfg.urlCol match {
       case Some(u) => TextFunctions.urlDedup(docs, idCol, u)
       case None    => docs
     }
+    if (cfg.urlCol.isDefined) out :+= ("url_dedup" -> urlDeduped)
     val repaired =
       if (cfg.repairEncoding)
         urlDeduped.withColumn(textCol, TextFunctions.repairMojibake(col(textCol)))
@@ -103,21 +116,25 @@ object Corpus {
       case None => normalized
     }
     val exact = Dedup.exactDedup(lineDeduped, idCol, textCol)
+    out :+= ("exact_dedup" -> exact)
     val deduped = cfg.nearDupThreshold match {
       case Some(t) => Dedup.dedupNear(exact, idCol, textCol, threshold = t)
       case None    => exact
     }
+    if (cfg.nearDupThreshold.isDefined) out :+= ("near_dedup" -> deduped)
     val decontaminated = eval match {
       case Some((ev, evCol)) =>
         Decontamination.removeContaminated(deduped, idCol, textCol, ev, evCol, cfg.decontamN)
       case None => deduped
     }
+    if (eval.isDefined) out :+= ("decontam" -> decontaminated)
     val lmFiltered = lm match {
       case Some((counts, order, maxPpl)) =>
         LanguageModel.perplexityFilter(decontaminated, idCol, textCol,
           counts, order, maxPpl)
       case None => decontaminated
     }
+    if (lm.isDefined) out :+= ("lm_filter" -> lmFiltered)
     val scored = lmFiltered
       .withColumn("__toks", TextFunctions.tokens(col(textCol)))
       .withColumn("quality", TextFunctions.qualityScoreFrom(col("__toks"), col(textCol)))
@@ -128,7 +145,35 @@ object Corpus {
       .drop("__toks")
       .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
       .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))
-    Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget)
+    out :+ ("quality_gate" -> scored)
+  }
+
+  /** Funnel report for a [[curate]] run: one row per row-dropping tier
+    * with rows surviving and rows dropped — the numbers a pipeline owner
+    * reads before anything else ("where did my corpus go?"). A diagnostic,
+    * not part of the curate plan: each tier's count re-executes the chain
+    * prefix, so the cost is tiers × the chain (every tier is a bounded
+    * count action, nothing collects). At the full 100 TB scale run it on a
+    * [[Sampling.deterministicFraction]] sample — the funnel SHAPE, which
+    * is what you are reading, survives sampling.
+    *
+    * @return (tier, rows, dropped, drop_ratio) rows, `input` first,
+    *         tier order preserved in `tier_idx`. */
+  def curateFunnel(docs: DataFrame, idCol: String, textCol: String,
+                   cfg: CurateConfig = CurateConfig(),
+                   eval: Option[(DataFrame, String)] = None,
+                   lm: Option[(DataFrame, Int, Double)] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stages = ("input" -> docs) +: curateStages(docs, idCol, textCol, cfg, eval, lm)
+    val counts = stages.map { case (name, df) => name -> df.count() }
+    val rows = counts.zipWithIndex.map { case ((name, n), i) =>
+      val prev = if (i == 0) n else counts(i - 1)._2
+      val dropped = prev - n
+      (i, name, n, dropped,
+        if (prev == 0) 0.0 else math.floor(dropped.toDouble / prev * 1e6 + 0.5) / 1e6)
+    }
+    rows.toDF("tier_idx", "tier", "rows", "dropped", "drop_ratio")
   }
 
   /** Per-stratum corpus report — the dashboard numbers a curation run is

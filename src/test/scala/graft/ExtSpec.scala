@@ -922,6 +922,27 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
   }
 
+  test("curateFunnel reports per-tier drop counts in chain order") {
+    val good = "the quick brown fox jumps over the lazy dog while many other animals watch " +
+      "from the forest edge and wonder about the strange scene unfolding before them today"
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$good", "lang": "en"}""",
+      s"""{"id": 2, "text": "$good", "lang": "en"}""",                    // exact dup
+      """{"id": 3, "text": "!!! ??? ### $$$ %%% !!!", "lang": "en"}""",   // junk
+      s"""{"id": 4, "text": "$good with an extra tail of words", "lang": "en"}""")
+    val eval = fromJsonl("""{"q": "an extra tail of words"}""")
+    val funnel = graft.ext.Corpus.curateFunnel(docs, "id", "text",
+      graft.ext.Corpus.CurateConfig(minQuality = 0.3, decontamN = 5),
+      eval = Some((eval, "q")))
+      .collect().map(r => (r.getAs[Int]("tier_idx"), r.getAs[String]("tier"),
+        r.getAs[Long]("rows"), r.getAs[Long]("dropped")))
+    assert(funnel.map(_._2).toSeq == Seq("input", "exact_dedup", "decontam", "quality_gate"))
+    // 4 in → exact dedup kills the copy → decontam kills the leaked doc →
+    // quality kills the junk
+    assert(funnel.map(t => (t._3, t._4)).toSeq ==
+      Seq((4L, 0L), (3L, 1L), (2L, 1L), (1L, 1L)))
+  }
+
   test("corpus curation: the encoding-repair tier lets mojibake dups hash-match") {
     val clean = "the café story keeps going with many plain words that fill the " +
       "quality gate comfortably and then continues for a while longer still"
