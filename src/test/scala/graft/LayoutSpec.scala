@@ -79,6 +79,26 @@ class LayoutSpec extends AnyFunSuite {
     assert(zb * 2 < sb, s"zb=$zb sb=$sb")
   }
 
+  test("morton code: 3 columns and negative-range buckets") {
+    import spark.implicits._
+    // k=3, bits=2: bit i of col j at position i*3+j
+    // x=0b11 → pos 0,3 = 0b1001; y=0b01 → pos 1 = 0b10; z=0b10 → pos 5 = 0b100000
+    val v = Seq((3L, 1L, 2L)).toDF("x", "y", "z")
+      .select(graft.sources.Layout.mortonCode(
+        Seq(col("x"), col("y"), col("z")), 2).as("m"))
+      .collect().head.getLong(0)
+    assert(v == (0x9L | 0x2L | 0x20L), s"got $v")
+    // negative value range maps linearly onto the grid
+    val bb = Seq(-1000L, -1L, 0L, 999L).toDF("v")
+      .select(graft.sources.Layout.boundedBucket(col("v"), -1000L, 999L, 2).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bb == Seq(0L, 1L, 2L, 3L), s"got $bb")
+    // bits*columns over 63 refused
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.mortonCode(Seq(col("x"), col("y")), 32)
+    }
+  }
+
   test("compact merges small files without losing or reordering rows within groups") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString

@@ -340,6 +340,42 @@ class PropertySpec extends AnyFunSuite {
     }, 30)
   }
 
+  test("tokenBudgetMix agrees with an md5-replaying interpreter on random strata") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val genCase = for {
+      seed <- Gen.choose(0L, 100000L)
+      n <- Gen.choose(1, 60)
+    } yield (seed, n)
+    check(Prop.forAllNoShrink(genCase) { case (seed, n) =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"s${rnd.nextInt(3)}", rnd.nextInt(30).toLong)
+      }
+      val budgets = Map("s0" -> rnd.nextInt(200).toLong, "s1" -> rnd.nextInt(40).toLong)
+      // interpreter: per stratum, md5-of-row order (same separator-joined
+      // key recipe as Sampling.rowKey), exclusive prefix < budget
+      val sep = "\u0001"
+      val expected = rows.groupBy(_._2).flatMap { case (stratum, rs) =>
+        val b = budgets.getOrElse(stratum, 0L)
+        val ordered = rs.sortBy(r => md5hex(r._1.toString + sep + r._2 + sep + r._3))
+        var prefix = 0L
+        ordered.flatMap { r =>
+          val keep = prefix < b
+          prefix += r._3
+          if (keep) Some(r._1) else None
+        }
+      }.toSet
+      val df = fromJsonl(rows.map(r =>
+        s"""{"id": ${r._1}, "s": "${r._2}", "tok": ${r._3}}"""): _*)
+      val got = graft.ext.Sampling.tokenBudgetMix(df, "s",
+        org.apache.spark.sql.functions.col("tok"), budgets)
+        .collect().map(_.getAs[Long]("id")).toSet
+      got == expected
+    }, 25)
+  }
+
   test("removeDupSpans agrees with a brute-force interpreter on random corpora") {
     // A 5-word vocabulary forces heavy cross-document n-gram sharing —
     // overlapping spans, spans at document edges, whole-document coverage.
