@@ -1311,8 +1311,16 @@ object SparkEntry {
     // already proves the bands recover, so the LSH tier carries the gate.
     "q_decontam_fuzzy" -> ((spark: SparkSession, dir: String) => {
       val d = tbl(spark, dir, "documents")
+      // plant near-dup copies of eval docs into the corpus side (tail
+      // appended, high ids) so the gate has real paraphrase-grade pairs,
+      // not just whatever the corpus happens to contain
+      val planted = d.filter(col("doc_id") % 37 === 0 && col("doc_id") < 400)
+        .select((col("doc_id") + 20000).as("doc_id"),
+          concat(col("text"), lit(" tail words appended")).as("text"))
+      val corpus = d.filter(col("doc_id") % 37 =!= 0)
+        .select(col("doc_id"), col("text")).unionAll(planted)
       graft.ext.Decontamination.flagFuzzy(
-        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+        corpus, "doc_id", "text",
         d.filter(col("doc_id") % 37 === 0), "text",
         shingleSize = 3, numHashes = 64, bands = 16, threshold = 0.5)
     }),
@@ -2856,19 +2864,32 @@ object SparkEntry {
       SELECT vec_id, label FROM embeddings
       WHERE vec_id % 37 <> 0 AND vec_id NOT IN (SELECT vec_id FROM bad)""",
     "q_decontam_fuzzy" ->
-      """WITH sh AS (
+      """WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        UNION ALL
+        SELECT doc_id + 20000, text || ' tail words appended'
+        FROM documents WHERE doc_id % 37 = 0 AND doc_id < 400),
+      shc AS (
         SELECT doc_id,
           CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
                ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
                       i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
         FROM (SELECT doc_id,
                 list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
-              FROM documents)),
+              FROM corpus)),
+      she AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 3),
+                      i -> array_to_string(toks[i+1:i+3], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents WHERE doc_id % 37 = 0)),
       j AS (
         SELECT c.doc_id,
           CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
             / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))) AS jac
-        FROM sh c JOIN sh e ON c.doc_id % 37 <> 0 AND e.doc_id % 37 = 0)
+        FROM shc c JOIN she e ON true)
       SELECT doc_id, max(jac) AS max_jaccard FROM j WHERE jac >= 0.5 GROUP BY 1""",
     "q_decontam_fuzzy_remove" ->
       """WITH sh AS (
