@@ -88,29 +88,15 @@ object Decontamination {
     val base = Dedup.spill(
       docs.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-decontspan-toks")
-    def posGrams(toks: Column): Column = transform(
-      sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    val evalGrams = eval
-      .select(TextFunctions.tokens(col(evalTextCol)).as("__etoks"))
-      .filter(size(col("__etoks")) >= n)
-      .select(explode(posGrams(col("__etoks"))).as("__g"))
-      .distinct()
-    val grams = base
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol), posexplode(posGrams(col("__toks"))).as(Seq("__s", "__g")))
-    val hitStarts = grams.join(broadcast(evalGrams), Seq("__g"))
+    val evalGrams = Dedup.positionalGrams(
+      eval.select(lit(0L).as("__eid"),
+        TextFunctions.tokens(col(evalTextCol)).as("__toks")), "__eid", n)
+      .select(col("__g")).distinct()
+    val hitStarts = Dedup.positionalGrams(base, idCol, n)
+      .join(broadcast(evalGrams), Seq("__g"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__s"))).as("__starts"))
-    val kept = filter(col("__toks"), (_, p) =>
-      !exists(col("__starts"), s => s.between(p - (n - 1), p)))
-    base.join(hitStarts, Seq(idCol), "left")
-      .withColumn("__starts",
-        coalesce(col("__starts"), array().cast("array<int>")))
-      .select(col(idCol),
-        array_join(kept, " ").as("cleaned_text"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
+    Dedup.cutCoveredSpans(base, idCol, hitStarts, n)
   }
 
   /** Semantic decontamination: flag corpus documents whose EMBEDDING is
@@ -282,8 +268,11 @@ object Decontamination {
       .join(contaminated.withColumnRenamed("__eval", "eval_name"), Seq("eval_name"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .crossJoin(broadcast(totals))
+      // 0.0/0.0 is NaN: an empty corpus must read as rate 0 with n_docs=0
+      // visible beside it, not publish NaN into a data card
       .withColumn("contamination_rate",
-        col("n_contaminated").cast("double") / col("n_docs"))
+        when(col("n_docs") === 0, lit(0.0))
+          .otherwise(col("n_contaminated").cast("double") / col("n_docs")))
   }
 
   /** Build the serialized eval-set n-gram Bloom filter once — the static

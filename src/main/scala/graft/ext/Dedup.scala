@@ -823,21 +823,38 @@ object Dedup {
     val base = spill(
       df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-dupspan-toks")
-    val grams = base
-      .filter(size(col("__toks")) >= n)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - n),
-        i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
-        .as(Seq("__s", "__g")))
+    val grams = positionalGrams(base, idCol, n)
     val hot = grams.groupBy(col("__g"))
       .agg(countDistinct(col(idCol)).as("__d"))
       .filter(col("__d") >= 2).select(col("__g"))
     val dupStarts = grams.join(hot, Seq("__g"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__s"))).as("__starts"))
+    cutCoveredSpans(base, idCol, dupStarts, n)
+  }
+
+  /** Positional word n-grams of a `(idCol, __toks)` frame: one row per
+    * gram start `(idCol, __s, __g)` — the shared grain of the span-cut
+    * operators (cross-document dup spans here, eval-overlap spans in
+    * [[Decontamination.removeContaminatedSpans]]). */
+  private[ext] def positionalGrams(base: DataFrame, idCol: String,
+                                   n: Int): DataFrame =
+    base.filter(size(col("__toks")) >= n)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+        .as(Seq("__s", "__g")))
+
+  /** Cut every token covered by a length-`n` span starting at any position
+    * in `hitStarts` (`(idCol, __starts)`; docs absent from it pass whole):
+    * token p dies iff some start s satisfies p-(n-1) <= s <= p. The ONE
+    * copy of the coverage interval arithmetic both span-cut operators
+    * share — returns `(idCol, cleaned_text, n_tokens, n_removed)`. */
+  private[ext] def cutCoveredSpans(base: DataFrame, idCol: String,
+                                   hitStarts: DataFrame, n: Int): DataFrame = {
     val kept = filter(col("__toks"), (_, p) =>
       !exists(col("__starts"), s => s.between(p - (n - 1), p)))
-    base.join(dupStarts, Seq(idCol), "left")
+    base.join(hitStarts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), array().cast("array<int>")))
       .select(col(idCol),

@@ -408,10 +408,17 @@ object TextFunctions {
   def urlDedupLatest(df: org.apache.spark.sql.DataFrame, idCol: String,
                      urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
     val canon = df.withColumn("__canon", canonicalizeUrl(col(urlCol)))
-    val winners = canon.filter(col("__canon").isNotNull)
-      .groupBy(col("__canon"))
-      .agg(max_by(col(idCol),
-        struct(col(tsCol), (-col(idCol)).as("__negid"))).as("__keep_id"))
+    val parsed = canon.filter(col("__canon").isNotNull)
+    // freshest ts per canonical form, then the smallest id among rows AT
+    // that ts — two keyed aggs, id-type-agnostic (string ids included,
+    // where a numeric negate tie-break would fail or go nondeterministic)
+    val freshest = parsed.groupBy(col("__canon"))
+      .agg(max(col(tsCol)).as("__max_ts"))
+      .withColumnRenamed("__canon", "__fcanon")
+    val winners = parsed
+      .join(freshest, col("__canon") === col("__fcanon") &&
+        col(tsCol) <=> col("__max_ts"))
+      .groupBy(col("__canon")).agg(min(col(idCol)).as("__keep_id"))
       .select(col("__keep_id"))
     canon.filter(col("__canon").isNull)
       .unionByName(canon.join(winners,

@@ -109,9 +109,14 @@ object Layout {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetFileMB: Int = 256): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
-    require(path != outPath, "compact cannot write onto its own input")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // compare QUALIFIED paths: a trailing slash, relative spelling, or
+    // scheme alias of the same directory must not slip past the guard —
+    // overwriting the input truncates what the lazy read is scanning
+    val qIn = fs.makeQualified(p)
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    require(qIn != qOut, s"compact cannot write onto its own input ($qIn)")
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {

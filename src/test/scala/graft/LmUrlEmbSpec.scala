@@ -307,6 +307,13 @@ class LmUrlEmbSpec extends AnyFunSuite {
       """{"id": 8, "url": "https://site.example.org/t", "ts": 100}""")
     assert(TextFunctions.urlDedupLatest(tied, "id", "url", "ts")
       .collect().map(_.getAs[Long]("id")).toSet == Set(7L))
+    // string ids (UUID-style) work too — the tie-break is type-agnostic
+    val strIds = fromJsonl(
+      """{"id": "b-doc", "url": "https://site.example.org/s", "ts": 100}""",
+      """{"id": "a-doc", "url": "https://site.example.org/s", "ts": 100}""",
+      """{"id": "c-doc", "url": "https://site.example.org/s", "ts": 300}""")
+    assert(TextFunctions.urlDedupLatest(strIds, "id", "url", "ts")
+      .collect().map(_.getAs[String]("id")).toSet == Set("c-doc"))
   }
 
   test("scoreWeightedKeep keeps rows in proportion to their own score, deterministically") {
