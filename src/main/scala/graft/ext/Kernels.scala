@@ -492,6 +492,32 @@ object Kernels {
     c => f(c)
   }
 
+  /** Deflate compression ratio kernel: compressed bytes / raw UTF-8 bytes
+    * (level 6, the published recipe's default) — the entropy-based quality
+    * signal (Dolma, RedPajama-v2 `ccnet_length`/`rps_doc_*` family):
+    * highly-repetitive boilerplate compresses far below prose (~0.3-0.4),
+    * random noise sits near or above 1.0. Empty/null text → null. One
+    * Deflater per row, byte-bounded work; 1e-6-quantized for cross-run
+    * comparison stability. */
+  val compressionRatioKernel: Column => Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) null
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](8192)
+          var compressed = 0L
+          while (!d.finished()) compressed += d.deflate(buf)
+          java.lang.Double.valueOf(
+            math.floor(compressed.toDouble / raw.length * 1e6 + 0.5) / 1e6)
+        } finally d.end()
+      }
+    }
+    c => f(c)
+  }
+
   /** cp1252's 0x80-0x9F block as unicode-char → byte, for re-encoding
     * mojibake that passed through Windows-1252 (not plain Latin-1). */
   private val Cp1252Reverse: Map[Char, Int] = Map(

@@ -391,6 +391,13 @@ object TextFunctions {
       .drop("__canon")
   }
 
+  /** Deflate compression ratio of the text (compressed / raw bytes) — the
+    * entropy quality signal published corpus recipes filter on: template
+    * spam and repeated boilerplate land well below prose (~0.3), binary
+    * junk pasted as text lands near 1.0. Typical gate: keep 0.35..0.9.
+    * See [[Kernels.compressionRatioKernel]]. */
+  def compressionRatio(text: Column): Column = Kernels.compressionRatioKernel(text)
+
   /** Repair UTF-8-as-Windows-1252 mojibake ("Ã©" → "é", "â€™" → "’") —
     * the ftfy-style fix for the double-encoding corruption web scrapes
     * accumulate. Strict re-decode, clean text untouched, idempotent; run

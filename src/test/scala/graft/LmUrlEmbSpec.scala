@@ -265,6 +265,30 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(out.sortBy(t => (t._1, t._3)).toSeq == again.sortBy(t => (t._1, t._3)).toSeq)
   }
 
+  test("compressionRatio separates repetitive boilerplate from prose from noise") {
+    import spark.implicits._
+    val prose = "the committee reviewed seventeen distinct proposals before narrowing " +
+      "the field to a shortlist that balanced cost, feasibility and long term impact " +
+      "on the surrounding communities in measurable ways"
+    val boiler = Seq.fill(40)("click here to subscribe now").mkString(" ")
+    val noiseRnd = new scala.util.Random(42)
+    val noise = (0 until 200).map(_ => (noiseRnd.nextInt(94) + 33).toChar).mkString
+    val out = Seq((1L, prose), (2L, boiler), (3L, noise), (4L, ""), (5L, null))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.compressionRatio(col("t")).as("r"))
+      .collect().map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("r"))).toMap
+    val (p, b, n) = (out(1L).get, out(2L).get, out(3L).get)
+    assert(b < 0.2, s"boilerplate ratio $b")          // heavy repetition
+    assert(p > 0.4 && p < 0.9, s"prose ratio $p")
+    assert(n > 0.8, s"noise ratio $n")                // near-incompressible
+    assert(b < p && p < n)
+    assert(out(4L).isEmpty && out(5L).isEmpty)        // empty/null → null
+    // deterministic across runs
+    val again = Seq((1L, prose)).toDF("id", "t")
+      .select(TextFunctions.compressionRatio(col("t"))).first().getDouble(0)
+    assert(again == p)
+  }
+
   test("repairMojibake fixes UTF-8-as-cp1252 double encoding, leaves clean text alone") {
     import spark.implicits._
     val rows = Seq(
