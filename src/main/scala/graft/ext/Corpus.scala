@@ -47,6 +47,12 @@ object Corpus {
     * @param gopherRules when true, additionally require every
     *                    [[TextFunctions.gopherPass]] rule (the published
     *                    Gopher §A1.1 heuristics) in the quality gate
+    * @param compressionBand when set, additionally require the deflate
+    *                    [[TextFunctions.compressionRatio]] inside
+    *                    `(lo, hi)` — the Dolma-style entropy gate that
+    *                    catches template spam (too compressible) and
+    *                    pasted binary junk (incompressible) the
+    *                    word-statistics score can miss
     * @param urlCol when set, crawl-dedup FIRST on
     *                    [[TextFunctions.canonicalizeUrl]] of this column
     *                    (keep-first by id) — the cheapest tier, it runs on
@@ -60,6 +66,7 @@ object Corpus {
                                 lineDedupMaxCount: Option[Long] = None,
                                 decontamN: Int = 13,
                                 gopherRules: Boolean = false,
+                                compressionBand: Option[(Double, Double)] = None,
                                 urlCol: Option[String] = None)
 
   /** Curate `docs` into packed training shards. Output keeps the input
@@ -141,7 +148,12 @@ object Corpus {
       .withColumn("line_repetition", TextFunctions.lineRepetitionRatio(col(textCol)))
       .filter(col("quality") > cfg.minQuality &&
         col("line_repetition") <= cfg.maxLineRepetition &&
-        (if (cfg.gopherRules) TextFunctions.gopherPass(col(textCol)) else lit(true)))
+        (if (cfg.gopherRules) TextFunctions.gopherPass(col(textCol)) else lit(true)) &&
+        (cfg.compressionBand match {
+          case Some((lo, hi)) =>
+            TextFunctions.compressionRatio(col(textCol)).between(lo, hi)
+          case None => lit(true)
+        }))
       .drop("__toks")
       .withColumn(textCol, TextFunctions.scrubPii(col(textCol)))
       .withColumn("n_tok", TextFunctions.tokenCount(col(textCol)))

@@ -922,6 +922,26 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.values.forall(_.getAs[Double]("quality") > 0.3))
   }
 
+  test("corpus curation: the compression band kills template spam the score gate passed") {
+    // varied words keep the quality score healthy, but 30 repeats of the
+    // same sentence deflate to almost nothing — only the entropy gate trips
+    val spam = Seq.fill(30)("our fine curated excellent premium quality shop sells " +
+      "wonderful remarkable products online").mkString(" ")
+    val prose = "the committee reviewed seventeen distinct proposals before narrowing " +
+      "the field to a shortlist that balanced cost with feasibility and long term " +
+      "impact on the surrounding communities in clearly measurable ways"
+    val docs = fromJsonl(
+      s"""{"id": 1, "text": "$prose", "lang": "en"}""",
+      s"""{"id": 2, "text": "$spam", "lang": "en"}""")
+    val noBand = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.2, budget = 4096L))
+    assert(noBand.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    val banded = graft.ext.Corpus.curate(docs, "id", "text", Seq("lang"),
+      graft.ext.Corpus.CurateConfig(minQuality = 0.2, budget = 4096L,
+        compressionBand = Some((0.3, 0.95))))
+    assert(banded.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("curateFunnel reports per-tier drop counts in chain order") {
     val good = "the quick brown fox jumps over the lazy dog while many other animals watch " +
       "from the forest edge and wonder about the strange scene unfolding before them today"
