@@ -196,6 +196,9 @@ object Bench {
         docs, "text", Seq("lang", "source")).count()),
       "vocabTop" -> coldWarm(graft.ext.TextFunctions.vocab(
         docs, "doc_id", "text", 1000).count()),
+      "compressionRatio" -> coldWarm(docs.select(
+        graft.ext.TextFunctions.compressionRatio(col("text")).as("r"))
+        .agg(count(col("r"))).first().getLong(0)),
       "scoreKeep" -> coldWarm(graft.ext.Sampling.scoreWeightedKeep(
         docs.select(col("doc_id"), col("lang"), col("n_chars")),
         (col("n_chars") % 100) / lit(100.0)).count()),

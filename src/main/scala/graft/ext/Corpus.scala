@@ -315,19 +315,27 @@ object Corpus {
     * write; re-running with the same (input, shards, seed) produces
     * byte-identical shard contents on any cluster.
     *
+    * @param format `"parquet"` (default) or `"json"` — JSONL shards for
+    *         training loaders that stream text; `compression` applies to
+    *         either (e.g. `"gzip"`, `"snappy"`, `"none"`).
     * @return the manifest frame (read back from disk, so what you inspect
     *         is what was written). */
   def export(docs: DataFrame, idCol: String, textCol: String, path: String,
-             shards: Int, seed: String = ""): DataFrame = {
+             shards: Int, seed: String = "", format: String = "parquet",
+             compression: Option[String] = None): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
+    require(format == "parquet" || format == "json",
+      s"format must be parquet or json, got $format")
     val ordered = Sampling.trainingOrder(docs, idCol, shards, seed)
-    ordered
+    val writer = ordered
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").parquet(s"$path/data")
+      .write.mode("overwrite").partitionBy("shard")
+    compression.fold(writer)(c => writer.option("compression", c))
+      .format(format).save(s"$path/data")
     val spark = docs.sparkSession
     // partition-dir read-back infers `shard` as int — restore the long type
-    val written = spark.read.parquet(s"$path/data")
+    val written = spark.read.format(format).load(s"$path/data")
       .withColumn("shard", col("shard").cast("long"))
     manifest(written, idCol, textCol, Seq("shard"))
       .write.mode("overwrite").parquet(s"$path/manifest")

@@ -1541,6 +1541,15 @@ class ExtSpec extends AnyFunSuite {
     val man3 = Corpus.export(docs, "doc_id", "text", s"$dir/c", shards = 4, seed = "s2")
       .collect().map(r => r.getAs[Long]("n_docs")).sum
     assert(man3 == 40L)
+    // JSONL + gzip: same content fingerprints as the parquet export
+    val manJ = Corpus.export(docs, "doc_id", "text", s"$dir/j", shards = 4,
+      seed = "s1", format = "json", compression = Some("gzip"))
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("content_fingerprint")))).toMap
+    assert(manJ == man)
+    val gzFiles = new java.io.File(s"$dir/j/data/shard=0").listFiles()
+      .count(_.getName.endsWith(".json.gz"))
+    assert(gzFiles >= 1)
   }
 
   test("corpus drift: identical snapshots score zero PSI; a shifted stratum lights up") {
