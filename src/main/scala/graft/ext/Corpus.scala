@@ -334,9 +334,12 @@ object Corpus {
     compression.fold(writer)(c => writer.option("compression", c))
       .format(format).save(s"$path/data")
     val spark = docs.sparkSession
-    // partition-dir read-back infers `shard` as int — restore the long type
-    val written = spark.read.format(format).load(s"$path/data")
-      .withColumn("shard", col("shard").cast("long"))
+    // read back with the KNOWN schema: partition-dir inference would turn
+    // `shard` into int, an all-null textCol would vanish entirely from an
+    // inferred JSON schema, and inference itself costs a full extra scan
+    // of (non-splittable when gzipped) shards
+    val written = spark.read.schema(ordered.schema).format(format)
+      .load(s"$path/data")
     manifest(written, idCol, textCol, Seq("shard"))
       .write.mode("overwrite").parquet(s"$path/manifest")
     spark.read.parquet(s"$path/manifest")

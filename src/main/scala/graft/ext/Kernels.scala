@@ -500,19 +500,24 @@ object Kernels {
     * Deflater per row, byte-bounded work; 1e-6-quantized for cross-run
     * comparison stability. */
   val compressionRatioKernel: Column => Column = {
+    // one native Deflater (+ scratch buffer) per executor THREAD, reset
+    // between rows — fresh-per-row allocation of the ~256KB zlib state
+    // would dominate the actual deflate work at corpus scale
+    val local = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue() =
+        (new java.util.zip.Deflater(6), new Array[Byte](8192))
+    }
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) null
       else {
         val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val d = new java.util.zip.Deflater(6)
-        try {
-          d.setInput(raw); d.finish()
-          val buf = new Array[Byte](8192)
-          var compressed = 0L
-          while (!d.finished()) compressed += d.deflate(buf)
-          java.lang.Double.valueOf(
-            math.floor(compressed.toDouble / raw.length * 1e6 + 0.5) / 1e6)
-        } finally d.end()
+        val (d, buf) = local.get()
+        d.reset()
+        d.setInput(raw); d.finish()
+        var compressed = 0L
+        while (!d.finished()) compressed += d.deflate(buf)
+        java.lang.Double.valueOf(
+          math.floor(compressed.toDouble / raw.length * 1e6 + 0.5) / 1e6)
       }
     }
     c => f(c)

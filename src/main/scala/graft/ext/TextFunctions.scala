@@ -408,10 +408,10 @@ object TextFunctions {
   /** Recrawl dedup: one row per [[canonicalizeUrl]] form, the FRESHEST
     * fetch winning (max `tsCol`, smallest id on ties) — [[urlDedup]]'s
     * keep-first is right for a single crawl snapshot; a corpus built from
-    * repeated crawls wants the latest content for each page. Same plan
-    * shape: one hash aggregation keyed on the canonical string (`max_by`
-    * on the (ts, -id) pair) + a semi join back — no window, no global
-    * sort. Unparseable URLs are kept unconditionally. */
+    * repeated crawls wants the latest content for each page. Plan shape:
+    * two hash aggregations keyed on the canonical string (max ts, then
+    * min id among rows at that ts) joined back — id-type-agnostic, no
+    * window, no global sort. Unparseable URLs are kept unconditionally. */
   def urlDedupLatest(df: org.apache.spark.sql.DataFrame, idCol: String,
                      urlCol: String, tsCol: String): org.apache.spark.sql.DataFrame = {
     val canon = df.withColumn("__canon", canonicalizeUrl(col(urlCol)))

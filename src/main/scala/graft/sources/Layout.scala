@@ -116,7 +116,10 @@ object Layout {
     // overwriting the input truncates what the lazy read is scanning
     val qIn = fs.makeQualified(p)
     val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
-    require(qIn != qOut, s"compact cannot write onto its own input ($qIn)")
+    val (inS, outS) = (qIn.toString + "/", qOut.toString + "/")
+    require(!inS.startsWith(outS) && !outS.startsWith(inS),
+      s"compact input and output must be disjoint directories ($qIn vs $qOut): " +
+        "overwrite-to-self or a nested target truncates what the scan is reading")
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {

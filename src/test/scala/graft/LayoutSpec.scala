@@ -116,9 +116,18 @@ class LayoutSpec extends AnyFunSuite {
     val back = spark.read.parquet(s"$dir/out").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(back.size == 2048 && back(7L) == "row 7")
-    // refuses to clobber its own input
+    // refuses to clobber its own input — exact, aliased, or nested
     intercept[IllegalArgumentException] {
       graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/in")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/in/")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/in/nested")
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.Layout.compact(spark, s"$dir/in/sub", s"$dir/in")
     }
   }
 
