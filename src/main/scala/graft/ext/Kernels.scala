@@ -500,18 +500,11 @@ object Kernels {
     * Deflater per row, byte-bounded work; 1e-6-quantized for cross-run
     * comparison stability. */
   val compressionRatioKernel: Column => Column = {
-    // one native Deflater (+ scratch buffer) per executor THREAD, reset
-    // between rows — fresh-per-row allocation of the ~256KB zlib state
-    // would dominate the actual deflate work at corpus scale
-    val local = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
-      override def initialValue() =
-        (new java.util.zip.Deflater(6), new Array[Byte](8192))
-    }
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) null
       else {
         val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val (d, buf) = local.get()
+        val (d, buf) = DeflaterLocal.get()
         d.reset()
         d.setInput(raw); d.finish()
         var compressed = 0L
@@ -521,6 +514,19 @@ object Kernels {
       }
     }
     c => f(c)
+  }
+
+  /** One native Deflater (+ scratch buffer) per executor THREAD, reset
+    * between rows — fresh-per-row allocation of the ~256KB zlib state
+    * would dominate the actual deflate work at corpus scale. A module
+    * object so UDF lambdas reach it statically (never captured into the
+    * serialized closure — an inline ThreadLocal would be). */
+  private object DeflaterLocal {
+    private val tl = new ThreadLocal[(java.util.zip.Deflater, Array[Byte])] {
+      override def initialValue() =
+        (new java.util.zip.Deflater(6), new Array[Byte](8192))
+    }
+    def get(): (java.util.zip.Deflater, Array[Byte]) = tl.get()
   }
 
   /** cp1252's 0x80-0x9F block as unicode-char → byte, for re-encoding
