@@ -165,6 +165,29 @@ object GraftStreaming {
       .start()
   }
 
+  /** Streaming observability: one [[graft.ext.Corpus.manifest]] row set
+    * per micro-batch, tagged with `batch_id`, appended to `outPath` — the
+    * reproducibility receipt stream of an unbounded ingest (what arrived,
+    * per shard, with an order-insensitive content fingerprint). Each batch
+    * writes to a path nothing in this plan reads, so there is no
+    * recache-on-append hazard; foreachBatch is at-least-once, so a crashed
+    * batch can append its receipt twice — readers should keep one row set
+    * per (batch_id, shard), e.g. `dropDuplicates("batch_id", shardCols)`. */
+  def manifestSink(stream: DataFrame, idCol: String, contentCol: String,
+                   shardCols: Seq[String], outPath: String,
+                   checkpointDir: String,
+                   queryName: String = "graft-manifest")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Corpus.manifest(batch, idCol, contentCol, shardCols)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+      .start()
+
   /** Streaming corpus curation: [[incrementalDedupSink]] with the quality
     * tiers in front — each micro-batch is gated (minimum
     * [[graft.ext.TextFunctions.qualityScore]], optional Gopher rules,

@@ -376,6 +376,31 @@ class PropertySpec extends AnyFunSuite {
     }, 25)
   }
 
+  test("scoreWeightedKeep agrees with an md5-replaying interpreter on random scores") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sep = "\u0001"
+    check(Prop.forAllNoShrink(Gen.choose(0L, 100000L)) { seed =>
+      val rnd = new scala.util.Random(seed)
+      val rows = (0 until 50).map { i =>
+        (i.toLong, rnd.nextInt(140) - 20)  // score*100 in [-20, 120): clamping exercised
+      }
+      val expected = rows.filter { case (id, s100) =>
+        val frac = java.lang.Long.parseLong(
+          md5hex(id.toString + sep + s100.toString).substring(0, 8), 16).toDouble / 4294967296.0
+        val score = math.min(1.0, math.max(0.0, s100 / 100.0))
+        frac < score
+      }.map(_._1).toSet
+      val df = fromJsonl(rows.map { case (id, s) =>
+        s"""{"id": $id, "s100": $s}""" }: _*)
+      val got = graft.ext.Sampling.scoreWeightedKeep(df,
+        org.apache.spark.sql.functions.col("s100") / 100.0)
+        .collect().map(_.getAs[Long]("id")).toSet
+      got == expected
+    }, 25)
+  }
+
   test("removeDupSpans agrees with a brute-force interpreter on random corpora") {
     // A 5-word vocabulary forces heavy cross-document n-gram sharing —
     // overlapping spans, spans at document edges, whole-document coverage.
