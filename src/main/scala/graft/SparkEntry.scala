@@ -3065,9 +3065,9 @@ object SparkEntry {
                                CAST(floor((off + n - 1) / 128.0) AS BIGINT))) AS ex
         FROM o WHERE n > 0)
       SELECT doc_id, lang, ex AS example_id,
-        greatest(0, ex * 128 - off) AS slice_start,
-        least(off + n, (ex + 1) * 128) - greatest(off, ex * 128) AS slice_len,
-        greatest(0, off - ex * 128) AS example_pos
+        CAST(greatest(0, ex * 128 - off) AS BIGINT) AS slice_start,
+        CAST(least(off + n, (ex + 1) * 128) - greatest(off, ex * 128) AS BIGINT) AS slice_len,
+        CAST(greatest(0, off - ex * 128) AS BIGINT) AS example_pos
       FROM x""",
     "q_chunk_materialize" ->
       """WITH tok AS (SELECT doc_id, lang,
