@@ -346,10 +346,11 @@ object Dedup {
     * neither duplicate documents nor flag the retry's documents as dups of
     * their own orphaned signatures. Callers with natural batch identities
     * (a shard id, the streaming batchId) should pass `batchTag`; the
-    * default tag is a deterministic digest of the batch's id set, so even a
-    * *crashed-and-retried* one-shot call overwrites its own directory
-    * rather than appending a duplicate (two genuinely different batches
-    * with no explicit tags still get distinct digests).
+    * default tag is a deterministic digest of the batch's (id, content-hash)
+    * pairs, so even a *crashed-and-retried* one-shot call overwrites its own
+    * directory rather than appending a duplicate, while a recrawl that
+    * re-ingests the SAME ids with DIFFERENT content lands as a new batch
+    * instead of silently overwriting the earlier batch's survivors.
     *
     * Within a call the document directory is written BEFORE the signature
     * directory: a crash between the two costs only near-dup recall against
@@ -372,14 +373,19 @@ object Dedup {
                  batchTag: Option[String] = None): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
-    // Default tag = order-independent digest of the batch's id set, so a
-    // crashed-and-retried one-shot call lands in the SAME directory (the
-    // overwrite makes the retry idempotent instead of duplicating the
-    // batch's survivors). One extra column-pruned scan of the batch.
+    // Default tag = order-independent digest of the batch's (id, content)
+    // pairs, so a crashed-and-retried one-shot call lands in the SAME
+    // directory (the overwrite makes the retry idempotent instead of
+    // duplicating the batch's survivors), while a RE-INGEST with the same
+    // ids but different content — the stable-id recrawl workload — gets a
+    // DISTINCT directory instead of silently overwriting the earlier
+    // batch's survivors. One extra column-pruned scan of the batch.
     val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
       .getOrElse {
         val d = batch
-          .select(conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+          .select(conv(substring(md5(concat_ws("\u0001",
+              coalesce(col(idCol).cast("string"), lit("\u0002")),
+              coalesce(md5(col(contentCol).cast("string")), lit("\u0002")))), 1, 15), 16, 10)
             .cast("long").as("h"))
           .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n"))
           .head()

@@ -363,6 +363,40 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestStep: default tag separates same-ids/different-content re-ingests") {
+    // stable-id recrawl: the second one-shot ingest reuses ids 1-2 with new
+    // content. With an id-only digest both batches would share a tag and the
+    // second overwrite would silently delete the first batch's survivors
+    // while skipping dedup against them.
+    val store = java.nio.file.Files.createTempDirectory("graft-recrawl").toString + "/docs"
+    val crawl1 = fromJsonl(
+      """{"doc_id": 1, "text": "original page one content from the first crawl pass"}""",
+      """{"doc_id": 2, "text": "original page two content from the first crawl pass"}""")
+    val crawl2 = fromJsonl(
+      """{"doc_id": 1, "text": "updated page one content from the second crawl pass"}""",
+      """{"doc_id": 2, "text": "original page two content from the first crawl pass"}""") // unchanged
+    Dedup.ingestStep(crawl1, "doc_id", "text", store) // no explicit batchTag
+    Dedup.ingestStep(crawl2, "doc_id", "text", store)
+    // distinct auto tags -> two batch directories survive side by side
+    val dirs = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(dirs.length == 2, s"expected 2 batch dirs, got ${dirs.toSeq}")
+    // crawl1's documents were NOT deleted, and crawl2's unchanged page 2
+    // was deduplicated against crawl1's copy (same content hash)
+    val rows = Dedup.readStore(spark, store).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows.count(_._2.contains("original page two")) == 1,
+      s"unchanged page should survive exactly once: $rows")
+    assert(rows.exists(_._2.contains("original page one")) &&
+      rows.exists(_._2.contains("updated page one")), s"lost a crawl batch: $rows")
+    // a true retry (identical batch) still lands in the same directory
+    Dedup.ingestStep(crawl2, "doc_id", "text", store)
+    val dirs2 = new java.io.File(store).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch-"))
+    assert(dirs2.length == 2, s"retry created a new dir: ${dirs2.toSeq}")
+    assert(Dedup.readStore(spark, store).count() == rows.size.toLong)
+  }
+
   test("gopher rules pass clean prose and flag each spam shape") {
     import graft.ext.TextFunctions._
     def flags(text: String): Map[String, Any] = {
