@@ -278,7 +278,8 @@ object Bench {
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
         Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
       "sessionize" -> coldWarm {
-        val ev = spark.read.parquet(s"$sfDir/events.parquet").withColumn("ts_us", expr("ts div 1000"))
+        val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev = ev0.withColumn("ts_us", graft.SparkEntry.eventsTsUs(ev0))
         graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L).count()
       },
       "windowTwoPass" -> coldWarm(Aggo.aggregate(li,
@@ -287,8 +288,10 @@ object Bench {
                         "run": {"$sum": "$l_extendedprice", "window": {"documents": ["unbounded", "current"]}}}}},
             {"$count": "n"}]""").first().getLong(0)),
       "asofJoin" -> coldWarm {
-        val ev = spark.read.parquet(s"$sfDir/events.parquet")
-          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+        val ev = ev0
+          .select(col("event_id"), col("user_id"),
+            graft.SparkEntry.eventsTsUs(ev0).as("ts_us"),
             col("event_type"), col("value"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_us").as("purchase_ts"),
@@ -381,6 +384,22 @@ object Bench {
     val extrasCpu = allCW.map { case (k, cw) => k -> cw._1._2 }
     val extrasWarmCpu = allCW.map { case (k, cw) => k -> cw._2._2 }
 
+    // ANN recall-vs-nprobe curve (metric VALUES, not timings): recall@10 of
+    // the trained IVF index against brute force over the 100-query probe
+    // set — what a deployment tunes nprobe against. nprobe=16 (= nlist) is
+    // the exhaustive setting and must read 1.0; the pruned rows quantify
+    // the recall/latency trade the ivfTopK timing above is buying.
+    val annRecall: Seq[(String, Double)] = {
+      val q = emb.filter(col("vec_id") < 100)
+      val exact = graft.ext.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      Seq(1, 4, 16).map { np =>
+        val approx = graft.ext.Similarity.ivfTopK(
+          q, ivfIdx, "vec_id", "embedding", k = 10, nprobe = np)
+        s"nprobe_$np" -> graft.ext.Similarity.recallAtK(approx, exact)
+          .agg(avg(col("recall"))).first().getDouble(0)
+      }
+    }
+
     val total = results.map(_._2).sum
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
@@ -402,6 +421,7 @@ object Bench {
       s""""extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
       s""""extras_cpu":${fmt(extrasCpu)},"extras_warm_cpu":${fmt(extrasWarmCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
+      s""""ann_recall_at_10":${fmt(annRecall)},""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")

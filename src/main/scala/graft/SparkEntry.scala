@@ -18,6 +18,27 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** `events.ts` normalized to epoch-microsecond LONG — the surface the
+    * DuckDB oracle's `epoch_us(ts)` computes — regardless of how the test
+    * generation encoded the column: TIMESTAMP(NANOS) parquet reads as
+    * LongType nanos under `nanosAsLong` (integer div, no FP), TIMESTAMP
+    * (MICROS) reads as TIMESTAMP_NTZ whose wall clock equals the UTC
+    * instant under the UTC session timezone every entry point pins.
+    * Type-directed at plan time, like the Mongo type dispatch. */
+  private[graft] def eventsTsUs(ev: DataFrame): Column =
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+
+  /** The events table with `ts_us` (epoch µs LONG) already derived. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    ev.withColumn("ts_us", eventsTsUs(ev))
+  }
+
   /** Deterministic messy URL for the canonicalization gates: even ids get an
     * uppercase scheme/host + userinfo, ports rotate default/non-default on
     * doc_id%4, tracking params and param order rotate on doc_id%3, every 5th
@@ -399,10 +420,9 @@ object SparkEntry {
                       "running": {"$round": ["$running", 2]}, "prev_price": 1}}
       ]"""),
     "q_events_window" -> ((spark: SparkSession, dir: String) => {
-      // events.ts is TIMESTAMP(NANOS) parquet → LongType nanos under
-      // nanosAsLong; the DuckDB oracle truncates to µs on read, so the
-      // comparison surface is µs (integer `div`, no FP).
-      val ev = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      // the DuckDB oracle truncates ts to µs on read, so the comparison
+      // surface is epoch-µs integers (see eventsTsUs for the encoding dance)
+      val ev = events(spark, dir)
       Aggo.aggregate(ev,
         """[
           {"$setWindowFields": {"partitionBy": "$user_id",
@@ -522,8 +542,7 @@ object SparkEntry {
 
     // ---- $linearFill window interpolation over events ----
     "q_linear_fill" -> ((spark: SparkSession, dir: String) => {
-      val ev = tbl(spark, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = events(spark, dir)
         .withColumn("v", when(col("value") < 5, lit(null)).otherwise(col("value")))
       Aggo.aggregate(ev,
         """[
@@ -631,8 +650,8 @@ object SparkEntry {
     // 30-minute windows opened by same-user purchase events (bin = 10 min;
     // correctness is bin-independent, the oracle is the naive range join)
     "q_interval_join" -> ((spark: SparkSession, dir: String) => {
-      val ev = tbl(spark, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = events(spark, dir).select(col("event_id"), col("user_id"),
+        col("ts_us"), col("event_type"))
       val iv = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us").as("lo"),
           (col("ts_us") + 1800000000L).as("hi"), col("event_id").as("purchase_id"))
@@ -768,12 +787,17 @@ object SparkEntry {
       graft.ext.Corpus.manifest(tbl(spark, dir, "documents"),
         "doc_id", "text", Seq("lang", "source"))),
     // snapshot drift monitor: PSI per (feature, bucket) between the even-
-    // and odd-doc_id halves over lang/source/length features
+    // and odd-doc_id halves over lang/source/length features. Lengths are
+    // nulled on doc_id % 4 == 0 — nulls land ONLY in the even half, so the
+    // "__null__" length bucket carries real PSI signal and the oracle gates
+    // that null lengths are not conflated into length bucket 0.
     "q_corpus_drift" -> ((spark: SparkSession, dir: String) => {
-      val d = tbl(spark, dir, "documents")
+      val d = tbl(spark, dir, "documents").withColumn("len_nullable",
+        when(col("doc_id") % 4 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars")))
       graft.ext.Corpus.drift(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        Seq("lang", "source"), col("n_chars"))
+        Seq("lang", "source"), col("len_nullable"))
     }),
     // temperature-rescaled mixing at T=2 (flatten toward uniform): the
     // corpus's natural strata are uniform, so the query plants a 60/30/10
@@ -1049,10 +1073,23 @@ object SparkEntry {
       graft.ext.Similarity.ivfPqTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, dim = 64, rerank = 1 << 20)
     }),
+    // recall@10 of an exhaustive IVF probe against brute force — the metric
+    // a 100-TB ANN deployment tunes nprobe against. At nprobe = nlist the
+    // probe is provably exact, so the oracle can assert recall = 1.0 per
+    // query without re-ranking anything; pruned-nprobe recall is recorded
+    // as bench extras (annRecallNprobe*), not gated here.
+    "q_ann_recall" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+      val exact = graft.ext.Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10)
+      val approx = graft.ext.Similarity.ivfTopK(q, e, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 8)
+      graft.ext.Similarity.recallAtK(approx, exact)
+    }),
 
     // ---- extensions: gap-based sessionization over events ----
     "q_sessionize" -> ((spark: SparkSession, dir: String) => {
-      val ev = tbl(spark, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = events(spark, dir)
       graft.ext.Sessions.sessionStats(ev, "user_id", "ts_us", 600L * 1000000L)
     }),
 
@@ -1233,14 +1270,32 @@ object SparkEntry {
       graft.ext.TextFunctions.c4Filter(input, "text")
     }),
     // bloom tier: the filter's bit pattern is a Spark implementation
-    // detail, so no cross-engine oracle — rows-only driver check; the
-    // bloom-vs-exact agreement is spec-gated (ExtSpec)
+    // detail, so the cross-engine contract is the tier's PROPERTY, not its
+    // bits — one row asserting (a) no exact-tier contamination escapes the
+    // bloom probe (Bloom filters have zero false negatives by construction)
+    // and (b) the bloom flag count dominates the exact count (false
+    // positives only widen the flagged set). DuckDB recomputes just the
+    // exact tier and expects both booleans TRUE; a bloom regression flips
+    // a boolean and the row hash goes red.
     "q_decontam_bloom" -> ((spark: SparkSession, dir: String) => {
       val d = tbl(spark, dir, "documents")
-      graft.ext.Decontamination.flagContaminatedBloom(
-        d.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
-        d.filter(col("doc_id") % 37 === 0), "text", n = 4,
+      val train = d.filter(col("doc_id") % 37 =!= 0)
+      val evalSet = d.filter(col("doc_id") % 37 === 0)
+      val exact = graft.ext.Decontamination.flagContaminated(
+        train, "doc_id", "text", evalSet, "text", n = 4)
+      val bloom = graft.ext.Decontamination.flagContaminatedBloom(
+        train, "doc_id", "text", evalSet, "text", n = 4,
         expectedGrams = 100000L, fpp = 0.001)
+      exact.select(col("doc_id"), col("contaminated").as("__ex"))
+        .join(bloom.select(col("doc_id"), col("contaminated").as("__bl")), Seq("doc_id"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__ex"), 1L).otherwise(0L)).as("n_flagged_exact"),
+          (sum(when(col("__ex") && !col("__bl"), 1L).otherwise(0L)) === 0L)
+            .as("bloom_no_false_negatives"),
+          (sum(when(col("__bl"), 1L).otherwise(0L))
+            >= sum(when(col("__ex"), 1L).otherwise(0L)))
+            .as("bloom_flags_superset"))
     }),
 
     // cross-document duplicated-trigram fraction (FineWeb dup-ngram signal)
@@ -1352,8 +1407,8 @@ object SparkEntry {
 
     // ---- extensions: as-of join (temporal alignment) ----
     "q_asof_join" -> ((spark: SparkSession, dir: String) => {
-      val ev = tbl(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+      val ev = events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
           col("event_type"), col("value"))
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_us").as("purchase_ts"),
@@ -1428,8 +1483,7 @@ object SparkEntry {
     // ---- extensions: gap filling ($fill / $densify) ----
     "q_fill_locf" -> ((spark: SparkSession, dir: String) => {
       // null out small values, then carry the last observation forward
-      val ev = tbl(spark, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
+      val ev = events(spark, dir)
         .withColumn("v", when(col("value") < 5, lit(null)).otherwise(col("value")))
       Aggo.aggregate(ev,
         """[
@@ -1449,8 +1503,8 @@ object SparkEntry {
 
     // time-axis densify: hourly grid per user over the events table
     "q_densify_time" -> ((spark: SparkSession, dir: String) => {
-      val ev = tbl(spark, dir, "events")
-        .withColumn("h", date_trunc("hour", timestamp_micros(expr("ts div 1000"))))
+      val ev = events(spark, dir)
+        .withColumn("h", date_trunc("hour", timestamp_micros(col("ts_us"))))
       val grouped = ev.groupBy(col("user_id"), col("h")).agg(count(lit(1)).as("n"))
       Aggo.aggregate(grouped,
         """[
@@ -1744,6 +1798,13 @@ object SparkEntry {
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
       WHERE rank <= 5""",
+    // Exhaustive nprobe (= nlist) IVF is provably exact, so per-query
+    // recall@10 against brute force is identically 1.0 — the oracle states
+    // that closed form instead of re-ranking; a probe or recall-metric
+    // regression breaks the hash.
+    "q_ann_recall" ->
+      """SELECT vec_id AS query_id, CAST(1.0 AS DOUBLE) AS recall
+      FROM embeddings WHERE vec_id < 10""",
     "q_ann_ivf_sq8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
@@ -2106,6 +2167,28 @@ object SparkEntry {
       SELECT doc_id, count(*) AS n_ngrams, count(ev.g) AS n_hits,
         count(ev.g) >= 1 AS contaminated
       FROM dg LEFT JOIN ev ON dg.g = ev.g GROUP BY 1""",
+    // The bloom tier's bit pattern is Spark-internal, so the oracle checks
+    // the tier's PROPERTY: DuckDB recomputes only the exact tier for
+    // n_docs/n_flagged_exact and expects the Spark-computed no-false-
+    // negative / superset booleans to be TRUE.
+    "q_decontam_bloom" ->
+      """WITH sh AS (
+        SELECT doc_id,
+          CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+               ELSE list_distinct(list_transform(generate_series(0, len(toks) - 4),
+                      i -> array_to_string(toks[i+1:i+4], ' '))) END AS sh
+        FROM (SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+              FROM documents)),
+      ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 37 = 0),
+      dg AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 37 <> 0),
+      ex AS (SELECT doc_id, count(ev.g) >= 1 AS contaminated
+             FROM dg LEFT JOIN ev ON dg.g = ev.g GROUP BY 1)
+      SELECT count(*) AS n_docs,
+        CAST(sum(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged_exact,
+        TRUE AS bloom_no_false_negatives,
+        TRUE AS bloom_flags_superset
+      FROM ex""",
     // DuckDB's native ASOF LEFT JOIN is the independent oracle for the
     // union+window rewrite (inclusive >= match, left-outer).
     "q_asof_join" ->
@@ -2647,10 +2730,11 @@ object SparkEntry {
         UNION ALL SELECT doc_id % 2, 'source',
           coalesce(CAST(source AS VARCHAR), '__null__') FROM documents
         UNION ALL SELECT doc_id % 2, 'length',
-          CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
-             + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
-             + CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END
-             + CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END AS VARCHAR) FROM documents),
+          CASE WHEN doc_id % 4 = 0 THEN '__null__'
+               ELSE CAST(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END
+                  + CASE WHEN n_chars >= 3000 THEN 1 ELSE 0 END AS VARCHAR) END FROM documents),
       ha AS (SELECT feature, bucket, count(*) AS n_a FROM feats WHERE half = 0 GROUP BY 1, 2),
       hb AS (SELECT feature, bucket, count(*) AS n_b FROM feats WHERE half = 1 GROUP BY 1, 2),
       j AS (

@@ -174,10 +174,18 @@ object Corpus {
   def curateFunnel(docs: DataFrame, idCol: String, textCol: String,
                    cfg: CurateConfig = CurateConfig(),
                    eval: Option[(DataFrame, String)] = None,
-                   lm: Option[(DataFrame, Int, Double)] = None): DataFrame = {
-    val spark = docs.sparkSession
+                   lm: Option[(DataFrame, Int, Double)] = None): DataFrame =
+    funnelRows(("input" -> docs) +: curateStages(docs, idCol, textCol, cfg, eval, lm))
+
+  /** Count a named stage chain into funnel rows — the shared shape behind
+    * [[curateFunnel]] and the streaming curated-ingest receipt
+    * ([[graft.streaming.GraftStreaming.curatedIngestSink]]'s `funnelPath`),
+    * so batch and streaming funnels are the same computation on different
+    * stage lists. Each stage is one bounded count action. */
+  private[graft] def funnelRows(stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "funnelRows needs at least one stage")
+    val spark = stages.head._2.sparkSession
     import spark.implicits._
-    val stages = ("input" -> docs) +: curateStages(docs, idCol, textCol, cfg, eval, lm)
     val counts = stages.map { case (name, df) => name -> df.count() }
     val rows = counts.zipWithIndex.map { case ((name, n), i) =>
       val prev = if (i == 0) n else counts(i - 1)._2
@@ -286,9 +294,14 @@ object Corpus {
     val lenBucket = lengthEdges.map(e => when(lenCol >= lit(e), 1).otherwise(0))
       .reduceOption(_ + _).getOrElse(lit(0))
     def hist(df: DataFrame, cntName: String): DataFrame = {
+      // null lengths get their own "__null__" bucket like null strata do —
+      // folding them into bucket 0 would skew the length-feature PSI
+      // whenever the two snapshots differ in null rates
       val feats = strataCols.map(c => struct(lit(c).as("feature"),
         coalesce(col(c).cast("string"), lit("__null__")).as("bucket"))) :+
-        struct(lit("length").as("feature"), lenBucket.cast("string").as("bucket"))
+        struct(lit("length").as("feature"),
+          when(lenCol.isNull, lit("__null__"))
+            .otherwise(lenBucket.cast("string")).as("bucket"))
       df.select(explode(array(feats: _*)).as("__f"))
         .groupBy(col("__f.feature").as("feature"), col("__f.bucket").as("bucket"))
         .agg(count(lit(1)).as(cntName))

@@ -524,12 +524,6 @@ object Similarity {
     * sign-buckets; candidates are re-ranked by exact cosine. Recall is
     * tunable via (planes, tables); the shape is the IVF/LSH standard for
     * billion-vector corpora. */
-  /** Per-query recall of an approximate ANN result against the exact one:
-    * |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs — the
-    * standard index-quality metric, computed distributedly so an index can
-    * be evaluated on a sampled query set at corpus scale (two keyed
-    * aggregations + one semi join, no driver state). Both inputs use the
-    * (query_id, neighbor_id) column shape every `*TopK` here returns. */
   // ------------------------------------------------- index persistence ----
   // A trained ANN index is parquet all the way down: the data-sized table
   // (cluster assignments / PQ codes) as a partitioned parquet dir, the
@@ -601,6 +595,12 @@ object Similarity {
       loadBooks(spark, s"$path/books"),
       spark.read.parquet(s"$path/index"))
 
+  /** Per-query recall of an approximate ANN result against the exact one:
+    * |approx ∩ exact| / |exact| over (query_id, neighbor_id) pairs — the
+    * standard index-quality metric, computed distributedly so an index can
+    * be evaluated on a sampled query set at corpus scale (two keyed
+    * aggregations + one semi join, no driver state). Both inputs use the
+    * (query_id, neighbor_id) column shape every `*TopK` here returns. */
   def recallAtK(approx: DataFrame, exact: DataFrame,
                 queryCol: String = "query_id", neighborCol: String = "neighbor_id"): DataFrame = {
     val hits = exact.select(col(queryCol), col(neighborCol))

@@ -105,6 +105,13 @@ object Layout {
     * directory onto itself while something may read it; swap directories at
     * the orchestration layer).
     *
+    * Hive-partitioned inputs (`key=value` subdirectories) are detected and
+    * the layout PRESERVED: the output is written `partitionBy` the detected
+    * keys, with rows hash-clustered on them so each partition's files merge
+    * without a silent flatten (compacting `lang=en/` into unpartitioned
+    * files would drop the partition pruning every reader relies on). The
+    * file-count target is then per-layout approximate, not exact.
+    *
     * @return the number of output files planned. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
               outPath: String, targetFileMB: Int = 256): Int = {
@@ -120,6 +127,17 @@ object Layout {
     require(!inS.startsWith(outS) && !outS.startsWith(inS),
       s"compact input and output must be disjoint directories ($qIn vs $qOut): " +
         "overwrite-to-self or a nested target truncates what the scan is reading")
+    // a Hive-partitioned store announces itself as key=value first-level
+    // dirs; nested partition levels repeat the pattern below them
+    def partKeys(dir: org.apache.hadoop.fs.Path): Seq[String] = {
+      val sub = fs.listStatus(dir).filter(_.isDirectory)
+        .map(_.getPath.getName).filterNot(_.startsWith("."))
+      val keys = sub.filter(_.contains('=')).map(_.takeWhile(_ != '=')).distinct
+      if (keys.length == 1 && keys.head.nonEmpty)
+        keys.head +: partKeys(new org.apache.hadoop.fs.Path(dir, sub.head))
+      else Seq.empty
+    }
+    val keys = partKeys(p)
     val it = fs.listFiles(p, true)
     var bytes = 0L
     while (it.hasNext) {
@@ -127,8 +145,14 @@ object Layout {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val parts = math.max(1L, (bytes + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
-    spark.read.parquet(path).coalesce(parts)
-      .write.mode("overwrite").parquet(outPath)
+    val in = spark.read.parquet(path)
+    if (keys.isEmpty)
+      in.coalesce(parts).write.mode("overwrite").parquet(outPath)
+    else
+      // cluster rows on the partition keys so each output task holds whole
+      // partition values: ≤ parts files per partition value, layout intact
+      in.repartition(parts, keys.map(col): _*)
+        .write.mode("overwrite").partitionBy(keys: _*).parquet(outPath)
     parts
   }
 }

@@ -551,14 +551,16 @@ object StageTranslator {
       if (!Set("insert", "discard", "fail")(whenNotMatched))
         throw new graft.model.ValidationError(
           s"$$merge whenNotMatched must be insert|discard|fail, got $whenNotMatched")
-      // Persisted so the dup-key check, the matched/unmatched probes, and
-      // the staged write all read ONE materialization of the incoming
-      // pipeline — a non-deterministic source can't pass the check and then
-      // hand different rows to the write, and the pipeline runs once.
-      val incoming = df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*)
-        .persist()
-      try {
-      incoming.count() // materialize fully before any probe reads it
+      // Spilled to durable scratch (one eager write, read back as a plain
+      // scan) so the dup-key check, the matched/unmatched probes, and the
+      // staged write all read ONE materialization of the incoming pipeline.
+      // A persist() pin would only narrow the hazard: an evicted block
+      // recomputes lineage, and a non-deterministic source could pass the
+      // dup-key check yet hand different rows to the write. A scan over an
+      // immutable scratch file cannot.
+      val incoming = graft.ext.Dedup.spill(
+        df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*),
+        "graft-merge-incoming")
       // Mongo requires a unique index on the on-field(s), so two incoming
       // documents with the same key error instead of racing to modify one
       // target document — mirror that rather than silently fanning matched
@@ -638,7 +640,6 @@ object StageTranslator {
       }
       if (hfs.exists(old)) hfs.delete(old, true)
       (spark.read.parquet(into), ctx.copy(order = None, hasSeq = false))
-      } finally incoming.unpersist()
 
     case "$fill" => fill(df, body, ctx)
 

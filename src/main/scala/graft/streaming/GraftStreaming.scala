@@ -211,7 +211,17 @@ object GraftStreaming {
     * `idCol`/`contentCol`, and must be stateless across batches. Store
     * layout, retry idempotence and crash ordering are
     * [[graft.ext.Dedup.ingestStep]]'s contract, unchanged — every gate
-    * tier is stateless and commutes with retries. */
+    * tier is stateless and commutes with retries.
+    *
+    * `funnelPath` opts into per-batch funnel receipts: one
+    * [[graft.ext.Corpus.curateFunnel]]-shaped row set per micro-batch
+    * (`tier_idx, tier, rows, dropped, drop_ratio` + `batch_id`), appended
+    * after the batch's store write — the "where did this shard's documents
+    * go?" record, per batch, with the post-dedup survivor count as the
+    * final `dedup_store` tier. Counting costs one extra action per active
+    * tier per batch; like the manifest receipts, a retried batch can
+    * append its rows twice — readers keep one row set per
+    * (batch_id, tier). */
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,
                         queryName: String = "graft-curated-ingest",
@@ -222,34 +232,52 @@ object GraftStreaming {
                         customGate: Option[DataFrame => DataFrame] = None,
                         nearThreshold: Option[Double] = None,
                         shingleSize: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+                        bands: Int = 16,
+                        funnelPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        var stages = Vector[(String, DataFrame)]("input" -> batch)
         var b = batch.filter(
           graft.ext.TextFunctions.qualityScore(col(contentCol)) > minQuality)
-        if (gopherRules)
+        stages :+= ("quality" -> b)
+        if (gopherRules) {
           b = b.filter(graft.ext.TextFunctions.gopherPass(col(contentCol)))
+          stages :+= ("gopher" -> b)
+        }
         lm.foreach { case (counts, order, maxPpl) =>
           b = graft.ext.LanguageModel.perplexityFilter(
             b, idCol, contentCol, counts, order, maxPpl).drop("ppl")
+          stages :+= ("lm_filter" -> b)
         }
         decontamBloom.foreach { case (bloom, n) =>
           val bad = graft.ext.Decontamination.flagContaminatedBloom(
             b, idCol, contentCol, bloom, n, minHits = 1)
             .filter(col("contaminated")).select(col(idCol))
           b = b.join(bad, Seq(idCol), "left_anti")
+          stages :+= ("decontam_bloom" -> b)
         }
         // escape hatch: plug ANY batch-tier op into the streaming gate
         // (fuzzy decontamination, a classifier filter, span removal...).
         // Contract: a row-filtering/rewriting transform of the batch frame;
         // it must keep idCol + contentCol and stay stateless across batches
         // (per-batch retries replay it).
-        customGate.foreach { g => b = g(b) }
+        customGate.foreach { g =>
+          b = g(b)
+          stages :+= ("custom_gate" -> b)
+        }
         graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,
           batchTag = Some(batchId.toString))
+        funnelPath.foreach { fp =>
+          // survivors = exactly what ingestStep just wrote for this batch
+          // (its tag is deterministic from batchId, same sanitization)
+          val survivors = batch.sparkSession.read.parquet(s"$storePath/batch-$batchId")
+          graft.ext.Corpus.funnelRows(stages :+ ("dedup_store" -> survivors))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(fp)
+        }
         ()
       }
       .start()

@@ -131,6 +131,24 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("compact preserves a Hive-partitioned layout instead of flattening it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString
+    (1 to 1000).map(i => (i.toLong, s"row $i", if (i % 3 == 0) "en" else "de"))
+      .toDF("id", "v", "lang")
+      .repartition(16).write.mode("overwrite").partitionBy("lang").parquet(s"$dir/in")
+    val planned = graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out")
+    assert(planned == 1)
+    // the key=value layout survives — readers keep their partition pruning
+    val subdirs = new java.io.File(s"$dir/out").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.contains("=")).sorted.toSeq
+    assert(subdirs == Seq("lang=de", "lang=en"), s"got $subdirs")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 1000)
+    assert(back.filter(col("lang") === "en").count() == 333)
+    assert(back.columns.toSet == Set("id", "v", "lang"))
+  }
+
   test("colocate repartitioning is reused across same-key operations") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 20, i)).toDF("k", "v")

@@ -261,6 +261,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curatedIngestSink funnel receipts record per-batch per-tier survivor counts") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft-fun-store").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-fun-ckpt").toString
+    val funnel = java.nio.file.Files.createTempDirectory("graft-fun-receipt").toString + "/f"
+    val ref = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val counts = graft.ext.LanguageModel.ngramCounts(ref, "text", 2).persist()
+    val q = GraftStreaming.curatedIngestSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, ckpt, minQuality = 0.3,
+      lm = Some((counts, 2, 20.0)), funnelPath = Some(funnel))
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog"), // survives every tier
+        (2L, "the quick brown fox jumps over the lazy dog"), // exact dup: dies at dedup_store
+        (3L, "??? !!! ###"),                                 // dies at quality
+        (4L, "zzz qqq vvv www"))                             // dies at lm_filter
+      q.processAllAvailable()
+      def receipts(bid: Long): Map[String, (Long, Long)] =
+        spark.read.parquet(funnel)
+          .filter(org.apache.spark.sql.functions.col("batch_id") === bid)
+          .collect().map(r => r.getAs[String]("tier") ->
+            (r.getAs[Long]("rows"), r.getAs[Long]("dropped"))).toMap
+      assert(receipts(0L) == Map(
+        "input" -> ((4L, 0L)), "quality" -> ((3L, 1L)),
+        "lm_filter" -> ((2L, 1L)), "dedup_store" -> ((1L, 1L))),
+        s"batch-0 receipts: ${receipts(0L)}")
+      // batch 2: the cross-store dup dies in the dedup tier, the novel doc lands
+      mem.addData((5L, "the quick brown fox jumps over the lazy dog"),
+        (6L, "the lazy dog jumps over the quick brown fox"))
+      q.processAllAvailable()
+      assert(receipts(1L) == Map(
+        "input" -> ((2L, 0L)), "quality" -> ((2L, 0L)),
+        "lm_filter" -> ((2L, 0L)), "dedup_store" -> ((1L, 1L))),
+        s"batch-1 receipts: ${receipts(1L)}")
+      // receipt survivor counts equal the store's actual content
+      val storeN = graft.ext.Dedup.readStore(spark, store).count()
+      assert(storeN == 2L, s"store holds $storeN docs")
+    } finally { q.stop(); counts.unpersist() }
+  }
+
   test("curatedIngestSink customGate plugs a batch-tier op into the streaming chain") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
