@@ -321,6 +321,9 @@ object Bench {
     // soakClusterStats10x records the resulting cluster-size histogram as
     // evidence the distribution is non-degenerate. Sane scaling ≈ ≤15× the
     // 1× warm cost.
+    // set by soakClusterStats10x; goes into the full record as evidence the
+    // soak's similarity distribution is non-degenerate (not all-size-10)
+    var soakHistogram: String = ""
     val soakCW =
       if (!sys.env.get("SPARK_GRAFT_SOAK").contains("1")) Seq.empty else {
         val rep = explode(sequence(lit(0), lit(9))).as("k")
@@ -368,10 +371,11 @@ object Bench {
           "soakClusterStats10x" -> coldWarm {
             val hist = graft.ext.Dedup.clusterStats(graft.ext.Dedup.minhashLshPairs(
               docs10, "doc_id", "text", threshold = 0.5)).collect()
-            System.err.println("[bench] soak cluster-size histogram (size,n_clusters): " +
-              hist.sortBy(_.getAs[Long]("size"))
-                .map(r => s"${r.getAs[Long]("size")}:${r.getAs[Long]("n_clusters")}")
-                .mkString(" "))
+            soakHistogram = hist.sortBy(_.getAs[Long]("size"))
+              .map(r => s"${r.getAs[Long]("size")}:${r.getAs[Long]("n_clusters")}")
+              .mkString(" ")
+            System.err.println(
+              s"[bench] soak cluster-size histogram (size,n_clusters): $soakHistogram")
             hist.map(_.getAs[Long]("n_clusters")).sum
           },
           "soakDupSpans10x" -> coldWarm(graft.ext.Dedup.removeDupSpans(
@@ -422,6 +426,7 @@ object Bench {
       s""""extras_cpu":${fmt(extrasCpu)},"extras_warm_cpu":${fmt(extrasWarmCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       s""""ann_recall_at_10":${fmt(annRecall)},""" +
+      (if (soakHistogram.nonEmpty) s""""soak_cluster_histogram":"$soakHistogram",""" else "") +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir"}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")

@@ -1077,7 +1077,7 @@ object SparkEntry {
     // a 100-TB ANN deployment tunes nprobe against. At nprobe = nlist the
     // probe is provably exact, so the oracle can assert recall = 1.0 per
     // query without re-ranking anything; pruned-nprobe recall is recorded
-    // as bench extras (annRecallNprobe*), not gated here.
+    // in the bench full record (`ann_recall_at_10`), not gated here.
     "q_ann_recall" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings")
       val q = e.filter(col("vec_id") < 10)

@@ -40,14 +40,22 @@ object Dedup {
     * returned frame has a plain scan lineage. The path lives under
     * [[scratchRoot]] — a shared filesystem on a cluster — and is deleted at
     * JVM exit through the owning Hadoop FileSystem. */
-  private[graft] def spill(df: DataFrame, prefix: String): DataFrame = {
+  private[graft] def spill(df: DataFrame, prefix: String): DataFrame =
+    spillWithPath(df, prefix)._1
+
+  /** [[spill]] that also hands back the scratch path, for callers with a
+    * clear end-of-use point that can delete eagerly (e.g. `$merge`) instead
+    * of leaning on the JVM-exit sweep — a long-running session spilling per
+    * stage would otherwise accumulate a scratch copy per invocation. */
+  private[graft] def spillWithPath(df: DataFrame,
+                                   prefix: String): (DataFrame, org.apache.hadoop.fs.Path) = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(
       scratchRoot(spark), s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
     df.write.mode("overwrite").parquet(path.toString)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.deleteOnExit(path)
-    spark.read.parquet(path.toString)
+    (spark.read.parquet(path.toString), path)
   }
 
   // -------------------------------------------------------------------------

@@ -107,10 +107,16 @@ object Layout {
     *
     * Hive-partitioned inputs (`key=value` subdirectories) are detected and
     * the layout PRESERVED: the output is written `partitionBy` the detected
-    * keys, with rows hash-clustered on them so each partition's files merge
-    * without a silent flatten (compacting `lang=en/` into unpartitioned
-    * files would drop the partition pruning every reader relies on). The
-    * file-count target is then per-layout approximate, not exact.
+    * keys (compacting `lang=en/` into unpartitioned files would drop the
+    * partition pruning every reader relies on). Each partition value gets a
+    * file budget proportional to its row share — realized as a salt column
+    * in the repartition keys — so a large value neither funnels through one
+    * writer task nor lands as one far-over-target file; this costs one
+    * extra counting scan of the input (a maintenance pass already reading
+    * everything). Partition-column TYPE INFERENCE is disabled for the
+    * re-read so directory names round-trip byte-for-byte (`shard=007` stays
+    * `shard=007`, not `shard=7` — readers re-infer types from the identical
+    * names). The file-count target is per-layout approximate, not exact.
     *
     * @return the number of output files planned. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -128,13 +134,19 @@ object Layout {
       s"compact input and output must be disjoint directories ($qIn vs $qOut): " +
         "overwrite-to-self or a nested target truncates what the scan is reading")
     // a Hive-partitioned store announces itself as key=value first-level
-    // dirs; nested partition levels repeat the pattern below them
+    // dirs; nested partition levels repeat the pattern below them. Service
+    // dirs (_temporary from a killed job, _spark_metadata from a streaming
+    // writer, dot-prefixed) are NOT partition structure, and recursion must
+    // follow a key=value dir specifically — descending into a service dir
+    // would silently miss (and flatten) the deeper partition levels.
     def partKeys(dir: org.apache.hadoop.fs.Path): Seq[String] = {
       val sub = fs.listStatus(dir).filter(_.isDirectory)
-        .map(_.getPath.getName).filterNot(_.startsWith("."))
-      val keys = sub.filter(_.contains('=')).map(_.takeWhile(_ != '=')).distinct
+        .map(_.getPath.getName)
+        .filterNot(n => n.startsWith(".") || n.startsWith("_"))
+      val eq = sub.filter(_.contains('='))
+      val keys = eq.map(_.takeWhile(_ != '=')).distinct
       if (keys.length == 1 && keys.head.nonEmpty)
-        keys.head +: partKeys(new org.apache.hadoop.fs.Path(dir, sub.head))
+        keys.head +: partKeys(new org.apache.hadoop.fs.Path(dir, eq.head))
       else Seq.empty
     }
     val keys = partKeys(p)
@@ -145,14 +157,36 @@ object Layout {
       if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
     }
     val parts = math.max(1L, (bytes + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
-    val in = spark.read.parquet(path)
-    if (keys.isEmpty)
-      in.coalesce(parts).write.mode("overwrite").parquet(outPath)
-    else
-      // cluster rows on the partition keys so each output task holds whole
-      // partition values: ≤ parts files per partition value, layout intact
-      in.repartition(parts, keys.map(col): _*)
-        .write.mode("overwrite").partitionBy(keys: _*).parquet(outPath)
+    if (keys.isEmpty) {
+      spark.read.parquet(path).coalesce(parts)
+        .write.mode("overwrite").parquet(outPath)
+      return parts
+    }
+    // inference off for the re-read: partition VALUES stay the exact
+    // directory strings, so the rewritten layout round-trips names
+    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val infPrev = spark.conf.get(infKey)
+    val in = try {
+      spark.conf.set(infKey, "false")
+      spark.read.parquet(path)
+    } finally spark.conf.set(infKey, infPrev)
+    // per-value file budget ∝ row share (one counting aggregation, keyed on
+    // the partition values — bounded cardinality by construction), realized
+    // as a salt in the repartition keys: a value with k files' worth of
+    // rows spreads over k writer groups instead of one straggler task
+    val keyCols = keys.map(col)
+    val valueRows = in.groupBy(keyCols: _*).agg(count(lit(1)).as("__cnt"))
+    val totalRows = math.max(1L,
+      valueRows.agg(coalesce(sum(col("__cnt")), lit(0L))).first().getLong(0))
+    val rowsPerFile = math.max(1L, (totalRows + parts - 1) / parts)
+    val budget = valueRows.withColumn("__nf",
+      greatest(lit(1L), round(col("__cnt").cast("double") / rowsPerFile).cast("long")))
+      .drop("__cnt")
+    in.join(broadcast(budget), keys)
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), col("__nf")))
+      .repartition(parts, keyCols :+ col("__salt"): _*)
+      .drop("__salt", "__nf")
+      .write.mode("overwrite").partitionBy(keys: _*).parquet(outPath)
     parts
   }
 }

@@ -557,10 +557,13 @@ object StageTranslator {
       // A persist() pin would only narrow the hazard: an evicted block
       // recomputes lineage, and a non-deterministic source could pass the
       // dup-key check yet hand different rows to the write. A scan over an
-      // immutable scratch file cannot.
-      val incoming = graft.ext.Dedup.spill(
+      // immutable scratch file cannot. The scratch is deleted once the
+      // swap completes — a long-running session running many $merge stages
+      // must not accumulate a copy of every merge's input until JVM exit.
+      val (incoming, scratch) = graft.ext.Dedup.spillWithPath(
         df.drop(df.columns.filter(c => c == SeqCol || c == SeqCol2 || c == PresenceCol): _*),
         "graft-merge-incoming")
+      try {
       // Mongo requires a unique index on the on-field(s), so two incoming
       // documents with the same key error instead of racing to modify one
       // target document — mirror that rather than silently fanning matched
@@ -640,6 +643,10 @@ object StageTranslator {
       }
       if (hfs.exists(old)) hfs.delete(old, true)
       (spark.read.parquet(into), ctx.copy(order = None, hasSeq = false))
+      } finally {
+        val sfs = scratch.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        sfs.delete(scratch, true)
+      }
 
     case "$fill" => fill(df, body, ctx)
 

@@ -219,9 +219,10 @@ object GraftStreaming {
     * after the batch's store write — the "where did this shard's documents
     * go?" record, per batch, with the post-dedup survivor count as the
     * final `dedup_store` tier. Counting costs one extra action per active
-    * tier per batch; like the manifest receipts, a retried batch can
-    * append its rows twice — readers keep one row set per
-    * (batch_id, tier). */
+    * tier per batch (the micro-batch is pinned for the duration so the
+    * per-tier counts replay cheap cached scans, not the source); like the
+    * manifest receipts, a retried batch can append its rows twice —
+    * readers keep one row set per (batch_id, tier). */
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,
                         queryName: String = "graft-curated-ingest",
@@ -237,7 +238,12 @@ object GraftStreaming {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // receipts re-count every tier, whose lineages all re-derive from
+        // the batch — pin it so those counts replay a cached scan instead
+        // of re-executing the source read once per tier
+        val batch = if (funnelPath.isDefined) batch0.persist() else batch0
+        try {
         var stages = Vector[(String, DataFrame)]("input" -> batch)
         var b = batch.filter(
           graft.ext.TextFunctions.qualityScore(col(contentCol)) > minQuality)
@@ -279,6 +285,7 @@ object GraftStreaming {
             .write.mode("append").parquet(fp)
         }
         ()
+        } finally if (funnelPath.isDefined) batch.unpersist()
       }
       .start()
   }

@@ -137,6 +137,9 @@ class LayoutSpec extends AnyFunSuite {
     (1 to 1000).map(i => (i.toLong, s"row $i", if (i % 3 == 0) "en" else "de"))
       .toDF("id", "v", "lang")
       .repartition(16).write.mode("overwrite").partitionBy("lang").parquet(s"$dir/in")
+    // a service dir next to the partition dirs (a killed job's _temporary)
+    // must not derail partition detection
+    new java.io.File(s"$dir/in/_temporary/0").mkdirs()
     val planned = graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out")
     assert(planned == 1)
     // the key=value layout survives — readers keep their partition pruning
@@ -147,6 +150,28 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.count() == 1000)
     assert(back.filter(col("lang") === "en").count() == 333)
     assert(back.columns.toSet == Set("id", "v", "lang"))
+  }
+
+  test("partitioned compact spreads a large partition value over its file budget") {
+    import spark.implicits._
+    // high-entropy payload so the on-disk bytes force parts > 1 at 1 MB
+    // target; 90% of rows land in lang=en
+    val big = spark.range(60000).select(col("id"),
+      concat((0 until 8).map(i => md5(concat(col("id"), lit(i)))): _*).as("v"),
+      when(col("id") % 10 === 0, "de").otherwise("en").as("lang"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-salt").toString
+    big.repartition(32).write.mode("overwrite").partitionBy("lang").parquet(s"$dir/in")
+    val planned = graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out",
+      targetFileMB = 1)
+    assert(planned > 1, s"test needs a multi-file budget, got $planned")
+    def files(p: String): Int = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the dominant value must NOT collapse into one far-over-target file
+    val enFiles = files(s"$dir/out/lang=en")
+    assert(enFiles > 1 && enFiles <= planned, s"lang=en files: $enFiles of $planned planned")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 60000)
+    assert(back.filter(col("lang") === "de").count() == 6000)
   }
 
   test("colocate repartitioning is reused across same-key operations") {
