@@ -945,4 +945,18 @@ class StageSpec extends AnyFunSuite {
     val hits = agg(docs, """[{"$match": {"$text": {"$search": "DATA spark"}}}, {"$project": {"id": 1}}]""")
     assert(hits.map(_("id")) == Seq(1L))
   }
+
+  test("eventsTsUs normalizes long-nanos and timestamp-micros ts encodings to epoch µs") {
+    import spark.implicits._
+    // LongType = TIMESTAMP(NANOS) parquet read under nanosAsLong
+    val nanos = Seq((1L, 1700000000123456789L)).toDF("event_id", "ts")
+    assert(nanos.select(SparkEntry.eventsTsUs(nanos)).head.getLong(0)
+      == 1700000000123456L)
+    // LocalDateTime = TIMESTAMP_NTZ; under the UTC session timezone the
+    // wall clock IS the epoch instant (2023-11-14T22:13:20 = 1.7e9 s)
+    val micros = Seq((1L, java.time.LocalDateTime.of(2023, 11, 14, 22, 13, 20)))
+      .toDF("event_id", "ts")
+    assert(micros.select(SparkEntry.eventsTsUs(micros)).head.getLong(0)
+      == 1700000000000000L)
+  }
 }
