@@ -51,4 +51,70 @@ class GatePlanSpec extends AnyFunSuite {
     assert(violations.isEmpty,
       s"unpartitioned data-sized window in gate queries: ${violations.mkString(", ")}")
   }
+
+  test("no gate query plans a non-broadcast cartesian product") {
+    // The OTHER plan shape that cannot ship at 100 TB: CartesianProductExec
+    // shuffles both sides into an n×m task grid — data-sized × data-sized.
+    // Broadcast nested-loop joins (the physical form of every documented
+    // "cross join a bounds/oracle frame" site) pass: their small side is
+    // bounded by construction, the big side is one scan. Fails closed on
+    // the physical plan so a regressed join condition (typo'd key, lost
+    // equi-predicate) surfaces as a named violation, not a cluster stall.
+    val dir = "/root/testdata/sf0.001"
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
+      val plan = build(spark, dir).queryExecution.executedPlan
+      plan.collect {
+        case _: org.apache.spark.sql.execution.joins.CartesianProductExec => name
+      }
+    }.distinct
+    assert(violations.isEmpty,
+      s"non-broadcast cartesian product in gate queries: ${violations.mkString(", ")}")
+  }
+
+  test("no gate query funnels unbounded data into one partition") {
+    // Third serialization shape: a single-partition funnel — coalesce(1) or
+    // an Exchange to SinglePartition — over data-sized input. Legitimate
+    // sites sit above something that provably bounds the row count
+    // (an aggregation's tiny result, a global limit / top-k); anything else
+    // is the whole dataset through one task at 100× scale. Same fail-closed
+    // whitelist philosophy as the window audit, on the physical plan.
+    import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec, GlobalLimitExec, LocalLimitExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def bounded(p: SparkPlan): Boolean = p match {
+      case _: HashAggregateExec | _: ObjectHashAggregateExec |
+           _: SortAggregateExec => true // agg output: keyed-cardinality rows
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec => true // data-independent bound
+      case u: UnionExec => u.children.forall(bounded) // union of bounded legs
+      case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
+                _: CoalesceExec | _: WindowExec | _: ShuffleExchangeExec) =>
+        bounded(n.children.head)
+      case other if other.children.length == 1 &&
+        other.getClass.getSimpleName.contains("InputAdapter") ||
+        other.getClass.getSimpleName.contains("WholeStageCodegen") ||
+        other.getClass.getSimpleName.contains("AdaptiveSparkPlan") ||
+        other.getClass.getSimpleName.contains("QueryStage") ||
+        other.getClass.getSimpleName.contains("ReusedExchange") =>
+        bounded(other.children.headOption.getOrElse(return false))
+      case _ => false
+    }
+    def funnels(plan: SparkPlan): Seq[String] = plan.collect {
+      case c: CoalesceExec if c.numPartitions == 1 && !bounded(c.child) => "coalesce1"
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.numPartitions == 1 && !bounded(e.child) => "single-exchange"
+    }
+    // negative control: the audit must flag a raw coalesce(1), or it is
+    // vacuously green
+    assert(funnels(spark.range(100000).toDF("id").coalesce(1)
+      .queryExecution.executedPlan).nonEmpty,
+      "audit failed to flag the raw coalesce(1) control plan")
+    val dir = "/root/testdata/sf0.001"
+    val violations = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, build) =>
+      funnels(build(spark, dir).queryExecution.executedPlan).map(v => s"$name[$v]")
+    }.distinct
+    assert(violations.isEmpty,
+      s"unbounded single-partition funnel in gate queries: ${violations.mkString(", ")}")
+  }
 }
