@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// the official bench record (BENCH_r{N}.json `parsed`). Two sbt behaviors
+// break that: forked-process stdout is re-logged with an "[info] " prefix,
+// and the "[success] Total time: ..." epilogue prints AFTER the program's
+// final line. Pass forked output through verbatim and drop the epilogue so
+// the bench's compact JSON line is the last thing on stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -53,7 +53,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the function-registry re-registration warnings spam
+    // hundreds of lines into the bounded stdout tail the driver records,
+    // and (with pass-through output) anything Spark logs after the final
+    // JSON line would corrupt the machine-parsed record.
+    spark.sparkContext.setLogLevel("ERROR")
 
     // Warmed, cached input (see scaladoc). Partition count balances
     // parallelism against per-task scheduling overhead: ~75k rows per task
@@ -432,11 +436,17 @@ object Bench {
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+    val compact =
+      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_cpu":${fmt(queriesCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
-      s""""rows":$nRows,"sf":"$sfDir","n_extras":${allCW.size},"full":"$fullPath"}""")
+      s""""rows":$nRows,"sf":"$sfDir","n_extras":${allCW.size},"full":"$fullPath"}"""
+    // Print the contract line LAST — after spark.stop() — so no shutdown
+    // logging can trail it on stdout; with build.sbt's pass-through output
+    // strategy + suppressed sbt epilogue this line is what the driver parses.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -163,13 +163,15 @@ object Layout {
       return parts
     }
     // inference off for the re-read: partition VALUES stay the exact
-    // directory strings, so the rewritten layout round-trips names
-    val infKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val infPrev = spark.conf.get(infKey)
-    val in = try {
-      spark.conf.set(infKey, "false")
-      spark.read.parquet(path)
-    } finally spark.conf.set(infKey, infPrev)
+    // directory strings, so the rewritten layout round-trips names. The
+    // toggle is scoped to a DEDICATED session (conf is otherwise
+    // session-global — a concurrent query resolving a partitioned path
+    // during the window would silently get string-typed partition columns);
+    // sessions share the SparkContext, so the plan runs on the same
+    // executors either way.
+    val sess = spark.newSession()
+    sess.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    val in = sess.read.parquet(path)
     // per-value file budget ∝ row share (one counting aggregation, keyed on
     // the partition values — bounded cardinality by construction), realized
     // as a salt in the repartition keys: a value with k files' worth of
@@ -182,8 +184,23 @@ object Layout {
     val budget = valueRows.withColumn("__nf",
       greatest(lit(1L), round(col("__cnt").cast("double") / rowsPerFile).cast("long")))
       .drop("__cnt")
-    in.join(broadcast(budget), keys)
-      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), col("__nf")))
+    // null-SAFE equality (<=>) per key: a null-value partition reads back
+    // as `key=__HIVE_DEFAULT_PARTITION__` → null, and a plain equi-join
+    // would silently drop every row of it — data loss in a maintenance op.
+    // Aliased on both sides: budget derives from `in`, so unqualified key
+    // refs would trip the ambiguous-self-join check.
+    val joined = in.as("__cin")
+      .join(broadcast(budget.as("__cbud")),
+        keys.map(k => col(s"__cin.$k") <=> col(s"__cbud.$k")).reduce(_ && _))
+      .select(col("__cin.*"), col("__cbud.__nf"))
+    // salt derived from ROW CONTENT, not monotonically_increasing_id():
+    // a retried shuffle-map task must reassign every row to the same
+    // reduce partition it already landed in (SPARK-23207's hazard —
+    // nondeterministic repartition keys duplicate or lose rows on stage
+    // retry). Identical duplicate rows share a salt and co-locate; that
+    // skews only degenerate all-duplicate data, and stays reproducible.
+    joined
+      .withColumn("__salt", pmod(xxhash64(in.columns.map(col): _*), col("__nf")))
       .repartition(parts, keyCols :+ col("__salt"): _*)
       .drop("__salt", "__nf")
       .write.mode("overwrite").partitionBy(keys: _*).parquet(outPath)

@@ -174,6 +174,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.filter(col("lang") === "de").count() == 6000)
   }
 
+  test("partitioned compact keeps null-value partitions and is retry-deterministic") {
+    import spark.implicits._
+    // a null partition value writes as key=__HIVE_DEFAULT_PARTITION__ and
+    // reads BACK as null: the per-value budget join must be null-safe or
+    // the whole null partition silently vanishes from the compacted output
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-null").toString
+    (1 to 900).map(i => (i.toLong, s"row $i", if (i % 3 == 0) null else s"s${i % 2}"))
+      .toDF("id", "v", "shard")
+      .repartition(8).write.mode("overwrite").partitionBy("shard").parquet(s"$dir/in")
+    assert(new java.io.File(s"$dir/in/shard=__HIVE_DEFAULT_PARTITION__").isDirectory)
+    graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out")
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == 900, "compact dropped rows")
+    assert(back.filter(col("shard").isNull).count() == 300,
+      "null-partition rows lost in compaction")
+    // retry determinism: the salt is a pure function of row content, so a
+    // second run over the same input plans the identical file split
+    graft.sources.Layout.compact(spark, s"$dir/in", s"$dir/out2")
+    def layout(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles().filter(_.isDirectory)
+        .filter(_.getName.contains("="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    assert(layout(s"$dir/out") == layout(s"$dir/out2"),
+      s"file split not reproducible: ${layout(s"$dir/out")} vs ${layout(s"$dir/out2")}")
+  }
+
   test("colocate repartitioning is reused across same-key operations") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i % 20, i)).toDF("k", "v")
