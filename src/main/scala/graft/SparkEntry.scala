@@ -39,6 +39,91 @@ object SparkEntry {
     ev.withColumn("ts_us", eventsTsUs(ev))
   }
 
+  /** Expected logical type(s) of every dtype-sensitive testdata column.
+    * The driver REGENERATES the parquet between rounds and encodings have
+    * flipped before (events.ts TIMESTAMP(NANOS)→TIMESTAMP(MICROS) in r7);
+    * a silently-changed encoding reads as garbage, not as an error. A set
+    * lists exactly the encodings the type-directed plan code
+    * ([[eventsTsUs]] and the date kernels) genuinely handles: timestamp
+    * columns may arrive as NTZ micros, LTZ, or LongType nanos (under
+    * `nanosAsLong`), nothing else. */
+  private[graft] val expectedTypes: Map[String, Map[String, Set[String]]] = {
+    val ts = Set("timestamp_ntz", "timestamp", "bigint")
+    Map(
+      "region" -> Map("r_regionkey" -> Set("int"), "r_name" -> Set("string")),
+      "nation" -> Map("n_nationkey" -> Set("int"), "n_name" -> Set("string"),
+        "n_regionkey" -> Set("int")),
+      "customer" -> Map("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+        "c_nationkey" -> Set("int"), "c_acctbal" -> Set("double"),
+        "c_mktsegment" -> Set("string")),
+      "supplier" -> Map("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+        "s_nationkey" -> Set("int"), "s_acctbal" -> Set("double")),
+      "part" -> Map("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+        "p_brand" -> Set("string"), "p_type" -> Set("string"),
+        "p_size" -> Set("int"), "p_retailprice" -> Set("double")),
+      "orders" -> Map("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+        "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+        "o_orderdate" -> ts, "o_orderpriority" -> Set("string")),
+      "lineitem" -> Map("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+        "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int"),
+        "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+        "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+        "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+        "l_shipdate" -> ts),
+      "events" -> Map("event_id" -> Set("bigint"), "ts" -> ts,
+        "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+        "value" -> Set("double"), "props" -> Set("string")),
+      "documents" -> Map("doc_id" -> Set("bigint"), "text" -> Set("string"),
+        "lang" -> Set("string"), "source" -> Set("string"),
+        "n_chars" -> Set("bigint")),
+      "embeddings" -> Map("vec_id" -> Set("bigint"),
+        "embedding" -> Set("array<float>"), "label" -> Set("int")))
+  }
+
+  /** Assert the (driver-regenerated) testdata still carries the logical
+    * types the dtype-sensitive plans assume, BEFORE any gate runs — a
+    * flipped encoding then fails as one named table.column diff instead of
+    * 157 cryptic oracle mismatches. Missing tables are skipped (local
+    * scratch dirs may be partial); extra columns are fine (only the listed
+    * columns are contract). A LongType `events.ts` is additionally
+    * magnitude-gated: epoch-NANOS for any modern date are ~1e18, so a
+    * bigint ts whose max |value| is under 1e16 is some OTHER unit (micros
+    * or millis written as a plain BIGINT — a third plausible generator
+    * encoding) and [[eventsTsUs]]'s `div 1000` would silently shift every
+    * timestamp 1000× — fail loudly instead. */
+  private[graft] def preflight(spark: SparkSession, dir: String): Unit = {
+    val diffs = scala.collection.mutable.ArrayBuffer.empty[String]
+    expectedTypes.toSeq.sortBy(_._1).foreach { case (table, cols) =>
+      val f = new java.io.File(s"$dir/$table.parquet")
+      if (f.exists()) {
+        val schema = spark.read.parquet(f.getPath).schema
+        cols.toSeq.sortBy(_._1).foreach { case (name, allowed) =>
+          schema.find(_.name == name) match {
+            case None =>
+              diffs += s"$table.$name: MISSING (expected ${allowed.mkString("/")})"
+            case Some(fld) =>
+              val got = fld.dataType.simpleString
+              if (!allowed.contains(got))
+                diffs += s"$table.$name: got $got, expected ${allowed.mkString("/")}"
+          }
+        }
+      }
+    }
+    val evFile = new java.io.File(s"$dir/events.parquet")
+    if (evFile.exists() && !diffs.exists(_.startsWith("events.ts"))) {
+      val ev = spark.read.parquet(evFile.getPath)
+      if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val mx = ev.agg(max(abs(col("ts")))).head.getLong(0)
+        if (mx < 10000000000000000L) // 1e16: nanos for any date past 1970-04
+          diffs += s"events.ts: LongType with max |value| $mx is not epoch-nanos " +
+            "(plain-BIGINT micros/millis?) — eventsTsUs would shift every timestamp"
+      }
+    }
+    if (diffs.nonEmpty)
+      throw new IllegalStateException(
+        s"testdata schema preflight FAILED for $dir:\n  ${diffs.mkString("\n  ")}")
+  }
+
   /** Deterministic messy URL for the canonicalization gates: even ids get an
     * uppercase scheme/host + userinfo, ports rotate default/non-default on
     * doc_id%4, tracking params and param order rotate on doc_id%3, every 5th
@@ -55,6 +140,36 @@ object SparkEntry {
       .when(col("doc_id") % 3 === 1, lit("?a=1&b=2&fbclid=xyz"))
       .otherwise(lit("")),
     when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** Run the documents corpus through the STREAMING curated-ingest sink in
+    * four ascending-doc_id micro-batches and hand back `(store, receipts)`
+    * as batch frames — the execution behind q_stream_curate /
+    * q_stream_funnel. The corpus is collected to feed the in-memory
+    * source: bounded by the documents table (500 rows at the oracle SF),
+    * the same documented posture as the other bounded oracle tiers; the
+    * sink itself never collects. Chunks are ascending so the store's
+    * surviving ids are deterministic (min id per content) regardless of
+    * micro-batch timing. */
+  private def streamCurateGate(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-gate").toString
+    val store = s"$base/store/docs"
+    val funnel = s"$base/funnel"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.GraftStreaming.curatedIngestSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      s"$base/ckpt", minQuality = 0.6, funnelPath = Some(funnel))
+    try {
+      docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    (graft.ext.Dedup.readStore(spark, store), spark.read.parquet(funnel))
+  }
 
   private def run(table: String, pipeline: String, extra: Seq[String] = Nil)(
       spark: SparkSession, dir: String): DataFrame = {
@@ -705,6 +820,28 @@ object SparkEntry {
           ruleNames.map(n => f.getField(n).as(n)) :+
           ruleNames.map(n => f.getField(n)).reduce(_ && _).as("pass"): _*)
     }),
+    // ---- streaming differential gate: the curated-ingest SINK, driver-
+    // checkable. The bounded documents corpus runs through
+    // curatedIngestSink in four ascending-doc_id micro-batches; the gate
+    // reads the resulting store back as a batch frame. Semantics the oracle
+    // replays: the quality tier keeps quality > 0.6, and the incremental
+    // exact-dedup store keeps the FIRST-ingested copy of each distinct
+    // text — with ascending-id batches and min-id-per-content within a
+    // batch (ingestStep's exactDedup), that is exactly min(doc_id) per
+    // md5(text). The in-memory source feeds from a collected corpus — the
+    // documented bounded oracle tier (500 rows at sf0.01), same posture as
+    // the other differential gates.
+    "q_stream_curate" -> ((spark: SparkSession, dir: String) =>
+      streamCurateGate(spark, dir)._1
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))),
+    // the per-batch funnel receipts, summed per tier across batches — each
+    // tier's total is independent of where the batch boundaries fell
+    // (input = corpus, quality = passing rows, dedup_store = distinct
+    // passing texts), so DuckDB can recompute it from the batch side
+    "q_stream_funnel" -> ((spark: SparkSession, dir: String) =>
+      streamCurateGate(spark, dir)._2
+        .groupBy(col("tier"))
+        .agg(sum(col("rows")).as("rows"), sum(col("dropped")).as("dropped"))),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._
       graft.ext.Packing.packByTokenBudget(
@@ -2558,6 +2695,44 @@ object SparkEntry {
           CASE WHEN s.fill > 0 AND s.fill + t.n_tok > 512 THEN CAST(t.n_tok AS BIGINT) ELSE s.fill + t.n_tok END
         FROM toks t JOIN state s ON t.lang = s.lang AND t.rn = s.rn + 1)
       SELECT doc_id, lang, CAST(n_tok AS INTEGER) AS n_tok, pack_id, pack_offset FROM state""",
+    // streaming curated-ingest store: first-ingested copy per distinct
+    // quality-passing text = min(doc_id) per md5(text) under ascending-id
+    // micro-batches (see streamCurateGate)
+    "q_stream_curate" ->
+      """WITH toks AS (
+        SELECT doc_id, text,
+          list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text,
+          least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2 AS quality
+        FROM toks),
+      kept AS (SELECT doc_id, text FROM scored WHERE quality > 0.6)
+      SELECT min(doc_id) AS doc_id, md5(text) AS content_hash
+      FROM kept GROUP BY md5(text)""",
+    // per-tier receipt totals: batch-boundary-independent sums
+    "q_stream_funnel" ->
+      """WITH toks AS (
+        SELECT doc_id, text,
+          list_filter(regexp_split_to_array(lower(text), '\W+'), t -> length(t) > 0) AS toks
+        FROM documents),
+      scored AS (
+        SELECT doc_id, text,
+          least(1.0, CAST(len(toks) AS DOUBLE) / 100.0) * 0.4
+            + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END) * 0.4
+            + (1.0 - least(1.0, (CASE WHEN length(text) > 0 THEN CAST(length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')) AS DOUBLE) / length(text) ELSE 0.0 END) * 4.0)) * 0.2 AS quality
+        FROM toks),
+      kept AS (SELECT doc_id, text FROM scored WHERE quality > 0.6),
+      n_in AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      n_q AS (SELECT CAST(count(*) AS BIGINT) AS n FROM kept),
+      n_d AS (SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n FROM kept)
+      SELECT 'input' AS tier, n_in.n AS "rows", CAST(0 AS BIGINT) AS dropped FROM n_in
+      UNION ALL
+      SELECT 'quality', n_q.n, n_in.n - n_q.n FROM n_q, n_in
+      UNION ALL
+      SELECT 'dedup_store', n_d.n, n_q.n - n_d.n FROM n_d, n_q""",
     "q_corpus_curate" ->
       """WITH RECURSIVE input AS (
         SELECT doc_id, text, lang FROM documents

@@ -19,6 +19,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Fail CLOSED before any gate runs if the (regenerated-per-round)
+    // testdata changed a dtype-sensitive encoding: one named diff beats
+    // 157 cryptic oracle mismatches.
+    SparkEntry.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.forall(_.contains(kv._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

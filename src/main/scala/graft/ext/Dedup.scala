@@ -375,6 +375,14 @@ object Dedup {
     * on every call; a parameter mismatch — or a near-tier call against a
     * store previously built without signatures — refuses loudly instead of
     * silently losing recall. */
+  /** Test-only tap: when set, [[ingestStep]] hands each frame it is about
+    * to execute (named) to the hook BEFORE running it, so the plan audit
+    * (GatePlanSpec) can sweep the ACTUAL per-batch physical plans of the
+    * streaming ingest tiers — not a reconstruction that could drift from
+    * the production code path. `None` in production; costs one Option
+    * check per frame. */
+  private[graft] var planAuditHook: Option[(String, DataFrame) => Unit] = None
+
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -422,6 +430,7 @@ object Dedup {
           md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
       else exact0).persist()
     try {
+      planAuditHook.foreach(_("ingest_exact", exact))
       exact.count()
       nearThreshold match {
         case None =>
@@ -446,9 +455,13 @@ object Dedup {
               else fresh.select(col("doc_id")).limit(0)
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
             try {
+              planAuditHook.foreach(_("ingest_keep_sigs", keepSigs))
               keepSigs.count() // materialize before any store mutation
-              exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
+              val storeWrite =
+                exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
                 .unionByName(exact.filter(col(contentCol).isNull))
+              planAuditHook.foreach(_("ingest_store_write", storeWrite))
+              storeWrite
                 .write.mode("overwrite").parquet(s"$storePath/$tag")
               keepSigs.write.mode("overwrite").parquet(s"$sigPath/$tag")
             } finally keepSigs.unpersist()
@@ -486,10 +499,17 @@ object Dedup {
   // -------------------------------------------------------------------------
 
   /** Connected components over a near-duplicate pair graph via iterative
-    * min-label propagation: every node repeatedly adopts the smallest label
-    * among itself and its neighbors until fixpoint (O(diameter) rounds, each
-    * one self-join + aggregation — the standard large-graph CC recipe; dup
-    * clusters have tiny diameters so this converges in 2-3 rounds).
+    * min-label propagation with DELTA (frontier) propagation: each round,
+    * only labels that CHANGED last round are offered to neighbors. This is
+    * equivalent to the synchronous recipe — an unchanged neighbor label was
+    * already offered the round after it became current, and min-adoption is
+    * monotone, so re-offering it cannot lower anything further — but after
+    * the first round the edge join runs against the shrinking frontier
+    * instead of the full label set. At 100-TB graph sizes that difference
+    * (rounds × full volume vs rounds × still-moving volume) dominates the
+    * whole clustering cost; at the 6M-row soak it is the largest single
+    * item. O(diameter) rounds; dup clusters have tiny diameters so the
+    * frontier collapses after 2-3.
     * Returns (doc_id, cluster) where cluster is the smallest member id. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -497,26 +517,39 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct().withColumn("cluster", col("doc_id")).persist()
-    var changed = true
+    // round 1's frontier is every node: all initial labels need offering
+    var frontier = labels
     var iter = 0
-    while (changed && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst").withColumnRenamed("cluster", "nc"), "dst")
+    var moved = frontier.count() // also materializes labels
+    while (moved > 0 && iter < maxIter) {
+      val offers = edges
+        .join(frontier.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
-        .withColumn("next", least(col("cluster"), coalesce(col("nmin"), col("cluster"))))
-        .select(col("doc_id"), col("next").as("cluster")).persist()
-      changed = updated.join(labels.withColumnRenamed("cluster", "prev"), "doc_id")
-        .filter(col("cluster") =!= col("prev")).limit(1).count() > 0
-      labels.unpersist()
-      labels = updated
+      val improved = labels.join(offers, "doc_id")
+        .filter(col("nmin") < col("cluster"))
+        .select(col("doc_id"), col("nmin").as("cluster")).persist()
+      moved = improved.count()
       iter += 1
+      if (moved > 0) {
+        // apply the delta: anti-join out the improved ids, union the new
+        // labels back in — one bounded-by-frontier join, no full rewrite
+        val next = labels.join(improved.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(improved).persist()
+        next.count() // materialize before releasing parents
+        labels.unpersist()
+        if (frontier ne labels) frontier.unpersist()
+        labels = next
+        frontier = improved
+      } else improved.unpersist()
     }
+    System.err.println(s"[graft] clusterPairs: converged in $iter rounds" +
+      s" (frontier empty=${moved == 0}, maxIter=$maxIter)")
     edges.unpersist()
     // Materialize the final labels so the last persist can be released too —
     // recomputing them lazily would replay every propagation round.
     val out = spill(labels, "graft-cc-labels")
     labels.unpersist()
+    if (frontier ne labels) frontier.unpersist()
     out
   }
 

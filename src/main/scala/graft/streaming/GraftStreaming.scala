@@ -223,6 +223,49 @@ object GraftStreaming {
     * per-tier counts replay cheap cached scans, not the source); like the
     * manifest receipts, a retried batch can append its rows twice —
     * readers keep one row set per (batch_id, tier). */
+  /** The per-batch gate chain of [[curatedIngestSink]], factored out so the
+    * plan audit (GatePlanSpec) inspects the SAME frames the sink executes,
+    * not a reconstruction. Returns the named tier frames in order —
+    * `input` first, each subsequent tier derived from the previous — and
+    * the last frame is what [[graft.ext.Dedup.ingestStep]] ingests; the
+    * names double as the funnel-receipt tier labels. */
+  private[graft] def curatedGateStages(batch: DataFrame, idCol: String,
+      contentCol: String, minQuality: Double, gopherRules: Boolean,
+      lm: Option[(DataFrame, Int, Double)],
+      decontamBloom: Option[(Array[Byte], Int)],
+      customGate: Option[DataFrame => DataFrame]): Vector[(String, DataFrame)] = {
+    var stages = Vector[(String, DataFrame)]("input" -> batch)
+    var b = batch.filter(
+      graft.ext.TextFunctions.qualityScore(col(contentCol)) > minQuality)
+    stages :+= ("quality" -> b)
+    if (gopherRules) {
+      b = b.filter(graft.ext.TextFunctions.gopherPass(col(contentCol)))
+      stages :+= ("gopher" -> b)
+    }
+    lm.foreach { case (counts, order, maxPpl) =>
+      b = graft.ext.LanguageModel.perplexityFilter(
+        b, idCol, contentCol, counts, order, maxPpl).drop("ppl")
+      stages :+= ("lm_filter" -> b)
+    }
+    decontamBloom.foreach { case (bloom, n) =>
+      val bad = graft.ext.Decontamination.flagContaminatedBloom(
+        b, idCol, contentCol, bloom, n, minHits = 1)
+        .filter(col("contaminated")).select(col(idCol))
+      b = b.join(bad, Seq(idCol), "left_anti")
+      stages :+= ("decontam_bloom" -> b)
+    }
+    // escape hatch: plug ANY batch-tier op into the streaming gate
+    // (fuzzy decontamination, a classifier filter, span removal...).
+    // Contract: a row-filtering/rewriting transform of the batch frame;
+    // it must keep idCol + contentCol and stay stateless across batches
+    // (per-batch retries replay it).
+    customGate.foreach { g =>
+      b = g(b)
+      stages :+= ("custom_gate" -> b)
+    }
+    stages
+  }
+
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,
                         queryName: String = "graft-curated-ingest",
@@ -244,35 +287,9 @@ object GraftStreaming {
         // of re-executing the source read once per tier
         val batch = if (funnelPath.isDefined) batch0.persist() else batch0
         try {
-        var stages = Vector[(String, DataFrame)]("input" -> batch)
-        var b = batch.filter(
-          graft.ext.TextFunctions.qualityScore(col(contentCol)) > minQuality)
-        stages :+= ("quality" -> b)
-        if (gopherRules) {
-          b = b.filter(graft.ext.TextFunctions.gopherPass(col(contentCol)))
-          stages :+= ("gopher" -> b)
-        }
-        lm.foreach { case (counts, order, maxPpl) =>
-          b = graft.ext.LanguageModel.perplexityFilter(
-            b, idCol, contentCol, counts, order, maxPpl).drop("ppl")
-          stages :+= ("lm_filter" -> b)
-        }
-        decontamBloom.foreach { case (bloom, n) =>
-          val bad = graft.ext.Decontamination.flagContaminatedBloom(
-            b, idCol, contentCol, bloom, n, minHits = 1)
-            .filter(col("contaminated")).select(col(idCol))
-          b = b.join(bad, Seq(idCol), "left_anti")
-          stages :+= ("decontam_bloom" -> b)
-        }
-        // escape hatch: plug ANY batch-tier op into the streaming gate
-        // (fuzzy decontamination, a classifier filter, span removal...).
-        // Contract: a row-filtering/rewriting transform of the batch frame;
-        // it must keep idCol + contentCol and stay stateless across batches
-        // (per-batch retries replay it).
-        customGate.foreach { g =>
-          b = g(b)
-          stages :+= ("custom_gate" -> b)
-        }
+        val stages = curatedGateStages(batch, idCol, contentCol, minQuality,
+          gopherRules, lm, decontamBloom, customGate)
+        val b = stages.last._2
         graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,
           batchTag = Some(batchId.toString))

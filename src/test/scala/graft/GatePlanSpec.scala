@@ -71,6 +71,52 @@ class GatePlanSpec extends AnyFunSuite {
       s"non-broadcast cartesian product in gate queries: ${violations.mkString(", ")}")
   }
 
+  // ---- physical-plan detectors, shared by the batch-gate sweep and the
+  // streaming-sink audit ----
+  import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec, GlobalLimitExec, LocalLimitExec}
+  import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+  import org.apache.spark.sql.execution.window.WindowExec
+
+  private def bounded(p: SparkPlan): Boolean = p match {
+    case _: HashAggregateExec | _: ObjectHashAggregateExec |
+         _: SortAggregateExec => true // agg output: keyed-cardinality rows
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec => true // data-independent bound
+    case u: UnionExec => u.children.forall(bounded) // union of bounded legs
+    case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
+              _: CoalesceExec | _: WindowExec | _: ShuffleExchangeExec) =>
+      bounded(n.children.head)
+    case other if other.children.length == 1 &&
+      other.getClass.getSimpleName.contains("InputAdapter") ||
+      other.getClass.getSimpleName.contains("WholeStageCodegen") ||
+      other.getClass.getSimpleName.contains("AdaptiveSparkPlan") ||
+      other.getClass.getSimpleName.contains("QueryStage") ||
+      other.getClass.getSimpleName.contains("ReusedExchange") =>
+      bounded(other.children.headOption.getOrElse(return false))
+    case _ => false
+  }
+
+  private def funnels(plan: SparkPlan): Seq[String] = plan.collect {
+    case c: CoalesceExec if c.numPartitions == 1 && !bounded(c.child) => "coalesce1"
+    case e: ShuffleExchangeExec
+      if e.outputPartitioning.numPartitions == 1 && !bounded(e.child) => "single-exchange"
+  }
+
+  /** All three detectors over one frame's plans, tagged with `name`. */
+  private def allViolations(name: String, df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val win = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty && !boundedInput(w.child) =>
+        s"$name[window]"
+    }
+    val exec = df.queryExecution.executedPlan
+    val cart = exec.collect {
+      case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+        s"$name[cartesian]"
+    }
+    win ++ cart ++ funnels(exec).map(v => s"$name[$v]")
+  }
+
   test("no gate query funnels unbounded data into one partition") {
     // Third serialization shape: a single-partition funnel — coalesce(1) or
     // an Exchange to SinglePartition — over data-sized input. Legitimate
@@ -78,33 +124,6 @@ class GatePlanSpec extends AnyFunSuite {
     // (an aggregation's tiny result, a global limit / top-k); anything else
     // is the whole dataset through one task at 100× scale. Same fail-closed
     // whitelist philosophy as the window audit, on the physical plan.
-    import org.apache.spark.sql.execution.{CoalesceExec, FilterExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, UnionExec, GlobalLimitExec, LocalLimitExec}
-    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.window.WindowExec
-    def bounded(p: SparkPlan): Boolean = p match {
-      case _: HashAggregateExec | _: ObjectHashAggregateExec |
-           _: SortAggregateExec => true // agg output: keyed-cardinality rows
-      case _: GlobalLimitExec | _: LocalLimitExec |
-           _: TakeOrderedAndProjectExec => true // data-independent bound
-      case u: UnionExec => u.children.forall(bounded) // union of bounded legs
-      case n @ (_: ProjectExec | _: FilterExec | _: SortExec |
-                _: CoalesceExec | _: WindowExec | _: ShuffleExchangeExec) =>
-        bounded(n.children.head)
-      case other if other.children.length == 1 &&
-        other.getClass.getSimpleName.contains("InputAdapter") ||
-        other.getClass.getSimpleName.contains("WholeStageCodegen") ||
-        other.getClass.getSimpleName.contains("AdaptiveSparkPlan") ||
-        other.getClass.getSimpleName.contains("QueryStage") ||
-        other.getClass.getSimpleName.contains("ReusedExchange") =>
-        bounded(other.children.headOption.getOrElse(return false))
-      case _ => false
-    }
-    def funnels(plan: SparkPlan): Seq[String] = plan.collect {
-      case c: CoalesceExec if c.numPartitions == 1 && !bounded(c.child) => "coalesce1"
-      case e: ShuffleExchangeExec
-        if e.outputPartitioning.numPartitions == 1 && !bounded(e.child) => "single-exchange"
-    }
     // negative control: the audit must flag a raw coalesce(1), or it is
     // vacuously green
     assert(funnels(spark.range(100000).toDF("id").coalesce(1)
@@ -116,5 +135,64 @@ class GatePlanSpec extends AnyFunSuite {
     }.distinct
     assert(violations.isEmpty,
       s"unbounded single-partition funnel in gate queries: ${violations.mkString(", ")}")
+  }
+
+  test("streaming curated-ingest sink tiers pass all three audits on REAL micro-batch plans") {
+    // The 157 batch gates are swept above; the sink tiers run inside
+    // foreachBatch and would otherwise escape the audit. Two taps close
+    // that: Dedup.planAuditHook hands over the exact/near-tier frames
+    // ingestStep is ABOUT to execute (the actual per-batch plans, store
+    // joins included — batch 2 exercises the cross-store anti-join and the
+    // cross-signature LSH join), and curatedGateStages is the literal
+    // code path the sink's quality/gopher/LM/bloom chain runs.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // fail-closed control: the detector set must flag an unpartitioned
+    // window over raw data before we trust its silence on the sink
+    val control = spark.range(100000).toDF("id").withColumn("rn",
+      org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("id")))
+    assert(allViolations("control", control).nonEmpty,
+      "detectors failed to flag the raw unpartitioned-window control plan")
+
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ref = Seq("the quick brown fox jumps over the lazy dog").toDF("text")
+    val counts = graft.ext.LanguageModel.ngramCounts(ref, "text", 2).persist()
+    val bloom = graft.ext.Decontamination.evalGramBloom(
+      Seq("what is the capital of france").toDF("q"), "q", n = 4,
+      expectedGrams = 1000L)
+    val base = java.nio.file.Files.createTempDirectory("graft-plan-sink").toString
+    val mem = MemoryStream[(Long, String)]
+    graft.ext.Dedup.planAuditHook = Some((n, df) => violations ++= allViolations(s"sink:$n", df))
+    try {
+      val q = graft.streaming.GraftStreaming.curatedIngestSink(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/store/docs", s"$base/ckpt", minQuality = 0.1,
+        gopherRules = true, lm = Some((counts, 2, 50.0)),
+        decontamBloom = Some((bloom, 4)), nearThreshold = Some(0.5),
+        funnelPath = Some(s"$base/funnel"))
+      try {
+        mem.addData((1L, "the quick brown fox jumps over the lazy dog"),
+          (2L, "a clean document about distributed query planning"))
+        q.processAllAvailable()
+        mem.addData((3L, "the quick brown fox jumps over the lazy dog today"),
+          (4L, "another clean document about partitioned execution"))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      graft.ext.Dedup.planAuditHook = None
+      counts.unpersist()
+    }
+    // the gate chain, via the same function the sink calls
+    val batch = Seq((5L, "one more clean document"), (6L, "and a second one"))
+      .toDF("doc_id", "text")
+    graft.streaming.GraftStreaming.curatedGateStages(batch, "doc_id", "text",
+      minQuality = 0.1, gopherRules = true, lm = Some((counts, 2, 50.0)),
+      decontamBloom = Some((bloom, 4)), customGate = None)
+      .foreach { case (n, df) => violations ++= allViolations(s"gate:$n", df) }
+    assert(violations.isEmpty,
+      s"scale-killer plan shape in streaming sink tiers: ${violations.distinct.mkString(", ")}")
   }
 }
