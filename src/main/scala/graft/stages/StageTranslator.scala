@@ -657,6 +657,20 @@ object StageTranslator {
     case other => throw GraftException(s"unknown pipeline stage $other")
   }
 
+  /** The exported stage registry: every name [[apply]] dispatches on.
+    * DocsDriftSpec keeps this honest in BOTH directions — each entry is
+    * probed against the real dispatch (a listed-but-unhandled name would
+    * surface as "unknown pipeline stage"), and the docs tables are diffed
+    * against it (an undocumented stage, or a documented-but-removed one,
+    * fails the spec by name). Keep in the same order as the match arms. */
+  val supportedStages: Seq[String] = Seq(
+    "$match", "$project", "$addFields", "$set", "$unset", "$group", "$sort",
+    "$limit", "$skip", "$unwind", "$lookup", "$count", "$replaceRoot",
+    "$replaceWith", "$sortByCount", "$unionWith", "$sample", "$vectorSearch",
+    "$bucket", "$bucketAuto", "$facet", "$documents", "$rankFusion",
+    "$scoreFusion", "$setWindowFields", "$out", "$merge", "$fill",
+    "$densify", "$graphLookup")
+
   // --------------------------------------------------------------------------
   // $project (aggregation.ts:72-89; expression objects expressions.ts:252-403)
   // --------------------------------------------------------------------------
