@@ -7,12 +7,13 @@ import org.apache.spark.sql.functions._
   * (6M-row lineitem) plus the five soak workloads over the genuinely
   * distinct 6M-document / 200k-vector corpus [[GenSf1]] writes — the
   * jittered-replica soak in Bench proves distribution shape, this proves
-  * absolute volume. Same measurement discipline as Bench: headline =
-  * 3 warm-ups then median of 5 on a pinned physical plan; extras =
-  * cold + warm pair; the record self-flags `noisy` on a median/min spread
-  * or a warm-slower-than-cold inversion. One JSON line to stdout (last,
-  * after spark.stop()) and the full record to SPARK_GRAFT_BENCH_SF1
-  * (default bench_sf1.json).
+  * absolute volume. Measurement: headline = 5 warm-ups then median of 7 on
+  * a pinned physical plan (self-flags `noisy` on a median/min spread);
+  * each extra runs ONCE from a GC'd slate — at 5-10-minute workload sizes
+  * a "warm" re-run mostly measures the first run's leftover heap and
+  * page-cache state, so cold-once is the honest protocol here. One JSON
+  * line to stdout (last, after spark.stop()) and the full record to
+  * SPARK_GRAFT_BENCH_SF1 (default bench_sf1.json).
   *
   * Scale-dependent knob: semDedup runs k=256 (vs the gate's k=16) so the
   * in-cluster pair count stays ~cluster² × k ≈ 150M at 200k vectors —
@@ -58,8 +59,13 @@ object BenchSf1 {
         rdd.count()
         ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
       }
-      (1 to 3).foreach(_ => once())
-      Stat(Seq.fill(5)(once()))
+      // deeper warm-up than the sf0.1 bench: at 6M cached rows the first
+      // post-codegen iterations still shift (JIT recompilation, cache-line
+      // residency), and a GC beforehand keeps collector debt from a prior
+      // query out of this one's iterations
+      System.gc()
+      (1 to 5).foreach(_ => once())
+      Stat(Seq.fill(7)(once()))
     }
     // the same three shapes Bench times (BASELINE.md's reference queries)
     val stats = Seq(
@@ -92,26 +98,32 @@ object BenchSf1 {
     val nDocs = docs.count()
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     val nVec = emb.count()
-    def once(f: => Long): (Double, Double) = {
+    // Each extra runs ONCE, from as clean a slate as a shared JVM allows
+    // (a System.gc() first lets the ContextCleaner release the previous
+    // workload's shuffle files). The sf0.1 bench's cold/warm pairs are the
+    // wrong protocol at this scale: a "warm" re-run of a 5-10 minute
+    // workload mostly measures the first run's leftover heap and page-cache
+    // state — the first sf1 record's clusterStats ran 199 s cold and 419 s
+    // "warm", a physically-meaningless inversion — so the absolute-scale
+    // record is one honest cold number per workload.
+    def timedOnce(name: String)(f: => Long): (String, (Double, Double)) = {
+      System.gc()
       val t0 = System.nanoTime(); val c0 = cpuNs(); f
-      ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
-    }
-    def coldWarm(name: String)(f: => Long): (String, ((Double, Double), (Double, Double))) = {
-      val cw = (once(f), once(f))
-      System.err.println(s"[bench-sf1] $name cold=${"%.1f".format(cw._1._1)}s " +
-        s"warm=${"%.1f".format(cw._2._1)}s")
-      name -> cw
+      val r = ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
+      System.err.println(s"[bench-sf1] $name ${"%.1f".format(r._1)}s " +
+        s"(cpu ${"%.0f".format(r._2)}s)")
+      name -> r
     }
     var histogram = ""
-    val extrasCW = Seq(
-      coldWarm("sf1CorpusCurate")(graft.ext.Corpus.curate(
+    val extras = Seq(
+      timedOnce("sf1CorpusCurate")(graft.ext.Corpus.curate(
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
         Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
-      coldWarm("sf1SemDedup")(graft.ext.Dedup.semDedup(
+      timedOnce("sf1SemDedup")(graft.ext.Dedup.semDedup(
         emb, "vec_id", "embedding", k = 256, threshold = 0.7).count()),
-      coldWarm("sf1Minhash")(graft.ext.Dedup.minhashLshPairs(
+      timedOnce("sf1Minhash")(graft.ext.Dedup.minhashLshPairs(
         docs, "doc_id", "text").count()),
-      coldWarm("sf1ClusterStats") {
+      timedOnce("sf1ClusterStats") {
         val hist = graft.ext.Dedup.clusterStats(graft.ext.Dedup.minhashLshPairs(
           docs, "doc_id", "text", threshold = 0.5)).collect()
         histogram = hist.sortBy(_.getAs[Long]("size"))
@@ -120,7 +132,7 @@ object BenchSf1 {
         System.err.println(s"[bench-sf1] cluster-size histogram: $histogram")
         hist.map(_.getAs[Long]("n_clusters")).sum
       },
-      coldWarm("sf1DupSpans")(graft.ext.Dedup.removeDupSpans(
+      timedOnce("sf1DupSpans")(graft.ext.Dedup.removeDupSpans(
         docs, "doc_id", "text", n = 3).agg(sum(col("n_removed"))).first().getLong(0)))
 
     def fmt(kvs: Seq[(String, Double)]): String =
@@ -129,15 +141,13 @@ object BenchSf1 {
     val spread = stats.map { case (k, s) =>
       s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
     }.mkString("{", ",", "}")
-    val warmColdInverted = extrasCW.exists { case (_, ((cold, _), (warm, _))) => warm > 2 * cold + 0.5 }
-    val noisy = stats.exists(_._2.noisy) || warmColdInverted
+    val noisy = stats.exists(_._2.noisy)
     val record =
       s"""{"metric":"total","value":${"%.4f".format(results.map(_._2).sum)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_cpu":${fmt(stats.map { case (k, s) => k -> s.medCpu })},""" +
       s""""spread":$spread,""" +
-      s""""extras":${fmt(extrasCW.map { case (k, cw) => k -> cw._1._1 })},""" +
-      s""""extras_warm":${fmt(extrasCW.map { case (k, cw) => k -> cw._2._1 })},""" +
-      s""""extras_cpu":${fmt(extrasCW.map { case (k, cw) => k -> cw._1._2 })},""" +
+      s""""extras":${fmt(extras.map { case (k, r) => k -> r._1 })},""" +
+      s""""extras_cpu":${fmt(extras.map { case (k, r) => k -> r._2 })},""" +
       s""""noisy":$noisy,"cluster_histogram":"$histogram",""" +
       s""""docs_per_sec":${results.map { case (k, v) => s""""$k":${(nRows / v).toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"n_docs":$nDocs,"n_vectors":$nVec,"sf":"$sfDir"}"""
