@@ -525,22 +525,41 @@ object Dedup {
       val offers = edges
         .join(frontier.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
         .groupBy(col("src").as("doc_id")).agg(min(col("nc")).as("nmin"))
-      val improved = labels.join(offers, "doc_id")
-        .filter(col("nmin") < col("cluster"))
-        .select(col("doc_id"), col("nmin").as("cluster")).persist()
-      moved = improved.count()
+      val prop = labels.join(offers, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+      // pointer jumping: cluster(v) := min(cluster(v), cluster(cluster(v))).
+      // Edge-propagation alone needs O(diameter) rounds, and edit-tiered
+      // duplicate chains (A ~ A' ~ A'' where A !~ A'') give dup graphs real
+      // diameters — the sf0.1 soak's size-31 chain cost ~30 sub-second
+      // rounds whose fixed job overhead dominated the whole workload. One
+      // label-table self-join per round halves remaining chain length
+      // exponentially, so total rounds track log(diameter). Labels only
+      // decrease and every label IS a member node's id, so jumping through
+      // it preserves the component-min fixpoint.
+      // spill = per-round lineage truncation (the checkpoint-interval every
+      // distributed CC needs): the jump's double self-reference would
+      // otherwise DOUBLE the logical plan per round — exponential analyzer
+      // cost — and even the propagation-only plan grew linearly, which is
+      // what made 30 chain rounds cost ~80 s of sub-second jobs. Scratch
+      // holds one labels table per round (deleted at JVM exit).
+      val next = spill(prop.as("l")
+        .join(prop.select(col("doc_id").as("__c"), col("cluster").as("__cc")).as("r"),
+          col("l.cluster") === col("__c"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster"), coalesce(col("__cc"), col("l.cluster"))).as("cluster")),
+        "graft-cc-round")
+      val changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("__prev")), "doc_id")
+        .filter(col("cluster") < col("__prev"))
+        .select(col("doc_id"), col("cluster")).persist()
+      moved = changed.count()
       iter += 1
-      if (moved > 0) {
-        // apply the delta: anti-join out the improved ids, union the new
-        // labels back in — one bounded-by-frontier join, no full rewrite
-        val next = labels.join(improved.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(improved).persist()
-        next.count() // materialize before releasing parents
-        labels.unpersist()
-        if (frontier ne labels) frontier.unpersist()
-        labels = next
-        frontier = improved
-      } else improved.unpersist()
+      labels.unpersist()
+      if (frontier ne labels) frontier.unpersist()
+      labels = next
+      frontier = changed
+      if (moved == 0) changed.unpersist()
     }
     System.err.println(s"[graft] clusterPairs: converged in $iter rounds" +
       s" (frontier empty=${moved == 0}, maxIter=$maxIter)")

@@ -492,6 +492,20 @@ class ExtSpec extends AnyFunSuite {
     assert(stats == Map(3L -> ((1L, 3L)), 2L -> ((2L, 4L))))
   }
 
+  test("clusterPairs collapses a long label chain within maxIter (pointer jumping)") {
+    import spark.implicits._
+    // a 41-node path: edge-propagation alone moves the min label one hop
+    // per round, so diameter-40 would blow the maxIter=10 default and
+    // silently return unconverged labels; pointer jumping halves remaining
+    // chain length per round, so this must fully collapse to cluster 0
+    val pairs = (0 until 40).map(i => (i.toLong, (i + 1).toLong, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val labels = Dedup.clusterPairs(pairs).collect()
+    assert(labels.length == 41)
+    val bad = labels.filter(_.getAs[Long]("cluster") != 0L)
+    assert(bad.isEmpty, s"unconverged labels: ${bad.take(5).mkString(", ")}")
+  }
+
   test("keepBestPerCluster keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     val frame = Seq(
