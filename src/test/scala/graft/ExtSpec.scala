@@ -506,6 +506,43 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unconverged labels: ${bad.take(5).mkString(", ")}")
   }
 
+  test("clusterPairs agrees with a reference union-find on random graphs") {
+    import spark.implicits._
+    // differential fuzz for the pointer-jumping rewrite: 12 seeded random
+    // graphs (varying density, self-loop-free) vs an in-memory union-find
+    // whose union-by-min keeps each component's root at its minimum id —
+    // exactly clusterPairs' contract
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 40 + rnd.nextInt(40)
+      val edges = Seq.fill(rnd.nextInt(2 * n) + 1)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+        val got = Dedup.clusterPairs(
+            edges.map { case (a, b) => (a, b, 0.9) }.toDF("id_a", "id_b", "jaccard"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got.keySet == touched, s"seed=$seed: node coverage differs")
+        touched.foreach { v =>
+          assert(got(v) == find(v.toInt).toLong, s"seed=$seed node=$v: " +
+            s"cluster ${got(v)} vs union-find ${find(v.toInt)}")
+        }
+      }
+    }
+  }
+
   test("keepBestPerCluster keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     val frame = Seq(
