@@ -902,27 +902,72 @@ object Dedup {
   /** Positional word n-grams of a `(idCol, __toks)` frame: one row per
     * gram start `(idCol, __s, __g)` — the shared grain of the span-cut
     * operators (cross-document dup spans here, eval-overlap spans in
-    * [[Decontamination.removeContaminatedSpans]]). */
+    * [[Decontamination.removeContaminatedSpans]]).
+    *
+    * `__g` is a 128-bit content fingerprint (two independently-seeded
+    * xxhash64 runs over the token slice), NOT the joined gram string: both
+    * consumers only ever test gram EQUALITY (a count-keyed self-join here,
+    * a broadcast eval-gram join in decontamination), and at corpus scale
+    * the gram column dominates the two biggest shuffles of the whole
+    * operator — one row per token position, each previously carrying an
+    * `n`-word string (~50+ B for n=8 prose) now carries 16 B and skips the
+    * per-position string allocation entirely. Collision math: P(any two of
+    * G distinct grams colliding on both hashes) ≈ G²/2^129 — ~6e-13 even
+    * at G = 2e13 (a 100-TB corpus), vs an expected ~1e7 collisions for a
+    * single 64-bit hash at that size. Hashing the token ARRAY (elements
+    * hashed individually, order-seeded) also removes the join-string
+    * ambiguity a separator-join key would have if tokens could contain the
+    * separator. */
   private[ext] def positionalGrams(base: DataFrame, idCol: String,
                                    n: Int): DataFrame =
     base.filter(size(col("__toks")) >= n)
       .select(col(idCol), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - n),
-        i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+        i => {
+          val g = slice(col("__toks"), i + 1, lit(n))
+          struct(xxhash64(g).as("h1"), xxhash64(lit(1L), g).as("h2"))
+        }))
         .as(Seq("__s", "__g")))
 
   /** Cut every token covered by a length-`n` span starting at any position
     * in `hitStarts` (`(idCol, __starts)`; docs absent from it pass whole):
     * token p dies iff some start s satisfies p-(n-1) <= s <= p. The ONE
     * copy of the coverage interval arithmetic both span-cut operators
-    * share — returns `(idCol, cleaned_text, n_tokens, n_removed)`. */
+    * share — returns `(idCol, cleaned_text, n_tokens, n_removed)`.
+    *
+    * The per-token test runs against MERGED coverage intervals, not the
+    * raw start list: `__starts` is sorted ascending, so one left-to-right
+    * fold collapses the spans `[s, s+n-1]` into disjoint intervals
+    * (extending the last interval while the next start lands inside or
+    * adjacent to it). Duplicated text is overwhelmingly contiguous runs —
+    * a fully-duplicated T-token document has T-n+1 starts but exactly ONE
+    * merged interval — so the filter drops from O(T·|starts|) ≈ O(T²)
+    * comparisons per such document to O(T). The fold itself is O(|starts|)
+    * when spans merge and O(|intervals|²) array-copy in the fully-disjoint
+    * worst case, which is still bounded by (T/n)² « T·|starts| there. */
   private[ext] def cutCoveredSpans(base: DataFrame, idCol: String,
                                    hitStarts: DataFrame, n: Int): DataFrame = {
+    val emptyIv = array().cast("array<struct<lo:int,hi:int>>")
+    val iv = aggregate(
+      col("__starts"), emptyIv,
+      (acc, s) => {
+        // try_element_at: null (not an ANSI error) on the empty accumulator,
+        // so the null comparison falls through to the append branch
+        val last = try_element_at(acc, lit(-1))
+        when(s <= last.getField("hi") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("lo").as("lo"),
+              greatest(last.getField("hi"), s + (n - 1)).as("hi")))))
+          .otherwise(concat(acc,
+            array(struct(s.as("lo"), (s + (n - 1)).as("hi")))))
+      })
     val kept = filter(col("__toks"), (_, p) =>
-      !exists(col("__starts"), s => s.between(p - (n - 1), p)))
+      !exists(col("__iv"), v =>
+        p.between(v.getField("lo"), v.getField("hi"))))
     base.join(hitStarts, Seq(idCol), "left")
       .withColumn("__starts",
         coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__iv", iv)
       .select(col(idCol),
         array_join(kept, " ").as("cleaned_text"),
         size(col("__toks")).cast("long").as("n_tokens"),
