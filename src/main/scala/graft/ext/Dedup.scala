@@ -935,42 +935,49 @@ object Dedup {
     * copy of the coverage interval arithmetic both span-cut operators
     * share — returns `(idCol, cleaned_text, n_tokens, n_removed)`.
     *
-    * The per-token test runs against MERGED coverage intervals, not the
-    * raw start list: `__starts` is sorted ascending, so one left-to-right
-    * fold collapses the spans `[s, s+n-1]` into disjoint intervals
-    * (extending the last interval while the next start lands inside or
-    * adjacent to it). Duplicated text is overwhelmingly contiguous runs —
-    * a fully-duplicated T-token document has T-n+1 starts but exactly ONE
-    * merged interval — so the filter drops from O(T·|starts|) ≈ O(T²)
-    * comparisons per such document to O(T). The fold itself is O(|starts|)
-    * when spans merge and O(|intervals|²) array-copy in the fully-disjoint
-    * worst case, which is still bounded by (T/n)² « T·|starts| there. */
+    * Survivors are assembled by SLICING the uncovered gaps out of the token
+    * array, not by testing every token against every start. `__starts` is
+    * sorted ascending and every span has the same length `n`, so the
+    * covered set is a union of runs: a new run begins exactly where the
+    * gap to the previous start exceeds `n` (a run's coverage is
+    * `[first, last + n - 1]`). One pass marks those run boundaries, and
+    * the kept text is the concatenation of `slice`s between consecutive
+    * runs — O(|starts| + |tokens|) per document with no quadratic term.
+    * The naive per-token `exists` over starts this replaces is
+    * O(|tokens|·|starts|): ~T² for a fully-duplicated T-token document,
+    * which is most of the operator's CPU on a dup-heavy corpus. (A
+    * left-fold into merged intervals via the `aggregate` HOF was tried
+    * first and benched 8× WORSE than the naive form — interpreted
+    * per-element array-accumulator copies swamp the comparisons saved.) */
   private[ext] def cutCoveredSpans(base: DataFrame, idCol: String,
                                    hitStarts: DataFrame, n: Int): DataFrame = {
-    val emptyIv = array().cast("array<struct<lo:int,hi:int>>")
-    val iv = aggregate(
-      col("__starts"), emptyIv,
-      (acc, s) => {
-        // try_element_at: null (not an ANSI error) on the empty accumulator,
-        // so the null comparison falls through to the append branch
-        val last = try_element_at(acc, lit(-1))
-        when(s <= last.getField("hi") + 1,
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last.getField("lo").as("lo"),
-              greatest(last.getField("hi"), s + (n - 1)).as("hi")))))
-          .otherwise(concat(acc,
-            array(struct(s.as("lo"), (s + (n - 1)).as("hi")))))
-      })
-    val kept = filter(col("__toks"), (_, p) =>
-      !exists(col("__iv"), v =>
-        p.between(v.getField("lo"), v.getField("hi"))))
+    val toks = col("__toks")
+    val s = col("__starts")
+    val tLen = size(toks)
+    val sLen = size(s)
+    // 0-based positions into __starts where a new covered run begins; the
+    // when() keeps the i=0 arm from ever probing array index 0 (invalid
+    // even for try_element_at — CaseWhen evaluates its else-branch lazily)
+    val bIdx = filter(sequence(lit(0), sLen - 1), i =>
+      when(i === lit(0), lit(true))
+        .otherwise(try_element_at(s, i + 1) - try_element_at(s, i) > lit(n)))
+    val nb = size(bIdx)
+    // gap k (k = 0..nb): tokens strictly between run k-1's coverage end and
+    // run k's first covered position (run nb = "past the end" sentinel)
+    val kept = flatten(transform(sequence(lit(0), nb), k => {
+      val bk = when(k === nb, sLen).otherwise(try_element_at(bIdx, k + 1))
+      val gapLo = when(k === lit(0), lit(0))
+        .otherwise(try_element_at(s, bk) + lit(n))
+      val gapHi = when(k === nb, tLen - 1)
+        .otherwise(try_element_at(s, bk + 1) - 1)
+      slice(toks, gapLo + 1, greatest(lit(0), gapHi - gapLo + 1))
+    }))
     base.join(hitStarts, Seq(idCol), "left")
-      .withColumn("__starts",
-        coalesce(col("__starts"), array().cast("array<int>")))
-      .withColumn("__iv", iv)
+      .withColumn("__starts", coalesce(s, array().cast("array<int>")))
+      .withColumn("__kept", when(sLen === 0, toks).otherwise(kept))
       .select(col(idCol),
-        array_join(kept, " ").as("cleaned_text"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"))
+        array_join(col("__kept"), " ").as("cleaned_text"),
+        tLen.cast("long").as("n_tokens"),
+        (tLen - size(col("__kept"))).cast("long").as("n_removed"))
   }
 }
