@@ -890,9 +890,14 @@ object Dedup {
       df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-dupspan-toks")
     val grams = positionalGrams(base, idCol, n)
+    // "appears in >= 2 DISTINCT documents" is exactly min(id) != max(id) —
+    // two streaming aggregates with full map-side partial combine, where
+    // countDistinct would carry a per-gram distinct-id set through the
+    // shuffle (an Expand + second aggregate) for a predicate that only ever
+    // asks "more than one?".
     val hot = grams.groupBy(col("__g"))
-      .agg(countDistinct(col(idCol)).as("__d"))
-      .filter(col("__d") >= 2).select(col("__g"))
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi")).select(col("__g"))
     val dupStarts = grams.join(hot, Seq("__g"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__s"))).as("__starts"))
@@ -914,20 +919,18 @@ object Dedup {
     * per-position string allocation entirely. Collision math: P(any two of
     * G distinct grams colliding on both hashes) ≈ G²/2^129 — ~6e-13 even
     * at G = 2e13 (a 100-TB corpus), vs an expected ~1e7 collisions for a
-    * single 64-bit hash at that size. Hashing the token ARRAY (elements
-    * hashed individually, order-seeded) also removes the join-string
-    * ambiguity a separator-join key would have if tokens could contain the
-    * separator. */
+    * single 64-bit hash at that size. Fingerprints come from
+    * [[Kernels.positionalGramHashKernel]], which char-hashes each token
+    * once per seed and folds pre-hashed longs per position — the
+    * declarative `xxhash64(slice(...))` form it replaces re-hashed every
+    * token n× and allocated two slice copies per position (the dominant
+    * scan-side CPU of the span-cut operators at sf1). */
   private[ext] def positionalGrams(base: DataFrame, idCol: String,
                                    n: Int): DataFrame =
     base.filter(size(col("__toks")) >= n)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), size(col("__toks")) - n),
-        i => {
-          val g = slice(col("__toks"), i + 1, lit(n))
-          struct(xxhash64(g).as("h1"), xxhash64(lit(1L), g).as("h2"))
-        }))
-        .as(Seq("__s", "__g")))
+      .select(col(idCol),
+        posexplode(Kernels.positionalGramHashKernel(n)(col("__toks")))
+          .as(Seq("__s", "__g")))
 
   /** Cut every token covered by a length-`n` span starting at any position
     * in `hitStarts` (`(idCol, __starts)`; docs absent from it pass whole):

@@ -143,6 +143,49 @@ object Kernels {
     c => g(c)
   }
 
+  /** Positional word n-gram fingerprints of a token array in ONE pass:
+    * element `p` is the 128-bit fingerprint (two independently-seeded
+    * 64-bit combines) of tokens `p..p+n-1`. The declarative formulation
+    * this replaces (`transform(sequence, i => xxhash64(slice(toks,...)))`)
+    * re-hashes every token's characters once per covering position — n×
+    * redundant char work — and allocates two n-element slice copies per
+    * position. Here each token is char-hashed exactly TWICE (once per
+    * seed), then each position combines n pre-hashed longs with an
+    * order-sensitive FNV-style fold: O(chars + T·n) long ops, zero
+    * per-position allocation. Collision posture matches the struct it
+    * feeds: two independent 64-bit streams ⇒ ~G²/2^129 corpus-wide.
+    * Documents shorter than `n` tokens yield an empty array (the caller's
+    * `size >= n` filter grain). */
+  def positionalGramHashKernel(n: Int): Column => Column = {
+    val f = udf { (toks: Seq[String]) =>
+      val t = toks.toIndexedSeq
+      val T = t.length
+      if (T < n) Array.empty[(Long, Long)]
+      else {
+        val th1 = new Array[Long](T)
+        val th2 = new Array[Long](T)
+        var i = 0
+        while (i < T) { th1(i) = hash64(t(i), 42L); th2(i) = hash64(t(i), 7L); i += 1 }
+        val out = new Array[(Long, Long)](T - n + 1)
+        var p = 0
+        while (p <= T - n) {
+          var h1 = 0xCBF29CE484222325L
+          var h2 = 0x9E3779B97F4A7C15L
+          var j = 0
+          while (j < n) {
+            h1 = (h1 ^ th1(p + j)) * 0x100000001B3L
+            h2 = (h2 ^ th2(p + j)) * 0xC4CEB9FE1A85EC53L
+            j += 1
+          }
+          out(p) = (h1, h2)
+          p += 1
+        }
+        out
+      }
+    }
+    c => f(c)
+  }
+
   /** Exact Jaccard of two long collections treated as sets. */
   val jaccardLongKernel: (Column, Column) => Column = {
     val f = udf { (a: Seq[Long], b: Seq[Long]) =>

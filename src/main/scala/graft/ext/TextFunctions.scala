@@ -168,8 +168,10 @@ object TextFunctions {
     val termCounts = docs
       .select(col("doc_id"), size(col("toks")).as("n_terms"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "n_terms", "term").agg(count(lit(1)).as("cnt"))
+    // termCounts is one row per (doc_id, term) by construction, so the
+    // document frequency is a plain count — no distinct-set shuffle needed
     val docFreq = termCounts.groupBy("term")
-      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .agg(count(lit(1)).as("doc_freq"))
     val scored = termCounts.join(docFreq, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
@@ -234,7 +236,8 @@ object TextFunctions {
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms.map(lit): _*))
       .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
-    val docFreq = tf.groupBy("term").agg(countDistinct(col("doc_id")).as("df_t"))
+    // tf is one row per (doc_id, term) by construction → df_t is a count
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df_t"))
     val scored = tf.join(docFreq, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf", log(lit(1.0) +
@@ -581,8 +584,10 @@ object TextFunctions {
     require(n > 0, s"n must be positive, got $n")
     val grams = df.select(col(idCol),
       explode(Kernels.wordShinglesKernel(n)(col(textCol))).as("__g"))
+    // wordShinglesKernel emits DISTINCT grams per document, so "documents
+    // containing this gram" is a plain count of the exploded rows
     val docCounts = grams.groupBy(col("__g"))
-      .agg(countDistinct(col(idCol)).as("__docs"))
+      .agg(count(lit(1)).as("__docs"))
     val per = grams.join(docCounts, Seq("__g"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),

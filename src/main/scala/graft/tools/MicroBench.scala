@@ -62,7 +62,17 @@ object MicroBench {
       },
       "incrDedup" -> (() => graft.ext.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()))
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()),
+      "dupSpans" -> (() => graft.ext.Dedup.removeDupSpans(
+        docs, "doc_id", "text", n = 8)
+        .agg(sum(col("n_removed"))).first().getLong(0)),
+      "minhashDedup" -> (() => graft.ext.Dedup.minhashLshPairs(
+        docs, "doc_id", "text").count()),
+      "clusterStats" -> (() => graft.ext.Dedup.clusterStats(
+        graft.ext.Dedup.minhashLshPairs(
+          docs, "doc_id", "text", threshold = 0.5)).count()),
+      "semDedup" -> (() => graft.ext.Dedup.semDedup(
+        emb, "vec_id", "embedding", k = 16, threshold = 0.7).count()))
 
     def once(f: () => Long): Double = {
       val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
