@@ -63,6 +63,9 @@ object MicroBench {
       "incrDedup" -> (() => graft.ext.Dedup.incrementalDedup(
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
         docs.filter(col("doc_id") % 2 === 0), "doc_id", threshold = 0.5).count()),
+      "dedupSurvivor" -> (() => graft.ext.Dedup.dedupNearBy(
+        docs, "doc_id", "text", priority = col("n_chars"),
+        threshold = 0.5).count()),
       "dupSpans" -> (() => graft.ext.Dedup.removeDupSpans(
         docs, "doc_id", "text", n = 8)
         .agg(sum(col("n_removed"))).first().getLong(0)),
