@@ -455,7 +455,8 @@ object Bench {
       s""""ann_recall_at_10":${fmt(annRecall)},""" +
       (if (soakHistogram.nonEmpty) s""""soak_cluster_histogram":"$soakHistogram",""" else "") +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
-      s""""rows":$nRows,"sf":"$sfDir"}"""
+      s""""rows":$nRows,"sf":"$sfDir",""" +
+      s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

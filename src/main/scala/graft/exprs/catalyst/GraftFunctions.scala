@@ -64,6 +64,51 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Float-array dot product as a native codegen expression — the cosine's
+  * numerator alone, for callers that hoist the norms: cosine recomputes
+  * BOTH vector norms per pair, which is 3 multiply-adds per element, but
+  * an all-pairs stage (semDedup's in-cluster sweep is O(cluster²) pairs)
+  * touches each vector ~cluster times — precomputing `sqrt(dot(v,v))` once
+  * per vector and dividing the pair dot by the norm product does the same
+  * arithmetic (identical ascending summation order and the identical
+  * `sqrt(na)*sqrt(nb)` product, so the result is bit-for-bit the cosine)
+  * at 1/3 of the per-pair flops. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    java.lang.Double.valueOf(dot)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Unicode NFC normalization as a native codegen expression.
   *
   * Spark has no built-in Unicode normalizer, and a corpus scrubbed for
@@ -163,6 +208,7 @@ object RegexFindAllExpr {
   * from both the Column API (via `call_function`) and plain Spark SQL. */
 object GraftFunctions {
   val CosineName = "graft_cosine"
+  val DotName = "graft_dot"
   val NfcName = "graft_nfc"
   val RegexFindAllName = "graft_regex_find_all"
   val TopKName = "graft_top_k"
@@ -175,6 +221,14 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 2, s"$CosineName expects 2 arguments")
         CosineSimilarityExpr(
+          castToFloatArray(exprs.head), castToFloatArray(exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      DotName,
+      { exprs =>
+        require(exprs.length == 2, s"$DotName expects 2 arguments")
+        DotProductExpr(
           castToFloatArray(exprs.head), castToFloatArray(exprs(1)))
       },
       "built-in")

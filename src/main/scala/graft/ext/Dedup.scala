@@ -744,24 +744,32 @@ object Dedup {
                             threshold: Double, planes: Int = 0, tables: Int = 1,
                             seed: Long = 42L, dim: Int = 64): DataFrame = {
     require(tables >= 1, s"tables must be >= 1, got $tables")
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    // norms hoisted per vector (see [[semDedup]]): bit-for-bit the fused
+    // cosine at 1/3 of the per-candidate flops
     val base = df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("__nrm", sqrt(call_function(
+        graft.exprs.catalyst.GraftFunctions.DotName, col("v"), col("v"))))
     val candidates =
       if (planes <= 0) {
-        val a = base.select(col("vid").as("id_a"), col("v").as("v_a"))
-        val b = base.select(col("vid").as("id_b"), col("v").as("v_b"))
+        val a = base.select(col("vid").as("id_a"), col("v").as("v_a"), col("__nrm").as("n_a"))
+        val b = base.select(col("vid").as("id_b"), col("v").as("v_b"), col("__nrm").as("n_b"))
         a.crossJoin(b).filter(col("id_a") < col("id_b"))
       } else {
-        val bucketed = base.select(col("vid"), col("v"),
+        val bucketed = base.select(col("vid"), col("v"), col("__nrm"),
           posexplode(Kernels.hyperplaneBucketsKernel(planes, tables, dim, seed)(col("v")))
             .as(Seq("t", "bucket")))
-        val a = bucketed.select(col("t"), col("bucket"), col("vid").as("id_a"), col("v").as("v_a"))
-        val b = bucketed.select(col("t"), col("bucket"), col("vid").as("id_b"), col("v").as("v_b"))
+        val a = bucketed.select(col("t"), col("bucket"), col("vid").as("id_a"),
+          col("v").as("v_a"), col("__nrm").as("n_a"))
+        val b = bucketed.select(col("t"), col("bucket"), col("vid").as("id_b"),
+          col("v").as("v_b"), col("__nrm").as("n_b"))
         a.join(b, Seq("t", "bucket")).filter(col("id_a") < col("id_b"))
           .drop("t", "bucket")
       }
-    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
     candidates
-      .withColumn("cos", call_function(graft.exprs.catalyst.GraftFunctions.CosineName, col("v_a"), col("v_b")))
+      .withColumn("cos", when(col("n_a") * col("n_b") > 0,
+        call_function(graft.exprs.catalyst.GraftFunctions.DotName,
+          col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .distinct()
@@ -783,16 +791,27 @@ object Dedup {
                threshold: Double, iterations: Int = 1, seed: Long = 42L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val centroids = Similarity.kmeansTrain(df, idCol, vecCol, k, iterations, seed)
-    val assigned = spill(df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-      .withColumn("__cluster", Similarity.kmeansAssign(col("v"), centroids)),
-      "graft-semdedup-assign")
-    val a = assigned.select(col("__cluster"), col("vid").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("__cluster"), col("vid").as("id_b"), col("v").as("v_b"))
     graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    // Norms hoisted out of the O(cluster²) pair sweep: each vector's
+    // sqrt(dot(v,v)) is computed ONCE here, and the pair stage divides the
+    // pair dot by the norm product — bit-for-bit the fused cosine (same
+    // ascending summation, same sqrt(na)*sqrt(nb) product) at 1/3 of the
+    // per-pair flops. A zero-norm vector keeps cosine's null semantics via
+    // the d > 0 guard below.
+    val assigned = spill(df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .withColumn("__cluster", Similarity.kmeansAssign(col("v"), centroids))
+      .withColumn("__nrm", sqrt(call_function(
+        graft.exprs.catalyst.GraftFunctions.DotName, col("v"), col("v")))),
+      "graft-semdedup-assign")
+    val a = assigned.select(col("__cluster"), col("vid").as("id_a"),
+      col("v").as("v_a"), col("__nrm").as("n_a"))
+    val b = assigned.select(col("__cluster"), col("vid").as("id_b"),
+      col("v").as("v_b"), col("__nrm").as("n_b"))
     val pairs = a.join(b, Seq("__cluster"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", call_function(
-        graft.exprs.catalyst.GraftFunctions.CosineName, col("v_a"), col("v_b")))
+      .withColumn("cos", when(col("n_a") * col("n_b") > 0,
+        call_function(graft.exprs.catalyst.GraftFunctions.DotName,
+          col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
     val losers = clusterPairs(pairs)
@@ -889,12 +908,27 @@ object Dedup {
     val base = spill(
       df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-dupspan-toks")
-    val grams = positionalGrams(base, idCol, n)
+    // The gram-keyed shuffles are sized to the GRAM COUNT, not the session
+    // default: at sf1 this operator pushes ~350M gram rows with a
+    // near-unique key space through groupBy+join, and 32 reducers each
+    // build an ~11M-key hash map that overflows execution memory into
+    // sort-based spill — the stage went 64× the CPU for 20× the data. A
+    // ~2M-rows-per-reducer target keeps every aggregation map in memory
+    // (linear again); one cheap column-pruned count over the spilled token
+    // table prices the repartition. The 4096 cap matches the driver-side
+    // sanity cap a real cluster would configure; a session whose default
+    // already exceeds the estimate keeps its own setting.
+    val nGramRows = base
+      .agg(sum(greatest(size(col("__toks")) - (n - 1), lit(0)))).first().getLong(0)
+    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parts = math.max(sessParts, math.min(4096, (nGramRows / 2000000L).toInt + 1))
+    val grams = positionalGrams(base, idCol, n).repartition(parts, col("__g"))
     // "appears in >= 2 DISTINCT documents" is exactly min(id) != max(id) —
     // two streaming aggregates with full map-side partial combine, where
     // countDistinct would carry a per-gram distinct-id set through the
     // shuffle (an Expand + second aggregate) for a predicate that only ever
-    // asks "more than one?".
+    // asks "more than one?". The groupBy and the join back both reuse the
+    // explicit __g partitioning — one exchange feeds all three.
     val hot = grams.groupBy(col("__g"))
       .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
       .filter(col("__lo") =!= col("__hi")).select(col("__g"))
@@ -938,49 +972,24 @@ object Dedup {
     * copy of the coverage interval arithmetic both span-cut operators
     * share — returns `(idCol, cleaned_text, n_tokens, n_removed)`.
     *
-    * Survivors are assembled by SLICING the uncovered gaps out of the token
-    * array, not by testing every token against every start. `__starts` is
-    * sorted ascending and every span has the same length `n`, so the
-    * covered set is a union of runs: a new run begins exactly where the
-    * gap to the previous start exceeds `n` (a run's coverage is
-    * `[first, last + n - 1]`). One pass marks those run boundaries, and
-    * the kept text is the concatenation of `slice`s between consecutive
-    * runs — O(|starts| + |tokens|) per document with no quadratic term.
-    * The naive per-token `exists` over starts this replaces is
-    * O(|tokens|·|starts|): ~T² for a fully-duplicated T-token document,
-    * which is most of the operator's CPU on a dup-heavy corpus. (A
-    * left-fold into merged intervals via the `aggregate` HOF was tried
-    * first and benched 8× WORSE than the naive form — interpreted
-    * per-element array-accumulator copies swamp the comparisons saved.) */
+    * The cut itself is [[Kernels.spanCutKernel]] — gap slicing between
+    * covered runs (`__starts` is sorted and every span has length `n`, so
+    * coverage is a union of runs breaking exactly where consecutive starts
+    * gap by more than `n`) as one straight-line JVM loop,
+    * O(|starts| + |tokens|) per document. Two declarative formulations
+    * were benched and replaced: a per-token `exists` over starts
+    * (O(T·|starts|) ≈ T² on dup-heavy text) and the same gap slicing via
+    * filter/sequence/slice higher-order functions, which priced the
+    * interpreted per-element expression-tree walk at ~2,900 CPU-s for the
+    * sf1 corpus where the loop costs a few hundred. */
   private[ext] def cutCoveredSpans(base: DataFrame, idCol: String,
                                    hitStarts: DataFrame, n: Int): DataFrame = {
-    val toks = col("__toks")
-    val s = col("__starts")
-    val tLen = size(toks)
-    val sLen = size(s)
-    // 0-based positions into __starts where a new covered run begins; the
-    // when() keeps the i=0 arm from ever probing array index 0 (invalid
-    // even for try_element_at — CaseWhen evaluates its else-branch lazily)
-    val bIdx = filter(sequence(lit(0), sLen - 1), i =>
-      when(i === lit(0), lit(true))
-        .otherwise(try_element_at(s, i + 1) - try_element_at(s, i) > lit(n)))
-    val nb = size(bIdx)
-    // gap k (k = 0..nb): tokens strictly between run k-1's coverage end and
-    // run k's first covered position (run nb = "past the end" sentinel)
-    val kept = flatten(transform(sequence(lit(0), nb), k => {
-      val bk = when(k === nb, sLen).otherwise(try_element_at(bIdx, k + 1))
-      val gapLo = when(k === lit(0), lit(0))
-        .otherwise(try_element_at(s, bk) + lit(n))
-      val gapHi = when(k === nb, tLen - 1)
-        .otherwise(try_element_at(s, bk + 1) - 1)
-      slice(toks, gapLo + 1, greatest(lit(0), gapHi - gapLo + 1))
-    }))
+    val cut = Kernels.spanCutKernel(n)(col("__toks"), col("__starts"))
     base.join(hitStarts, Seq(idCol), "left")
-      .withColumn("__starts", coalesce(s, array().cast("array<int>")))
-      .withColumn("__kept", when(sLen === 0, toks).otherwise(kept))
+      .withColumn("__cut", cut)
       .select(col(idCol),
-        array_join(col("__kept"), " ").as("cleaned_text"),
-        tLen.cast("long").as("n_tokens"),
-        (tLen - size(col("__kept"))).cast("long").as("n_removed"))
+        col("__cut.cleaned_text").as("cleaned_text"),
+        col("__cut.n_tokens").as("n_tokens"),
+        col("__cut.n_removed").as("n_removed"))
   }
 }

@@ -18,6 +18,17 @@ object Kernels {
 
   private val Mersenne31 = (1L << 31) - 1
 
+  /** Exact `x % Mersenne31` for 0 <= x < 2^62 without the division: fold
+    * the high bits down twice (2^31 ≡ 1 mod M), then one conditional
+    * subtract. The minhash inner loop evaluates this numHashes times per
+    * shingle — ~19B times over a 6M-doc corpus — and the hardware divide
+    * in `%` was the single largest CPU line of the signature pass. */
+  @inline private[graft] def modM31(x: Long): Long = {
+    var v = (x & Mersenne31) + (x >>> 31)
+    v = (v & Mersenne31) + (v >>> 31)
+    if (v >= Mersenne31) v - Mersenne31 else v
+  }
+
   /** Murmur-mixed 64-bit string hash (stable across JVMs/partitions). */
   @inline private def hash64(s: String, seed: Long): Long = {
     var h = seed ^ (s.length * 0x9E3779B97F4A7C15L)
@@ -45,7 +56,7 @@ object Kernels {
         val h = java.lang.Math.floorMod(hash64(s, 42L), Mersenne31)
         var i = 0
         while (i < numHashes) {
-          val v = (h * as(i) + bs(i)) % Mersenne31
+          val v = modM31(h * as(i) + bs(i))
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -133,7 +144,7 @@ object Kernels {
         val h = java.lang.Math.floorMod(hv, Mersenne31)
         var i = 0
         while (i < numHashes) {
-          val v = (h * as(i) + bs(i)) % Mersenne31
+          val v = modM31(h * as(i) + bs(i))
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -184,6 +195,51 @@ object Kernels {
       }
     }
     c => f(c)
+  }
+
+  /** Result row of [[spanCutKernel]] — field names become the struct's. */
+  final case class SpanCut(cleaned_text: String, n_tokens: Long, n_removed: Long)
+
+  /** Gap-slicing span cut as ONE tight loop: drop every token covered by a
+    * length-`n` span starting at any of `starts` (sorted ascending; null
+    * or empty = keep everything). Runs of starts whose consecutive gaps
+    * are <= n merge into a single covered interval `[first, last+n-1]`;
+    * survivors are the tokens in the gaps between intervals, joined with
+    * single spaces — the same arithmetic as the declarative
+    * filter/sequence/slice formulation in `Dedup.cutCoveredSpans`, which
+    * walked interpreted HOF expression trees per element and cost ~2,900
+    * CPU-s at sf1 where this loop costs a few hundred. */
+  def spanCutKernel(n: Int): (Column, Column) => Column = {
+    val f = udf { (toks: Seq[String], starts: Seq[Int]) =>
+      val t = toks.toIndexedSeq
+      val tLen = t.length
+      if (starts == null || starts.isEmpty) SpanCut(t.mkString(" "), tLen.toLong, 0L)
+      else {
+        val s = starts.toIndexedSeq
+        val sb = new java.lang.StringBuilder
+        var kept = 0
+        var cursor = 0 // next token position not yet emitted or covered
+        var i = 0
+        while (i < s.length) {
+          var j = i // extend the run while consecutive starts stay within n
+          while (j + 1 < s.length && s(j + 1) - s(j) <= n) j += 1
+          var p = cursor // emit the gap before this run's first covered token
+          while (p < s(i)) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(t(p)); kept += 1; p += 1
+          }
+          cursor = math.max(cursor, s(j) + n)
+          i = j + 1
+        }
+        var p = cursor // tail after the last run
+        while (p < tLen) {
+          if (sb.length > 0) sb.append(' ')
+          sb.append(t(p)); kept += 1; p += 1
+        }
+        SpanCut(sb.toString, tLen.toLong, (tLen - kept).toLong)
+      }
+    }
+    (toks, starts) => f(toks, starts)
   }
 
   /** Exact Jaccard of two long collections treated as sets. */

@@ -150,7 +150,12 @@ object BenchSf1 {
       s""""extras_cpu":${fmt(extras.map { case (k, r) => k -> r._2 })},""" +
       s""""noisy":$noisy,"cluster_histogram":"$histogram",""" +
       s""""docs_per_sec":${results.map { case (k, v) => s""""$k":${(nRows / v).toLong}""" }.mkString("{", ",", "}")},""" +
-      s""""rows":$nRows,"n_docs":$nDocs,"n_vectors":$nVec,"sf":"$sfDir"}"""
+      s""""rows":$nRows,"n_docs":$nDocs,"n_vectors":$nVec,"sf":"$sfDir",""" +
+      // heap is part of the measurement at this scale: a 6M-doc in-memory
+      // sweep on the 8g default spends its CPU in GC (an early r8 run
+      // doubled every join-heavy entry, then OOMed) — record it so two
+      // records are only ever compared at like-for-like memory
+      s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()

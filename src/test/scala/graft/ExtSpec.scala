@@ -506,6 +506,20 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unconverged labels: ${bad.take(5).mkString(", ")}")
   }
 
+  test("modM31 equals % Mersenne31 across the minhash input range") {
+    // the fast reduction replaced the hardware divide in the signature
+    // inner loop; inputs there are h*a+b with h < M31, a,b < 2^31 — i.e.
+    // anything in [0, 2^62). Sweep structured edges + a seeded random spray.
+    val m = (1L << 31) - 1
+    val edges = Seq(0L, 1L, m - 1, m, m + 1, 2 * m, 2 * m + 1,
+      (1L << 62) - 1, (1L << 62) - m, 123456789012345L)
+    val rnd = new scala.util.Random(8L)
+    val random = Seq.fill(10000)(rnd.nextLong() >>> 2) // uniform in [0, 2^62)
+    (edges ++ random).foreach { x =>
+      assert(Kernels.modM31(x) == x % m, s"modM31($x)")
+    }
+  }
+
   test("clusterPairs agrees with a reference union-find on random graphs") {
     import spark.implicits._
     // differential fuzz for the pointer-jumping rewrite: 12 seeded random
