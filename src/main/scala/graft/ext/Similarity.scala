@@ -27,6 +27,24 @@ object Similarity {
     call_function(graft.exprs.catalyst.GraftFunctions.CosineName, a, b)
   }
 
+  /** Per-vector norm hoisted out of a pair sweep (see `Dedup.semDedup`):
+    * sqrt(dot(v,v)) computed once per frame row, below the join that fans
+    * the row out to its candidate pairs. */
+  private def nativeNorm(df: DataFrame)(v: Column): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    sqrt(call_function(graft.exprs.catalyst.GraftFunctions.DotName, v, v))
+  }
+
+  /** Cosine from a pair dot and hoisted norms — bit-for-bit the fused
+    * [[nativeCosine]] (identical ascending summations, identical
+    * sqrt(na)*sqrt(nb) product) at a third of the per-pair flops. */
+  private def cosFromNorms(df: DataFrame)(a: Column, b: Column,
+                                          na: Column, nb: Column): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    when(na * nb > 0,
+      call_function(graft.exprs.catalyst.GraftFunctions.DotName, a, b) / (na * nb))
+  }
+
   /** Sequential-order dot product of two numeric array columns (folds left,
     * same order as a scalar loop — reproducible across engines). */
   def dot(a: Column, b: Column): Column =
@@ -129,11 +147,14 @@ object Similarity {
     * then corpus id asc. Self-matches (same id) are excluded. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", nativeNorm(corpus)(col("q_vec"))))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_nrm", nativeNorm(corpus)(col("c_vec")))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+      .withColumn("cos", cosFromNorms(corpus)(col("q_vec"), col("c_vec"),
+        col("q_nrm"), col("c_nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -223,15 +244,23 @@ object Similarity {
     * per query batch. */
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
               k: Int, nprobe: Int): DataFrame = {
+    // norms hoisted BELOW the probe join: once per broadcast query row and
+    // once per index row, then carried through the multi-probe distinct —
+    // a norm is a function of its vector, so widening the distinct key
+    // with it changes nothing semantically
     val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_nrm", nativeNorm(queries)(col("q_vec")))
       .withColumn("cluster",
         explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
+    val indexed = index.indexed
+      .withColumn("c_nrm", nativeNorm(queries)(col("c_vec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(index.indexed, "cluster")
+    probes.join(indexed, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
-      .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
+      .select("query_id", "q_vec", "q_nrm", "neighbor_id", "c_vec", "c_nrm").distinct()
+      .withColumn("cos", cosFromNorms(queries)(col("q_vec"), col("c_vec"),
+        col("q_nrm"), col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
@@ -615,21 +644,27 @@ object Similarity {
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 8, tables: Int = 4,
               dim: Int = 64, seed: Long = 42L): DataFrame = {
-    def bucketed(df: DataFrame, vecName: String, idName: String): DataFrame = {
+    // norms hoisted below the bucket join (once per row, before the
+    // per-table explode) and carried through the multi-table distinct —
+    // see ivfTopK for the argument
+    def bucketed(df: DataFrame, vecName: String, idName: String,
+                 nrmName: String): DataFrame = {
       val withBuckets = df.select(col(idCol).as(idName), col(vecCol).as(vecName))
+        .withColumn(nrmName, nativeNorm(df)(col(vecName)))
         .withColumn("buckets",
           Kernels.hyperplaneBucketsKernel(planes, tables, dim, seed)(col(vecName)))
-      withBuckets.select(col(idName), col(vecName),
+      withBuckets.select(col(idName), col(vecName), col(nrmName),
         posexplode(col("buckets")).as(Seq("table", "bucket")))
     }
-    val q = bucketed(broadcast(queries), "q_vec", "query_id")
-    val c = bucketed(corpus, "c_vec", "neighbor_id")
+    val q = bucketed(broadcast(queries), "q_vec", "query_id", "q_nrm")
+    val c = bucketed(corpus, "c_vec", "neighbor_id", "c_nrm")
     val candidates = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "neighbor_id", "c_vec").distinct()
+      .select("query_id", "q_vec", "q_nrm", "neighbor_id", "c_vec", "c_nrm").distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.withColumn("cos", nativeCosine(corpus)(col("q_vec"), col("c_vec")))
+    candidates.withColumn("cos", cosFromNorms(corpus)(col("q_vec"), col("c_vec"),
+        col("q_nrm"), col("c_nrm")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
