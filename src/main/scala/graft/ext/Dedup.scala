@@ -43,6 +43,21 @@ object Dedup {
   private[graft] def spill(df: DataFrame, prefix: String): DataFrame =
     spillWithPath(df, prefix)._1
 
+  /** Data-proportional partition count for a keyed shuffle with a known
+    * row count: a near-unique key space (grams, lines, shingles) at the
+    * session's fixed shuffle.partitions gives every reducer a hash map
+    * that overflows execution memory into sort-based spill — the sf1 span
+    * cut ran 64× the CPU for 20× the data on exactly that. ~2M rows per
+    * reducer keeps the per-task aggregation map ~100 MB (in memory on any
+    * plausible executor); sessions already configured wider keep their own
+    * setting, and 4096 caps runaway estimates the way a cluster-side
+    * sanity limit would. */
+  private[graft] def scaledParts(spark: org.apache.spark.sql.SparkSession, rows: Long,
+                                 rowsPerPart: Long = 2000000L): Int = {
+    val sess = spark.sessionState.conf.numShufflePartitions
+    math.max(sess, math.min(4096, (rows / rowsPerPart).toInt + 1))
+  }
+
   /** [[spill]] that also hands back the scratch path, for callers with a
     * clear end-of-use point that can delete eagerly (e.g. `$merge`) instead
     * of leaning on the JVM-exit sweep — a long-running session spilling per
@@ -849,10 +864,20 @@ object Dedup {
                 maxCount: Long = 1L, sepRegex: String = "\n",
                 joinStr: String = "\n"): DataFrame = {
     require(maxCount >= 1, s"maxCount must be >= 1, got $maxCount")
-    val lines = df
+    // Spilled: BOTH branches below (corpus counts + reassembly join) read
+    // the exploded line table, which otherwise re-splits every document
+    // twice; the spill's metadata row count also prices the line-keyed
+    // shuffle for free, and the repartition feeds the groupBy and the join
+    // back with ONE exchange sized to the data ([[scaledParts]] — the line
+    // key space is near-unique, the same spill-prone shape as the span
+    // cut's grams).
+    val lines0 = spill(df
       .select(col(idCol),
         posexplode(filter(transform(split(col(textCol), sepRegex), l => trim(l)),
-          l => l =!= "")).as(Seq("__pos", "__line")))
+          l => l =!= "")).as(Seq("__pos", "__line"))),
+      "graft-linededup-lines")
+    val lines = lines0.repartition(
+      scaledParts(df.sparkSession, lines0.count()), col("__line"))
     val counts = lines.groupBy(col("__line")).agg(count(lit(1)).as("__cnt"))
     val kept = lines.join(counts, Seq("__line"))
       .withColumn("__keep", col("__cnt") <= maxCount)
@@ -908,20 +933,13 @@ object Dedup {
     val base = spill(
       df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-dupspan-toks")
-    // The gram-keyed shuffles are sized to the GRAM COUNT, not the session
-    // default: at sf1 this operator pushes ~350M gram rows with a
-    // near-unique key space through groupBy+join, and 32 reducers each
-    // build an ~11M-key hash map that overflows execution memory into
-    // sort-based spill — the stage went 64× the CPU for 20× the data. A
-    // ~2M-rows-per-reducer target keeps every aggregation map in memory
-    // (linear again); one cheap column-pruned count over the spilled token
-    // table prices the repartition. The 4096 cap matches the driver-side
-    // sanity cap a real cluster would configure; a session whose default
-    // already exceeds the estimate keeps its own setting.
+    // The gram-keyed shuffles are sized to the GRAM COUNT ([[scaledParts]]):
+    // at sf1 this operator pushes ~350M gram rows with a near-unique key
+    // space through groupBy+join, priced by one column-pruned count over
+    // the spilled token table.
     val nGramRows = base
       .agg(sum(greatest(size(col("__toks")) - (n - 1), lit(0)))).first().getLong(0)
-    val sessParts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val parts = math.max(sessParts, math.min(4096, (nGramRows / 2000000L).toInt + 1))
+    val parts = scaledParts(df.sparkSession, nGramRows)
     val grams = positionalGrams(base, idCol, n).repartition(parts, col("__g"))
     // "appears in >= 2 DISTINCT documents" is exactly min(id) != max(id) —
     // two streaming aggregates with full map-side partial combine, where

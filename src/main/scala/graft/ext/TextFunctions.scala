@@ -582,8 +582,15 @@ object TextFunctions {
   def dupNgramFraction(df: org.apache.spark.sql.DataFrame, idCol: String,
                        textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val grams = df.select(col(idCol),
-      explode(Kernels.wordShinglesKernel(n)(col(textCol))).as("__g"))
+    // Spilled: the count branch and the per-document join both read the
+    // exploded gram table (previously the shingle kernel ran twice); the
+    // metadata row count sizes the gram-keyed shuffle to the data
+    // (Dedup.scaledParts — near-unique key space, the spill-prone shape).
+    val grams0 = Dedup.spill(df.select(col(idCol),
+      explode(Kernels.wordShinglesKernel(n)(col(textCol))).as("__g")),
+      "graft-dupngram-grams")
+    val grams = grams0.repartition(
+      Dedup.scaledParts(df.sparkSession, grams0.count()), col("__g"))
     // wordShinglesKernel emits DISTINCT grams per document, so "documents
     // containing this gram" is a plain count of the exploded rows
     val docCounts = grams.groupBy(col("__g"))
