@@ -506,6 +506,43 @@ class ExtSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"unconverged labels: ${bad.take(5).mkString(", ")}")
   }
 
+  test("scaledParts: session floor, data-proportional growth, 4096 cap") {
+    val s = spark
+    val floor = s.sessionState.conf.numShufflePartitions
+    assert(Dedup.scaledParts(s, 0L) == floor)
+    assert(Dedup.scaledParts(s, 350_000_000L) == math.max(floor, 176)) // the sf1 gram count
+    assert(Dedup.scaledParts(s, Long.MaxValue / 4) == 4096)
+  }
+
+  test("removeDupSpans: the explicit gram repartition is the ONLY gram exchange") {
+    import spark.implicits._
+    // the explicit repartition by __g must be REUSED by the hot-gram
+    // aggregation and the join back: any ENSURE_REQUIREMENTS exchange on
+    // __g would mean Catalyst re-shuffled the operator's dominant data a
+    // second time (at toy scale AQE may also replace the join side with a
+    // broadcast — that's fine; a REQUIREMENTS re-shuffle is not)
+    val docs = (0L until 50L).map(i => (i, s"a b c d e f g h i $i")).toDF("doc_id", "text")
+    val plan = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
+    def flat(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    def gramKeyed(e: ShuffleExchangeExec): Boolean = e.outputPartitioning match {
+      case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+        h.expressions.exists(_.references.exists(_.name == "__g"))
+      case _ => false
+    }
+    val ex = flat(plan).collect { case e: ShuffleExchangeExec if gramKeyed(e) => e }
+    assert(ex.nonEmpty, s"expected the explicit __g repartition in the plan:\n$plan")
+    val required = ex.filterNot(_.shuffleOrigin == REPARTITION_BY_NUM)
+    assert(required.isEmpty,
+      s"Catalyst inserted ${required.size} extra __g exchange(s) beyond the explicit repartition:\n$plan")
+  }
+
   test("modM31 equals % Mersenne31 across the minhash input range") {
     // the fast reduction replaced the hardware divide in the signature
     // inner loop; inputs there are h*a+b with h < M31, a,b < 2^31 — i.e.
