@@ -69,13 +69,14 @@ object Kernels {
   /** Band keys from a signature: hash each of `bands` contiguous slices. */
   def bandKeysKernel(bands: Int, rowsPerBand: Int): Column => Column = {
     val f = udf { (sig: Seq[Long]) =>
+      val sg = sig.toArray // primitive hoist
       val out = new Array[Long](bands)
       var b = 0
       while (b < bands) {
         var h = 0xCBF29CE484222325L
         var r = 0
         while (r < rowsPerBand) {
-          h = (h ^ sig(b * rowsPerBand + r)) * 0x100000001B3L
+          h = (h ^ sg(b * rowsPerBand + r)) * 0x100000001B3L
           r += 1
         }
         out(b) = h
@@ -139,8 +140,9 @@ object Kernels {
     val as = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
     val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
     val g = udf { (hashes: Seq[Long]) =>
+      val hs = hashes.toArray // primitive hoist — foreach over Seq[Long] boxes
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      hashes.foreach { hv =>
+      hs.foreach { hv =>
         val h = java.lang.Math.floorMod(hv, Mersenne31)
         var i = 0
         while (i < numHashes) {
@@ -215,7 +217,7 @@ object Kernels {
       val tLen = t.length
       if (starts == null || starts.isEmpty) SpanCut(t.mkString(" "), tLen.toLong, 0L)
       else {
-        val s = starts.toIndexedSeq
+        val s = starts.toArray // primitive hoist — Seq[Int] access boxes
         val sb = new java.lang.StringBuilder
         var kept = 0
         var cursor = 0 // next token position not yet emitted or covered
@@ -242,12 +244,31 @@ object Kernels {
     (toks, starts) => f(toks, starts)
   }
 
-  /** Exact Jaccard of two long collections treated as sets. */
+  /** Exact Jaccard of two long collections treated as sets — a primitive
+    * sort + run-skipping merge instead of two boxed HashSets: the verify
+    * tier evaluates this once per LSH candidate pair, and Set[Long]
+    * construction boxed ~100 longs per call (the pair stage's dominant
+    * allocation). Duplicate values collapse in the merge exactly as the
+    * set semantics did. */
   val jaccardLongKernel: (Column, Column) => Column = {
     val f = udf { (a: Seq[Long], b: Seq[Long]) =>
-      val sa = a.toSet; val sb = b.toSet
-      val inter = sa.count(sb)
-      val union = sa.size + sb.size - inter
+      val x = a.toArray; java.util.Arrays.sort(x)
+      val y = b.toArray; java.util.Arrays.sort(y)
+      var i = 0; var j = 0; var inter = 0; var na = 0; var nb = 0
+      while (i < x.length || j < y.length) {
+        if (j >= y.length || (i < x.length && x(i) < y(j))) {
+          val v = x(i); na += 1
+          while (i < x.length && x(i) == v) i += 1
+        } else if (i >= x.length || y(j) < x(i)) {
+          val v = y(j); nb += 1
+          while (j < y.length && y(j) == v) j += 1
+        } else {
+          val v = x(i); na += 1; nb += 1; inter += 1
+          while (i < x.length && x(i) == v) i += 1
+          while (j < y.length && y(j) == v) j += 1
+        }
+      }
+      val union = na + nb - inter
       if (union > 0) inter.toDouble / union else 1.0
     }
     (a, b) => f(a, b)
@@ -308,11 +329,12 @@ object Kernels {
     * formula — bit-identical; null for zero-norm inputs like the others). */
   val cosineKernel: (Column, Column) => Column = {
     val f = udf { (a: Seq[Float], b: Seq[Float]) =>
+      val xa = a.toArray; val yb = b.toArray // primitive hoist
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      val n = math.min(a.length, b.length)
+      val n = math.min(xa.length, yb.length)
       while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
+        val x = xa(i).toDouble; val y = yb(i).toDouble
         dot += x * y; na += x * x; nb += y * y
         i += 1
       }
@@ -375,14 +397,17 @@ object Kernels {
     * construction (an IVF codebook), broadcast with the task. */
   def nearestCentroidsKernel(centroids: Array[Array[Double]], nprobe: Int): Column => Column = {
     val f = udf { (v: Seq[Float]) =>
+      // primitive hoist: element access through Seq[Float] boxes every
+      // float — 256 centroids x 64 dims is ~16k boxes per ROW without it
+      val a = v.toArray
       val dists = new Array[(Double, Int)](centroids.length)
       var i = 0
       while (i < centroids.length) {
         val c = centroids(i)
         var d = 0.0
         var j = 0
-        val n = math.min(v.length, c.length)
-        while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+        val n = math.min(a.length, c.length)
+        while (j < n) { val t = a(j) - c(j); d += t * t; j += 1 }
         dists(i) = (d, i)
         i += 1
       }
@@ -398,6 +423,7 @@ object Kernels {
       Array.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
     }
     val f = udf { (v: Seq[Float]) =>
+      val a = v.toArray // primitive hoist — see nearestCentroidsKernel
       val out = new Array[Long](tables)
       var t = 0
       while (t < tables) {
@@ -406,9 +432,9 @@ object Kernels {
         while (p < planes) {
           var dot = 0.0
           val r = hp(t)(p)
-          val n = math.min(v.length, dim)
+          val n = math.min(a.length, dim)
           var i = 0
-          while (i < n) { dot += v(i) * r(i); i += 1 }
+          while (i < n) { dot += a(i) * r(i); i += 1 }
           if (dot >= 0) bucket |= (1L << p)
           p += 1
         }
@@ -427,6 +453,7 @@ object Kernels {
     * the float vector (m bytes-worth vs 4·dim bytes). */
   def pqEncodeKernel(codebooks: Array[Array[Array[Double]]]): Column => Column = {
     val f = udf { (v: Seq[Float]) =>
+      val a = v.toArray // primitive hoist — see nearestCentroidsKernel
       val m = codebooks.length
       val out = new Array[Int](m)
       var sub = 0
@@ -441,8 +468,8 @@ object Kernels {
           val cw = cb(c)
           var d = 0.0
           var j = 0
-          while (j < subDim && off + j < v.length) {
-            val t = v(off + j) - cw(j); d += t * t; j += 1
+          while (j < subDim && off + j < a.length) {
+            val t = a(off + j) - cw(j); d += t * t; j += 1
           }
           if (d < bestD) { bestD = d; best = c }
           c += 1
@@ -463,6 +490,7 @@ object Kernels {
     * (m × ksub). */
   def pqAdcTableKernel(codebooks: Array[Array[Array[Double]]]): Column => Column = {
     val f = udf { (v: Seq[Float]) =>
+      val a = v.toArray // primitive hoist
       val m = codebooks.length
       val out = new Array[Seq[Double]](m)
       var sub = 0
@@ -476,7 +504,7 @@ object Kernels {
           val cw = cb(c)
           var d = 0.0
           var j = 0
-          while (j < subDim && off + j < v.length) { d += v(off + j) * cw(j); j += 1 }
+          while (j < subDim && off + j < a.length) { d += a(off + j) * cw(j); j += 1 }
           row(c) = d
           c += 1
         }
@@ -534,10 +562,11 @@ object Kernels {
     * m array lookups per candidate, no per-row table deserialization. */
   def pqAdcScoreClosureKernel(tables: Map[String, Array[Double]], ksub: Int): (Column, Column) => Column = {
     val f = udf { (qid: String, codes: Seq[Int]) =>
+      val cs = codes.toArray // primitive hoist
       val t = tables(qid)
       var s = 0.0
       var i = 0
-      while (i < codes.length) { s += t(i * ksub + codes(i)); i += 1 }
+      while (i < cs.length) { s += t(i * ksub + cs(i)); i += 1 }
       s
     }
     (q, c) => f(q, c)
