@@ -842,6 +842,48 @@ object SparkEntry {
       streamCurateGate(spark, dir)._2
         .groupBy(col("tier"))
         .agg(sum(col("rows")).as("rows"), sum(col("dropped")).as("dropped"))),
+    // ---- $graphLookup / $merge differential gates (SURVEY §2.2
+    // extensions; previously spec-only). q_graph_lookup walks a parent-
+    // pointer binary-heap tree derived from part (parent(k) =
+    // floor((k-1)/2), so every chain climbs to the root k=0 in ~log2 N
+    // hops — 11 BFS join levels at the oracle SF, one keyed equi-join per
+    // level; the root's parent is -1, which matches no key, so BOTH the
+    // BFS and the oracle's UNION ALL recursion terminate without
+    // cycle-handling) and emits one row per (node, ancestor, depth);
+    // DuckDB replays it with a recursive CTE. ----
+    "q_graph_lookup" -> ((spark: SparkSession, dir: String) => {
+      val tree = tbl(spark, dir, "part")
+        .select(col("p_partkey"), floor((col("p_partkey") - 1) / 2).cast("long").as("parent"))
+      Aggo.aggregate(tree,
+        """[
+          {"$graphLookup": {"from": "tree", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "p_partkey",
+            "as": "anc", "depthField": "d"}},
+          {"$unwind": "$anc"},
+          {"$project": {"p_partkey": 1, "anc_key": "$anc.p_partkey", "d": "$anc.d"}}
+        ]""", Map("tree" -> tree))
+    }),
+    // $merge end-to-end against a real on-disk parquet target: seed with
+    // even-keyed customers (c_nationkey is target-only), merge in a
+    // 3-divisible update stream (whenMatched=merge: incoming non-null
+    // field wins, existing target-only column survives;
+    // whenNotMatched=insert lands with a null c_nationkey), return the
+    // post-merge target read — exactly what the $merge stage hands the
+    // next stage. DuckDB replays the mode matrix as a FULL OUTER JOIN.
+    "q_merge_upsert" -> ((spark: SparkSession, dir: String) => {
+      val cust = tbl(spark, dir, "customer")
+      val base = java.nio.file.Files.createTempDirectory("graft-merge-gate").toString
+      val target = s"$base/customers"
+      cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+        .write.mode("overwrite").parquet(target)
+      val updates = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), concat(lit("upd:"), col("c_name")).as("c_name"),
+          (col("c_acctbal") + 1000.0).as("c_acctbal"))
+      Aggo.aggregate(updates,
+        s"""[{"$$merge": {"into": "$target", "on": "c_custkey",
+             "whenMatched": "merge", "whenNotMatched": "insert"}}]""")
+    }),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._
       graft.ext.Packing.packByTokenBudget(
@@ -2733,6 +2775,35 @@ object SparkEntry {
       SELECT 'quality', n_q.n, n_in.n - n_q.n FROM n_q, n_in
       UNION ALL
       SELECT 'dedup_store', n_d.n, n_q.n - n_d.n FROM n_d, n_q""",
+    // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
+    // the same derived parent-pointer tree (root k=0 has no ancestor row on
+    // either side: its parent -1 matches no key)
+    "q_graph_lookup" ->
+      """WITH RECURSIVE tree AS (
+        SELECT p_partkey, CAST(floor((p_partkey - 1) / 2) AS BIGINT) AS parent FROM part
+      ), anc AS (
+        SELECT t.p_partkey, t2.p_partkey AS anc_key, t2.parent AS nxt, CAST(0 AS BIGINT) AS d
+          FROM tree t JOIN tree t2 ON t2.p_partkey = t.parent
+        UNION ALL
+        SELECT a.p_partkey, t3.p_partkey, t3.parent, a.d + 1
+          FROM anc a JOIN tree t3 ON t3.p_partkey = a.nxt
+      )
+      SELECT p_partkey, anc_key, d FROM anc""",
+    // $merge mode matrix (whenMatched=merge + whenNotMatched=insert) as a
+    // FULL OUTER JOIN: incoming's non-null field wins on matched keys, the
+    // target-only c_nationkey survives (null on inserted rows)
+    "q_merge_upsert" ->
+      """WITH target AS (
+        SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer WHERE c_custkey % 2 = 0
+      ), src AS (
+        SELECT c_custkey, concat('upd:', c_name) AS c_name, c_acctbal + 1000.0 AS c_acctbal
+        FROM customer WHERE c_custkey % 3 = 0
+      )
+      SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+             COALESCE(s.c_name, t.c_name) AS c_name,
+             COALESCE(s.c_acctbal, t.c_acctbal) AS c_acctbal,
+             t.c_nationkey
+      FROM target t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey""",
     "q_corpus_curate" ->
       """WITH RECURSIVE input AS (
         SELECT doc_id, text, lang FROM documents

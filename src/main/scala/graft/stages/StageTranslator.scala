@@ -2140,37 +2140,44 @@ object StageTranslator {
     val fCols = foreign.columns.toSeq
     val fStruct = struct(fCols.map(col): _*)
 
-    var frontier = withId
-      .select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))
-      .filter(col("__key").isNotNull).distinct()
-    var visited = frontier
+    // Per-level lineage truncation via durable spill — the same
+    // checkpoint-interval recipe as Dedup.clusterPairs, and for the same
+    // reason: `visited` unions every frontier and each frontier anti-joins
+    // `visited`, so a persist()-only loop DOUBLES the logical plan per BFS
+    // level (persist caches row data, not plan lineage) — at depth ~11
+    // (e.g. a binary parent-pointer tree over a few thousand keys, the
+    // q_graph_lookup gate) the analyzer alone OOMs the driver. Spilling
+    // frontier and matched makes every level's plan a scan leaf: `visited`
+    // becomes a union of ≤ maxDepth scan leaves and total analyzer work is
+    // O(depth²) plan nodes. Scratch files die with the JVM; nothing stays
+    // pinned, so the no-leaked-RDD contract holds without bookkeeping.
+    var frontier = graft.ext.Dedup.spill(
+      withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))
+        .filter(col("__key").isNotNull).distinct(),
+      "graft-graphlookup-frontier")
+    val visitedLevels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     var results: DataFrame = null
     var depth = 0
     var done = false
-    // track every per-level persist so nothing stays pinned after the stage
-    val pinned = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!done && depth <= maxDepth) {
-      val matched = foreign.join(frontier, foreign(connectTo) === frontier("__key"))
-        .select(col("__gid"), fStruct.as("__doc"),
-          col(connectFrom).as("__next"), lit(depth.toLong).as("__depth"))
-        .persist()
-      if (matched.isEmpty) { matched.unpersist(); done = true }
+      val matched = graft.ext.Dedup.spill(
+        foreign.join(frontier, foreign(connectTo) === frontier("__key"))
+          .select(col("__gid"), fStruct.as("__doc"),
+            col(connectFrom).as("__next"), lit(depth.toLong).as("__depth")),
+        "graft-graphlookup-matched")
+      if (matched.isEmpty) done = true
       else {
-        pinned += matched
+        // unions of spilled levels: plans stay linear in depth
         results = if (results == null) matched else results.unionByName(matched)
-        frontier = matched.select(col("__gid"), col("__next").as("__key"))
-          .filter(col("__key").isNotNull).distinct()
-          .join(visited, Seq("__gid", "__key"), "left_anti")
-          .persist() // cut lineage growth across BFS levels
-        pinned += frontier
-        visited = visited.unionByName(frontier)
+        frontier = graft.ext.Dedup.spill(
+          matched.select(col("__gid"), col("__next").as("__key"))
+            .filter(col("__key").isNotNull).distinct()
+            .join(visitedLevels.reduce(_ unionByName _), Seq("__gid", "__key"), "left_anti"),
+          "graft-graphlookup-frontier")
+        visitedLevels += frontier
         depth += 1
       }
     }
-    // spill the accumulated matches so the per-level persists can be
-    // released before returning (same no-pinned-RDD contract as Dedup)
-    if (results != null) results = graft.ext.Dedup.spill(results, "graft-graphlookup")
-    pinned.foreach(_.unpersist())
     val collected =
       if (results == null)
         withId.select(col("__gid")).limit(0)

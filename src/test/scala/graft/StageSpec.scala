@@ -938,6 +938,32 @@ class StageSpec extends AnyFunSuite {
     assert(byName("ceo")._1.isEmpty)
   }
 
+  test("$graphLookup survives deep recursion without plan blowup") {
+    // Regression: the BFS loop's `visited` unions every frontier and each
+    // frontier anti-joins `visited`; before per-level spill lineage
+    // truncation the logical plan DOUBLED per level and an 11-deep walk
+    // (binary-heap parent tree over 2k keys — the q_graph_lookup shape)
+    // OOM'd the driver in the analyzer. persist() caches rows, not plans.
+    import spark.implicits._
+    val n = 2000
+    val tree = (0 until n)
+      .map(k => (k.toLong, if (k == 0) -1L else ((k - 1) / 2).toLong))
+      .toDF("k", "parent")
+    val out = Aggo.aggregate(tree,
+      """[{"$graphLookup": {"from": "tree", "startWith": "$parent",
+            "connectFromField": "parent", "connectToField": "k",
+            "as": "anc", "depthField": "d"}},
+          {"$unwind": "$anc"},
+          {"$project": {"k": 1, "anc_k": "$anc.k", "d": "$anc.d"}}]""",
+      Map("tree" -> tree))
+    // ancestor-chain length of k in a binary heap = floor(log2(k+1))
+    def depth(k: Int): Int = if (k == 0) 0 else 1 + depth((k - 1) / 2)
+    val expected = (0 until n).map(depth).map(_.toLong).sum
+    assert(out.count() == expected)
+    assert(out.agg(org.apache.spark.sql.functions.max("d")).head.getLong(0)
+      == depth(n - 1) - 1) // deepest node's furthest ancestor sits at depth chainLen-1
+  }
+
   test("$text search over text field") {
     val docs = fromJsonl(
       """{"id": 1, "text": "Spark makes Big Data simple"}""",
