@@ -2118,15 +2118,25 @@ object StageTranslator {
 
   // --------------------------------------------------------------------------
   // $graphLookup — BFS over a foreign collection (extension; Mongo-compatible
-  // surface). Iterative distributed joins, one per depth level; the frontier
-  // is deduplicated against the visited set per start row, so cycles
-  // terminate. Depth capped (default 20).
+  // surface incl. restrictSearchWithMatch and array-valued startWith /
+  // connectFromField traversal). Iterative distributed joins, one per depth
+  // level; the frontier is deduplicated against the visited set per start
+  // row, so cycles terminate. Depth capped (default 20).
   // --------------------------------------------------------------------------
   private def graphLookup(df: DataFrame, body: JValue, ctx: PipeCtx): (DataFrame, PipeCtx) = {
     implicit val ec: ExprCtx = exprCtx(df)
     val fs = body match { case JObject(f) => f; case _ => throw GraftException("$graphLookup requires an object") }
     def str(n: String): Option[String] = fs.collectFirst { case (`n`, JString(s)) => s }
-    val foreign = ctx.collection(str("from").getOrElse(throw GraftException("$graphLookup requires from")))
+    val foreign0 = ctx.collection(str("from").getOrElse(throw GraftException("$graphLookup requires from")))
+    // restrictSearchWithMatch: a $match document applied to the foreign
+    // collection at EVERY traversal step (Mongo semantics: a restricted
+    // document can't be visited, so chains stop at it rather than passing
+    // through). The restriction is traversal-invariant, so it pushes down
+    // to ONE filter on the foreign scan instead of a per-level re-filter.
+    val foreign = fs.collectFirst { case ("restrictSearchWithMatch", m @ JObject(_)) => m } match {
+      case Some(m) => foreign0.filter(MatchTranslator.translate(m)(exprCtx(foreign0)))
+      case None    => foreign0
+    }
     val startWith = fs.collectFirst { case ("startWith", v) => v }
       .getOrElse(throw GraftException("$graphLookup requires startWith"))
     val connectFrom = str("connectFromField").getOrElse(throw GraftException("$graphLookup requires connectFromField"))
@@ -2151,9 +2161,16 @@ object StageTranslator {
     // becomes a union of ≤ maxDepth scan leaves and total analyzer work is
     // O(depth²) plan nodes. Scratch files die with the JVM; nothing stays
     // pinned, so the no-leaked-RDD contract holds without bookkeeping.
+    // Array-valued startWith / connectFromField traverse EACH element
+    // (Mongo): an array-typed key column explodes into one frontier row
+    // per element; the (gid, key) distinct + visited anti-join below then
+    // dedups exactly as for scalar keys.
+    def explodeKeys(f: DataFrame): DataFrame = (f.schema("__key").dataType match {
+      case _: ArrayType => f.select(col("__gid"), explode(col("__key")).as("__key"))
+      case _            => f
+    }).filter(col("__key").isNotNull).distinct()
     var frontier = graft.ext.Dedup.spill(
-      withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))
-        .filter(col("__key").isNotNull).distinct(),
+      explodeKeys(withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))),
       "graft-graphlookup-frontier")
     val visitedLevels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     var results: DataFrame = null
@@ -2170,8 +2187,7 @@ object StageTranslator {
         // unions of spilled levels: plans stay linear in depth
         results = if (results == null) matched else results.unionByName(matched)
         frontier = graft.ext.Dedup.spill(
-          matched.select(col("__gid"), col("__next").as("__key"))
-            .filter(col("__key").isNotNull).distinct()
+          explodeKeys(matched.select(col("__gid"), col("__next").as("__key")))
             .join(visitedLevels.reduce(_ unionByName _), Seq("__gid", "__key"), "left_anti"),
           "graft-graphlookup-frontier")
         visitedLevels += frontier

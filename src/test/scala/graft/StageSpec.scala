@@ -938,6 +938,52 @@ class StageSpec extends AnyFunSuite {
     assert(byName("ceo")._1.isEmpty)
   }
 
+  test("$graphLookup restrictSearchWithMatch stops chains at restricted docs") {
+    val employees = fromJsonl(
+      """{"name": "ceo", "boss": null}""",
+      """{"name": "vp", "boss": "ceo"}""",
+      """{"name": "mgr", "boss": "vp"}""",
+      """{"name": "ic", "boss": "mgr"}""")
+    val rows = agg(employees,
+      """[{"$graphLookup": {"from": "employees", "startWith": "$boss",
+            "connectFromField": "boss", "connectToField": "name",
+            "as": "chain", "restrictSearchWithMatch": {"name": {"$ne": "vp"}}}},
+          {"$project": {"name": 1,
+            "chain": {"$map": {"input": "$chain", "as": "c", "in": "$$c.name"}}}},
+          {"$sort": {"name": 1}}]""",
+      Map("employees" -> employees))
+    val byName = rows.map(r => r("name") ->
+      r("chain").asInstanceOf[scala.collection.Seq[_]].toSeq).toMap
+    // vp can't be visited: ic's walk stops after mgr, mgr's finds nothing;
+    // vp's OWN row still walks (restriction filters the foreign side only)
+    assert(byName("ic") == Seq("mgr"))
+    assert(byName("mgr") == Seq())
+    assert(byName("vp") == Seq("ceo"))
+    assert(byName("ceo") == Seq())
+  }
+
+  test("$graphLookup traverses each element of array-valued keys (multi-parent DAG)") {
+    val nodes = fromJsonl(
+      """{"name": "a", "parents": []}""",
+      """{"name": "b", "parents": ["a"]}""",
+      """{"name": "c", "parents": ["a"]}""",
+      """{"name": "d", "parents": ["b", "c"]}""")
+    val rows = agg(nodes,
+      """[{"$graphLookup": {"from": "nodes", "startWith": "$parents",
+            "connectFromField": "parents", "connectToField": "name",
+            "as": "anc", "depthField": "d"}},
+          {"$match": {"name": "d"}},
+          {"$project": {"anc": {"$map": {"input": "$anc", "as": "c",
+            "in": {"n": "$$c.name", "d": "$$c.d"}}}}}]""",
+      Map("nodes" -> nodes))
+    val anc = rows.head("anc").asInstanceOf[scala.collection.Seq[_]]
+      .map { case r: org.apache.spark.sql.Row => r.getAs[String]("n") -> r.getAs[Long]("d") }
+      .sortBy(_._1)
+    // both parents at depth 0; the shared grandparent appears ONCE, at its
+    // minimum depth, even though it is reachable through b AND c
+    assert(anc == Seq("a" -> 1L, "b" -> 0L, "c" -> 0L))
+  }
+
   test("$graphLookup survives deep recursion without plan blowup") {
     // Regression: the BFS loop's `visited` unions every frontier and each
     // frontier anti-joins `visited`; before per-level spill lineage
