@@ -1357,6 +1357,21 @@ object SparkEntry {
         .filter(col("ham") <= 22)
         .select(col("id_a"), col("id_b"), col("ham"))
     }),
+    // Chunk→document mean pooling: vectors grouped 10-per-doc with a
+    // deterministic per-chunk weight, pooled element-wise, then the first
+    // 8 dims re-exploded to the scalar-row gate shape (rounded to absorb
+    // summation-order FP). DuckDB replays with generate_subscripts+unnest.
+    "q_emb_meanpool" -> ((spark: SparkSession, dir: String) => {
+      val emb = tbl(spark, dir, "embeddings")
+        .withColumn("doc_id", (col("vec_id") / 10).cast("long"))
+        .withColumn("w", (col("vec_id") % 5 + 1).cast("double"))
+      graft.ext.Similarity.meanPool(emb, Seq("doc_id"), "embedding", Some("w"))
+        .select(col("doc_id"), col("weight_total"),
+          posexplode(col("pooled")).as(Seq("pos", "m")))
+        .filter(col("pos") < 8)
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          round(col("m"), 4).as("m"), col("weight_total"))
+    }),
     // Same scalar-row shape as q_emb_int8 (no top-level arrays in gates).
     "q_emb_matryoshka" -> ((spark: SparkSession, dir: String) =>
       tbl(spark, dir, "embeddings")
@@ -2216,6 +2231,18 @@ object SparkEntry {
       x AS (SELECT vec_id, mvec, unnest(generate_series(1, len(mvec))) AS i FROM m)
       SELECT vec_id, CAST(i - 1 AS INT) AS pos, mvec[CAST(i AS INT)] AS val
       FROM x""",
+    // weighted chunk->doc mean pooling per dimension; round(,4) on both
+    // sides absorbs summation-order FP
+    "q_emb_meanpool" ->
+      """WITH ex AS (
+        SELECT CAST(vec_id // 10 AS BIGINT) AS doc_id,
+               CAST(vec_id % 5 + 1 AS DOUBLE) AS w,
+               CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+               unnest(embedding) AS x
+        FROM embeddings)
+      SELECT doc_id, pos, round(sum(x * w) / sum(w), 4) AS m,
+             sum(w) AS weight_total
+      FROM ex WHERE pos < 8 GROUP BY doc_id, pos""",
     // morton interleave: bit i of column j lands at output position i*k+j
     // (k=2; custkey at j=0, totalprice at j=1); bucket = clamped
     // floor((v - min) / (max - min + 1) * 2^bits), identical IEEE double

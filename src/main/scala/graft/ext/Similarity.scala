@@ -125,6 +125,41 @@ object Similarity {
     l2Normalize(slice(v, 1, dim))
   }
 
+  /** Element-wise (optionally weighted) mean of an embedding column per
+    * group — the chunk→document pooling step of a retrieval/dedup
+    * pipeline that embeds fixed-size chunks but needs one vector per
+    * document (mean-of-chunk-embeddings is the standard late-chunking /
+    * doc-representation baseline).
+    *
+    * Plan shape: posexplode to (group, dim, x) rows, one keyed aggregation
+    * per (group, dim) with full map-side partial combine, then a bounded
+    * per-group reassembly (`collect_list` of exactly `dim` structs — the
+    * embedding width, not the data size). The explode multiplies shuffle
+    * rows by `dim`, but each carries 3 numeric fields, and the
+    * alternative — collecting whole vectors per group — puts unbounded
+    * chunk counts in one aggregation buffer; at 100 TB the per-(group,dim)
+    * partial-combine shape is the one that survives skew (a million-chunk
+    * document combines map-side into one row per dim per task).
+    *
+    * @param weightCol optional per-chunk weight (e.g. token count) —
+    *                  pooled value is Σ(w·x)/Σ(w) per dimension.
+    * @return one row per group: groupCols, `pooled` (array&lt;double&gt;),
+    *         `weight_total` (Σw — chunk count when unweighted). */
+  def meanPool(df: DataFrame, groupCols: Seq[String], vecCol: String,
+               weightCol: Option[String] = None): DataFrame = {
+    require(groupCols.nonEmpty, "meanPool requires at least one group column")
+    val g = groupCols.map(col)
+    val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
+    df.select(g :+ w.as("__w") :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
+      .groupBy(g :+ col("__pos"): _*)
+      .agg(sum(col("__x") * col("__w")).as("__sx"), sum(col("__w")).as("__sw"))
+      .groupBy(g: _*)
+      .agg(
+        transform(array_sort(collect_list(struct(col("__pos"),
+          (col("__sx") / col("__sw")).as("__m")))), s => s.getField("__m")).as("pooled"),
+        max(col("__sw")).as("weight_total"))
+  }
+
   /** Deterministic pseudo-random hyperplane components, seeded. */
   private def randUnit(seed: Long, planes: Int, dim: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

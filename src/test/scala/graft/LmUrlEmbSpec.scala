@@ -205,6 +205,28 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(r.getAs[scala.collection.Seq[Float]]("m").toList == List(0.6f, 0.8f))
   }
 
+  test("meanPool pools element-wise with weights; unweighted counts chunks") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("a", 1.0, Array(1.0f, 2.0f)),
+      ("a", 3.0, Array(3.0f, 4.0f)),
+      ("b", 5.0, Array(10.0f, 20.0f)))
+      .toDF("doc", "w", "emb")
+    val pooled = Similarity.meanPool(chunks, Seq("doc"), "emb", Some("w"))
+      .collect().map(r => r.getAs[String]("doc") ->
+        (r.getAs[scala.collection.Seq[Double]]("pooled").toList,
+          r.getAs[Double]("weight_total"))).toMap
+    // (1*1+3*3)/4 = 2.5, (2*1+4*3)/4 = 3.5
+    assert(pooled("a") == (List(2.5, 3.5), 4.0))
+    assert(pooled("b") == (List(10.0, 20.0), 5.0))
+    val unweighted = Similarity.meanPool(chunks, Seq("doc"), "emb")
+      .collect().map(r => r.getAs[String]("doc") ->
+        (r.getAs[scala.collection.Seq[Double]]("pooled").toList,
+          r.getAs[Double]("weight_total"))).toMap
+    assert(unweighted("a") == (List(2.0, 3.0), 2.0)) // 2 chunks
+    assert(unweighted("b") == (List(10.0, 20.0), 1.0))
+  }
+
   // ------------------------------------------------ sampling additions ----
 
   test("temperatureMix keeps all of the rarest stratum and downsamples the rest") {
