@@ -227,6 +227,38 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(unweighted("b") == (List(10.0, 20.0), 1.0))
   }
 
+  test("meanPool agrees with an in-memory reference on random chunk sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val dim = 2 + rnd.nextInt(6)
+      val docs = 1 + rnd.nextInt(5)
+      val rows = Seq.fill(8 + rnd.nextInt(20))((
+        s"d${rnd.nextInt(docs)}",
+        1.0 + rnd.nextInt(7),
+        Array.fill(dim)(rnd.nextFloat() * 4 - 2)))
+      val got = Similarity.meanPool(
+        rows.toDF("doc", "w", "emb"), Seq("doc"), "emb", Some("w"))
+        .collect().map(r => r.getAs[String]("doc") ->
+          (r.getAs[scala.collection.Seq[Double]]("pooled").toVector,
+            r.getAs[Double]("weight_total"))).toMap
+      val expected = rows.groupBy(_._1).map { case (doc, g) =>
+        val sw = g.map(_._2).sum
+        doc -> (Vector.tabulate(dim)(i =>
+          g.map(r => r._3(i).toDouble * r._2).sum / sw), sw)
+      }
+      assert(got.keySet == expected.keySet, s"trial $trial: group sets differ")
+      expected.foreach { case (doc, (ev, ew)) =>
+        val (gv, gw) = got(doc)
+        assert(math.abs(gw - ew) < 1e-9, s"trial $trial doc $doc weight")
+        gv.zip(ev).zipWithIndex.foreach { case ((g, e), i) =>
+          // Spark's sum order differs from the sequential fold — FP tolerance
+          assert(math.abs(g - e) < 1e-9, s"trial $trial doc $doc dim $i: $g vs $e")
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------ sampling additions ----
 
   test("temperatureMix keeps all of the rarest stratum and downsamples the rest") {
