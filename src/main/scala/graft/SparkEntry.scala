@@ -850,7 +850,10 @@ object SparkEntry {
     // level; the root's parent is -1, which matches no key, so BOTH the
     // BFS and the oracle's UNION ALL recursion terminate without
     // cycle-handling) and emits one row per (node, ancestor, depth);
-    // DuckDB replays it with a recursive CTE. ----
+    // DuckDB replays it with a recursive CTE. maxDepth is pinned at 48
+    // (vs the stage default 20) because the CTE recurses unbounded — the
+    // sides must agree at ANY testdata scale, and 48 covers part tables
+    // beyond 10^14 rows. ----
     "q_graph_lookup" -> ((spark: SparkSession, dir: String) => {
       val tree = tbl(spark, dir, "part")
         .select(col("p_partkey"), floor((col("p_partkey") - 1) / 2).cast("long").as("parent"))
@@ -858,7 +861,7 @@ object SparkEntry {
         """[
           {"$graphLookup": {"from": "tree", "startWith": "$parent",
             "connectFromField": "parent", "connectToField": "p_partkey",
-            "as": "anc", "depthField": "d"}},
+            "as": "anc", "depthField": "d", "maxDepth": 48}},
           {"$unwind": "$anc"},
           {"$project": {"p_partkey": 1, "anc_key": "$anc.p_partkey", "d": "$anc.d"}}
         ]""", Map("tree" -> tree))

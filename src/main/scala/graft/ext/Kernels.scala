@@ -269,32 +269,40 @@ object Kernels {
     * a wrong answer). Sorting per PAIR was the dominant verify cost — a
     * hot document re-paid its O(n log n) once per candidate pair it
     * appeared in (isolated bench: 250µs → 32µs per 2k-shingle pair). */
-  val jaccardLongKernel: (Column, Column) => Column = {
-    def sortedAsc(v: Array[Long]): Array[Long] = {
-      var k = 1
-      while (k < v.length && v(k - 1) <= v(k)) k += 1
-      if (k >= v.length) v
-      else { val c = v.clone(); java.util.Arrays.sort(c); c }
-    }
-    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
-      val x = sortedAsc(a.toArray)
-      val y = sortedAsc(b.toArray)
-      var i = 0; var j = 0; var inter = 0; var na = 0; var nb = 0
-      while (i < x.length || j < y.length) {
-        if (j >= y.length || (i < x.length && x(i) < y(j))) {
-          val v = x(i); na += 1
-          while (i < x.length && x(i) == v) i += 1
-        } else if (i >= x.length || y(j) < x(i)) {
-          val v = y(j); nb += 1
-          while (j < y.length && y(j) == v) j += 1
-        } else {
-          val v = x(i); na += 1; nb += 1; inter += 1
-          while (i < x.length && x(i) == v) i += 1
-          while (j < y.length && y(j) == v) j += 1
-        }
+  /** The run-skipping sorted-set merge behind [[jaccardLongKernel]] —
+    * package-visible so [[graft.tools.KernelBench]] measures the SAME code
+    * the udf ships, not a copy that can drift. */
+  private[graft] def jaccardMergeSorted(x: Array[Long], y: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0; var na = 0; var nb = 0
+    while (i < x.length || j < y.length) {
+      if (j >= y.length || (i < x.length && x(i) < y(j))) {
+        val v = x(i); na += 1
+        while (i < x.length && x(i) == v) i += 1
+      } else if (i >= x.length || y(j) < x(i)) {
+        val v = y(j); nb += 1
+        while (j < y.length && y(j) == v) j += 1
+      } else {
+        val v = x(i); na += 1; nb += 1; inter += 1
+        while (i < x.length && x(i) == v) i += 1
+        while (j < y.length && y(j) == v) j += 1
       }
-      val union = na + nb - inter
-      if (union > 0) inter.toDouble / union else 1.0
+    }
+    val union = na + nb - inter
+    if (union > 0) inter.toDouble / union else 1.0
+  }
+
+  /** Linear sortedness probe; sorts (a fresh copy is already in hand from
+    * `toArray`, so in-place) only when the probe fails. */
+  private[graft] def sortedAsc(v: Array[Long]): Array[Long] = {
+    var k = 1
+    while (k < v.length && v(k - 1) <= v(k)) k += 1
+    if (k < v.length) java.util.Arrays.sort(v)
+    v
+  }
+
+  val jaccardLongKernel: (Column, Column) => Column = {
+    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
+      jaccardMergeSorted(sortedAsc(a.toArray), sortedAsc(b.toArray))
     }
     (a, b) => f(a, b)
   }

@@ -141,28 +141,26 @@ object Similarity {
     * partial-combine shape is the one that survives skew (a million-chunk
     * document combines map-side into one row per dim per task).
     *
+    * Sizing at corpus scale: the aggregation's key space is |groups|·dim
+    * (the gram/line near-unique-key shape), but do NOT pre-repartition on
+    * the keys — an explicit exchange before the groupBy satisfies the
+    * aggregation's required distribution, which moves the partial combine
+    * AFTER the shuffle and ships every exploded row raw, exactly the skew
+    * this plan shape exists to avoid. Leave the partial agg map-side and
+    * size the post-combine exchange with the session width
+    * (`spark.sql.shuffle.partitions` ~ |groups|·dim / 2M, the
+    * [[Dedup.scaledParts]] arithmetic) for the pooling job.
+    *
     * @param weightCol optional per-chunk weight (e.g. token count) —
     *                  pooled value is Σ(w·x)/Σ(w) per dimension.
-    * @param numPartitions explicit width for the (group, dim)-keyed
-    *                  exchange. The key space is |groups|·dim — the same
-    *                  near-unique-key shape the gram/line shuffles size
-    *                  with [[Dedup.scaledParts]] — but pricing it here
-    *                  would cost an extra action on an arbitrary input
-    *                  plan, so callers at corpus scale pass
-    *                  `scaledParts(spark, chunkRows * dim)` (AQE coalesces
-    *                  an over-wide exchange; nothing rescues an
-    *                  under-wide one from spilling).
     * @return one row per group: groupCols, `pooled` (array&lt;double&gt;),
     *         `weight_total` (Σw — chunk count when unweighted). */
   def meanPool(df: DataFrame, groupCols: Seq[String], vecCol: String,
-               weightCol: Option[String] = None,
-               numPartitions: Option[Int] = None): DataFrame = {
+               weightCol: Option[String] = None): DataFrame = {
     require(groupCols.nonEmpty, "meanPool requires at least one group column")
     val g = groupCols.map(col)
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    val exploded =
-      df.select(g :+ w.as("__w") :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
-    numPartitions.fold(exploded)(n => exploded.repartition(n, g :+ col("__pos"): _*))
+    df.select(g :+ w.as("__w") :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
       .groupBy(g :+ col("__pos"): _*)
       .agg(sum(col("__x") * col("__w")).as("__sx"), sum(col("__w")).as("__sw"))
       .groupBy(g: _*)

@@ -2133,9 +2133,11 @@ object StageTranslator {
     // document can't be visited, so chains stop at it rather than passing
     // through). The restriction is traversal-invariant, so it pushes down
     // to ONE filter on the foreign scan instead of a per-level re-filter.
-    val foreign = fs.collectFirst { case ("restrictSearchWithMatch", m @ JObject(_)) => m } match {
-      case Some(m) => foreign0.filter(MatchTranslator.translate(m)(exprCtx(foreign0)))
-      case None    => foreign0
+    val foreign = fs.collectFirst { case ("restrictSearchWithMatch", m) => m } match {
+      case Some(m @ JObject(_)) => foreign0.filter(MatchTranslator.translate(m)(exprCtx(foreign0)))
+      case Some(other) => throw GraftException(
+        s"$$graphLookup restrictSearchWithMatch must be a query document, got $other")
+      case None => foreign0
     }
     val startWith = fs.collectFirst { case ("startWith", v) => v }
       .getOrElse(throw GraftException("$graphLookup requires startWith"))
@@ -2144,7 +2146,7 @@ object StageTranslator {
     val asName = str("as").getOrElse(throw GraftException("$graphLookup requires as"))
     val maxDepth = fs.collectFirst { case ("maxDepth", JInt(d)) => d.toInt }.getOrElse(20)
     val depthField = str("depthField")
-    ctx.note("iterative BFS: one distributed equi-join per depth level; frontier persisted and released per level")
+    ctx.note("iterative BFS: one distributed equi-join per depth level; per-level durable spill truncates plan lineage, level scratch deleted before the stage returns")
 
     val withId = df.withColumn("__gid", monotonically_increasing_id())
     val fCols = foreign.columns.toSeq
@@ -2159,8 +2161,12 @@ object StageTranslator {
     // q_graph_lookup gate) the analyzer alone OOMs the driver. Spilling
     // frontier and matched makes every level's plan a scan leaf: `visited`
     // becomes a union of ≤ maxDepth scan leaves and total analyzer work is
-    // O(depth²) plan nodes. Scratch files die with the JVM; nothing stays
-    // pinned, so the no-leaked-RDD contract holds without bookkeeping.
+    // O(depth²) plan nodes. The per-level scratch (2 dirs per level) is
+    // deleted before the stage returns — the accumulated matches
+    // consolidate into ONE final spill that carries the return plan's
+    // lineage, so a long session running many $graphLookup stages holds
+    // one scratch copy per invocation, not 2×depth (the same
+    // clear-end-of-use contract as `$merge`).
     // Array-valued startWith / connectFromField traverse EACH element
     // (Mongo): an array-typed key column explodes into one frontier row
     // per element; the (gid, key) distinct + visited anti-join below then
@@ -2169,30 +2175,45 @@ object StageTranslator {
       case _: ArrayType => f.select(col("__gid"), explode(col("__key")).as("__key"))
       case _            => f
     }).filter(col("__key").isNotNull).distinct()
-    var frontier = graft.ext.Dedup.spill(
-      explodeKeys(withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))),
-      "graft-graphlookup-frontier")
-    val visitedLevels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    val levelScratch = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
+    def levelSpill(df: DataFrame, prefix: String): DataFrame = {
+      val (spilled, path) = graft.ext.Dedup.spillWithPath(df, prefix)
+      levelScratch += path
+      spilled
+    }
     var results: DataFrame = null
-    var depth = 0
-    var done = false
-    while (!done && depth <= maxDepth) {
-      val matched = graft.ext.Dedup.spill(
-        foreign.join(frontier, foreign(connectTo) === frontier("__key"))
-          .select(col("__gid"), fStruct.as("__doc"),
-            col(connectFrom).as("__next"), lit(depth.toLong).as("__depth")),
-        "graft-graphlookup-matched")
-      if (matched.isEmpty) done = true
-      else {
-        // unions of spilled levels: plans stay linear in depth
-        results = if (results == null) matched else results.unionByName(matched)
-        frontier = graft.ext.Dedup.spill(
-          explodeKeys(matched.select(col("__gid"), col("__next").as("__key")))
-            .join(visitedLevels.reduce(_ unionByName _), Seq("__gid", "__key"), "left_anti"),
-          "graft-graphlookup-frontier")
-        visitedLevels += frontier
-        depth += 1
+    try {
+      var frontier = levelSpill(
+        explodeKeys(withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))),
+        "graft-graphlookup-frontier")
+      val visitedLevels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+      var depth = 0
+      var done = false
+      while (!done && depth <= maxDepth) {
+        val matched = levelSpill(
+          foreign.join(frontier, foreign(connectTo) === frontier("__key"))
+            .select(col("__gid"), fStruct.as("__doc"),
+              col(connectFrom).as("__next"), lit(depth.toLong).as("__depth")),
+          "graft-graphlookup-matched")
+        if (matched.isEmpty) done = true
+        else {
+          // unions of spilled levels: plans stay linear in depth
+          results = if (results == null) matched else results.unionByName(matched)
+          frontier = levelSpill(
+            explodeKeys(matched.select(col("__gid"), col("__next").as("__key")))
+              .join(visitedLevels.reduce(_ unionByName _), Seq("__gid", "__key"), "left_anti"),
+            "graft-graphlookup-frontier")
+          visitedLevels += frontier
+          depth += 1
+        }
       }
+      // consolidate the kept matches OFF the per-level scratch before it is
+      // deleted; this single spill is what the returned plan scans
+      if (results != null)
+        results = graft.ext.Dedup.spill(results, "graft-graphlookup")
+    } finally {
+      val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+      levelScratch.foreach(p => p.getFileSystem(hconf).delete(p, true))
     }
     val collected =
       if (results == null)

@@ -23,24 +23,10 @@ object KernelBench {
     if (union > 0) inter.toDouble / union else 1.0
   }
 
-  private def mergeSorted(x: Array[Long], y: Array[Long]): Double = {
-    var i = 0; var j = 0; var inter = 0; var na = 0; var nb = 0
-    while (i < x.length || j < y.length) {
-      if (j >= y.length || (i < x.length && x(i) < y(j))) {
-        val v = x(i); na += 1
-        while (i < x.length && x(i) == v) i += 1
-      } else if (i >= x.length || y(j) < x(i)) {
-        val v = y(j); nb += 1
-        while (j < y.length && y(j) == v) j += 1
-      } else {
-        val v = x(i); na += 1; nb += 1; inter += 1
-        while (i < x.length && x(i) == v) i += 1
-        while (j < y.length && y(j) == v) j += 1
-      }
-    }
-    val union = na + nb - inter
-    if (union > 0) inter.toDouble / union else 1.0
-  }
+  // the SHIPPED merge — not a copy (drift-proof: the bench measures the
+  // exact code jaccardLongKernel runs)
+  private def mergeSorted(x: Array[Long], y: Array[Long]): Double =
+    graft.ext.Kernels.jaccardMergeSorted(x, y)
 
   private def sortThenMerge(a: Array[Long], b: Array[Long]): Double = {
     val x = a.clone(); java.util.Arrays.sort(x)
