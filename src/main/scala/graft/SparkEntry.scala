@@ -845,11 +845,12 @@ object SparkEntry {
     // ---- $graphLookup / $merge differential gates (SURVEY §2.2
     // extensions; previously spec-only). q_graph_lookup walks a parent-
     // pointer binary-heap tree derived from part (parent(k) =
-    // floor((k-1)/2), so every chain climbs to the root k=0 in ~log2 N
-    // hops — 11 BFS join levels at the oracle SF, one keyed equi-join per
-    // level; the root's parent is -1, which matches no key, so BOTH the
-    // BFS and the oracle's UNION ALL recursion terminate without
-    // cycle-handling) and emits one row per (node, ancestor, depth);
+    // floor((k-1)/2); p_partkey is 1-based, so chains climb to keys 1
+    // and 2 in ~log2 N hops — 11 BFS join levels at the oracle SF, one
+    // keyed equi-join per level; both keys' computed parent is 0, which
+    // matches no row, so BOTH the BFS and the oracle's UNION ALL
+    // recursion terminate without cycle-handling) and emits one row per
+    // (node, ancestor, depth);
     // DuckDB replays it with a recursive CTE. maxDepth is pinned at 48
     // (vs the stage default 20) because the CTE recurses unbounded — the
     // sides must agree at ANY testdata scale, and 48 covers part tables
@@ -883,9 +884,17 @@ object SparkEntry {
       val updates = cust.filter(col("c_custkey") % 3 === 0)
         .select(col("c_custkey"), concat(lit("upd:"), col("c_name")).as("c_name"),
           (col("c_acctbal") + 1000.0).as("c_acctbal"))
-      Aggo.aggregate(updates,
+      val merged = Aggo.aggregate(updates,
         s"""[{"$$merge": {"into": "$target", "on": "c_custkey",
              "whenMatched": "merge", "whenNotMatched": "insert"}}]""")
+      // The $merge stage cleans ITS scratch; the gate's seeded target dir
+      // was the leak. Materialize the read-back off the target (one spill,
+      // swept at JVM exit like every other scratch frame), then delete the
+      // seed eagerly so a Verify run leaves no graft-merge-gate* dirs.
+      val out = graft.ext.Dedup.spill(merged, "graft-merge-out")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      out
     }),
     "q_pack_budget" -> ((spark: SparkSession, dir: String) => {
       import graft.ext.TextFunctions._

@@ -256,19 +256,6 @@ object Kernels {
     (toks, starts) => f(toks, starts)
   }
 
-  /** Exact Jaccard of two long collections treated as sets — a primitive
-    * run-skipping merge instead of two boxed HashSets: the verify tier
-    * evaluates this once per LSH candidate pair, and Set[Long]
-    * construction boxed ~100 longs per call (the pair stage's dominant
-    * allocation). Duplicate values collapse in the merge exactly as the
-    * set semantics did.
-    *
-    * [[hashedShinglesKernel]] emits its hashes pre-sorted, so the usual
-    * input hits the merge directly; the linear isSorted probe keeps the
-    * kernel correct for ANY caller (an unsorted input pays one sort, not
-    * a wrong answer). Sorting per PAIR was the dominant verify cost — a
-    * hot document re-paid its O(n log n) once per candidate pair it
-    * appeared in (isolated bench: 250µs → 32µs per 2k-shingle pair). */
   /** The run-skipping sorted-set merge behind [[jaccardLongKernel]] —
     * package-visible so [[graft.tools.KernelBench]] measures the SAME code
     * the udf ships, not a copy that can drift. */
@@ -300,6 +287,19 @@ object Kernels {
     v
   }
 
+  /** Exact Jaccard of two long collections treated as sets — a primitive
+    * run-skipping merge instead of two boxed HashSets: the verify tier
+    * evaluates this once per LSH candidate pair, and Set[Long]
+    * construction boxed ~100 longs per call (the pair stage's dominant
+    * allocation). Duplicate values collapse in the merge exactly as the
+    * set semantics did.
+    *
+    * [[hashedShinglesKernel]] emits its hashes pre-sorted, so the usual
+    * input hits the merge directly; the linear isSorted probe keeps the
+    * kernel correct for ANY caller (an unsorted input pays one sort, not
+    * a wrong answer). Sorting per PAIR was the dominant verify cost — a
+    * hot document re-paid its O(n log n) once per candidate pair it
+    * appeared in (isolated bench: 250µs → 32µs per 2k-shingle pair). */
   val jaccardLongKernel: (Column, Column) => Column = {
     val f = udf { (a: Seq[Long], b: Seq[Long]) =>
       jaccardMergeSorted(sortedAsc(a.toArray), sortedAsc(b.toArray))

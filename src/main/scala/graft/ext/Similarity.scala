@@ -151,6 +151,18 @@ object Similarity {
     * (`spark.sql.shuffle.partitions` ~ |groups|·dim / 2M, the
     * [[Dedup.scaledParts]] arithmetic) for the pooling job.
     *
+    * Ragged / degenerate inputs: `weight_total` is Σw over ALL chunks of
+    * the group — computed on the pre-explode frame, because the
+    * per-dimension weight sums below only see the chunks long enough to
+    * reach that dimension (`max` over them under-reports Σw for ragged
+    * widths, and a group whose vectors are all empty/null has no exploded
+    * rows at all). Per-dimension means for ragged widths divide by the
+    * weight of exactly the chunks that HAVE that dimension — the standard
+    * masked-mean semantics. A group of only empty/null vectors still
+    * appears, with `pooled` = empty array. The Σw side-aggregation is one
+    * map-side-combined pass over the raw frame joined on the group keys —
+    * both sides one row per group, negligible next to the exploded agg.
+    *
     * @param weightCol optional per-chunk weight (e.g. token count) —
     *                  pooled value is Σ(w·x)/Σ(w) per dimension.
     * @return one row per group: groupCols, `pooled` (array&lt;double&gt;),
@@ -160,14 +172,17 @@ object Similarity {
     require(groupCols.nonEmpty, "meanPool requires at least one group column")
     val g = groupCols.map(col)
     val w = weightCol.map(c => col(c).cast("double")).getOrElse(lit(1.0))
-    df.select(g :+ w.as("__w") :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
+    val totals = df.groupBy(g: _*).agg(sum(w).as("weight_total"))
+    val pooled = df.select(g :+ w.as("__w") :+ posexplode(col(vecCol)).as(Seq("__pos", "__x")): _*)
       .groupBy(g :+ col("__pos"): _*)
       .agg(sum(col("__x") * col("__w")).as("__sx"), sum(col("__w")).as("__sw"))
       .groupBy(g: _*)
       .agg(
         transform(array_sort(collect_list(struct(col("__pos"),
-          (col("__sx") / col("__sw")).as("__m")))), s => s.getField("__m")).as("pooled"),
-        max(col("__sw")).as("weight_total"))
+          (col("__sx") / col("__sw")).as("__m")))), s => s.getField("__m")).as("pooled"))
+    totals.join(pooled, groupCols, "left")
+      .withColumn("pooled", coalesce(col("pooled"), array().cast("array<double>")))
+      .select(g :+ col("pooled") :+ col("weight_total"): _*)
   }
 
   /** Deterministic pseudo-random hyperplane components, seeded. */

@@ -2159,9 +2159,9 @@ object StageTranslator {
     // level (persist caches row data, not plan lineage) — at depth ~11
     // (e.g. a binary parent-pointer tree over a few thousand keys, the
     // q_graph_lookup gate) the analyzer alone OOMs the driver. Spilling
-    // frontier and matched makes every level's plan a scan leaf: `visited`
-    // becomes a union of ≤ maxDepth scan leaves and total analyzer work is
-    // O(depth²) plan nodes. The per-level scratch (2 dirs per level) is
+    // frontier, matched AND the consolidated visited set makes every
+    // level's plan a bounded tree of scan leaves — total analyzer work is
+    // LINEAR in depth. The per-level scratch (3 dirs per level) is
     // deleted before the stage returns — the accumulated matches
     // consolidate into ONE final spill that carries the return plan's
     // lineage, so a long session running many $graphLookup stages holds
@@ -2171,10 +2171,22 @@ object StageTranslator {
     // (Mongo): an array-typed key column explodes into one frontier row
     // per element; the (gid, key) distinct + visited anti-join below then
     // dedups exactly as for scalar keys.
-    def explodeKeys(f: DataFrame): DataFrame = (f.schema("__key").dataType match {
-      case _: ArrayType => f.select(col("__gid"), explode(col("__key")).as("__key"))
-      case _            => f
-    }).filter(col("__key").isNotNull).distinct()
+    val connectToType = foreign.select(col(connectTo)).schema.head.dataType
+    def explodeKeys(f: DataFrame): DataFrame = {
+      val flat = f.schema("__key").dataType match {
+        case _: ArrayType => f.select(col("__gid"), explode(col("__key")).as("__key"))
+        case _            => f
+      }
+      // "startWith": null (or an all-null literal connectFrom) yields a
+      // void-typed __key; the frame is necessarily empty after the
+      // isNotNull filter, but Parquet rejects void schemas even for empty
+      // frames — cast to the connectTo type so the spill writes cleanly.
+      val typed = flat.schema("__key").dataType match {
+        case NullType => flat.withColumn("__key", col("__key").cast(connectToType))
+        case _        => flat
+      }
+      typed.filter(col("__key").isNotNull).distinct()
+    }
     val levelScratch = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.Path]()
     def levelSpill(df: DataFrame, prefix: String): DataFrame = {
       val (spilled, path) = graft.ext.Dedup.spillWithPath(df, prefix)
@@ -2182,11 +2194,23 @@ object StageTranslator {
       spilled
     }
     var results: DataFrame = null
-    try {
-      var frontier = levelSpill(
-        explodeKeys(withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key"))),
-        "graft-graphlookup-frontier")
-      val visitedLevels = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
+    val frontier0 =
+      explodeKeys(withId.select(col("__gid"), ExprTranslator.translate(startWith).as("__key")))
+    // still void after the connectTo cast ⇒ the foreign connectTo column is
+    // itself void-typed, so no key can ever match: skip the BFS entirely
+    // (results == null yields the empty-array shape below)
+    if (frontier0.schema("__key").dataType != NullType) try {
+      var frontier = levelSpill(frontier0, "graft-graphlookup-frontier")
+      // visited is consolidated into ONE spilled frame re-written per level
+      // (not a union chain of per-level scans): every level's anti-join
+      // reads a single scan leaf, so analyzer cost is CONSTANT per level /
+      // linear in depth overall. The re-spill rewrites the accumulated
+      // visited set each level — O(depth × |visited|) scratch I/O worst
+      // case — but visited rows are two numeric fields and BFS depth is
+      // bounded, while the union-chain alternative made the depth-d
+      // anti-join plan carry d scan leaves (O(depth²) analyzer nodes total,
+      // the shape that invited trouble past maxDepth ≈ 48).
+      var visited = frontier
       var depth = 0
       var done = false
       while (!done && depth <= maxDepth) {
@@ -2201,9 +2225,9 @@ object StageTranslator {
           results = if (results == null) matched else results.unionByName(matched)
           frontier = levelSpill(
             explodeKeys(matched.select(col("__gid"), col("__next").as("__key")))
-              .join(visitedLevels.reduce(_ unionByName _), Seq("__gid", "__key"), "left_anti"),
+              .join(visited, Seq("__gid", "__key"), "left_anti"),
             "graft-graphlookup-frontier")
-          visitedLevels += frontier
+          visited = levelSpill(visited.unionByName(frontier), "graft-graphlookup-visited")
           depth += 1
         }
       }

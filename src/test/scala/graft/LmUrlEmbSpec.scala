@@ -227,6 +227,25 @@ class LmUrlEmbSpec extends AnyFunSuite {
     assert(unweighted("b") == (List(10.0, 20.0), 1.0))
   }
 
+  test("meanPool ragged widths use per-dim denominators; weight_total is whole-group Σw; all-empty groups survive") {
+    import spark.implicits._
+    val chunks = Seq(
+      ("a", 1.0, Array(2.0f, 8.0f)),   // reaches dims 0,1
+      ("a", 3.0, Array(6.0f)),         // reaches dim 0 only
+      ("a", 2.0, Array.empty[Float]),  // contributes to no dim, only Σw
+      ("b", 4.0, Array.empty[Float]),  // group of only empty vectors
+      ("b", 1.0, Array.empty[Float]))
+      .toDF("doc", "w", "emb")
+    val got = Similarity.meanPool(chunks, Seq("doc"), "emb", Some("w"))
+      .collect().map(r => r.getAs[String]("doc") ->
+        (r.getAs[scala.collection.Seq[Double]]("pooled").toList,
+          r.getAs[Double]("weight_total"))).toMap
+    // dim0: (2*1+6*3)/(1+3) = 5; dim1: 8*1/1 = 8 (masked mean); Σw = 1+3+2
+    assert(got("a") == (List(5.0, 8.0), 6.0))
+    // all-empty group: present, empty pooled array, Σw = 5
+    assert(got("b") == (List(), 5.0))
+  }
+
   test("meanPool agrees with an in-memory reference on random chunk sets") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -1010,6 +1010,45 @@ class StageSpec extends AnyFunSuite {
       == depth(n - 1) - 1) // deepest node's furthest ancestor sits at depth chainLen-1
   }
 
+  test("$graphLookup walks a 65-level chain (visited consolidated, per-level plan flat)") {
+    // Regression for the visited-set union chain: one consolidated visited
+    // frame is re-spilled per level, so the depth-d anti-join reads ONE
+    // scan leaf instead of d — analyzer cost linear in depth. 65 levels is
+    // past the old maxDepth=48 comfort zone; a linear parent chain makes
+    // every level a single-row frontier.
+    import spark.implicits._
+    val n = 66 // chain 0 <- 1 <- ... <- 65; node 65's walk visits 65 ancestors
+    val chain = (0 until n)
+      .map(k => (k.toLong, if (k == 0) -1L else (k - 1).toLong))
+      .toDF("k", "parent")
+    val out = Aggo.aggregate(chain.filter(s"k = ${n - 1}"),
+      s"""[{"$$graphLookup": {"from": "chain", "startWith": "$$parent",
+            "connectFromField": "parent", "connectToField": "k",
+            "as": "anc", "depthField": "d", "maxDepth": 80}},
+          {"$$unwind": "$$anc"},
+          {"$$project": {"k": 1, "anc_k": "$$anc.k", "d": "$$anc.d"}}]""",
+      Map("chain" -> chain))
+    val rows = out.collect()
+    assert(rows.length == n - 1) // all 65 ancestors of node 65
+    assert(rows.map(_.getAs[Long]("d")).max == (n - 2).toLong) // deepest at d=64
+    assert(rows.map(_.getAs[Long]("anc_k")).sorted.toSeq == (0L until (n - 1).toLong))
+  }
+
+  test("$graphLookup with startWith null returns empty arrays (void key regression)") {
+    // "startWith": null translates to lit(null) — a void-typed __key that
+    // Parquet refuses to spill even for the empty post-filter frame; the
+    // key is cast to the connectTo type (or the BFS short-circuits).
+    val employees = fromJsonl(
+      """{"name": "ceo", "boss": null}""",
+      """{"name": "vp", "boss": "ceo"}""")
+    val rows = agg(employees,
+      """[{"$graphLookup": {"from": "employees", "startWith": null,
+            "connectFromField": "boss", "connectToField": "name", "as": "chain"}},
+          {"$project": {"name": 1, "n": {"$size": "$chain"}}}, {"$sort": {"name": 1}}]""",
+      Map("employees" -> employees))
+    assert(rows.map(r => r("name") -> r("n")) == Seq("ceo" -> 0, "vp" -> 0))
+  }
+
   test("$text search over text field") {
     val docs = fromJsonl(
       """{"id": 1, "text": "Spark makes Big Data simple"}""",
