@@ -930,6 +930,7 @@ object Dedup {
   def removeDupSpans(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 8): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
+    val spark = df.sparkSession
     val base = spill(
       df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks")),
       "graft-dupspan-toks")
@@ -939,8 +940,47 @@ object Dedup {
     // the spilled token table.
     val nGramRows = base
       .agg(sum(greatest(size(col("__toks")) - (n - 1), lit(0)))).first().getLong(0)
-    val parts = scaledParts(df.sparkSession, nGramRows)
-    val grams = positionalGrams(base, idCol, n).repartition(parts, col("__g"))
+    // ---- singleton-gram prefilter ----
+    // Only a gram occurring in >= 2 documents can cut anything, and in web
+    // corpora MOST grams occur exactly once — shipping every positional row
+    // (id, pos, 128-bit gram) into the wide __g exchange just for the
+    // min!=max test to discard it made that exchange the operator's
+    // dominant shuffle. Phase 1 counts occurrences of the gram hash's
+    // 64-bit HALF — an 8-byte key and a count, the narrowest possible
+    // shuffle row over the same key space — and keeps halves seen >= 2
+    // times: a SUPERSET of cross-document-hot (within-document repeats and
+    // 64-bit half collisions included; exactness is restored by the
+    // min!=max test below, which sees EVERY positional row of any surviving
+    // half). Phase 2 broadcasts the repeated halves as a bloom filter and
+    // drops singleton positional rows SCAN-SIDE, before the wide exchange —
+    // the exchange then carries only the repeated fraction (+ fpp), and the
+    // hot aggregation + join-back run over that same reduced frame. The
+    // gram kernel runs twice (once per phase), but it char-hashes each
+    // token once per seed and was measured cheap next to the shuffle it
+    // now avoids.
+    val halves = positionalGrams(base, idCol, n)
+      .select(col("__g").getField("_1").as("__h"))
+      .repartition(scaledParts(spark, nGramRows), col("__h"))
+    val repHalves = spill(
+      halves.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2),
+      "graft-dupspan-rep")
+    val stats = repHalves.agg(count(lit(1)), sum(col("__c"))).first()
+    val repCount = stats.getLong(0)
+    if (repCount == 0L) {
+      // no gram repeats anywhere: every document passes through whole
+      val none = base.select(col(idCol)).limit(0)
+        .withColumn("__starts", lit(null).cast("array<int>"))
+      return cutCoveredSpans(base, idCol, none, n)
+    }
+    val candRows = stats.getLong(1) // Σ counts of repeated halves = post-filter positional rows
+    val bloom = spark.sparkContext.broadcast(
+      repHalves.stat.bloomFilter("__h", repCount, 0.01))
+    val mightRepeat = udf((h: Long) => bloom.value.mightContainLong(h))
+    val parts = scaledParts(spark, candRows)
+    val grams = positionalGrams(base, idCol, n)
+      .filter(mightRepeat(col("__g").getField("_1")))
+      .repartition(parts, col("__g"))
     // "appears in >= 2 DISTINCT documents" is exactly min(id) != max(id) —
     // two streaming aggregates with full map-side partial combine, where
     // countDistinct would carry a per-gram distinct-id set through the

@@ -185,6 +185,17 @@ class ExtSpec extends AnyFunSuite {
     assert(out(4L) == (("tiny", 1L, 0L)))
   }
 
+  test("removeDupSpans passes every document whole when no gram repeats (prefilter early exit)") {
+    val docs = fromJsonl(
+      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon"}""",
+      """{"doc_id": 2, "text": "zeta eta theta iota kappa"}""")
+    val out = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("cleaned_text"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == (("alpha beta gamma delta epsilon", 0L)))
+    assert(out(2L) == (("zeta eta theta iota kappa", 0L)))
+  }
+
   test("linear classifier score: hashed-bucket mean + sigmoid, hand-checked") {
     import graft.ext.TextFunctions._
     // two buckets with opposite weights: score is monotone in the share of
