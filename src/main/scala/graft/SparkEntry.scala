@@ -171,6 +171,61 @@ object SparkEntry {
     (graft.ext.Dedup.readStore(spark, store), spark.read.parquet(funnel))
   }
 
+  /** Run a CONSTRUCTED near-dup corpus through the streaming incremental
+    * dedup sink with the near (MinHash/LSH) tier ON, in four ascending
+    * micro-batches — the execution behind q_stream_neardup. Determinism by
+    * construction: every planted near-dup group consists of raw-DISTINCT
+    * texts with IDENTICAL token sequences (separator/punctuation variants),
+    * so their shingle sets are equal — Jaccard is exactly 1.0 (always above
+    * threshold) and their MinHash signatures are bit-identical (every band
+    * collides, so LSH candidate generation cannot probabilistically miss) —
+    * while distinct contents use disjoint token vocabularies (Jaccard 0,
+    * so a stray band collision dies in the exact verify). With ascending
+    * batches the survivor of each group is its minimum doc_id whether the
+    * group lands in one batch (in-batch pair drop keeps the min) or across
+    * batches (cross-store drop kills later arrivals) — which DuckDB replays
+    * as min(doc_id) per \W+-normalized text. One exact-duplicate variant
+    * per group also exercises the exact tier in front. Texts derive only
+    * from doc_id, so the oracle reconstructs the identical corpus. */
+  private def streamNeardupGate(spark: SparkSession, dir: String): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+      .collect().map(_.getLong(0)).sorted
+    def text(id: Long): String = {
+      val g = id / 5
+      val base = (0 until 12).map(k => s"t${g * 31 + k}")
+      val alt = (0 until 8).map(k => s"t${g * 31 + 12 + k}")
+      (id % 5) match {
+        case 0 | 1 => base.mkString(" ")     // v1 = exact duplicate of v0
+        case 2     => base.mkString(", ")    // raw-distinct, token-identical
+        case 3     => base.mkString(" -- ")  // raw-distinct, token-identical
+        case _     => alt.mkString(" ")      // distinct vocabulary: survives
+      }
+    }
+    val docs = ids.map(id => (id, text(id)))
+    val base = java.nio.file.Files.createTempDirectory("graft-neardup-gate").toString
+    val store = s"$base/store/docs"
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.GraftStreaming.incrementalDedupSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", store,
+      s"$base/ckpt", nearThreshold = Some(0.9))
+    try {
+      docs.grouped(math.max(1, (docs.length + 3) / 4)).foreach { chunk =>
+        mem.addData(chunk.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // same scratch hygiene as q_merge_upsert: materialize off the store,
+    // delete the gate's temp tree eagerly
+    val out = graft.ext.Dedup.spill(
+      graft.ext.Dedup.readStore(spark, store).select(col("doc_id")),
+      "graft-neardup-out")
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+  }
+
   private def run(table: String, pipeline: String, extra: Seq[String] = Nil)(
       spark: SparkSession, dir: String): DataFrame = {
     val colls = (extra :+ table).map(n => n -> tbl(spark, dir, n)).toMap
@@ -842,6 +897,12 @@ object SparkEntry {
       streamCurateGate(spark, dir)._2
         .groupBy(col("tier"))
         .agg(sum(col("rows")).as("rows"), sum(col("dropped")).as("dropped"))),
+    // the near-dup (LSH) store tier of incrementalDedupSink, driver-
+    // checkable: planted token-identical separator variants are near-dups
+    // with Jaccard exactly 1 (deterministic banding), survivors are min-id
+    // per normalized content — see streamNeardupGate
+    "q_stream_neardup" -> ((spark: SparkSession, dir: String) =>
+      streamNeardupGate(spark, dir)),
     // ---- $graphLookup / $merge differential gates (SURVEY §2.2
     // extensions; previously spec-only). q_graph_lookup walks a parent-
     // pointer binary-heap tree derived from part (parent(k) =
@@ -2814,9 +2875,25 @@ object SparkEntry {
       SELECT 'quality', n_q.n, n_in.n - n_q.n FROM n_q, n_in
       UNION ALL
       SELECT 'dedup_store', n_d.n, n_q.n - n_d.n FROM n_d, n_q""",
+    // streaming near-dup (LSH) store tier: the gate's constructed corpus
+    // derives texts from doc_id alone, so DuckDB rebuilds the identical
+    // corpus and replays survivor selection as min(doc_id) per
+    // \W+-normalized token content (near-dup groups are token-identical by
+    // construction — see streamNeardupGate's determinism argument)
+    "q_stream_neardup" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v FROM documents),
+      t AS (SELECT doc_id,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c)
+      SELECT min(doc_id) AS doc_id FROM t
+      GROUP BY regexp_replace(lower(text), '\W+', ' ', 'g')""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
-    // the same derived parent-pointer tree (root k=0 has no ancestor row on
-    // either side: its parent -1 matches no key)
+    // the same derived parent-pointer tree (1-based p_partkey: chains end
+    // at keys 1 and 2, whose computed parent 0 matches no row on either
+    // side)
     "q_graph_lookup" ->
       """WITH RECURSIVE tree AS (
         SELECT p_partkey, CAST(floor((p_partkey - 1) / 2) AS BIGINT) AS parent FROM part
