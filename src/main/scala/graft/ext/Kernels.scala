@@ -152,20 +152,29 @@ object Kernels {
     val as = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
     val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
     val g = udf { (hashes: Seq[Long]) =>
-      val hs = hashes.toArray // primitive hoist — foreach over Seq[Long] boxes
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      hs.foreach { hv =>
-        val h = java.lang.Math.floorMod(hv, Mersenne31)
-        var i = 0
-        while (i < numHashes) {
-          val v = modM31(h * as(i) + bs(i))
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
+      // primitive hoist — foreach over Seq[Long] boxes
+      minhashSigLoop(hashes.toArray, as, bs)
     }
     c => g(c)
+  }
+
+  /** The signature inner loop behind [[minhashSigFromHashes]] —
+    * package-visible so [[graft.tools.KernelBench]] measures the SAME code
+    * the udf ships, not a copy that can drift. */
+  private[graft] def minhashSigLoop(hs: Array[Long], as: Array[Long],
+                                    bs: Array[Long]): Array[Long] = {
+    val numHashes = as.length
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    hs.foreach { hv =>
+      val h = java.lang.Math.floorMod(hv, Mersenne31)
+      var i = 0
+      while (i < numHashes) {
+        val v = modM31(h * as(i) + bs(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
   }
 
   /** Positional word n-gram fingerprints of a token array in ONE pass:
@@ -182,33 +191,39 @@ object Kernels {
     * Documents shorter than `n` tokens yield an empty array (the caller's
     * `size >= n` filter grain). */
   def positionalGramHashKernel(n: Int): Column => Column = {
-    val f = udf { (toks: Seq[String]) =>
-      val t = toks.toIndexedSeq
-      val T = t.length
-      if (T < n) Array.empty[(Long, Long)]
-      else {
-        val th1 = new Array[Long](T)
-        val th2 = new Array[Long](T)
-        var i = 0
-        while (i < T) { th1(i) = hash64(t(i), 42L); th2(i) = hash64(t(i), 7L); i += 1 }
-        val out = new Array[(Long, Long)](T - n + 1)
-        var p = 0
-        while (p <= T - n) {
-          var h1 = 0xCBF29CE484222325L
-          var h2 = 0x9E3779B97F4A7C15L
-          var j = 0
-          while (j < n) {
-            h1 = (h1 ^ th1(p + j)) * 0x100000001B3L
-            h2 = (h2 ^ th2(p + j)) * 0xC4CEB9FE1A85EC53L
-            j += 1
-          }
-          out(p) = (h1, h2)
-          p += 1
-        }
-        out
-      }
-    }
+    val f = udf { (toks: Seq[String]) => positionalGramHashes(toks, n) }
     c => f(c)
+  }
+
+  /** The one-pass gram-fingerprint loop behind [[positionalGramHashKernel]]
+    * — package-visible so [[graft.tools.KernelBench]] measures the SAME
+    * code the udf ships, not a copy that can drift. */
+  private[graft] def positionalGramHashes(toks: Seq[String],
+                                          n: Int): Array[(Long, Long)] = {
+    val t = toks.toIndexedSeq
+    val T = t.length
+    if (T < n) Array.empty[(Long, Long)]
+    else {
+      val th1 = new Array[Long](T)
+      val th2 = new Array[Long](T)
+      var i = 0
+      while (i < T) { th1(i) = hash64(t(i), 42L); th2(i) = hash64(t(i), 7L); i += 1 }
+      val out = new Array[(Long, Long)](T - n + 1)
+      var p = 0
+      while (p <= T - n) {
+        var h1 = 0xCBF29CE484222325L
+        var h2 = 0x9E3779B97F4A7C15L
+        var j = 0
+        while (j < n) {
+          h1 = (h1 ^ th1(p + j)) * 0x100000001B3L
+          h2 = (h2 ^ th2(p + j)) * 0xC4CEB9FE1A85EC53L
+          j += 1
+        }
+        out(p) = (h1, h2)
+        p += 1
+      }
+      out
+    }
   }
 
   /** Result row of [[spanCutKernel]] — field names become the struct's. */
@@ -224,36 +239,41 @@ object Kernels {
     * walked interpreted HOF expression trees per element and cost ~2,900
     * CPU-s at sf1 where this loop costs a few hundred. */
   def spanCutKernel(n: Int): (Column, Column) => Column = {
-    val f = udf { (toks: Seq[String], starts: Seq[Int]) =>
-      val t = toks.toIndexedSeq
-      val tLen = t.length
-      if (starts == null || starts.isEmpty) SpanCut(t.mkString(" "), tLen.toLong, 0L)
-      else {
-        val s = starts.toArray // primitive hoist — Seq[Int] access boxes
-        val sb = new java.lang.StringBuilder
-        var kept = 0
-        var cursor = 0 // next token position not yet emitted or covered
-        var i = 0
-        while (i < s.length) {
-          var j = i // extend the run while consecutive starts stay within n
-          while (j + 1 < s.length && s(j + 1) - s(j) <= n) j += 1
-          var p = cursor // emit the gap before this run's first covered token
-          while (p < s(i)) {
-            if (sb.length > 0) sb.append(' ')
-            sb.append(t(p)); kept += 1; p += 1
-          }
-          cursor = math.max(cursor, s(j) + n)
-          i = j + 1
-        }
-        var p = cursor // tail after the last run
-        while (p < tLen) {
+    val f = udf { (toks: Seq[String], starts: Seq[Int]) => spanCutLoop(toks, starts, n) }
+    (toks, starts) => f(toks, starts)
+  }
+
+  /** The gap-slicing loop behind [[spanCutKernel]] — package-visible so
+    * [[graft.tools.KernelBench]] measures the SAME code the udf ships. */
+  private[graft] def spanCutLoop(toks: Seq[String], starts: Seq[Int],
+                                 n: Int): SpanCut = {
+    val t = toks.toIndexedSeq
+    val tLen = t.length
+    if (starts == null || starts.isEmpty) SpanCut(t.mkString(" "), tLen.toLong, 0L)
+    else {
+      val s = starts.toArray // primitive hoist — Seq[Int] access boxes
+      val sb = new java.lang.StringBuilder
+      var kept = 0
+      var cursor = 0 // next token position not yet emitted or covered
+      var i = 0
+      while (i < s.length) {
+        var j = i // extend the run while consecutive starts stay within n
+        while (j + 1 < s.length && s(j + 1) - s(j) <= n) j += 1
+        var p = cursor // emit the gap before this run's first covered token
+        while (p < s(i)) {
           if (sb.length > 0) sb.append(' ')
           sb.append(t(p)); kept += 1; p += 1
         }
-        SpanCut(sb.toString, tLen.toLong, (tLen - kept).toLong)
+        cursor = math.max(cursor, s(j) + n)
+        i = j + 1
       }
+      var p = cursor // tail after the last run
+      while (p < tLen) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(t(p)); kept += 1; p += 1
+      }
+      SpanCut(sb.toString, tLen.toLong, (tLen - kept).toLong)
     }
-    (toks, starts) => f(toks, starts)
   }
 
   /** The run-skipping sorted-set merge behind [[jaccardLongKernel]] —
@@ -309,22 +329,26 @@ object Kernels {
 
   /** 64-bit SimHash over a token array. */
   def simhashKernel: Column => Column = {
-    val f = udf { (tokens: Seq[String]) =>
-      val votes = new Array[Int](64)
-      tokens.foreach { t =>
-        val h = hash64(t, 7L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-          b += 1
-        }
-      }
-      var sig = 0L
-      var b = 0
-      while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
-      sig
-    }
+    val f = udf { (tokens: Seq[String]) => simhashLoop(tokens) }
     c => f(c)
+  }
+
+  /** The bit-vote loop behind [[simhashKernel]] — package-visible so
+    * [[graft.tools.KernelBench]] measures the SAME code the udf ships. */
+  private[graft] def simhashLoop(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = hash64(t, 7L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
 
   /** 64-bit SimHash over a token array with MD5-derived per-token bits.

@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Absolute-scale datapoint: the three headline queries at a TRUE sf1
-  * (6M-row lineitem) plus the five soak workloads over the genuinely
-  * distinct 6M-document / 200k-vector corpus [[GenSf1]] writes — the
-  * jittered-replica soak in Bench proves distribution shape, this proves
-  * absolute volume. Measurement: headline = 5 warm-ups then median of 7 on
+  * (6M-row lineitem) plus twelve soak workloads over the genuinely
+  * distinct 6M-document / 200k-vector corpus [[GenSf1]] writes — corpus
+  * curation, SemDeDup, MinHash pairs, connected-components cluster stats,
+  * span cutting, survivor selection, URL dedup, chunk→doc mean pooling,
+  * and the IVF/PQ ANN build+probe tiers — the jittered-replica soak in
+  * Bench proves distribution shape, this proves absolute volume. Measurement: headline = 5 warm-ups then median of 7 on
   * a pinned physical plan (self-flags `noisy` on a median/min spread);
   * each extra runs ONCE from a GC'd slate — at 5-10-minute workload sizes
   * a "warm" re-run mostly measures the first run's leftover heap and
@@ -115,6 +117,8 @@ object BenchSf1 {
       name -> r
     }
     var histogram = ""
+    var sf1Ivf: graft.ext.Similarity.IvfIndex = null
+    var sf1Pq: graft.ext.Similarity.PqIndex = null
     val extras = Seq(
       timedOnce("sf1CorpusCurate")(graft.ext.Corpus.curate(
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
@@ -133,7 +137,42 @@ object BenchSf1 {
         hist.map(_.getAs[Long]("n_clusters")).sum
       },
       timedOnce("sf1DupSpans")(graft.ext.Dedup.removeDupSpans(
-        docs, "doc_id", "text", n = 3).agg(sum(col("n_removed"))).first().getLong(0)))
+        docs, "doc_id", "text", n = 3).agg(sum(col("n_removed"))).first().getLong(0)),
+      // quality-priority survivor selection over the full 6M corpus — the
+      // same pair-set-bounded window + anti-join shape the sf0.1 bench
+      // times, at absolute volume
+      timedOnce("sf1DedupSurvivor")(graft.ext.Dedup.dedupNearBy(
+        docs, "doc_id", "text", priority = col("n_chars"),
+        threshold = 0.5).count()),
+      timedOnce("sf1UrlDedup")(graft.ext.TextFunctions.urlDedup(
+        docs.select(col("doc_id"),
+          concat(lit("https://Host"), (col("doc_id") % 100000).cast("string"),
+            lit(".example.org/p/"), (col("doc_id") % 500000).cast("string"),
+            lit("?utm_source=x&a=1")).as("url")),
+        "doc_id", "url").count()),
+      // chunk→document pooling over the vector corpus (10 chunks per doc)
+      timedOnce("sf1MeanPool")(graft.ext.Similarity.meanPool(
+        emb.withColumn("doc_id", (col("vec_id") / 10).cast("long")),
+        Seq("doc_id"), "embedding").count()),
+      // ANN build/probe at 200k vectors: nlist 256 (~N/800 per cell, the
+      // coarse-quantizer sizing a real IVF deployment scales with the
+      // corpus), 1000-query probe batch, nprobe 16 = the recall-curve knee
+      // of the committed sf0.1 record
+      timedOnce("sf1IvfBuild") {
+        sf1Ivf = graft.ext.Similarity.ivfBuild(emb, "vec_id", "embedding", nlist = 256)
+        sf1Ivf.indexed.count()
+      },
+      timedOnce("sf1IvfTopK")(graft.ext.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 1000), sf1Ivf, "vec_id", "embedding",
+        k = 10, nprobe = 16).count()),
+      timedOnce("sf1PqBuild") {
+        sf1Pq = graft.ext.Similarity.pqBuild(emb, "vec_id", "embedding",
+          m = 8, ksub = 16, dim = 64)
+        sf1Pq.codes.count()
+      },
+      timedOnce("sf1PqTopK")(graft.ext.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 1000), sf1Pq, "vec_id", "embedding",
+        k = 10, rerank = 50).count()))
 
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
