@@ -52,6 +52,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // per-query bounded-heap ANN aggregations (graft_top_k) want the
+      // ObjectHashAggregate hash path for probe batches > 128 queries
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .getOrCreate()
     // ERROR, not WARN: the function-registry re-registration warnings spam
     // hundreds of lines into the bounded stdout tail the driver records,
@@ -147,10 +150,21 @@ object Bench {
     // isolated re-run reproduced. min-of-2 measures the workload, not the
     // neighbor's garbage; the per-run CPU column still exposes any run
     // where wall and CPU diverge.
+    // Host-interference bracket (see tools/HostCal): a fixed 1-thread
+    // reference kernel timed around each extra records the host's delivered
+    // per-core throughput during that item — co-tenant contention on this
+    // shared host has inflated identical runs 2-3× (wall and CPU together),
+    // which neither load-average nor the warm/cold inversion flag can see.
+    // Collected positionally: coldWarm evaluates in definition order, so
+    // calBuf(i) brackets allCW(i) (asserted before the record is written).
+    graft.tools.HostCal.warmup()
+    val calBuf = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def coldWarm(f: => Long): ((Double, Double), (Double, Double)) = {
       System.gc()
+      val calPre = graft.tools.HostCal.unit()._1
       val cold = once(f)
       val w1 = once(f); val w2 = once(f)
+      calBuf += ((calPre, graft.tools.HostCal.unit()._1))
       (cold, if (w1._1 <= w2._1) w1 else w2)
     }
     var ivfIdx: graft.ext.Similarity.IvfIndex = null
@@ -452,6 +466,12 @@ object Bench {
       s""""extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
       s""""extras_cpu":${fmt(extrasCpu)},"extras_warm_cpu":${fmt(extrasWarmCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
+      { assert(calBuf.size == allCW.size,
+          s"cal bracket count ${calBuf.size} != extras ${allCW.size}")
+        s""""cal":${allCW.map(_._1).zip(calBuf).map { case (k, (a, b)) =>
+          s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
+        s""""cal_min":${"%.3f".format(calBuf.flatMap(c => Seq(c._1, c._2)).min)},""" +
+        s""""cal_max":${"%.3f".format(calBuf.flatMap(c => Seq(c._1, c._2)).max)},""" } +
       s""""ann_recall_at_10":${fmt(annRecall)},""" +
       (if (soakHistogram.nonEmpty) s""""soak_cluster_histogram":"$soakHistogram",""" else "") +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +

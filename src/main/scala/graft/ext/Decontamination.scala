@@ -188,7 +188,7 @@ object Decontamination {
         numHashes, seed),
       "graft-decontam-fuzzy-eval")
     Dedup.minhashPairsFromSignatures(corpusSigs, evalSigs, bands, numHashes / bands,
-      threshold, selfPairs = false, "__cid", "__eid")
+      threshold, selfPairs = false, "__cid", "__eid", materializeCandidates = true)
       .groupBy(col("__cid"))
       .agg(max(col("jaccard")).as("max_jaccard"))
       .select(col("__cid").as(idCol), col("max_jaccard"))

@@ -182,17 +182,88 @@ object Dedup {
     * shingle sets for the verify. Caller owns materialization of the
     * inputs — each side is scanned by the band join and the verify join.
     * `selfPairs = true` treats both inputs as the same table and keeps each
-    * unordered pair once (left id < right id). */
+    * unordered pair once (left id < right id).
+    *
+    * `materializeCandidates = true` spills the deduped candidate-pair set
+    * to parquet before the verify joins and broadcast-hints it when its
+    * on-disk size is provably small. Fused, Catalyst must plan the verify
+    * against an UNKNOWN-size candidate subtree, and AQE's runtime
+    * SMJ→broadcast rescue hinges on the pair shuffle landing under the
+    * 10 MB adaptive threshold — at 6M docs the pair set is ~17 MB, so the
+    * same query bimodally planned broadcast (fast) or sort-merge on some
+    * runs: the SMJ form exchanges AND sorts the wide shingle-carrying
+    * signature table twice plus the wide intermediate once, measured 2.3×
+    * the CPU of the broadcast form (9,582 vs 4,204 CPU-s) for identical
+    * output. Materializing makes the choice deterministic and
+    * size-informed; the hint threshold (64 MB parquet ≈ 4M pairs of two
+    * longs) bounds driver/executor broadcast memory, and past it the plan
+    * degrades gracefully to the same SMJ a 100-TB candidate set needs
+    * anyway. Batch callers opt in; per-micro-batch streaming callers keep
+    * the fused form — their candidate sets are small (plans audited by
+    * GatePlanSpec) and a spill per batch would accumulate scratch dirs for
+    * the life of the stream. */
   def minhashPairsFromSignatures(left: DataFrame, right: DataFrame,
                                  bands: Int, rowsPerBand: Int, threshold: Double,
                                  selfPairs: Boolean,
-                                 leftName: String, rightName: String): DataFrame = {
+                                 leftName: String, rightName: String,
+                                 materializeCandidates: Boolean = false): DataFrame = {
     def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
-      col("doc_id").as(idAs),
+      col(idAs),
       posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
-    val cand0 = banded(left, leftName).join(banded(right, rightName), Seq("band", "band_key"))
-    val candidates = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
+    def renamed(sigs: DataFrame, idAs: String): DataFrame =
+      sigs.select(col("doc_id").as(idAs), col("sig"))
+    // ---- singleton band-bucket prefilter (self-join tier) ----
+    // A (band, band_key) bucket holding a single row cannot produce a
+    // candidate pair, and for a mostly-unique corpus MOST buckets are
+    // singletons — yet the band self-join sorted and shuffled every one of
+    // its docs×bands exploded rows twice (the operator's dominant CPU at
+    // 6M docs). Same recipe as removeDupSpans' singleton-gram prune: a
+    // narrow count over the 64-bit key hash (8 B + count per row,
+    // map-side-combined) finds buckets with >= 2 rows — band is the band
+    // INDEX, so one doc never repeats a (band, band_key); >= 2 rows means
+    // >= 2 distinct docs, i.e. a SUPERSET of pair-producing buckets (hash
+    // collisions only ever widen it) — then a broadcast bloom of the hot
+    // hashes drops singleton rows SCAN-SIDE on both join inputs, before
+    // the wide exchange. Exactness: the join still tests real (band,
+    // band_key) equality and the Jaccard verify re-checks every surviving
+    // pair, so bloom false positives cost work, never answers. Bipartite
+    // callers skip it: their small side (eval set, ingest batch) already
+    // broadcasts under AQE, which prunes the big side's scan to matching
+    // keys for free. Driver state is the bloom (~17 MB at 14M hot keys /
+    // 1% — the 100-TB posture is the same as the gram prune's: hot-key
+    // cardinality scales with the DUPLICATED fraction, not the corpus).
+    val bandedLeftRaw = banded(renamed(left, leftName), leftName)
+    val (bandedLeft, bandedRight) =
+      if (!(selfPairs && materializeCandidates)) {
+        (bandedLeftRaw, banded(renamed(right, rightName), rightName))
+      } else {
+        val spark = left.sparkSession
+        val nBandRows = left.count() * bands
+        val keyed = bandedLeftRaw
+          .select(xxhash64(col("band"), col("band_key")).as("__bk"))
+          .repartition(scaledParts(spark, nBandRows), col("__bk"))
+        val hot = spill(keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2).select(col("__bk")), "graft-minhash-hotbands")
+        val nHot = hot.count()
+        if (nHot == 0L) (bandedLeftRaw.limit(0), bandedLeftRaw.limit(0))
+        else {
+          val bloom = spark.sparkContext.broadcast(
+            hot.stat.bloomFilter("__bk", nHot, 0.01))
+          val might = udf((h: Long) => bloom.value.mightContainLong(h))
+          def pruned(idAs: String) = banded(renamed(left, idAs), idAs)
+            .filter(might(xxhash64(col("band"), col("band_key"))))
+          (pruned(leftName), pruned(rightName))
+        }
+      }
+    val cand0 = bandedLeft.join(bandedRight, Seq("band", "band_key"))
+    val cand1 = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
       .select(leftName, rightName).distinct()
+    val candidates = if (!materializeCandidates) cand1 else {
+      val (spilled, path) = spillWithPath(cand1, "graft-minhash-cand")
+      val fs = path.getFileSystem(left.sparkSession.sparkContext.hadoopConfiguration)
+      val bytes = fs.getContentSummary(path).getLength
+      if (bytes < (64L << 20)) broadcast(spilled) else spilled
+    }
     candidates
       .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
       .join(right.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
@@ -211,7 +282,7 @@ object Dedup {
     val shingled = spill(signatureTable(df, idCol, textCol, shingleSize, numHashes, seed),
       "graft-minhash-sig")
     minhashPairsFromSignatures(shingled, shingled, bands, numHashes / bands,
-      threshold, selfPairs = true, "id_a", "id_b")
+      threshold, selfPairs = true, "id_a", "id_b", materializeCandidates = true)
   }
 
   // -------------------------------------------------------------------------
@@ -287,7 +358,7 @@ object Dedup {
     val seenSide = spill(signatureTable(store, idCol, textCol, shingleSize, numHashes, seed),
       "graft-incr-sig-seen")
     minhashPairsFromSignatures(newSide, seenSide, bands, numHashes / bands,
-      threshold, selfPairs = false, "new_id", "seen_id")
+      threshold, selfPairs = false, "new_id", "seen_id", materializeCandidates = true)
   }
 
   /** Full incremental ingest step: exact tier, then drop new docs

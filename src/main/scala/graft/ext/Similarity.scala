@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Two tiers:
   *  - `bruteForceTopK` — exact cosine top-k via a broadcast of the (small)
-  *    query set against the full corpus: one scan of the corpus, ranked with
-  *    a window per query. The baseline and the oracle-checkable tier.
+  *    query set against the full corpus: one scan of the corpus, ranked by
+  *    a per-query bounded-heap aggregate. The baseline and the
+  *    oracle-checkable tier.
   *  - `lshTopK` — random-hyperplane LSH bucketing: corpus and queries are
   *    both bucketed (one cheap signature scan each), candidates come from a
   *    bucket equi-join, then exact re-ranking. At 100 TB the bucket join
@@ -43,6 +44,40 @@ object Similarity {
     graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
     when(na * nb > 0,
       call_function(graft.exprs.catalyst.GraftFunctions.DotName, a, b) / (na * nb))
+  }
+
+  /** Deterministic per-query top-k over a scored candidate frame of
+    * exactly (query_id, neighbor_id, score) — the scale-safe replacement
+    * for `row_number().over(Window.partitionBy(query_id))`: a window
+    * re-shuffles and sorts EVERY scored candidate row, while the
+    * bounded-heap aggregate (graft_top_k, the `$topN` accumulator's
+    * engine) keeps O(k) state per query per task and combines map-side,
+    * so the exchange carries at most tasks·|queries|·k narrow heap
+    * entries — never the candidate set, and never the vectors, which
+    * callers project away before calling. Ordering matches the window
+    * form's `score desc, neighbor_id asc` exactly, including Spark's
+    * desc-sort edge ranks (NaN first, nulls last): the heap key maps
+    * score→−score with NaN→−∞ and null→+∞, both outside cosine's [−1,1]
+    * range. Output is (query_id, rank, neighbor_id, score) with rank
+    * 1-based in heap (= window) order. */
+  private def topKByScore(scored: DataFrame, k: Int, scoreName: String): DataFrame = {
+    graft.exprs.catalyst.GraftFunctions.register(scored.sparkSession)
+    val s = col(scoreName)
+    val heapKey = struct(
+      when(s.isNull, lit(Double.PositiveInfinity))
+        .when(isnan(s), lit(Double.NegativeInfinity))
+        .otherwise(-s).as("__k1"),
+      col("neighbor_id").as("__k2"))
+    scored
+      .select(col("query_id"), heapKey.as("__key"),
+        struct(col("neighbor_id"), s.as(scoreName)).as("__val"))
+      .groupBy(col("query_id"))
+      .agg(call_function(graft.exprs.catalyst.GraftFunctions.TopKName,
+        col("__key"), col("__val"), lit(k), lit(true)).as("__topk"))
+      .select(col("query_id"), posexplode(col("__topk")).as(Seq("__p", "__v")))
+      .select(col("query_id"), (col("__p") + 1).as("rank"),
+        col("__v.neighbor_id").as("neighbor_id"),
+        col(s"__v.$scoreName").as(scoreName))
   }
 
   /** Sequential-order dot product of two numeric array columns (folds left,
@@ -215,11 +250,8 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosFromNorms(corpus)(col("q_vec"), col("c_vec"),
         col("q_nrm"), col("c_nrm")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKByScore(scored, k, "cos")
   }
 
   /** IVF (inverted-file) ANN — the coarse-quantizer shape billion-vector
@@ -305,25 +337,25 @@ object Similarity {
   def ivfTopK(queries: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
               k: Int, nprobe: Int): DataFrame = {
     // norms hoisted BELOW the probe join: once per broadcast query row and
-    // once per index row, then carried through the multi-probe distinct —
-    // a norm is a function of its vector, so widening the distinct key
-    // with it changes nothing semantically
+    // once per index row, so the per-candidate cosine is a single dot
     val probes = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
       .withColumn("q_nrm", nativeNorm(queries)(col("q_vec")))
       .withColumn("cluster",
         explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
     val indexed = index.indexed
       .withColumn("c_nrm", nativeNorm(queries)(col("c_vec")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(indexed, "cluster")
+    // no pair dedup needed: every index vector lives in exactly ONE
+    // cluster (assigned with the single nearest centroid at build time)
+    // and the probe list per query is nprobe DISTINCT clusters, so the
+    // cluster equi-join produces each (query, neighbor) pair at most once
+    // — a distinct here would re-shuffle the whole candidate set keyed on
+    // the vectors for nothing
+    val scored = probes.join(indexed, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "q_nrm", "neighbor_id", "c_vec", "c_nrm").distinct()
       .withColumn("cos", cosFromNorms(queries)(col("q_vec"), col("c_vec"),
         col("q_nrm"), col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKByScore(scored, k, "cos")
   }
 
   /** Train-and-search convenience form — [[ivfBuild]] + the probe-only
@@ -379,27 +411,30 @@ object Similarity {
     * `rerank` — no training jobs per query batch. */
   def ivfSq8TopK(queries: DataFrame, index: IvfSq8Index, idCol: String,
                  vecCol: String, k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    val probes = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-        .withColumn("q8q", quantizeInt8(col("q_vec")))
-        .withColumn("cluster",
-          explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("a_score").desc, col("neighbor_id").asc)
-    val candidates = probes.join(index.indexed.select("cluster", "neighbor_id", "q8"), "cluster")
+    val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val probes = broadcast(qdf
+      .withColumn("q8q", quantizeInt8(col("q_vec")))
+      .withColumn("cluster",
+        explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
+    // pairs are unique by construction (one cluster per index vector,
+    // distinct probe clusters per query — see ivfTopK); the approximate
+    // tier scores the int8 codes and goes NARROW before its top-`rerank`
+    // heap, so neither the codes nor the query vectors ever cross an
+    // exchange with the candidate set
+    val approx = probes.join(index.indexed.select("cluster", "neighbor_id", "q8"), "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_vec"), col("q8q"), col("neighbor_id"), col("q8")).distinct()
       .withColumn("a_score", int8Cosine(col("q8q"), col("q8")))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(index.indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("a_score"))
+    // the survivor set is bounded (|queries|·rerank) — broadcast it into
+    // the index scan for the exact re-rank instead of shuffling the index
+    val cand = topKByScore(approx, rerank, "a_score")
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = index.indexed.select(col("neighbor_id"), col("c_vec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
       .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKByScore(rescored, k, "cos")
   }
 
   /** Train-and-search convenience form — [[ivfSq8Build]] + the probe-only
@@ -508,22 +543,26 @@ object Similarity {
       String.valueOf(r.get(0)) ->
         Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
     }.toMap
-    val approx = broadcast(qdf).crossJoin(index.codes.select(col("neighbor_id"), col("codes")))
+    // the ADC sweep needs only (query_id, codes) — the query VECTORS stay
+    // out of the |queries|×|corpus| frame entirely (they ride the tiny
+    // broadcast qdf into the re-rank join below), and the top-`rerank`
+    // selection is the bounded-heap aggregate, not a window: the scored
+    // sweep never crosses an exchange, only tasks·|queries|·rerank heap
+    // entries do
+    val approx = broadcast(qdf.select(col("query_id")))
+      .crossJoin(index.codes.select(col("neighbor_id"), col("codes")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
         col("query_id").cast("string"), col("codes")))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("a_score").desc, col("neighbor_id").asc)
-    val candidates = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(index.codes.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("a_score"))
+    val cand = topKByScore(approx, rerank, "a_score")
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = index.codes.select(col("neighbor_id"), col("c_vec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
       .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKByScore(rescored, k, "cos")
   }
 
   /** Train-and-search convenience form — [[pqBuild]] + the probe-only
@@ -578,25 +617,26 @@ object Similarity {
       String.valueOf(r.get(0)) ->
         Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
     }.toMap
-    val probes = broadcast(qdf.withColumn("cluster",
-      explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
-    val wa = Window.partitionBy(col("query_id"))
-      .orderBy(col("a_score").desc, col("neighbor_id").asc)
-    val candidates = probes.join(index.indexed.select("cluster", "neighbor_id", "codes"), "cluster")
+    // cluster pruning narrows the sweep (pairs unique by construction —
+    // see ivfTopK), ADC scores the codes, and both top selections are
+    // bounded-heap aggregates over narrow (query, neighbor, score) rows;
+    // query vectors enter only via the broadcast re-rank join
+    val probes = broadcast(qdf.select(col("query_id"), col("q_vec")).withColumn("cluster",
+      explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec"))))
+      .select(col("query_id"), col("cluster")))
+    val approx = probes.join(index.indexed.select("cluster", "neighbor_id", "codes"), "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"), col("codes")).distinct()
       .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
         col("query_id").cast("string"), col("codes")))
-      .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerank)
-      .select(col("query_id"), col("q_vec"), col("neighbor_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.join(index.indexed.select(col("neighbor_id"), col("c_vec")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("a_score"))
+    val cand = topKByScore(approx, rerank, "a_score")
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = index.indexed.select(col("neighbor_id"), col("c_vec"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qdf), Seq("query_id"))
       .withColumn("cos", nativeCosine(queries)(col("q_vec"), col("c_vec")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+    topKByScore(rescored, k, "cos")
   }
 
   /** Train-and-search convenience form — [[ivfPqBuild]] + the probe-only
@@ -718,15 +758,17 @@ object Similarity {
     }
     val q = bucketed(broadcast(queries), "q_vec", "query_id", "q_nrm")
     val c = bucketed(corpus, "c_vec", "neighbor_id", "c_nrm")
+    // a pair CAN collide in several tables (unlike IVF's one-cluster-per-
+    // vector join), so the multi-table dedup is load-bearing — but it runs
+    // NARROW: cosine is scored per collision (bit-identical doubles for
+    // identical inputs, ≤ `tables` redundant dots — flops are free next to
+    // an exchange), so the distinct and the top-k heap only ever see
+    // (query_id, neighbor_id, cos) rows, never the vectors
     val candidates = q.join(c, Seq("table", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_vec", "q_nrm", "neighbor_id", "c_vec", "c_nrm").distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    candidates.withColumn("cos", cosFromNorms(corpus)(col("q_vec"), col("c_vec"),
+      .withColumn("cos", cosFromNorms(corpus)(col("q_vec"), col("c_vec"),
         col("q_nrm"), col("c_nrm")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+      .select(col("query_id"), col("neighbor_id"), col("cos")).distinct()
+    topKByScore(candidates, k, "cos")
   }
 }

@@ -666,6 +666,36 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("topK ranking: window-exact order — score desc, id-asc ties, null cos last") {
+    // pins the bounded-heap top-k (topKByScore) to the row_number-window
+    // semantics it replaced: cosine DESC with Spark's desc null ordering
+    // (nulls last), ties broken by neighbor_id ASC. Planted: three
+    // bit-identical vectors (identical cos — pure id tiebreak), an
+    // orthogonal and an antipodal vector (interior ranks), and a zero
+    // vector (null cosine — must rank LAST, not first, exactly as the
+    // window's desc ordering placed it).
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    def row(id: Long, v: Seq[Float]) = org.apache.spark.sql.Row(id, v)
+    val data = Seq(
+      row(0L, Seq(1f, 0.2f, 0f)),
+      row(1L, Seq(0.9f, 0.1f, 0f)), row(2L, Seq(0.9f, 0.1f, 0f)),
+      row(3L, Seq(0.9f, 0.1f, 0f)),                  // 1,2,3: identical → tie
+      row(4L, Seq(-0.2f, 1f, 0f)),                   // near-orthogonal
+      row(5L, Seq(0f, 0f, 0f)),                      // zero norm → cos null
+      row(6L, Seq(-1f, -0.2f, 0f)))                  // antipodal
+    val df = spark.createDataFrame(data.asJava, schema)
+    val got = Similarity.bruteForceTopK(df.filter(col("vec_id") === 0), df,
+      "vec_id", "embedding", 6).collect().sortBy(_.getAs[Int]("rank"))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5, 6))
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 5L))
+    val cosTie = got.take(3).map(_.getAs[Double]("cos")).distinct
+    assert(cosTie.size == 1, s"tied vectors must have bit-identical cos, got ${cosTie.toSeq}")
+    assert(got(4).getAs[Double]("cos") < 0)          // antipodal interior
+    assert(got(5).isNullAt(got(5).fieldIndex("cos"))) // zero vector: null, LAST
+  }
+
   test("brute-force topK: self-similar vector ranks first") {
     import scala.jdk.CollectionConverters._
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
