@@ -56,8 +56,13 @@ object Decontamination {
   def removeContaminated(docs: DataFrame, idCol: String, textCol: String,
                          eval: DataFrame, evalTextCol: String,
                          n: Int = 13, minHits: Int = 1): DataFrame = {
-    val flags = flagContaminated(docs, idCol, textCol, eval, evalTextCol, n, minHits)
-      .filter(col("contaminated")).select(col(idCol))
+    // the flagged-id set is contamination-fraction-small but fused through
+    // a corpus-wide aggregate — materialize so the anti join back over the
+    // full text-carrying corpus plans from its true size, not an AQE
+    // estimate (see Dedup.spillSized)
+    val flags = Dedup.spillSized(
+      flagContaminated(docs, idCol, textCol, eval, evalTextCol, n, minHits)
+        .filter(col("contaminated")).select(col(idCol)), "graft-decontam-flags")
     docs.join(flags, Seq(idCol), "left_anti")
   }
 
@@ -147,8 +152,10 @@ object Decontamination {
                      evalEmb: DataFrame, evalVecCol: String,
                      threshold: Double, planes: Int = 0, tables: Int = 32,
                      dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val flagged = flagSemantic(corpusEmb, idCol, vecCol, evalEmb, evalVecCol,
-      threshold, planes, tables, dim, seed).select(col(idCol))
+    val flagged = Dedup.spillSized(
+      flagSemantic(corpusEmb, idCol, vecCol, evalEmb, evalVecCol,
+        threshold, planes, tables, dim, seed).select(col(idCol)),
+      "graft-decontam-flags")
     corpusEmb.join(flagged, Seq(idCol), "left_anti")
   }
 
@@ -200,8 +207,10 @@ object Decontamination {
                   eval: DataFrame, evalTextCol: String,
                   shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                   threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
-    val flagged = flagFuzzy(docs, idCol, textCol, eval, evalTextCol,
-      shingleSize, numHashes, bands, threshold, seed).select(col(idCol))
+    val flagged = Dedup.spillSized(
+      flagFuzzy(docs, idCol, textCol, eval, evalTextCol,
+        shingleSize, numHashes, bands, threshold, seed).select(col(idCol)),
+      "graft-decontam-flags")
     docs.join(flagged, Seq(idCol), "left_anti")
   }
 

@@ -58,6 +58,28 @@ object Dedup {
     math.max(sess, math.min(4096, (rows / rowsPerPart).toInt + 1))
   }
 
+  /** [[spill]] plus a size-informed join hint: frames below
+    * `broadcastBytes` of on-disk parquet come back broadcast-hinted. The
+    * point is DETERMINISM at a join whose small side is a fused subtree of
+    * unknown size: AQE's runtime broadcast rescue keys off its 10 MB
+    * adaptive threshold, so a side that lands near it plans broadcast on
+    * some runs and sort-merge on others — and when the OTHER side is wide
+    * (token arrays, shingle sets), the sort-merge form shuffles and sorts
+    * that wide table for an identical answer at a multiple of the CPU.
+    * Measuring the spilled bytes makes the choice explicit and
+    * size-correct; past the gate the plan degrades to the same sort-merge
+    * join a genuinely large side needs anyway. 64 MB parquet is the
+    * documented gate — small enough that even a few-× decompression
+    * blow-up stays a bounded per-executor table, large enough to catch the
+    * bounded candidate/hit sets these operators produce. */
+  private[graft] def spillSized(df: DataFrame, prefix: String,
+                                broadcastBytes: Long = 64L << 20): DataFrame = {
+    val (spilled, path) = spillWithPath(df, prefix)
+    val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.getContentSummary(path).getLength < broadcastBytes) broadcast(spilled)
+    else spilled
+  }
+
   /** [[spill]] that also hands back the scratch path, for callers with a
     * clear end-of-use point that can delete eagerly (e.g. `$merge`) instead
     * of leaning on the JVM-exit sweep — a long-running session spilling per
@@ -258,12 +280,8 @@ object Dedup {
     val cand0 = bandedLeft.join(bandedRight, Seq("band", "band_key"))
     val cand1 = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
       .select(leftName, rightName).distinct()
-    val candidates = if (!materializeCandidates) cand1 else {
-      val (spilled, path) = spillWithPath(cand1, "graft-minhash-cand")
-      val fs = path.getFileSystem(left.sparkSession.sparkContext.hadoopConfiguration)
-      val bytes = fs.getContentSummary(path).getLength
-      if (bytes < (64L << 20)) broadcast(spilled) else spilled
-    }
+    val candidates = if (!materializeCandidates) cand1
+      else spillSized(cand1, "graft-minhash-cand")
     candidates
       .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
       .join(right.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
@@ -681,7 +699,11 @@ object Dedup {
                 threshold: Double = 0.8): DataFrame = {
     val pairs = minhashLshPairs(df, idCol, textCol, shingleSize, numHashes, bands, threshold)
     val clusters = clusterPairs(pairs)
-    val losers = clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    // loser ids are bounded by the pair set but arrive fused — materialize
+    // so the anti join back over the full (text-carrying) corpus plans
+    // from the true size instead of an AQE estimate (see [[spillSized]])
+    val losers = spillSized(clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id")), "graft-neardup-losers")
     df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -694,7 +716,8 @@ object Dedup {
                      threshold: Double = 0.8): DataFrame = {
     val pairs = ngramJaccardPairs(df, idCol, textCol, blockCols, shingleSize, threshold)
     val clusters = clusterPairs(pairs)
-    val losers = clusters.filter(col("doc_id") =!= col("cluster")).select(col("doc_id"))
+    val losers = spillSized(clusters.filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id")), "graft-neardup-losers")
     df.join(losers.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
   }
 
@@ -713,8 +736,11 @@ object Dedup {
       .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("__pri").desc, col(idCol).asc)
-    val losers = members.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") > 1).select(col(idCol))
+    // the loser set is pair-set-bounded but fused through the window —
+    // materialize so the corpus-wide anti join plans from its true size
+    // (a sort-merge fallback here shuffles the whole text-carrying corpus)
+    val losers = spillSized(members.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1).select(col(idCol)), "graft-survivor-losers")
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -900,9 +926,9 @@ object Dedup {
           col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
-    val losers = clusterPairs(pairs)
+    val losers = spillSized(clusterPairs(pairs)
       .filter(col("doc_id") =!= col("cluster"))
-      .select(col("doc_id").as(idCol))
+      .select(col("doc_id").as(idCol)), "graft-semdedup-losers")
     df.join(losers, Seq(idCol), "left_anti")
   }
 
@@ -1064,6 +1090,10 @@ object Dedup {
     val dupStarts = grams.join(hot, Seq("__g"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__s"))).as("__starts"))
+    // the hit subtree executes eagerly inside cutCoveredSpans' materialize,
+    // leaving the returned frame's lineage without the gram exchanges —
+    // hand it to the audit hook so the plan-shape spec still sees it
+    planAuditHook.foreach(_("dupspans_hits", dupStarts))
     cutCoveredSpans(base, idCol, dupStarts, n)
   }
 
@@ -1113,8 +1143,18 @@ object Dedup {
     * sf1 corpus where the loop costs a few hundred. */
   private[ext] def cutCoveredSpans(base: DataFrame, idCol: String,
                                    hitStarts: DataFrame, n: Int): DataFrame = {
+    // The hit set arrives as a fused subtree (gram explode → join →
+    // aggregate) whose size AQE can only estimate — and the OTHER side of
+    // this join is the full corpus carrying its token arrays, so an
+    // estimate landing on the sort-merge side of the threshold shuffles
+    // and sorts every document for an identical answer. [[spillSized]]
+    // makes the strategy deterministic: hit sets are one id + int-array
+    // row per affected document (dup/contamination fraction of the
+    // corpus, parquet-delta-packed), so the common case broadcasts and
+    // `base` never crosses an exchange at all. Both callers are batch
+    // operators (no per-micro-batch caller to accumulate scratch).
     val cut = Kernels.spanCutKernel(n)(col("__toks"), col("__starts"))
-    base.join(hitStarts, Seq(idCol), "left")
+    base.join(spillSized(hitStarts, "graft-spancut-hits"), Seq(idCol), "left")
       .withColumn("__cut", cut)
       .select(col(idCol),
         col("__cut.cleaned_text").as("cleaned_text"),

@@ -525,6 +525,23 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.scaledParts(s, Long.MaxValue / 4) == 4096)
   }
 
+  test("spillSized: size gate decides the broadcast hint deterministically") {
+    // the deterministic-join-sizing mechanism every bounded candidate /
+    // hit / loser set now rides through: below the byte gate the frame
+    // comes back broadcast-hinted (the join strategy stops hinging on
+    // AQE's estimate of a fused subtree), above it the plain spilled scan
+    // returns and the join degrades to the sort-merge a genuinely large
+    // side needs anyway
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    val small = spark.range(100).toDF("id")
+    assert(hinted(Dedup.spillSized(small, "graft-test-sized")),
+      "a 100-row frame sits far below the 64 MB gate and must be hinted")
+    assert(!hinted(Dedup.spillSized(small, "graft-test-sized", broadcastBytes = 1L)),
+      "a 1-byte gate admits nothing; the plain spilled scan must come back")
+  }
+
   test("removeDupSpans: the explicit gram repartition is the ONLY gram exchange") {
     import spark.implicits._
     // the explicit repartition by __g must be REUSED by the hot-gram
@@ -532,9 +549,13 @@ class ExtSpec extends AnyFunSuite {
     // __g would mean Catalyst re-shuffled the operator's dominant data a
     // second time (at toy scale AQE may also replace the join side with a
     // broadcast — that's fine; a REQUIREMENTS re-shuffle is not)
+    // the gram pipeline now executes eagerly when cutCoveredSpans
+    // materializes the hit set, so its exchanges live in the hit subtree
+    // (captured via the audit hook), NOT the returned frame's lineage —
+    // which must stay exchange-free on the corpus side (scan → broadcast
+    // join → kernel)
     val docs = (0L until 50L).map(i => (i, s"a b c d e f g h i $i")).toDF("doc_id", "text")
-    val plan = Dedup.removeDupSpans(docs, "doc_id", "text", n = 3)
-      .queryExecution.executedPlan
+    import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, REPARTITION_BY_NUM}
@@ -547,8 +568,17 @@ class ExtSpec extends AnyFunSuite {
         h.expressions.exists(_.references.exists(_.name == "__g"))
       case _ => false
     }
+    var hits: Option[DataFrame] = None
+    Dedup.planAuditHook = Some((name, df) => if (name == "dupspans_hits") hits = Some(df))
+    val cutPlan = try {
+      Dedup.removeDupSpans(docs, "doc_id", "text", n = 3).queryExecution.executedPlan
+    } finally Dedup.planAuditHook = None
+    assert(flat(cutPlan).collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      s"the final cut lineage must not shuffle (materialized hit set + broadcast):\n$cutPlan")
+    val plan = hits.getOrElse(fail("audit hook never saw the hit subtree"))
+      .queryExecution.executedPlan
     val ex = flat(plan).collect { case e: ShuffleExchangeExec if gramKeyed(e) => e }
-    assert(ex.nonEmpty, s"expected the explicit __g repartition in the plan:\n$plan")
+    assert(ex.nonEmpty, s"expected the explicit __g repartition in the hit plan:\n$plan")
     val required = ex.filterNot(_.shuffleOrigin == REPARTITION_BY_NUM)
     assert(required.isEmpty,
       s"Catalyst inserted ${required.size} extra __g exchange(s) beyond the explicit repartition:\n$plan")
