@@ -30,18 +30,13 @@ import org.apache.spark.sql.functions._
   */
 object GenSf1 {
 
-  def main(args: Array[String]): Unit = {
-    val out = args.headOption.getOrElse("/tmp/graft-sf1")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    val nDocs = 6000000L
-    val nBase = 4200000L
+  /** The document corpus at an arbitrary size, same distribution at every
+    * size (70/30 base/variant split, tiered rewrites, 5% repetition-heavy):
+    * the scaling sweep [[BenchScaling]] calls this at 1/4×..1× the sf1
+    * volume so its tiers differ ONLY in row count.
+    */
+  def writeDocs(spark: SparkSession, out: String, nDocs: Long): Unit = {
+    val nBase = nDocs * 7 / 10
     val vocab = 50000
 
     // ---- documents ----
@@ -85,10 +80,15 @@ object GenSf1 {
         element_at(srcs, pmod(xxhash64(lit("src"), col("doc_id")), lit(4)).cast("int") + 1)
           .as("source"),
         length(col("text")).cast("long").as("n_chars"))
-    docs.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    docs.repartition(math.max(4, (nDocs / 187500L).toInt))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
 
-    // ---- embeddings ----
-    val nVec = 200000L
+  /** The embedding corpus at an arbitrary size (2048 hash-centroids, 10%
+    * noise, every-5th-vector semantic twins) — size-invariant distribution
+    * for the same reason as [[writeDocs]].
+    */
+  def writeEmbeddings(spark: SparkSession, out: String, nVec: Long): Unit = {
     val v = col("id")
     // every 5th vector derives from its predecessor's (centroid, noise) with
     // a 1% jitter on top — a tight semantic near-dup
@@ -102,7 +102,22 @@ object GenSf1 {
         (u(lit("cv"), cid, j) + u(lit("nz"), bv, j) * lit(0.1) +
           u(lit("jt"), v, j) * lit(0.01)).cast("float")).as("embedding"),
       pmod(xxhash64(lit("lbl"), bv), lit(16L)).cast("int").as("label"))
-    emb.repartition(8).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    emb.repartition(math.max(2, (nVec / 25000L).toInt))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/graft-sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    writeDocs(spark, out, nDocs = 6000000L)
+    writeEmbeddings(spark, out, nVec = 200000L)
 
     // ---- lineitem (6M) ----
     def h(tag: String): Column = xxhash64(lit(tag), col("id"))

@@ -70,6 +70,32 @@ class DocsDriftSpec extends AnyFunSuite {
       s"gates with no doc mention: ${undocumented.toSeq.sorted.mkString(", ")}")
   }
 
+  test("ADVICE.md entries point at code and specs that still exist") {
+    // an open-or-resolved advice entry naming a source file that has moved,
+    // or citing a regression spec that was renamed away, misleads the next
+    // round's reader — fail by name instead. Paths are any src/... token;
+    // spec citations look like `SomeSpec "test name fragment..."`.
+    val advicePath = java.nio.file.Paths.get("ADVICE.md")
+    if (java.nio.file.Files.exists(advicePath)) {
+      val advice = read("ADVICE.md")
+      val paths = """src/[A-Za-z0-9_/.\-]+\.scala""".r.findAllIn(advice).toSet
+      val gone = paths.filterNot(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      assert(gone.isEmpty, s"ADVICE.md names files that do not exist: ${gone.mkString(", ")}")
+      // control: the path regex must actually be able to fail
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get("src/__nope.scala")))
+      val specCites = """([A-Za-z]+Spec) "([^".]+)""".r.findAllMatchIn(advice).toSeq
+      val testDir = java.nio.file.Paths.get("src/test/scala/graft")
+      specCites.foreach { m =>
+        // advice may elide a long test name with a trailing ellipsis
+        val (spec, frag) = (m.group(1), m.group(2).stripSuffix("…").trim)
+        val src = testDir.resolve(s"$spec.scala")
+        assert(java.nio.file.Files.exists(src), s"ADVICE.md cites missing spec file $spec")
+        assert(read(src.toString).contains(frag),
+          s"""ADVICE.md cites $spec "$frag..." but no such test exists there""")
+      }
+    }
+  }
+
   test("every gate query has an oracle and vice versa") {
     // today's invariant: the correctness gate is oracle-complete — a queries
     // entry without SQL would silently downgrade to a rows-only check
