@@ -629,6 +629,80 @@ object Kernels {
     (q, c) => f(q, c)
   }
 
+  /** Batched flat-ADC sweep over one partition of the PQ code table: each
+    * codes row is decoded ONCE and scored against EVERY query's flat ADC
+    * table in a straight-line loop, with a bounded per-query heap keeping
+    * the partition's top `rerank` — so the |queries|×|corpus| scored
+    * relation never materializes as rows at all; only
+    * partitions·|queries|·rerank candidates leave the sweep. Replaces the
+    * broadcast-crossJoin + per-row UDF shape, whose per-row cost was
+    * dominated by deserializing the same codes array once PER QUERY
+    * (|queries|× the necessary work) rather than by the m adds of scoring.
+    * Scores are the identical ascending-subspace sum; survivors under
+    * (score desc, id asc) per partition are a superset of the global
+    * top-`rerank` under the same total order, so the downstream global
+    * heap selection is unchanged. Null ids/codes rows are skipped — the
+    * UDF form scored them null, which the global heap orders last; the
+    * difference is observable only when a query has fewer than `rerank`
+    * non-null candidates, where the extra null-scored rows were re-ranked
+    * by exact cosine anyway. */
+  def adcSweepPartition(qIds: Array[Any], qTables: Array[Array[Double]],
+                        ksub: Int, rerank: Int):
+      Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] = { it =>
+    // heap root = worst survivor: lowest score first, larger id first on ties
+    val cmp = new java.util.Comparator[(Double, Any)] {
+      def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c
+        else b._2.asInstanceOf[Comparable[Any]].compareTo(a._2)
+      }
+    }
+    val nq = qIds.length
+    // the exhaustive-oracle tier passes rerank = 1<<20: size the backing
+    // array to what the partition can actually hold, not the bound
+    val initCap = math.max(1, math.min(rerank, 1024))
+    val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Double, Any)](initCap, cmp))
+    while (it.hasNext) {
+      val row = it.next()
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val nid = row.get(0)
+        val csSeq = row.getSeq[Int](1)
+        val m = csSeq.length
+        val cs = new Array[Int](m)
+        var j = 0
+        while (j < m) { cs(j) = csSeq(j); j += 1 }
+        var i = 0
+        while (i < nq) {
+          if (qIds(i) != nid) {
+            val t = qTables(i)
+            var s = 0.0
+            var p = 0
+            while (p < m) { s += t(p * ksub + cs(p)); p += 1 }
+            val h = heaps(i)
+            if (h.size < rerank) h.add((s, nid))
+            else {
+              val w = h.peek()
+              if (s > w._1 || (s == w._1 &&
+                  nid.asInstanceOf[Comparable[Any]].compareTo(w._2) < 0)) {
+                h.poll(); h.add((s, nid))
+              }
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    Iterator.range(0, nq).flatMap { i =>
+      val h = heaps(i)
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      while (!h.isEmpty) {
+        val (s, nid) = h.poll()
+        out += org.apache.spark.sql.Row(qIds(i), nid, s)
+      }
+      out.iterator
+    }
+  }
+
   /** Mojibake repair kernel: undo the classic UTF-8-bytes-decoded-as-
     * Windows-1252/Latin-1 corruption a web scrape accumulates
     * ("Ã©" → "é", "â€™" → "’"). A string whose chars all re-encode to

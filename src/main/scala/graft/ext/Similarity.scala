@@ -537,24 +537,28 @@ object Similarity {
              k: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     // the probe set is small by contract (it is broadcast below); collect it
-    // once and ship the flat ADC tables in the scoring closure — a per-row
+    // once and ship the flat ADC tables in the sweep closure — a per-row
     // nested table column costs more to deserialize than the scoring itself
-    val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
-      String.valueOf(r.get(0)) ->
-        Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
-    }.toMap
-    // the ADC sweep needs only (query_id, codes) — the query VECTORS stay
-    // out of the |queries|×|corpus| frame entirely (they ride the tiny
-    // broadcast qdf into the re-rank join below), and the top-`rerank`
-    // selection is the bounded-heap aggregate, not a window: the scored
-    // sweep never crosses an exchange, only tasks·|queries|·rerank heap
-    // entries do
-    val approx = broadcast(qdf.select(col("query_id")))
-      .crossJoin(index.codes.select(col("neighbor_id"), col("codes")))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
-        col("query_id").cast("string"), col("codes")))
-      .select(col("query_id"), col("neighbor_id"), col("a_score"))
+    val qRows = qdf.collect()
+    val qIds: Array[Any] = qRows.map(_.get(0))
+    val qTables: Array[Array[Double]] = qRows.map(r =>
+      Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec")))
+    // batched partition sweep (Kernels.adcSweepPartition): every codes row
+    // is decoded once and scored against all queries in-loop, per-query
+    // bounded heaps keep each partition's top `rerank` — the
+    // |queries|×|corpus| relation never exists as rows, no exchange carries
+    // more than partitions·|queries|·rerank narrow candidates, and the
+    // query VECTORS stay out entirely (they ride the tiny broadcast qdf
+    // into the re-rank join below)
+    val codesDf = index.codes.select(col("neighbor_id"), col("codes"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qdf.schema("query_id").dataType),
+      org.apache.spark.sql.types.StructField("neighbor_id", codesDf.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("a_score", org.apache.spark.sql.types.DoubleType)))
+    val approx = queries.sparkSession.createDataFrame(
+      codesDf.rdd.mapPartitions(
+        Kernels.adcSweepPartition(qIds, qTables, index.ksub, rerank)),
+      outSchema)
     val cand = topKByScore(approx, rerank, "a_score")
       .select(col("query_id"), col("neighbor_id"))
     val rescored = index.codes.select(col("neighbor_id"), col("c_vec"))
