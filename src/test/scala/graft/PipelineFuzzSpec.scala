@@ -82,13 +82,19 @@ class PipelineFuzzSpec extends AnyFunSuite {
     def json = s"""{"$$addFields": {"v": ${e.json}}}"""
   }
   private case class SortSt(field: String, asc: Boolean) extends St {
+    // -0.0 == 0.0 under the engine's comparison (Spark normalizes floating
+    // zeros in sort keys; the reference's JS comparator likewise has
+    // -0 neither < nor > 0) — but Scala's total Ordering[Double] puts -0.0
+    // first, so collapse the sign before keying. Reachable: a fuzzed
+    // $multiply like (v-4)*(b-b) yields -0.0 exactly when v < 4.
+    private def z(x: Double): Double = if (x == 0.0) 0.0 else x
     def apply(rows: Seq[D]) = {
       val keyed = rows.sortBy(_.id)
       val dirr = if (asc) 1 else -1
       field match {
         case "a" => keyed.sortBy(d => (d.a * dirr, d.id))
-        case "b" => keyed.sortBy(d => (d.b * dirr, d.id))
-        case "v" => keyed.sortBy(d => (d.v * dirr, d.id))
+        case "b" => keyed.sortBy(d => (z(d.b * dirr), d.id))
+        case "v" => keyed.sortBy(d => (z(d.v * dirr), d.id))
         case "s" => if (asc) keyed.sortBy(d => (d.s, d.id))
                     else keyed.sortBy(d => (d.s, d.id))(Ordering.Tuple2(Ordering.String.reverse, Ordering.Long))
       }
