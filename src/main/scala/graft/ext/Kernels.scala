@@ -648,6 +648,22 @@ object Kernels {
     * by exact cosine anyway. */
   def adcSweepPartition(qIds: Array[Any], qTables: Array[Array[Double]],
                         ksub: Int, rerank: Int):
+      Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] =
+    adcSweepImpl(qIds, qTables, ksub, rerank, byCluster = None)
+
+  /** IVF-PQ variant of [[adcSweepPartition]]: input rows are
+    * (cluster, neighbor_id, codes) and each row is scored only against the
+    * queries whose nprobe coarse cells include its cluster — the identical
+    * candidate pair set the probes⋈indexed equi-join produced, without
+    * materializing it as rows. */
+  def adcSweepClusteredPartition(byCluster: Map[Int, Array[Int]], qIds: Array[Any],
+                                 qTables: Array[Array[Double]], ksub: Int, rerank: Int):
+      Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] =
+    adcSweepImpl(qIds, qTables, ksub, rerank, byCluster = Some(byCluster))
+
+  private def adcSweepImpl(qIds: Array[Any], qTables: Array[Array[Double]],
+                           ksub: Int, rerank: Int,
+                           byCluster: Option[Map[Int, Array[Int]]]):
       Iterator[org.apache.spark.sql.Row] => Iterator[org.apache.spark.sql.Row] = { it =>
     // heap root = worst survivor: lowest score first, larger id first on ties
     val cmp = new java.util.Comparator[(Double, Any)] {
@@ -658,37 +674,48 @@ object Kernels {
       }
     }
     val nq = qIds.length
+    val all = Array.range(0, nq)
+    val none = Array.empty[Int]
+    // clustered rows lead with the cluster id; flat rows start at the id
+    val base = if (byCluster.isDefined) 1 else 0
     // the exhaustive-oracle tier passes rerank = 1<<20: size the backing
     // array to what the partition can actually hold, not the bound
     val initCap = math.max(1, math.min(rerank, 1024))
     val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Double, Any)](initCap, cmp))
     while (it.hasNext) {
       val row = it.next()
-      if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val nid = row.get(0)
-        val csSeq = row.getSeq[Int](1)
-        val m = csSeq.length
-        val cs = new Array[Int](m)
-        var j = 0
-        while (j < m) { cs(j) = csSeq(j); j += 1 }
-        var i = 0
-        while (i < nq) {
-          if (qIds(i) != nid) {
-            val t = qTables(i)
-            var s = 0.0
-            var p = 0
-            while (p < m) { s += t(p * ksub + cs(p)); p += 1 }
-            val h = heaps(i)
-            if (h.size < rerank) h.add((s, nid))
-            else {
-              val w = h.peek()
-              if (s > w._1 || (s == w._1 &&
-                  nid.asInstanceOf[Comparable[Any]].compareTo(w._2) < 0)) {
-                h.poll(); h.add((s, nid))
+      if (!row.isNullAt(base) && !row.isNullAt(base + 1)) {
+        val sel: Array[Int] = byCluster match {
+          case Some(m) => if (row.isNullAt(0)) none else m.getOrElse(row.getInt(0), none)
+          case None    => all
+        }
+        if (sel.length > 0) {
+          val nid = row.get(base)
+          val csSeq = row.getSeq[Int](base + 1)
+          val m = csSeq.length
+          val cs = new Array[Int](m)
+          var j = 0
+          while (j < m) { cs(j) = csSeq(j); j += 1 }
+          var si = 0
+          while (si < sel.length) {
+            val i = sel(si)
+            if (qIds(i) != nid) {
+              val t = qTables(i)
+              var s = 0.0
+              var p = 0
+              while (p < m) { s += t(p * ksub + cs(p)); p += 1 }
+              val h = heaps(i)
+              if (h.size < rerank) h.add((s, nid))
+              else {
+                val w = h.peek()
+                if (s > w._1 || (s == w._1 &&
+                    nid.asInstanceOf[Comparable[Any]].compareTo(w._2) < 0)) {
+                  h.poll(); h.add((s, nid))
+                }
               }
             }
+            si += 1
           }
-          i += 1
         }
       }
     }
@@ -701,6 +728,27 @@ object Kernels {
       }
       out.iterator
     }
+  }
+
+  /** Driver-side nearest-`nprobe` centroid cells for one query vector —
+    * the same L2 distances and (distance, index) tie order as
+    * [[nearestCentroidsKernel]], computed where the probe list is needed
+    * to build the cluster→queries index of the batched IVF-PQ sweep. */
+  def nearestCentroidsDriver(centroids: Array[Array[Double]],
+                             v: scala.collection.Seq[Float], nprobe: Int): Array[Int] = {
+    val a = v.toArray
+    val dists = new Array[(Double, Int)](centroids.length)
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      var d = 0.0
+      var j = 0
+      val n = math.min(a.length, c.length)
+      while (j < n) { val t = a(j) - c(j); d += t * t; j += 1 }
+      dists(i) = (d, i)
+      i += 1
+    }
+    dists.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2)
   }
 
   /** Mojibake repair kernel: undo the classic UTF-8-bytes-decoded-as-

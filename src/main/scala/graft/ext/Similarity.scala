@@ -617,22 +617,30 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, index: IvfPqIndex, idCol: String, vecCol: String,
                 k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val tables: Map[String, Array[Double]] = qdf.collect().map { r =>
-      String.valueOf(r.get(0)) ->
-        Kernels.adcTableFlat(index.books, r.getAs[scala.collection.Seq[Float]]("q_vec"))
-    }.toMap
-    // cluster pruning narrows the sweep (pairs unique by construction —
-    // see ivfTopK), ADC scores the codes, and both top selections are
-    // bounded-heap aggregates over narrow (query, neighbor, score) rows;
-    // query vectors enter only via the broadcast re-rank join
-    val probes = broadcast(qdf.select(col("query_id"), col("q_vec")).withColumn("cluster",
-      explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec"))))
-      .select(col("query_id"), col("cluster")))
-    val approx = probes.join(index.indexed.select("cluster", "neighbor_id", "codes"), "cluster")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("a_score", Kernels.pqAdcScoreClosureKernel(tables, index.ksub)(
-        col("query_id").cast("string"), col("codes")))
-      .select(col("query_id"), col("neighbor_id"), col("a_score"))
+    val qRows = qdf.collect()
+    val qIds: Array[Any] = qRows.map(_.get(0))
+    val qVecs = qRows.map(_.getAs[scala.collection.Seq[Float]]("q_vec"))
+    val qTables: Array[Array[Double]] = qVecs.map(Kernels.adcTableFlat(index.books, _))
+    // cluster pruning via a driver-built cluster→queries inversion of each
+    // query's nprobe probe list (same L2 tie order as the UDF kernel), then
+    // the batched partition sweep: each indexed row is decoded once and
+    // scored only against the queries probing its cluster — the identical
+    // candidate pair set the former probes⋈indexed equi-join produced,
+    // without materializing a row per (query, candidate). Query vectors
+    // enter only via the broadcast re-rank join below.
+    val byCluster: Map[Int, Array[Int]] = qVecs.zipWithIndex
+      .flatMap { case (v, qi) =>
+        Kernels.nearestCentroidsDriver(index.centroids, v, nprobe).map(c => (c, qi)) }
+      .groupBy(_._1).map { case (c, pairs) => c -> pairs.map(_._2).sorted }
+    val idxDf = index.indexed.select(col("cluster"), col("neighbor_id"), col("codes"))
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id", qdf.schema("query_id").dataType),
+      org.apache.spark.sql.types.StructField("neighbor_id", idxDf.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("a_score", org.apache.spark.sql.types.DoubleType)))
+    val approx = queries.sparkSession.createDataFrame(
+      idxDf.rdd.mapPartitions(
+        Kernels.adcSweepClusteredPartition(byCluster, qIds, qTables, index.ksub, rerank)),
+      outSchema)
     val cand = topKByScore(approx, rerank, "a_score")
       .select(col("query_id"), col("neighbor_id"))
     val rescored = index.indexed.select(col("neighbor_id"), col("c_vec"))

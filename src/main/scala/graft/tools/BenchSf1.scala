@@ -11,9 +11,14 @@ import org.apache.spark.sql.functions._
   * and the IVF/PQ ANN build+probe tiers — the jittered-replica soak in
   * Bench proves distribution shape, this proves absolute volume. Measurement: headline = 5 warm-ups then median of 7 on
   * a pinned physical plan (self-flags `noisy` on a median/min spread);
-  * each extra runs ONCE from a GC'd slate — at 5-10-minute workload sizes
+  * each extra runs from a GC'd slate — at 5-10-minute workload sizes
   * a "warm" re-run mostly measures the first run's leftover heap and
-  * page-cache state, so cold-once is the honest protocol here. One JSON
+  * page-cache state, so cold-per-attempt is the honest protocol here —
+  * and an attempt whose HostCal bracket lands >20% above the session's
+  * quietest observation is retried (≤3 attempts, quietest bracket kept,
+  * attempt counts recorded): co-tenant interference on this host swings
+  * identical runs 1.5-5×, and a bracketed retry converges the record on
+  * the workload's own cost instead of the neighbor's. One JSON
   * line to stdout (last, after spark.stop()) and the full record to
   * SPARK_GRAFT_BENCH_SF1 (default bench_sf1.json).
   *
@@ -123,16 +128,41 @@ object BenchSf1 {
     // are comparable item-by-item only at similar cal.
     HostCal.warmup()
     val cals = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val attempts = scala.collection.mutable.LinkedHashMap[String, Int]()
+    // the quietest cal observed this session — the host's delivered
+    // per-core throughput when no co-tenant interferes; later attempts
+    // refine it downward
+    var calFloor = HostCal.unit()._1
+    // Retry-on-interference: a cal bracket sampling >20% above the
+    // session's quietest observation means the item ran under co-tenant
+    // load (the brackets on this host have shown 1.5-5x swings between
+    // adjacent items). One retry round is a measurement protocol, not
+    // cherry-picking: the quietest attempt is the closest observation of
+    // the workload's own cost, every attempt's bracket is recorded, and a
+    // still-noisy final attempt stays flagged by its cal values.
     def timedOnce(name: String)(f: => Long): (String, (Double, Double)) = {
-      System.gc()
-      val calPre = HostCal.unit()._1
-      val t0 = System.nanoTime(); val c0 = cpuNs(); f
-      val r = ((System.nanoTime() - t0) / 1e9, (cpuNs() - c0) / 1e9)
-      val calPost = HostCal.unit()._1
-      cals(name) = (calPre, calPost)
-      System.err.println(s"[bench-sf1] $name ${"%.1f".format(r._1)}s " +
-        s"(cpu ${"%.0f".format(r._2)}s) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}")
-      name -> r
+      var best: (Double, Double, Double, Double) = null // wall, cpu, calPre, calPost
+      var attempt = 0
+      var quiet = false
+      while (attempt < 3 && !quiet) {
+        attempt += 1
+        System.gc()
+        val calPre = HostCal.unit()._1
+        val t0 = System.nanoTime(); val c0 = cpuNs(); f
+        val wall = (System.nanoTime() - t0) / 1e9; val cpu = (cpuNs() - c0) / 1e9
+        val calPost = HostCal.unit()._1
+        calFloor = math.min(calFloor, math.min(calPre, calPost))
+        val bracket = math.max(calPre, calPost)
+        if (best == null || bracket < math.max(best._3, best._4))
+          best = (wall, cpu, calPre, calPost)
+        quiet = bracket <= calFloor * 1.2
+        System.err.println(s"[bench-sf1] $name#$attempt ${"%.1f".format(wall)}s " +
+          s"(cpu ${"%.0f".format(cpu)}s) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}" +
+          (if (!quiet && attempt < 3) " [noisy bracket, retrying]" else ""))
+      }
+      cals(name) = (best._3, best._4)
+      attempts(name) = attempt
+      name -> ((best._1, best._2))
     }
     var histogram = ""
     var sf1Ivf: graft.ext.Similarity.IvfIndex = null
@@ -210,6 +240,7 @@ object BenchSf1 {
         s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
       s""""cal_min":${"%.3f".format(cals.values.flatMap(c => Seq(c._1, c._2)).min)},""" +
       s""""cal_max":${"%.3f".format(cals.values.flatMap(c => Seq(c._1, c._2)).max)},""" +
+      s""""attempts":${attempts.map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")},""" +
       s""""docs_per_sec":${results.map { case (k, v) => s""""$k":${(nRows / v).toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"n_docs":$nDocs,"n_vectors":$nVec,"sf":"$sfDir",""" +
       // heap is part of the measurement at this scale: a 6M-doc in-memory
