@@ -56,7 +56,14 @@ object Corpus {
     * @param urlCol when set, crawl-dedup FIRST on
     *                    [[TextFunctions.canonicalizeUrl]] of this column
     *                    (keep-first by id) — the cheapest tier, it runs on
-    *                    metadata before any content is touched */
+    *                    metadata before any content is touched
+    * @param packSubShards parallelism for the final [[Packing.packGreedy]]
+    *                    step when `shardCols` is low-cardinality (a 5-value
+    *                    language column serializes its majority language
+    *                    through one task) — each shard packs as this many
+    *                    independent hash buckets with disjoint pack ids.
+    *                    Size it ~cluster cores at corpus scale; 1 keeps the
+    *                    exact single-sequence-per-shard assignment */
   final case class CurateConfig(minQuality: Double = 0.6,
                                 maxLineRepetition: Double = 1.0,
                                 budget: Long = 2048L,
@@ -67,7 +74,8 @@ object Corpus {
                                 decontamN: Int = 13,
                                 gopherRules: Boolean = false,
                                 compressionBand: Option[(Double, Double)] = None,
-                                urlCol: Option[String] = None)
+                                urlCol: Option[String] = None,
+                                packSubShards: Int = 1)
 
   /** Curate `docs` into packed training shards. Output keeps the input
     * columns (with `textCol` normalized/line-deduped/scrubbed in place)
@@ -90,7 +98,8 @@ object Corpus {
              eval: Option[(DataFrame, String)] = None,
              lm: Option[(DataFrame, Int, Double)] = None): DataFrame = {
     val scored = curateStages(docs, idCol, textCol, cfg, eval, lm).last._2
-    Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget)
+    Packing.packGreedy(scored, shardCols, Seq(col(idCol)), col("n_tok"), cfg.budget,
+      subShards = cfg.packSubShards)
   }
 
   /** The row-DROPPING tiers of [[curate]], named and in order; the last

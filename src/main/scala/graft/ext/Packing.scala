@@ -51,24 +51,47 @@ object Packing {
     *
     * The recurrence is inherently sequential per shard, so the scan runs as
     * one `mapPartitions` pass after hash-partitioning on the shard key —
-    * shards are the unit of parallelism (language × source × hash buckets
-    * are plentiful at corpus scale), and no window, global or otherwise, is
-    * involved. One shuffle total.
+    * shards are the unit of parallelism, and no window, global or otherwise,
+    * is involved. One shuffle total.
+    *
+    * Shard cardinality IS the parallelism bound: a corpus sharded only by a
+    * 5-value language column serializes its majority language through one
+    * task however many executors exist. When the natural shard key is
+    * low-cardinality, pass `subShards > 1`: each shard splits into that many
+    * deterministic hash buckets of its `orderCols` key, next-fit runs
+    * independently per bucket, and bucket-local pack ids are interleaved
+    * into one disjoint per-shard id space (`pack_id = local * subShards +
+    * bucket`). Every packing invariant is preserved exactly — documents
+    * whole, `pack_offset + tokens <= budget` per pack, oversized documents
+    * alone — and the assignment stays deterministic; what changes is only
+    * WHICH budget-full pack a document lands in (each bucket packs its own
+    * subsequence, so a shard yields at most `subShards - 1` extra partial
+    * tail packs — noise at corpus scale, and the price of restoring
+    * data-width parallelism to the sequential recurrence).
     */
   def packGreedy(df: DataFrame, shardCols: Seq[String], orderCols: Seq[Column],
-                 tokenCol: Column, budget: Long): DataFrame = {
+                 tokenCol: Column, budget: Long, subShards: Int = 1): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    require(subShards > 0, s"subShards must be positive, got $subShards")
     require(shardCols.nonEmpty,
       "packGreedy needs shard columns — an unsharded greedy pack assignment would " +
         "serialize the corpus through one task; shard by language/source or a hash " +
         "bucket first")
     val tokTmp = "_graft_pack_tok"
-    val parted = df.withColumn(tokTmp, tokenCol.cast("long"))
-      .repartition(shardCols.map(col): _*)
-      .sortWithinPartitions(shardCols.map(col) ++ orderCols: _*)
+    val bucketTmp = "_graft_pack_bucket"
+    val withCols = df.withColumn(tokTmp, tokenCol.cast("long"))
+      .withColumn(bucketTmp,
+        if (subShards == 1) lit(0)
+        else pmod(xxhash64(orderCols: _*), lit(subShards)).cast("int"))
+    val groupCols = shardCols.map(col) :+ col(bucketTmp)
+    val parted = withCols
+      .repartition(groupCols: _*)
+      .sortWithinPartitions(groupCols ++ orderCols: _*)
     val schema = parted.schema
-    val shardIdx = shardCols.map(schema.fieldIndex)
+    val shardIdx = shardCols.map(schema.fieldIndex) :+ schema.fieldIndex(bucketTmp)
     val tokIdx = schema.fieldIndex(tokTmp)
+    val bucketIdx = schema.fieldIndex(bucketTmp)
+    val nSub = subShards.toLong
     val outSchema = StructType(schema.fields :+
       StructField("pack_id", LongType, nullable = false) :+
       StructField("pack_offset", LongType, nullable = false))
@@ -85,9 +108,11 @@ object Packing {
         if (fill > 0 && fill + tok > budget) { packId += 1; fill = 0L }
         val offset = fill
         fill += tok
-        Row.fromSeq(r.toSeq :+ packId :+ offset)
+        // interleave bucket-local ids into one disjoint per-shard space
+        val globalPack = packId * nSub + r.getInt(bucketIdx)
+        Row.fromSeq(r.toSeq :+ globalPack :+ offset)
       }
-    }(Encoders.row(outSchema)).drop(tokTmp)
+    }(Encoders.row(outSchema)).drop(tokTmp, bucketTmp)
   }
 
   /** Emit the packed training rows themselves: one row per (shard, pack)

@@ -168,9 +168,12 @@ object BenchSf1 {
     var sf1Ivf: graft.ext.Similarity.IvfIndex = null
     var sf1Pq: graft.ext.Similarity.PqIndex = null
     val extras = Seq(
+      // packSubShards = cores: the 5-value lang shard key would otherwise
+      // serialize the 55% majority language through ONE next-fit task
       timedOnce("sf1CorpusCurate")(graft.ext.Corpus.curate(
         docs.select(col("doc_id"), col("text"), col("lang")), "doc_id", "text",
-        Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count()),
+        Seq("lang"), graft.ext.Corpus.CurateConfig(minQuality = 0.6, budget = 2048L,
+          packSubShards = cpus.toInt)).count()),
       timedOnce("sf1SemDedup")(graft.ext.Dedup.semDedup(
         emb, "vec_id", "embedding", k = 256, threshold = 0.7).count()),
       timedOnce("sf1Minhash")(graft.ext.Dedup.minhashLshPairs(

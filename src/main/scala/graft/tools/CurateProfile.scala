@@ -32,10 +32,17 @@ object CurateProfile {
       Packing.packGreedy(docs.withColumn("n_tok", TextFunctions.tokenCount(col("text"))),
         Seq("lang"), Seq(col("doc_id")), col("n_tok"), 2048L).count()
     }
+    t("packGreedy-sub32") {
+      Packing.packGreedy(docs.withColumn("n_tok", TextFunctions.tokenCount(col("text"))),
+        Seq("lang"), Seq(col("doc_id")), col("n_tok"), 2048L, subShards = 32).count()
+    }
     t("curate-cold")(Corpus.curate(docs, "doc_id", "text", Seq("lang"),
       Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count())
     t("curate-warm")(Corpus.curate(docs, "doc_id", "text", Seq("lang"),
       Corpus.CurateConfig(minQuality = 0.6, budget = 2048L)).count())
+    t("curate-sub32")(Corpus.curate(docs, "doc_id", "text", Seq("lang"),
+      Corpus.CurateConfig(minQuality = 0.6, budget = 2048L,
+        packSubShards = 32)).count())
     spark.stop()
   }
 }

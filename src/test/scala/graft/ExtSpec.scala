@@ -1088,6 +1088,51 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("sub-sharded greedy packing: per-bucket next-fit, disjoint ids, invariants hold") {
+    // a low-cardinality shard key (one 'en'-style majority group) is the
+    // scale hazard subShards exists for — every doc in ONE shard here
+    val n = 600
+    val budget = 1000L
+    val subShards = 4
+    val rows = (1 to n).map(i => s"""{"id": $i, "g": "en", "tok": ${(i * 131) % 700 + 1}}""")
+    val big = fromJsonl(rows: _*)
+    val packed = graft.ext.Packing.packGreedy(
+      big, Seq("g"), Seq(col("id")), col("tok"), budget, subShards = subShards)
+    val got = packed.collect().map(r => r.getAs[Long]("id") ->
+      (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    // every input row assigned exactly once; deterministic across runs
+    assert(got.keySet == (1 to n).map(_.toLong).toSet)
+    val again = graft.ext.Packing.packGreedy(
+      big, Seq("g"), Seq(col("id")), col("tok"), budget, subShards = subShards)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset"))).toMap
+    assert(again == got)
+    // replay: each bucket (recovered as pack_id mod subShards, which must
+    // match Spark's own hash assignment) is an independent next-fit of its
+    // id-ordered subsequence, interleaved into the shard's id space
+    val bucketOf = big.select(col("id"),
+        pmod(xxhash64(col("id")), lit(subShards)).cast("int").as("b"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("b")).toMap
+    val expected = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    val state = scala.collection.mutable.Map.empty[Int, (Long, Long)]
+    for (i <- 1 to n) {
+      val tok = (i * 131) % 700 + 1
+      val b = bucketOf(i.toLong)
+      var (pid, fill) = state.getOrElse(b, (0L, 0L))
+      if (fill > 0 && fill + tok > budget) { pid += 1; fill = 0L }
+      expected(i.toLong) = (pid * subShards + b, fill)
+      state(b) = (pid, fill + tok)
+    }
+    assert(got == expected.toMap)
+    // packing invariants survive sub-sharding: no straddles (offset + tok
+    // <= budget except a lone oversized doc), ids disjoint across buckets
+    val byPack = (1 to n).groupBy(i => got(i.toLong)._1)
+    byPack.foreach { case (_, members) =>
+      val spans = members.map { i => (got(i.toLong)._2, ((i * 131) % 700 + 1).toLong) }
+      assert(spans.forall { case (off, tok) => off + tok <= budget } || spans.size == 1)
+    }
+  }
+
   test("tf-idf top terms: rare terms outrank common ones, ranks are total") {
     val docs = fromJsonl(
       """{"id": 1, "text": "apple banana apple"}""",
