@@ -228,7 +228,8 @@ object Dedup {
                                  bands: Int, rowsPerBand: Int, threshold: Double,
                                  selfPairs: Boolean,
                                  leftName: String, rightName: String,
-                                 materializeCandidates: Boolean = false): DataFrame = {
+                                 materializeCandidates: Boolean = false,
+                                 leftBoundedPrune: Boolean = false): DataFrame = {
     def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
       col(idAs),
       posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
@@ -256,7 +257,37 @@ object Dedup {
     // cardinality scales with the DUPLICATED fraction, not the corpus).
     val bandedLeftRaw = banded(renamed(left, leftName), leftName)
     val (bandedLeft, bandedRight) =
-      if (!(selfPairs && materializeCandidates)) {
+      if (!selfPairs && leftBoundedPrune) {
+        // ---- bounded-left band prefilter (bipartite tier) ----
+        // The incremental-ingest shape: LEFT is one bounded shard/micro-
+        // batch, RIGHT is the accumulated store that grows with the
+        // corpus. The batch side is routinely past the broadcast threshold
+        // (a 250k-doc batch explodes to 4M band rows), so without help the
+        // band join sort-merges — shuffling and sorting the ENTIRE
+        // exploded store once per batch, O(batches²) cumulative exchange
+        // over a stream's life. A bloom of the batch's own band keys
+        // (bounded by the batch, ~1 MB per 100k docs at 1%) drops every
+        // store row whose bucket has no batch collision SCAN-SIDE, so the
+        // store contributes only its colliding sliver to the exchange and
+        // per-batch shuffle cost tracks the batch, not the store.
+        // Exactness: the join still tests real (band, band_key) equality
+        // and the Jaccard verify re-checks every surviving pair — bloom
+        // false positives cost work, never answers.
+        val spark = left.sparkSession
+        val leftKeys = bandedLeftRaw
+          .select(xxhash64(col("band"), col("band_key")).as("__bk"))
+        val nLeft = leftKeys.count()
+        if (nLeft == 0L) {
+          val emptyRight = banded(renamed(right, rightName), rightName).limit(0)
+          (bandedLeftRaw.limit(0), emptyRight)
+        } else {
+          val bloom = spark.sparkContext.broadcast(
+            leftKeys.stat.bloomFilter("__bk", nLeft, 0.01))
+          val might = udf((h: Long) => bloom.value.mightContainLong(h))
+          (bandedLeftRaw, banded(renamed(right, rightName), rightName)
+            .filter(might(xxhash64(col("band"), col("band_key")))))
+        }
+      } else if (!(selfPairs && materializeCandidates)) {
         (bandedLeftRaw, banded(renamed(right, rightName), rightName))
       } else {
         val spark = left.sparkSession
@@ -376,7 +407,8 @@ object Dedup {
     val seenSide = spill(signatureTable(store, idCol, textCol, shingleSize, numHashes, seed),
       "graft-incr-sig-seen")
     minhashPairsFromSignatures(newSide, seenSide, bands, numHashes / bands,
-      threshold, selfPairs = false, "new_id", "seen_id", materializeCandidates = true)
+      threshold, selfPairs = false, "new_id", "seen_id", materializeCandidates = true,
+      leftBoundedPrune = true)
   }
 
   /** Full incremental ingest step: exact tier, then drop new docs
@@ -549,12 +581,18 @@ object Dedup {
             val dropInBatch = minhashPairsFromSignatures(
               sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")
               .select(greatest(col("id_a"), col("id_b")).as("doc_id")).distinct()
-            val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti")
+            // persisted: the cross-store prune evaluates fresh three times
+            // (bloom build, band join, verify fetch) — without the pin each
+            // evaluation replays the in-batch self band join above.
+            // Batch-bounded memory, released in the finally below.
+            val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti").persist()
+            try {
             val dropCross =
               if (sigDirs.nonEmpty)
                 minhashPairsFromSignatures(
                   fresh, spark.read.parquet(sigDirs: _*), bands, rpb, t,
-                  selfPairs = false, "new_id", "seen_id")
+                  selfPairs = false, "new_id", "seen_id",
+                  leftBoundedPrune = true)
                   .select(col("new_id").as("doc_id")).distinct()
               else fresh.select(col("doc_id")).limit(0)
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
@@ -569,6 +607,7 @@ object Dedup {
                 .write.mode("overwrite").parquet(s"$storePath/$tag")
               keepSigs.write.mode("overwrite").parquet(s"$sigPath/$tag")
             } finally keepSigs.unpersist()
+            } finally fresh.unpersist()
           } finally sigs.unpersist()
       }
     } finally exact.unpersist()
