@@ -478,6 +478,15 @@ object Dedup {
     * over a 100 TB corpus and the store converges to one copy per distinct
     * (or, with `nearThreshold`, near-distinct) document.
     *
+    * Arrival order is part of the near tier's semantics: whichever member
+    * of a near-dup cluster lands first owns the store entry, and a cluster
+    * split across shards can keep one representative per shard when the
+    * earlier representative is itself dropped against a third document —
+    * so re-ingesting the same corpus in a different shard order can shift
+    * the surviving SET (and, at the margin, the count) while still keeping
+    * ≥1 representative per cluster. The exact tier has no such dependence:
+    * one survivor per distinct content whatever the order.
+    *
     * Store layout: each call writes `storePath/batch-<tag>/` (and, with the
     * near tier, `storePath + "_sigs"/batch-<tag>/`); readers take the union
     * of batch directories via [[readStore]]. Writing a FRESH directory

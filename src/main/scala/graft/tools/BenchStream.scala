@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Streaming-ingest throughput at absolute scale: the sf1 corpus (6M
+  * genuinely distinct documents) driven through the REAL Structured
+  * Streaming sinks — `incrementalDedupSink` (exact content tier) and
+  * `curatedIngestSink` (quality gate + exact + MinHash near-dup tiers) —
+  * as a file-source stream of ~24 micro-batches, the shard-arrival shape
+  * of a production ingest. The batch gates have oracle rows
+  * (q_stream_curate/funnel/neardup) and plan audits (GatePlanSpec over the
+  * real micro-batch plans); this records the missing third axis: absolute
+  * docs/sec through the sink, per-tier, at a 6M-document stream with a
+  * store that GROWS to 6M docs under it — per-batch cost against an
+  * accumulated store is exactly the property a single-batch gate cannot
+  * show. One JSON line to stdout (after spark.stop()) and the record to
+  * SPARK_GRAFT_BENCH_STREAM (default bench_stream.json). Cold-once per
+  * tier with [[HostCal]] brackets (a streaming run IS a sequence of warm
+  * batches; re-running the whole stream would only measure page cache).
+  */
+object BenchStream {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft-sf1")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_STREAM", "bench_stream.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val work = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val cpuNs: () => Long =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => () => b.getProcessCpuTime
+        case _ => () => 0L
+      }
+
+    // stage the corpus as 24 source files — one micro-batch per file via
+    // maxFilesPerTrigger, the shard-arrival granularity of a real ingest
+    val nBatches = 24
+    val srcDir = s"$work/src"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.repartition(nBatches).write.parquet(srcDir)
+    // the file source feeds files in MODIFICATION-TIME order, and the 24
+    // parallel part writes race their mtimes — but incremental dedup
+    // survivorship is arrival-order-dependent (whichever near-dup lands
+    // first owns the store entry), so an uncontrolled order made survivor
+    // counts drift run-to-run (observed ±57 of 5.06M). Stamp strictly
+    // increasing mtimes in part-name order: deterministic batches,
+    // reproducible record.
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(srcDir))
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        p.toFile.setLastModified(1000000000000L + i * 60000L)
+      }
+    finally ls.close()
+    val nDocs = spark.read.parquet(srcDir).count()
+    val schema = spark.read.parquet(srcDir).schema
+
+    HostCal.warmup()
+    val cals = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+    def runTier(name: String)(start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val store = s"$work/$name-store"
+      val ckpt = s"$work/$name-ckpt"
+      System.gc()
+      val calPre = HostCal.unit()._1
+      val t0 = System.nanoTime(); val c0 = cpuNs()
+      val q = start(store, ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9; val cpu = (cpuNs() - c0) / 1e9
+      val calPost = HostCal.unit()._1
+      val survivors = graft.ext.Dedup.readStore(spark, store).count()
+      cals(name) = (calPre, calPost)
+      results(name) = (wall, cpu, survivors)
+      System.err.println(s"[bench-stream] $name ${"%.1f".format(wall)}s " +
+        s"(cpu ${"%.0f".format(cpu)}s, ${(nDocs / wall).toLong} docs/s, " +
+        s"$survivors survivors) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}")
+    }
+    def source() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+
+    // tier 1: exact-content incremental dedup — the cheapest store shape
+    runTier("streamExactDedup") { (store, ckpt) =>
+      graft.streaming.GraftStreaming.incrementalDedupSink(
+        source(), "doc_id", "text", store, ckpt, queryName = "bench-exact")
+    }
+    // tier 2: full curated ingest — quality gate + exact + near-dup store
+    // (64-hash/16-band MinHash against the accumulated signature store)
+    runTier("streamCuratedNear") { (store, ckpt) =>
+      graft.streaming.GraftStreaming.curatedIngestSink(
+        source(), "doc_id", "text", store, ckpt, queryName = "bench-curated",
+        minQuality = 0.6, nearThreshold = Some(0.7))
+    }
+
+    val record =
+      s"""{"metric":"stream_ingest","unit":"sec","n_docs":$nDocs,"n_batches":$nBatches,""" +
+      s""""tiers":${results.map { case (k, (w, c, s)) =>
+        s""""$k":{"wall":${"%.2f".format(w)},"cpu":${"%.1f".format(c)},""" +
+        s""""docs_per_sec":${(nDocs / w).toLong},"survivors":$s}"""
+      }.mkString("{", ",", "}")},""" +
+      s""""cal":${cals.map { case (k, (a, b)) =>
+        s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
+      s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the staged source, stores and checkpoints are scratch — delete them
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+    try {
+      val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    } finally walk.close()
+    spark.stop()
+    println(record)
+    System.out.flush()
+  }
+}
