@@ -128,6 +128,7 @@ object BenchSf1 {
     // are comparable item-by-item only at similar cal.
     HostCal.warmup()
     val cals = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    val excesses = scala.collection.mutable.LinkedHashMap[String, Double]()
     val attempts = scala.collection.mutable.LinkedHashMap[String, Int]()
     // the quietest cal observed this session — the host's delivered
     // per-core throughput when no co-tenant interferes; later attempts
@@ -140,8 +141,25 @@ object BenchSf1 {
     // cherry-picking: the quietest attempt is the closest observation of
     // the workload's own cost, every attempt's bracket is recorded, and a
     // still-noisy final attempt stays flagged by its cal values.
+    //
+    // The single-thread cal probe is BLIND to one interference mode: a
+    // co-tenant saturating the sibling hyperthreads degrades a 32-thread
+    // workload ~2x while a 1-thread probe still gets a full core (observed:
+    // minhash at 146 s under load-average 18 with cal reading a quiet
+    // 0.110, vs 71 s on an idle host). So the bracket also reads the
+    // system load average (this JVM's own runnable threads subtracted via
+    // its process CPU rate) and flags the attempt when EXCESS load — other
+    // processes' runnable threads — tops 4 cores' worth.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // Keep-rule: MIN WALL across attempts. The workload is deterministic,
+    // so interference only ever ADDS time — the fastest attempt is by
+    // construction the closest observation of the workload's own cost
+    // (classic min-of-N). An earlier composite that preferred the
+    // quietest-LOOKING bracket kept a 204 s survivor run (cal 0.121,
+    // excess 0.0 — the contention was invisible to both probes) over a
+    // 93 s one; probes gate RETRIES and are recorded, they don't select.
     def timedOnce(name: String)(f: => Long): (String, (Double, Double)) = {
-      var best: (Double, Double, Double, Double) = null // wall, cpu, calPre, calPost
+      var best: (Double, Double, Double, Double, Double) = null // wall, cpu, calPre, calPost, excess
       var attempt = 0
       var quiet = false
       while (attempt < 3 && !quiet) {
@@ -151,22 +169,31 @@ object BenchSf1 {
         val t0 = System.nanoTime(); val c0 = cpuNs(); f
         val wall = (System.nanoTime() - t0) / 1e9; val cpu = (cpuNs() - c0) / 1e9
         val calPost = HostCal.unit()._1
+        // own-load ≈ this process's average running threads over the item;
+        // excess = 1-min load average beyond that = someone else's work.
+        // Only meaningful for items longer than the load-average horizon —
+        // a short item's sample still reflects the PREVIOUS item's threads.
+        val ownLoad = cpu / math.max(wall, 0.001)
+        val excess = math.max(0.0, osBean.getSystemLoadAverage - ownLoad)
         calFloor = math.min(calFloor, math.min(calPre, calPost))
         val bracket = math.max(calPre, calPost)
-        if (best == null || bracket < math.max(best._3, best._4))
-          best = (wall, cpu, calPre, calPost)
-        quiet = bracket <= calFloor * 1.2
+        if (best == null || wall < best._1)
+          best = (wall, cpu, calPre, calPost, excess)
+        quiet = bracket <= calFloor * 1.2 && (wall < 30.0 || excess <= 4.0)
         System.err.println(s"[bench-sf1] $name#$attempt ${"%.1f".format(wall)}s " +
           s"(cpu ${"%.0f".format(cpu)}s) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}" +
+          s" excess=${"%.1f".format(excess)}" +
           (if (!quiet && attempt < 3) " [noisy bracket, retrying]" else ""))
       }
       cals(name) = (best._3, best._4)
+      excesses(name) = best._5
       attempts(name) = attempt
       name -> ((best._1, best._2))
     }
     var histogram = ""
     var sf1Ivf: graft.ext.Similarity.IvfIndex = null
     var sf1Pq: graft.ext.Similarity.PqIndex = null
+    var sf1IvfPq: graft.ext.Similarity.IvfPqIndex = null
     val extras = Seq(
       // packSubShards = cores: the 5-value lang shard key would otherwise
       // serialize the 55% majority language through ONE next-fit task
@@ -223,7 +250,17 @@ object BenchSf1 {
       },
       timedOnce("sf1PqTopK")(graft.ext.Similarity.pqTopK(
         emb.filter(col("vec_id") < 1000), sf1Pq, "vec_id", "embedding",
-        k = 10, rerank = 50).count()))
+        k = 10, rerank = 50).count()),
+      // the combined tier a 100-TB ANN deployment actually runs: coarse
+      // IVF pruning over PQ codes, batched clustered ADC sweep
+      timedOnce("sf1IvfPqBuild") {
+        sf1IvfPq = graft.ext.Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+          nlist = 256, m = 8, ksub = 16, dim = 64)
+        sf1IvfPq.indexed.count()
+      },
+      timedOnce("sf1IvfPqTopK")(graft.ext.Similarity.ivfPqTopK(
+        emb.filter(col("vec_id") < 1000), sf1IvfPq, "vec_id", "embedding",
+        k = 10, nprobe = 16, rerank = 50).count()))
 
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
@@ -244,6 +281,8 @@ object BenchSf1 {
       s""""cal_min":${"%.3f".format(cals.values.flatMap(c => Seq(c._1, c._2)).min)},""" +
       s""""cal_max":${"%.3f".format(cals.values.flatMap(c => Seq(c._1, c._2)).max)},""" +
       s""""attempts":${attempts.map { case (k, n) => s""""$k":$n""" }.mkString("{", ",", "}")},""" +
+      s""""excess_load":${excesses.map { case (k, e) =>
+        s""""$k":${"%.1f".format(e)}""" }.mkString("{", ",", "}")},""" +
       s""""docs_per_sec":${results.map { case (k, v) => s""""$k":${(nRows / v).toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"n_docs":$nDocs,"n_vectors":$nVec,"sf":"$sfDir",""" +
       // heap is part of the measurement at this scale: a 6M-doc in-memory
