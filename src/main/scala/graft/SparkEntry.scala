@@ -1304,6 +1304,29 @@ object SparkEntry {
       graft.ext.Similarity.ivfTopK(e.filter(col("vec_id") < 10), e, "vec_id", "embedding",
         k = 5, nlist = 8, nprobe = 8)
     }),
+    // incremental IVF store: the corpus arrives as three shards (id mod 3;
+    // shard 0 bootstraps and freezes the coarse quantizer), each assigned
+    // and appended by ivfIngestStep, then the UNION store is probed
+    // exhaustively (nprobe = nlist) — equal to brute force however the
+    // corpus was sharded, so the oracle is the same ranking SQL as
+    // q_ann_ivf. Scratch hygiene as in q_merge_upsert: materialize the
+    // probe result off the store, delete the store eagerly.
+    "q_ann_ivf_incr" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val store = java.nio.file.Files.createTempDirectory("graft-ivf-incr-gate").toString
+      (0 to 2).foreach { s =>
+        graft.ext.Similarity.ivfIngestStep(
+          e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+          store, nlist = 8, batchTag = Some(s.toString))
+      }
+      val idx = graft.ext.Similarity.loadIvfStore(spark, store)
+      val probed = graft.ext.Similarity.ivfTopK(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 8)
+      val out = graft.ext.Dedup.spill(probed, "graft-ivf-incr-out")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
     // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
     // brute force regardless of the int8 approximation — same argument as
     // q_ann_ivf / q_ann_pq
@@ -2054,6 +2077,22 @@ object SparkEntry {
       FROM part p JOIN tiles ON p.p_brand = tiles.k
       GROUP BY tiles.tile""",
     "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    // Incremental three-shard store probed exhaustively = brute force
+    // however the corpus was sharded — identical ranking SQL to q_ann_ivf
+    // (the sharding must be invisible in the answer; a store batch lost,
+    // duplicated, or assigned under a drifted quantizer breaks the hash).
+    "q_ann_ivf_incr" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

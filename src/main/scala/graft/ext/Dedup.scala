@@ -430,9 +430,10 @@ object Dedup {
     exactSurvivors.join(flagged, Seq(idCol), "left_anti")
   }
 
-  /** Batch subdirectories of a store root (see [[ingestStep]]'s layout). */
-  private def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
-                            root: String): Seq[String] = {
+  /** Batch subdirectories of a store root (see [[ingestStep]]'s layout;
+    * [[Similarity.ivfIngestStep]]'s index store shares it). */
+  private[graft] def listBatchDirs(spark: org.apache.spark.sql.SparkSession,
+                                   root: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty

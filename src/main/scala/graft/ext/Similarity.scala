@@ -708,6 +708,88 @@ object Similarity {
     IvfIndex(loadCentroids(spark, s"$path/centroids"),
       spark.read.parquet(s"$path/index"))
 
+  /** One shard's step of incremental IVF index maintenance — the ANN
+    * counterpart of [[graft.ext.Dedup.ingestStep]]: a training-data
+    * pipeline embeds documents as they are curated, and rebuilding the
+    * index per arriving shard is quadratic in corpus size. The FIRST call
+    * trains the coarse quantizer on its own batch (the standard deployment
+    * recipe: train on a sample, freeze) and writes `path/centroids` plus a
+    * `_params.json` pin; EVERY call assigns its vectors to the frozen
+    * centroids — one scan, no shuffle, the assignment kernel is a map —
+    * and writes `path/index/batch-<tag>/`. Probe the accumulated store via
+    * [[loadIvfStore]] + the probe-only [[ivfTopK]] overload; with
+    * `nprobe = nlist` the probe over the union store is exactly brute
+    * force however the corpus was sharded.
+    *
+    * The per-batch-directory layout carries [[graft.ext.Dedup.ingestStep]]'s
+    * idempotence contract: a retried batch (`foreachBatch` is
+    * at-least-once) overwrites its own tag directory; the default tag is a
+    * deterministic digest of the batch's (id, vector) pairs. The params
+    * pin (`nlist`, `iterations`, `seed`) refuses a call whose settings
+    * differ from the store's — mixing assignments from two quantizers
+    * would silently zero recall for part of the store.
+    *
+    * Frozen-quantizer caveat (inherent to the recipe): if the embedding
+    * distribution drifts far from the bootstrap shard, cell occupancy
+    * skews and pruned-probe recall sags. Monitor with a per-`cluster`
+    * count over `loadIvfStore(...).indexed`; re-training + re-assigning
+    * offline is one linear pass over the store. */
+  def ivfIngestStep(batch: DataFrame, idCol: String, vecCol: String,
+                    path: String, nlist: Int = 256, iterations: Int = 1,
+                    seed: Long = 42L, batchTag: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val params = s"""{"nlist":$nlist,"iterations":$iterations,"seed":$seed}"""
+    val pp = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(pp)) {
+      val in = fs.open(pp)
+      val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                 finally in.close()
+      if (seen != params) throw new graft.model.ValidationError(
+        s"IVF store $path was built with $seen; this call uses $params — assignments " +
+          "from two coarse quantizers in one store would silently lose recall, refusing")
+    }
+    val rows = batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // batch-digest tag (same recipe as the dedup store): a crashed-and-
+    // retried one-shot call overwrites its own directory, a re-embed of
+    // the same ids with different vectors lands as a new batch
+    val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
+      .getOrElse {
+        val d = rows.select(conv(substring(md5(concat_ws("",
+            coalesce(col("neighbor_id").cast("string"), lit("")),
+            coalesce(xxhash64(col("c_vec").cast("string")).cast("string"), lit("")))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+          .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n"))
+          .head()
+        f"auto-${d.getLong(0)}%016x-${d.getLong(1)}"
+      }
+    val centroids =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
+        loadCentroids(spark, s"$path/centroids")
+      else {
+        if (rows.limit(1).isEmpty) return // nothing to bootstrap from or write
+        val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
+        saveCentroids(spark, c, s"$path/centroids")
+        val out = fs.create(pp, true)
+        try out.write(params.getBytes("UTF-8")) finally out.close()
+        c
+      }
+    rows.withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .write.mode("overwrite").parquet(s"$path/index/$tag")
+  }
+
+  /** Read an [[ivfIngestStep]]-maintained store: frozen centroids + the
+    * union of its per-batch index directories, probe-ready for the
+    * [[ivfTopK]] overload. */
+  def loadIvfStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
+    require(dirs.nonEmpty, s"no ingested batches under $path/index")
+    IvfIndex(loadCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(dirs: _*))
+  }
+
   def saveIvfSq8Index(idx: IvfSq8Index, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
     idx.indexed.write.mode("overwrite").parquet(s"$path/index")

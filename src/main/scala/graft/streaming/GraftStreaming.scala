@@ -266,6 +266,29 @@ object GraftStreaming {
     stages
   }
 
+  /** Streaming vector-index maintenance — the embedding-side counterpart
+    * of [[incrementalDedupSink]]: every micro-batch of (id, embedding)
+    * rows is assigned to the store's frozen coarse quantizer (the first
+    * batch trains it) and appended to the IVF store at `path` via
+    * [[graft.ext.Similarity.ivfIngestStep]], whose per-batch-directory
+    * layout makes the at-least-once `foreachBatch` contract idempotent.
+    * Read the accumulated index with [[graft.ext.Similarity.loadIvfStore]]
+    * and probe with the probe-only `ivfTopK` overload — a training-data
+    * pipeline embeds documents as they are curated, and this keeps the
+    * ANN index current without ever rebuilding it. */
+  def vectorIndexSink(stream: DataFrame, idCol: String, vecCol: String,
+                      path: String, checkpointDir: String, nlist: Int = 256,
+                      queryName: String = "graft-vector-index"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ext.Similarity.ivfIngestStep(batch, idCol, vecCol, path,
+          nlist, batchTag = Some(batchId.toString))
+        ()
+      }
+      .start()
+
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,
                         queryName: String = "graft-curated-ingest",

@@ -768,6 +768,48 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf1.nonEmpty && ivf1.head.getAs[Long]("neighbor_id") == 1L)
   }
 
+  test("incremental IVF store: sharding invisible, retries idempotent, params pinned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-incr-spec").toString
+    try {
+      // three id-mod shards; shard 0 bootstraps and freezes the quantizer
+      (0 to 2).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", store, nlist = 4, batchTag = Some(s.toString))
+      }
+      val idx = Similarity.loadIvfStore(spark, store)
+      assert(idx.indexed.count() == emb.count()) // every vector, exactly once
+      // exhaustive probe over the union store == brute force (sharding
+      // cannot show in the answer)
+      val q = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      assert(keyed(Similarity.ivfTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 4))
+        == keyed(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)))
+      // at-least-once retry: re-ingesting a shard under its own tag
+      // overwrites its directory — no duplicates, probe unchanged
+      Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === 1),
+        "vec_id", "embedding", store, nlist = 4, batchTag = Some("1"))
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == emb.count())
+      // a drifted quantizer config refuses loudly
+      intercept[graft.model.ValidationError] {
+        Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", store, nlist = 8)
+      }
+      // auto-tag: the digest is content-derived, so a re-ingest of the
+      // SAME rows without an explicit tag lands in the SAME directory
+      val before = Similarity.loadIvfStore(spark, store).indexed.count()
+      Similarity.ivfIngestStep(emb.filter(col("vec_id") < 7), "vec_id", "embedding",
+        store, nlist = 4)
+      Similarity.ivfIngestStep(emb.filter(col("vec_id") < 7), "vec_id", "embedding",
+        store, nlist = 4)
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == before + 7)
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("prebuilt ANN indexes: probe-only overloads match the train-and-search forms") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyOf(r: org.apache.spark.sql.Row) =

@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -131,6 +132,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(coll.aggregate(pipeline).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
       Seq(("y", 12.0)))
     assert(updates >= 2)
+  }
+
+  test("vectorIndexSink: streaming IVF store equals batch ingest, probe exact") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, scala.collection.Seq[Float])]
+    val store = java.nio.file.Files.createTempDirectory("graft-vec-store").toString + "/ivf"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vec-ckpt").toString
+    val q = GraftStreaming.vectorIndexSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", store, ckpt, nlist = 4)
+    try {
+      // three arrival shards; the first trains + freezes the quantizer
+      val (a, rest) = rows.splitAt(rows.length / 3)
+      val (b, c) = rest.splitAt(rest.length / 2)
+      Seq(a, b, c).foreach { shard => mem.addData(shard.toSeq); q.processAllAvailable() }
+      val idx = graft.ext.Similarity.loadIvfStore(spark, store)
+      assert(idx.indexed.count() == rows.length)
+      // exhaustive probe over the streamed store == brute force — the
+      // micro-batching is invisible in the answer
+      val queries = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      assert(keyed(graft.ext.Similarity.ivfTopK(queries, idx, "vec_id", "embedding",
+          k = 3, nprobe = 4))
+        == keyed(graft.ext.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)))
+    } finally q.stop()
   }
 
   test("streaming incremental dedup: store converges to one copy per distinct doc") {
