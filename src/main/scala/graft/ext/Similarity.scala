@@ -751,6 +751,10 @@ object Similarity {
     }
     val rows = batch.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // an empty shard writes nothing: nothing to bootstrap from or assign,
+    // and a stream's empty micro-batches would otherwise each leave an
+    // empty batch directory in the store
+    if (rows.limit(1).isEmpty) return
     // batch-digest tag (same recipe as the dedup store): a crashed-and-
     // retried one-shot call overwrites its own directory, a re-embed of
     // the same ids with different vectors lands as a new batch
@@ -768,7 +772,6 @@ object Similarity {
       if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
         loadCentroids(spark, s"$path/centroids")
       else {
-        if (rows.limit(1).isEmpty) return // nothing to bootstrap from or write
         val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
         saveCentroids(spark, c, s"$path/centroids")
         val out = fs.create(pp, true)
