@@ -1327,6 +1327,28 @@ object SparkEntry {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       out
     }),
+    // same three-shard arrival, IVF-PQ store (frozen centroids AND
+    // codebooks; shards append compressed codes): exhaustive settings
+    // (nprobe = nlist, rerank >= corpus) make the probe exact, so the
+    // oracle is brute force — the sharding AND the quantization must both
+    // be invisible at these settings
+    "q_ann_ivfpq_incr" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr-gate").toString
+      (0 to 2).foreach { s =>
+        graft.ext.Similarity.ivfPqIngestStep(
+          e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+          store, nlist = 8, m = 8, ksub = 16, dim = 64, batchTag = Some(s.toString))
+      }
+      val idx = graft.ext.Similarity.loadIvfPqStore(spark, store)
+      val probed = graft.ext.Similarity.ivfPqTopK(
+        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
+        k = 5, nprobe = 8, rerank = 1 << 20)
+      val out = graft.ext.Dedup.spill(probed, "graft-ivfpq-incr-out")
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    }),
     // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
     // brute force regardless of the int8 approximation — same argument as
     // q_ann_ivf / q_ann_pq
@@ -2077,6 +2099,22 @@ object SparkEntry {
       FROM part p JOIN tiles ON p.p_brand = tiles.k
       GROUP BY tiles.tile""",
     "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    // Incremental three-shard IVF-PQ store at exhaustive settings = brute
+    // force: sharding AND quantization both invisible (identical ranking
+    // SQL to q_ann_ivfpq; a lost batch, duplicated retry, or drifted
+    // codebook breaks the hash).
+    "q_ann_ivfpq_incr" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

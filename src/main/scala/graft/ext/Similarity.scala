@@ -739,6 +739,64 @@ object Similarity {
                     seed: Long = 42L, batchTag: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val params = s"""{"nlist":$nlist,"iterations":$iterations,"seed":$seed}"""
+    checkStoreParams(spark, path, params)
+    val rows = batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    // an empty shard writes nothing: nothing to bootstrap from or assign,
+    // and a stream's empty micro-batches would otherwise each leave an
+    // empty batch directory in the store
+    if (rows.limit(1).isEmpty) return
+    val tag = storeBatchTag(rows, batchTag)
+    val centroids = withFrozenModel(spark, path, params, exists =>
+      if (exists) loadCentroids(spark, s"$path/centroids")
+      else {
+        val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
+        saveCentroids(spark, c, s"$path/centroids")
+        c
+      })
+    rows.withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .write.mode("overwrite").parquet(s"$path/index/$tag")
+  }
+
+  /** [[ivfIngestStep]] for the IVF-PQ shape — the payload a 100-TB store
+    * actually keeps is the m-byte PQ code, not the float vector, so the
+    * bootstrap shard freezes BOTH models (coarse centroids + per-subspace
+    * codebooks) and every shard writes (cluster, codes, c_vec) rows. The
+    * idempotence, params-pin, and empty-shard contracts are identical;
+    * probe with [[loadIvfPqStore]] + the probe-only [[ivfPqTopK]]. */
+  def ivfPqIngestStep(batch: DataFrame, idCol: String, vecCol: String,
+                      path: String, nlist: Int = 256, m: Int = 8, ksub: Int = 16,
+                      dim: Int = 64, iterations: Int = 1, seed: Long = 42L,
+                      batchTag: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val params = s"""{"nlist":$nlist,"m":$m,"ksub":$ksub,"dim":$dim,""" +
+      s""""iterations":$iterations,"seed":$seed}"""
+    checkStoreParams(spark, path, params)
+    val rows = batch.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    if (rows.limit(1).isEmpty) return
+    val tag = storeBatchTag(rows, batchTag)
+    val (centroids, books) = withFrozenModel(spark, path, params, exists =>
+      if (exists) (loadCentroids(spark, s"$path/centroids"), loadBooks(spark, s"$path/books"))
+      else {
+        val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
+        val b = pqTrain(rows, "c_vec", "neighbor_id", m, ksub, dim, iterations, seed)
+        saveCentroids(spark, c, s"$path/centroids")
+        saveBooks(spark, b, s"$path/books")
+        (c, b)
+      })
+    rows.withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
+      .write.mode("overwrite").parquet(s"$path/index/$tag")
+  }
+
+  /** Refuse a call whose quantizer settings differ from an existing
+    * store's `_params.json` — mixing assignments from two quantizers in
+    * one store silently loses recall for part of it. */
+  private def checkStoreParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, params: String): Unit = {
     val pp = new org.apache.hadoop.fs.Path(path, "_params.json")
     val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(pp)) {
@@ -746,19 +804,16 @@ object Similarity {
       val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
                  finally in.close()
       if (seen != params) throw new graft.model.ValidationError(
-        s"IVF store $path was built with $seen; this call uses $params — assignments " +
+        s"index store $path was built with $seen; this call uses $params — assignments " +
           "from two coarse quantizers in one store would silently lose recall, refusing")
     }
-    val rows = batch.filter(col(vecCol).isNotNull)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    // an empty shard writes nothing: nothing to bootstrap from or assign,
-    // and a stream's empty micro-batches would otherwise each leave an
-    // empty batch directory in the store
-    if (rows.limit(1).isEmpty) return
-    // batch-digest tag (same recipe as the dedup store): a crashed-and-
-    // retried one-shot call overwrites its own directory, a re-embed of
-    // the same ids with different vectors lands as a new batch
-    val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
+  }
+
+  /** Batch-digest tag (same recipe as the dedup store): a crashed-and-
+    * retried one-shot call overwrites its own directory, a re-embed of
+    * the same ids with different vectors lands as a new batch. */
+  private def storeBatchTag(rows: DataFrame, batchTag: Option[String]): String =
+    "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
       .getOrElse {
         val d = rows.select(conv(substring(md5(concat_ws("",
             coalesce(col("neighbor_id").cast("string"), lit("")),
@@ -768,19 +823,22 @@ object Similarity {
           .head()
         f"auto-${d.getLong(0)}%016x-${d.getLong(1)}"
       }
-    val centroids =
-      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids")))
-        loadCentroids(spark, s"$path/centroids")
-      else {
-        val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
-        saveCentroids(spark, c, s"$path/centroids")
-        val out = fs.create(pp, true)
-        try out.write(params.getBytes("UTF-8")) finally out.close()
-        c
-      }
-    rows.withColumn("cluster",
-        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
-      .write.mode("overwrite").parquet(s"$path/index/$tag")
+
+  /** Load-or-bootstrap a store's frozen model: `build(exists)` loads when
+    * the store already has centroids, trains + saves otherwise; the params
+    * pin is written exactly once, after a successful bootstrap. */
+  private def withFrozenModel[M](spark: org.apache.spark.sql.SparkSession,
+                                 path: String, params: String,
+                                 build: Boolean => M): M = {
+    val pp = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    val model = build(exists)
+    if (!exists) {
+      val out = fs.create(pp, true)
+      try out.write(params.getBytes("UTF-8")) finally out.close()
+    }
+    model
   }
 
   /** Read an [[ivfIngestStep]]-maintained store: frozen centroids + the
@@ -790,6 +848,17 @@ object Similarity {
     val dirs = Dedup.listBatchDirs(spark, s"$path/index")
     require(dirs.nonEmpty, s"no ingested batches under $path/index")
     IvfIndex(loadCentroids(spark, s"$path/centroids"),
+      spark.read.parquet(dirs: _*))
+  }
+
+  /** Read an [[ivfPqIngestStep]]-maintained store: frozen centroids +
+    * codebooks + the union of its per-batch code directories, probe-ready
+    * for the probe-only [[ivfPqTopK]]. */
+  def loadIvfPqStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
+    require(dirs.nonEmpty, s"no ingested batches under $path/index")
+    IvfPqIndex(loadCentroids(spark, s"$path/centroids"),
+      loadBooks(spark, s"$path/books"),
       spark.read.parquet(dirs: _*))
   }
 

@@ -810,6 +810,39 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental IVF-PQ store: frozen codebooks, exhaustive probe exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr-spec").toString
+    try {
+      (0 to 2).foreach { s =>
+        Similarity.ivfPqIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", store, nlist = 4, m = 8, ksub = 16, dim = 64,
+          batchTag = Some(s.toString))
+      }
+      val idx = Similarity.loadIvfPqStore(spark, store)
+      assert(idx.indexed.count() == emb.count())
+      // codes exist on every shard's rows (encoded under shard 0's books)
+      assert(idx.indexed.filter(col("codes").isNull).isEmpty)
+      // exhaustive settings: exact however the corpus was sharded and
+      // however coarse the bootstrap codebooks are
+      val q = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      assert(keyed(Similarity.ivfPqTopK(q, idx, "vec_id", "embedding",
+          k = 3, nprobe = 4, rerank = 1 << 20))
+        == keyed(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)))
+      // params pin covers the PQ settings too
+      intercept[graft.model.ValidationError] {
+        Similarity.ivfPqIngestStep(emb.limit(3), "vec_id", "embedding", store,
+          nlist = 4, m = 4, ksub = 16, dim = 64)
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("prebuilt ANN indexes: probe-only overloads match the train-and-search forms") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyOf(r: org.apache.spark.sql.Row) =
