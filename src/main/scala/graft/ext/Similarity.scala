@@ -734,6 +734,12 @@ object Similarity {
     * skews and pruned-probe recall sags. Monitor with a per-`cluster`
     * count over `loadIvfStore(...).indexed`; re-training + re-assigning
     * offline is one linear pass over the store. */
+  /** Test-only tap (same contract as [[Dedup.planAuditHook]]): hands the
+    * per-shard assignment frame each ingest step is about to write to the
+    * hook, so the plan audit can pin the steady-state "map-only, no
+    * exchange" claim on the REAL code path. `None` in production. */
+  private[graft] var planAuditHook: Option[(String, DataFrame) => Unit] = None
+
   def ivfIngestStep(batch: DataFrame, idCol: String, vecCol: String,
                     path: String, nlist: Int = 256, iterations: Int = 1,
                     seed: Long = 42L, batchTag: Option[String] = None): Unit = {
@@ -754,9 +760,10 @@ object Similarity {
         saveCentroids(spark, c, s"$path/centroids")
         c
       })
-    rows.withColumn("cluster",
-        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
-      .write.mode("overwrite").parquet(s"$path/index/$tag")
+    val assigned = rows.withColumn("cluster",
+      element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+    planAuditHook.foreach(_("ivf_ingest_assign", assigned))
+    assigned.write.mode("overwrite").parquet(s"$path/index/$tag")
   }
 
   /** [[ivfIngestStep]] for the IVF-PQ shape — the payload a 100-TB store
@@ -786,10 +793,11 @@ object Similarity {
         saveBooks(spark, b, s"$path/books")
         (c, b)
       })
-    rows.withColumn("cluster",
+    val assigned = rows.withColumn("cluster",
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
       .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
-      .write.mode("overwrite").parquet(s"$path/index/$tag")
+    planAuditHook.foreach(_("ivfpq_ingest_assign", assigned))
+    assigned.write.mode("overwrite").parquet(s"$path/index/$tag")
   }
 
   /** Refuse a call whose quantizer settings differ from an existing

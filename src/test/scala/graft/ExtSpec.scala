@@ -810,6 +810,43 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental ANN ingest steady state is map-only: no exchange in the REAL assignment plans") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def hasExchange(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("Exchange")
+    // fail-closed control: the detector must see the exchange in a plan
+    // that provably shuffles before we trust its silence below
+    assert(hasExchange(emb.groupBy(col("vec_id") % 7).count()),
+      "control: detector blind to a real shuffle")
+    val captured = scala.collection.mutable.Map[String, Boolean]()
+    graft.ext.Similarity.planAuditHook =
+      Some((name, df) => captured(name) = hasExchange(df))
+    val s1 = java.nio.file.Files.createTempDirectory("graft-ivf-audit").toString
+    val s2 = java.nio.file.Files.createTempDirectory("graft-ivfpq-audit").toString
+    try {
+      // two shards each: the audited steady state is the SECOND shard,
+      // assigned against an already-frozen quantizer
+      (0 to 1).foreach { s =>
+        graft.ext.Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(2)) === s),
+          "vec_id", "embedding", s1, nlist = 4, batchTag = Some(s.toString))
+        graft.ext.Similarity.ivfPqIngestStep(emb.filter(pmod(col("vec_id"), lit(2)) === s),
+          "vec_id", "embedding", s2, nlist = 4, m = 8, ksub = 16, dim = 64,
+          batchTag = Some(s.toString))
+      }
+      assert(captured.keySet == Set("ivf_ingest_assign", "ivfpq_ingest_assign"))
+      captured.foreach { case (name, shuffled) =>
+        assert(!shuffled, s"$name: per-shard assignment plan contains an Exchange — " +
+          "the steady-state ingest is supposed to be a map over the shard")
+      }
+    } finally {
+      graft.ext.Similarity.planAuditHook = None
+      Seq(s1, s2).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }
+  }
+
   test("incremental IVF-PQ store: frozen codebooks, exhaustive probe exact") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr-spec").toString
