@@ -1314,18 +1314,23 @@ object SparkEntry {
     "q_ann_ivf_incr" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings")
       val store = java.nio.file.Files.createTempDirectory("graft-ivf-incr-gate").toString
-      (0 to 2).foreach { s =>
-        graft.ext.Similarity.ivfIngestStep(
-          e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
-          store, nlist = 8, batchTag = Some(s.toString))
+      // delete in finally: a failed ingest/probe must not leak the store
+      // dir into the temp root on every failed gate run (the spill output
+      // is already materialized off the store by the time it matters)
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Similarity.ivfIngestStep(
+            e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+            store, nlist = 8, batchTag = Some(s.toString))
+        }
+        val idx = graft.ext.Similarity.loadIvfStore(spark, store)
+        val probed = graft.ext.Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 8)
+        graft.ext.Dedup.spill(probed, "graft-ivf-incr-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(store)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-      val idx = graft.ext.Similarity.loadIvfStore(spark, store)
-      val probed = graft.ext.Similarity.ivfTopK(
-        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 8)
-      val out = graft.ext.Dedup.spill(probed, "graft-ivf-incr-out")
-      val p = new org.apache.hadoop.fs.Path(store)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      out
     }),
     // same three-shard arrival, IVF-PQ store (frozen centroids AND
     // codebooks; shards append compressed codes): exhaustive settings
@@ -1335,19 +1340,21 @@ object SparkEntry {
     "q_ann_ivfpq_incr" -> ((spark: SparkSession, dir: String) => {
       val e = tbl(spark, dir, "embeddings")
       val store = java.nio.file.Files.createTempDirectory("graft-ivfpq-incr-gate").toString
-      (0 to 2).foreach { s =>
-        graft.ext.Similarity.ivfPqIngestStep(
-          e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
-          store, nlist = 8, m = 8, ksub = 16, dim = 64, batchTag = Some(s.toString))
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Similarity.ivfPqIngestStep(
+            e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+            store, nlist = 8, m = 8, ksub = 16, dim = 64, batchTag = Some(s.toString))
+        }
+        val idx = graft.ext.Similarity.loadIvfPqStore(spark, store)
+        val probed = graft.ext.Similarity.ivfPqTopK(
+          e.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 1 << 20)
+        graft.ext.Dedup.spill(probed, "graft-ivfpq-incr-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(store)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
-      val idx = graft.ext.Similarity.loadIvfPqStore(spark, store)
-      val probed = graft.ext.Similarity.ivfPqTopK(
-        e.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
-        k = 5, nprobe = 8, rerank = 1 << 20)
-      val out = graft.ext.Dedup.spill(probed, "graft-ivfpq-incr-out")
-      val p = new org.apache.hadoop.fs.Path(store)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-      out
     }),
     // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
     // brute force regardless of the int8 approximation — same argument as

@@ -58,6 +58,27 @@ object Dedup {
     math.max(sess, math.min(4096, (rows / rowsPerPart).toInt + 1))
   }
 
+  /** Arming thresholds for the singleton prefilters (the gram prune in
+    * [[removeDupSpans]], the band-bucket prune in
+    * [[minhashPairsFromSignatures]]'s self-join tier). The prunes trade a
+    * fixed up-front cost — one narrow count shuffle over the key hashes, a
+    * bloom build, and a second run of the explode kernel — for thinning
+    * the wide keyed exchange to its non-singleton fraction. That trade
+    * only pays once the wide exchange is large enough to spill reducer
+    * hash maps and dominate the operator: the r9 record measured the
+    * UNCONDITIONAL prunes 1.6-1.7× the r8 wall at sf0.1 inputs (250k gram
+    * rows / 80k band rows — the whole exchange fits one task wave) while
+    * saving only 4-7% at the 6M-doc sf1 tiers (350M gram / 96M band rows)
+    * where they were designed. The thresholds sit ~an order of magnitude
+    * above the largest input where the prune measurably lost and ~an
+    * order below the smallest tier where it wins (the 1.5M-doc scaling
+    * tier: ~87M gram / 24M band rows), so every scaling-curve tier keeps
+    * the pruned plan and every small-corpus call keeps the direct one.
+    * Both volumes are priced by arithmetic the operators already compute
+    * (`nGramRows`, `docs × bands`) — arming costs no extra scan. */
+  private[graft] val gramPruneMinRows: Long = 16000000L
+  private[graft] val bandPruneMinRows: Long = 8000000L
+
   /** [[spill]] plus a size-informed join hint: frames below
     * `broadcastBytes` of on-disk parquet come back broadcast-hinted. The
     * point is DETERMINISM at a join whose small side is a fused subtree of
@@ -255,6 +276,18 @@ object Dedup {
     // keys for free. Driver state is the bloom (~17 MB at 14M hot keys /
     // 1% — the 100-TB posture is the same as the gram prune's: hot-key
     // cardinality scales with the DUPLICATED fraction, not the corpus).
+    //
+    // ADAPTIVE: the prune is a bet — one extra narrow count shuffle plus a
+    // second banding pass, paid up front, against the singleton fraction
+    // of the wide exchange saved. Below [[bandPruneMinRows]] exploded band
+    // rows the wide self-join fits a single reducer wave's hash maps and
+    // the prune's fixed cost dominates (the r9 record measured the
+    // unconditional form 1.6× the r8 wall at an 80k-band-row input while
+    // saving 4% at 96M rows), so small inputs take the direct join and the
+    // prune arms only at volumes where the exchange it thins actually
+    // hurts. The gate is priced by `left.count() * bands` — exact row
+    // arithmetic (the band kernel emits one key per band per doc), no
+    // extra scan of the exploded frame.
     val bandedLeftRaw = banded(renamed(left, leftName), leftName)
     val (bandedLeft, bandedRight) =
       if (!selfPairs && leftBoundedPrune) {
@@ -274,20 +307,29 @@ object Dedup {
         // and the Jaccard verify re-checks every surviving pair — bloom
         // false positives cost work, never answers.
         val spark = left.sparkSession
-        val leftKeys = bandedLeftRaw
-          .select(xxhash64(col("band"), col("band_key")).as("__bk"))
-        val nLeft = leftKeys.count()
-        if (nLeft == 0L) {
+        // bloom sizing by row ARITHMETIC, not a count action over the
+        // exploded frame: the band kernel emits exactly one key per band
+        // per doc, so `left.count() * bands` bounds the exploded row count
+        // (null-signature docs explode to nothing — an overestimate only
+        // oversizes the bloom). This drops the third recomputation of the
+        // banding explode the r9 form paid (count + bloom agg + join each
+        // re-ran it); the remaining two passes share the caller-pinned
+        // `left`.
+        val nLeftEst = left.count() * bands
+        if (nLeftEst == 0L) {
           val emptyRight = banded(renamed(right, rightName), rightName).limit(0)
           (bandedLeftRaw.limit(0), emptyRight)
         } else {
+          val leftKeys = bandedLeftRaw
+            .select(xxhash64(col("band"), col("band_key")).as("__bk"))
           val bloom = spark.sparkContext.broadcast(
-            leftKeys.stat.bloomFilter("__bk", nLeft, 0.01))
+            leftKeys.stat.bloomFilter("__bk", nLeftEst, 0.01))
           val might = udf((h: Long) => bloom.value.mightContainLong(h))
           (bandedLeftRaw, banded(renamed(right, rightName), rightName)
             .filter(might(xxhash64(col("band"), col("band_key")))))
         }
-      } else if (!(selfPairs && materializeCandidates)) {
+      } else if (!(selfPairs && materializeCandidates) ||
+                 left.count() * bands < bandPruneMinRows) {
         (bandedLeftRaw, banded(renamed(right, rightName), rightName))
       } else {
         val spark = left.sparkSession
@@ -542,7 +584,15 @@ object Dedup {
     // ids but different content — the stable-id recrawl workload — gets a
     // DISTINCT directory instead of silently overwriting the earlier
     // batch's survivors. One extra column-pruned scan of the batch.
-    val tag = "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
+    // Explicit tags must be directory-safe as-is: sanitizing would
+    // collapse distinct tags ("a/b", "a.b") onto one directory and let
+    // one shard silently overwrite another — loud refusal instead.
+    val tag = "batch-" + batchTag.map { t =>
+        if (!t.matches("[A-Za-z0-9_-]+")) throw new graft.model.ValidationError(
+          s"batch tag '$t' must match [A-Za-z0-9_-]+ — it names a store directory, and " +
+            "sanitizing distinct tags onto one name would silently overwrite a batch")
+        t
+      }
       .getOrElse {
         val d = batch
           .select(conv(substring(md5(concat_ws("\u0001",
@@ -1104,29 +1154,19 @@ object Dedup {
     // gram kernel runs twice (once per phase), but it char-hashes each
     // token once per seed and was measured cheap next to the shuffle it
     // now avoids.
-    val halves = positionalGrams(base, idCol, n)
-      .select(col("__g").getField("_1").as("__h"))
-      .repartition(scaledParts(spark, nGramRows), col("__h"))
-    val repHalves = spill(
-      halves.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
-        .filter(col("__c") >= 2),
-      "graft-dupspan-rep")
-    val stats = repHalves.agg(count(lit(1)), sum(col("__c"))).first()
-    val repCount = stats.getLong(0)
-    if (repCount == 0L) {
-      // no gram repeats anywhere: every document passes through whole
-      val none = base.select(col(idCol)).limit(0)
-        .withColumn("__starts", lit(null).cast("array<int>"))
-      return cutCoveredSpans(base, idCol, none, n)
-    }
-    val candRows = stats.getLong(1) // Σ counts of repeated halves = post-filter positional rows
-    val bloom = spark.sparkContext.broadcast(
-      repHalves.stat.bloomFilter("__h", repCount, 0.01))
-    val mightRepeat = udf((h: Long) => bloom.value.mightContainLong(h))
-    val parts = scaledParts(spark, candRows)
-    val grams = positionalGrams(base, idCol, n)
-      .filter(mightRepeat(col("__g").getField("_1")))
-      .repartition(parts, col("__g"))
+    //
+    // ADAPTIVE ([[gramPruneMinRows]]): below ~16M gram rows the wide
+    // exchange fits a single task wave and the prefilter's fixed cost
+    // (phase-1 count shuffle + second kernel pass) exceeds what it saves —
+    // the r9 record measured the unconditional form 1.7× the r8 wall at a
+    // 250k-gram input vs a 7% saving at 350M. Small corpora take the
+    // direct single-exchange plan; the gate is priced by `nGramRows`,
+    // already computed above for [[scaledParts]].
+    val grams =
+      if (nGramRows < gramPruneMinRows)
+        positionalGrams(base, idCol, n)
+          .repartition(scaledParts(spark, nGramRows), col("__g"))
+      else pruneSingletonGrams(base, idCol, n, nGramRows)
     // "appears in >= 2 DISTINCT documents" is exactly min(id) != max(id) —
     // two streaming aggregates with full map-side partial combine, where
     // countDistinct would carry a per-gram distinct-id set through the
@@ -1144,6 +1184,36 @@ object Dedup {
     // hand it to the audit hook so the plan-shape spec still sees it
     planAuditHook.foreach(_("dupspans_hits", dupStarts))
     cutCoveredSpans(base, idCol, dupStarts, n)
+  }
+
+  /** Phase 1+2 of [[removeDupSpans]]' singleton-gram prefilter: count the
+    * 64-bit gram-hash halves, bloom the repeated ones, and return the
+    * positional-gram frame thinned to (a superset of) repeated grams,
+    * repartitioned on `__g` for the downstream aggregation + join. An
+    * empty repeated set short-circuits to an empty gram frame (no gram
+    * repeats → nothing can cut). */
+  private def pruneSingletonGrams(base: DataFrame, idCol: String, n: Int,
+                                  nGramRows: Long): DataFrame = {
+    val spark = base.sparkSession
+    val halves = positionalGrams(base, idCol, n)
+      .select(col("__g").getField("_1").as("__h"))
+      .repartition(scaledParts(spark, nGramRows), col("__h"))
+    val repHalves = spill(
+      halves.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") >= 2),
+      "graft-dupspan-rep")
+    val stats = repHalves.agg(count(lit(1)), sum(col("__c"))).first()
+    val repCount = stats.getLong(0)
+    if (repCount == 0L)
+      // no gram repeats anywhere: nothing can cut — empty gram frame
+      return positionalGrams(base, idCol, n).limit(0)
+    val candRows = stats.getLong(1) // Σ counts of repeated halves = post-filter positional rows
+    val bloom = spark.sparkContext.broadcast(
+      repHalves.stat.bloomFilter("__h", repCount, 0.01))
+    val mightRepeat = udf((h: Long) => bloom.value.mightContainLong(h))
+    positionalGrams(base, idCol, n)
+      .filter(mightRepeat(col("__g").getField("_1")))
+      .repartition(scaledParts(spark, candRows), col("__g"))
   }
 
   /** Positional word n-grams of a `(idCol, __toks)` frame: one row per

@@ -530,12 +530,30 @@ object Similarity {
     PqIndex(books, codes)
   }
 
+  /** The batched ADC sweep excludes self-matches with reference equality
+    * over the BOXED ids inside the partition loop (`qIds(i) != nid` in
+    * Kernels.adcSweepImpl) — exact only when both sides box to the same
+    * runtime class. The Column comparison it replaced (`query_id =!=
+    * neighbor_id`) applied implicit casts, so an Integer-query /
+    * Long-index pairing used to work and would now silently keep
+    * self-matches (and the tie comparator could throw). Refuse the
+    * mismatch loudly at the probe entry instead. */
+  private def requireSameIdType(qdf: DataFrame, indexDf: DataFrame): Unit = {
+    val qt = qdf.schema("query_id").dataType
+    val nt = indexDf.schema("neighbor_id").dataType
+    if (qt != nt) throw new graft.model.ValidationError(
+      s"PQ probe query id type ${qt.simpleString} != index id type ${nt.simpleString} — " +
+        "the ADC sweep's self-match exclusion compares boxed JVM values and a type " +
+        "mismatch would silently never exclude; cast one side to the other's type")
+  }
+
   /** Probe-only flat-PQ search against a prebuilt [[PqIndex]]: ADC scoring
     * over the code table + exact re-rank of the top `rerank` — no training
     * jobs per query batch. */
   def pqTopK(queries: DataFrame, index: PqIndex, idCol: String, vecCol: String,
              k: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    requireSameIdType(qdf, index.codes)
     // the probe set is small by contract (it is broadcast below); collect it
     // once and ship the flat ADC tables in the sweep closure — a per-row
     // nested table column costs more to deserialize than the scoring itself
@@ -617,6 +635,7 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, index: IvfPqIndex, idCol: String, vecCol: String,
                 k: Int, nprobe: Int, rerank: Int): DataFrame = {
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    requireSameIdType(qdf, index.indexed)
     val qRows = qdf.collect()
     val qIds: Array[Any] = qRows.map(_.get(0))
     val qVecs = qRows.map(_.getAs[scala.collection.Seq[Float]]("q_vec"))
@@ -731,9 +750,15 @@ object Similarity {
     *
     * Frozen-quantizer caveat (inherent to the recipe): if the embedding
     * distribution drifts far from the bootstrap shard, cell occupancy
-    * skews and pruned-probe recall sags. Monitor with a per-`cluster`
-    * count over `loadIvfStore(...).indexed`; re-training + re-assigning
-    * offline is one linear pass over the store. */
+    * skews and pruned-probe recall sags. Monitor with [[ivfStoreReport]]
+    * (per-cell occupancy + imbalance); [[ivfRetrain]] re-trains and
+    * re-assigns offline in one linear pass over the store.
+    *
+    * Single-writer contract: the FIRST call against an empty store is the
+    * bootstrap commit, and two concurrent bootstraps race (last params-pin
+    * wins silently). The shipped streaming sinks are serial per query;
+    * parallel multi-writer ingest must bootstrap the store once up front,
+    * after which concurrent shard appends to distinct tags are safe. */
   /** Test-only tap (same contract as [[Dedup.planAuditHook]]): hands the
     * per-shard assignment frame each ingest step is about to write to the
     * hook, so the plan audit can pin the steady-state "map-only, no
@@ -819,9 +844,18 @@ object Similarity {
 
   /** Batch-digest tag (same recipe as the dedup store): a crashed-and-
     * retried one-shot call overwrites its own directory, a re-embed of
-    * the same ids with different vectors lands as a new batch. */
+    * the same ids with different vectors lands as a new batch. Explicit
+    * tags must already be directory-safe — sanitizing would collapse
+    * distinct tags like "a/b" and "a.b" onto one directory and let one
+    * shard silently overwrite another, so a disallowed character is a
+    * loud refusal instead. */
   private def storeBatchTag(rows: DataFrame, batchTag: Option[String]): String =
-    "batch-" + batchTag.map(_.replaceAll("[^A-Za-z0-9_-]", "_"))
+    "batch-" + batchTag.map { t =>
+        if (!t.matches("[A-Za-z0-9_-]+")) throw new graft.model.ValidationError(
+          s"batch tag '$t' must match [A-Za-z0-9_-]+ — it names a store directory, and " +
+            "sanitizing distinct tags onto one name would silently overwrite a shard")
+        t
+      }
       .getOrElse {
         val d = rows.select(conv(substring(md5(concat_ws("",
             coalesce(col("neighbor_id").cast("string"), lit("")),
@@ -833,14 +867,27 @@ object Similarity {
       }
 
   /** Load-or-bootstrap a store's frozen model: `build(exists)` loads when
-    * the store already has centroids, trains + saves otherwise; the params
-    * pin is written exactly once, after a successful bootstrap. */
+    * the store is bootstrapped, trains + saves otherwise. The `_params
+    * .json` pin is the bootstrap COMMIT MARKER, written last — after the
+    * centroids (and, for PQ, the codebooks) are durably saved — and
+    * `exists` is gated on the PIN, not on the model artifacts: a crash
+    * between saving an artifact and writing the pin leaves a store that
+    * deterministically RE-TRAINS on retry (seeded k-means over the same
+    * retried batch — `foreachBatch` redelivers the same data — reproduces
+    * the same model; nothing was assigned against the partial one because
+    * ingest writes index batches only after this returns). Gating on the
+    * artifacts instead would skip the pin forever on such a store, and
+    * [[checkStoreParams]] would then silently accept any future quantizer
+    * settings — the exact mixed-quantizer recall loss the pin refuses.
+    * Single-writer contract: concurrent bootstraps of one EMPTY store race
+    * (last pin wins); the shipped streaming sinks are serial per query,
+    * and multi-writer ingest must bootstrap the store once up front. */
   private def withFrozenModel[M](spark: org.apache.spark.sql.SparkSession,
                                  path: String, params: String,
                                  build: Boolean => M): M = {
     val pp = new org.apache.hadoop.fs.Path(path, "_params.json")
     val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(s"$path/centroids"))
+    val exists = fs.exists(pp)
     val model = build(exists)
     if (!exists) {
       val out = fs.create(pp, true)
