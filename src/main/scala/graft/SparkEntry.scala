@@ -1356,6 +1356,53 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // offline retrain of an incremental store: three shards bootstrap-
+    // freeze an nlist=4 quantizer, ivfRetrain re-trains at nlist=8 on the
+    // full store and re-assigns in one pass; the NEW store probed
+    // exhaustively must still equal brute force (re-assignment must lose/
+    // duplicate nothing and the new pin must carry the new params)
+    "q_ann_ivf_retrain" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-retrain-gate").toString
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Similarity.ivfIngestStep(
+            e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+            s"$root/old", nlist = 4, batchTag = Some(s.toString))
+        }
+        graft.ext.Similarity.ivfRetrain(spark, s"$root/old", s"$root/new", nlist = 8)
+        val idx = graft.ext.Similarity.loadIvfStore(spark, s"$root/new")
+        val probed = graft.ext.Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 8)
+        graft.ext.Dedup.spill(probed, "graft-ivf-retrain-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
+    // batch-dir compaction: six tiny shards accumulate six batch dirs,
+    // compactIvfStore bin-packs them into one bounded dir; the compacted
+    // store probed exhaustively must still equal brute force (same rows,
+    // same frozen model, only the file layout may change)
+    "q_ann_ivf_compact" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-compact-gate").toString
+      try {
+        (0 to 5).foreach { s =>
+          graft.ext.Similarity.ivfIngestStep(
+            e.filter(pmod(col("vec_id"), lit(6)) === s), "vec_id", "embedding",
+            s"$root/old", nlist = 8, batchTag = Some(s.toString))
+        }
+        graft.ext.Similarity.compactIvfStore(spark, s"$root/old", s"$root/new")
+        val idx = graft.ext.Similarity.loadIvfStore(spark, s"$root/new")
+        val probed = graft.ext.Similarity.ivfTopK(
+          e.filter(col("vec_id") < 10), idx, "vec_id", "embedding", k = 5, nprobe = 8)
+        graft.ext.Dedup.spill(probed, "graft-ivf-compact-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
     // brute force regardless of the int8 approximation — same argument as
     // q_ann_ivf / q_ann_pq
@@ -2122,6 +2169,37 @@ object SparkEntry {
     // SQL to q_ann_ivfpq; a lost batch, duplicated retry, or drifted
     // codebook breaks the hash).
     "q_ann_ivfpq_incr" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    // Retrained store probed exhaustively = brute force: the offline
+    // re-train + one-pass re-assign must lose/duplicate nothing and the
+    // new quantizer must stay answer-invisible at nprobe = nlist —
+    // identical ranking SQL to q_ann_ivf.
+    "q_ann_ivf_retrain" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    // Compacted store probed exhaustively = brute force: bin-packing the
+    // batch dirs must change only the file layout, never a row — identical
+    // ranking SQL to q_ann_ivf.
+    "q_ann_ivf_compact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

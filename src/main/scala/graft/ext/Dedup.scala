@@ -75,9 +75,14 @@ object Dedup {
     * tier: ~87M gram / 24M band rows), so every scaling-curve tier keeps
     * the pruned plan and every small-corpus call keeps the direct one.
     * Both volumes are priced by arithmetic the operators already compute
-    * (`nGramRows`, `docs × bands`) — arming costs no extra scan. */
-  private[graft] val gramPruneMinRows: Long = 16000000L
-  private[graft] val bandPruneMinRows: Long = 8000000L
+    * (`nGramRows`, `docs × bands`) — arming costs no extra scan.
+    *
+    * `var` for the same reason as [[planAuditHook]]: the differential spec
+    * lowers them to 0 to run the pruned plan on a small corpus and assert
+    * it returns bit-identical results to the direct plan. Production code
+    * never writes them. */
+  private[graft] var gramPruneMinRows: Long = 16000000L
+  private[graft] var bandPruneMinRows: Long = 8000000L
 
   /** [[spill]] plus a size-informed join hint: frames below
     * `broadcastBytes` of on-disk parquet come back broadcast-hinted. The

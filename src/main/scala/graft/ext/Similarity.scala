@@ -917,6 +917,168 @@ object Similarity {
       spark.read.parquet(dirs: _*))
   }
 
+  // --------------------------------------------- store operations ----
+  // The three maintenance passes a long-lived frozen-quantizer store needs:
+  // occupancy monitoring (is the bootstrap quantizer still a good fit?),
+  // offline retraining (fix it when it isn't), and batch-dir compaction
+  // (bound the file count a year of micro-batch appends accumulates).
+
+  /** Per-cell occupancy report over an [[ivfIngestStep]]- or
+    * [[ivfPqIngestStep]]-maintained store — the monitoring pass the
+    * frozen-quantizer caveat calls for: embedding drift away from the
+    * bootstrap shard shows up as cell-occupancy skew long before it shows
+    * up as recall loss in production probes. One column-pruned scan of the
+    * store (cluster only — the codes/vector payload is never read),
+    * aggregated to `nlist` rows; EMPTY cells are reported as explicit
+    * zero rows (a drifted store's signature is many dead cells plus a few
+    * overfull ones, and dropping the dead ones would hide exactly that).
+    *
+    * @return one row per cell: (cluster, n_vectors, occupancy_frac) plus
+    *         the store-wide `imbalance` repeated on every row — max cell
+    *         occupancy over the ideal uniform share (1.0 = perfectly
+    *         balanced; nlist = everything in one cell). A healthy
+    *         bootstrap sits in low single digits; alert-and-
+    *         [[ivfRetrain]] past that. */
+  def ivfStoreReport(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
+    require(dirs.nonEmpty, s"no ingested batches under $path/index")
+    val nlist = loadCentroids(spark, s"$path/centroids").length
+    val counts = spark.read.parquet(dirs: _*).select(col("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+    // nlist is driver-bounded model state: the full cell list broadcasts
+    val cells = broadcast(spark.range(nlist).select(col("id").cast("int").as("cluster")))
+    val filled = cells.join(counts, Seq("cluster"), "left")
+      .select(col("cluster"), coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
+    // store-wide total/max via one driver-bounded action over the ≤nlist
+    // cell rows (the same bounded-model-state argument as the centroids
+    // collect), attached as literals — an unpartitioned window would say
+    // the same thing while tripping the gate-wide plan audits for a
+    // genuinely unbounded single-partition shuffle
+    val stats = filled.agg(
+      sum(col("n_vectors")).as("t"), max(col("n_vectors")).as("m")).first()
+    val total = math.max(1L, stats.getLong(0))
+    val maxCell = stats.getLong(1)
+    filled
+      .withColumn("occupancy_frac", col("n_vectors") / lit(total.toDouble))
+      .withColumn("imbalance", lit(maxCell.toDouble * nlist / total))
+      .orderBy(col("cluster"))
+  }
+
+  /** Offline re-train + re-assign of an [[ivfIngestStep]] store — the
+    * repair pass for a drifted frozen quantizer: train a fresh coarse
+    * quantizer on the FULL accumulated corpus (not just the long-gone
+    * bootstrap shard), re-assign every stored vector in one linear
+    * map-only pass, and write a complete new params-pinned store at
+    * `outPath`. The source store is never touched (swap paths at the
+    * orchestration layer once the new store is probed healthy); the new
+    * store's pin is written LAST, after centroids and index — the same
+    * bootstrap-commit contract as [[ivfIngestStep]], so a crashed retrain
+    * leaves an obviously-unbootstrapped directory, never a half-pinned
+    * store. The re-assigned index lands as a single `batch-retrain` dir
+    * (compaction for free); ingest into the new store may resume with the
+    * NEW parameters immediately.
+    *
+    * At exhaustive probe settings (`nprobe = nlist`) the retrained store
+    * returns bit-identical answers to the old one — quantization only
+    * prunes, never scores — which is exactly the oracle gate's check. */
+  def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+                 outPath: String, nlist: Int = 256, iterations: Int = 1,
+                 seed: Long = 42L): Unit = {
+    requireDisjointStores(spark, path, outPath)
+    val store = loadIvfStore(spark, path)
+    val params = s"""{"nlist":$nlist,"iterations":$iterations,"seed":$seed}"""
+    val vecs = store.indexed.select(col("neighbor_id"), col("c_vec"))
+    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations, seed)
+    saveCentroids(spark, centroids, s"$outPath/centroids")
+    vecs.withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .write.mode("overwrite").parquet(s"$outPath/index/batch-retrain")
+    writeStorePin(spark, outPath, params)
+  }
+
+  /** Bin-pack an incremental store's accumulated `batch-*` directories
+    * into bounded-size ones — the maintenance pass a streaming
+    * [[graft.streaming.GraftStreaming.vectorIndexSink]] needs: a year of
+    * micro-batches is thousands of small parquet dirs, and store-scan
+    * parallelism degrades into per-file task overhead (same failure mode
+    * as [[graft.sources.Layout.compact]], whose sizing recipe this
+    * reuses). Reads the union of batch dirs, sizes the output from the
+    * ACTUAL on-disk bytes, and writes a complete new store at `outPath`:
+    * coalesced index as a single `batch-compacted` dir (`coalesce` —
+    * partition merging only, no shuffle), centroids/books copied
+    * verbatim, and the source's params pin REPRODUCED BYTE-FOR-BYTE,
+    * written last (bootstrap-commit contract). The source store is never
+    * touched — swap at the orchestration layer — and re-running is
+    * idempotent (full overwrite of `outPath`). Probe results over the
+    * compacted store are identical by construction: same rows, same
+    * frozen model, only the file layout changes.
+    *
+    * @return the number of index files planned. */
+  def compactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                      outPath: String, targetFileMB: Int = 256): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    requireDisjointStores(spark, path, outPath)
+    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
+    require(dirs.nonEmpty, s"no ingested batches under $path/index")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val srcPin = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = srcPin.getFileSystem(hconf)
+    require(fs.exists(srcPin), s"store $path has no _params.json pin — refusing to " +
+      "compact a store that was never (fully) bootstrapped")
+    val pinBytes = {
+      val in = fs.open(srcPin)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    var bytes = 0L
+    dirs.foreach { d =>
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(d), true)
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) bytes += f.getLen
+      }
+    }
+    val parts = math.max(1L,
+      (bytes + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
+    // wipe any previous compaction attempt first: a retry must not leave a
+    // stale pin next to half-written artifacts
+    val outRoot = new org.apache.hadoop.fs.Path(outPath)
+    fs.delete(outRoot, true)
+    spark.read.parquet(dirs: _*).coalesce(parts)
+      .write.mode("overwrite").parquet(s"$outPath/index/batch-compacted")
+    // model artifacts copy verbatim (centroids always; books for PQ stores)
+    Seq("centroids", "books").foreach { d =>
+      val src = new org.apache.hadoop.fs.Path(path, d)
+      if (fs.exists(src))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+          new org.apache.hadoop.fs.Path(outPath, d), false, hconf)
+    }
+    writeStorePin(spark, outPath, pinBytes)
+    parts
+  }
+
+  /** Write a store's `_params.json` bootstrap-commit pin — always the LAST
+    * artifact written (see [[withFrozenModel]]). */
+  private def writeStorePin(spark: org.apache.spark.sql.SparkSession,
+                            path: String, params: String): Unit = {
+    val pp = new org.apache.hadoop.fs.Path(path, "_params.json")
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(pp, true)
+    try out.write(params.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Same qualified-path disjointness guard as [[graft.sources.Layout
+    * .compact]]: rewriting a store onto (or inside) itself truncates what
+    * the lazy scan is reading. */
+  private def requireDisjointStores(spark: org.apache.spark.sql.SparkSession,
+                                    path: String, outPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qIn = fs.makeQualified(p).toString + "/"
+    val qOut = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath)).toString + "/"
+    require(!qIn.startsWith(qOut) && !qOut.startsWith(qIn),
+      s"store rewrite input and output must be disjoint directories ($qIn vs $qOut)")
+  }
+
   def saveIvfSq8Index(idx: IvfSq8Index, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
     idx.indexed.write.mode("overwrite").parquet(s"$path/index")

@@ -880,6 +880,190 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfStoreReport: explicit zero cells, occupancy sums to 1, imbalance = max/uniform") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-report-spec").toString
+    try {
+      (0 to 1).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(2)) === s),
+          "vec_id", "embedding", store, nlist = 8, batchTag = Some(s.toString))
+      }
+      val rep = Similarity.ivfStoreReport(spark, store).collect()
+      assert(rep.length == 8, "one row per cell, dead cells included")
+      assert(rep.map(_.getAs[Int]("cluster")).toSeq == (0 until 8))
+      val ns = rep.map(_.getAs[Long]("n_vectors"))
+      assert(ns.sum == emb.count(), "occupancies must sum to the corpus")
+      assert(math.abs(rep.map(_.getAs[Double]("occupancy_frac")).sum - 1.0) < 1e-9)
+      val expectedImb = ns.max.toDouble * 8 / ns.sum
+      rep.foreach(r => assert(math.abs(r.getAs[Double]("imbalance") - expectedImb) < 1e-9))
+      // the report never reads the vector payload: column-pruned scan
+      val plan = Similarity.ivfStoreReport(spark, store)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("c_vec"), s"report plan reads the vector column:\n$plan")
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("ivfRetrain: new pinned store, exhaustive probe unchanged, source untouched") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-retrain-spec").toString
+    try {
+      (0 to 2).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", s"$root/old", nlist = 4, batchTag = Some(s.toString))
+      }
+      Similarity.ivfRetrain(spark, s"$root/old", s"$root/new", nlist = 8)
+      val idx = Similarity.loadIvfStore(spark, s"$root/new")
+      assert(idx.centroids.length == 8, "retrained quantizer has the new nlist")
+      assert(idx.indexed.count() == emb.count(), "re-assign lost or duplicated rows")
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val q = emb.filter(col("vec_id") < 5)
+      assert(keyed(Similarity.ivfTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 8))
+        == keyed(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3)))
+      // the new pin carries the NEW params: old-config ingest refuses,
+      // new-config ingest appends
+      intercept[graft.model.ValidationError] {
+        Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", s"$root/new", nlist = 4)
+      }
+      // source store is untouched and still loads under its old params
+      assert(Similarity.loadIvfStore(spark, s"$root/old").centroids.length == 4)
+      // overwrite-to-self refuses before touching anything
+      intercept[IllegalArgumentException] {
+        Similarity.ivfRetrain(spark, s"$root/old", s"$root/old", nlist = 8)
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("compactIvfStore: identical rows and probes, fewer files, pin byte-preserved") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-compact-spec").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(dir: String): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var n = 0
+      while (it.hasNext) if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      n
+    }
+    def pin(store: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(store, "_params.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    try {
+      (0 to 5).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(6)) === s),
+          "vec_id", "embedding", s"$root/old", nlist = 4, batchTag = Some(s.toString))
+      }
+      val before = parquetFiles(s"$root/old/index")
+      Similarity.compactIvfStore(spark, s"$root/old", s"$root/new")
+      assert(parquetFiles(s"$root/new/index") < before,
+        s"compaction did not reduce file count ($before)")
+      assert(graft.ext.Dedup.listBatchDirs(spark, s"$root/new/index").size == 1)
+      assert(pin(s"$root/new") == pin(s"$root/old"), "params pin must copy byte-for-byte")
+      // identical row set and identical exhaustive probe
+      val oldIdx = Similarity.loadIvfStore(spark, s"$root/old")
+      val newIdx = Similarity.loadIvfStore(spark, s"$root/new")
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("neighbor_id"), col("cluster")).collect()
+        .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("cluster"))).toSet
+      assert(rows(newIdx.indexed) == rows(oldIdx.indexed))
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val q = emb.filter(col("vec_id") < 5)
+      assert(keyed(Similarity.ivfTopK(q, newIdx, "vec_id", "embedding", k = 3, nprobe = 4))
+        == keyed(Similarity.ivfTopK(q, oldIdx, "vec_id", "embedding", k = 3, nprobe = 4)))
+      // idempotent: a retried compaction overwrites cleanly
+      Similarity.compactIvfStore(spark, s"$root/old", s"$root/new")
+      assert(rows(Similarity.loadIvfStore(spark, s"$root/new").indexed) == rows(oldIdx.indexed))
+      // a never-pinned (half-bootstrapped) store refuses compaction
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/old/_params.json"), false)
+      intercept[IllegalArgumentException] {
+        Similarity.compactIvfStore(spark, s"$root/old", s"$root/new2")
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("store bootstrap commit marker: a missing pin re-trains instead of silently unpinning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-ivf-pin-spec").toString
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      Similarity.ivfIngestStep(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        store, nlist = 4, batchTag = Some("b0"))
+      // simulate a crash between saveCentroids and the pin write
+      fs.delete(new org.apache.hadoop.fs.Path(store, "_params.json"), false)
+      Similarity.ivfIngestStep(emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        store, nlist = 4, batchTag = Some("b0"))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(store, "_params.json")),
+        "retry after a mid-bootstrap crash must restore the pin")
+      // and the restored pin still refuses drifted configs
+      intercept[graft.model.ValidationError] {
+        Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", store, nlist = 8)
+      }
+    } finally fs.delete(new org.apache.hadoop.fs.Path(store), true)
+  }
+
+  test("explicit batch tags refuse directory-unsafe characters (both stores)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-tag-spec").toString
+    try {
+      intercept[graft.model.ValidationError] {
+        Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", store,
+          nlist = 4, batchTag = Some("a/b"))
+      }
+      intercept[graft.model.ValidationError] {
+        Dedup.ingestStep(docs, "doc_id", "text", store, batchTag = Some("a.b"))
+      }
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(store)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
+  test("PQ probes refuse mismatched query/index id types") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.pqBuild(emb, "vec_id", "embedding", m = 8, ksub = 16, dim = 64)
+    val intQueries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("int").as("vec_id"), col("embedding"))
+    intercept[graft.model.ValidationError] {
+      Similarity.pqTopK(intQueries, idx, "vec_id", "embedding", k = 3, rerank = 10)
+    }
+  }
+
+  test("singleton prefilters: pruned plans return bit-identical results to direct plans") {
+    // the adaptive gates route small corpora to the direct single-exchange
+    // plans; force the PRUNED plans on the same small corpus and assert
+    // exact equality — the prune must never change an answer, only cost
+    val docsBig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def spans(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("cleaned_text"),
+        r.getAs[Long]("n_removed"))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val directSpans = spans(Dedup.removeDupSpans(docsBig, "doc_id", "text", n = 4))
+    val directPairs = pairs(Dedup.minhashLshPairs(docsBig, "doc_id", "text", threshold = 0.4))
+    val (g0, b0) = (Dedup.gramPruneMinRows, Dedup.bandPruneMinRows)
+    try {
+      Dedup.gramPruneMinRows = 0L
+      Dedup.bandPruneMinRows = 0L
+      assert(spans(Dedup.removeDupSpans(docsBig, "doc_id", "text", n = 4)) == directSpans)
+      assert(pairs(Dedup.minhashLshPairs(docsBig, "doc_id", "text", threshold = 0.4))
+        == directPairs)
+    } finally {
+      Dedup.gramPruneMinRows = g0
+      Dedup.bandPruneMinRows = b0
+    }
+  }
+
   test("prebuilt ANN indexes: probe-only overloads match the train-and-search forms") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyOf(r: org.apache.spark.sql.Row) =
