@@ -1380,6 +1380,30 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // PQ-store retrain: both frozen models (coarse quantizer + codebooks)
+    // re-trained on the full store and every vector re-encoded; exhaustive
+    // settings keep the answer exactly brute force
+    "q_ann_ivfpq_retrain" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-retrain-gate").toString
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Similarity.ivfPqIngestStep(
+            e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+            s"$root/old", nlist = 4, m = 8, ksub = 16, dim = 64, batchTag = Some(s.toString))
+        }
+        graft.ext.Similarity.ivfPqRetrain(spark, s"$root/old", s"$root/new",
+          nlist = 8, m = 8, ksub = 16, dim = 64)
+        val idx = graft.ext.Similarity.loadIvfPqStore(spark, s"$root/new")
+        val probed = graft.ext.Similarity.ivfPqTopK(
+          e.filter(col("vec_id") < 10), idx, "vec_id", "embedding",
+          k = 5, nprobe = 8, rerank = 1 << 20)
+        graft.ext.Dedup.spill(probed, "graft-ivfpq-retrain-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     // batch-dir compaction: six tiny shards accumulate six batch dirs,
     // compactIvfStore bin-packs them into one bounded dir; the compacted
     // store probed exhaustively must still equal brute force (same rows,
@@ -2185,6 +2209,21 @@ object SparkEntry {
     // new quantizer must stay answer-invisible at nprobe = nlist —
     // identical ranking SQL to q_ann_ivf.
     "q_ann_ivf_retrain" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      WHERE rank <= 5""",
+    // PQ-store retrain probed exhaustively = brute force: both retrained
+    // quantizers must stay answer-invisible at nprobe = nlist / full
+    // rerank — identical ranking SQL to q_ann_ivfpq.
+    "q_ann_ivfpq_retrain" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       scored AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -84,6 +84,51 @@ object Dedup {
   private[graft] var gramPruneMinRows: Long = 16000000L
   private[graft] var bandPruneMinRows: Long = 8000000L
 
+  /** The ONE recipe for probing a driver-built Bloom filter from a column
+    * of 64-bit hashes — every prefilter (exact-content store bloom, band-
+    * bucket prunes, singleton-gram prune) routes through here, and the
+    * literal-vs-broadcast choice is SIZE-gated rather than per-call-site
+    * folklore:
+    *
+    *  - at or below [[bloomLiteralMaxBytes]] (16 MB serialized) the filter
+    *    embeds as a binary plan literal probed by Spark's codegen'd
+    *    `BloomFilterMightContain` (the graft_bloom_might_contain kernel) —
+    *    no broadcast round-trip and the probe stays inside whole-stage
+    *    codegen. A 10M-key / 1% store bloom serializes to ~12 MB and stays
+    *    on this path, so the streaming exact tier's committed plan shape
+    *    is unchanged.
+    *  - above the gate the filter ships ONCE per executor as a broadcast
+    *    probed by a boxed Scala UDF. A literal is serialized into the task
+    *    binary of every stage that references it and pinned in the
+    *    driver's plan structures; past tens of MB that costs more than the
+    *    boxed call ever will — KernelBench's `bloomProbeBoxed` rows price
+    *    the probe itself at ~32-35 ns/call even at 14M keys, noise against
+    *    the exchange either form prunes. The sf1 minhash self-join's
+    *    ~14M-hot-key bloom (~17 MB) lands here, matching its committed
+    *    plan.
+    *
+    * The gate bounds PLAN size, not probe cost. Null hashes probe to null,
+    * which `filter` drops — matching the join semantics every caller had. */
+  private[graft] val bloomLiteralMaxBytes: Long = 16L << 20
+  private[graft] def bloomProbe(spark: org.apache.spark.sql.SparkSession,
+                                bf: org.apache.spark.util.sketch.BloomFilter):
+      Column => Column = {
+    // serialized size ≈ bit array + small header; decide from bitSize so an
+    // over-gate filter is never serialized to bytes at all
+    if (bf.bitSize() / 8 <= bloomLiteralMaxBytes) {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      graft.exprs.catalyst.GraftFunctions.register(spark)
+      val bytes = bos.toByteArray
+      (h: Column) => org.apache.spark.sql.functions.call_function(
+        graft.exprs.catalyst.GraftFunctions.MightContainName, lit(bytes), h)
+    } else {
+      val bc = spark.sparkContext.broadcast(bf)
+      val probe = udf((h: Long) => bc.value.mightContainLong(h))
+      (h: Column) => probe(h)
+    }
+  }
+
   /** [[spill]] plus a size-informed join hint: frames below
     * `broadcastBytes` of on-disk parquet come back broadcast-hinted. The
     * point is DETERMINISM at a join whose small side is a fused subtree of
@@ -327,9 +372,8 @@ object Dedup {
         } else {
           val leftKeys = bandedLeftRaw
             .select(xxhash64(col("band"), col("band_key")).as("__bk"))
-          val bloom = spark.sparkContext.broadcast(
+          val might = bloomProbe(spark,
             leftKeys.stat.bloomFilter("__bk", nLeftEst, 0.01))
-          val might = udf((h: Long) => bloom.value.mightContainLong(h))
           (bandedLeftRaw, banded(renamed(right, rightName), rightName)
             .filter(might(xxhash64(col("band"), col("band_key")))))
         }
@@ -347,9 +391,7 @@ object Dedup {
         val nHot = hot.count()
         if (nHot == 0L) (bandedLeftRaw.limit(0), bandedLeftRaw.limit(0))
         else {
-          val bloom = spark.sparkContext.broadcast(
-            hot.stat.bloomFilter("__bk", nHot, 0.01))
-          val might = udf((h: Long) => bloom.value.mightContainLong(h))
+          val might = bloomProbe(spark, hot.stat.bloomFilter("__bk", nHot, 0.01))
           def pruned(idAs: String) = banded(renamed(left, idAs), idAs)
             .filter(might(xxhash64(col("band"), col("band_key"))))
           (pruned(leftName), pruned(rightName))
@@ -406,7 +448,8 @@ object Dedup {
     * content-hash anti-join is the dominant cost: the store's hashes fold
     * into one driver-bounded Bloom filter (~12 MB per 10M docs at 1% —
     * 10-50× smaller than the hash set), the batch probes it SCAN-SIDE
-    * through Spark's codegen'd `BloomFilterMightContain`, and only the
+    * through [[bloomProbe]] (the codegen'd `BloomFilterMightContain`
+    * literal at this size), and only the
     * possible members enter the anti-join. The result set is IDENTICAL to
     * [[incrementalExact]]: bloom misses are definite non-members (kept with
     * no join at all), false positives just take the exact join anyway —
@@ -420,12 +463,7 @@ object Dedup {
     val bf = store.select(xxhash64(col("content_hash")).as("__h"))
       .filter(col("__h").isNotNull)
       .stat.bloomFilter("__h", expectedDocs, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    graft.exprs.catalyst.GraftFunctions.register(spark)
-    val mightSeen = org.apache.spark.sql.functions.call_function(
-      graft.exprs.catalyst.GraftFunctions.MightContainName,
-      lit(bos.toByteArray), xxhash64(md5(col(contentCol))))
+    val mightSeen = bloomProbe(spark, bf)(xxhash64(md5(col(contentCol))))
     val batch = spill(exactDedup(newDocs, idCol, contentCol), "graft-incr-bloom")
     val definiteNew = batch.filter(col(contentCol).isNotNull && !mightSeen)
     val maybeSeen = batch.filter(col(contentCol).isNull || mightSeen)
@@ -1152,7 +1190,8 @@ object Dedup {
     // times: a SUPERSET of cross-document-hot (within-document repeats and
     // 64-bit half collisions included; exactness is restored by the
     // min!=max test below, which sees EVERY positional row of any surviving
-    // half). Phase 2 broadcasts the repeated halves as a bloom filter and
+    // half). Phase 2 folds the repeated halves into a bloom filter (shipped
+    // via [[bloomProbe]]'s size-gated literal/broadcast recipe) and
     // drops singleton positional rows SCAN-SIDE, before the wide exchange —
     // the exchange then carries only the repeated fraction (+ fpp), and the
     // hot aggregation + join-back run over that same reduced frame. The
@@ -1213,9 +1252,8 @@ object Dedup {
       // no gram repeats anywhere: nothing can cut — empty gram frame
       return positionalGrams(base, idCol, n).limit(0)
     val candRows = stats.getLong(1) // Σ counts of repeated halves = post-filter positional rows
-    val bloom = spark.sparkContext.broadcast(
+    val mightRepeat = bloomProbe(spark,
       repHalves.stat.bloomFilter("__h", repCount, 0.01))
-    val mightRepeat = udf((h: Long) => bloom.value.mightContainLong(h))
     positionalGrams(base, idCol, n)
       .filter(mightRepeat(col("__g").getField("_1")))
       .repartition(scaledParts(spark, candRows), col("__g"))

@@ -996,6 +996,35 @@ object Similarity {
     writeStorePin(spark, outPath, params)
   }
 
+  /** [[ivfRetrain]] for an [[ivfPqIngestStep]] store: re-trains BOTH
+    * frozen models (coarse centroids and per-subspace codebooks) on the
+    * full accumulated corpus and re-assigns + re-encodes every stored
+    * vector in one linear pass — the PQ store keeps the float vectors
+    * alongside the codes for exactly this (and the exact re-rank), so no
+    * external copy of the corpus is needed. Same contracts as
+    * [[ivfRetrain]]: source untouched, single `batch-retrain` dir, pin
+    * written last with the NEW params. At exhaustive settings
+    * (`nprobe = nlist`, `rerank` ≥ corpus) the retrained store's answers
+    * remain exactly brute force. */
+  def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
+                   outPath: String, nlist: Int = 256, m: Int = 8, ksub: Int = 16,
+                   dim: Int = 64, iterations: Int = 1, seed: Long = 42L): Unit = {
+    requireDisjointStores(spark, path, outPath)
+    val store = loadIvfPqStore(spark, path)
+    val params = s"""{"nlist":$nlist,"m":$m,"ksub":$ksub,"dim":$dim,""" +
+      s""""iterations":$iterations,"seed":$seed}"""
+    val vecs = store.indexed.select(col("neighbor_id"), col("c_vec"))
+    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations, seed)
+    val books = pqTrain(vecs, "c_vec", "neighbor_id", m, ksub, dim, iterations, seed)
+    saveCentroids(spark, centroids, s"$outPath/centroids")
+    saveBooks(spark, books, s"$outPath/books")
+    vecs.withColumn("cluster",
+        element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
+      .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
+      .write.mode("overwrite").parquet(s"$outPath/index/batch-retrain")
+    writeStorePin(spark, outPath, params)
+  }
+
   /** Bin-pack an incremental store's accumulated `batch-*` directories
     * into bounded-size ones — the maintenance pass a streaming
     * [[graft.streaming.GraftStreaming.vectorIndexSink]] needs: a year of

@@ -102,11 +102,57 @@ object BenchStream {
         minQuality = 0.6, nearThreshold = Some(0.7))
     }
 
+    // tier 3: streaming ANN-index maintenance — the sf1 vector corpus
+    // through vectorIndexSink as the same 24-file arrival shape (batch 0
+    // bootstraps + freezes the quantizer, every later batch assigns
+    // map-only and appends). Rate is VECTORS/sec; "survivors" is the
+    // store's row count (must equal the corpus — ingest never drops).
+    val vecSrcDir = s"$work/vec-src"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.repartition(nBatches).write.parquet(vecSrcDir)
+    val vls = java.nio.file.Files.list(java.nio.file.Paths.get(vecSrcDir))
+    try vls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+      .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+        p.toFile.setLastModified(1000000000000L + i * 60000L)
+      }
+    finally vls.close()
+    val nVecs = spark.read.parquet(vecSrcDir).count()
+    val vecSchema = spark.read.parquet(vecSrcDir).schema
+    locally {
+      val store = s"$work/streamVectorIndex-store"
+      val ckpt = s"$work/streamVectorIndex-ckpt"
+      System.gc()
+      val calPre = HostCal.unit()._1
+      val t0 = System.nanoTime(); val c0 = cpuNs()
+      val q = graft.streaming.GraftStreaming.vectorIndexSink(
+        spark.readStream.schema(vecSchema)
+          .option("maxFilesPerTrigger", 1).parquet(vecSrcDir),
+        "vec_id", "embedding", store, ckpt, nlist = 256,
+        queryName = "bench-vector-index")
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9; val cpu = (cpuNs() - c0) / 1e9
+      val calPost = HostCal.unit()._1
+      val indexed = graft.ext.Similarity.loadIvfStore(spark, store).indexed.count()
+      cals("streamVectorIndex") = (calPre, calPost)
+      results("streamVectorIndex") = (wall, cpu, indexed)
+      System.err.println(s"[bench-stream] streamVectorIndex ${"%.1f".format(wall)}s " +
+        s"(cpu ${"%.0f".format(cpu)}s, ${(nVecs / wall).toLong} vecs/s, " +
+        s"$indexed indexed) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}")
+    }
+
     val record =
       s"""{"metric":"stream_ingest","unit":"sec","n_docs":$nDocs,"n_batches":$nBatches,""" +
+      s""""n_vectors":$nVecs,""" +
       s""""tiers":${results.map { case (k, (w, c, s)) =>
+        // rate denominator: the vector tier streams the embedding corpus,
+        // the doc tiers stream the document corpus
+        val (rateKey, rateN) =
+          if (k == "streamVectorIndex") ("vectors_per_sec", nVecs) else ("docs_per_sec", nDocs)
         s""""$k":{"wall":${"%.2f".format(w)},"cpu":${"%.1f".format(c)},""" +
-        s""""docs_per_sec":${(nDocs / w).toLong},"survivors":$s}"""
+        s""""$rateKey":${(rateN / w).toLong},"survivors":$s}"""
       }.mkString("{", ",", "}")},""" +
       s""""cal":${cals.map { case (k, (a, b)) =>
         s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +

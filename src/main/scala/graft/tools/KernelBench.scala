@@ -137,6 +137,25 @@ object KernelBench {
       }
     }
 
+    // ---- boxed Bloom probe (per row, above-the-literal-gate path) ----
+    // Dedup.bloomProbe ships filters past 16 MB serialized as a broadcast
+    // probed by a boxed Scala UDF; this prices the probe itself (box +
+    // mightContainLong bit test) at the hot-key cardinalities where that
+    // path actually arms, so the literal-vs-broadcast gate's "probe cost
+    // is noise against the pruned exchange" claim has a number behind it.
+    for (keys <- Seq(1000000, 14000000)) {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(keys, 0.01)
+      var i = 0L
+      while (i < keys) { bf.putLong(rnd.nextLong()); i += 1 }
+      val probes = Array.fill(1024)(rnd.nextLong())
+      val boxed: java.lang.Long => Boolean = h => bf.mightContainLong(h)
+      var k = 0
+      bench(s"bloomProbeBoxed/keys=${keys / 1000000}M") { () =>
+        k += 1
+        if (boxed(probes(k % probes.length))) 1.0 else 0.0
+      }
+    }
+
     val record = results.map { case (k, v) => s""""$k":${"%.1f".format(v)}""" }
       .mkString(
         """{"unit":"ns_per_call","note":"package-visible kernel loops, same code the udfs ship; regenerate quiesced with: sbt \"runMain graft.tools.KernelBench\"","kernels":{""",

@@ -96,6 +96,32 @@ class DocsDriftSpec extends AnyFunSuite {
     }
   }
 
+  test("README bench-heap protocol matches every committed record's heap_gb") {
+    // the r9 verdict caught README claiming all committed records run at
+    // SPARK_DRIVER_MEM=24g while bench_full.json recorded heap_gb: 89 —
+    // diff the protocol sentence against the records so the claim can't
+    // rot again. The claimed heap and the record list are both parsed from
+    // the protocol bullet itself: editing either side keeps them in sync
+    // or fails here by name.
+    val bullet = readme.linesIterator.dropWhile(!_.contains("Bench heap protocol"))
+      .takeWhile(l => l.contains("Bench heap protocol") || l.startsWith("  ")).mkString(" ")
+    assert(bullet.nonEmpty, "README lost its 'Bench heap protocol' bullet")
+    val claimed = """SPARK_DRIVER_MEM=(\d+)g""".r.findFirstMatchIn(bullet)
+      .getOrElse(fail("protocol bullet states no SPARK_DRIVER_MEM")).group(1).toLong
+    val records = """bench_[a-z0-9_]+\.json""".r.findAllIn(bullet).toSet
+    assert(records.nonEmpty, "protocol bullet names no records")
+    records.foreach { f =>
+      val p = java.nio.file.Paths.get(f)
+      assert(java.nio.file.Files.exists(p), s"protocol names missing record $f")
+      val heap = """"heap_gb"\s*:\s*(\d+)""".r.findFirstMatchIn(read(f))
+        .getOrElse(fail(s"$f carries no heap_gb field")).group(1).toLong
+      // JVM maxMemory under -Xmx24g reports just below 24 GiB; allow the
+      // floor-division wobble of one unit, nothing more
+      assert(math.abs(heap - claimed) <= 1,
+        s"README claims ${claimed}g for all committed records but $f records heap_gb=$heap")
+    }
+  }
+
   test("every gate query has an oracle and vice versa") {
     // today's invariant: the correctness gate is oracle-complete — a queries
     // entry without SQL would silently downgrade to a rows-only check

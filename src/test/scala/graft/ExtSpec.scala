@@ -991,6 +991,36 @@ class ExtSpec extends AnyFunSuite {
     } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("ivfPqRetrain: both models retrained, exhaustive probe unchanged; PQ store compacts") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-retrain-spec").toString
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      (0 to 1).foreach { s =>
+        Similarity.ivfPqIngestStep(emb.filter(pmod(col("vec_id"), lit(2)) === s),
+          "vec_id", "embedding", s"$root/old", nlist = 4, m = 8, ksub = 16, dim = 64,
+          batchTag = Some(s.toString))
+      }
+      Similarity.ivfPqRetrain(spark, s"$root/old", s"$root/new",
+        nlist = 8, m = 8, ksub = 16, dim = 64)
+      val idx = Similarity.loadIvfPqStore(spark, s"$root/new")
+      assert(idx.centroids.length == 8 && idx.indexed.count() == emb.count())
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val q = emb.filter(col("vec_id") < 5)
+      val brute = keyed(Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 3))
+      assert(keyed(Similarity.ivfPqTopK(q, idx, "vec_id", "embedding",
+        k = 3, nprobe = 8, rerank = 1 << 20)) == brute)
+      // compaction handles the PQ store too: books copied, probe unchanged
+      Similarity.compactIvfStore(spark, s"$root/new", s"$root/compact")
+      val cIdx = Similarity.loadIvfPqStore(spark, s"$root/compact")
+      assert(keyed(Similarity.ivfPqTopK(q, cIdx, "vec_id", "embedding",
+        k = 3, nprobe = 8, rerank = 1 << 20)) == brute)
+    } finally fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("store bootstrap commit marker: a missing pin re-trains instead of silently unpinning") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val store = java.nio.file.Files.createTempDirectory("graft-ivf-pin-spec").toString
