@@ -40,8 +40,22 @@ object Dedup {
     * returned frame has a plain scan lineage. The path lives under
     * [[scratchRoot]] — a shared filesystem on a cluster — and is deleted at
     * JVM exit through the owning Hadoop FileSystem. */
-  private[graft] def spill(df: DataFrame, prefix: String): DataFrame =
-    spillWithPath(df, prefix)._1
+  private[graft] def spill(df: DataFrame, prefix: String,
+                           writeOptions: Map[String, String] = Map.empty): DataFrame =
+    spillWithPath(df, prefix, writeOptions)._1
+
+  /** Parquet write options for frames whose bulk is HASH-VALUED ARRAY
+    * columns (float embeddings, 64-bit shingle sets, minhash signatures):
+    * dictionary encoding off. The parquet writer dictionary-hashes every
+    * ELEMENT of every array before concluding (per page) that ~unique
+    * values never repay a dictionary and falling back to plain — measured
+    * 4.3 s → 0.15 s (30×) for a single-task 12k-row × 64-float write at
+    * BYTE-IDENTICAL output size, and 5.4 → 4.7 s for a 500k-doc signature
+    * spill. Scalar text/id columns are unaffected by the pathology (one
+    * dictionary probe per VALUE, not per element) — plain doc-store writes
+    * keep the default. */
+  private[graft] val noDictOptions: Map[String, String] =
+    Map("parquet.enable.dictionary" -> "false")
 
   /** Data-proportional partition count for a keyed shuffle with a known
     * row count: a near-unique key space (grams, lines, shingles) at the
@@ -90,26 +104,29 @@ object Dedup {
     * literal-vs-broadcast choice is SIZE-gated rather than per-call-site
     * folklore:
     *
-    *  - at or below [[bloomLiteralMaxBytes]] (16 MB serialized) the filter
+    *  - at or below [[bloomLiteralMaxBytes]] (2 MB serialized) the filter
     *    embeds as a binary plan literal probed by Spark's codegen'd
     *    `BloomFilterMightContain` (the graft_bloom_might_contain kernel) —
     *    no broadcast round-trip and the probe stays inside whole-stage
-    *    codegen. A 10M-key / 1% store bloom serializes to ~12 MB and stays
-    *    on this path, so the streaming exact tier's committed plan shape
-    *    is unchanged.
+    *    codegen. Eval-gram decontamination blooms and small-batch band
+    *    blooms live here.
     *  - above the gate the filter ships ONCE per executor as a broadcast
-    *    probed by a boxed Scala UDF. A literal is serialized into the task
-    *    binary of every stage that references it and pinned in the
-    *    driver's plan structures; past tens of MB that costs more than the
-    *    boxed call ever will — KernelBench's `bloomProbeBoxed` rows price
-    *    the probe itself at ~32-35 ns/call even at 14M keys, noise against
-    *    the exchange either form prunes. The sf1 minhash self-join's
-    *    ~14M-hot-key bloom (~17 MB) lands here, matching its committed
-    *    plan.
+    *    probed by a boxed Scala UDF. A literal is re-serialized into the
+    *    task binary of EVERY task of every stage that references it, so
+    *    its cost scales with literalBytes × tasks — measured directly: a
+    *    first cut gated at 16 MB turned the streaming curated tier's
+    *    per-batch 4.8 MB band bloom into a literal and cost ~10% of the
+    *    whole 6M-doc ingest (~70 s) in task-serialization churn against
+    *    the store-scan stage's task count, where the broadcast ships the
+    *    bytes once per executor. The boxed probe itself is ~32-35 ns/call
+    *    even at 14M keys (KernelBench `bloomProbeBoxed`), noise against
+    *    the exchange either form prunes.
     *
-    * The gate bounds PLAN size, not probe cost. Null hashes probe to null,
-    * which `filter` drops — matching the join semantics every caller had. */
-  private[graft] val bloomLiteralMaxBytes: Long = 16L << 20
+    * The gate bounds PLAN size, not probe cost: 2 MB × a wide stage's
+    * tasks is bounded churn; past it the broadcast's fixed cost always
+    * wins. Null hashes probe to null, which `filter` drops — matching the
+    * join semantics every caller had. */
+  private[graft] val bloomLiteralMaxBytes: Long = 2L << 20
   private[graft] def bloomProbe(spark: org.apache.spark.sql.SparkSession,
                                 bf: org.apache.spark.util.sketch.BloomFilter):
       Column => Column = {
@@ -145,7 +162,7 @@ object Dedup {
     * bounded candidate/hit sets these operators produce. */
   private[graft] def spillSized(df: DataFrame, prefix: String,
                                 broadcastBytes: Long = 64L << 20): DataFrame = {
-    val (spilled, path) = spillWithPath(df, prefix)
+    val (spilled, path) = spillWithPath(df, prefix, Map.empty)
     val fs = path.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (fs.getContentSummary(path).getLength < broadcastBytes) broadcast(spilled)
     else spilled
@@ -155,12 +172,13 @@ object Dedup {
     * clear end-of-use point that can delete eagerly (e.g. `$merge`) instead
     * of leaning on the JVM-exit sweep — a long-running session spilling per
     * stage would otherwise accumulate a scratch copy per invocation. */
-  private[graft] def spillWithPath(df: DataFrame,
-                                   prefix: String): (DataFrame, org.apache.hadoop.fs.Path) = {
+  private[graft] def spillWithPath(df: DataFrame, prefix: String,
+                                   writeOptions: Map[String, String] = Map.empty):
+      (DataFrame, org.apache.hadoop.fs.Path) = {
     val spark = df.sparkSession
     val path = new org.apache.hadoop.fs.Path(
       scratchRoot(spark), s"$prefix-${java.util.UUID.randomUUID().toString.take(12)}")
-    df.write.mode("overwrite").parquet(path.toString)
+    df.write.mode("overwrite").options(writeOptions).parquet(path.toString)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.deleteOnExit(path)
     (spark.read.parquet(path.toString), path)
@@ -418,7 +436,7 @@ object Dedup {
     // the signature table — computed once, nothing stays pinned in executor
     // memory after the call.
     val shingled = spill(signatureTable(df, idCol, textCol, shingleSize, numHashes, seed),
-      "graft-minhash-sig")
+      "graft-minhash-sig", noDictOptions)
     minhashPairsFromSignatures(shingled, shingled, bands, numHashes / bands,
       threshold, selfPairs = true, "id_a", "id_b", materializeCandidates = true)
   }
@@ -448,8 +466,8 @@ object Dedup {
     * content-hash anti-join is the dominant cost: the store's hashes fold
     * into one driver-bounded Bloom filter (~12 MB per 10M docs at 1% —
     * 10-50× smaller than the hash set), the batch probes it SCAN-SIDE
-    * through [[bloomProbe]] (the codegen'd `BloomFilterMightContain`
-    * literal at this size), and only the
+    * through [[bloomProbe]] (a broadcast boxed probe at the 10M-key
+    * default sizing, a codegen'd literal under 2 MB), and only the
     * possible members enter the anti-join. The result set is IDENTICAL to
     * [[incrementalExact]]: bloom misses are definite non-members (kept with
     * no join at all), false positives just take the exact join anyway —
@@ -488,9 +506,9 @@ object Dedup {
                              threshold: Double = 0.5, seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val newSide = spill(signatureTable(newDocs, idCol, textCol, shingleSize, numHashes, seed),
-      "graft-incr-sig-new")
+      "graft-incr-sig-new", noDictOptions)
     val seenSide = spill(signatureTable(store, idCol, textCol, shingleSize, numHashes, seed),
-      "graft-incr-sig-seen")
+      "graft-incr-sig-seen", noDictOptions)
     minhashPairsFromSignatures(newSide, seenSide, bands, numHashes / bands,
       threshold, selfPairs = false, "new_id", "seen_id", materializeCandidates = true,
       leftBoundedPrune = true)
@@ -708,7 +726,9 @@ object Dedup {
               planAuditHook.foreach(_("ingest_store_write", storeWrite))
               storeWrite
                 .write.mode("overwrite").parquet(s"$storePath/$tag")
-              keepSigs.write.mode("overwrite").parquet(s"$sigPath/$tag")
+              // signatures are hash-valued arrays — see [[noDictOptions]]
+              keepSigs.write.mode("overwrite").options(noDictOptions)
+                .parquet(s"$sigPath/$tag")
             } finally keepSigs.unpersist()
             } finally fresh.unpersist()
           } finally sigs.unpersist()

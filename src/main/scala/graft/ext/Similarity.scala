@@ -327,7 +327,7 @@ object Similarity {
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1)),
-      "graft-ivf-index")
+      "graft-ivf-index", Dedup.noDictOptions)
     IvfIndex(centroids, indexed)
   }
 
@@ -389,7 +389,7 @@ object Similarity {
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
         .withColumn("q8", quantizeInt8(col("c_vec"))),
-      "graft-ivfsq8-index")
+      "graft-ivfsq8-index", Dedup.noDictOptions)
     IvfSq8Index(centroids, indexed)
   }
 
@@ -526,7 +526,7 @@ object Similarity {
     val codes = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
-      "graft-pq-index")
+      "graft-pq-index", Dedup.noDictOptions)
     PqIndex(books, codes)
   }
 
@@ -626,7 +626,7 @@ object Similarity {
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
-      "graft-ivfpq-index")
+      "graft-ivfpq-index", Dedup.noDictOptions)
     IvfPqIndex(centroids, books, indexed)
   }
 
@@ -695,7 +695,7 @@ object Similarity {
                             cents: Array[Array[Double]], path: String): Unit = {
     import spark.implicits._
     cents.zipWithIndex.toSeq.map { case (v, i) => (i, v.toSeq) }
-      .toDF("cid", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+      .toDF("cid", "vec").coalesce(1).write.mode("overwrite").options(Dedup.noDictOptions).parquet(path)
   }
 
   private def loadCentroids(spark: org.apache.spark.sql.SparkSession,
@@ -708,7 +708,7 @@ object Similarity {
     import spark.implicits._
     (for { (sub, m) <- books.zipWithIndex.toSeq; (v, k) <- sub.zipWithIndex }
       yield (m, k, v.toSeq))
-      .toDF("sub", "code", "vec").coalesce(1).write.mode("overwrite").parquet(path)
+      .toDF("sub", "code", "vec").coalesce(1).write.mode("overwrite").options(Dedup.noDictOptions).parquet(path)
   }
 
   private def loadBooks(spark: org.apache.spark.sql.SparkSession,
@@ -720,7 +720,7 @@ object Similarity {
 
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
-    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
@@ -765,9 +765,21 @@ object Similarity {
     * exchange" claim on the REAL code path. `None` in production. */
   private[graft] var planAuditHook: Option[(String, DataFrame) => Unit] = None
 
+  /** @param cachedModel the centroids a PREVIOUS call on this same store
+    *        returned — a per-batch ingest loop (the streaming sink) passes
+    *        them back so steady-state batches skip the per-batch parquet
+    *        load of a model that is frozen by construction. Used only when
+    *        the store's bootstrap pin already exists (a cached model can
+    *        never substitute for bootstrapping); the params pin is still
+    *        checked every call, so config drift refuses as before.
+    * @return the store's frozen centroids (train-or-load this call, or the
+    *         cache passed in), for the caller to feed back as `cachedModel`.
+    *         An empty shard returns the cache unchanged (possibly null). */
   def ivfIngestStep(batch: DataFrame, idCol: String, vecCol: String,
                     path: String, nlist: Int = 256, iterations: Int = 1,
-                    seed: Long = 42L, batchTag: Option[String] = None): Unit = {
+                    seed: Long = 42L, batchTag: Option[String] = None,
+                    cachedModel: Option[Array[Array[Double]]] = None):
+      Array[Array[Double]] = {
     val spark = batch.sparkSession
     val params = s"""{"nlist":$nlist,"iterations":$iterations,"seed":$seed}"""
     checkStoreParams(spark, path, params)
@@ -776,10 +788,10 @@ object Similarity {
     // an empty shard writes nothing: nothing to bootstrap from or assign,
     // and a stream's empty micro-batches would otherwise each leave an
     // empty batch directory in the store
-    if (rows.limit(1).isEmpty) return
+    if (rows.limit(1).isEmpty) return cachedModel.orNull
     val tag = storeBatchTag(rows, batchTag)
     val centroids = withFrozenModel(spark, path, params, exists =>
-      if (exists) loadCentroids(spark, s"$path/centroids")
+      if (exists) cachedModel.getOrElse(loadCentroids(spark, s"$path/centroids"))
       else {
         val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
         saveCentroids(spark, c, s"$path/centroids")
@@ -788,7 +800,8 @@ object Similarity {
     val assigned = rows.withColumn("cluster",
       element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
     planAuditHook.foreach(_("ivf_ingest_assign", assigned))
-    assigned.write.mode("overwrite").parquet(s"$path/index/$tag")
+    assigned.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index/$tag")
+    centroids
   }
 
   /** [[ivfIngestStep]] for the IVF-PQ shape — the payload a 100-TB store
@@ -797,20 +810,26 @@ object Similarity {
     * codebooks) and every shard writes (cluster, codes, c_vec) rows. The
     * idempotence, params-pin, and empty-shard contracts are identical;
     * probe with [[loadIvfPqStore]] + the probe-only [[ivfPqTopK]]. */
+  /** @param cachedModel same contract as [[ivfIngestStep]]'s: the
+    *        (centroids, codebooks) a previous call on this store returned.
+    * @return the store's frozen (centroids, codebooks) for feeding back. */
   def ivfPqIngestStep(batch: DataFrame, idCol: String, vecCol: String,
                       path: String, nlist: Int = 256, m: Int = 8, ksub: Int = 16,
                       dim: Int = 64, iterations: Int = 1, seed: Long = 42L,
-                      batchTag: Option[String] = None): Unit = {
+                      batchTag: Option[String] = None,
+                      cachedModel: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None):
+      (Array[Array[Double]], Array[Array[Array[Double]]]) = {
     val spark = batch.sparkSession
     val params = s"""{"nlist":$nlist,"m":$m,"ksub":$ksub,"dim":$dim,""" +
       s""""iterations":$iterations,"seed":$seed}"""
     checkStoreParams(spark, path, params)
     val rows = batch.filter(col(vecCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    if (rows.limit(1).isEmpty) return
+    if (rows.limit(1).isEmpty) return cachedModel.orNull
     val tag = storeBatchTag(rows, batchTag)
     val (centroids, books) = withFrozenModel(spark, path, params, exists =>
-      if (exists) (loadCentroids(spark, s"$path/centroids"), loadBooks(spark, s"$path/books"))
+      if (exists) cachedModel.getOrElse(
+        (loadCentroids(spark, s"$path/centroids"), loadBooks(spark, s"$path/books")))
       else {
         val c = kmeansTrain(rows, "neighbor_id", "c_vec", nlist, iterations, seed)
         val b = pqTrain(rows, "c_vec", "neighbor_id", m, ksub, dim, iterations, seed)
@@ -822,7 +841,8 @@ object Similarity {
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
       .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
     planAuditHook.foreach(_("ivfpq_ingest_assign", assigned))
-    assigned.write.mode("overwrite").parquet(s"$path/index/$tag")
+    assigned.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index/$tag")
+    (centroids, books)
   }
 
   /** Refuse a call whose quantizer settings differ from an existing
@@ -992,7 +1012,7 @@ object Similarity {
     saveCentroids(spark, centroids, s"$outPath/centroids")
     vecs.withColumn("cluster",
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
-      .write.mode("overwrite").parquet(s"$outPath/index/batch-retrain")
+      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-retrain")
     writeStorePin(spark, outPath, params)
   }
 
@@ -1021,7 +1041,7 @@ object Similarity {
     vecs.withColumn("cluster",
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
       .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
-      .write.mode("overwrite").parquet(s"$outPath/index/batch-retrain")
+      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-retrain")
     writeStorePin(spark, outPath, params)
   }
 
@@ -1073,7 +1093,7 @@ object Similarity {
     val outRoot = new org.apache.hadoop.fs.Path(outPath)
     fs.delete(outRoot, true)
     spark.read.parquet(dirs: _*).coalesce(parts)
-      .write.mode("overwrite").parquet(s"$outPath/index/batch-compacted")
+      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-compacted")
     // model artifacts copy verbatim (centroids always; books for PQ stores)
     Seq("centroids", "books").foreach { d =>
       val src = new org.apache.hadoop.fs.Path(path, d)
@@ -1110,7 +1130,7 @@ object Similarity {
 
   def saveIvfSq8Index(idx: IvfSq8Index, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
-    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
   }
 
   def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession, path: String): IvfSq8Index =
@@ -1119,7 +1139,7 @@ object Similarity {
 
   def savePqIndex(idx: PqIndex, path: String): Unit = {
     saveBooks(idx.codes.sparkSession, idx.books, s"$path/books")
-    idx.codes.write.mode("overwrite").parquet(s"$path/index")
+    idx.codes.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
   }
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
@@ -1128,7 +1148,7 @@ object Similarity {
   def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
     saveBooks(idx.indexed.sparkSession, idx.books, s"$path/books")
-    idx.indexed.write.mode("overwrite").parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =

@@ -279,15 +279,23 @@ object GraftStreaming {
   def vectorIndexSink(stream: DataFrame, idCol: String, vecCol: String,
                       path: String, checkpointDir: String, nlist: Int = 256,
                       queryName: String = "graft-vector-index"):
-      org.apache.spark.sql.streaming.StreamingQuery =
+      org.apache.spark.sql.streaming.StreamingQuery = {
+    // the quantizer is FROZEN after the bootstrap batch, so the sink feeds
+    // each call's returned centroids back as the next call's cache — the
+    // steady-state batch skips the per-batch parquet-load job of an
+    // immutable model. foreachBatch is serial per query, so the plain var
+    // is single-writer by construction; a restarted query just reloads
+    // once on its first batch.
+    var model: Array[Array[Double]] = null
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Similarity.ivfIngestStep(batch, idCol, vecCol, path,
-          nlist, batchTag = Some(batchId.toString))
+        model = graft.ext.Similarity.ivfIngestStep(batch, idCol, vecCol, path,
+          nlist, batchTag = Some(batchId.toString), cachedModel = Option(model))
         ()
       }
       .start()
+  }
 
   def curatedIngestSink(stream: DataFrame, idCol: String, contentCol: String,
                         storePath: String, checkpointDir: String,

@@ -110,7 +110,7 @@ object BenchStream {
     val vecSrcDir = s"$work/vec-src"
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    emb.repartition(nBatches).write.parquet(vecSrcDir)
+    emb.repartition(nBatches).write.options(graft.ext.Dedup.noDictOptions).parquet(vecSrcDir)
     val vls = java.nio.file.Files.list(java.nio.file.Paths.get(vecSrcDir))
     try vls.iterator().asScala
       .filter(_.getFileName.toString.startsWith("part-")).toSeq

@@ -103,7 +103,7 @@ object GenSf1 {
           u(lit("jt"), v, j) * lit(0.01)).cast("float")).as("embedding"),
       pmod(xxhash64(lit("lbl"), bv), lit(16L)).cast("int").as("label"))
     emb.repartition(math.max(2, (nVec / 25000L).toInt))
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      .write.mode("overwrite").options(graft.ext.Dedup.noDictOptions).parquet(s"$out/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {

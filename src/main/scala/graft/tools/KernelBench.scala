@@ -137,6 +137,41 @@ object KernelBench {
       }
     }
 
+    // ---- IVF coarse assignment (per vector, 256 cells x 64 dims) ----
+    // retired form kept as the comparison baseline: boxed (Double, Int)
+    // tuples + generic sortBy per ROW, which dominated the assignment
+    def nearestSortAll(cent: Array[Array[Double]], nprobe: Int, v: Seq[Float]): Seq[Int] = {
+      val a = v.toArray
+      val dists = new Array[(Double, Int)](cent.length)
+      var i = 0
+      while (i < cent.length) {
+        val c = cent(i)
+        var d = 0.0
+        var j = 0
+        val n = math.min(a.length, c.length)
+        while (j < n) { val t = a(j) - c(j); d += t * t; j += 1 }
+        dists(i) = (d, i)
+        i += 1
+      }
+      dists.sortBy(x => (x._1, x._2)).take(nprobe).map(_._2).toSeq
+    }
+    locally {
+      val cent = Array.tabulate(256)(i => Array.tabulate(64)(j => ((i * 31 + j) % 97) / 97.0))
+      val vecs = Array.fill(64)(Seq.fill(64)(rnd.nextFloat()))
+      for (nprobe <- Seq(1, 16)) {
+        var k = 0
+        bench(s"nearestCentroid256/sortAll/np=$nprobe") { () =>
+          k += 1
+          nearestSortAll(cent, nprobe, vecs(k % vecs.length)).head.toDouble
+        }
+        var k2 = 0
+        bench(s"nearestCentroid256/argmin/np=$nprobe") { () =>
+          k2 += 1
+          graft.ext.Kernels.nearestCentroidsLoop(cent, nprobe, vecs(k2 % vecs.length)).head.toDouble
+        }
+      }
+    }
+
     // ---- boxed Bloom probe (per row, above-the-literal-gate path) ----
     // Dedup.bloomProbe ships filters past 16 MB serialized as a broadcast
     // probed by a boxed Scala UDF; this prices the probe itself (box +

@@ -796,6 +796,20 @@ class ExtSpec extends AnyFunSuite {
       intercept[graft.model.ValidationError] {
         Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", store, nlist = 8)
       }
+      // cached-model fast path: re-ingesting a shard with the centroids a
+      // previous call returned writes BIT-IDENTICAL assignments (the model
+      // is frozen; the cache only skips the parquet load)
+      val returned = Similarity.ivfIngestStep(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2), "vec_id", "embedding",
+        store, nlist = 4, batchTag = Some("2"))
+      val viaLoad = spark.read.parquet(s"$store/index/batch-2")
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("cluster"))).toSet
+      Similarity.ivfIngestStep(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2), "vec_id", "embedding",
+        store, nlist = 4, batchTag = Some("2"), cachedModel = Some(returned))
+      val viaCache = spark.read.parquet(s"$store/index/batch-2")
+        .collect().map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("cluster"))).toSet
+      assert(viaCache == viaLoad, "cached-model ingest diverged from load-model ingest")
       // auto-tag: the digest is content-derived, so a re-ingest of the
       // SAME rows without an explicit tag lands in the SAME directory
       val before = Similarity.loadIvfStore(spark, store).indexed.count()
