@@ -477,7 +477,13 @@ object Bench {
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir",""" +
       s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    // Two producers, two files (r10 verdict #1): the DRIVER's per-round run
+    // (8g/89g default heap) lands at the gitignored bench_full_driver.json so
+    // it can never clobber the committed 24g protocol record bench_full.json,
+    // which DocsDriftSpec pins to the README heap bullet. Producing the
+    // committed record is an explicit act: SPARK_GRAFT_BENCH_FULL=bench_full.json
+    // under SPARK_DRIVER_MEM=24g per the protocol.
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full_driver.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val compact =

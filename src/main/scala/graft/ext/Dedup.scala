@@ -57,6 +57,22 @@ object Dedup {
   private[graft] val noDictOptions: Map[String, String] =
     Map("parquet.enable.dictionary" -> "false")
 
+  /** [[noDictOptions]] with the dictionary re-enabled for the named
+    * columns — for frames that mix hash-valued arrays (dictionary-hostile,
+    * above) with LOW-cardinality arrays where the dictionary genuinely
+    * pays: PQ `codes` are m positions over ksub(=16) distinct values each,
+    * exactly the page shape dictionary+RLE compresses best, and the r10
+    * blanket noDict on the IVF-PQ index spill was the suspect for the
+    * sf1IvfPqBuild 11.1→15.4 s regression. Parquet keys per-column
+    * properties by the leaf column-descriptor path, which for Spark's
+    * 3-level list encoding is `col.list.element` — both spellings are set
+    * so scalar and array columns are covered (PerColumnDictSpec pins the
+    * footer encodings). */
+  private[graft] def noDictOptionsExcept(dictCols: String*): Map[String, String] =
+    noDictOptions ++ dictCols.flatMap(c => Seq(
+      s"parquet.enable.dictionary#$c" -> "true",
+      s"parquet.enable.dictionary#$c.list.element" -> "true"))
+
   /** Data-proportional partition count for a keyed shuffle with a known
     * row count: a near-unique key space (grams, lines, shingles) at the
     * session's fixed shuffle.partitions gives every reducer a hash map
@@ -357,6 +373,15 @@ object Dedup {
     // arithmetic (the band kernel emits one key per band per doc), no
     // extra scan of the exploded frame.
     val bandedLeftRaw = banded(renamed(left, leftName), leftName)
+    // set only by the leftBoundedPrune branch: the bounded-batch banding
+    // explode is pinned there so the bloom aggregation and the band join
+    // share ONE explode pass (the public incrementalMinhash path passes
+    // unpinned spilled frames, so without the pin the explode kernel ran
+    // twice over parquet); released right after the candidate set below —
+    // eagerly materialized for materializeCandidates callers, so the cache
+    // is consumed by then, while fused streaming callers (whose input is
+    // caller-pinned) just fall back to recomputing from that pin
+    var pinnedBandedLeft: Option[DataFrame] = None
     val (bandedLeft, bandedRight) =
       if (!selfPairs && leftBoundedPrune) {
         // ---- bounded-left band prefilter (bipartite tier) ----
@@ -388,11 +413,25 @@ object Dedup {
           val emptyRight = banded(renamed(right, rightName), rightName).limit(0)
           (bandedLeftRaw.limit(0), emptyRight)
         } else {
-          val leftKeys = bandedLeftRaw
+          // batch-bounded rows (docs × bands of (id, band, band_key)); the
+          // bloom build is an eager action, so it also populates the pin.
+          // Only the materializeCandidates form pins: there the candidate
+          // spill below consumes the cache inside this call. Fused
+          // streaming callers keep their caller-pinned input as the cheap
+          // recompute source — a per-batch persist would pay cache writes
+          // it never collects on.
+          val pinned =
+            if (materializeCandidates) {
+              val p = bandedLeftRaw.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              pinnedBandedLeft = Some(p)
+              p
+            } else bandedLeftRaw
+          val leftKeys = pinned
             .select(xxhash64(col("band"), col("band_key")).as("__bk"))
           val might = bloomProbe(spark,
             leftKeys.stat.bloomFilter("__bk", nLeftEst, 0.01))
-          (bandedLeftRaw, banded(renamed(right, rightName), rightName)
+          (pinned, banded(renamed(right, rightName), rightName)
             .filter(might(xxhash64(col("band"), col("band_key")))))
         }
       } else if (!(selfPairs && materializeCandidates) ||
@@ -420,6 +459,7 @@ object Dedup {
       .select(leftName, rightName).distinct()
     val candidates = if (!materializeCandidates) cand1
       else spillSized(cand1, "graft-minhash-cand")
+    pinnedBandedLeft.foreach(_.unpersist())
     candidates
       .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
       .join(right.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
@@ -632,6 +672,24 @@ object Dedup {
     * check per frame. */
   private[graft] var planAuditHook: Option[(String, DataFrame) => Unit] = None
 
+  /** Profiling-only tap: when set, [[ingestStep]] reports wall seconds per
+    * phase (exact tier / signature build / in-batch band join / cross-store
+    * band+verify / store writes), FORCING a materialization barrier between
+    * phases so the numbers attribute honestly — the production path
+    * (`None`) keeps its lazy fusion and pays only an Option check.
+    * Feeds the streamCuratedNear per-batch cost breakdown
+    * (tools.StreamNearProfile). */
+  private[graft] var phaseHook: Option[(String, Double) => Unit] = None
+
+  @inline private def phase[T](name: String)(f: => T): T = phaseHook match {
+    case None => f
+    case Some(h) =>
+      val t0 = System.nanoTime()
+      val r = f
+      h(name, (System.nanoTime() - t0) / 1e9)
+      r
+  }
+
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
@@ -688,7 +746,7 @@ object Dedup {
       else exact0).persist()
     try {
       planAuditHook.foreach(_("ingest_exact", exact))
-      exact.count()
+      phase("exact")(exact.count())
       nearThreshold match {
         case None =>
           exact.write.mode("overwrite").parquet(s"$storePath/$tag")
@@ -698,6 +756,7 @@ object Dedup {
           val sigs = signatureTable(exact.filter(col(contentCol).isNotNull),
             idCol, contentCol, shingleSize, numHashes).persist()
           try {
+            if (phaseHook.isDefined) phase("sig_build")(sigs.count())
             val rpb = numHashes / bands
             val dropInBatch = minhashPairsFromSignatures(
               sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")
@@ -708,6 +767,7 @@ object Dedup {
             // Batch-bounded memory, released in the finally below.
             val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti").persist()
             try {
+            if (phaseHook.isDefined) phase("inbatch_band")(fresh.count())
             val dropCross =
               if (sigDirs.nonEmpty)
                 minhashPairsFromSignatures(
@@ -719,16 +779,16 @@ object Dedup {
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
             try {
               planAuditHook.foreach(_("ingest_keep_sigs", keepSigs))
-              keepSigs.count() // materialize before any store mutation
+              phase("cross_band_verify")(keepSigs.count()) // materialize before any store mutation
               val storeWrite =
                 exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
                 .unionByName(exact.filter(col(contentCol).isNull))
               planAuditHook.foreach(_("ingest_store_write", storeWrite))
-              storeWrite
-                .write.mode("overwrite").parquet(s"$storePath/$tag")
+              phase("store_write")(storeWrite
+                .write.mode("overwrite").parquet(s"$storePath/$tag"))
               // signatures are hash-valued arrays — see [[noDictOptions]]
-              keepSigs.write.mode("overwrite").options(noDictOptions)
-                .parquet(s"$sigPath/$tag")
+              phase("sig_write")(keepSigs.write.mode("overwrite").options(noDictOptions)
+                .parquet(s"$sigPath/$tag"))
             } finally keepSigs.unpersist()
             } finally fresh.unpersist()
           } finally sigs.unpersist()

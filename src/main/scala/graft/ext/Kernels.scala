@@ -495,6 +495,17 @@ object Kernels {
         if (!taken(t) && dists(t) < bestD) { bestD = dists(t); bestI = t }
         t += 1
       }
+      if (bestI == -1) {
+        // every remaining distance is NaN (a NaN element in the input
+        // poisons all of them): `<` never fires and the argmin scan finds
+        // nothing. Reproduce the replaced sortBy's total order — NaN sorts
+        // after every real distance and the stable sort kept index order —
+        // by taking the lowest untaken index, instead of crashing the whole
+        // build/ingest job on taken(-1).
+        var u = 0
+        while (taken(u)) u += 1
+        bestI = u
+      }
       taken(bestI) = true
       out(s) = bestI
       s += 1

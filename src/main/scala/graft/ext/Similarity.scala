@@ -282,8 +282,26 @@ object Similarity {
     * cluster-balanced corpus sampling ([[kmeansAssign]] +
     * [[Sampling.stratified]] on the cluster id). */
   def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
-                  k: Int, iterations: Int = 1, seed: Long = 42L): Array[Array[Double]] = {
-    val base = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+                  k: Int, iterations: Int = 1, seed: Long = 42L,
+                  sampleRows: Int = 0): Array[Array[Double]] = {
+    val full = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    // sampleRows > 0 bounds TRAINING (not assignment) to the sampleRows
+    // smallest id-hash rows — the standard fit-on-a-sample/assign-all
+    // recipe: at corpus scale, `iterations` full scans just to fit k
+    // centroids is the dominant retrain cost, and a few-hundred-k sample
+    // fits them identically well. The sample is deterministic (same hash
+    // family and seed as the centroid seeding, so the k seed rows are by
+    // construction a prefix of it), materialized ONCE, and every Lloyd
+    // scan below runs over it instead of the corpus. A corpus smaller
+    // than sampleRows degenerates to the full frame — centroids are then
+    // bit-identical to unsampled training (means are order-independent).
+    val base =
+      if (sampleRows > 0)
+        Dedup.spill(
+          full.withColumn("__h", xxhash64(col("vid") + lit(seed)))
+            .orderBy(col("__h"), col("vid")).limit(sampleRows).drop("__h"),
+          "graft-kmeans-sample", Dedup.noDictOptions)
+      else full
     var centroids: Array[Array[Double]] = base
       .withColumn("__h", xxhash64(col("vid") + lit(seed)))
       .orderBy(col("__h"), col("vid")).limit(k)
@@ -321,13 +339,15 @@ object Similarity {
     * The materialization matters: left lazy, the cluster-assign UDF would
     * collapse past every probe's candidate join and re-run per candidate. */
   def ivfBuild(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
-               iterations: Int = 1, seed: Long = 42L): IvfIndex = {
-    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
+               iterations: Int = 1, seed: Long = 42L,
+               trainSampleRows: Int = 0): IvfIndex = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed,
+      trainSampleRows)
     val indexed = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1)),
-      "graft-ivf-index", Dedup.noDictOptions)
+      "graft-ivf-index", indexWriteOptions)
     IvfIndex(centroids, indexed)
   }
 
@@ -382,14 +402,16 @@ object Similarity {
     * column at scale, the int8 codes the 4×-compressed scan payload; the
     * float vectors live only in the re-rank join. */
   def ivfSq8Build(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
-                  iterations: Int = 1, seed: Long = 42L): IvfSq8Index = {
-    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
+                  iterations: Int = 1, seed: Long = 42L,
+                  trainSampleRows: Int = 0): IvfSq8Index = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed,
+      trainSampleRows)
     val indexed = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
         .withColumn("q8", quantizeInt8(col("c_vec"))),
-      "graft-ivfsq8-index", Dedup.noDictOptions)
+      "graft-ivfsq8-index", indexWriteOptions)
     IvfSq8Index(centroids, indexed)
   }
 
@@ -454,12 +476,25 @@ object Similarity {
     * corpus scale, train on a deterministic hash-sample; the codebooks are
     * a model artifact, not data. */
   def pqTrain(corpus: DataFrame, vecCol: String, idCol: String, m: Int, ksub: Int,
-              dim: Int, iterations: Int = 2, seed: Long = 42L): Array[Array[Array[Double]]] = {
+              dim: Int, iterations: Int = 2, seed: Long = 42L,
+              sampleRows: Int = 0): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim=$dim must be divisible by m=$m")
     val subDim = dim / m
+    // same bounded-training recipe as [[kmeansTrain]]: sampleRows > 0
+    // materializes the deterministic hash-prefix sample once and both the
+    // seed selection and every Lloyd scan run over it; smaller corpora
+    // degenerate to the full frame, bit-identically
+    val src =
+      if (sampleRows > 0)
+        Dedup.spill(
+          corpus.select(col(idCol), col(vecCol))
+            .withColumn("__h", xxhash64(col(idCol) + lit(seed)))
+            .orderBy(col("__h"), col(idCol)).limit(sampleRows).drop("__h"),
+          "graft-pq-sample", Dedup.noDictOptions)
+      else corpus
     // one exploded frame: (sub, subvector) — every subspace trains from the
     // same scan; slice is 1-based
-    val subs = corpus.select(col(idCol).as("vid"), col(vecCol).as("v"))
+    val subs = src.select(col(idCol).as("vid"), col(vecCol).as("v"))
       .select(col("vid"), explode(sequence(lit(0), lit(m - 1))).as("sub"), col("v"))
       .withColumn("sv", slice(col("v"), col("sub") * subDim + 1, lit(subDim)))
     // deterministic seed codewords per subspace: smallest id-hash rows
@@ -477,7 +512,7 @@ object Similarity {
       val enc = Kernels.pqEncodeKernel(books)
       // assign every vector to its per-subspace codeword, then mean per
       // (sub, code, pos) — one distributed pass for all subspaces
-      val means = corpus.select(col(vecCol).as("v"))
+      val means = src.select(col(vecCol).as("v"))
         .withColumn("codes", enc(col("v")))
         .select(explode(sequence(lit(0), lit(m - 1))).as("sub"), col("codes"), col("v"))
         .withColumn("code", element_at(col("codes"), col("sub") + 1))
@@ -521,12 +556,13 @@ object Similarity {
     * |corpus|) — measured 100× slower at the bench scale. */
   def pqBuild(corpus: DataFrame, idCol: String, vecCol: String, m: Int = 8,
               ksub: Int = 16, dim: Int = 64, iterations: Int = 2,
-              seed: Long = 42L): PqIndex = {
-    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
+              seed: Long = 42L, trainSampleRows: Int = 0): PqIndex = {
+    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed,
+      trainSampleRows)
     val codes = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
-      "graft-pq-index", Dedup.noDictOptions)
+      "graft-pq-index", indexWriteOptions)
     PqIndex(books, codes)
   }
 
@@ -618,15 +654,17 @@ object Similarity {
     * (see [[pqBuild]] for why materialization is load-bearing). */
   def ivfPqBuild(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
                  m: Int = 8, ksub: Int = 16, dim: Int = 64, iterations: Int = 1,
-                 seed: Long = 42L): IvfPqIndex = {
-    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed)
-    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed)
+                 seed: Long = 42L, trainSampleRows: Int = 0): IvfPqIndex = {
+    val centroids = kmeansTrain(corpus, idCol, vecCol, nlist, iterations, seed,
+      trainSampleRows)
+    val books = pqTrain(corpus, vecCol, idCol, m, ksub, dim, iterations, seed,
+      trainSampleRows)
     val indexed = Dedup.spill(
       corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
         .withColumn("cluster",
           element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
         .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec"))),
-      "graft-ivfpq-index", Dedup.noDictOptions)
+      "graft-ivfpq-index", indexWriteOptions)
     IvfPqIndex(centroids, books, indexed)
   }
 
@@ -691,6 +729,17 @@ object Similarity {
   // beside it. Train once in the indexing job, load and probe from any
   // number of serving jobs — no re-training, no JVM-serialized blobs.
 
+  /** Write options for every materialized index table: dictionary OFF for
+    * the hash-valued array payloads (float vectors, sq8 codes — the
+    * [[Dedup.noDictOptions]] pathology), back ON for `codes` (m positions
+    * over ksub=16 distinct values — the dictionary-friendliest page shape
+    * there is) and `cluster` (≤nlist distinct ints). The r10 blanket
+    * noDict on these writes was the suspect for sf1IvfPqBuild 11.1→15.4 s;
+    * PerColumnDictSpec pins the resulting footer encodings. Frames without
+    * a codes/cluster column ignore the extra per-column keys. */
+  private[graft] val indexWriteOptions: Map[String, String] =
+    Dedup.noDictOptionsExcept("codes", "cluster")
+
   private def saveCentroids(spark: org.apache.spark.sql.SparkSession,
                             cents: Array[Array[Double]], path: String): Unit = {
     import spark.implicits._
@@ -720,7 +769,7 @@ object Similarity {
 
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
-    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index")
   }
 
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
@@ -800,7 +849,7 @@ object Similarity {
     val assigned = rows.withColumn("cluster",
       element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
     planAuditHook.foreach(_("ivf_ingest_assign", assigned))
-    assigned.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index/$tag")
+    assigned.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index/$tag")
     centroids
   }
 
@@ -841,7 +890,7 @@ object Similarity {
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
       .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
     planAuditHook.foreach(_("ivfpq_ingest_assign", assigned))
-    assigned.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index/$tag")
+    assigned.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index/$tag")
     (centroids, books)
   }
 
@@ -994,25 +1043,36 @@ object Similarity {
     * store's pin is written LAST, after centroids and index — the same
     * bootstrap-commit contract as [[ivfIngestStep]], so a crashed retrain
     * leaves an obviously-unbootstrapped directory, never a half-pinned
-    * store. The re-assigned index lands as a single `batch-retrain` dir
-    * (compaction for free); ingest into the new store may resume with the
-    * NEW parameters immediately.
+    * store. `outPath` is WIPED first ([[clearStoreDir]]) — store loads
+    * union every batch dir, so retraining into a non-empty directory
+    * would silently union stale old-quantizer batches. The re-assigned
+    * index lands as a single `batch-retrain` dir (compaction for free);
+    * ingest into the new store may resume with the NEW parameters
+    * immediately.
     *
     * At exhaustive probe settings (`nprobe = nlist`) the retrained store
     * returns bit-identical answers to the old one — quantization only
     * prunes, never scores — which is exactly the oracle gate's check. */
   def ivfRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
                  outPath: String, nlist: Int = 256, iterations: Int = 1,
-                 seed: Long = 42L): Unit = {
+                 seed: Long = 42L, trainSampleRows: Int = 262144): Unit = {
     requireDisjointStores(spark, path, outPath)
     val store = loadIvfStore(spark, path)
+    clearStoreDir(spark, outPath)
     val params = s"""{"nlist":$nlist,"iterations":$iterations,"seed":$seed}"""
     val vecs = store.indexed.select(col("neighbor_id"), col("c_vec"))
-    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations, seed)
+    // training is sample-bounded by default (fit-on-a-sample/assign-all):
+    // without it, fitting ~nlist centroids costs `iterations` FULL-corpus
+    // scans — at 100 TB that is the whole retrain bill. 262144 rows is
+    // ~1000× nlist, far past the k-means fit saturation point; the
+    // ASSIGNMENT below still covers every stored vector, and exhaustive
+    // probes (the oracle gate) are quantizer-independent either way.
+    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations,
+      seed, trainSampleRows)
     saveCentroids(spark, centroids, s"$outPath/centroids")
     vecs.withColumn("cluster",
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
-      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-retrain")
+      .write.mode("overwrite").options(indexWriteOptions).parquet(s"$outPath/index/batch-retrain")
     writeStorePin(spark, outPath, params)
   }
 
@@ -1028,20 +1088,26 @@ object Similarity {
     * remain exactly brute force. */
   def ivfPqRetrain(spark: org.apache.spark.sql.SparkSession, path: String,
                    outPath: String, nlist: Int = 256, m: Int = 8, ksub: Int = 16,
-                   dim: Int = 64, iterations: Int = 1, seed: Long = 42L): Unit = {
+                   dim: Int = 64, iterations: Int = 1, seed: Long = 42L,
+                   trainSampleRows: Int = 262144): Unit = {
     requireDisjointStores(spark, path, outPath)
     val store = loadIvfPqStore(spark, path)
+    clearStoreDir(spark, outPath)
     val params = s"""{"nlist":$nlist,"m":$m,"ksub":$ksub,"dim":$dim,""" +
       s""""iterations":$iterations,"seed":$seed}"""
     val vecs = store.indexed.select(col("neighbor_id"), col("c_vec"))
-    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations, seed)
-    val books = pqTrain(vecs, "c_vec", "neighbor_id", m, ksub, dim, iterations, seed)
+    // both models train sample-bounded — see [[ivfRetrain]]; assignment
+    // and re-encode below still cover every stored vector
+    val centroids = kmeansTrain(vecs, "neighbor_id", "c_vec", nlist, iterations,
+      seed, trainSampleRows)
+    val books = pqTrain(vecs, "c_vec", "neighbor_id", m, ksub, dim, iterations,
+      seed, trainSampleRows)
     saveCentroids(spark, centroids, s"$outPath/centroids")
     saveBooks(spark, books, s"$outPath/books")
     vecs.withColumn("cluster",
         element_at(Kernels.nearestCentroidsKernel(centroids, 1)(col("c_vec")), 1))
       .withColumn("codes", Kernels.pqEncodeKernel(books)(col("c_vec")))
-      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-retrain")
+      .write.mode("overwrite").options(indexWriteOptions).parquet(s"$outPath/index/batch-retrain")
     writeStorePin(spark, outPath, params)
   }
 
@@ -1089,20 +1155,37 @@ object Similarity {
     val parts = math.max(1L,
       (bytes + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
     // wipe any previous compaction attempt first: a retry must not leave a
-    // stale pin next to half-written artifacts
+    // stale pin next to half-written artifacts. Output-side filesystem is
+    // resolved from outPath (it may be a different FS than the source).
     val outRoot = new org.apache.hadoop.fs.Path(outPath)
-    fs.delete(outRoot, true)
+    val outFs = outRoot.getFileSystem(hconf)
+    outFs.delete(outRoot, true)
     spark.read.parquet(dirs: _*).coalesce(parts)
-      .write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$outPath/index/batch-compacted")
+      .write.mode("overwrite").options(indexWriteOptions).parquet(s"$outPath/index/batch-compacted")
     // model artifacts copy verbatim (centroids always; books for PQ stores)
     Seq("centroids", "books").foreach { d =>
       val src = new org.apache.hadoop.fs.Path(path, d)
       if (fs.exists(src))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, outFs,
           new org.apache.hadoop.fs.Path(outPath, d), false, hconf)
     }
     writeStorePin(spark, outPath, pinBytes)
     parts
+  }
+
+  /** Wipe a store output directory before a rewrite ([[ivfRetrain]] /
+    * [[ivfPqRetrain]] / [[compactIvfStore]]): [[loadIvfStore]] unions ALL
+    * `batch-*` dirs under `outPath/index`, so rewriting into a directory
+    * with pre-existing store contents would silently union stale
+    * old-quantizer batches (duplicate ids, wrong assignments at narrow
+    * nprobe), and a crash over a previously PINNED outPath would leave the
+    * stale pin next to new artifacts — violating the pin-written-last
+    * commit contract. The FileSystem is resolved from outPath itself, not
+    * the source store's (they may differ). */
+  private def clearStoreDir(spark: org.apache.spark.sql.SparkSession,
+                            outPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outPath)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Write a store's `_params.json` bootstrap-commit pin — always the LAST
@@ -1130,7 +1213,7 @@ object Similarity {
 
   def saveIvfSq8Index(idx: IvfSq8Index, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
-    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index")
   }
 
   def loadIvfSq8Index(spark: org.apache.spark.sql.SparkSession, path: String): IvfSq8Index =
@@ -1139,7 +1222,7 @@ object Similarity {
 
   def savePqIndex(idx: PqIndex, path: String): Unit = {
     saveBooks(idx.codes.sparkSession, idx.books, s"$path/books")
-    idx.codes.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
+    idx.codes.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index")
   }
 
   def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex =
@@ -1148,7 +1231,7 @@ object Similarity {
   def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
     saveCentroids(idx.indexed.sparkSession, idx.centroids, s"$path/centroids")
     saveBooks(idx.indexed.sparkSession, idx.books, s"$path/books")
-    idx.indexed.write.mode("overwrite").options(Dedup.noDictOptions).parquet(s"$path/index")
+    idx.indexed.write.mode("overwrite").options(indexWriteOptions).parquet(s"$path/index")
   }
 
   def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
