@@ -443,8 +443,9 @@ object Dedup {
         val keyed = bandedLeftRaw
           .select(xxhash64(col("band"), col("band_key")).as("__bk"))
           .repartition(scaledParts(spark, nBandRows), col("__bk"))
-        val hot = spill(keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
-          .filter(col("__c") >= 2).select(col("__bk")), "graft-minhash-hotbands")
+        val hot = phase("mh_hot_bands")(spill(
+          keyed.groupBy(col("__bk")).agg(count(lit(1)).as("__c"))
+            .filter(col("__c") >= 2).select(col("__bk")), "graft-minhash-hotbands"))
         val nHot = hot.count()
         if (nHot == 0L) (bandedLeftRaw.limit(0), bandedLeftRaw.limit(0))
         else {
@@ -458,7 +459,7 @@ object Dedup {
     val cand1 = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
       .select(leftName, rightName).distinct()
     val candidates = if (!materializeCandidates) cand1
-      else spillSized(cand1, "graft-minhash-cand")
+      else phase("mh_cand")(spillSized(cand1, "graft-minhash-cand"))
     pinnedBandedLeft.foreach(_.unpersist())
     candidates
       .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
@@ -475,8 +476,9 @@ object Dedup {
     // Spilled to parquet (not persisted) because three join branches reuse
     // the signature table — computed once, nothing stays pinned in executor
     // memory after the call.
-    val shingled = spill(signatureTable(df, idCol, textCol, shingleSize, numHashes, seed),
-      "graft-minhash-sig", noDictOptions)
+    val shingled = phase("mh_sig")(spill(
+      signatureTable(df, idCol, textCol, shingleSize, numHashes, seed),
+      "graft-minhash-sig", noDictOptions))
     minhashPairsFromSignatures(shingled, shingled, bands, numHashes / bands,
       threshold, selfPairs = true, "id_a", "id_b", materializeCandidates = true)
   }
@@ -846,7 +848,7 @@ object Dedup {
     // round 1's frontier is every node: all initial labels need offering
     var frontier = labels
     var iter = 0
-    var moved = frontier.count() // also materializes labels
+    var moved = phase("cc_init")(frontier.count()) // also materializes labels
     while (moved > 0 && iter < maxIter) {
       val offers = edges
         .join(frontier.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
@@ -869,17 +871,17 @@ object Dedup {
       // cost — and even the propagation-only plan grew linearly, which is
       // what made 30 chain rounds cost ~80 s of sub-second jobs. Scratch
       // holds one labels table per round (deleted at JVM exit).
-      val next = spill(prop.as("l")
+      val next = phase("cc_round")(spill(prop.as("l")
         .join(prop.select(col("doc_id").as("__c"), col("cluster").as("__cc")).as("r"),
           col("l.cluster") === col("__c"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.cluster"), coalesce(col("__cc"), col("l.cluster"))).as("cluster")),
-        "graft-cc-round")
+        "graft-cc-round"))
       val changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("__prev")), "doc_id")
         .filter(col("cluster") < col("__prev"))
         .select(col("doc_id"), col("cluster")).persist()
-      moved = changed.count()
+      moved = phase("cc_delta")(changed.count())
       iter += 1
       labels.unpersist()
       if (frontier ne labels) frontier.unpersist()

@@ -198,7 +198,17 @@ object BenchSf1 {
         if (best == null || wall < best._1)
           best = (wall, cpu, calPre, calPost, excess)
         val cpuJump = committedCpu.get(name).exists(c => cpu > c * 1.5)
-        quiet = bracket <= calFloor * 1.2 && (wall < 30.0 || excess <= 4.0) && !cpuJump
+        // Short tiers always get >=2 attempts: the r11 urlDedup probe
+        // showed a fresh codegen'd CPU-dense tier pays 1.4-2x its warm
+        // CPU in JIT warm-up on attempt 1-2 (266 vs 364-497 CPU-s for an
+        // identical reused plan, idle host, quiet cal) — at a <60 s wall
+        // that fixed cost is a measurable fraction the probes can't flag,
+        // and min-of-2 amortizes it the same way the headline queries'
+        // warm-up iterations do. Long tiers keep single-attempt cold runs:
+        // there the warm-up is noise and a second 3-minute run is not.
+        val needSecond = wall < 60.0 && attempt < 2
+        quiet = bracket <= calFloor * 1.2 && (wall < 30.0 || excess <= 4.0) &&
+          !cpuJump && !needSecond
         System.err.println(s"[bench-sf1] $name#$attempt ${"%.1f".format(wall)}s " +
           s"(cpu ${"%.0f".format(cpu)}s) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}" +
           s" excess=${"%.1f".format(excess)}" +
