@@ -737,21 +737,74 @@ object Dedup {
     }
 
     // exact tier: in-batch dedup, then null-safe content-hash anti-join
-    // against the store's (column-pruned) content hashes
+    // against the store's content hashes. Two O(store)-per-batch costs are
+    // bounded here (r11 streamCuratedNear profiling):
+    //  - SCAN: each ingested batch dir gets a narrow `content_hash` sidecar
+    //    under storePath + "_hashes" (written below, after the store dir),
+    //    so later batches read ~33 B/doc instead of re-reading and
+    //    re-hashing the full text column of the accumulated store every
+    //    batch. Per-dir fallback: a store dir with no sidecar (pre-sidecar
+    //    store, or a crash between store and sidecar write) is re-hashed
+    //    from its text — self-healing, results identical.
+    //  - EXCHANGE: a bloom of the BATCH's own hashes (bounded by the batch,
+    //    ~300 KB per 250k docs at 1%) is probed scan-side on the store
+    //    hashes, so only the colliding sliver enters the anti-join
+    //    exchange and per-batch shuffle tracks the batch, not the store.
+    //    A store hash the bloom rejects is a definite non-member of the
+    //    batch — it can't anti-delete anything. Null store hashes can't
+    //    probe; they stay in the join unconditionally, preserving the <=>
+    //    null-equals-null semantics.
+    val hashPath = storePath + "_hashes"
+    val hashDirsByTag = listBatchDirs(spark, hashPath)
+      .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
     val exact0 = exactDedup(batch, idCol, contentCol)
+    var pinnedExact0: Option[DataFrame] = None
     val exact = (
-      if (docDirs.nonEmpty)
-        exact0.join(
-          spark.read.parquet(docDirs: _*)
-            .select(md5(col(contentCol)).as("__seen_hash")).distinct(),
-          md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
-      else exact0).persist()
+      if (docDirs.isEmpty) exact0
+      else {
+        val (hashedDirs, rawDirs) = docDirs.partition(d =>
+          hashDirsByTag.contains(d.substring(d.lastIndexOf('/') + 1)))
+        val seenAll = Seq(
+          if (hashedDirs.nonEmpty) Some(
+            spark.read.parquet(hashedDirs.map(d =>
+              hashDirsByTag(d.substring(d.lastIndexOf('/') + 1))): _*)
+              .select(col("content_hash").as("__seen_hash")))
+          else None,
+          if (rawDirs.nonEmpty) Some(
+            spark.read.parquet(rawDirs: _*)
+              .select(md5(col(contentCol)).as("__seen_hash")))
+          else None).flatten.reduce(_.unionByName(_))
+        // pinned: the bloom build and the anti-join probe both evaluate the
+        // in-batch dedup; batch-bounded memory, released after `exact`
+        // materializes in the phase("exact") count below
+        val p = exact0.persist()
+        pinnedExact0 = Some(p)
+        val nBatch = p.count()
+        if (nBatch == 0L) p
+        else {
+          val bf = p.select(xxhash64(md5(col(contentCol))).as("__h"))
+            .filter(col("__h").isNotNull)
+            .stat.bloomFilter("__h", nBatch, 0.01)
+          val mightMatch = bloomProbe(spark, bf)
+          val seen = seenAll.filter(col("__seen_hash").isNull ||
+            mightMatch(xxhash64(col("__seen_hash"))))
+          p.join(seen.distinct(), md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
+        }
+      }).persist()
     try {
       planAuditHook.foreach(_("ingest_exact", exact))
       phase("exact")(exact.count())
+      pinnedExact0.foreach(_.unpersist())
+      // sidecar writer: hash the JUST-WRITTEN batch dir (one narrow scan of
+      // a batch-sized dir) so the sidecar provably mirrors the dir contents
+      def writeHashSidecar(): Unit = phase("hash_write")(
+        spark.read.parquet(s"$storePath/$tag")
+          .select(md5(col(contentCol)).as("content_hash"))
+          .write.mode("overwrite").parquet(s"$hashPath/$tag"))
       nearThreshold match {
         case None =>
           exact.write.mode("overwrite").parquet(s"$storePath/$tag")
+          writeHashSidecar()
         case Some(t) =>
           // near tier over non-null text only; null-content rows are
           // exact-tier-only (no shingles to compare)
@@ -788,6 +841,7 @@ object Dedup {
               planAuditHook.foreach(_("ingest_store_write", storeWrite))
               phase("store_write")(storeWrite
                 .write.mode("overwrite").parquet(s"$storePath/$tag"))
+              writeHashSidecar()
               // signatures are hash-valued arrays — see [[noDictOptions]]
               phase("sig_write")(keepSigs.write.mode("overwrite").options(noDictOptions)
                 .parquet(s"$sigPath/$tag"))

@@ -299,13 +299,68 @@ object BenchSf1 {
       s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
     }.mkString("{", ",", "}")
     val noisy = stats.exists(_._2.noisy)
+    // ---- optional cross-session min-wall merge (SPARK_GRAFT_BENCH_SF1_MERGE=1) ----
+    // Same protocol bench_scaling.json adopted in r10 and for the same
+    // reason: the single-thread cal probe and the load-average excess
+    // probe are both blind to sibling-hyperthread contention, so a long
+    // single-attempt tier can run 10-20% degraded with QUIET brackets and
+    // no retry fires (r11 observed dedupSurvivor 131→153 s across two
+    // back-to-back sessions at identical outputs). The workloads are
+    // deterministic, so interference only ever ADDS time — per-item
+    // min-wall across sessions is min-of-N measurement, not cherry-picking:
+    // the kept attempt's cpu/cal/excess ride along, attempts are summed,
+    // and `sessions` records how many runs the min is over.
+    var sessions = 1
+    val extrasMerged: Seq[(String, (Double, Double))] = {
+      val prior = java.nio.file.Paths.get(outPath)
+      if (!sys.env.get("SPARK_GRAFT_BENCH_SF1_MERGE").contains("1") ||
+          !java.nio.file.Files.exists(prior)) extras
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(prior), "UTF-8")
+        def objOf(field: String): Map[String, String] =
+          (s""""$field":\\{([^}]*)\\}""").r.findFirstMatchIn(txt).map { m =>
+            """"([A-Za-z0-9_]+)":(\[[^\]]*\]|[^,}]+)""".r.findAllMatchIn(m.group(1))
+              .map(p => p.group(1) -> p.group(2)).toMap
+          }.getOrElse(Map.empty)
+        val priorHeap = """"heap_gb":(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+        if (!priorHeap.contains((Runtime.getRuntime.maxMemory / (1L << 30)).toInt)) {
+          System.err.println(s"[bench-sf1] merge skipped: prior record heap_gb=$priorHeap" +
+            " differs from this run — records merge only at like-for-like memory")
+          extras
+        } else {
+          val pw = objOf("extras").map { case (k, v) => k -> v.toDouble }
+          val pc = objOf("extras_cpu").map { case (k, v) => k -> v.toDouble }
+          val pcal = objOf("cal")
+          val pat = objOf("attempts").map { case (k, v) => k -> v.toInt }
+          val pex = objOf("excess_load").map { case (k, v) => k -> v.toDouble }
+          sessions = """"sessions":(\d+)""".r.findFirstMatchIn(txt)
+            .map(_.group(1).toInt).getOrElse(1) + 1
+          extras.map { case (k, (w, c)) =>
+            attempts(k) = attempts.getOrElse(k, 1) + pat.getOrElse(k, 1)
+            pw.get(k) match {
+              case Some(p) if p < w =>
+                System.err.println(f"[bench-sf1] merge: keeping prior $k $p%.1f s (this run $w%.1f)")
+                pcal.get(k).foreach { arr =>
+                  val nums = arr.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
+                  if (nums.length == 2) cals(k) = (nums(0), nums(1))
+                }
+                pex.get(k).foreach(e => excesses(k) = e)
+                k -> ((p, pc.getOrElse(k, c)))
+              case _ => k -> ((w, c))
+            }
+          }
+        }
+      }
+    }
     val record =
       s"""{"metric":"total","value":${"%.4f".format(results.map(_._2).sum)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_cpu":${fmt(stats.map { case (k, s) => k -> s.medCpu })},""" +
       s""""spread":$spread,""" +
-      s""""extras":${fmt(extras.map { case (k, r) => k -> r._1 })},""" +
-      s""""extras_cpu":${fmt(extras.map { case (k, r) => k -> r._2 })},""" +
-      s""""noisy":$noisy,"cluster_histogram":"$histogram",""" +
+      s""""extras":${fmt(extrasMerged.map { case (k, r) => k -> r._1 })},""" +
+      s""""extras_cpu":${fmt(extrasMerged.map { case (k, r) => k -> r._2 })},""" +
+      s""""noisy":$noisy,"sessions":$sessions,""" +
+      (if (sessions > 1) s""""note":"extras are per-item MIN-WALL across $sessions sessions (deterministic workloads; kept attempt's cpu/cal/excess recorded, attempts summed)",""" else "") +
+      s""""cluster_histogram":"$histogram",""" +
       s""""cal":${cals.map { case (k, (a, b)) =>
         s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
       s""""cal_min":${"%.3f".format(cals.values.flatMap(c => Seq(c._1, c._2)).min)},""" +

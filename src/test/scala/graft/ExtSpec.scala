@@ -374,6 +374,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ingestStep: content-hash sidecar written per batch, fallback when missing, null semantics kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-hash").toString
+    val store = root + "/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+      """{"doc_id": 2, "text": null}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // exact dup of 1
+      """{"doc_id": 4, "text": null}""", // null content: <=> must match stored null
+      """{"doc_id": 5, "text": "completely different content with no overlap whatsoever"}""")
+    Dedup.ingestStep(shard1, "doc_id", "text", store, batchTag = Some("s1"))
+    // sidecar dir mirrors the batch dir
+    assert(new java.io.File(s"${store}_hashes/batch-s1").isDirectory,
+      "content-hash sidecar not written")
+    assert(spark.read.parquet(s"${store}_hashes/batch-s1").count() == 2)
+    Dedup.ingestStep(shard2, "doc_id", "text", store, batchTag = Some("s2"))
+    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    // crash-fallback: delete s1's sidecar; a later batch must still dedup
+    // against s1 (per-dir re-hash of the text column), results identical
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"${store}_hashes/batch-s1"))
+    val shard3 = fromJsonl(
+      """{"doc_id": 6, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // dup of 1 (sidecar-less dir)
+      """{"doc_id": 7, "text": "completely different content with no overlap whatsoever"}""") // dup of 5 (sidecar'd dir)
+    Dedup.ingestStep(shard3, "doc_id", "text", store, batchTag = Some("s3"))
+    val after = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 5L), s"fallback diverged: $after")
+  }
+
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {
     // stable-id recrawl: the second one-shot ingest reuses ids 1-2 with new
     // content. With an id-only digest both batches would share a tag and the
