@@ -114,6 +114,21 @@ object Dedup {
   private[graft] var gramPruneMinRows: Long = 16000000L
   private[graft] var bandPruneMinRows: Long = 8000000L
 
+  /** Arming threshold for [[ingestStep]]'s exact-tier batch bloom, in
+    * TOTAL ON-DISK BYTES of the store's batch dirs (a free FileSystem
+    * listing — no scan). The bloom bounds the hash anti-join's exchange by
+    * the batch instead of the store, but costs two extra per-batch driver
+    * actions (pin-count + bloom aggregation, ~0.7-1.0 s of job-scheduling
+    * barriers at any batch size): bench_stream r11 measured the armed form
+    * at a 6M-doc/2.4 GB store trading 33% LESS CPU (857→573 s) for 46%
+    * MORE wall (64→93 s) — the exchange it prunes (~230 MB) costs less
+    * than the actions at this size. 8 GB ≈ 20M docs of web text, where the
+    * pruned exchange (~1 GB/batch and growing) clearly out-costs two fixed
+    * actions; below it the anti-join runs direct (still against the narrow
+    * hash sidecar — the sidecar always pays, it replaces a full text
+    * re-read+re-hash with a 40 B/doc column scan). */
+  private[graft] var exactBloomMinStoreBytes: Long = 8L << 30
+
   /** The ONE recipe for probing a driver-built Bloom filter from a column
     * of 64-bit hashes — every prefilter (exact-content store bloom, band-
     * bucket prunes, singleton-gram prune) routes through here, and the
@@ -692,10 +707,40 @@ object Dedup {
       r
   }
 
+  /** Executor-resident cache of an [[ingestStep]] signature store — the
+    * resident-index pattern a long-running ingest service uses. Without
+    * it, every micro-batch re-reads the WHOLE accumulated sig store from
+    * parquet twice (band-key explode + the verify's shingle fetch): the
+    * r11 StreamNearProfile measured cross_band_verify growing 4→20 s per
+    * batch as the store reached 4.5M docs while every batch-bounded phase
+    * stayed flat. The cache pins each batch directory's frame once, on
+    * first sight (short parquet lineage — an executor-loss recompute
+    * re-reads that one dir, not any batch computation), and serves the
+    * cross-store read as a union of pinned frames; MEMORY_AND_DISK, so an
+    * over-RAM store degrades to local-disk reads, never recompute storms.
+    * Single-writer, like the store itself: the caller that owns the sink
+    * owns the cache. The union plan grows one scan per batch dir — pair a
+    * long-lived stream with periodic store compaction (the same advice the
+    * README gives for the dirs themselves). */
+  final class SigStoreCache(spark: org.apache.spark.sql.SparkSession) {
+    private val pinned = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
+    private[graft] def read(dirs: Seq[String]): Option[DataFrame] = {
+      dirs.foreach { d =>
+        if (!pinned.contains(d))
+          pinned(d) = spark.read.parquet(d)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val frames = dirs.flatMap(pinned.get)
+      if (frames.isEmpty) None else Some(frames.reduce(_.unionByName(_)))
+    }
+    def close(): Unit = { pinned.values.foreach(_.unpersist()); pinned.clear() }
+  }
+
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                 batchTag: Option[String] = None): Unit = {
+                 batchTag: Option[String] = None,
+                 sigCache: Option[SigStoreCache] = None): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
     // Default tag = order-independent digest of the batch's (id, content)
@@ -738,25 +783,44 @@ object Dedup {
 
     // exact tier: in-batch dedup, then null-safe content-hash anti-join
     // against the store's content hashes. Two O(store)-per-batch costs are
-    // bounded here (r11 streamCuratedNear profiling):
-    //  - SCAN: each ingested batch dir gets a narrow `content_hash` sidecar
-    //    under storePath + "_hashes" (written below, after the store dir),
-    //    so later batches read ~33 B/doc instead of re-reading and
-    //    re-hashing the full text column of the accumulated store every
-    //    batch. Per-dir fallback: a store dir with no sidecar (pre-sidecar
-    //    store, or a crash between store and sidecar write) is re-hashed
-    //    from its text — self-healing, results identical.
-    //  - EXCHANGE: a bloom of the BATCH's own hashes (bounded by the batch,
-    //    ~300 KB per 250k docs at 1%) is probed scan-side on the store
-    //    hashes, so only the colliding sliver enters the anti-join
-    //    exchange and per-batch shuffle tracks the batch, not the store.
-    //    A store hash the bloom rejects is a definite non-member of the
-    //    batch — it can't anti-delete anything. Null store hashes can't
-    //    probe; they stay in the join unconditionally, preserving the <=>
-    //    null-equals-null semantics.
+    // bounded here (r11 streamCuratedNear profiling), both ADAPTIVE on the
+    // same gate — total store bytes ≥ [[exactBloomMinStoreBytes]], a free
+    // FileSystem listing:
+    //  - SCAN: once armed, each ingested batch dir gets a narrow
+    //    `content_hash` sidecar under storePath + "_hashes" (written below,
+    //    after the store dir), so later batches read ~33 B/doc instead of
+    //    re-reading and re-hashing the full text column of the accumulated
+    //    store every batch. Per-dir fallback: a store dir with no sidecar
+    //    (pre-sidecar or pre-arming store, or a crash between store and
+    //    sidecar write) is re-hashed from its text — self-healing, results
+    //    identical, mixed stores fine.
+    //  - EXCHANGE: once armed, a bloom of the BATCH's own hashes (bounded
+    //    by the batch, ~300 KB per 250k docs at 1%) is probed scan-side on
+    //    the store hashes, so only the colliding sliver enters the
+    //    anti-join exchange and per-batch shuffle tracks the batch, not
+    //    the store. A store hash the bloom rejects is a definite
+    //    non-member of the batch — it can't anti-delete anything. Null
+    //    store hashes can't probe; they stay in the join unconditionally,
+    //    preserving the <=> null-equals-null semantics.
+    // Below the gate neither pays: the bloom needs two extra per-batch
+    // driver actions (pin-count + bloom agg) and the sidecar a write +
+    // readback (~0.7 s/batch of job barriers) — bench_stream r11 measured
+    // the unconditional forms costing the 6M-doc/2.4 GB-store exact tier
+    // 64→93 s wall while the text they stopped re-scanning was cheap
+    // (GenSf1 docs are ~300 B; at production 2-50 KB docs the scan the
+    // sidecar bounds is 10-100× the hashes, which is what the gate's 8 GB
+    // ≈ 20M-short-doc / 1M-web-doc arming point prices).
     val hashPath = storePath + "_hashes"
     val hashDirsByTag = listBatchDirs(spark, hashPath)
       .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
+    // the one arming gate for both exact-tier amortizations (see above):
+    // total store bytes, a free FileSystem listing
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val storeBytes = docDirs.map { d =>
+      val pth = new org.apache.hadoop.fs.Path(d)
+      pth.getFileSystem(hconf).getContentSummary(pth).getLength
+    }.sum
+    val armed = storeBytes >= exactBloomMinStoreBytes
     val exact0 = exactDedup(batch, idCol, contentCol)
     var pinnedExact0: Option[DataFrame] = None
     val exact = (
@@ -774,30 +838,36 @@ object Dedup {
             spark.read.parquet(rawDirs: _*)
               .select(md5(col(contentCol)).as("__seen_hash")))
           else None).flatten.reduce(_.unionByName(_))
-        // pinned: the bloom build and the anti-join probe both evaluate the
-        // in-batch dedup; batch-bounded memory, released after `exact`
-        // materializes in the phase("exact") count below
-        val p = exact0.persist()
-        pinnedExact0 = Some(p)
-        val nBatch = p.count()
-        if (nBatch == 0L) p
+        if (!armed)
+          exact0.join(seenAll.distinct(),
+            md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
         else {
-          val bf = p.select(xxhash64(md5(col(contentCol))).as("__h"))
-            .filter(col("__h").isNotNull)
-            .stat.bloomFilter("__h", nBatch, 0.01)
-          val mightMatch = bloomProbe(spark, bf)
-          val seen = seenAll.filter(col("__seen_hash").isNull ||
-            mightMatch(xxhash64(col("__seen_hash"))))
-          p.join(seen.distinct(), md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
+          // pinned: the bloom build and the anti-join probe both evaluate
+          // the in-batch dedup; batch-bounded memory, released after
+          // `exact` materializes in the phase("exact") count below
+          val p = exact0.persist()
+          pinnedExact0 = Some(p)
+          val nBatch = phase("exact_pin")(p.count())
+          if (nBatch == 0L) p
+          else {
+            val bf = p.select(xxhash64(md5(col(contentCol))).as("__h"))
+              .filter(col("__h").isNotNull)
+              .stat.bloomFilter("__h", nBatch, 0.01)
+            val mightMatch = bloomProbe(spark, bf)
+            val seen = seenAll.filter(col("__seen_hash").isNull ||
+              mightMatch(xxhash64(col("__seen_hash"))))
+            p.join(seen.distinct(), md5(col(contentCol)) <=> col("__seen_hash"), "left_anti")
+          }
         }
       }).persist()
     try {
       planAuditHook.foreach(_("ingest_exact", exact))
       phase("exact")(exact.count())
       pinnedExact0.foreach(_.unpersist())
-      // sidecar writer: hash the JUST-WRITTEN batch dir (one narrow scan of
-      // a batch-sized dir) so the sidecar provably mirrors the dir contents
-      def writeHashSidecar(): Unit = phase("hash_write")(
+      // sidecar writer (armed stores only): hash the JUST-WRITTEN batch dir
+      // (one narrow scan of a batch-sized dir) so the sidecar provably
+      // mirrors the dir contents
+      def writeHashSidecar(): Unit = if (armed) phase("hash_write")(
         spark.read.parquet(s"$storePath/$tag")
           .select(md5(col(contentCol)).as("content_hash"))
           .write.mode("overwrite").parquet(s"$hashPath/$tag"))
@@ -826,7 +896,10 @@ object Dedup {
             val dropCross =
               if (sigDirs.nonEmpty)
                 minhashPairsFromSignatures(
-                  fresh, spark.read.parquet(sigDirs: _*), bands, rpb, t,
+                  fresh,
+                  sigCache.flatMap(_.read(sigDirs))
+                    .getOrElse(spark.read.parquet(sigDirs: _*)),
+                  bands, rpb, t,
                   selfPairs = false, "new_id", "seen_id",
                   leftBoundedPrune = true)
                   .select(col("new_id").as("doc_id")).distinct()

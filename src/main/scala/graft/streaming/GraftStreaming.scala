@@ -37,6 +37,19 @@ final case class FinalSession(key: String, session_start: java.sql.Timestamp,
   */
 object GraftStreaming {
 
+  /** Whether the near-dup sinks hold a [[graft.ext.Dedup.SigStoreCache]]
+    * for the life of the query. Default OFF: an interleaved A/B at the 6M-doc
+    * bench (cal-matched runs, identical 5,064,626 survivors) measured wall a
+    * wash (846.1 s off / 843.4 s on) and CPU 6.7% WORSE with the cache
+    * (9,944 → 10,610 s) — on a single host whose store parquet sits in page
+    * cache, the columnar-cache decompression costs more than the vectorized
+    * parquet re-read it avoids. Turn it ON (SPARK_GRAFT_SIG_CACHE=1) where
+    * the store is remote (S3/HDFS cluster): there the per-batch double
+    * re-read of the accumulated store is network-bound and the resident
+    * index is the standard posture. `var` so specs can pin it. */
+  private[graft] var sigCacheEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_SIG_CACHE", "0") == "1"
+
   /** Translate a pipeline over a streaming DataFrame. The caller picks the
     * output mode: "update"/"complete" when the pipeline aggregates,
     * "append" otherwise. */
@@ -154,12 +167,17 @@ object GraftStreaming {
                            shingleSize: Int = 3, numHashes: Int = 64,
                            bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // resident signature index for the life of the query — without it every
+    // batch re-reads the whole accumulated sig store from parquet twice
+    // (see [[graft.ext.Dedup.SigStoreCache]])
+    val sigCache = if (!sigCacheEnabled) None
+      else nearThreshold.map(_ => new graft.ext.Dedup.SigStoreCache(stream.sparkSession))
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,
-          batchTag = Some(batchId.toString))
+          batchTag = Some(batchId.toString), sigCache = sigCache)
         ()
       }
       .start()
@@ -310,6 +328,10 @@ object GraftStreaming {
                         bands: Int = 16,
                         funnelPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // resident signature index for the life of the query (see
+    // [[graft.ext.Dedup.SigStoreCache]])
+    val sigCache = if (!sigCacheEnabled) None
+      else nearThreshold.map(_ => new graft.ext.Dedup.SigStoreCache(stream.sparkSession))
     stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
@@ -323,7 +345,7 @@ object GraftStreaming {
         val b = stages.last._2
         graft.ext.Dedup.ingestStep(b, idCol, contentCol, storePath,
           nearThreshold, shingleSize, numHashes, bands,
-          batchTag = Some(batchId.toString))
+          batchTag = Some(batchId.toString), sigCache = sigCache)
         funnelPath.foreach { fp =>
           // survivors = exactly what ingestStep just wrote for this batch
           // (its tag is deterministic from batchId, same sanitization)

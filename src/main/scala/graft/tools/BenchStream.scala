@@ -68,7 +68,10 @@ object BenchStream {
     HostCal.warmup()
     val cals = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+    // comma-separated tier subset for cheap A/B iteration (default: all)
+    val only = sys.env.get("SPARK_GRAFT_STREAM_TIERS").map(_.split(",").toSet)
     def runTier(name: String)(start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      if (only.exists(!_.contains(name))) return
       val store = s"$work/$name-store"
       val ckpt = s"$work/$name-ckpt"
       System.gc()

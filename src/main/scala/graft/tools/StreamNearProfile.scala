@@ -38,6 +38,8 @@ object StreamNearProfile {
     val gated = docs.filter(
       graft.ext.TextFunctions.qualityScore(col("text")) > 0.6)
     val store = s"$work/store"
+    // same resident sig-index the sinks hold for the life of the query
+    val sigCache = new graft.ext.Dedup.SigStoreCache(spark)
     val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
     graft.ext.Dedup.phaseHook = Some((name, sec) =>
       phases(name) = phases.getOrElse(name, 0.0) + sec)
@@ -45,10 +47,18 @@ object StreamNearProfile {
     try {
       (0 until 24).take(nBatches).foreach { b =>
         phases.clear()
-        val batch = gated.filter(pmod(col("doc_id"), lit(24)) === b)
+        // materialize the batch input FIRST, outside the timed region: the
+        // real sink's micro-batch arrives as a bounded file-stream read,
+        // not a full-corpus scan + gate per batch — timing the un-spilled
+        // filter would charge ~15 s/batch of corpus re-scan + quality UDF
+        // to ingestStep (measured r11; it dwarfed every real phase)
+        gated.filter(pmod(col("doc_id"), lit(24)) === b)
+          .write.mode("overwrite").parquet(s"$work/in-$b")
+        val batch = spark.read.parquet(s"$work/in-$b")
         val t0 = System.nanoTime()
         graft.ext.Dedup.ingestStep(batch, "doc_id", "text", store,
-          nearThreshold = Some(0.7), batchTag = Some(b.toString))
+          nearThreshold = Some(0.7), batchTag = Some(b.toString),
+          sigCache = Some(sigCache))
         val wall = (System.nanoTime() - t0) / 1e9
         val accounted = phases.values.sum
         println(f"batch $b%2d  total $wall%6.1f s  (phased $accounted%6.1f, " +

@@ -375,35 +375,60 @@ class ExtSpec extends AnyFunSuite {
   }
 
   test("ingestStep: content-hash sidecar written per batch, fallback when missing, null semantics kept") {
-    val root = java.nio.file.Files.createTempDirectory("graft-ingest-hash").toString
-    val store = root + "/docs"
-    val shard1 = fromJsonl(
-      """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
-      """{"doc_id": 2, "text": null}""")
-    val shard2 = fromJsonl(
-      """{"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // exact dup of 1
-      """{"doc_id": 4, "text": null}""", // null content: <=> must match stored null
-      """{"doc_id": 5, "text": "completely different content with no overlap whatsoever"}""")
-    Dedup.ingestStep(shard1, "doc_id", "text", store, batchTag = Some("s1"))
-    // sidecar dir mirrors the batch dir
-    assert(new java.io.File(s"${store}_hashes/batch-s1").isDirectory,
-      "content-hash sidecar not written")
-    assert(spark.read.parquet(s"${store}_hashes/batch-s1").count() == 2)
-    Dedup.ingestStep(shard2, "doc_id", "text", store, batchTag = Some("s2"))
-    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(ids == Set(1L, 2L, 5L), s"got $ids")
-    // crash-fallback: delete s1's sidecar; a later batch must still dedup
-    // against s1 (per-dir re-hash of the text column), results identical
-    def rmr(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
-    }
-    rmr(new java.io.File(s"${store}_hashes/batch-s1"))
-    val shard3 = fromJsonl(
-      """{"doc_id": 6, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // dup of 1 (sidecar-less dir)
-      """{"doc_id": 7, "text": "completely different content with no overlap whatsoever"}""") // dup of 5 (sidecar'd dir)
-    Dedup.ingestStep(shard3, "doc_id", "text", store, batchTag = Some("s3"))
-    val after = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(after == Set(1L, 2L, 5L), s"fallback diverged: $after")
+    // gate lowered to 0 = the ARMED form (sidecar writes + batch bloom) on
+    // a tiny store; production arms at exactBloomMinStoreBytes of store
+    val saved = Dedup.exactBloomMinStoreBytes
+    Dedup.exactBloomMinStoreBytes = 0L
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-hash").toString
+      val store = root + "/docs"
+      val shard1 = fromJsonl(
+        """{"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta"}""",
+        """{"doc_id": 2, "text": null}""")
+      val shard2 = fromJsonl(
+        """{"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // exact dup of 1
+        """{"doc_id": 4, "text": null}""", // null content: <=> must match stored null
+        """{"doc_id": 5, "text": "completely different content with no overlap whatsoever"}""")
+      Dedup.ingestStep(shard1, "doc_id", "text", store, batchTag = Some("s1"))
+      // sidecar dir mirrors the batch dir
+      assert(new java.io.File(s"${store}_hashes/batch-s1").isDirectory,
+        "content-hash sidecar not written")
+      assert(spark.read.parquet(s"${store}_hashes/batch-s1").count() == 2)
+      Dedup.ingestStep(shard2, "doc_id", "text", store, batchTag = Some("s2"))
+      val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+      // crash-fallback: delete s1's sidecar; a later batch must still dedup
+      // against s1 (per-dir re-hash of the text column), results identical
+      def rmr(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+      }
+      rmr(new java.io.File(s"${store}_hashes/batch-s1"))
+      val shard3 = fromJsonl(
+        """{"doc_id": 6, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // dup of 1 (sidecar-less dir)
+        """{"doc_id": 7, "text": "completely different content with no overlap whatsoever"}""") // dup of 5 (sidecar'd dir)
+      Dedup.ingestStep(shard3, "doc_id", "text", store, batchTag = Some("s3"))
+      val after = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 2L, 5L), s"fallback diverged: $after")
+      // null-content dedup THROUGH the armed bloom: nulls can't probe, so
+      // they must ride around it into the <=> join
+      val shard4 = fromJsonl(
+        """{"doc_id": 8, "text": "alpha beta gamma delta epsilon zeta eta theta"}""", // dup of 1
+        """{"doc_id": 9, "text": null}""", // null content: dup of stored null
+        """{"doc_id": 10, "text": "genuinely novel content appearing in no earlier shard"}""")
+      Dedup.ingestStep(shard4, "doc_id", "text", store, batchTag = Some("s4"))
+      val armed = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(armed == Set(1L, 2L, 5L, 10L), s"armed bloom diverged: $armed")
+      // DISARMED (default gate, tiny store): no sidecar written, dedup
+      // identical — the r10 direct-anti-join shape
+      Dedup.exactBloomMinStoreBytes = saved
+      val store2 = root + "/docs2"
+      Dedup.ingestStep(shard1, "doc_id", "text", store2, batchTag = Some("d1"))
+      assert(!new java.io.File(s"${store2}_hashes/batch-d1").exists(),
+        "sidecar written below the arming gate")
+      Dedup.ingestStep(shard2, "doc_id", "text", store2, batchTag = Some("d2"))
+      val disarmed = Dedup.readStore(spark, store2).select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(disarmed == Set(1L, 2L, 5L), s"disarmed path diverged: $disarmed")
+    } finally Dedup.exactBloomMinStoreBytes = saved
   }
 
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {

@@ -185,7 +185,11 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
 
     // near tier: cross-batch near-dups die against the signature store,
-    // which accumulates instead of re-shingling the document store
+    // which accumulates instead of re-shingling the document store.
+    // Runs with the resident SigStoreCache pinned ON (default off) so the
+    // cached cross-store path keeps behavioral coverage.
+    val savedCache = GraftStreaming.sigCacheEnabled
+    GraftStreaming.sigCacheEnabled = true
     val mem2 = MemoryStream[(Long, String)]
     val store2 = java.nio.file.Files.createTempDirectory("graft-store2").toString + "/docs"
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
@@ -205,7 +209,10 @@ class StreamingSpec extends AnyFunSuite {
       q2.processAllAvailable()
       val n2 = graft.ext.Dedup.readStore(spark, store2).select("doc_id").collect().map(_.getLong(0)).toSet
       assert(n2 == Set(1L, 2L, 4L), s"near tier failed: $n2")
-    } finally q2.stop()
+    } finally {
+      q2.stop()
+      GraftStreaming.sigCacheEnabled = savedCache
+    }
   }
 
   test("curatedIngestSink gates quality and perplexity before the dedup store") {
