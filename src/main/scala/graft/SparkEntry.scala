@@ -1174,6 +1174,32 @@ object SparkEntry {
     // store = even doc_ids; new shard = odd doc_ids, with every doc_id ≡ 1
     // (mod 14) carrying its even neighbor's text so the exact tier has real
     // cross-shard duplicates to drop.
+    // ingest-store compaction: three shards accumulate three batch dirs
+    // (sig/hash sidecars included — the arming gate is lowered so they
+    // exist at gate size); the compacted store read back must hold exactly
+    // the survivors shard-by-shard ingest produced. Survivorship is
+    // SQL-replayable: first-arrival-wins across shards, smallest id within
+    // one — i.e. min over (shard, doc_id) per content hash.
+    "q_dedup_store_compact" -> ((spark: SparkSession, dir: String) => {
+      val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-compact-gate").toString
+      val saved = graft.ext.Dedup.exactBloomMinStoreBytes
+      graft.ext.Dedup.exactBloomMinStoreBytes = 0L
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/old", batchTag = Some(s.toString))
+        }
+        graft.ext.Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text")
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/new").select(col("doc_id")),
+          "graft-ingest-compact-out")
+      } finally {
+        graft.ext.Dedup.exactBloomMinStoreBytes = saved
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -3647,6 +3673,15 @@ object SparkEntry {
                * sqrt(list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * q.qv[i])))) AS score
         FROM embeddings e, q)
       SELECT vec_id, score FROM scored ORDER BY score DESC LIMIT 25""",
+    // exact-tier ingest survivorship is min over (shard, doc_id) per content
+    // hash (in-batch min-id + first-arrival-wins anti-join); compaction may
+    // change only the file layout, never the rows
+    "q_dedup_store_compact" ->
+      """SELECT doc_id FROM (
+        SELECT doc_id,
+          row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id % 3, doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1""",
     "q_dedup_incr_exact" ->
       """WITH evens AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
       news AS (

@@ -609,6 +609,86 @@ object Dedup {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Compact an [[ingestStep]]-maintained store: bin-pack the accumulated
+    * `batch-*` directories of the document store AND its `_sigs` /
+    * `_hashes` sidecars into one `batch-compacted` directory each, sized
+    * from actual on-disk bytes (`targetFileMB` per output file,
+    * shuffle-free `coalesce`). A long-lived stream writes one directory
+    * per micro-batch — thousands of small parquet files whose listing,
+    * footer, and task overheads grow without bound, plus a cross-store
+    * read set that unions one scan per dir; this is the maintenance step
+    * that resets both, the [[Similarity.compactIvfStore]] of the dedup
+    * store. Offline single-writer op, like retrain: run it while no
+    * ingest holds the store, point the ingest at `outPath` after.
+    *
+    * Consistency rules the layout demands:
+    *  - the three stores compact TOGETHER (docs, signatures, hashes) — a
+    *    compacted doc store against stale per-batch sigs would double
+    *    every signature's scan cost back and desync on any partial copy;
+    *  - the sig store's `_params.json` pin is copied byte-for-byte and
+    *    written LAST (the commit marker, same crash posture as the ANN
+    *    store: a half-written output is simply re-compacted — `outPath*`
+    *    is wiped first);
+    *  - the hash sidecar is REGENERATED from the compacted doc store (one
+    *    narrow scan) rather than copied, and only when the source store
+    *    had sidecars or the compacted bytes clear
+    *    [[exactBloomMinStoreBytes]] — the same arming rule ingest applies.
+    *
+    * @return number of output files the doc store was packed into. */
+  def compactIngestStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                         outPath: String, contentCol: String,
+                         targetFileMB: Int = 256): Int = {
+    require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
+    val srcUri = new java.net.URI(path).normalize.toString.stripSuffix("/") + "/"
+    val outUri = new java.net.URI(outPath).normalize.toString.stripSuffix("/") + "/"
+    require(!outUri.startsWith(srcUri) && !srcUri.startsWith(outUri),
+      s"outPath $outPath must be disjoint from the source store $path")
+    val docDirs = listBatchDirs(spark, path)
+    require(docDirs.nonEmpty, s"no ingested batches under $path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def dirBytes(dirs: Seq[String]): Long = dirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).getContentSummary(p).getLength
+    }.sum
+    def packed(dirs: Seq[String]): Int = math.max(1L,
+      (dirBytes(dirs) + targetFileMB * 1048576L - 1) / (targetFileMB * 1048576L)).toInt
+    def wipe(p: String): Unit = {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(hconf).delete(pp, true)
+    }
+    // wipe every output root first: a retry must not union half-written
+    // artifacts or leave a stale pin next to them
+    Seq(outPath, outPath + "_sigs", outPath + "_hashes").foreach(wipe)
+    val nDoc = packed(docDirs)
+    spark.read.parquet(docDirs: _*).coalesce(nDoc)
+      .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
+    val hashDirs = listBatchDirs(spark, path + "_hashes")
+    if (hashDirs.nonEmpty || dirBytes(docDirs) >= exactBloomMinStoreBytes)
+      spark.read.parquet(s"$outPath/batch-compacted")
+        .select(md5(col(contentCol)).as("content_hash"))
+        .write.mode("overwrite").parquet(s"${outPath}_hashes/batch-compacted")
+    val sigDirs = listBatchDirs(spark, path + "_sigs")
+    if (sigDirs.nonEmpty) {
+      val srcPin = new org.apache.hadoop.fs.Path(path + "_sigs", "_params.json")
+      val fs = srcPin.getFileSystem(hconf)
+      require(fs.exists(srcPin), s"sig store ${path}_sigs has batch dirs but no " +
+        "_params.json pin — refusing to compact a store with no recorded parameters")
+      val pinBytes = {
+        val in = fs.open(srcPin)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      // signatures are hash-valued arrays — see [[noDictOptions]]
+      spark.read.parquet(sigDirs: _*).coalesce(packed(sigDirs))
+        .write.mode("overwrite").options(noDictOptions)
+        .parquet(s"${outPath}_sigs/batch-compacted")
+      val outPin = new org.apache.hadoop.fs.Path(outPath + "_sigs", "_params.json")
+      val outFs = outPin.getFileSystem(hconf)
+      val o = outFs.create(outPin, true)
+      try o.write(pinBytes.getBytes("UTF-8")) finally o.close()
+    }
+    nDoc
+  }
+
   /** The signature parameters a store was built with — recorded next to the
     * signature store so every later shard provably shingles the same way
     * (mismatched shingleSize/numHashes/bands would silently stop detecting

@@ -431,6 +431,60 @@ class ExtSpec extends AnyFunSuite {
     } finally Dedup.exactBloomMinStoreBytes = saved
   }
 
+  test("compactIngestStore: bin-packs docs+sigs+hashes, ingest continues identically") {
+    val saved = Dedup.exactBloomMinStoreBytes
+    Dedup.exactBloomMinStoreBytes = 0L // arm sidecars at spec size
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-compact").toString
+      val shards = Seq(
+        fromJsonl(
+          """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+          """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}"""),
+        fromJsonl(
+          """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog again and again"}""", // exact dup of 1
+          """{"doc_id": 4, "text": "the quick brown fox jumps over the lazy cat again and again"}""", // near-dup of 1
+          """{"doc_id": 5, "text": "brand new sentences never observed anywhere previously at all"}"""))
+      shards.zipWithIndex.foreach { case (sh, i) =>
+        Dedup.ingestStep(sh, "doc_id", "text", s"$root/a", nearThreshold = Some(0.4),
+          batchTag = Some(s"s$i"))
+        Dedup.ingestStep(sh, "doc_id", "text", s"$root/b", nearThreshold = Some(0.4),
+          batchTag = Some(s"s$i"))
+      }
+      Dedup.compactIngestStore(spark, s"$root/a", s"$root/ac", "text")
+      // layout: one batch dir per store, pin copied
+      assert(Dedup.listBatchDirs(spark, s"$root/ac").size == 1)
+      assert(Dedup.listBatchDirs(spark, s"$root/ac_sigs").size == 1)
+      assert(Dedup.listBatchDirs(spark, s"$root/ac_hashes").size == 1)
+      assert(new java.io.File(s"$root/ac_sigs/_params.json").exists(), "sig params pin not copied")
+      // rows preserved exactly
+      assert(Dedup.readStore(spark, s"$root/ac").select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Dedup.readStore(spark, s"$root/b").select("doc_id").collect().map(_.getLong(0)).toSet)
+      // ingest CONTINUES identically against the compacted store
+      val shard3 = fromJsonl(
+        """{"doc_id": 6, "text": "the quick brown fox jumps over the lazy dog again and again"}""", // exact dup of 1
+        """{"doc_id": 7, "text": "brand new sentences never observed anywhere previously today"}""", // near-dup of 5
+        """{"doc_id": 8, "text": "entirely novel eighth document with wholly original content"}""")
+      Dedup.ingestStep(shard3, "doc_id", "text", s"$root/ac", nearThreshold = Some(0.4),
+        batchTag = Some("s2"))
+      Dedup.ingestStep(shard3, "doc_id", "text", s"$root/b", nearThreshold = Some(0.4),
+        batchTag = Some("s2"))
+      val a = Dedup.readStore(spark, s"$root/ac").select("doc_id").collect().map(_.getLong(0)).toSet
+      val b = Dedup.readStore(spark, s"$root/b").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(a == b, s"post-compaction ingest diverged: $a vs $b")
+      assert(Dedup.readStore(spark, s"$root/ac_sigs").count() ==
+        Dedup.readStore(spark, s"$root/b_sigs").count())
+      // param drift against the compacted store still refuses
+      intercept[graft.model.ValidationError] {
+        Dedup.ingestStep(shard3, "doc_id", "text", s"$root/ac", nearThreshold = Some(0.4),
+          shingleSize = 5, batchTag = Some("s3"))
+      }
+      // nested/overlapping outPath refuses
+      intercept[IllegalArgumentException] {
+        Dedup.compactIngestStore(spark, s"$root/ac", s"$root/ac", "text")
+      }
+    } finally Dedup.exactBloomMinStoreBytes = saved
+  }
+
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {
     // stable-id recrawl: the second one-shot ingest reuses ids 1-2 with new
     // content. With an id-only digest both batches would share a tag and the
