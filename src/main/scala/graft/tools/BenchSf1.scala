@@ -176,7 +176,13 @@ object BenchSf1 {
     // quietest-LOOKING bracket kept a 204 s survivor run (cal 0.121,
     // excess 0.0 — the contention was invisible to both probes) over a
     // 93 s one; probes gate RETRIES and are recorded, they don't select.
-    def timedOnce(name: String)(f: => Long): (String, (Double, Double)) = {
+    // comma-separated extras subset (default all) — with MERGE=1 this
+    // retries just the named tiers against the committed record, the
+    // unmeasured ones carrying over verbatim. Probe tiers (sf1IvfTopK etc.)
+    // need their builds in the set.
+    val onlyItems = sys.env.get("SPARK_GRAFT_SF1_ITEMS").map(_.split(",").toSet)
+    def timedOnce(name: String)(f: => Long): Option[(String, (Double, Double))] = {
+      if (onlyItems.exists(!_.contains(name))) return None
       var best: (Double, Double, Double, Double, Double) = null // wall, cpu, calPre, calPost, excess
       var attempt = 0
       var quiet = false
@@ -218,13 +224,13 @@ object BenchSf1 {
       cals(name) = (best._3, best._4)
       excesses(name) = best._5
       attempts(name) = attempt
-      name -> ((best._1, best._2))
+      Some(name -> ((best._1, best._2)))
     }
     var histogram = ""
     var sf1Ivf: graft.ext.Similarity.IvfIndex = null
     var sf1Pq: graft.ext.Similarity.PqIndex = null
     var sf1IvfPq: graft.ext.Similarity.IvfPqIndex = null
-    val extras = Seq(
+    val extras: Seq[(String, (Double, Double))] = Seq(
       // packSubShards = cores: the 5-value lang shard key would otherwise
       // serialize the 55% majority language through ONE next-fit task
       timedOnce("sf1CorpusCurate")(graft.ext.Corpus.curate(
@@ -290,7 +296,7 @@ object BenchSf1 {
       },
       timedOnce("sf1IvfPqTopK")(graft.ext.Similarity.ivfPqTopK(
         emb.filter(col("vec_id") < 1000), sf1IvfPq, "vec_id", "embedding",
-        k = 10, nprobe = 16, rerank = 50).count()))
+        k = 10, nprobe = 16, rerank = 50).count())).flatten
 
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
@@ -335,20 +341,37 @@ object BenchSf1 {
           val pex = objOf("excess_load").map { case (k, v) => k -> v.toDouble }
           sessions = """"sessions":(\d+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toInt).getOrElse(1) + 1
-          extras.map { case (k, (w, c)) =>
+          def priorCal(k: String): Unit = pcal.get(k).foreach { arr =>
+            val nums = arr.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
+            if (nums.length == 2) cals(k) = (nums(0), nums(1))
+          }
+          val merged = extras.map { case (k, (w, c)) =>
             attempts(k) = attempts.getOrElse(k, 1) + pat.getOrElse(k, 1)
             pw.get(k) match {
               case Some(p) if p < w =>
                 System.err.println(f"[bench-sf1] merge: keeping prior $k $p%.1f s (this run $w%.1f)")
-                pcal.get(k).foreach { arr =>
-                  val nums = arr.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble)
-                  if (nums.length == 2) cals(k) = (nums(0), nums(1))
-                }
+                priorCal(k)
                 pex.get(k).foreach(e => excesses(k) = e)
                 k -> ((p, pc.getOrElse(k, c)))
               case _ => k -> ((w, c))
             }
           }
+          // items not measured this run (SPARK_GRAFT_SF1_ITEMS subset) carry
+          // over from the committed record verbatim, in its order
+          val measured = merged.map(_._1).toSet
+          val carried = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
+            .findAllMatchIn(""""extras":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse(""))
+            .map(_.group(1)).filterNot(measured).toSeq.map { k =>
+              priorCal(k)
+              pex.get(k).foreach(e => excesses(k) = e)
+              attempts(k) = pat.getOrElse(k, 1)
+              k -> ((pw(k), pc.getOrElse(k, 0.0)))
+            }
+          if (histogram.isEmpty)
+            histogram = """"cluster_histogram":"([^"]*)"""".r.findFirstMatchIn(txt)
+              .map(_.group(1)).getOrElse("")
+          merged ++ carried
         }
       }
     }
