@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * Comparison basis follows BASELINE.md's note: steady state — warmed JVM +
   * codegen, input cached in memory (the reference is a fully in-memory
   * single-process engine, so cold parquet reads would measure the wrong
-  * thing). Each query is warmed 3x, then the median of 5 timed runs is taken.
+  * thing). Each query is warmed 3x, then the MIN of 5 timed runs is the
+  * headline (deterministic workloads: interference only adds time — the
+  * same min-wall statistic the sf1/scaling protocol records keep); the
+  * median and max ship in `spread` alongside.
   */
 object Bench {
 
@@ -98,6 +101,7 @@ object Bench {
     final case class Stat(iters: Seq[(Double, Double)]) { // (wall, cpu) pairs
       val sorted: Seq[(Double, Double)] = iters.sortBy(_._1)
       def min: Double = sorted.head._1
+      def minCpu: Double = sorted.head._2
       def med: Double = sorted(sorted.size / 2)._1
       def medCpu: Double = sorted(sorted.size / 2)._2
       def max: Double = sorted.last._1
@@ -128,7 +132,15 @@ object Bench {
         s" cpu=${s.iters.map(t => "%.4f".format(t._2)).mkString(",")}" +
         (if (s.noisy) "  ** NOISY (max/min > 2x) **" else ""))
     }
-    val results = stats.map { case (k, s) => k -> s.med }
+    // Headline value = per-query MIN over the 5 warmed iterations (r11
+    // verdict item #8): the workloads are deterministic, so on this host
+    // interference only ever ADDS time — r10→r11 medians drifted 15-19%
+    // on a single session while the minimums overlapped, and the min is
+    // the same statistic every protocol record (sf1, scaling) already
+    // keeps. The median and max still ship in `spread` for the reader,
+    // and the CPU column reports the min-wall iteration's own CPU so the
+    // pair stays internally consistent.
+    val results = stats.map { case (k, s) => k -> s.min }
 
     // Extension throughput (one timed run each; informational)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").cache()
@@ -449,7 +461,7 @@ object Bench {
     def fmt(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
     val docsPerSec = results.map { case (k, v) => k -> (nRows / v) }
-    val queriesCpu = stats.map { case (k, s) => k -> s.medCpu }
+    val queriesCpu = stats.map { case (k, s) => k -> s.minCpu }
     val spread = stats.map { case (k, s) =>
       s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
     }.mkString("{", ",", "}")

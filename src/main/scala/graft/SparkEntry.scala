@@ -1175,27 +1175,28 @@ object SparkEntry {
     // (mod 14) carrying its even neighbor's text so the exact tier has real
     // cross-shard duplicates to drop.
     // ingest-store compaction: three shards accumulate three batch dirs
-    // (sig/hash sidecars included — the arming gate is lowered so they
-    // exist at gate size); the compacted store read back must hold exactly
-    // the survivors shard-by-shard ingest produced. Survivorship is
-    // SQL-replayable: first-arrival-wins across shards, smallest id within
-    // one — i.e. min over (shard, doc_id) per content hash.
+    // (sig/hash sidecars included — the arming threshold is passed as 0 so
+    // they exist at gate size; a parameter, not a global-var swap, so
+    // concurrent gates in the same JVM never observe a lowered gate); the
+    // compacted store read back must hold exactly the survivors
+    // shard-by-shard ingest produced. Survivorship is SQL-replayable:
+    // first-arrival-wins across shards, smallest id within one — i.e. min
+    // over (shard, doc_id) per content hash.
     "q_dedup_store_compact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents").select(col("doc_id"), col("text"))
       val root = java.nio.file.Files.createTempDirectory("graft-ingest-compact-gate").toString
-      val saved = graft.ext.Dedup.exactBloomMinStoreBytes
-      graft.ext.Dedup.exactBloomMinStoreBytes = 0L
       try {
         (0 to 2).foreach { s =>
           graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
-            "doc_id", "text", s"$root/old", batchTag = Some(s.toString))
+            "doc_id", "text", s"$root/old", batchTag = Some(s.toString),
+            exactArmMinStoreBytes = 0L)
         }
-        graft.ext.Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text")
+        graft.ext.Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text",
+          hashSidecarMinStoreBytes = 0L)
         graft.ext.Dedup.spill(
           graft.ext.Dedup.readStore(spark, s"$root/new").select(col("doc_id")),
           "graft-ingest-compact-out")
       } finally {
-        graft.ext.Dedup.exactBloomMinStoreBytes = saved
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }

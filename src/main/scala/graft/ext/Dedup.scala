@@ -129,6 +129,24 @@ object Dedup {
     * re-read+re-hash with a 40 B/doc column scan). */
   private[graft] var exactBloomMinStoreBytes: Long = 8L << 30
 
+  /** Per-directory on-disk byte totals for [[ingestStep]]'s arming gate.
+    * Batch dirs are immutable once a LATER batch can see them (a retry
+    * only ever overwrites its OWN tag, which is excluded from the read
+    * set whose bytes are summed), so one recursive `getContentSummary`
+    * per directory lifetime replaces the per-micro-batch relisting of
+    * every accumulated dir — on an object store that relisting is an
+    * O(dirs × files) metadata storm per batch that grows with the store.
+    * Keyed by fully-qualified dir path; entries for dirs deleted by
+    * compaction are never summed again (the gate only looks up dirs the
+    * current listing returned) and cost a few dozen bytes each. */
+  private val dirBytesCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[graft] def cachedDirBytes(hconf: org.apache.hadoop.conf.Configuration,
+                                    dir: String): Long =
+    dirBytesCache.computeIfAbsent(dir, d => {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(hconf).getContentSummary(p).getLength
+    })
+
   /** The ONE recipe for probing a driver-built Bloom filter from a column
     * of 64-bit hashes — every prefilter (exact-content store bloom, band-
     * bucket prunes, singleton-gram prune) routes through here, and the
@@ -637,15 +655,37 @@ object Dedup {
     * @return number of output files the doc store was packed into. */
   def compactIngestStore(spark: org.apache.spark.sql.SparkSession, path: String,
                          outPath: String, contentCol: String,
-                         targetFileMB: Int = 256): Int = {
+                         targetFileMB: Int = 256,
+                         hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
-    val srcUri = new java.net.URI(path).normalize.toString.stripSuffix("/") + "/"
-    val outUri = new java.net.URI(outPath).normalize.toString.stripSuffix("/") + "/"
-    require(!outUri.startsWith(srcUri) && !srcUri.startsWith(outUri),
-      s"outPath $outPath must be disjoint from the source store $path")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // Disjointness across EVERY root this call wipes vs EVERY root it
+    // reads: the wipe below deletes outPath, outPath_sigs and
+    // outPath_hashes before anything is read, so a derived output root
+    // colliding with a source root (path == outPath + "_sigs", a sibling
+    // store named <outPath>_hashes, …) would destroy the source first.
+    // Paths are FileSystem-qualified so scheme/relative aliases of one
+    // location (file:///a/b vs /a/b, default-FS-relative vs absolute)
+    // compare equal instead of slipping past a raw string prefix test.
+    // rebuilt from URI components because Path.toUri renders the empty
+    // authority inconsistently ("file:///a" when qualification added it,
+    // "file:/a" when the caller wrote the scheme) — a raw toString compare
+    // let exactly the alias this check exists for slip through
+    def qualified(s: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s)
+      val u = p.getFileSystem(hconf).makeQualified(p).toUri
+      val auth = Option(u.getAuthority).getOrElse("")
+      s"${u.getScheme}://$auth${u.getPath}".stripSuffix("/") + "/"
+    }
+    val srcRoots = Seq(path, path + "_sigs", path + "_hashes").map(qualified)
+    val outRoots = Seq(outPath, outPath + "_sigs", outPath + "_hashes").map(qualified)
+    for (s <- srcRoots; o <- outRoots)
+      require(!o.startsWith(s) && !s.startsWith(o),
+        s"output root ${o.stripSuffix("/")} overlaps source root ${s.stripSuffix("/")} — " +
+          s"compaction wipes every output root before reading, so outPath $outPath and its " +
+          s"_sigs/_hashes sidecars must be disjoint from the store at $path and its sidecars")
     val docDirs = listBatchDirs(spark, path)
     require(docDirs.nonEmpty, s"no ingested batches under $path")
-    val hconf = spark.sparkContext.hadoopConfiguration
     def dirBytes(dirs: Seq[String]): Long = dirs.map { d =>
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(hconf).getContentSummary(p).getLength
@@ -663,7 +703,7 @@ object Dedup {
     spark.read.parquet(docDirs: _*).coalesce(nDoc)
       .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
     val hashDirs = listBatchDirs(spark, path + "_hashes")
-    if (hashDirs.nonEmpty || dirBytes(docDirs) >= exactBloomMinStoreBytes)
+    if (hashDirs.nonEmpty || dirBytes(docDirs) >= hashSidecarMinStoreBytes)
       spark.read.parquet(s"$outPath/batch-compacted")
         .select(md5(col(contentCol)).as("content_hash"))
         .write.mode("overwrite").parquet(s"${outPath}_hashes/batch-compacted")
@@ -814,13 +854,15 @@ object Dedup {
       if (frames.isEmpty) None else Some(frames.reduce(_.unionByName(_)))
     }
     def close(): Unit = { pinned.values.foreach(_.unpersist()); pinned.clear() }
+    private[graft] def pinnedCount: Int = pinned.size
   }
 
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  batchTag: Option[String] = None,
-                 sigCache: Option[SigStoreCache] = None): Unit = {
+                 sigCache: Option[SigStoreCache] = None,
+                 exactArmMinStoreBytes: Long = exactBloomMinStoreBytes): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
     // Default tag = order-independent digest of the batch's (id, content)
@@ -891,16 +933,27 @@ object Dedup {
     // sidecar bounds is 10-100× the hashes, which is what the gate's 8 GB
     // ≈ 20M-short-doc / 1M-web-doc arming point prices).
     val hashPath = storePath + "_hashes"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // A sidecar dir is trusted only with its _SUCCESS marker: a crash
+    // mid-write leaves a PARTIAL batch-<tag> sidecar (some part files, no
+    // marker), and matching it by name alone would treat the fragment as
+    // the dir's complete hash set — missing hashes silently shrink the
+    // anti-join's seen set and exact duplicates enter the store. Without
+    // the marker the dir falls into the same self-healing path as an
+    // ABSENT sidecar: that store dir is re-hashed from its text, and the
+    // next armed batch's writeHashSidecar overwrites the fragment whole.
     val hashDirsByTag = listBatchDirs(spark, hashPath)
+      .filter { d =>
+        val marker = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
+        marker.getFileSystem(hconf).exists(marker)
+      }
       .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
     // the one arming gate for both exact-tier amortizations (see above):
-    // total store bytes, a free FileSystem listing
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val storeBytes = docDirs.map { d =>
-      val pth = new org.apache.hadoop.fs.Path(d)
-      pth.getFileSystem(hconf).getContentSummary(pth).getLength
-    }.sum
-    val armed = storeBytes >= exactBloomMinStoreBytes
+    // total store bytes — per-dir listings cached for the JVM's lifetime
+    // ([[cachedDirBytes]]), so a long-lived stream lists each dir once,
+    // not every dir every batch
+    val storeBytes = docDirs.map(cachedDirBytes(hconf, _)).sum
+    val armed = storeBytes >= exactArmMinStoreBytes
     val exact0 = exactDedup(batch, idCol, contentCol)
     var pinnedExact0: Option[DataFrame] = None
     val exact = (

@@ -50,6 +50,36 @@ object GraftStreaming {
   private[graft] var sigCacheEnabled: Boolean =
     sys.env.getOrElse("SPARK_GRAFT_SIG_CACHE", "0") == "1"
 
+  /** Tie a sink-held [[graft.ext.Dedup.SigStoreCache]]'s lifetime to its
+    * query: the cache pins one MEMORY_AND_DISK frame per sig-store batch
+    * dir, and the `foreachBatch` closure that owns it dies silently with
+    * the query — without this, every pinned block outlives the sink for
+    * the rest of the SparkSession, and an app that starts/stops ingest
+    * sinks accumulates dead pinned store frames without bound. A
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] keyed on
+    * the query id closes the cache on termination (normal stop or
+    * failure) and deregisters itself. */
+  private[graft] def closeCacheOnTermination(
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      spark: org.apache.spark.sql.SparkSession,
+      cache: Option[graft.ext.Dedup.SigStoreCache])
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    cache.foreach { c =>
+      import org.apache.spark.sql.streaming.StreamingQueryListener
+      val listener: StreamingQueryListener = new StreamingQueryListener {
+        override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+        override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+          if (e.id == query.id) {
+            c.close()
+            spark.streams.removeListener(this)
+          }
+      }
+      spark.streams.addListener(listener)
+    }
+    query
+  }
+
   /** Translate a pipeline over a streaming DataFrame. The caller picks the
     * output mode: "update"/"complete" when the pipeline aggregates,
     * "append" otherwise. */
@@ -172,15 +202,17 @@ object GraftStreaming {
     // (see [[graft.ext.Dedup.SigStoreCache]])
     val sigCache = if (!sigCacheEnabled) None
       else nearThreshold.map(_ => new graft.ext.Dedup.SigStoreCache(stream.sparkSession))
-    stream.writeStream.queryName(queryName)
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
-          nearThreshold, shingleSize, numHashes, bands,
-          batchTag = Some(batchId.toString), sigCache = sigCache)
-        ()
-      }
-      .start()
+    closeCacheOnTermination(
+      stream.writeStream.queryName(queryName)
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
+            nearThreshold, shingleSize, numHashes, bands,
+            batchTag = Some(batchId.toString), sigCache = sigCache)
+          ()
+        }
+        .start(),
+      stream.sparkSession, sigCache)
   }
 
   /** Streaming observability: one [[graft.ext.Corpus.manifest]] row set
@@ -332,7 +364,7 @@ object GraftStreaming {
     // [[graft.ext.Dedup.SigStoreCache]])
     val sigCache = if (!sigCacheEnabled) None
       else nearThreshold.map(_ => new graft.ext.Dedup.SigStoreCache(stream.sparkSession))
-    stream.writeStream.queryName(queryName)
+    val query = stream.writeStream.queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // receipts re-count every tier, whose lineages all re-derive from
@@ -358,6 +390,7 @@ object GraftStreaming {
         } finally if (funnelPath.isDefined) batch.unpersist()
       }
       .start()
+    closeCacheOnTermination(query, stream.sparkSession, sigCache)
   }
 
   /** Gap-based sessionization with custom per-key state — the

@@ -334,11 +334,17 @@ object BenchSf1 {
             " differs from this run — records merge only at like-for-like memory")
           extras
         } else {
-          val pw = objOf("extras").map { case (k, v) => k -> v.toDouble }
-          val pc = objOf("extras_cpu").map { case (k, v) => k -> v.toDouble }
+          // tolerant numeric parses: one malformed prior value must not
+          // abort the merge (the carried-item loop below warns per key)
+          def numMap[T](field: String, parse: String => T): Map[String, T] =
+            objOf(field).flatMap { case (k, v) =>
+              scala.util.Try(parse(v.trim)).toOption.map(k -> _)
+            }
+          val pw = numMap("extras", _.toDouble)
+          val pc = numMap("extras_cpu", _.toDouble)
           val pcal = objOf("cal")
-          val pat = objOf("attempts").map { case (k, v) => k -> v.toInt }
-          val pex = objOf("excess_load").map { case (k, v) => k -> v.toDouble }
+          val pat = numMap("attempts", _.toInt)
+          val pex = numMap("excess_load", _.toDouble)
           sessions = """"sessions":(\d+)""".r.findFirstMatchIn(txt)
             .map(_.group(1).toInt).getOrElse(1) + 1
           def priorCal(k: String): Unit = pcal.get(k).foreach { arr =>
@@ -359,14 +365,26 @@ object BenchSf1 {
           // items not measured this run (SPARK_GRAFT_SF1_ITEMS subset) carry
           // over from the committed record verbatim, in its order
           val measured = merged.map(_._1).toSet
+          // carried keys come from a DIFFERENT regex over the prior record
+          // than the one that built pw, so look up defensively: a prior
+          // value pw's parse couldn't recover (format drift, scientific
+          // notation) is skipped with a warning instead of throwing
+          // NoSuchElementException after all measurement work is done
           val carried = """"([A-Za-z0-9_]+)":([0-9.]+)""".r
             .findAllMatchIn(""""extras":\{([^}]*)\}""".r.findFirstMatchIn(txt)
               .map(_.group(1)).getOrElse(""))
-            .map(_.group(1)).filterNot(measured).toSeq.map { k =>
-              priorCal(k)
-              pex.get(k).foreach(e => excesses(k) = e)
-              attempts(k) = pat.getOrElse(k, 1)
-              k -> ((pw(k), pc.getOrElse(k, 0.0)))
+            .map(_.group(1)).filterNot(measured).toSeq.flatMap { k =>
+              pw.get(k) match {
+                case None =>
+                  System.err.println(s"[bench-sf1] merge: dropping carried item $k — " +
+                    "prior record value was not parseable as a number")
+                  None
+                case Some(w) =>
+                  priorCal(k)
+                  pex.get(k).foreach(e => excesses(k) = e)
+                  attempts(k) = pat.getOrElse(k, 1)
+                  Some(k -> ((w, pc.getOrElse(k, 0.0))))
+              }
             }
           if (histogram.isEmpty)
             histogram = """"cluster_histogram":"([^"]*)"""".r.findFirstMatchIn(txt)

@@ -482,7 +482,50 @@ class ExtSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         Dedup.compactIngestStore(spark, s"$root/ac", s"$root/ac", "text")
       }
+      // DERIVED-root collisions refuse too — compaction wipes outPath,
+      // outPath_sigs and outPath_hashes before reading, so any overlap
+      // between those and the source's three roots deletes source data:
+      // out doc root == source sig root
+      intercept[IllegalArgumentException] {
+        Dedup.compactIngestStore(spark, s"$root/ac", s"$root/ac_sigs", "text")
+      }
+      // out sig root == source doc root (outPath + "_sigs" == path)
+      intercept[IllegalArgumentException] {
+        Dedup.compactIngestStore(spark, s"$root/x_sigs", s"$root/x", "text")
+      }
+      // scheme alias of the same location must not slip past the check
+      intercept[IllegalArgumentException] {
+        Dedup.compactIngestStore(spark, s"$root/ac", s"file:$root/ac", "text")
+      }
     } finally Dedup.exactBloomMinStoreBytes = saved
+  }
+
+  test("ingestStep: partial hash sidecar (no _SUCCESS) falls back to re-hashing that dir") {
+    // a crash mid-sidecar-write leaves some part files and no _SUCCESS; if
+    // the fragment were trusted as the dir's complete hash set, hashes it
+    // is missing would let exact duplicates into the store
+    val root = java.nio.file.Files.createTempDirectory("graft-partial-sidecar").toString
+    val store = s"$root/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "first document body"}""",
+      """{"doc_id": 2, "text": "second document body"}""")
+    Dedup.ingestStep(shard1, "doc_id", "text", store, batchTag = Some("s1"),
+      exactArmMinStoreBytes = 0L)
+    Dedup.ingestStep(fromJsonl("""{"doc_id": 3, "text": "third document body"}"""),
+      "doc_id", "text", store, batchTag = Some("s2"), exactArmMinStoreBytes = 0L)
+    // corrupt s1's sidecar the way a crash would: keep the dir, drop the
+    // marker AND the data files (an empty hash set — the worst fragment)
+    val sidecar = new java.io.File(s"${store}_hashes/batch-s1")
+    assert(sidecar.isDirectory, "sidecar for s1 should exist (armed at 0)")
+    sidecar.listFiles().foreach(f => assert(f.delete(), s"couldn't delete $f"))
+    // a duplicate of doc 1 must STILL be dropped: the unmarked sidecar is
+    // treated as absent and batch-s1 is re-hashed from its text
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 4, "text": "first document body"}""",
+      """{"doc_id": 5, "text": "novel fifth body"}"""),
+      "doc_id", "text", store, batchTag = Some("s3"), exactArmMinStoreBytes = 0L)
+    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 5L), s"partial sidecar leaked a duplicate: $ids")
   }
 
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {

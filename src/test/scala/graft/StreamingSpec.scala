@@ -215,6 +215,30 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sink-held SigStoreCache is closed when its query terminates") {
+    // the sinks wire closeCacheOnTermination around their cache; tested
+    // here in isolation (a pinned dir + a trivial query) because pinned-RDD
+    // counts on the shared session are polluted by parallel suites
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigcache-close").toString
+    Seq((1L, "x")).toDF("doc_id", "text").write.parquet(s"$dir/batch-0")
+    val cache = new graft.ext.Dedup.SigStoreCache(spark)
+    cache.read(Seq(s"$dir/batch-0"))
+    assert(cache.pinnedCount == 1)
+    val mem = MemoryStream[Long]
+    val q = GraftStreaming.closeCacheOnTermination(
+      mem.toDF().writeStream.format("noop").start(), spark, Some(cache))
+    mem.addData(1L)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+    // the termination event is delivered async on the listener bus
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (cache.pinnedCount != 0 && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cache.pinnedCount == 0, "query termination did not close the sig cache")
+  }
+
   test("curatedIngestSink gates quality and perplexity before the dedup store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
