@@ -128,4 +128,47 @@ class AnnMaintenanceSpec extends AnyFunSuite {
         s"narrow-probe recall collapsed: recall@10=$recall (imbalance=$imbalance)")
     } finally rmrf(store)
   }
+
+  test("IVF-PQ store recall gate: narrow nprobe AND narrow rerank over an incremental store") {
+    // The PQ path's drift mode is codebook staleness under ingest: the
+    // codebooks freeze at batch 0, and ADC quantization error on later
+    // batches only shows when `rerank` is NARROW — a generous rerank
+    // re-scores with exact cosine and hides any codebook damage (the
+    // oracle row q_ann_ivfpq_incr runs exhaustive settings and is
+    // quantizer-independent by construction). Gate: multi-batch store,
+    // nprobe = nlist/4 and rerank barely above k, recall must stay far
+    // from the collapse floor, tied to the same report imbalance canary
+    // as the IVF gate above.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val store = java.nio.file.Files.createTempDirectory("graft-pq-recall-gate").toString
+    try {
+      var model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+      (0 to 2).foreach { s =>
+        model = Some(Similarity.ivfPqIngestStep(
+          emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", store, nlist = 16, m = 8, ksub = 16, dim = 64,
+          batchTag = Some(s.toString), cachedModel = model))
+      }
+      val idx = Similarity.loadIvfPqStore(spark, store)
+      val q = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", 10)
+      val approx = Similarity.ivfPqTopK(q, idx, "vec_id", "embedding",
+        k = 10, nprobe = 4, rerank = 15)
+      val recall = Similarity.recallAtK(approx, exact)
+        .agg(avg(col("recall"))).first().getDouble(0)
+      val report = Similarity.ivfStoreReport(spark, store)
+      val imbalance = report.select(col("imbalance")).first().getDouble(0)
+      info(f"ivfpq narrow gate: recall@10=$recall%.3f imbalance=$imbalance%.2f")
+      assert(imbalance < 8.0,
+        s"store report flags a degenerate quantizer: imbalance=$imbalance")
+      // deterministic fixture: measured recall@10 = 0.315 healthy (random
+      // structureless embeddings at genuinely coarse settings). A broken
+      // codebook makes ADC scores ~random, so the top-15 of the ~125
+      // probed candidates overlap the true top-10 at ≈ 15/125 of the
+      // 0.555 probe ceiling ≈ 0.07 — the gate sits between the two, a
+      // collapse detector, not a recall certificate.
+      assert(recall >= 0.20,
+        s"narrow probe+rerank recall collapsed: recall@10=$recall (imbalance=$imbalance)")
+    } finally rmrf(store)
+  }
 }
