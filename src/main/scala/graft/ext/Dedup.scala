@@ -114,6 +114,14 @@ object Dedup {
   private[graft] var gramPruneMinRows: Long = 16000000L
   private[graft] var bandPruneMinRows: Long = 8000000L
 
+  /** A/B toggle for the r11 `pinnedBandedLeft` persist in
+    * [[minhashPairsFromSignatures]]'s bounded-left + materialize form
+    * (tools.IngestAbProbe) — the persist trades a second banding-explode
+    * recompute for block-cache writes, and the r11→r12 driver-extras
+    * drift on incrDedup sat on exactly this code. Production never
+    * writes it. */
+  private[graft] var pinBandedLeftEnabled: Boolean = true
+
   /** Arming threshold for [[ingestStep]]'s exact-tier batch bloom, in
     * TOTAL ON-DISK BYTES of the store's batch dirs (a free FileSystem
     * listing — no scan). The bloom bounds the hash anti-join's exchange by
@@ -128,6 +136,24 @@ object Dedup {
     * hash sidecar — the sidecar always pays, it replaces a full text
     * re-read+re-hash with a 40 B/doc column scan). */
   private[graft] var exactBloomMinStoreBytes: Long = 8L << 30
+
+  /** Bucket count for [[ingestStep]]'s band-key sidecar layout: every band
+    * row carries `bucket = pmod(xxhash64(band, band_key), buckets)` and the
+    * sidecar files are sorted by it, so parquet row-group stats prune a
+    * bounded probe (one document's ≤`bands` keys touch ≤`bands` of the
+    * buckets) down to a sliver of the store's band index without a
+    * partition-directory explosion (64 sorted row-group ranges per file vs
+    * 64 directories per batch). A streaming micro-batch's key set covers
+    * every bucket by birthday arithmetic (250k docs × 16 bands ≫ 64), so
+    * for ingest the sidecar's win is not pruning but the NARROW PRECOMPUTED
+    * scan — ~20 B/row of (doc_id, band, band_key) replacing the wide
+    * `sig`-column read plus a banding-kernel re-run over the whole store
+    * every batch (the one O(store)-per-batch cost r11's StreamNearProfile
+    * measured growing 4→20 s/batch). The value is pinned per store in
+    * `_bands/_params.json` by the first writer; later batches adopt the
+    * pin, so changing this default never splits one store across two
+    * bucket functions. */
+  private[graft] var bandSidecarBuckets: Int = 64
 
   /** Per-directory on-disk byte totals for [[ingestStep]]'s arming gate.
     * Batch dirs are immutable once a LATER batch can see them (a retry
@@ -362,15 +388,30 @@ object Dedup {
     * the fused form — their candidate sets are small (plans audited by
     * GatePlanSpec) and a spill per batch would accumulate scratch dirs for
     * the life of the stream. */
+  /** `rightBandedPre`: a PRECOMPUTED banded form of `right` — (doc_id,
+    * band, band_key), one row per band per doc, as [[ingestStep]]'s band
+    * sidecar stores it. When given, the right side of the band join reads
+    * these narrow rows instead of scanning `right`'s wide `sig` column and
+    * re-running the banding kernel — the store-side amortization the
+    * ingest path lives on ([[ingestStep]]'s `_bands` sidecar). `right`
+    * itself is then touched only by the verify's (doc_id, sh) fetch. The
+    * caller owns the frame's consistency: its rows must be exactly
+    * `banded(right)` for the same bands/rowsPerBand (stale or partial
+    * band rows lose recall silently — which is why the sidecar is only
+    * trusted under a _SUCCESS marker and falls back per-dir). */
   def minhashPairsFromSignatures(left: DataFrame, right: DataFrame,
                                  bands: Int, rowsPerBand: Int, threshold: Double,
                                  selfPairs: Boolean,
                                  leftName: String, rightName: String,
                                  materializeCandidates: Boolean = false,
-                                 leftBoundedPrune: Boolean = false): DataFrame = {
+                                 leftBoundedPrune: Boolean = false,
+                                 rightBandedPre: Option[DataFrame] = None): DataFrame = {
     def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
       col(idAs),
       posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
+    def bandedRightSide(idAs: String): DataFrame = rightBandedPre
+      .map(_.select(col("doc_id").as(idAs), col("band"), col("band_key")))
+      .getOrElse(banded(renamed(right, idAs), idAs))
     def renamed(sigs: DataFrame, idAs: String): DataFrame =
       sigs.select(col("doc_id").as(idAs), col("sig"))
     // ---- singleton band-bucket prefilter (self-join tier) ----
@@ -443,7 +484,7 @@ object Dedup {
         // `left`.
         val nLeftEst = left.count() * bands
         if (nLeftEst == 0L) {
-          val emptyRight = banded(renamed(right, rightName), rightName).limit(0)
+          val emptyRight = bandedRightSide(rightName).limit(0)
           (bandedLeftRaw.limit(0), emptyRight)
         } else {
           // batch-bounded rows (docs × bands of (id, band, band_key)); the
@@ -454,7 +495,7 @@ object Dedup {
           // recompute source — a per-batch persist would pay cache writes
           // it never collects on.
           val pinned =
-            if (materializeCandidates) {
+            if (materializeCandidates && pinBandedLeftEnabled) {
               val p = bandedLeftRaw.persist(
                 org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               pinnedBandedLeft = Some(p)
@@ -464,12 +505,12 @@ object Dedup {
             .select(xxhash64(col("band"), col("band_key")).as("__bk"))
           val might = bloomProbe(spark,
             leftKeys.stat.bloomFilter("__bk", nLeftEst, 0.01))
-          (pinned, banded(renamed(right, rightName), rightName)
+          (pinned, bandedRightSide(rightName)
             .filter(might(xxhash64(col("band"), col("band_key")))))
         }
       } else if (!(selfPairs && materializeCandidates) ||
                  left.count() * bands < bandPruneMinRows) {
-        (bandedLeftRaw, banded(renamed(right, rightName), rightName))
+        (bandedLeftRaw, bandedRightSide(rightName))
       } else {
         val spark = left.sparkSession
         val nBandRows = left.count() * bands
@@ -619,6 +660,52 @@ object Dedup {
       .map(_.getPath.toString).sorted.toSeq
   }
 
+  /** Tag (terminal directory name, `batch-<tag>`) of a batch dir path. */
+  private def dirTag(d: String): String = d.substring(d.lastIndexOf('/') + 1)
+
+  /** Sidecar batch dirs trusted for reads, keyed by tag. Only dirs carrying
+    * their `_SUCCESS` marker count: a crash mid-write leaves a PARTIAL
+    * `batch-<tag>` fragment (some part files, no marker), and matching by
+    * name alone would treat the fragment as that dir's complete sidecar —
+    * for the hash sidecar that silently shrinks the anti-join's seen set
+    * (exact dups enter the store), for the band sidecar it silently loses
+    * near-dup recall. An untrusted dir falls into the same self-healing
+    * path as an absent one: the store dir is re-derived from its primary
+    * data, and the next armed batch's sidecar write overwrites the
+    * fragment whole. */
+  private[graft] def trustedSidecarDirsByTag(spark: org.apache.spark.sql.SparkSession,
+                                             root: String): Map[String, String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    listBatchDirs(spark, root).filter { d =>
+      val marker = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
+      marker.getFileSystem(hconf).exists(marker)
+    }.map(d => dirTag(d) -> d).toMap
+  }
+
+  /** The band sidecar's bucket-function pin (`_bands/_params.json`): the
+    * first writer records its bucket count, every later writer and the
+    * bucket-prune read path adopt the pinned value — one store, one bucket
+    * function, whatever [[bandSidecarBuckets]] later defaults to. Written
+    * BEFORE the first band dir so a pin can never be missing for a dir
+    * that exists (a pin-less legacy store simply reads sidecars without
+    * the bucket prune). */
+  private def checkOrWriteBandParams(spark: org.apache.spark.sql.SparkSession,
+                                     bandsPath: String, buckets: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(bandsPath, "_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(seen).map(_.group(1).toInt)
+        .getOrElse(throw new graft.model.ValidationError(
+          s"band sidecar pin $p is unreadable: $seen — refusing to guess the bucket function"))
+    } else {
+      val out = fs.create(p, true)
+      try out.write(s"""{"buckets":$buckets}""".getBytes("UTF-8")) finally out.close()
+      buckets
+    }
+  }
+
   /** Read an [[ingestStep]]-maintained store (document or signature): the
     * union of its batch subdirectories, one plain parquet scan. */
   def readStore(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
@@ -640,9 +727,10 @@ object Dedup {
     * ingest holds the store, point the ingest at `outPath` after.
     *
     * Consistency rules the layout demands:
-    *  - the three stores compact TOGETHER (docs, signatures, hashes) — a
-    *    compacted doc store against stale per-batch sigs would double
-    *    every signature's scan cost back and desync on any partial copy;
+    *  - the stores compact TOGETHER (docs, signatures, hashes, band
+    *    index) — a compacted doc store against stale per-batch sigs would
+    *    double every signature's scan cost back and desync on any partial
+    *    copy;
     *  - the sig store's `_params.json` pin is copied byte-for-byte and
     *    written LAST (the commit marker, same crash posture as the ANN
     *    store: a half-written output is simply re-compacted — `outPath*`
@@ -677,8 +765,9 @@ object Dedup {
       val auth = Option(u.getAuthority).getOrElse("")
       s"${u.getScheme}://$auth${u.getPath}".stripSuffix("/") + "/"
     }
-    val srcRoots = Seq(path, path + "_sigs", path + "_hashes").map(qualified)
-    val outRoots = Seq(outPath, outPath + "_sigs", outPath + "_hashes").map(qualified)
+    val srcRoots = Seq(path, path + "_sigs", path + "_hashes", path + "_bands").map(qualified)
+    val outRoots = Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands")
+      .map(qualified)
     for (s <- srcRoots; o <- outRoots)
       require(!o.startsWith(s) && !s.startsWith(o),
         s"output root ${o.stripSuffix("/")} overlaps source root ${s.stripSuffix("/")} — " +
@@ -698,7 +787,7 @@ object Dedup {
     }
     // wipe every output root first: a retry must not union half-written
     // artifacts or leave a stale pin next to them
-    Seq(outPath, outPath + "_sigs", outPath + "_hashes").foreach(wipe)
+    Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands").foreach(wipe)
     val nDoc = packed(docDirs)
     spark.read.parquet(docDirs: _*).coalesce(nDoc)
       .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
@@ -718,9 +807,45 @@ object Dedup {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       }
       // signatures are hash-valued arrays — see [[noDictOptions]]
-      spark.read.parquet(sigDirs: _*).coalesce(packed(sigDirs))
+      val nSig = packed(sigDirs)
+      spark.read.parquet(sigDirs: _*).coalesce(nSig)
         .write.mode("overwrite").options(noDictOptions)
         .parquet(s"${outPath}_sigs/batch-compacted")
+      // Band sidecar: REGENERATED from the compacted signatures (one
+      // scan), like the hash sidecar from the docs — never copied, so a
+      // compaction also UPGRADES a pre-sidecar store to the banded layout
+      // (its next ingest batch reads narrow precomputed keys instead of
+      // re-banding the whole store). Bucket function: the source store's
+      // pin if it has one, else the current default; the out pin is
+      // written before the band dir (a pin can never be missing for a dir
+      // that exists), and the sig `_params.json` stays the LAST write —
+      // the commit marker for the whole compaction.
+      val sigBands = """"bands"\s*:\s*(\d+)""".r.findFirstMatchIn(pinBytes).map(_.group(1).toInt)
+      val sigHashes = """"numHashes"\s*:\s*(\d+)""".r.findFirstMatchIn(pinBytes).map(_.group(1).toInt)
+      for (b <- sigBands; h <- sigHashes if h % b == 0) {
+        val srcBandPin = new org.apache.hadoop.fs.Path(path + "_bands", "_params.json")
+        val bfs = srcBandPin.getFileSystem(hconf)
+        val buckets =
+          if (bfs.exists(srcBandPin)) {
+            val in = bfs.open(srcBandPin)
+            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+            """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+              .getOrElse(bandSidecarBuckets)
+          } else bandSidecarBuckets
+        val outBandPin = new org.apache.hadoop.fs.Path(outPath + "_bands", "_params.json")
+        val obFs = outBandPin.getFileSystem(hconf)
+        val ob = obFs.create(outBandPin, true)
+        try ob.write(s"""{"buckets":$buckets}""".getBytes("UTF-8")) finally ob.close()
+        spark.read.parquet(s"${outPath}_sigs/batch-compacted")
+          .select(col("doc_id"), posexplode(
+            Kernels.bandKeysKernel(b, h / b)(col("sig"))).as(Seq("band", "band_key")))
+          .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
+            lit(buckets.toLong)).cast("int"))
+          .coalesce(nSig).sortWithinPartitions("bucket", "band_key")
+          .write.mode("overwrite")
+          .options(noDictOptionsExcept("doc_id", "band", "bucket"))
+          .parquet(s"${outPath}_bands/batch-compacted")
+      }
       val outPin = new org.apache.hadoop.fs.Path(outPath + "_sigs", "_params.json")
       val outFs = outPin.getFileSystem(hconf)
       val o = outFs.create(outPin, true)
@@ -934,20 +1059,10 @@ object Dedup {
     // ≈ 20M-short-doc / 1M-web-doc arming point prices).
     val hashPath = storePath + "_hashes"
     val hconf = spark.sparkContext.hadoopConfiguration
-    // A sidecar dir is trusted only with its _SUCCESS marker: a crash
-    // mid-write leaves a PARTIAL batch-<tag> sidecar (some part files, no
-    // marker), and matching it by name alone would treat the fragment as
-    // the dir's complete hash set — missing hashes silently shrink the
-    // anti-join's seen set and exact duplicates enter the store. Without
-    // the marker the dir falls into the same self-healing path as an
-    // ABSENT sidecar: that store dir is re-hashed from its text, and the
-    // next armed batch's writeHashSidecar overwrites the fragment whole.
-    val hashDirsByTag = listBatchDirs(spark, hashPath)
-      .filter { d =>
-        val marker = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
-        marker.getFileSystem(hconf).exists(marker)
-      }
-      .map(d => d.substring(d.lastIndexOf('/') + 1) -> d).toMap
+    // trusted = _SUCCESS-marked only (see [[trustedSidecarDirsByTag]]):
+    // a partial hash sidecar would silently shrink the anti-join's seen
+    // set and let exact duplicates into the store
+    val hashDirsByTag = trustedSidecarDirsByTag(spark, hashPath)
     // the one arming gate for both exact-tier amortizations (see above):
     // total store bytes — per-dir listings cached for the JVM's lifetime
     // ([[cachedDirBytes]]), so a long-lived stream lists each dir once,
@@ -1025,22 +1140,71 @@ object Dedup {
             // Batch-bounded memory, released in the finally below.
             val fresh = sigs.join(dropInBatch, Seq("doc_id"), "left_anti").persist()
             try {
-            if (phaseHook.isDefined) phase("inbatch_band")(fresh.count())
+            // count on the pinned frame: materializes it (the cross-store
+            // prune would anyway) and sizes the bucket-prune gate below
+            val nFresh = phase("inbatch_band")(fresh.count())
+            // Band sidecar plumbing: each ingested batch dir keeps a
+            // NARROW precomputed band index (doc_id, band, band_key,
+            // bucket) next to its signatures, so the cross-store candidate
+            // phase below reads ~20 B/row of ready keys instead of
+            // re-reading the store's wide `sig` column and re-running the
+            // banding kernel per micro-batch — the one per-batch cost that
+            // grew with the store (StreamNearProfile r11: 4→20 s/batch by
+            // 4.5M docs). Trusted under _SUCCESS only; a store dir with no
+            // (or a partial) band sidecar falls back to banding its sig
+            // dir directly — self-healing, mixed stores fine, results
+            // identical (the sidecar rows ARE the banding the kernel would
+            // produce, just persisted at write time).
+            val bandsPath = storePath + "_bands"
+            val effBuckets = checkOrWriteBandParams(spark, bandsPath, bandSidecarBuckets)
+            val bandsDirByTag = trustedSidecarDirsByTag(spark, bandsPath) - tag
             val dropCross =
-              if (sigDirs.nonEmpty)
+              if (sigDirs.nonEmpty) {
+                val (bandedDirs, rawDirs) =
+                  sigDirs.partition(d => bandsDirByTag.contains(dirTag(d)))
+                val preRight =
+                  if (bandedDirs.isEmpty) None
+                  else {
+                    val sidecar0 = spark.read.parquet(
+                      bandedDirs.map(d => bandsDirByTag(dirTag(d))): _*)
+                    // bucket prune: only computed for a bounded probe — a
+                    // streaming batch's key set covers every bucket by
+                    // birthday arithmetic, so the distinct-set action
+                    // would buy nothing there (the narrow scan is the win)
+                    val sidecar =
+                      if (nFresh * bands <= effBuckets * 2L) {
+                        val bks = fresh.select(
+                          posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                            .as(Seq("band", "band_key")))
+                          .select(pmod(xxhash64(col("band"), col("band_key")),
+                            lit(effBuckets.toLong)).cast("int").as("bucket"))
+                          .distinct().collect().map(_.getInt(0)).toSeq
+                        if (bks.size < effBuckets)
+                          sidecar0.filter(col("bucket").isin(bks: _*))
+                        else sidecar0
+                      } else sidecar0
+                    val part = sidecar.select(col("doc_id"), col("band"), col("band_key"))
+                    val fromRaw =
+                      if (rawDirs.isEmpty) None
+                      else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
+                        posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                          .as(Seq("band", "band_key"))))
+                    Some(fromRaw.fold(part)(part.unionByName(_)))
+                  }
                 minhashPairsFromSignatures(
                   fresh,
                   sigCache.flatMap(_.read(sigDirs))
                     .getOrElse(spark.read.parquet(sigDirs: _*)),
                   bands, rpb, t,
                   selfPairs = false, "new_id", "seen_id",
-                  leftBoundedPrune = true)
+                  leftBoundedPrune = true, rightBandedPre = preRight)
                   .select(col("new_id").as("doc_id")).distinct()
-              else fresh.select(col("doc_id")).limit(0)
+              } else fresh.select(col("doc_id")).limit(0)
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
             try {
               planAuditHook.foreach(_("ingest_keep_sigs", keepSigs))
-              phase("cross_band_verify")(keepSigs.count()) // materialize before any store mutation
+              // materialize before any store mutation
+              val nKeep = phase("cross_band_verify")(keepSigs.count())
               val storeWrite =
                 exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
                 .unionByName(exact.filter(col(contentCol).isNull))
@@ -1051,6 +1215,28 @@ object Dedup {
               // signatures are hash-valued arrays — see [[noDictOptions]]
               phase("sig_write")(keepSigs.write.mode("overwrite").options(noDictOptions)
                 .parquet(s"$sigPath/$tag"))
+              // band sidecar LAST (derivable from the sig dir just
+              // written: a crash between the two costs one per-dir
+              // fallback re-band on the next batch, never documents or
+              // recall). Sorted by bucket so row-group stats prune
+              // bounded probes; coalesce keeps the per-batch file count
+              // at ~8M narrow rows per file.
+              phase("bands_write") {
+                // ≥2M rows per file bounds file count; ≤16 ways bounds the
+                // sidecar's write fan-out, and >1 task keeps the per-batch
+                // sort+write off the critical path (a single-task sort of a
+                // 4M-row batch sidecar would serialize ~2-3 s per batch)
+                val nOutFiles = math.min(16L, math.max(1L, nKeep * bands / 2000000L)).toInt
+                keepSigs.select(col("doc_id"),
+                    posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                      .as(Seq("band", "band_key")))
+                  .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
+                    lit(effBuckets.toLong)).cast("int"))
+                  .coalesce(nOutFiles).sortWithinPartitions("bucket", "band_key")
+                  .write.mode("overwrite")
+                  .options(noDictOptionsExcept("doc_id", "band", "bucket"))
+                  .parquet(s"$bandsPath/$tag")
+              }
             } finally keepSigs.unpersist()
             } finally fresh.unpersist()
           } finally sigs.unpersist()

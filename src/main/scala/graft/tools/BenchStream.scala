@@ -146,10 +146,60 @@ object BenchStream {
         s"$indexed indexed) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}")
     }
 
+    // Merge mode (SPARK_GRAFT_BENCH_STREAM_MERGE=1): per-tier MIN-WALL
+    // across sessions, the protocol the sf1/scaling records use — a
+    // streaming tier is deterministic (mtime-ordered batches, fixed
+    // corpus), so interference only ever adds time and the fastest
+    // session is the closest observation. Guard rails: only a
+    // heap-matched prior record merges, and a tier whose SURVIVOR count
+    // changed never carries a stale wall (a semantics change must always
+    // re-measure). Tiers absent from this session (SPARK_GRAFT_STREAM_TIERS
+    // subset runs) carry over verbatim.
+    val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
+    val merge = sys.env.get("SPARK_GRAFT_BENCH_STREAM_MERGE").contains("1")
+    var sessions = 1
+    val priorTiers: Map[String, (Double, Double, Long)] =
+      if (!merge) Map.empty
+      else {
+        val p = java.nio.file.Paths.get(outPath)
+        if (!java.nio.file.Files.exists(p)) Map.empty
+        else {
+          val prior = new String(java.nio.file.Files.readAllBytes(p),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val priorHeap = """"heap_gb"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
+            .map(_.group(1).toInt).getOrElse(-1)
+          if (priorHeap != heapGb.toInt) {
+            System.err.println(s"[bench-stream] merge skipped: prior heap_gb=$priorHeap != $heapGb")
+            Map.empty
+          } else {
+            sessions += """"sessions"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
+              .map(_.group(1).toInt).getOrElse(1)
+            val tierRe =
+              """"(stream\w+)":\{"wall":([0-9.]+),"cpu":([0-9.]+),"\w+_per_sec":\d+,"survivors":(\d+)\}""".r
+            tierRe.findAllMatchIn(prior).map(m =>
+              m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toLong)).toMap
+          }
+        }
+      }
+    val mergedTiers: Seq[(String, (Double, Double, Long))] = {
+      val names = (priorTiers.keys ++ results.keys).toSeq.distinct
+      names.flatMap { k =>
+        (results.get(k), priorTiers.get(k)) match {
+          case (Some(n @ (nw, _, ns)), Some(p @ (pw, _, ps))) =>
+            if (ps != ns) {
+              System.err.println(s"[bench-stream] $k survivors changed $ps -> $ns; keeping this session")
+              Some(k -> n)
+            } else Some(k -> (if (pw < nw) p else n))
+          case (Some(n), None) => Some(k -> n)
+          case (None, Some(p)) => Some(k -> p)
+          case _ => None
+        }
+      }
+    }
     val record =
       s"""{"metric":"stream_ingest","unit":"sec","n_docs":$nDocs,"n_batches":$nBatches,""" +
       s""""n_vectors":$nVecs,""" +
-      s""""tiers":${results.map { case (k, (w, c, s)) =>
+      s""""tiers":${mergedTiers.map { case (k, (w, c, s)) =>
         // rate denominator: the vector tier streams the embedding corpus,
         // the doc tiers stream the document corpus
         val (rateKey, rateN) =
@@ -159,7 +209,9 @@ object BenchStream {
       }.mkString("{", ",", "}")},""" +
       s""""cal":${cals.map { case (k, (a, b)) =>
         s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
-      s""""heap_gb":${Runtime.getRuntime.maxMemory / (1L << 30)}}"""
+      (if (merge && sessions > 1)
+        s""""sessions":$sessions,"note":"per-tier min-wall across sessions",""" else "") +
+      s""""heap_gb":$heapGb}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the staged source, stores and checkpoints are scratch — delete them

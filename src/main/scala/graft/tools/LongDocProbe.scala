@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Armed-vs-disarmed measurement of the exact-tier store amortizations at
+  * REALISTIC document lengths — the datapoint the 8 GB
+  * `exactBloomMinStoreBytes` arming gate was priced for by arithmetic but
+  * never measured: bench_stream's corpus is ~300 B/doc (GenSf1 short
+  * docs), where the armed form LOSES 64→93 s because the text re-scan the
+  * hash sidecar replaces is cheap; at production 2-50 KB web docs that
+  * re-scan is 10-100× the 33 B/doc sidecar read, which is what the gate's
+  * arithmetic claims pays. This probe generates a 2-50 KB-doc fixture
+  * (hash-derived, ~5% planted exact dups, semi-compressible text) and
+  * drives `Dedup.ingestStep`'s exact tier shard-by-shard into TWO stores —
+  * one with the amortizations forced ON (`exactArmMinStoreBytes = 0`), one
+  * forced OFF (`Long.MaxValue`) — INTERLEAVED per batch so host drift
+  * hits both arms alike, reporting per-batch wall and the store's on-disk
+  * bytes. The crossover (first store size where armed < disarmed) is the
+  * number the gate's default should sit below for long docs.
+  *
+  * Env: SPARK_GRAFT_LONGDOC_DOCS (default 300000), _BATCHES (default 8),
+  * _CPUS (default 32).
+  */
+object LongDocProbe {
+  def main(args: Array[String]): Unit = {
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_DOCS", "300000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_BATCHES", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val work = java.nio.file.Files.createTempDirectory("graft-longdoc").toString
+
+    // ---- fixture: 2-50 KB docs, one ~110 B hash-derived paragraph per
+    // 64-long chunk (distinct hash text per paragraph: compresses like
+    // prose, ~3-4x, not like repeat()'d filler, ~100x — the gate reads
+    // ON-DISK bytes, so compressibility is part of the measurement).
+    // ~5% of docs copy the content of a doc 7 ids earlier: exact dups
+    // both in-batch and across the store, so the anti-join has real work.
+    val id = col("id")
+    val contentId = when(pmod(xxhash64(lit("dup"), id), lit(20)) === 0 && id >= 7, id - 7)
+      .otherwise(id)
+    val sizeTarget = (pmod(xxhash64(lit("len"), contentId), lit(48L * 1024)) + 2048)
+    val nPars = (sizeTarget / 110).cast("int")
+    val text = concat_ws(" ", transform(sequence(lit(0), nPars - 1), j =>
+      concat(lit("segment "), hex(xxhash64(contentId, j)),
+        lit(" carries block "), hex(xxhash64(contentId, j, lit(1L))),
+        lit(" of the document body"))))
+    val cpusInt = cpus.toInt
+    spark.range(nDocs).repartition(cpusInt)
+      .select(id.as("doc_id"), text.as("text"))
+      .withColumn("__b", pmod(xxhash64(lit("batch"), col("doc_id")), lit(nBatches)))
+      .write.partitionBy("__b").parquet(s"$work/src")
+    val bytesTotal = {
+      val p = new org.apache.hadoop.fs.Path(s"$work/src")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    }
+    println(f"[longdoc] fixture: $nDocs docs, ${bytesTotal / 1e9}%.2f GB on disk, $nBatches batches")
+
+    def storeBytes(root: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+    HostCal.warmup()
+    val rows = scala.collection.mutable.ArrayBuffer[String]()
+    (0 until nBatches).foreach { b =>
+      val batch = spark.read.parquet(s"$work/src/__b=$b")
+      // interleave arms within the batch index: drift hits both alike
+      val walls = Seq("armed" -> 0L, "disarmed" -> Long.MaxValue).map { case (arm, gate) =>
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.ingestStep(batch, "doc_id", "text", s"$work/$arm",
+          batchTag = Some(s"b$b"), exactArmMinStoreBytes = gate)
+        arm -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+      val sb = storeBytes(s"$work/armed")
+      val line = f"batch $b%2d  store ${sb / 1e9}%5.2f GB  armed ${walls("armed")}%6.1f s  " +
+        f"disarmed ${walls("disarmed")}%6.1f s  (armed/disarmed ${walls("armed") / walls("disarmed")}%.2f)"
+      println(line); rows += line
+    }
+    // survivors must be identical — the arms differ only in plan
+    val a = graft.ext.Dedup.readStore(spark, s"$work/armed").count()
+    val d = graft.ext.Dedup.readStore(spark, s"$work/disarmed").count()
+    println(s"[longdoc] survivors armed=$a disarmed=$d ${if (a == d) "MATCH" else "MISMATCH"}")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+    try {
+      val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+    } finally walk.close()
+    spark.stop()
+  }
+}

@@ -528,6 +528,82 @@ class ExtSpec extends AnyFunSuite {
     assert(ids == Set(1L, 2L, 3L, 5L), s"partial sidecar leaked a duplicate: $ids")
   }
 
+  test("ingestStep: band sidecar written per near-tier batch, fallback identical, pruned probe exact") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest-bands").toString
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat again and again"}""", // near-dup of 1
+      """{"doc_id": 4, "text": "brand new sentences never observed anywhere previously at all"}""")
+    val shard3 = fromJsonl(
+      """{"doc_id": 5, "text": "brand new sentences never observed anywhere previously today"}""", // near-dup of 4
+      """{"doc_id": 6, "text": "entirely novel sixth document with wholly original material"}""")
+    // store A: the sidecar'd path; store B: sidecars deleted after every
+    // batch, forcing the per-dir fallback (= the pre-sidecar plan) — the
+    // two must converge to identical survivor sets
+    Seq(shard1, shard2, shard3).zipWithIndex.foreach { case (sh, i) =>
+      Dedup.ingestStep(sh, "doc_id", "text", s"$root/a", nearThreshold = Some(0.4),
+        batchTag = Some(s"s$i"))
+      Dedup.ingestStep(sh, "doc_id", "text", s"$root/b", nearThreshold = Some(0.4),
+        batchTag = Some(s"s$i"))
+      rmr(new java.io.File(s"$root/b_bands"))
+    }
+    val a = Dedup.readStore(spark, s"$root/a").select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Dedup.readStore(spark, s"$root/b").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, s"sidecar path diverged from fallback: $a vs $b")
+    assert(a == Set(1L, 2L, 4L, 6L), s"got $a")
+    // the sidecar IS the banding of its sig dir: bit-identical keys, one
+    // row per band per doc, bucket pin recorded
+    assert(new java.io.File(s"$root/a_bands/_params.json").exists(), "bucket pin not written")
+    for (tagged <- Seq("batch-s0", "batch-s1", "batch-s2")) {
+      val sigDir = spark.read.parquet(s"$root/a_sigs/$tagged")
+      val expect = sigDir.select(col("doc_id"),
+        posexplode(Kernels.bandKeysKernel(16, 4)(col("sig"))).as(Seq("band", "band_key")))
+      val got = spark.read.parquet(s"$root/a_bands/$tagged")
+        .select(col("doc_id"), col("band"), col("band_key"))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"band sidecar $tagged does not match its sig dir's banding")
+    }
+    // partial sidecar (dir present, no _SUCCESS): treated as absent — the
+    // near-dup against that dir's docs must STILL be caught via fallback
+    val frag = new java.io.File(s"$root/a_bands/batch-s0")
+    frag.listFiles().foreach(f => assert(f.delete(), s"couldn't delete $f"))
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 7, "text": "the quick brown fox jumps over the lazy dog again and again today"}"""), // near-dup of 1 (dir s0)
+      "doc_id", "text", s"$root/a", nearThreshold = Some(0.4), batchTag = Some("s3"))
+    val afterFrag = Dedup.readStore(spark, s"$root/a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterFrag == Set(1L, 2L, 4L, 6L), s"partial band sidecar lost recall: $afterFrag")
+    // bounded probe (1 doc = 16 keys << buckets): the bucket-pruned read
+    // engages and must return the same answer — near-dup still dropped
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 8, "text": "brand new sentences never observed anywhere previously at all!"}"""), // near-dup of 4 (dir s1, sidecar'd)
+      "doc_id", "text", s"$root/a", nearThreshold = Some(0.4), batchTag = Some("s4"))
+    val afterProbe = Dedup.readStore(spark, s"$root/a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterProbe == Set(1L, 2L, 4L, 6L), s"pruned probe diverged: $afterProbe")
+    // compaction regenerates the band index for the compacted store
+    Dedup.compactIngestStore(spark, s"$root/a", s"$root/acomp", "text")
+    assert(Dedup.listBatchDirs(spark, s"$root/acomp_bands").size == 1,
+      "compaction did not regenerate the band sidecar")
+    assert(new java.io.File(s"$root/acomp_bands/_params.json").exists(),
+      "compaction did not write the bucket pin")
+    assert(spark.read.parquet(s"$root/acomp_bands/batch-compacted").count() ==
+      Dedup.readStore(spark, s"$root/acomp_sigs").count() * 16)
+    // and ingest against the compacted (sidecar-served) store stays exact
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 9, "text": "entirely novel sixth document with wholly original material plus"}""", // near-dup of 6
+      """{"doc_id": 10, "text": "tenth body sharing nothing with any earlier ingested document"}"""),
+      "doc_id", "text", s"$root/acomp", nearThreshold = Some(0.4), batchTag = Some("s5"))
+    val postCompact = Dedup.readStore(spark, s"$root/acomp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(postCompact == Set(1L, 2L, 4L, 6L, 10L), s"post-compaction sidecar ingest diverged: $postCompact")
+  }
+
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {
     // stable-id recrawl: the second one-shot ingest reuses ids 1-2 with new
     // content. With an id-only digest both batches would share a tag and the
