@@ -187,23 +187,31 @@ object SparkEntry {
     * as min(doc_id) per \W+-normalized text. One exact-duplicate variant
     * per group also exercises the exact tier in front. Texts derive only
     * from doc_id, so the oracle reconstructs the identical corpus. */
+  /** The deterministic near-dup corpus both store gates construct from
+    * doc_id alone (so DuckDB can rebuild it): groups of 5 ids where v0/v1
+    * are exact duplicates, v2/v3 raw-distinct but token-identical
+    * separator variants (shingle sets equal → Jaccard exactly 1.0, MinHash
+    * signatures bit-identical → LSH cannot probabilistically miss), and v4
+    * a disjoint vocabulary (Jaccard 0 — a stray band collision dies in the
+    * exact verify). */
+  private def neardupGateText(id: Long): String = {
+    val g = id / 5
+    val base = (0 until 12).map(k => s"t${g * 31 + k}")
+    val alt = (0 until 8).map(k => s"t${g * 31 + 12 + k}")
+    (id % 5) match {
+      case 0 | 1 => base.mkString(" ")     // v1 = exact duplicate of v0
+      case 2     => base.mkString(", ")    // raw-distinct, token-identical
+      case 3     => base.mkString(" -- ")  // raw-distinct, token-identical
+      case _     => alt.mkString(" ")      // distinct vocabulary: survives
+    }
+  }
+
   private def streamNeardupGate(spark: SparkSession, dir: String): DataFrame = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     val ids = tbl(spark, dir, "documents").select(col("doc_id"))
       .collect().map(_.getLong(0)).sorted
-    def text(id: Long): String = {
-      val g = id / 5
-      val base = (0 until 12).map(k => s"t${g * 31 + k}")
-      val alt = (0 until 8).map(k => s"t${g * 31 + 12 + k}")
-      (id % 5) match {
-        case 0 | 1 => base.mkString(" ")     // v1 = exact duplicate of v0
-        case 2     => base.mkString(", ")    // raw-distinct, token-identical
-        case 3     => base.mkString(" -- ")  // raw-distinct, token-identical
-        case _     => alt.mkString(" ")      // distinct vocabulary: survives
-      }
-    }
-    val docs = ids.map(id => (id, text(id)))
+    val docs = ids.map(id => (id, neardupGateText(id)))
     val base = java.nio.file.Files.createTempDirectory("graft-neardup-gate").toString
     val store = s"$base/store/docs"
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
@@ -1196,6 +1204,43 @@ object SparkEntry {
         graft.ext.Dedup.spill(
           graft.ext.Dedup.readStore(spark, s"$root/new").select(col("doc_id")),
           "graft-ingest-compact-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
+    // NEAR-tier store lifecycle under one oracle: two shards ingested with
+    // the MinHash near tier (shard 1's cross-store detection is served by
+    // shard 0's band sidecar), the store compacted — docs, sigs, hashes and
+    // the band index together, the band index REGENERATED from the
+    // compacted signatures — then a third shard ingested against the
+    // compacted store, its cross-store detection served entirely by the
+    // regenerated batch-compacted band index. Texts derive from doc_id
+    // alone with token-identical near-dup groups (see [[neardupGateText]]),
+    // so DuckDB replays the whole lifecycle: survivor per normalized text =
+    // min (shard, doc_id) — first-arriving shard wins, smallest id within
+    // it (in-batch pair drops keep the min; later arrivals die cross-store).
+    "q_dedup_store_bands" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-ingest-bands-gate").toString
+      try {
+        (0 to 1).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/old", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString), exactArmMinStoreBytes = 0L)
+        }
+        graft.ext.Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text",
+          hashSidecarMinStoreBytes = 0L)
+        graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", s"$root/new", nearThreshold = Some(0.9),
+          batchTag = Some("2"), exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/new").select(col("doc_id")),
+          "graft-ingest-bands-out")
       } finally {
         val p = new org.apache.hadoop.fs.Path(root)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
@@ -3118,6 +3163,23 @@ object SparkEntry {
         END AS text FROM c)
       SELECT min(doc_id) AS doc_id FROM t
       GROUP BY regexp_replace(lower(text), '\W+', ' ', 'g')""",
+    // near-tier store lifecycle (ingest → compact → ingest against the
+    // regenerated band index): same constructed corpus, but shards split
+    // by doc_id % 3 — survivor per normalized text is the min (shard,
+    // doc_id): the first-arriving shard's smallest member owns the store
+    // entry, every later arrival dies in-batch or cross-store
+    "q_dedup_store_bands" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      t AS (SELECT doc_id, shard,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c),
+      r AS (SELECT doc_id, row_number() OVER (
+              PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+              ORDER BY shard, doc_id) AS rn FROM t)
+      SELECT doc_id FROM r WHERE rn = 1""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
     // the same derived parent-pointer tree (1-based p_partkey: chains end
     // at keys 1 and 2, whose computed parent 0 matches no row on either

@@ -836,12 +836,17 @@ object Dedup {
         val obFs = outBandPin.getFileSystem(hconf)
         val ob = obFs.create(outBandPin, true)
         try ob.write(s"""{"buckets":$buckets}""".getBytes("UTF-8")) finally ob.close()
+        // repartition, not coalesce: coalesce would collapse the explode
+        // into nSig tasks (serialized kernel over the whole store); the
+        // exchange is narrow (~25 B/row) and clusters whole buckets per
+        // file for file-level bucket pruning
         spark.read.parquet(s"${outPath}_sigs/batch-compacted")
           .select(col("doc_id"), posexplode(
             Kernels.bandKeysKernel(b, h / b)(col("sig"))).as(Seq("band", "band_key")))
           .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
             lit(buckets.toLong)).cast("int"))
-          .coalesce(nSig).sortWithinPartitions("bucket", "band_key")
+          .repartition(nSig, col("bucket"))
+          .sortWithinPartitions("bucket", "band_key")
           .write.mode("overwrite")
           .options(noDictOptionsExcept("doc_id", "band", "bucket"))
           .parquet(s"${outPath}_bands/batch-compacted")
@@ -1222,17 +1227,23 @@ object Dedup {
               // bounded probes; coalesce keeps the per-batch file count
               // at ~8M narrow rows per file.
               phase("bands_write") {
-                // ≥2M rows per file bounds file count; ≤16 ways bounds the
-                // sidecar's write fan-out, and >1 task keeps the per-batch
-                // sort+write off the critical path (a single-task sort of a
-                // 4M-row batch sidecar would serialize ~2-3 s per batch)
-                val nOutFiles = math.min(16L, math.max(1L, nKeep * bands / 2000000L)).toInt
+                // the repartition is a real (small: ~25 B/row, batch-
+                // bounded) exchange rather than a coalesce because coalesce
+                // would collapse the upstream explode+sort into nOutFiles
+                // tasks — measured 41 s/batch serialized vs parallel
+                // compute + a cheap narrow shuffle. Width floor 8: the
+                // reduce side carries the per-file sort + parquet encode,
+                // and a 3.4M-row batch sidecar in ONE reduce task measured
+                // 8-10 s/batch vs ~1-2 s at 8 ways; ceiling 16 bounds the
+                // file count a long stream accumulates between compactions
+                val nOutFiles = math.min(16L, math.max(8L, nKeep * bands / 2000000L)).toInt
                 keepSigs.select(col("doc_id"),
                     posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
                       .as(Seq("band", "band_key")))
                   .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
                     lit(effBuckets.toLong)).cast("int"))
-                  .coalesce(nOutFiles).sortWithinPartitions("bucket", "band_key")
+                  .repartition(nOutFiles, col("bucket"))
+                  .sortWithinPartitions("bucket", "band_key")
                   .write.mode("overwrite")
                   .options(noDictOptionsExcept("doc_id", "band", "bucket"))
                   .parquet(s"$bandsPath/$tag")
