@@ -174,6 +174,12 @@ object BenchStream {
           } else {
             sessions += """"sessions"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
               .map(_.group(1).toInt).getOrElse(1)
+            // carry the prior cal bracket for tiers this (possibly
+            // tier-subset) session doesn't run, so the record never loses
+            // a carried tier's measurement context
+            """"(stream\w+)":\[([0-9.]+),([0-9.]+)\]""".r.findAllMatchIn(prior)
+              .foreach(m => if (!cals.contains(m.group(1)))
+                cals(m.group(1)) = (m.group(2).toDouble, m.group(3).toDouble))
             val tierRe =
               """"(stream\w+)":\{"wall":([0-9.]+),"cpu":([0-9.]+),"\w+_per_sec":\d+,"survivors":(\d+)\}""".r
             tierRe.findAllMatchIn(prior).map(m =>
