@@ -65,13 +65,22 @@ object IngestAbProbe {
     // discarded warm-up: JIT + page cache for both workloads
     timed(incrDedup()); timed(dupSpans())
     (0 until rounds).foreach { r =>
+      // arm order ALTERNATES per round: the first A/B run showed a strong
+      // within-round ordering bias (the dupSpans A/A control differed 2.62
+      // vs 2.02 s median on IDENTICAL code — whichever arm runs second in
+      // a round benefits), so a fixed order would systematically charge
+      // the first arm
+      val incrArms = Seq(
+        ("incrDedup_pinned", true), ("incrDedup_unpinned", false))
+      val ordered = if (r % 2 == 0) incrArms else incrArms.reverse
+      ordered.foreach { case (k, pin) =>
+        graft.ext.Dedup.pinBandedLeftEnabled = pin
+        record(k, timed(incrDedup()))
+      }
       graft.ext.Dedup.pinBandedLeftEnabled = true
-      record("incrDedup_pinned", timed(incrDedup()))
-      graft.ext.Dedup.pinBandedLeftEnabled = false
-      record("incrDedup_unpinned", timed(incrDedup()))
-      graft.ext.Dedup.pinBandedLeftEnabled = true
-      record("dupSpans_A", timed(dupSpans()))
-      record("dupSpans_B", timed(dupSpans()))
+      val spanArms = Seq("dupSpans_A", "dupSpans_B")
+      (if (r % 2 == 0) spanArms else spanArms.reverse)
+        .foreach(k => record(k, timed(dupSpans())))
       System.err.println(s"[ab] round $r done")
     }
     graft.ext.Dedup.pinBandedLeftEnabled = true
