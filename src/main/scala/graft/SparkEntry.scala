@@ -1246,6 +1246,36 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // point near-dup lookup against the same 3-shard near-tier store as
+    // q_dedup_store_bands (uncompacted — the multi-dir sidecar path): the
+    // probe is group 1's base text, token-identical to the whole cluster
+    // {5,6,7,8}, whose sole survivor is the min (shard, doc_id) = 6; the
+    // lookup must return exactly that survivor at Jaccard exactly 1.0
+    // (token-identical ⇒ equal shingle sets), and no other group leaks in
+    // (disjoint vocabularies). Bucket-pruned sidecar read: a 16-key probe
+    // covers ≤16 of the 64 pinned buckets.
+    "q_dedup_lookup" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-lookup-gate").toString
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/store", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString))
+        }
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.lookupNearDups(spark, s"$root/store",
+            neardupGateText(5), threshold = 0.9),
+          "graft-lookup-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -3180,6 +3210,14 @@ object SparkEntry {
               PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
               ORDER BY shard, doc_id) AS rn FROM t)
       SELECT doc_id FROM r WHERE rn = 1""",
+    // point lookup: the probe is group 1's base text, so the answer is that
+    // group's near-cluster survivor (v<4 members are token-identical; the
+    // survivor is the min (shard, doc_id) of the cluster) at Jaccard 1.0
+    "q_dedup_lookup" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      r AS (SELECT doc_id, g, v, row_number() OVER (
+              PARTITION BY g, (v < 4) ORDER BY shard, doc_id) AS rn FROM c)
+      SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard FROM r WHERE rn = 1 AND g = 1 AND v < 4""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
     // the same derived parent-pointer tree (1-based p_partkey: chains end
     // at keys 1 and 2, whose computed parent 0 matches no row on either

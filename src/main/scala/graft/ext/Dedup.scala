@@ -714,6 +714,114 @@ object Dedup {
     spark.read.parquet(dirs: _*)
   }
 
+  /** Point near-dup lookup against an [[ingestStep]] near-tier store: the
+    * store survivors whose exact Jaccard with `text` clears `threshold`,
+    * found WITHOUT banding the store — this is the query shape the band
+    * sidecar's sorted-bucket layout exists for. The probe's ≤`bands` band
+    * keys (computed with the store's PINNED parameters, so a probe can
+    * never silently mis-band) are pushed into the `_bands` sidecar read as
+    * a parquet predicate — `bucket IN (probe's ≤bands buckets)` plus the
+    * exact `(band, band_key)` pair disjunction — so the scan row-group-
+    * prunes to the probe's own bucket ranges instead of reading the whole
+    * band index; only the matched candidates' signatures are then fetched
+    * for the exact-Jaccard verify. Store dirs without a trusted band
+    * sidecar fall back to banding their sig dir, same as ingest. Recall is
+    * the LSH recall of the store's pinned banding (the ingest s-curve);
+    * every returned row is exact-verified, so precision is exact.
+    *
+    * @return (doc_id, jaccard) of matching survivors. */
+  def lookupNearDups(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                     text: String, threshold: Double): DataFrame = {
+    require(text != null, "lookupNearDups probe text must be non-null " +
+      "(null-content documents live in the exact tier only)")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sigPath = storePath + "_sigs"
+    val pinP = new org.apache.hadoop.fs.Path(sigPath, "_params.json")
+    val fs = pinP.getFileSystem(hconf)
+    require(fs.exists(pinP),
+      s"$sigPath has no _params.json pin — not a near-tier ingest store")
+    val pin = {
+      val in = fs.open(pinP)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def pinned(k: String): Int = (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(pin)
+      .map(_.group(1).toInt).getOrElse(throw new graft.model.ValidationError(
+        s"sig store pin $pinP is missing $k: $pin"))
+    val shingleSize = pinned("shingleSize"); val numHashes = pinned("numHashes")
+    val bands = pinned("bands"); val rpb = numHashes / bands
+    val sigDirs = listBatchDirs(spark, sigPath)
+    require(sigDirs.nonEmpty, s"no ingested batches under $sigPath")
+    // probe signature + band keys through the SAME kernels ingest used —
+    // one-row frame, one collect
+    val probeFrame = signatureTable(
+      spark.range(1).select(col("id"), lit(text).as("text")),
+      "id", "text", shingleSize, numHashes)
+    val probe = probeFrame.select(col("sh"), col("sig")).head()
+    val probeSh: Seq[Long] = probe.getSeq[Long](0)
+    val bandsPath = storePath + "_bands"
+    val bandsByTag = trustedSidecarDirsByTag(spark, bandsPath)
+    val (bandedDirs, rawDirs) = sigDirs.partition(d => bandsByTag.contains(dirTag(d)))
+    val bandPin = new org.apache.hadoop.fs.Path(bandsPath, "_params.json")
+    val buckets: Option[Int] =
+      if (bandPin.getFileSystem(hconf).exists(bandPin)) {
+        val in = bandPin.getFileSystem(hconf).open(bandPin)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      } else None
+    // the probe's (band, band_key, bucket) rows — bucket via the same SQL
+    // expression the sidecar writer used, so the prune can never drift
+    // from the layout
+    val probeKeys = probeFrame.select(
+      posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig"))).as(Seq("band", "band_key")))
+      .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
+        lit(buckets.getOrElse(1).toLong)).cast("int"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq
+    if (probeKeys.isEmpty)
+      return spark.range(0).select(col("id").as("doc_id"), lit(0.0).as("jaccard"))
+    val pairCond = probeKeys.map { case (b, k, _) =>
+      col("band") === b && col("band_key") === k }.reduce(_ || _)
+    // candidates carry the FILE they matched in, so the verify below reads
+    // only the store dirs that actually produced a candidate — point-query
+    // IO proportional to matched dirs, not store size. The collect is
+    // bounded by the store's FILE count (distinct files, never rows).
+    val candParts = Seq(
+      if (bandedDirs.isEmpty) None
+      else {
+        val read0 = spark.read.parquet(bandedDirs.map(d => bandsByTag(dirTag(d))): _*)
+        val pruned = buckets match {
+          case Some(nb) =>
+            val bset = probeKeys.map(_._3).distinct
+            if (bset.size < nb) read0.filter(col("bucket").isin(bset: _*)) else read0
+          case None => read0
+        }
+        Some(pruned.filter(pairCond)
+          .select(col("doc_id"), input_file_name().as("__f")))
+      },
+      if (rawDirs.isEmpty) None
+      else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
+        posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig"))).as(Seq("band", "band_key")),
+        input_file_name().as("__f"))
+        .filter(pairCond).select(col("doc_id"), col("__f")))
+    ).flatten
+    val cand0 = candParts.reduce(_.unionByName(_))
+    lookupAuditHook.foreach(_("lookup_candidates", cand0))
+    val cand = spill(cand0, "graft-lookup-cand")
+    val matchedTags = cand.select(col("__f")).distinct().collect().map { r =>
+      val f = r.getString(0)
+      dirTag(f.substring(0, f.lastIndexOf('/')))
+    }.toSet
+    val matchedSigDirs = sigDirs.filter(d => matchedTags.contains(dirTag(d)))
+    if (matchedSigDirs.isEmpty)
+      spark.read.parquet(sigDirs.head).limit(0)
+        .withColumn("jaccard", lit(0.0)).select(col("doc_id"), col("jaccard"))
+    else spark.read.parquet(matchedSigDirs: _*)
+      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh"),
+        typedlit(probeSh)))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("jaccard"))
+  }
+
   /** Compact an [[ingestStep]]-maintained store: bin-pack the accumulated
     * `batch-*` directories of the document store AND its `_sigs` /
     * `_hashes` sidecars into one `batch-compacted` directory each, sized
@@ -938,6 +1046,13 @@ object Dedup {
     * the production code path. `None` in production; costs one Option
     * check per frame. */
   private[graft] var planAuditHook: Option[(String, DataFrame) => Unit] = None
+
+  /** Test-only tap for [[lookupNearDups]]'s candidate frame — the lookup
+    * materializes candidates eagerly (the verify's dir pruning needs the
+    * matched-file set), so its returned frame no longer contains the
+    * band-sidecar scan; the spec asserts the bucket predicate reached the
+    * parquet scan through this hook instead. `None` in production. */
+  private[graft] var lookupAuditHook: Option[(String, DataFrame) => Unit] = None
 
   /** Profiling-only tap: when set, [[ingestStep]] reports wall seconds per
     * phase (exact tier / signature build / in-batch band join / cross-store

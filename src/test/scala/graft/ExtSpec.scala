@@ -604,6 +604,75 @@ class ExtSpec extends AnyFunSuite {
     assert(postCompact == Set(1L, 2L, 4L, 6L, 10L), s"post-compaction sidecar ingest diverged: $postCompact")
   }
 
+  test("lookupNearDups: point lookup via the band sidecar, bucket predicate pushed to the scan") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lookup").toString
+    val store = s"$root/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}""")
+    Seq(shard1, shard2).zipWithIndex.foreach { case (sh, i) =>
+      Dedup.ingestStep(sh, "doc_id", "text", store, nearThreshold = Some(0.4),
+        batchTag = Some(s"s$i"))
+    }
+    // near-dup probe: matches doc 1 (Jaccard high), nothing else
+    val hits = Dedup.lookupNearDups(spark, store,
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4)
+    val rows = hits.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("jaccard"))
+    assert(rows.map(_._1).toSet == Set(1L), s"got ${rows.toSeq}")
+    assert(rows.head._2 >= 0.4 && rows.head._2 <= 1.0)
+    // exact-duplicate probe: Jaccard exactly 1.0
+    val exactHit = Dedup.lookupNearDups(spark, store,
+      "brand new sentences never observed anywhere previously at all", 0.9).collect()
+    assert(exactHit.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    assert(exactHit.head.getAs[Double]("jaccard") == 1.0)
+    // disjoint probe: empty
+    assert(Dedup.lookupNearDups(spark, store,
+      "wholly absent vocabulary zone nothing shared with stored docs", 0.4).isEmpty)
+    // the probe's bucket set must reach the sidecar scan as a pushed
+    // parquet predicate — the point-query payoff of the sorted bucket
+    // layout; assert on the physical scan's PushedFilters, not folklore.
+    // The candidate frame is materialized eagerly inside the lookup (its
+    // matched-file set prunes the verify read), so the plan is captured
+    // through the audit tap.
+    var candPlan: Option[org.apache.spark.sql.DataFrame] = None
+    Dedup.lookupAuditHook = Some((_, df) => candPlan = Some(df))
+    try Dedup.lookupNearDups(spark, store,
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4).collect()
+    finally Dedup.lookupAuditHook = None
+    assert(candPlan.isDefined, "lookup audit tap never fired")
+    val scans = candPlan.get.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val bandScan = scans.find(_.metadata.getOrElse("Location", "").contains("_bands"))
+    assert(bandScan.isDefined, s"no band-sidecar scan in candidate plan")
+    val pushed = bandScan.get.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("In(bucket") || pushed.contains("EqualTo(bucket"),
+      s"bucket predicate not pushed to the sidecar scan: $pushed")
+    // dir-pruned verify: the probe only matches doc 1 (dir batch-s0), so
+    // the verify's sig scan must read s0 and NOT s1
+    val verifyLocs = Dedup.lookupNearDups(spark, store,
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metadata.getOrElse("Location", "")
+      }.filter(_.contains("_sigs"))
+    assert(verifyLocs.nonEmpty && verifyLocs.forall(l =>
+      l.contains("batch-s0") && !l.contains("batch-s1")),
+      s"verify read was not dir-pruned to the matched dir: $verifyLocs")
+    // and a probe against a store whose sidecars were removed still
+    // answers identically through the per-dir fallback
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"${store}_bands"))
+    val fallback = Dedup.lookupNearDups(spark, store,
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fallback == Set(1L), s"fallback lookup diverged: $fallback")
+  }
+
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {
     // stable-id recrawl: the second one-shot ingest reuses ids 1-2 with new
     // content. With an id-only digest both batches would share a tag and the
