@@ -111,19 +111,24 @@ object BenchStream {
     // map-only and appends). Rate is VECTORS/sec; "survivors" is the
     // store's row count (must equal the corpus — ingest never drops).
     val vecSrcDir = s"$work/vec-src"
+    val skipVector = only.exists(!_.contains("streamVectorIndex"))
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    emb.repartition(nBatches).write.options(graft.ext.Dedup.noDictOptions).parquet(vecSrcDir)
-    val vls = java.nio.file.Files.list(java.nio.file.Paths.get(vecSrcDir))
-    try vls.iterator().asScala
-      .filter(_.getFileName.toString.startsWith("part-")).toSeq
-      .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
-        p.toFile.setLastModified(1000000000000L + i * 60000L)
-      }
-    finally vls.close()
-    val nVecs = spark.read.parquet(vecSrcDir).count()
-    val vecSchema = spark.read.parquet(vecSrcDir).schema
-    locally {
+    if (!skipVector)
+      emb.repartition(nBatches).write.options(graft.ext.Dedup.noDictOptions).parquet(vecSrcDir)
+    if (!skipVector) {
+      val vls = java.nio.file.Files.list(java.nio.file.Paths.get(vecSrcDir))
+      try vls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("part-")).toSeq
+        .sortBy(_.getFileName.toString).zipWithIndex.foreach { case (p, i) =>
+          p.toFile.setLastModified(1000000000000L + i * 60000L)
+        }
+      finally vls.close()
+    }
+    // n_vectors in the record must stay populated even on a subset run
+    val nVecs = if (skipVector) emb.count() else spark.read.parquet(vecSrcDir).count()
+    val vecSchema = if (skipVector) null else spark.read.parquet(vecSrcDir).schema
+    if (!skipVector) locally {
       val store = s"$work/streamVectorIndex-store"
       val ckpt = s"$work/streamVectorIndex-ckpt"
       System.gc()
