@@ -173,6 +173,20 @@ object Dedup {
       p.getFileSystem(hconf).getContentSummary(p).getLength
     })
 
+  /** Drop [[cachedDirBytes]] entries under a path — the WRITERS' half of
+    * the cache contract. "Immutable once a later batch can see it" fails
+    * exactly twice, and both mutators invalidate here: (a) a retried
+    * batch overwrites its OWN tag with possibly different bytes (its dir
+    * is excluded from its own read set but summed by every LATER batch),
+    * and (b) compaction reuses `<outPath>/batch-compacted` across
+    * compact→ingest→compact cycles — without invalidation a long-lived
+    * JVM would sum a stale length and, e.g., hold a now-huge store below
+    * the arming gate forever. Substring match: cache keys are the listed
+    * (FileSystem-qualified) dir strings, which contain the raw root the
+    * writer passed whether or not the caller wrote the scheme. */
+  private[graft] def invalidateDirBytes(pathSubstring: String): Unit =
+    dirBytesCache.keySet.removeIf(_.contains(pathSubstring))
+
   /** The ONE recipe for probing a driver-built Bloom filter from a column
     * of 64-bit hashes — every prefilter (exact-content store bloom, band-
     * bucket prunes, singleton-gram prune) routes through here, and the
@@ -671,15 +685,30 @@ object Dedup {
     * (exact dups enter the store), for the band sidecar it silently loses
     * near-dup recall. An untrusted dir falls into the same self-healing
     * path as an absent one: the store dir is re-derived from its primary
-    * data, and the next armed batch's sidecar write overwrites the
-    * fragment whole. */
+    * data per batch, and [[ingestStep]] HEALS one such dir per batch
+    * (re-derive once, rewrite the sidecar whole) so the fallback cost is
+    * transient, not per-batch-forever.
+    *
+    * A deployment that disables success markers
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common
+    * object-store advice) would silently pay sidecar writes while
+    * trusting none of them — every-dirs-untrusted is loudly warned once
+    * per root so the misconfiguration is visible. */
+  private val warnedUntrustedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def trustedSidecarDirsByTag(spark: org.apache.spark.sql.SparkSession,
                                              root: String): Map[String, String] = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    listBatchDirs(spark, root).filter { d =>
+    val dirs = listBatchDirs(spark, root)
+    val trusted = dirs.filter { d =>
       val marker = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
       marker.getFileSystem(hconf).exists(marker)
-    }.map(d => dirTag(d) -> d).toMap
+    }
+    if (dirs.nonEmpty && trusted.isEmpty && warnedUntrustedRoots.add(root))
+      System.err.println(s"[graft] WARNING: sidecar root $root has ${dirs.size} batch dir(s) " +
+        "but none carries a _SUCCESS marker - if success-marker writing is disabled " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs=false) every sidecar is paid " +
+        "for but never trusted; re-enable markers for this store's writes")
+    trusted.map(d => dirTag(d) -> d).toMap
   }
 
   /** The band sidecar's bucket-function pin (`_bands/_params.json`): the
@@ -894,8 +923,12 @@ object Dedup {
       pp.getFileSystem(hconf).delete(pp, true)
     }
     // wipe every output root first: a retry must not union half-written
-    // artifacts or leave a stale pin next to them
+    // artifacts or leave a stale pin next to them. The byte cache must
+    // forget the output root too — compact→ingest→compact cycles reuse
+    // `<outPath>/batch-compacted` with different contents, and a stale
+    // cached size would mis-arm every later ingest against this store.
     Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands").foreach(wipe)
+    invalidateDirBytes(outPath)
     val nDoc = packed(docDirs)
     spark.read.parquet(docDirs: _*).coalesce(nDoc)
       .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
@@ -1183,6 +1216,7 @@ object Dedup {
     // a partial hash sidecar would silently shrink the anti-join's seen
     // set and let exact duplicates into the store
     val hashDirsByTag = trustedSidecarDirsByTag(spark, hashPath)
+    val rawDocDirs = docDirs.filterNot(d => hashDirsByTag.contains(dirTag(d)))
     // the one arming gate for both exact-tier amortizations (see above):
     // total store bytes — per-dir listings cached for the JVM's lifetime
     // ([[cachedDirBytes]]), so a long-lived stream lists each dir once,
@@ -1194,16 +1228,14 @@ object Dedup {
     val exact = (
       if (docDirs.isEmpty) exact0
       else {
-        val (hashedDirs, rawDirs) = docDirs.partition(d =>
-          hashDirsByTag.contains(d.substring(d.lastIndexOf('/') + 1)))
+        val hashedDirs = docDirs.filterNot(rawDocDirs.contains)
         val seenAll = Seq(
           if (hashedDirs.nonEmpty) Some(
-            spark.read.parquet(hashedDirs.map(d =>
-              hashDirsByTag(d.substring(d.lastIndexOf('/') + 1))): _*)
+            spark.read.parquet(hashedDirs.map(d => hashDirsByTag(dirTag(d))): _*)
               .select(col("content_hash").as("__seen_hash")))
           else None,
-          if (rawDirs.nonEmpty) Some(
-            spark.read.parquet(rawDirs: _*)
+          if (rawDocDirs.nonEmpty) Some(
+            spark.read.parquet(rawDocDirs: _*)
               .select(md5(col(contentCol)).as("__seen_hash")))
           else None).flatten.reduce(_.unionByName(_))
         if (!armed)
@@ -1232,6 +1264,17 @@ object Dedup {
       planAuditHook.foreach(_("ingest_exact", exact))
       phase("exact")(exact.count())
       pinnedExact0.foreach(_.unpersist())
+      // HEAL one sidecar-less store dir per armed batch: a crash fragment
+      // or pre-sidecar dir otherwise pays the full-text re-hash fallback
+      // on EVERY future batch until a compaction happens to run; one
+      // narrow scan + write per batch converges in #rawDirs batches and
+      // doubles as the in-place upgrade path for pre-sidecar stores
+      if (armed) rawDocDirs.headOption.foreach { d =>
+        phase("hash_heal")(
+          spark.read.parquet(d)
+            .select(md5(col(contentCol)).as("content_hash"))
+            .write.mode("overwrite").parquet(s"$hashPath/${dirTag(d)}"))
+      }
       // sidecar writer (armed stores only): hash the JUST-WRITTEN batch dir
       // (one narrow scan of a batch-sized dir) so the sidecar provably
       // mirrors the dir contents
@@ -1363,10 +1406,33 @@ object Dedup {
                   .options(noDictOptionsExcept("doc_id", "band", "bucket"))
                   .parquet(s"$bandsPath/$tag")
               }
+              // HEAL one band-sidecar-less sig dir per batch — same
+              // bounded-convergence posture as the hash-sidecar heal:
+              // a crash fragment or pre-sidecar dir re-bands once here
+              // instead of on every future batch's cross-store phase
+              sigDirs.filterNot(d => bandsDirByTag.contains(dirTag(d)))
+                .headOption.foreach { d =>
+                  phase("bands_heal")(
+                    spark.read.parquet(d).select(col("doc_id"),
+                        posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                          .as(Seq("band", "band_key")))
+                      .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
+                        lit(effBuckets.toLong)).cast("int"))
+                      .repartition(8, col("bucket"))
+                      .sortWithinPartitions("bucket", "band_key")
+                      .write.mode("overwrite")
+                      .options(noDictOptionsExcept("doc_id", "band", "bucket"))
+                      .parquet(s"$bandsPath/${dirTag(d)}"))
+                }
             } finally keepSigs.unpersist()
             } finally fresh.unpersist()
           } finally sigs.unpersist()
       }
+      // a RETRY overwrites this tag's dir with possibly different bytes —
+      // later batches must re-list it, not sum a prior attempt's cached
+      // size (invalidated after the write so a crash-and-retry can't
+      // re-cache the stale dir in between)
+      invalidateDirBytes(s"$storePath/$tag")
     } finally exact.unpersist()
   }
 

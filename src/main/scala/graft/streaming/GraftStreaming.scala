@@ -76,6 +76,16 @@ object GraftStreaming {
           }
       }
       spark.streams.addListener(listener)
+      // close the race with a query that died BEFORE the listener was
+      // registered (e.g. first micro-batch fails on a bad store path):
+      // the bus only delivers termination events to listeners present at
+      // post time, so an already-dead query would leak the cache forever.
+      // close() is idempotent, so the rare both-paths-fire overlap is
+      // harmless.
+      if (!query.isActive) {
+        c.close()
+        spark.streams.removeListener(listener)
+      }
     }
     query
   }

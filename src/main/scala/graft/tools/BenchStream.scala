@@ -173,8 +173,17 @@ object BenchStream {
             java.nio.charset.StandardCharsets.UTF_8)
           val priorHeap = """"heap_gb"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
             .map(_.group(1).toInt).getOrElse(-1)
-          if (priorHeap != heapGb.toInt) {
-            System.err.println(s"[bench-stream] merge skipped: prior heap_gb=$priorHeap != $heapGb")
+          val priorDocs = """"n_docs"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          val priorVecs = """"n_vectors"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
+            .map(_.group(1).toLong).getOrElse(-1L)
+          if (priorHeap != heapGb.toInt || priorDocs != nDocs || priorVecs != nVecs) {
+            // a prior record from a different heap OR corpus must never
+            // min-wall against this session: carried walls would describe
+            // a different workload while the record's n_docs/rates are
+            // overwritten with this session's
+            System.err.println(s"[bench-stream] merge skipped: prior heap_gb=$priorHeap/" +
+              s"n_docs=$priorDocs/n_vectors=$priorVecs vs $heapGb/$nDocs/$nVecs")
             Map.empty
           } else {
             sessions += """"sessions"\s*:\s*(\d+)""".r.findFirstMatchIn(prior)
@@ -221,7 +230,8 @@ object BenchStream {
       s""""cal":${cals.map { case (k, (a, b)) =>
         s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
       (if (merge && sessions > 1)
-        s""""sessions":$sessions,"note":"per-tier min-wall across sessions",""" else "") +
+        s""""sessions":$sessions,"note":"per-tier min-wall across sessions; """ +
+        s"""cal brackets are the most recent session's",""" else "") +
       s""""heap_gb":$heapGb}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

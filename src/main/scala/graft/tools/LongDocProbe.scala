@@ -71,8 +71,12 @@ object LongDocProbe {
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     (0 until nBatches).foreach { b =>
       val batch = spark.read.parquet(s"$work/src/__b=$b")
-      // interleave arms within the batch index: drift hits both alike
-      val walls = Seq("armed" -> 0L, "disarmed" -> Long.MaxValue).map { case (arm, gate) =>
+      // interleave arms within the batch index, ALTERNATING which arm
+      // runs first per batch: IngestAbProbe's A/A control measured a
+      // strong second-runner advantage (warm page cache), so a fixed
+      // order would systematically charge one arm
+      val arms = Seq("armed" -> 0L, "disarmed" -> Long.MaxValue)
+      val walls = (if (b % 2 == 0) arms else arms.reverse).map { case (arm, gate) =>
         val t0 = System.nanoTime()
         graft.ext.Dedup.ingestStep(batch, "doc_id", "text", s"$work/$arm",
           batchTag = Some(s"b$b"), exactArmMinStoreBytes = gate)

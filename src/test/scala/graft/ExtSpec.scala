@@ -526,6 +526,28 @@ class ExtSpec extends AnyFunSuite {
       "doc_id", "text", store, batchTag = Some("s3"), exactArmMinStoreBytes = 0L)
     val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 2L, 3L, 5L), s"partial sidecar leaked a duplicate: $ids")
+    // and the fragment dir was HEALED by that batch (re-hashed + rewritten
+    // whole), so later batches read the sidecar instead of re-hashing s1
+    // forever
+    assert(new java.io.File(s"${store}_hashes/batch-s1/_SUCCESS").exists(),
+      "fragment sidecar was not healed")
+    assert(spark.read.parquet(s"${store}_hashes/batch-s1").count() == 2)
+  }
+
+  test("cachedDirBytes: writers invalidate reused paths") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dirbytes").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    (1 to 10).toDF("v").write.mode("overwrite").parquet(s"$root/batch-x")
+    val first = Dedup.cachedDirBytes(hconf, s"$root/batch-x")
+    // rewrite the dir with 100x the rows — the cache must serve the stale
+    // value until a writer invalidates, then re-list
+    (1 to 1000).map(i => s"row-$i-some-longer-content").toDF("v")
+      .write.mode("overwrite").parquet(s"$root/batch-x")
+    assert(Dedup.cachedDirBytes(hconf, s"$root/batch-x") == first, "expected stale cache")
+    Dedup.invalidateDirBytes(s"$root/batch-x")
+    val healed = Dedup.cachedDirBytes(hconf, s"$root/batch-x")
+    assert(healed > first, s"invalidate did not refresh: $healed vs $first")
   }
 
   test("ingestStep: band sidecar written per near-tier batch, fallback identical, pruned probe exact") {
@@ -578,6 +600,12 @@ class ExtSpec extends AnyFunSuite {
     val afterFrag = Dedup.readStore(spark, s"$root/a").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(afterFrag == Set(1L, 2L, 4L, 6L), s"partial band sidecar lost recall: $afterFrag")
+    // the fragment dir was HEALED by that batch: rewritten whole with its
+    // marker, rows again the exact banding of its sig dir
+    assert(new java.io.File(s"$root/a_bands/batch-s0/_SUCCESS").exists(),
+      "band fragment was not healed")
+    assert(spark.read.parquet(s"$root/a_bands/batch-s0").count() ==
+      spark.read.parquet(s"$root/a_sigs/batch-s0").count() * 16)
     // bounded probe (1 doc = 16 keys << buckets): the bucket-pruned read
     // engages and must return the same answer — near-dup still dropped
     Dedup.ingestStep(fromJsonl(
