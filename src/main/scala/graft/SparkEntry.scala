@@ -1276,6 +1276,40 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // batched near-dup lookup over the same 3-shard near-tier store: a
+    // FRAME of probes (groups 1 and 3's base texts + a vocabulary-disjoint
+    // control) banded once and resolved through ONE bipartite band join —
+    // constant job count in the probe count (spec-pinned). Each matching
+    // probe returns its cluster's sole survivor — the min (shard, doc_id)
+    // of the token-identical group — at Jaccard exactly 1.0; the disjoint
+    // probe returns nothing.
+    "q_dedup_lookup_batch" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-lookupb-gate").toString
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/store", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString))
+        }
+        val probes = Seq(
+          (0L, neardupGateText(5)),
+          (1L, neardupGateText(15)),
+          (2L, "wholly absent vocabulary zone sharing nothing with any stored document"))
+          .toDF("probe_id", "text")
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.lookupNearDupsBatch(spark, s"$root/store",
+            probes, "probe_id", "text", threshold = 0.9),
+          "graft-lookupb-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -3218,6 +3252,18 @@ object SparkEntry {
       r AS (SELECT doc_id, g, v, row_number() OVER (
               PARTITION BY g, (v < 4) ORDER BY shard, doc_id) AS rn FROM c)
       SELECT doc_id, CAST(1.0 AS DOUBLE) AS jaccard FROM r WHERE rn = 1 AND g = 1 AND v < 4""",
+    // batched lookup: probe 0 = group 1's base text, probe 1 = group 3's;
+    // each resolves to that group's near-cluster survivor (min (shard,
+    // doc_id) of the token-identical members) at Jaccard 1.0; the disjoint
+    // probe 2 matches nothing
+    "q_dedup_lookup_batch" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      r AS (SELECT doc_id, g, v, row_number() OVER (
+              PARTITION BY g, (v < 4) ORDER BY shard, doc_id) AS rn FROM c),
+      p AS (SELECT CAST(0 AS BIGINT) AS probe_id, CAST(1 AS BIGINT) AS g
+            UNION ALL SELECT CAST(1 AS BIGINT), CAST(3 AS BIGINT))
+      SELECT p.probe_id, r.doc_id, CAST(1.0 AS DOUBLE) AS jaccard
+      FROM p JOIN r ON r.g = p.g AND r.rn = 1 AND r.v < 4""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
     // the same derived parent-pointer tree (1-based p_partkey: chains end
     // at keys 1 and 2, whose computed parent 0 matches no row on either

@@ -166,26 +166,49 @@ object Dedup {
     * compaction are never summed again (the gate only looks up dirs the
     * current listing returned) and cost a few dozen bytes each. */
   private val dirBytesCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** One canonical spelling for a path — `scheme://authority/path`, no
+    * trailing slash — shared by every identity-sensitive path compare in
+    * this file (the byte cache's keys, [[compactIngestStore]]'s
+    * disjointness check). Rebuilt from URI components because
+    * `Path.toUri.toString` renders the empty authority inconsistently
+    * (`file:///a` when qualification added the scheme, `file:/a` when the
+    * caller wrote it), so a raw string compare lets exactly the alias this
+    * canonicalization exists for slip through. */
+  private[graft] def qualifiedUri(hconf: org.apache.hadoop.conf.Configuration,
+                                  s: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s)
+    val u = p.getFileSystem(hconf).makeQualified(p).toUri
+    val auth = Option(u.getAuthority).getOrElse("")
+    s"${u.getScheme}://$auth${u.getPath}".stripSuffix("/")
+  }
+
   private[graft] def cachedDirBytes(hconf: org.apache.hadoop.conf.Configuration,
                                     dir: String): Long =
-    dirBytesCache.computeIfAbsent(dir, d => {
+    dirBytesCache.computeIfAbsent(qualifiedUri(hconf, dir), d => {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(hconf).getContentSummary(p).getLength
     })
 
-  /** Drop [[cachedDirBytes]] entries under a path — the WRITERS' half of
-    * the cache contract. "Immutable once a later batch can see it" fails
-    * exactly twice, and both mutators invalidate here: (a) a retried
+  /** Drop [[cachedDirBytes]] entries at or under a path — the WRITERS'
+    * half of the cache contract. "Immutable once a later batch can see it"
+    * fails exactly twice, and both mutators invalidate here: (a) a retried
     * batch overwrites its OWN tag with possibly different bytes (its dir
     * is excluded from its own read set but summed by every LATER batch),
     * and (b) compaction reuses `<outPath>/batch-compacted` across
     * compact→ingest→compact cycles — without invalidation a long-lived
     * JVM would sum a stale length and, e.g., hold a now-huge store below
-    * the arming gate forever. Substring match: cache keys are the listed
-    * (FileSystem-qualified) dir strings, which contain the raw root the
-    * writer passed whether or not the caller wrote the scheme. */
-  private[graft] def invalidateDirBytes(pathSubstring: String): Unit =
-    dirBytesCache.keySet.removeIf(_.contains(pathSubstring))
+    * the arming gate forever. Both sides are canonicalized through
+    * [[qualifiedUri]] and matched on PATH-SEGMENT boundaries: a raw
+    * substring match would miss a `file://`-spelled root against an
+    * unqualified key (never invalidating — the exact stale-gate case this
+    * function closes) and evict `batch-30` when asked for `batch-3`
+    * (benign but wasteful re-listing). */
+  private[graft] def invalidateDirBytes(hconf: org.apache.hadoop.conf.Configuration,
+                                        root: String): Unit = {
+    val q = qualifiedUri(hconf, root)
+    dirBytesCache.keySet.removeIf(k => k == q || k.startsWith(q + "/"))
+  }
 
   /** The ONE recipe for probing a driver-built Bloom filter from a column
     * of 64-bit hashes — every prefilter (exact-content store bloom, band-
@@ -232,6 +255,53 @@ object Dedup {
       val bc = spark.sparkContext.broadcast(bf)
       val probe = udf((h: Long) => bc.value.mightContainLong(h))
       (h: Column) => probe(h)
+    }
+  }
+
+  /** Bounded verify fetch for [[minhashPairsFromSignatures]]'s bipartite
+    * ingest tier — the r12 verdict's last O(store)-per-batch cost. Without
+    * it the exact-Jaccard verify joins candidates against the FULL sig
+    * store's (doc_id, sh) columns (~400 B/doc), a store-linear scan every
+    * micro-batch (measured 5 s/batch at a 3M-doc store growing to 9-11 s
+    * at 5.5M). The candidate set itself is batch-bounded, so the verify
+    * only ever NEEDS the candidates' own signatures: when this is passed,
+    * the candidate pairs (which carry a `__dir` batch-dir tag from the
+    * band sidecar scan) are pinned, their matched dir tags and distinct
+    * store-side ids are collected (driver-bounded by `maxCollectRows` —
+    * past it the full-store fetch is kept, never a wrong answer), and
+    * `resolve(tags, ranges)` returns the verify frame: ONLY the matched
+    * sig dirs, filtered by ≤`maxRanges` doc_id intervals that the sorted
+    * sig layout turns into parquet row-group prunes. Results are
+    * bit-identical to the full fetch — every candidate's store id is, by
+    * construction, inside both the matched dirs and the collected ranges.
+    * `register` hands the caller each frame pinned here so its persist is
+    * released under the caller's try/finally discipline. */
+  private[graft] final case class VerifyPrune(
+      resolve: (Set[String], Option[Seq[(Long, Long)]]) => DataFrame,
+      register: DataFrame => Unit,
+      maxCollectRows: Int = 500000,
+      maxRanges: Int = 64)
+
+  /** Coalesce a sorted distinct id array into at most `maxRanges` closed
+    * intervals, splitting at the largest gaps — the shape a parquet reader
+    * prunes best (an IN-list of thousands of ids is expensive to even
+    * plan; ≤64 BETWEENs evaluate against row-group min/max stats in
+    * microseconds). Exact containment: every input id lies inside some
+    * returned interval (intervals may cover absent ids — the verify join's
+    * equality re-checks, so over-coverage costs IO, never answers). */
+  private[graft] def idRanges(sorted: Array[Long], maxRanges: Int): Seq[(Long, Long)] = {
+    require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
+    if (sorted.isEmpty) Seq.empty
+    else {
+      val splits = (1 until sorted.length)
+        .map(i => (sorted(i) - sorted(i - 1), i))
+        .filter(_._1 > 1)
+        .sortBy(-_._1)
+        .take(maxRanges - 1)
+        .map(_._2).sorted
+      (0 +: splits :+ sorted.length).sliding(2).map {
+        case Seq(a, b) => (sorted(a), sorted(b - 1))
+      }.toSeq
     }
   }
 
@@ -419,12 +489,20 @@ object Dedup {
                                  leftName: String, rightName: String,
                                  materializeCandidates: Boolean = false,
                                  leftBoundedPrune: Boolean = false,
-                                 rightBandedPre: Option[DataFrame] = None): DataFrame = {
+                                 rightBandedPre: Option[DataFrame] = None,
+                                 verifyPrune: Option[VerifyPrune] = None): DataFrame = {
     def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
       col(idAs),
       posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
+    // `__dir` (the batch-dir tag a banded row came from) rides along when
+    // the precomputed frame carries it — [[VerifyPrune]]'s matched-dir
+    // carrier; without it the column set is unchanged
     def bandedRightSide(idAs: String): DataFrame = rightBandedPre
-      .map(_.select(col("doc_id").as(idAs), col("band"), col("band_key")))
+      .map { pre =>
+        val cols = Seq(col("doc_id").as(idAs), col("band"), col("band_key")) ++
+          (if (pre.columns.contains("__dir")) Seq(col("__dir")) else Nil)
+        pre.select(cols: _*)
+      }
       .getOrElse(banded(renamed(right, idAs), idAs))
     def renamed(sigs: DataFrame, idAs: String): DataFrame =
       sigs.select(col("doc_id").as(idAs), col("sig"))
@@ -544,14 +622,51 @@ object Dedup {
         }
       }
     val cand0 = bandedLeft.join(bandedRight, Seq("band", "band_key"))
-    val cand1 = (if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0)
-      .select(leftName, rightName).distinct()
-    val candidates = if (!materializeCandidates) cand1
-      else phase("mh_cand")(spillSized(cand1, "graft-minhash-cand"))
+    val cand0p = if (selfPairs) cand0.filter(col(leftName) < col(rightName)) else cand0
+    // ---- bounded verify fetch (see [[VerifyPrune]]) ----
+    // Active only when the right side's banded rows carry their batch-dir
+    // tag: the candidate set (batch-bounded) is pinned, its matched dirs +
+    // store-side ids collected once, and the verify joins against ONLY the
+    // resolver's pruned (matched dirs × id ranges) slice of the store
+    // instead of a store-linear (doc_id, sh) scan. Collect overflow (a
+    // pathological batch colliding with >maxCollectRows store docs) keeps
+    // the full-store fetch — the prune bounds IO, never changes answers.
+    val pruneActive = verifyPrune.isDefined && bandedRight.columns.contains("__dir")
+    val (candidates, verifyRight) =
+      if (pruneActive) {
+        val vp = verifyPrune.get
+        val pinnedCand = cand0p.select(col(leftName), col(rightName), col("__dir"))
+          .distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        vp.register(pinnedCand)
+        val sample = pinnedCand.select(col(rightName), col("__dir")).distinct()
+          .limit(vp.maxCollectRows + 1).collect()
+        val resolved =
+          if (sample.length > vp.maxCollectRows ||
+              sample.exists(_.getString(1).isEmpty)) right
+          else {
+            val tags = sample.map(_.getString(1)).toSet
+            val nonNullIds = sample.filter(!_.isNullAt(0))
+            val ranges = pinnedCand.schema(rightName).dataType match {
+              case org.apache.spark.sql.types.LongType =>
+                Some(idRanges(nonNullIds.map(_.getLong(0)).distinct.sorted, vp.maxRanges))
+              case org.apache.spark.sql.types.IntegerType =>
+                Some(idRanges(nonNullIds.map(_.getInt(0).toLong).distinct.sorted, vp.maxRanges))
+              case _ => None // non-integral ids: matched-dir prune only
+            }
+            vp.resolve(tags, ranges)
+          }
+        (pinnedCand.select(leftName, rightName), resolved)
+      } else {
+        val cand1 = cand0p.select(leftName, rightName).distinct()
+        (if (!materializeCandidates) cand1
+         else phase("mh_cand")(spillSized(cand1, "graft-minhash-cand")),
+          right)
+      }
     pinnedBandedLeft.foreach(_.unpersist())
     candidates
       .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
-      .join(right.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
+      .join(verifyRight.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
       .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(leftName), col(rightName), col("jaccard"))
@@ -693,7 +808,20 @@ object Dedup {
     * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`, common
     * object-store advice) would silently pay sidecar writes while
     * trusting none of them — every-dirs-untrusted is loudly warned once
-    * per root so the misconfiguration is visible. */
+    * per root so the misconfiguration is visible.
+    *
+    * Retries and the SIG dir: [[ingestStep]] deletes a retried tag's
+    * hash/band sidecars before overwriting its primary dir (both are
+    * derivable, so a crash costs only transient fallback scans), but the
+    * tag's existing `_sigs` dir is kept — a retry crashing between the
+    * store write and the sig write then trusts the PRIOR attempt's
+    * signatures, which is sound only under the deterministic-replay
+    * contract every tag carries (same tag ⇒ same batch content ⇒ the
+    * survivors, and hence their signatures, replay identically; the
+    * default auto tag digests the content to enforce exactly this).
+    * Deleting the sig dir instead would turn that stale-but-identical
+    * window into a missing-signatures window, i.e. silent near-dup recall
+    * loss against the batch. */
   private val warnedUntrustedRoots = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def trustedSidecarDirsByTag(spark: org.apache.spark.sql.SparkSession,
                                              root: String): Map[String, String] = {
@@ -759,12 +887,13 @@ object Dedup {
     * every returned row is exact-verified, so precision is exact.
     *
     * @return (doc_id, jaccard) of matching survivors. */
-  def lookupNearDups(spark: org.apache.spark.sql.SparkSession, storePath: String,
-                     text: String, threshold: Double): DataFrame = {
-    require(text != null, "lookupNearDups probe text must be non-null " +
-      "(null-content documents live in the exact tier only)")
+  /** The (shingleSize, numHashes, bands) pin of a near-tier sig store —
+    * the parameters every probe MUST band with (a mis-banded probe
+    * silently loses recall, which is why lookups refuse stores without a
+    * pin instead of guessing). */
+  private def readSigPins(spark: org.apache.spark.sql.SparkSession,
+                          sigPath: String): (Int, Int, Int) = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    val sigPath = storePath + "_sigs"
     val pinP = new org.apache.hadoop.fs.Path(sigPath, "_params.json")
     val fs = pinP.getFileSystem(hconf)
     require(fs.exists(pinP),
@@ -776,8 +905,30 @@ object Dedup {
     def pinned(k: String): Int = (s""""$k"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(pin)
       .map(_.group(1).toInt).getOrElse(throw new graft.model.ValidationError(
         s"sig store pin $pinP is missing $k: $pin"))
-    val shingleSize = pinned("shingleSize"); val numHashes = pinned("numHashes")
-    val bands = pinned("bands"); val rpb = numHashes / bands
+    (pinned("shingleSize"), pinned("numHashes"), pinned("bands"))
+  }
+
+  /** The band sidecar's pinned bucket count, when the store has one. */
+  private def readBandBucketsPin(spark: org.apache.spark.sql.SparkSession,
+                                 bandsPath: String): Option[Int] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val bandPin = new org.apache.hadoop.fs.Path(bandsPath, "_params.json")
+    if (!bandPin.getFileSystem(hconf).exists(bandPin)) None
+    else {
+      val in = bandPin.getFileSystem(hconf).open(bandPin)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+    }
+  }
+
+  def lookupNearDups(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                     text: String, threshold: Double): DataFrame = {
+    require(text != null, "lookupNearDups probe text must be non-null " +
+      "(null-content documents live in the exact tier only)")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val sigPath = storePath + "_sigs"
+    val (shingleSize, numHashes, bands) = readSigPins(spark, sigPath)
+    val rpb = numHashes / bands
     val sigDirs = listBatchDirs(spark, sigPath)
     require(sigDirs.nonEmpty, s"no ingested batches under $sigPath")
     // probe signature + band keys through the SAME kernels ingest used —
@@ -790,13 +941,7 @@ object Dedup {
     val bandsPath = storePath + "_bands"
     val bandsByTag = trustedSidecarDirsByTag(spark, bandsPath)
     val (bandedDirs, rawDirs) = sigDirs.partition(d => bandsByTag.contains(dirTag(d)))
-    val bandPin = new org.apache.hadoop.fs.Path(bandsPath, "_params.json")
-    val buckets: Option[Int] =
-      if (bandPin.getFileSystem(hconf).exists(bandPin)) {
-        val in = bandPin.getFileSystem(hconf).open(bandPin)
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-        """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-      } else None
+    val buckets: Option[Int] = readBandBucketsPin(spark, bandsPath)
     // the probe's (band, band_key, bucket) rows — bucket via the same SQL
     // expression the sidecar writer used, so the prune can never drift
     // from the layout
@@ -851,6 +996,107 @@ object Dedup {
       .select(col("doc_id"), col("jaccard"))
   }
 
+  /** Batched [[lookupNearDups]]: a DATAFRAME of probes against the store
+    * in one plan, instead of one driver round-trip per probe — the
+    * decontamination-style workload (10k eval probes against a curated
+    * store) pays 10k point calls otherwise. All probes are signed and
+    * banded ONCE (the store's pinned parameters), candidates come from a
+    * single bipartite band equi-join against the band sidecar
+    * ([[Decontamination.flagFuzzy]]'s shape, served by the precomputed
+    * ~20 B/row keys instead of re-banding the store), and the verify reads
+    * ONLY the matched sig dirs filtered to the candidates' doc_id ranges —
+    * the same matched-dir + id-range prune the ingest verify uses. Job
+    * count is CONSTANT in the number of probes (spec-pinned); recall is
+    * the store's pinned LSH s-curve per probe, precision exact.
+    *
+    * Null-text probes return no rows (null content lives in the exact
+    * tier only — same contract as the point lookup's non-null require).
+    *
+    * @param probes frame carrying `probeIdCol` and `textCol`
+    * @return (probeIdCol, doc_id, jaccard) — store survivors whose exact
+    *         Jaccard with that probe clears `threshold`. */
+  def lookupNearDupsBatch(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                          probes: DataFrame, probeIdCol: String, textCol: String,
+                          threshold: Double): DataFrame = {
+    val sigPath = storePath + "_sigs"
+    val (shingleSize, numHashes, bands) = readSigPins(spark, sigPath)
+    val rpb = numHashes / bands
+    val sigDirs = listBatchDirs(spark, sigPath)
+    require(sigDirs.nonEmpty, s"no ingested batches under $sigPath")
+    val bandsPath = storePath + "_bands"
+    val bandsByTag = trustedSidecarDirsByTag(spark, bandsPath)
+    val (bandedDirs, rawDirs) = sigDirs.partition(d => bandsByTag.contains(dirTag(d)))
+    val buckets: Option[Int] = readBandBucketsPin(spark, bandsPath)
+    def emptyResult: DataFrame = spark.read.parquet(sigDirs.head).limit(0)
+      .select(lit(null).cast(probes.schema(probeIdCol).dataType).as(probeIdCol),
+        col("doc_id"), lit(0.0).as("jaccard"))
+    // probe signatures through the SAME kernels ingest used, spilled once —
+    // the band phase and the verify both reuse them
+    val probeSigs = spill(
+      signatureTable(probes.filter(col(textCol).isNotNull), probeIdCol, textCol,
+        shingleSize, numHashes).withColumnRenamed("doc_id", "__probe_id"),
+      "graft-lookupb-sigs", noDictOptions)
+    val nProbes = probeSigs.count()
+    if (nProbes == 0L) return emptyResult
+    val probeBands = probeSigs.select(col("__probe_id"),
+      posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig"))).as(Seq("band", "band_key")))
+    // the batch-dir tag each store row came from — the matched-dir carrier
+    val dirCol = regexp_extract(input_file_name(), "/(batch-[^/]+)/[^/]*$", 1).as("__dir")
+    val storeBands = {
+      val sidecarPart =
+        if (bandedDirs.isEmpty) None
+        else {
+          val sidecar0 = spark.read.parquet(bandedDirs.map(d => bandsByTag(dirTag(d))): _*)
+          // bucket prune, bounded probes only — same arithmetic gate as
+          // ingest (a large probe set covers every bucket by birthday
+          // arithmetic; the narrow precomputed scan is the win there)
+          val sidecar = buckets match {
+            case Some(nb) if nProbes * bands <= nb * 2L =>
+              val bks = probeBands
+                .select(pmod(xxhash64(col("band"), col("band_key")),
+                  lit(nb.toLong)).cast("int").as("bucket"))
+                .distinct().collect().map(_.getInt(0)).toSeq
+              if (bks.size < nb) sidecar0.filter(col("bucket").isin(bks: _*)) else sidecar0
+            case _ => sidecar0
+          }
+          Some(sidecar.select(col("doc_id"), col("band"), col("band_key"), dirCol))
+        }
+      val rawPart =
+        if (rawDirs.isEmpty) None
+        else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
+          posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+            .as(Seq("band", "band_key")), dirCol))
+      Seq(sidecarPart, rawPart).flatten.reduce(_.unionByName(_))
+    }
+    // ONE bipartite band join for every probe; spilled so the matched-dir
+    // collect and the verify join share the candidate set
+    val cand = spill(probeBands.join(storeBands, Seq("band", "band_key"))
+      .select(col("__probe_id"), col("doc_id"), col("__dir")).distinct(),
+      "graft-lookupb-cand")
+    lookupAuditHook.foreach(_("lookup_batch_candidates", cand))
+    val meta = cand.select(col("doc_id"), col("__dir")).distinct().collect()
+    if (meta.isEmpty) return emptyResult
+    val tags = meta.map(_.getString(1)).toSet
+    val matchedSigDirs = sigDirs.filter(d => tags.contains(dirTag(d)))
+    if (matchedSigDirs.isEmpty || tags.contains("")) return emptyResult
+    val ranges = cand.schema("doc_id").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        Some(idRanges(meta.filter(!_.isNullAt(0)).map(_.getLong(0)).distinct.sorted, 64))
+      case org.apache.spark.sql.types.IntegerType =>
+        Some(idRanges(meta.filter(!_.isNullAt(0)).map(_.getInt(0).toLong).distinct.sorted, 64))
+      case _ => None
+    }
+    val base = spark.read.parquet(matchedSigDirs: _*)
+    val matchedSigs = ranges.filter(_.nonEmpty).fold(base)(rs => base.filter(
+      rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }.reduce(_ || _)))
+    cand.select(col("__probe_id"), col("doc_id"))
+      .join(matchedSigs.select(col("doc_id"), col("sh")), Seq("doc_id"))
+      .join(probeSigs.select(col("__probe_id"), col("sh").as("__sh_p")), Seq("__probe_id"))
+      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh"), col("__sh_p")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__probe_id").as(probeIdCol), col("doc_id"), col("jaccard"))
+  }
+
   /** Compact an [[ingestStep]]-maintained store: bin-pack the accumulated
     * `batch-*` directories of the document store AND its `_sigs` /
     * `_hashes` sidecars into one `batch-compacted` directory each, sized
@@ -881,7 +1127,8 @@ object Dedup {
   def compactIngestStore(spark: org.apache.spark.sql.SparkSession, path: String,
                          outPath: String, contentCol: String,
                          targetFileMB: Int = 256,
-                         hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes): Int = {
+                         hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes,
+                         bandBuckets: Option[Int] = None): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     val hconf = spark.sparkContext.hadoopConfiguration
     // Disjointness across EVERY root this call wipes vs EVERY root it
@@ -891,17 +1138,10 @@ object Dedup {
     // store named <outPath>_hashes, …) would destroy the source first.
     // Paths are FileSystem-qualified so scheme/relative aliases of one
     // location (file:///a/b vs /a/b, default-FS-relative vs absolute)
-    // compare equal instead of slipping past a raw string prefix test.
-    // rebuilt from URI components because Path.toUri renders the empty
-    // authority inconsistently ("file:///a" when qualification added it,
-    // "file:/a" when the caller wrote the scheme) — a raw toString compare
-    // let exactly the alias this check exists for slip through
-    def qualified(s: String): String = {
-      val p = new org.apache.hadoop.fs.Path(s)
-      val u = p.getFileSystem(hconf).makeQualified(p).toUri
-      val auth = Option(u.getAuthority).getOrElse("")
-      s"${u.getScheme}://$auth${u.getPath}".stripSuffix("/") + "/"
-    }
+    // compare equal instead of slipping past a raw string prefix test —
+    // the one canonical spelling [[qualifiedUri]] produces; the trailing
+    // slash makes startsWith a whole-segment prefix test.
+    def qualified(s: String): String = qualifiedUri(hconf, s) + "/"
     val srcRoots = Seq(path, path + "_sigs", path + "_hashes", path + "_bands").map(qualified)
     val outRoots = Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands")
       .map(qualified)
@@ -928,7 +1168,7 @@ object Dedup {
     // `<outPath>/batch-compacted` with different contents, and a stale
     // cached size would mis-arm every later ingest against this store.
     Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands").foreach(wipe)
-    invalidateDirBytes(outPath)
+    invalidateDirBytes(hconf, outPath)
     val nDoc = packed(docDirs)
     spark.read.parquet(docDirs: _*).coalesce(nDoc)
       .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
@@ -947,9 +1187,19 @@ object Dedup {
         val in = fs.open(srcPin)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       }
-      // signatures are hash-valued arrays — see [[noDictOptions]]
+      // signatures are hash-valued arrays — see [[noDictOptions]].
+      // repartitionByRange on doc_id, not the shuffle-free coalesce the doc
+      // store keeps: compaction is the one offline moment that can buy the
+      // sig store a doc_id-CLUSTERED layout (per-file disjoint id ranges,
+      // rows sorted within), which is what lets the ingest verify's
+      // id-range predicate and lookupNearDups' candidate fetch prune at
+      // the file/row-group level instead of scanning the whole store —
+      // one store-sized narrow shuffle, paid once per compaction, against
+      // a store-linear read every future micro-batch.
       val nSig = packed(sigDirs)
-      spark.read.parquet(sigDirs: _*).coalesce(nSig)
+      spark.read.parquet(sigDirs: _*)
+        .repartitionByRange(nSig, col("doc_id"))
+        .sortWithinPartitions("doc_id")
         .write.mode("overwrite").options(noDictOptions)
         .parquet(s"${outPath}_sigs/batch-compacted")
       // Band sidecar: REGENERATED from the compacted signatures (one
@@ -964,29 +1214,33 @@ object Dedup {
       val sigBands = """"bands"\s*:\s*(\d+)""".r.findFirstMatchIn(pinBytes).map(_.group(1).toInt)
       val sigHashes = """"numHashes"\s*:\s*(\d+)""".r.findFirstMatchIn(pinBytes).map(_.group(1).toInt)
       for (b <- sigBands; h <- sigHashes if h % b == 0) {
-        val srcBandPin = new org.apache.hadoop.fs.Path(path + "_bands", "_params.json")
-        val bfs = srcBandPin.getFileSystem(hconf)
-        val buckets =
-          if (bfs.exists(srcBandPin)) {
-            val in = bfs.open(srcBandPin)
-            val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-            """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
-              .getOrElse(bandSidecarBuckets)
-          } else bandSidecarBuckets
+        // bucket function for the regenerated index: an explicit override
+        // wins (the in-place auto-compact swap passes the LIVE store's pin
+        // so the moved-in dir can never disagree with it); otherwise the
+        // source pin; otherwise the size-scaled default — a fresh output
+        // root writes its own pin before its band dir, so re-bucketing a
+        // pin-less store here is always self-consistent
+        val buckets = bandBuckets
+          .orElse(readBandBucketsPin(spark, path + "_bands"))
+          .getOrElse(bandSidecarBuckets)
         val outBandPin = new org.apache.hadoop.fs.Path(outPath + "_bands", "_params.json")
         val obFs = outBandPin.getFileSystem(hconf)
         val ob = obFs.create(outBandPin, true)
         try ob.write(s"""{"buckets":$buckets}""".getBytes("UTF-8")) finally ob.close()
-        // repartition, not coalesce: coalesce would collapse the explode
-        // into nSig tasks (serialized kernel over the whole store); the
-        // exchange is narrow (~25 B/row) and clusters whole buckets per
-        // file for file-level bucket pruning
+        // repartitionByRange, not coalesce (which would collapse the
+        // explode into nSig serialized tasks) and not hash-repartition on
+        // bucket (64 distinct values hashed into nSig partitions leaves
+        // empties whenever nSig > 64 and can collide several buckets into
+        // one file while others sit empty): ranging on (bucket, band_key)
+        // fills every output file evenly AND gives each file a contiguous
+        // bucket range — point probes then prune whole FILES by footer
+        // stats, not just row groups. The exchange is narrow (~25 B/row).
         spark.read.parquet(s"${outPath}_sigs/batch-compacted")
           .select(col("doc_id"), posexplode(
             Kernels.bandKeysKernel(b, h / b)(col("sig"))).as(Seq("band", "band_key")))
           .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
             lit(buckets.toLong)).cast("int"))
-          .repartition(nSig, col("bucket"))
+          .repartitionByRange(nSig, col("bucket"), col("band_key"))
           .sortWithinPartitions("bucket", "band_key")
           .write.mode("overwrite")
           .options(noDictOptionsExcept("doc_id", "band", "bucket"))
@@ -998,6 +1252,89 @@ object Dedup {
       try o.write(pinBytes.getBytes("UTF-8")) finally o.close()
     }
     nDoc
+  }
+
+  /** Threshold-gated in-place compaction for LONG-LIVED ingest sinks —
+    * [[compactIngestStore]] is operator-invoked and writes a NEW root, but
+    * a stream that runs for weeks accumulates one batch dir (plus sidecar
+    * dirs) per micro-batch until someone remembers to run it. This hook
+    * runs between micro-batches (same single-writer window every store
+    * mutation already assumes): when the store holds ≥ `maxDirs` batch
+    * dirs, it compacts into a STAGING root (`<storePath>__compacting`,
+    * wiped first — the disjointness check applies as usual), then swaps:
+    *
+    *  1. the compacted dirs are MOVED IN first, as a fresh
+    *     `batch-compacted-<k>` tag (k = 1 + the highest existing compacted
+    *     ordinal, so a crash-left survivor never collides), docs first;
+    *  2. only then are the old batch dirs deleted — sidecars first
+    *     (derivable), then sigs, then docs.
+    *
+    * Crash posture: the store's read set is a MEMBERSHIP structure for
+    * dedup (duplicates in it can only re-drop documents that are already
+    * dups; they never admit one), so every intermediate state is safe —
+    * before step 1 completes the original dirs are untouched; between 1
+    * and 2 the store is read twice-over (wasteful, never wrong); a crash
+    * mid-2 leaves a subset of the duplicates. The one forbidden state —
+    * content MISSING from the union — is unreachable because nothing is
+    * deleted until the compacted copy is fully in place. A half-written
+    * staging root from an earlier crash is wiped by the next attempt.
+    * The byte cache is invalidated for the whole store and a provided
+    * [[SigStoreCache]] drops pins for the deleted dirs.
+    *
+    * @return true if a compaction ran. */
+  def autoCompactIngestStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                             contentCol: String, maxDirs: Int,
+                             targetFileMB: Int = 256,
+                             sigCache: Option[SigStoreCache] = None): Boolean = {
+    require(maxDirs >= 2, s"maxDirs must be >= 2, got $maxDirs")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dirs = listBatchDirs(spark, storePath)
+    if (dirs.size < maxDirs) return false
+    val staging = storePath + "__compacting"
+    // keep the LIVE band-bucket pin across the swap: the staged band index
+    // must be bucketed by the function the live `_bands/_params.json`
+    // already pins — re-bucketing here would leave the moved-in dir and
+    // the live pin describing different functions mid-crash
+    val liveBuckets = readBandBucketsPin(spark, storePath + "_bands")
+    compactIngestStore(spark, storePath, staging, contentCol, targetFileMB,
+      bandBuckets = liveBuckets)
+    // fresh ordinal: one above any compacted tag already present (a crash
+    // between move-in and delete leaves the prior ordinal in place)
+    val k = 1 + dirs.map(dirTag).flatMap { t =>
+      "^batch-compacted-(\\d+)$".r.findFirstMatchIn(t).map(_.group(1).toInt)
+    }.foldLeft(0)(math.max)
+    def fs(p: org.apache.hadoop.fs.Path) = p.getFileSystem(hconf)
+    // move in (docs first — the primary store must never lag a sidecar)
+    for (suffix <- Seq("", "_sigs", "_hashes", "_bands")) {
+      val src = new org.apache.hadoop.fs.Path(staging + suffix, "batch-compacted")
+      if (fs(src).exists(src)) {
+        val dstRoot = new org.apache.hadoop.fs.Path(storePath + suffix)
+        fs(dstRoot).mkdirs(dstRoot)
+        val dst = new org.apache.hadoop.fs.Path(dstRoot, s"batch-compacted-$k")
+        fs(src).delete(dst, true)
+        require(fs(src).rename(src, dst), s"rename $src -> $dst failed")
+      }
+    }
+    // delete the old dirs — sidecars first, then sigs, then docs, so any
+    // crash point leaves the union a superset of the content
+    val oldTags = dirs.map(dirTag).toSet
+    for (suffix <- Seq("_bands", "_hashes", "_sigs", "")) {
+      listBatchDirs(spark, storePath + suffix)
+        .filter(d => oldTags.contains(dirTag(d)))
+        .foreach { d =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          fs(p).delete(p, true)
+        }
+    }
+    // wipe the now-empty staging roots (pins and parent dirs remain)
+    for (suffix <- Seq("", "_sigs", "_hashes", "_bands")) {
+      val p = new org.apache.hadoop.fs.Path(staging + suffix)
+      fs(p).delete(p, true)
+    }
+    invalidateDirBytes(hconf, storePath)
+    sigCache.foreach(_.evictExcept(
+      listBatchDirs(spark, storePath + "_sigs").toSet))
+    true
   }
 
   /** The signature parameters a store was built with — recorded next to the
@@ -1121,8 +1458,15 @@ object Dedup {
     * long-lived stream with periodic store compaction (the same advice the
     * README gives for the dirs themselves). */
   final class SigStoreCache(spark: org.apache.spark.sql.SparkSession) {
+    // All access synchronized: close() can race read() — the termination
+    // listener fires on the listener-bus thread while the not-yet-started
+    // registration path can close from the registering thread, and an
+    // unsynchronized LinkedHashMap iterated by one close while the other
+    // clears can throw ConcurrentModificationException or skip unpersists.
+    // The lock is driver-side and per-batch-coarse; it guards map mutation
+    // only, never a Spark job.
     private val pinned = scala.collection.mutable.LinkedHashMap[String, DataFrame]()
-    private[graft] def read(dirs: Seq[String]): Option[DataFrame] = {
+    private[graft] def read(dirs: Seq[String]): Option[DataFrame] = synchronized {
       dirs.foreach { d =>
         if (!pinned.contains(d))
           pinned(d) = spark.read.parquet(d)
@@ -1131,8 +1475,15 @@ object Dedup {
       val frames = dirs.flatMap(pinned.get)
       if (frames.isEmpty) None else Some(frames.reduce(_.unionByName(_)))
     }
-    def close(): Unit = { pinned.values.foreach(_.unpersist()); pinned.clear() }
-    private[graft] def pinnedCount: Int = pinned.size
+    def close(): Unit = synchronized { pinned.values.foreach(_.unpersist()); pinned.clear() }
+    /** Drop pins for dirs no longer in the store's listing — compaction
+      * deletes batch dirs, and a pin held for a deleted dir is dead
+      * executor memory for the stream's remaining lifetime. */
+    private[graft] def evictExcept(live: Set[String]): Unit = synchronized {
+      val dead = pinned.keys.filterNot(live.contains).toList
+      dead.foreach { d => pinned(d).unpersist(); pinned -= d }
+    }
+    private[graft] def pinnedCount: Int = synchronized(pinned.size)
   }
 
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
@@ -1282,8 +1633,32 @@ object Dedup {
         spark.read.parquet(s"$storePath/$tag")
           .select(md5(col(contentCol)).as("content_hash"))
           .write.mode("overwrite").parquet(s"$hashPath/$tag"))
+      // Run IMMEDIATELY BEFORE this tag's store-dir overwrite, closing two
+      // retry windows a crash between "overwrite" and "rewrite sidecars /
+      // re-invalidate" would otherwise leave open:
+      //  - the byte cache could re-cache the tag's PRIOR bytes between a
+      //    partially-failed retry's overwrite and its next attempt (the
+      //    post-write invalidation below stays — this is the pre-write
+      //    half of the same contract);
+      //  - a prior COMPLETED attempt's `_SUCCESS`-marked hash/band sidecar
+      //    would stay trusted against the dir this retry is about to
+      //    rewrite (the fragment hardening covers partial sidecars, not
+      //    stale-complete ones). Both sidecars are derivable and HEALED
+      //    within a bounded number of batches, so deleting first costs at
+      //    most transient fallback scans; the SIG dir is deliberately NOT
+      //    deleted — see [[trustedSidecarDirsByTag]]'s replay note.
+      def clearStaleTagState(near: Boolean): Unit = {
+        invalidateDirBytes(hconf, s"$storePath/$tag")
+        def drop(p: String): Unit = {
+          val pp = new org.apache.hadoop.fs.Path(p)
+          pp.getFileSystem(hconf).delete(pp, true)
+        }
+        drop(s"$hashPath/$tag")
+        if (near) drop(s"${storePath}_bands/$tag")
+      }
       nearThreshold match {
         case None =>
+          clearStaleTagState(near = false)
           exact.write.mode("overwrite").parquet(s"$storePath/$tag")
           writeHashSidecar()
         case Some(t) =>
@@ -1321,46 +1696,73 @@ object Dedup {
             val bandsPath = storePath + "_bands"
             val effBuckets = checkOrWriteBandParams(spark, bandsPath, bandSidecarBuckets)
             val bandsDirByTag = trustedSidecarDirsByTag(spark, bandsPath) - tag
+            // frames the bounded verify fetch pins inside
+            // minhashPairsFromSignatures; released in the finally below
+            val verifyPins = scala.collection.mutable.ListBuffer.empty[DataFrame]
             val dropCross =
-              if (sigDirs.nonEmpty) {
+              if (sigDirs.nonEmpty) phase("cross_band_cand") {
                 val (bandedDirs, rawDirs) =
                   sigDirs.partition(d => bandsDirByTag.contains(dirTag(d)))
-                val preRight =
-                  if (bandedDirs.isEmpty) None
-                  else {
-                    val sidecar0 = spark.read.parquet(
-                      bandedDirs.map(d => bandsDirByTag(dirTag(d))): _*)
-                    // bucket prune: only computed for a bounded probe — a
-                    // streaming batch's key set covers every bucket by
-                    // birthday arithmetic, so the distinct-set action
-                    // would buy nothing there (the narrow scan is the win)
-                    val sidecar =
-                      if (nFresh * bands <= effBuckets * 2L) {
-                        val bks = fresh.select(
-                          posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
-                            .as(Seq("band", "band_key")))
-                          .select(pmod(xxhash64(col("band"), col("band_key")),
-                            lit(effBuckets.toLong)).cast("int").as("bucket"))
-                          .distinct().collect().map(_.getInt(0)).toSeq
-                        if (bks.size < effBuckets)
-                          sidecar0.filter(col("bucket").isin(bks: _*))
-                        else sidecar0
-                      } else sidecar0
-                    val part = sidecar.select(col("doc_id"), col("band"), col("band_key"))
-                    val fromRaw =
-                      if (rawDirs.isEmpty) None
-                      else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
-                        posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
-                          .as(Seq("band", "band_key"))))
-                    Some(fromRaw.fold(part)(part.unionByName(_)))
-                  }
+                // the batch-dir tag each banded row came from, extracted
+                // scan-side (band-sidecar tags == sig-dir tags by layout) —
+                // the matched-dir carrier the bounded verify fetch collects
+                val dirCol = regexp_extract(input_file_name(),
+                  "/(batch-[^/]+)/[^/]*$", 1).as("__dir")
+                val preRight = {
+                  val sidecarPart =
+                    if (bandedDirs.isEmpty) None
+                    else {
+                      val sidecar0 = spark.read.parquet(
+                        bandedDirs.map(d => bandsDirByTag(dirTag(d))): _*)
+                      // bucket prune: only computed for a bounded probe — a
+                      // streaming batch's key set covers every bucket by
+                      // birthday arithmetic, so the distinct-set action
+                      // would buy nothing there (the narrow scan is the win)
+                      val sidecar =
+                        if (nFresh * bands <= effBuckets * 2L) {
+                          val bks = fresh.select(
+                            posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                              .as(Seq("band", "band_key")))
+                            .select(pmod(xxhash64(col("band"), col("band_key")),
+                              lit(effBuckets.toLong)).cast("int").as("bucket"))
+                            .distinct().collect().map(_.getInt(0)).toSeq
+                          if (bks.size < effBuckets)
+                            sidecar0.filter(col("bucket").isin(bks: _*))
+                          else sidecar0
+                        } else sidecar0
+                      Some(sidecar.select(col("doc_id"), col("band"), col("band_key"), dirCol))
+                    }
+                  val rawPart =
+                    if (rawDirs.isEmpty) None
+                    else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
+                      posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+                        .as(Seq("band", "band_key")), dirCol))
+                  Seq(sidecarPart, rawPart).flatten.reduceOption(_.unionByName(_))
+                }
+                // the bounded verify fetch's resolver: only the sig dirs
+                // that produced candidates, filtered to the candidates' own
+                // id ranges — parquet row-group prunes against the sorted
+                // sig layout (or cached-batch stat prunes under sigCache)
+                val resolver: (Set[String], Option[Seq[(Long, Long)]]) => DataFrame = {
+                  (tags, ranges) =>
+                    val matched = sigDirs.filter(d => tags.contains(dirTag(d)))
+                    if (matched.isEmpty) spark.read.parquet(sigDirs.head).limit(0)
+                    else {
+                      val base = sigCache.flatMap(_.read(matched))
+                        .getOrElse(spark.read.parquet(matched: _*))
+                      ranges.filter(_.nonEmpty).fold(base)(rs => base.filter(
+                        rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }
+                          .reduce(_ || _)))
+                    }
+                }
                 minhashPairsFromSignatures(
                   fresh,
                   sigCache.flatMap(_.read(sigDirs))
                     .getOrElse(spark.read.parquet(sigDirs: _*)),
                   bands, rpb, t,
                   selfPairs = false, "new_id", "seen_id",
-                  leftBoundedPrune = true, rightBandedPre = preRight)
+                  leftBoundedPrune = true, rightBandedPre = preRight,
+                  verifyPrune = Some(VerifyPrune(resolver, df => verifyPins += df)))
                   .select(col("new_id").as("doc_id")).distinct()
               } else fresh.select(col("doc_id")).limit(0)
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()
@@ -1372,11 +1774,18 @@ object Dedup {
                 exact.join(keepSigs.select(col("doc_id").as(idCol)), Seq(idCol), "left_semi")
                 .unionByName(exact.filter(col(contentCol).isNull))
               planAuditHook.foreach(_("ingest_store_write", storeWrite))
+              clearStaleTagState(near = true)
               phase("store_write")(storeWrite
                 .write.mode("overwrite").parquet(s"$storePath/$tag"))
               writeHashSidecar()
-              // signatures are hash-valued arrays — see [[noDictOptions]]
-              phase("sig_write")(keepSigs.write.mode("overwrite").options(noDictOptions)
+              // signatures are hash-valued arrays — see [[noDictOptions]].
+              // Sorted by doc_id within each (batch-bounded) partition so
+              // every row group carries tight doc_id min/max stats — the
+              // layout half of the verify prune: later batches fetch
+              // candidate signatures through an id-range predicate that
+              // row-group-prunes instead of scanning the dir.
+              phase("sig_write")(keepSigs.sortWithinPartitions("doc_id")
+                .write.mode("overwrite").options(noDictOptions)
                 .parquet(s"$sigPath/$tag"))
               // band sidecar LAST (derivable from the sig dir just
               // written: a crash between the two costs one per-dir
@@ -1424,15 +1833,19 @@ object Dedup {
                       .options(noDictOptionsExcept("doc_id", "band", "bucket"))
                       .parquet(s"$bandsPath/${dirTag(d)}"))
                 }
-            } finally keepSigs.unpersist()
+            } finally {
+              keepSigs.unpersist()
+              verifyPins.foreach(_.unpersist())
+            }
             } finally fresh.unpersist()
           } finally sigs.unpersist()
       }
       // a RETRY overwrites this tag's dir with possibly different bytes —
       // later batches must re-list it, not sum a prior attempt's cached
-      // size (invalidated after the write so a crash-and-retry can't
-      // re-cache the stale dir in between)
-      invalidateDirBytes(s"$storePath/$tag")
+      // size (the pre-write invalidation in clearStaleTagState covers the
+      // partially-failed-retry window; this post-write half keeps the
+      // completed call's contract)
+      invalidateDirBytes(hconf, s"$storePath/$tag")
     } finally exact.unpersist()
   }
 

@@ -200,12 +200,22 @@ object GraftStreaming {
     * accumulate in `storePath + "_sigs"` and each batch band-joins only its
     * own signatures against it. State is the two stores — nothing
     * driver-side. */
+  /** `autoCompactMaxDirs`: when set, the sink runs
+    * [[graft.ext.Dedup.autoCompactIngestStore]] after any micro-batch that
+    * leaves the store holding at least that many batch dirs — the
+    * between-batches maintenance window is single-writer by construction
+    * (foreachBatch is serial per query), so a weeks-long stream keeps a
+    * bounded dir/file count instead of accumulating one dir per
+    * micro-batch until an operator remembers. Survivorship is unchanged
+    * (the swap is superset-safe at every crash point — see the
+    * auto-compact scaladoc). */
   def incrementalDedupSink(stream: DataFrame, idCol: String, contentCol: String,
                            storePath: String, checkpointDir: String,
                            queryName: String = "graft-incr-dedup",
                            nearThreshold: Option[Double] = None,
                            shingleSize: Int = 3, numHashes: Int = 64,
-                           bands: Int = 16): org.apache.spark.sql.streaming.StreamingQuery = {
+                           bands: Int = 16,
+                           autoCompactMaxDirs: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // resident signature index for the life of the query — without it every
     // batch re-reads the whole accumulated sig store from parquet twice
@@ -219,6 +229,8 @@ object GraftStreaming {
           graft.ext.Dedup.ingestStep(batch, idCol, contentCol, storePath,
             nearThreshold, shingleSize, numHashes, bands,
             batchTag = Some(batchId.toString), sigCache = sigCache)
+          autoCompactMaxDirs.foreach(m => graft.ext.Dedup.autoCompactIngestStore(
+            batch.sparkSession, storePath, contentCol, m, sigCache = sigCache))
           ()
         }
         .start(),
@@ -368,7 +380,8 @@ object GraftStreaming {
                         nearThreshold: Option[Double] = None,
                         shingleSize: Int = 3, numHashes: Int = 64,
                         bands: Int = 16,
-                        funnelPath: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+                        funnelPath: Option[String] = None,
+                        autoCompactMaxDirs: Option[Int] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // resident signature index for the life of the query (see
     // [[graft.ext.Dedup.SigStoreCache]])
@@ -390,12 +403,15 @@ object GraftStreaming {
           batchTag = Some(batchId.toString), sigCache = sigCache)
         funnelPath.foreach { fp =>
           // survivors = exactly what ingestStep just wrote for this batch
-          // (its tag is deterministic from batchId, same sanitization)
+          // (its tag is deterministic from batchId, same sanitization).
+          // Read BEFORE any auto-compaction can fold the dir away.
           val survivors = batch.sparkSession.read.parquet(s"$storePath/batch-$batchId")
           graft.ext.Corpus.funnelRows(stages :+ ("dedup_store" -> survivors))
             .withColumn("batch_id", lit(batchId))
             .write.mode("append").parquet(fp)
         }
+        autoCompactMaxDirs.foreach(m => graft.ext.Dedup.autoCompactIngestStore(
+          batch.sparkSession, storePath, contentCol, m, sigCache = sigCache))
         ()
         } finally if (funnelPath.isDefined) batch.unpersist()
       }

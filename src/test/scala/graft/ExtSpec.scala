@@ -545,9 +545,41 @@ class ExtSpec extends AnyFunSuite {
     (1 to 1000).map(i => s"row-$i-some-longer-content").toDF("v")
       .write.mode("overwrite").parquet(s"$root/batch-x")
     assert(Dedup.cachedDirBytes(hconf, s"$root/batch-x") == first, "expected stale cache")
-    Dedup.invalidateDirBytes(s"$root/batch-x")
+    Dedup.invalidateDirBytes(hconf, s"$root/batch-x")
     val healed = Dedup.cachedDirBytes(hconf, s"$root/batch-x")
     assert(healed > first, s"invalidate did not refresh: $healed vs $first")
+  }
+
+  test("invalidateDirBytes: segment-boundary match, scheme-alias-proof") {
+    val root = java.nio.file.Files.createTempDirectory("graft-dirbytes-seg").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    import spark.implicits._
+    // batch-3 and batch-30: invalidating batch-3 must NOT evict batch-30
+    // (a raw substring match would)
+    (1 to 10).toDF("v").write.mode("overwrite").parquet(s"$root/batch-3")
+    (1 to 10).toDF("v").write.mode("overwrite").parquet(s"$root/batch-30")
+    val b3 = Dedup.cachedDirBytes(hconf, s"$root/batch-3")
+    val b30 = Dedup.cachedDirBytes(hconf, s"$root/batch-30")
+    (1 to 1000).map(i => s"row-$i-padding-content").toDF("v")
+      .write.mode("overwrite").parquet(s"$root/batch-3")
+    (1 to 1000).map(i => s"row-$i-padding-content").toDF("v")
+      .write.mode("overwrite").parquet(s"$root/batch-30")
+    Dedup.invalidateDirBytes(hconf, s"$root/batch-3")
+    assert(Dedup.cachedDirBytes(hconf, s"$root/batch-3") > b3,
+      "invalidating batch-3 did not refresh batch-3")
+    assert(Dedup.cachedDirBytes(hconf, s"$root/batch-30") == b30,
+      "invalidating batch-3 wrongly evicted batch-30 (substring match)")
+    // scheme alias: a key cached under a file://-qualified spelling must be
+    // evicted by an unqualified invalidation root (and vice versa) — the
+    // canonical-key contract; a raw contains() on the writer's spelling
+    // would never match and serve the stale gate bytes forever
+    (1 to 10).toDF("v").write.mode("overwrite").parquet(s"$root/batch-q")
+    val bq = Dedup.cachedDirBytes(hconf, s"file://$root/batch-q")
+    (1 to 1000).map(i => s"row-$i-padding-content").toDF("v")
+      .write.mode("overwrite").parquet(s"$root/batch-q")
+    Dedup.invalidateDirBytes(hconf, s"$root/batch-q") // unqualified root
+    assert(Dedup.cachedDirBytes(hconf, s"file://$root/batch-q") > bq,
+      "unqualified invalidation root failed to evict the file://-spelled key")
   }
 
   test("ingestStep: band sidecar written per near-tier batch, fallback identical, pruned probe exact") {
@@ -699,6 +731,184 @@ class ExtSpec extends AnyFunSuite {
       "the quick brown fox jumps over the lazy dog again and again today", 0.4)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(fallback == Set(1L), s"fallback lookup diverged: $fallback")
+  }
+
+  test("lookupNearDupsBatch: one plan for all probes, job count constant in probe count") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lookupb").toString
+    val store = s"$root/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}""")
+    Seq(shard1, shard2).zipWithIndex.foreach { case (sh, i) =>
+      Dedup.ingestStep(sh, "doc_id", "text", store, nearThreshold = Some(0.4),
+        batchTag = Some(s"s$i"))
+    }
+    import spark.implicits._
+    val probes = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // ~ doc 1
+      (11L, "brand new sentences never observed anywhere previously at all"),     // = doc 3
+      (12L, "wholly absent vocabulary zone nothing shared with stored docs"))     // no match
+      .toDF("probe_id", "text")
+    val rows = Dedup.lookupNearDupsBatch(spark, store, probes, "probe_id", "text", 0.4)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("jaccard")))
+    assert(rows.map(t => (t._1, t._2)).toSet == Set((10L, 1L), (11L, 3L)),
+      s"batch lookup hits diverged: ${rows.toSeq}")
+    assert(rows.find(_._1 == 11L).get._3 == 1.0, "exact probe must verify at Jaccard 1.0")
+    // parity with the point API on the matching probes
+    val point = Dedup.lookupNearDups(spark, store,
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("jaccard"))).toSet
+    assert(point == rows.filter(_._1 == 10L).map(t => (t._2, t._3)).toSet,
+      "batch result diverged from the point lookup")
+    // job count must be CONSTANT in the probe count — the whole point of
+    // the batched form (a per-probe loop would run N× the jobs). Counted
+    // via listener with a stability drain (the bus is async).
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try f finally ()
+      var prev = -1; var cur = n.get()
+      while (cur != prev) { prev = cur; Thread.sleep(300); cur = n.get() }
+      spark.sparkContext.removeSparkListener(l)
+      cur
+    }
+    def run(ps: Seq[(Long, String)]): Unit =
+      Dedup.lookupNearDupsBatch(spark, store, ps.toDF("probe_id", "text"),
+        "probe_id", "text", 0.4).collect()
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog again and again today",
+      "brand new sentences never observed anywhere previously at all",
+      "wholly absent vocabulary zone nothing shared with stored docs",
+      "yet more disjoint probe material covering nothing already stored")
+    val jobs2 = countJobs(run((0 until 2).map(i => (i.toLong, texts(i % 4)))))
+    val jobs8 = countJobs(run((0 until 8).map(i => (i.toLong, texts(i % 4)))))
+    assert(jobs8 <= jobs2 + 1,
+      s"job count grew with probe count: $jobs2 jobs at 2 probes vs $jobs8 at 8")
+  }
+
+  test("ingestStep: a retried tag's stale-complete sidecars are dropped before the overwrite") {
+    // a PRIOR completed attempt leaves _SUCCESS-marked hash/band sidecars;
+    // a retry that rewrites the primary dir and crashes before its own
+    // sidecar writes must not leave those stale-complete sidecars trusted
+    // against the rewritten dir (the fragment hardening only covers
+    // partial, unmarked sidecars)
+    val root = java.nio.file.Files.createTempDirectory("graft-stale-sidecar").toString
+    val store = s"$root/docs"
+    val shard = fromJsonl(
+      """{"doc_id": 1, "text": "first retried document body with several words"}""",
+      """{"doc_id": 2, "text": "second retried document body with other words"}""")
+    Dedup.ingestStep(shard, "doc_id", "text", store, nearThreshold = Some(0.4),
+      batchTag = Some("t"), exactArmMinStoreBytes = 0L)
+    assert(new java.io.File(s"${store}_hashes/batch-t/_SUCCESS").exists())
+    assert(new java.io.File(s"${store}_bands/batch-t/_SUCCESS").exists())
+    // retry the SAME tag, crashing right after the store-dir write (the
+    // phase hook throws once store_write completes)
+    Dedup.phaseHook = Some((name, _) =>
+      if (name == "store_write") throw new RuntimeException("injected crash after store_write"))
+    try intercept[RuntimeException] {
+      Dedup.ingestStep(shard, "doc_id", "text", store, nearThreshold = Some(0.4),
+        batchTag = Some("t"), exactArmMinStoreBytes = 0L)
+    } finally Dedup.phaseHook = None
+    assert(!new java.io.File(s"${store}_hashes/batch-t").exists(),
+      "stale-complete hash sidecar survived the retry's store overwrite")
+    assert(!new java.io.File(s"${store}_bands/batch-t").exists(),
+      "stale-complete band sidecar survived the retry's store overwrite")
+    // completing the retry converges: sidecars rewritten whole + marked,
+    // survivors unchanged
+    Dedup.ingestStep(shard, "doc_id", "text", store, nearThreshold = Some(0.4),
+      batchTag = Some("t"), exactArmMinStoreBytes = 0L)
+    assert(new java.io.File(s"${store}_hashes/batch-t/_SUCCESS").exists())
+    assert(new java.io.File(s"${store}_bands/batch-t/_SUCCESS").exists())
+    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L), s"retry convergence broke survivorship: $ids")
+  }
+
+  test("ingestStep: cross-store verify reads only matched sig dirs, id-range pushed to the scan") {
+    // the bounded verify fetch: candidates carry their batch-dir tag, so
+    // the exact-Jaccard verify must scan ONLY the sig dirs that produced a
+    // candidate — with the candidates' doc_id ranges pushed into the
+    // parquet read — instead of the whole store (the r12 verdict's last
+    // O(store)-per-batch cost)
+    val root = java.nio.file.Files.createTempDirectory("graft-verify-prune").toString
+    val store = s"$root/docs"
+    val shard1 = fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""")
+    val shard2 = fromJsonl(
+      """{"doc_id": 3, "text": "completely different vocabulary zone discussing culinary recipes tonight"}""",
+      """{"doc_id": 4, "text": "yet another disjoint subject area covering alpine hiking routes"}""")
+    Seq(shard1, shard2).zipWithIndex.foreach { case (sh, i) =>
+      Dedup.ingestStep(sh, "doc_id", "text", store, nearThreshold = Some(0.4),
+        batchTag = Some(s"s$i"))
+    }
+    // batch 3: a near-dup of doc 1 (dir s0's vocabulary) + a novel doc —
+    // candidates can only arise in batch-s0
+    var keepPlan: Option[org.apache.spark.sql.DataFrame] = None
+    Dedup.planAuditHook = Some((n, df) => if (n == "ingest_keep_sigs") keepPlan = Some(df))
+    try Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog again and again today"}""",
+      """{"doc_id": 6, "text": "wholly novel sixth subject matter with fresh original material"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+    finally Dedup.planAuditHook = None
+    // correctness first: the near-dup died, the novel doc survived
+    val ids = Dedup.readStore(spark, store).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L, 6L), s"survivorship diverged under the verify prune: $ids")
+    // the verify's sig scans: matched dir only (batch-s0, not batch-s1),
+    // with the candidate id range pushed into the parquet read
+    assert(keepPlan.isDefined, "ingest_keep_sigs audit tap never fired")
+    // sparkPlan, not executedPlan: AQE wraps the latter in an
+    // AdaptiveSparkPlanExec leaf whose inner plan a tree collect can't see
+    val sigScans = keepPlan.get.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.metadata.getOrElse("Location", "").contains("_sigs") => s
+    }
+    assert(sigScans.nonEmpty, "no sig-store scan in the keep-sigs plan")
+    val locs = sigScans.map(_.metadata.getOrElse("Location", ""))
+    assert(locs.forall(l => l.contains("batch-s0") && !l.contains("batch-s1")),
+      s"verify fetch was not pruned to the matched dir: $locs")
+    assert(sigScans.exists(_.metadata.getOrElse("PushedFilters", "").contains("doc_id")),
+      s"candidate id range not pushed to the sig scan: " +
+        sigScans.map(_.metadata.getOrElse("PushedFilters", "")).mkString("; "))
+  }
+
+  test("compactIngestStore: band index range-partitioned — no empty files, quasi-disjoint bucket ranges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact-range").toString
+    // enough signature bytes that targetFileMB=1 packs several output
+    // files (the hash-repartition pathology this layout replaces left
+    // empties whenever nSig exceeded the 64 distinct bucket values)
+    val docs = spark.range(6000).select(col("id").as("doc_id"),
+      concat_ws(" ", (0 until 12).map(i =>
+        concat(lit("w"), pmod(col("id") * 31 + i, lit(9999)).cast("string"))): _*).as("text"))
+    Dedup.ingestStep(docs.toDF(), "doc_id", "text", s"$root/old",
+      nearThreshold = Some(0.9), batchTag = Some("s0"))
+    Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text", targetFileMB = 1)
+    val bandDir = s"$root/new_bands/batch-compacted"
+    val partFiles = new java.io.File(bandDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(partFiles.length > 1, s"expected several band files, got ${partFiles.length} — " +
+      "the multi-file layout assertion is vacuous otherwise")
+    val perFile = spark.read.parquet(bandDir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(perFile.length == partFiles.length,
+      s"${partFiles.length - perFile.length} empty band file(s): range partitioning should fill every file")
+    // files hold contiguous (bucket, band_key) ranges: sorted by lo, each
+    // file's bucket range may only touch its neighbor at the boundary value
+    val sorted = perFile.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((fa, _, hiA, _), (fb, loB, _, _)) =>
+        assert(hiA <= loB, s"bucket ranges overlap beyond a boundary: $fa hi=$hiA vs $fb lo=$loB")
+      case _ =>
+    }
   }
 
   test("ingestStep: default tag separates same-ids/different-content re-ingests") {

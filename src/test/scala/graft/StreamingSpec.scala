@@ -239,6 +239,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(cache.pinnedCount == 0, "query termination did not close the sig cache")
   }
 
+  test("auto-compaction: sink crosses the dir threshold mid-stream, survivorship unchanged") {
+    // a weeks-long ingest accumulates one dir per micro-batch; with
+    // autoCompactMaxDirs the sink folds them between batches and the
+    // NEXT batches dedup against the swapped-in batch-compacted-* dirs
+    // (including the regenerated band index) with identical survivorship
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val savedCache = GraftStreaming.sigCacheEnabled
+    GraftStreaming.sigCacheEnabled = true // also covers the cache's pin eviction
+    val mem = MemoryStream[(Long, String)]
+    val store = java.nio.file.Files.createTempDirectory("graft-autocompact").toString + "/docs"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-autocompact-ckpt").toString
+    val q = GraftStreaming.incrementalDedupSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", store, ckpt, queryName = "graft-autocompact",
+      nearThreshold = Some(0.4), autoCompactMaxDirs = Some(3))
+    val A = "the quick brown fox jumps over the lazy dog again and again"
+    val B = "unrelated words about spark engines and data processing here"
+    val C = "brand new sentences never observed anywhere previously at all"
+    val D = "entirely novel sixth document with wholly original material"
+    val E = "completely different vocabulary zone discussing culinary recipes tonight"
+    val F = "final fresh subject area covering alpine hiking routes today"
+    try {
+      def feed(rows: (Long, String)*): Unit = { mem.addData(rows); q.processAllAvailable() }
+      feed((1L, A), (2L, B))
+      feed((3L, "the quick brown fox jumps over the lazy cat again and again"), (4L, C))
+      // 3rd dir crosses the threshold -> compaction folds the store
+      feed((5L, B), (6L, D))
+      val afterCompact = graft.ext.Dedup.listBatchDirs(spark, store)
+      assert(afterCompact.size == 1 && afterCompact.head.endsWith("batch-compacted-1"),
+        s"threshold crossing did not compact: $afterCompact")
+      // near-dup of C must die against the SWAPPED-IN compacted band index
+      feed((7L, "brand new sentences never observed anywhere previously at most"), (8L, E))
+      // exact dup of E against a post-compaction dir; then threshold again
+      feed((9L, E), (10L, F))
+      val survivors = graft.ext.Dedup.readStore(spark, store)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 4L, 6L, 8L, 10L),
+        s"auto-compaction changed survivorship: $survivors")
+      val dirs = graft.ext.Dedup.listBatchDirs(spark, store)
+      assert(dirs.size == 1 && dirs.head.endsWith("batch-compacted-2"),
+        s"second threshold crossing did not compact: $dirs")
+      // sidecar roots folded with it; sig store mirrors the survivors
+      assert(graft.ext.Dedup.listBatchDirs(spark, store + "_sigs").size == 1)
+      assert(graft.ext.Dedup.readStore(spark, store + "_sigs").count() == 6)
+      // no staging leftovers
+      assert(!new java.io.File(store + "__compacting").exists(),
+        "staging root not cleaned up")
+    } finally {
+      q.stop()
+      GraftStreaming.sigCacheEnabled = savedCache
+    }
+  }
+
   test("curatedIngestSink gates quality and perplexity before the dedup store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
