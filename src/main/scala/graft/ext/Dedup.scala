@@ -280,7 +280,12 @@ object Dedup {
       resolve: (Set[String], Option[Seq[(Long, Long)]]) => DataFrame,
       register: DataFrame => Unit,
       maxCollectRows: Int = 500000,
-      maxRanges: Int = 64)
+      maxRanges: Int = 64,
+      // broadcast ceiling for the candidate side of the verify join, in
+      // PAIRS (two longs ≈ 16 B each → 4M ≈ 64 MB, the same bound
+      // [[spillSized]] documents): past it the pair set is genuinely
+      // large and the sort-merge plan is correct
+      maxBroadcastPairs: Long = 4000000L)
 
   /** Coalesce a sorted distinct id array into at most `maxRanges` closed
     * intervals, splitting at the largest gaps — the shape a parquet reader
@@ -639,24 +644,67 @@ object Dedup {
           .distinct()
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         vp.register(pinnedCand)
-        val sample = pinnedCand.select(col(rightName), col("__dir")).distinct()
-          .limit(vp.maxCollectRows + 1).collect()
+        // ONE action materializes the pin and yields both the candidate
+        // count and the matched-dir tags (bounded by the store's DIR
+        // count) — a narrow map-side-combined aggregation
+        val dirCounts = pinnedCand.groupBy(col("__dir"))
+          .agg(count(lit(1)).as("__n")).collect()
+        val nCand = dirCounts.map(_.getLong(1)).sum
+        val tags = dirCounts.map(_.getString(0)).toSet
+        // visible in StreamNearProfile lines: candidate pairs (thousands)
+        // and matched-dir count — the two numbers the adaptive gates read
+        phaseHook.foreach(h => h("cand_pairs_k", nCand / 1000.0))
+        phaseHook.foreach(h => h("cand_dirs", tags.size.toDouble))
         val resolved =
-          if (sample.length > vp.maxCollectRows ||
-              sample.exists(_.getString(1).isEmpty)) right
+          if (tags.contains("")) right // file-name extraction failed: full fetch
           else {
-            val tags = sample.map(_.getString(1)).toSet
-            val nonNullIds = sample.filter(!_.isNullAt(0))
-            val ranges = pinnedCand.schema(rightName).dataType match {
-              case org.apache.spark.sql.types.LongType =>
-                Some(idRanges(nonNullIds.map(_.getLong(0)).distinct.sorted, vp.maxRanges))
-              case org.apache.spark.sql.types.IntegerType =>
-                Some(idRanges(nonNullIds.map(_.getInt(0).toLong).distinct.sorted, vp.maxRanges))
-              case _ => None // non-integral ids: matched-dir prune only
-            }
+            // id ranges: ADAPTIVE — collected only when the candidate set
+            // is driver-bounded, and APPLIED only when the coalesced
+            // ranges actually exclude most of the candidates' own id span.
+            // A batch whose duplicates spread uniformly over the store
+            // (the streaming-bench shape: ids sharded modulo) coalesces to
+            // ranges covering ~the whole span, where the 64-BETWEEN filter
+            // costs a per-row predicate and prunes no row group — there
+            // the full matched-dir fetch IS the r12 plan, kept verbatim.
+            // Clustered workloads (a recrawl whose dups hit one original
+            // shard, a compacted doc_id-ranged store) keep the win.
+            val ranges: Option[Seq[(Long, Long)]] =
+              if (nCand > vp.maxCollectRows) None
+              else {
+                def coalesced(ids: Array[Long]): Option[Seq[(Long, Long)]] =
+                  if (ids.isEmpty) Some(Seq.empty)
+                  else {
+                    val rs = idRanges(ids, vp.maxRanges)
+                    val covered = rs.map(r => r._2 - r._1 + 1).sum.toDouble
+                    val span = (ids.last - ids.head + 1).toDouble
+                    // tight in absolute terms (≤ ~a hundred row groups'
+                    // worth of ids — prunes hugely on any multi-M store)
+                    // or relative to the candidates' own span
+                    if (covered <= 100000.0 || covered / span <= 0.5) Some(rs) else None
+                  }
+                pinnedCand.schema(rightName).dataType match {
+                  case org.apache.spark.sql.types.LongType =>
+                    coalesced(pinnedCand.select(col(rightName)).distinct().collect()
+                      .filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
+                  case org.apache.spark.sql.types.IntegerType =>
+                    coalesced(pinnedCand.select(col(rightName)).distinct().collect()
+                      .filter(!_.isNullAt(0)).map(_.getInt(0).toLong).sorted)
+                  case _ => None // non-integral ids: matched-dir prune only
+                }
+              }
             vp.resolve(tags, ranges)
           }
-        (pinnedCand.select(leftName, rightName), resolved)
+        // broadcast the candidate side EXPLICITLY while it is provably
+        // bounded (maxBroadcastPairs ≈ 64 MB of pairs): the pinned frame
+        // has known stats, and its __dir string column inflates them past
+        // the 10 MB auto-broadcast threshold well before the pair set is
+        // actually large — at which point the verify silently flips to a
+        // sort-merge join that shuffles AND sorts the store's wide
+        // (doc_id, sh) side (measured exploding 9→27 s/batch as the store
+        // grew). Past the gate the pair set is genuinely large and SMJ is
+        // the right plan.
+        val candProj = pinnedCand.select(leftName, rightName)
+        (if (nCand <= vp.maxBroadcastPairs) broadcast(candProj) else candProj, resolved)
       } else {
         val cand1 = cand0p.select(leftName, rightName).distinct()
         (if (!materializeCandidates) cand1
@@ -664,9 +712,25 @@ object Dedup {
           right)
       }
     pinnedBandedLeft.foreach(_.unpersist())
-    candidates
-      .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
-      .join(verifyRight.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
+    // Join ORDER is load-bearing in the prune branch: the broadcast-hinted
+    // candidates must probe the STORE side first, so the store's wide
+    // (doc_id, sh) read stays a bare scan + hash probe — joining the batch
+    // side first produces an intermediate whose estimated stats push the
+    // store join to sort-merge, i.e. an exchange AND sort of the whole
+    // store's shingle column per micro-batch (measured exploding 9→27
+    // s/batch as the store grew past the auto-broadcast threshold). The
+    // non-prune paths keep the historical left-first order their records
+    // were measured on.
+    val joined =
+      if (pruneActive)
+        candidates
+          .join(verifyRight.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
+          .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
+      else
+        candidates
+          .join(left.select(col("doc_id").as(leftName), col("sh").as("sh_a")), leftName)
+          .join(verifyRight.select(col("doc_id").as(rightName), col("sh").as("sh_b")), rightName)
+    joined
       .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col(leftName), col(rightName), col("jaccard"))
@@ -1041,7 +1105,10 @@ object Dedup {
     val probeBands = probeSigs.select(col("__probe_id"),
       posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig"))).as(Seq("band", "band_key")))
     // the batch-dir tag each store row came from — the matched-dir carrier
-    val dirCol = regexp_extract(input_file_name(), "/(batch-[^/]+)/[^/]*$", 1).as("__dir")
+    // parent-dir name via substring_index (plain char scans), not a regex —
+    // this evaluates per surviving sidecar row in the batch lookup's scan
+    val dirCol = substring_index(
+      substring_index(input_file_name(), "/", -2), "/", 1).as("__dir")
     val storeBands = {
       val sidecarPart =
         if (bandedDirs.isEmpty) None
@@ -1705,9 +1772,11 @@ object Dedup {
                   sigDirs.partition(d => bandsDirByTag.contains(dirTag(d)))
                 // the batch-dir tag each banded row came from, extracted
                 // scan-side (band-sidecar tags == sig-dir tags by layout) —
-                // the matched-dir carrier the bounded verify fetch collects
-                val dirCol = regexp_extract(input_file_name(),
-                  "/(batch-[^/]+)/[^/]*$", 1).as("__dir")
+                // the matched-dir carrier the bounded verify fetch collects.
+                // substring_index, not a regex: this evaluates per
+                // bloom-surviving sidecar row every micro-batch
+                val dirCol = substring_index(
+                  substring_index(input_file_name(), "/", -2), "/", 1).as("__dir")
                 val preRight = {
                   val sidecarPart =
                     if (bandedDirs.isEmpty) None

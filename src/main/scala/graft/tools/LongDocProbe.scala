@@ -19,12 +19,26 @@ import org.apache.spark.sql.functions._
   * bytes. The crossover (first store size where armed < disarmed) is the
   * number the gate's default should sit below for long docs.
   *
-  * Env: SPARK_GRAFT_LONGDOC_DOCS (default 300000), _BATCHES (default 8),
-  * _CPUS (default 32).
+  * NEAR mode (SPARK_GRAFT_LONGDOC_NEAR=1): the near tier's costs — shingle
+  * build, signature write, band join, and above all the bounded verify
+  * fetch — were only ever measured on GenSf1's ~300 B docs, where every
+  * per-doc constant is tiny; this mode drives the FULL near tier
+  * (`nearThreshold = 0.7`) over the same 2-50 KB fixture (plus planted
+  * NEAR dups: half of the 5% dup draw appends a short tail instead of
+  * copying exactly, so the verify phase has real pairs to check) with
+  * `Dedup.phaseHook` set, printing the per-batch per-phase wall table at
+  * store sizes the short-doc profile never reaches (~10 GB at the 400k
+  * default). One arm only, exact tier pinned armed (the exact-tier A/B is
+  * the default mode's job; its own measurement says armed wins ≥6 GB).
+  *
+  * Env: SPARK_GRAFT_LONGDOC_DOCS (default 300000; 400000 in near mode),
+  * _BATCHES (default 8), _CPUS (default 32), _NEAR (default 0).
   */
 object LongDocProbe {
   def main(args: Array[String]): Unit = {
-    val nDocs = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_DOCS", "300000").toLong
+    val nearMode = sys.env.get("SPARK_GRAFT_LONGDOC_NEAR").contains("1")
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_DOCS",
+      if (nearMode) "400000" else "300000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_LONGDOC_BATCHES", "8").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -43,14 +57,20 @@ object LongDocProbe {
     // ~5% of docs copy the content of a doc 7 ids earlier: exact dups
     // both in-batch and across the store, so the anti-join has real work.
     val id = col("id")
-    val contentId = when(pmod(xxhash64(lit("dup"), id), lit(20)) === 0 && id >= 7, id - 7)
-      .otherwise(id)
+    val isDup = pmod(xxhash64(lit("dup"), id), lit(20)) === 0 && id >= 7
+    val contentId = when(isDup, id - 7).otherwise(id)
     val sizeTarget = (pmod(xxhash64(lit("len"), contentId), lit(48L * 1024)) + 2048)
     val nPars = (sizeTarget / 110).cast("int")
-    val text = concat_ws(" ", transform(sequence(lit(0), nPars - 1), j =>
+    val baseText = concat_ws(" ", transform(sequence(lit(0), nPars - 1), j =>
       concat(lit("segment "), hex(xxhash64(contentId, j)),
         lit(" carries block "), hex(xxhash64(contentId, j, lit(1L))),
         lit(" of the document body"))))
+    // near mode: half the dup draw appends a short tail — a NEAR dup the
+    // exact tier can't drop, so the band join + verify have real pairs
+    val text = if (!nearMode) baseText
+      else when(isDup && pmod(xxhash64(lit("near"), id), lit(2)) === 0,
+        concat(baseText, lit(" trailing revision note appended by a later editor")))
+        .otherwise(baseText)
     val cpusInt = cpus.toInt
     spark.range(nDocs).repartition(cpusInt)
       .select(id.as("doc_id"), text.as("text"))
@@ -68,6 +88,40 @@ object LongDocProbe {
       if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
     }
     HostCal.warmup()
+    if (nearMode) {
+      // ---- near-tier per-phase table on long docs ----
+      val phases = scala.collection.mutable.LinkedHashMap[String, Double]()
+      graft.ext.Dedup.phaseHook = Some((name, sec) =>
+        phases(name) = phases.getOrElse(name, 0.0) + sec)
+      val totals = scala.collection.mutable.LinkedHashMap[String, Double]()
+      try {
+        (0 until nBatches).foreach { b =>
+          phases.clear()
+          val batch = spark.read.parquet(s"$work/src/__b=$b")
+          val t0 = System.nanoTime()
+          graft.ext.Dedup.ingestStep(batch, "doc_id", "text", s"$work/near",
+            nearThreshold = Some(0.7), batchTag = Some(s"b$b"),
+            exactArmMinStoreBytes = 0L)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val sb = storeBytes(s"$work/near")
+          println(f"batch $b%2d  store ${sb / 1e9}%5.2f GB  total $wall%6.1f s  " +
+            phases.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
+          phases.foreach { case (k, v) => totals(k) = totals.getOrElse(k, 0.0) + v }
+          totals("__total") = totals.getOrElse("__total", 0.0) + wall
+        }
+      } finally graft.ext.Dedup.phaseHook = None
+      println("---- near-mode totals ----")
+      totals.foreach { case (k, v) => println(f"$k%-18s $v%8.1f s") }
+      val n = graft.ext.Dedup.readStore(spark, s"$work/near").count()
+      println(s"[longdoc-near] survivors $n of $nDocs")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try {
+        val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally walk.close()
+      spark.stop()
+      return
+    }
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     (0 until nBatches).foreach { b =>
       val batch = spark.read.parquet(s"$work/src/__b=$b")

@@ -60,7 +60,11 @@ object StreamNearProfile {
           nearThreshold = Some(0.7), batchTag = Some(b.toString),
           sigCache = Some(sigCache))
         val wall = (System.nanoTime() - t0) / 1e9
-        val accounted = phases.values.sum
+        // cand_* entries are METRICS riding the phase hook (candidate-pair
+        // count in thousands, matched-dir count), not seconds — keep them
+        // out of the accounted-wall sum
+        val accounted = phases.collect {
+          case (k, v) if !k.startsWith("cand_") => v }.sum
         println(f"batch $b%2d  total $wall%6.1f s  (phased $accounted%6.1f, " +
           f"overhead ${wall - accounted}%5.1f)  " +
           phases.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
