@@ -1310,6 +1310,40 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // near-tier BACKFILL lifecycle: shards 0 and 1 ingested EXACT-ONLY (no
+    // signatures exist anywhere), the store's sidecars derived in one
+    // backfillSigStore call, then shard 2 ingested WITH the near tier —
+    // its in-batch and cross-store near-dups must die against the
+    // BACKFILLED signatures (without the backfill the guard refuses).
+    // Replay: shards 0-1 dedup on EXACT raw text only (first-arriving
+    // shard wins, smallest id within it); shard 2 keeps its smallest id
+    // per normalized-token text, minus anything whose normalized text
+    // already has a phase-1 survivor.
+    "q_dedup_backfill" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-backfill-gate").toString
+      try {
+        (0 to 1).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/store", batchTag = Some(s.toString),
+            exactArmMinStoreBytes = 0L)
+        }
+        graft.ext.Dedup.backfillSigStore(spark, s"$root/store", "doc_id", "text")
+        graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", s"$root/store", nearThreshold = Some(0.9),
+          batchTag = Some("2"), exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/store").select(col("doc_id")),
+          "graft-backfill-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -3264,6 +3298,29 @@ object SparkEntry {
             UNION ALL SELECT CAST(1 AS BIGINT), CAST(3 AS BIGINT))
       SELECT p.probe_id, r.doc_id, CAST(1.0 AS DOUBLE) AS jaccard
       FROM p JOIN r ON r.g = p.g AND r.rn = 1 AND r.v < 4""",
+    // backfill lifecycle: shards 0-1 exact-only (raw-text dedup, first
+    // shard wins then smallest id), signatures backfilled, shard 2 near-
+    // tier — keeps its per-normalized-text minimum unless the normalized
+    // text already survived phases 0-1
+    "q_dedup_backfill" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      t AS (SELECT doc_id, shard,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c),
+      e AS (SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY shard, doc_id) AS rn
+            FROM t WHERE shard < 2),
+      store AS (SELECT doc_id, regexp_replace(lower(text), '\W+', ' ', 'g') AS ntext FROM e WHERE rn = 1),
+      b AS (SELECT doc_id, regexp_replace(lower(text), '\W+', ' ', 'g') AS ntext,
+              row_number() OVER (PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+                                 ORDER BY doc_id) AS rn
+            FROM t WHERE shard = 2)
+      SELECT doc_id FROM store
+      UNION ALL
+      SELECT doc_id FROM b WHERE rn = 1 AND NOT EXISTS (
+        SELECT 1 FROM store s WHERE s.ntext = b.ntext)""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
     // the same derived parent-pointer tree (1-based p_partkey: chains end
     // at keys 1 and 2, whose computed parent 0 matches no row on either

@@ -155,6 +155,32 @@ object Dedup {
     * bucket functions. */
   private[graft] var bandSidecarBuckets: Int = 64
 
+  /** Size-scaled band-index bucket count for [[compactIngestStore]]'s
+    * rebuild — the one moment that rewrites the whole index (and its pin)
+    * anyway, so it can re-bucket for free. A fixed 64 buckets caps a point
+    * probe's pruning at ~`bands`/64 of the index however large the store
+    * grows: a compacted 100× store sorted into 64 ranges reads ~25% of a
+    * multi-GB index per probe where 1024 buckets would read ~1.6%. The
+    * rule keeps per-bucket index volume roughly constant instead — the
+    * smallest power of two ≥ [[bandSidecarBuckets]] holding
+    * `targetRowsPerBucket` under ~1.5M band rows (~30 MB of ~20 B rows, a
+    * handful of parquet row groups per bucket — buckets stay big enough
+    * that per-file sorted runs and footer stats remain tight), capped at
+    * 8192 (an IN-list and footer-stat count a probe's planner handles
+    * comfortably). Growth is monotone: compaction takes the max of the
+    * source pin and the scaled value, so a store's probes never LOSE
+    * pruning resolution across a compact cycle, and the in-place
+    * auto-compact swap still pins the live value explicitly (a moved-in
+    * dir must never disagree with the live pin mid-crash). */
+  private[graft] def scaledBandBuckets(indexRows: Long,
+                                       targetRowsPerBucket: Long = 1500000L,
+                                       maxBuckets: Int = 8192): Int = {
+    require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
+    var p = bandSidecarBuckets
+    while (p < maxBuckets && p.toLong * targetRowsPerBucket < indexRows) p <<= 1
+    p
+  }
+
   /** Per-directory on-disk byte totals for [[ingestStep]]'s arming gate.
     * Batch dirs are immutable once a LATER batch can see them (a retry
     * only ever overwrites its OWN tag, which is excluded from the read
@@ -1195,7 +1221,8 @@ object Dedup {
                          outPath: String, contentCol: String,
                          targetFileMB: Int = 256,
                          hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes,
-                         bandBuckets: Option[Int] = None): Int = {
+                         bandBuckets: Option[Int] = None,
+                         bandBucketTargetRows: Long = 1500000L): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     val hconf = spark.sparkContext.hadoopConfiguration
     // Disjointness across EVERY root this call wipes vs EVERY root it
@@ -1284,12 +1311,18 @@ object Dedup {
         // bucket function for the regenerated index: an explicit override
         // wins (the in-place auto-compact swap passes the LIVE store's pin
         // so the moved-in dir can never disagree with it); otherwise the
-        // source pin; otherwise the size-scaled default — a fresh output
-        // root writes its own pin before its band dir, so re-bucketing a
-        // pin-less store here is always self-consistent
-        val buckets = bandBuckets
-          .orElse(readBandBucketsPin(spark, path + "_bands"))
-          .getOrElse(bandSidecarBuckets)
+        // MAX of the source pin and the size-scaled value
+        // ([[scaledBandBuckets]]) — compaction rewrites the whole index
+        // and this root's own pin (written below, before the band dir),
+        // so growing the bucket count here is the safe moment, and taking
+        // the max keeps a store's probe-pruning resolution monotone
+        // across compact cycles. The doc count comes from the compacted
+        // sig dir just written: an empty-schema parquet count, row-group
+        // footer metadata only, no column data read.
+        val nSigDocs = spark.read.parquet(s"${outPath}_sigs/batch-compacted").count()
+        val scaled = scaledBandBuckets(nSigDocs * b, bandBucketTargetRows)
+        val buckets = bandBuckets.getOrElse(math.max(
+          readBandBucketsPin(spark, path + "_bands").getOrElse(bandSidecarBuckets), scaled))
         val outBandPin = new org.apache.hadoop.fs.Path(outPath + "_bands", "_params.json")
         val obFs = outBandPin.getFileSystem(hconf)
         val ob = obFs.create(outBandPin, true)
@@ -1402,6 +1435,87 @@ object Dedup {
     sigCache.foreach(_.evictExcept(
       listBatchDirs(spark, storePath + "_sigs").toSet))
     true
+  }
+
+  /** Backfill the near-tier signatures of a store whose batch dirs lack
+    * them — the documented alternative to the rebuild [[ingestStep]]'s
+    * coverage guard otherwise forces. Two workloads land here:
+    *
+    *  - an EXACT-ONLY store (weeks of `nearThreshold = None` ingest)
+    *    being upgraded to the near tier: every batch dir needs signatures
+    *    before cross-store near-dup detection can see its documents;
+    *  - a near-tier store that lost one tag's sig dir (a crash between
+    *    `store_write` and `sig_write` whose retry never ran): without the
+    *    backfill that dir's documents are invisible to every future
+    *    near-dup check — silent recall loss the coverage guard now
+    *    refuses loudly instead.
+    *
+    * For each `batch-<tag>` under `storePath` with no `_sigs/batch-<tag>`
+    * counterpart, one narrow scan of the primary dir derives signatures
+    * through the SAME kernels ingest uses ([[signatureTable]]) and writes
+    * the sig dir (doc_id-sorted — the verify prune's row-group layout),
+    * then its band sidecar (the store's pinned bucket function). Hash
+    * sidecars are backfilled for missing dirs when the store already
+    * carries some or its bytes clear `hashSidecarMinStoreBytes` — the
+    * arming rule ingest applies. Parameter pins are VALIDATED when
+    * present (mixing shingle functions in one store would silently stop
+    * detecting near-dups — loud refusal, same contract as ingest) and
+    * written when absent.
+    *
+    * Idempotent and crash-safe: a re-run skips dirs whose sig dir exists;
+    * each sig dir lands before its band sidecar (ingest's ordering
+    * contract), and a crash mid-dir leaves a `_SUCCESS`-less fragment the
+    * sidecar trust gate already treats as absent. Cost is one scan+write
+    * per MISSING dir — O(unsigned portion of the store) once, by operator
+    * choice, where the per-batch heal loop converges one dir per batch.
+    *
+    * @return the number of batch dirs whose signatures were backfilled. */
+  def backfillSigStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
+                       idCol: String, contentCol: String,
+                       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                       hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes): Int = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val docDirs = listBatchDirs(spark, storePath)
+    require(docDirs.nonEmpty, s"no ingested batches under $storePath")
+    val sigPath = storePath + "_sigs"
+    checkOrWriteSigParams(spark, sigPath, shingleSize, numHashes, bands)
+    val rpb = numHashes / bands
+    val bandsPath = storePath + "_bands"
+    val effBuckets = checkOrWriteBandParams(spark, bandsPath, bandSidecarBuckets)
+    val sigTags = listBatchDirs(spark, sigPath).map(dirTag).toSet
+    val hashPath = storePath + "_hashes"
+    val hashArmed = listBatchDirs(spark, hashPath).nonEmpty ||
+      docDirs.map(cachedDirBytes(hconf, _)).sum >= hashSidecarMinStoreBytes
+    val hashTags = listBatchDirs(spark, hashPath).map(dirTag).toSet
+    val missing = docDirs.filterNot(d => sigTags.contains(dirTag(d)))
+    missing.foreach { d =>
+      val tag = dirTag(d)
+      // null-content rows are exact-tier-only, exactly as ingest signs them
+      val sigs = signatureTable(
+        spark.read.parquet(d).filter(col(contentCol).isNotNull),
+        idCol, contentCol, shingleSize, numHashes)
+      sigs.sortWithinPartitions("doc_id")
+        .write.mode("overwrite").options(noDictOptions)
+        .parquet(s"$sigPath/$tag")
+      // band sidecar from the just-written sig dir — bit-identical to what
+      // ingest would have persisted (same kernels, same pinned bucket fn)
+      spark.read.parquet(s"$sigPath/$tag").select(col("doc_id"),
+          posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
+            .as(Seq("band", "band_key")))
+        .withColumn("bucket", pmod(xxhash64(col("band"), col("band_key")),
+          lit(effBuckets.toLong)).cast("int"))
+        .repartition(8, col("bucket"))
+        .sortWithinPartitions("bucket", "band_key")
+        .write.mode("overwrite")
+        .options(noDictOptionsExcept("doc_id", "band", "bucket"))
+        .parquet(s"$bandsPath/$tag")
+      if (hashArmed && !hashTags.contains(tag))
+        spark.read.parquet(d)
+          .select(md5(col(contentCol)).as("content_hash"))
+          .write.mode("overwrite").parquet(s"$hashPath/$tag")
+    }
+    missing.size
   }
 
   /** The signature parameters a store was built with — recorded next to the
@@ -1592,10 +1706,19 @@ object Dedup {
     val docDirs = listBatchDirs(spark, storePath).filterNot(_.endsWith("/" + tag))
     val sigDirs = listBatchDirs(spark, sigPath).filterNot(_.endsWith("/" + tag))
     nearThreshold.foreach { _ =>
-      if (docDirs.nonEmpty && sigDirs.isEmpty) throw new graft.model.ValidationError(
-        s"store $storePath holds ingested batches but $sigPath has no signatures: " +
-          "prior shards were ingested without a near tier, so cross-store near-dup " +
-          "detection would silently skip them — rebuild the store or backfill signatures")
+      // COVERAGE guard, tag-set-exact: every store dir must have a sig dir
+      // or its documents are invisible to cross-store near-dup detection —
+      // not just the all-missing case (an exact-only store being switched
+      // to the near tier) but the PARTIAL one (a crash between store_write
+      // and sig_write whose retry never ran), which a bare emptiness check
+      // let through as permanent silent recall loss. [[backfillSigStore]]
+      // is the remedy either way.
+      val unsigned = docDirs.map(dirTag).toSet -- sigDirs.map(dirTag).toSet
+      if (unsigned.nonEmpty) throw new graft.model.ValidationError(
+        s"store $storePath holds ${unsigned.size} ingested batch dir(s) with no " +
+          s"signatures under $sigPath (${unsigned.toSeq.sorted.take(3).mkString(", ")}…): " +
+          "their documents would be silently skipped by cross-store near-dup " +
+          "detection — run Dedup.backfillSigStore first (or rebuild the store)")
       checkOrWriteSigParams(spark, sigPath, shingleSize, numHashes, bands)
     }
 

@@ -794,6 +794,148 @@ class ExtSpec extends AnyFunSuite {
       s"job count grew with probe count: $jobs2 jobs at 2 probes vs $jobs8 at 8")
   }
 
+  test("compactIngestStore re-buckets the band index by size; pin semantics across the change") {
+    // the rule itself: power-of-two, floored at the default, monotone,
+    // capped — keeps per-bucket index volume ~constant as the store grows
+    assert(Dedup.scaledBandBuckets(0L) == 64)
+    assert(Dedup.scaledBandBuckets(64L * 1500000L) == 64)
+    assert(Dedup.scaledBandBuckets(64L * 1500000L + 1) == 128)
+    assert(Dedup.scaledBandBuckets(100L * 16 * 1500000L) == 2048)
+    assert(Dedup.scaledBandBuckets(Long.MaxValue / 4) == 8192)
+    // end-to-end with a forced-tiny target so a 4-doc fixture crosses the
+    // rule: compaction must GROW the bucket count, write the new pin
+    // before the band dir, and every later reader/writer of the compacted
+    // root must adopt the new function
+    val root = java.nio.file.Files.createTempDirectory("graft-rebucket").toString
+    val store = s"$root/docs"
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}""",
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}""",
+      """{"doc_id": 4, "text": "fourth document body carrying its own wholly distinct wording"}""",
+      """{"doc_id": 5, "text": "a fifth standalone document keeps the fixture above the tiny target"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s0"))
+    def pinnedBuckets(bandsPath: String): Int = {
+      val src = scala.io.Source.fromFile(s"$bandsPath/_params.json", "UTF-8")
+      val s = try src.mkString finally src.close()
+      """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+    }
+    assert(pinnedBuckets(s"${store}_bands") == 64, "fresh store must pin the default")
+    // 5 docs x 16 bands = 80 band rows; target 1 row/bucket -> 64*1 < 80 -> 128
+    Dedup.compactIngestStore(spark, store, s"$root/comp", "text",
+      bandBucketTargetRows = 1L)
+    assert(pinnedBuckets(s"$root/comp_bands") == 128,
+      "compaction did not re-bucket by the scaled rule")
+    // the rebuilt index's bucket column follows the NEW pinned function
+    val bandRows = spark.read.parquet(s"$root/comp_bands/batch-compacted")
+      .select(col("bucket"), pmod(xxhash64(col("band"), col("band_key")),
+        lit(128L)).cast("int").as("expect")).collect()
+    assert(bandRows.nonEmpty && bandRows.forall(r => r.getInt(0) == r.getInt(1)),
+      "rebuilt band index bucket values disagree with the new pin")
+    // a point probe against the re-bucketed store still answers exactly
+    val hit = Dedup.lookupNearDups(spark, s"$root/comp",
+      "the quick brown fox jumps over the lazy dog again and again today", 0.4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hit == Set(1L), s"probe against re-bucketed store diverged: $hit")
+    // a later ingest into the compacted root adopts the 128-bucket pin:
+    // its near-dup still dies, and its own sidecar rows use the new function
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 6, "text": "brand new sentences never observed anywhere previously at all!"}""", // near-dup of 3
+      """{"doc_id": 7, "text": "seventh body sharing nothing with any earlier ingested document"}"""),
+      "doc_id", "text", s"$root/comp", nearThreshold = Some(0.4), batchTag = Some("s1"))
+    val survivors = Dedup.readStore(spark, s"$root/comp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 4L, 5L, 7L), s"post-rebucket ingest diverged: $survivors")
+    val s1Rows = spark.read.parquet(s"$root/comp_bands/batch-s1")
+      .select(col("bucket"), pmod(xxhash64(col("band"), col("band_key")),
+        lit(128L)).cast("int").as("expect")).collect()
+    assert(s1Rows.nonEmpty && s1Rows.forall(r => r.getInt(0) == r.getInt(1)),
+      "later ingest's sidecar did not adopt the re-bucketed pin")
+    // monotone: re-compacting at the DEFAULT target (scaled = 64 < pin)
+    // must keep 128 — probes never lose pruning resolution
+    Dedup.compactIngestStore(spark, s"$root/comp", s"$root/comp2", "text")
+    assert(pinnedBuckets(s"$root/comp2_bands") == 128,
+      "re-compaction shrank the pinned bucket count")
+    // and an explicit override still wins over both pin and rule (the
+    // auto-compact swap relies on this to keep the live pin mid-swap)
+    Dedup.compactIngestStore(spark, s"$root/comp", s"$root/comp3", "text",
+      bandBuckets = Some(64), bandBucketTargetRows = 1L)
+    assert(pinnedBuckets(s"$root/comp3_bands") == 64,
+      "explicit bandBuckets override did not win")
+  }
+
+  test("backfillSigStore: exact-only store upgraded to the near tier; partial loss refused then healed") {
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
+    val store = s"$root/docs"
+    // two shards ingested EXACT-ONLY — no sig/band sidecars exist
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}"""),
+      "doc_id", "text", store, batchTag = Some("s0"))
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}"""),
+      "doc_id", "text", store, batchTag = Some("s1"))
+    assert(!new java.io.File(s"${store}_sigs").exists())
+    // switching to the near tier against the unsigned store must refuse
+    // LOUDLY (silent skip = permanent recall loss), naming the remedy
+    val err = intercept[graft.model.ValidationError] {
+      Dedup.ingestStep(fromJsonl(
+        """{"doc_id": 4, "text": "wholly novel fourth document body with its own words"}"""),
+        "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+    }
+    assert(err.getMessage.contains("backfillSigStore"), s"guard message: ${err.getMessage}")
+    // backfill: one scan per missing dir; sig + band sidecars + pins appear
+    assert(Dedup.backfillSigStore(spark, store, "doc_id", "text") == 2)
+    assert(new java.io.File(s"${store}_sigs/_params.json").exists(), "sig pin not written")
+    assert(new java.io.File(s"${store}_bands/_params.json").exists(), "band pin not written")
+    for (tag <- Seq("batch-s0", "batch-s1")) {
+      assert(new java.io.File(s"${store}_sigs/$tag/_SUCCESS").exists(), s"no sig dir for $tag")
+      // the backfilled band sidecar IS the banding of its sig dir
+      val sigDir = spark.read.parquet(s"${store}_sigs/$tag")
+      val expect = sigDir.select(col("doc_id"),
+        posexplode(Kernels.bandKeysKernel(16, 4)(col("sig"))).as(Seq("band", "band_key")))
+      val got = spark.read.parquet(s"${store}_bands/$tag")
+        .select(col("doc_id"), col("band"), col("band_key"))
+      assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+        s"backfilled band sidecar $tag does not match its sig dir's banding")
+    }
+    // idempotent: nothing left to backfill
+    assert(Dedup.backfillSigStore(spark, store, "doc_id", "text") == 0)
+    // mismatched parameters refuse instead of mixing shingle functions
+    intercept[graft.model.ValidationError] {
+      Dedup.backfillSigStore(spark, store, "doc_id", "text", shingleSize = 5)
+    }
+    // the near tier now sees the backfilled shards: a near-dup of doc 1
+    // dies cross-store, a novel doc survives
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog again and again today"}""", // near-dup of 1
+      """{"doc_id": 6, "text": "sixth body sharing nothing with any earlier ingested document"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+    val survivors = Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L, 3L, 6L), s"post-backfill near ingest diverged: $survivors")
+    // PARTIAL loss (crash between store_write and sig_write, retry never
+    // ran): the coverage guard must refuse tag-set-exactly, and a backfill
+    // of just that dir restores detection against its documents
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"${store}_sigs/batch-s1"))
+    val err2 = intercept[graft.model.ValidationError] {
+      Dedup.ingestStep(fromJsonl(
+        """{"doc_id": 7, "text": "some totally different seventh body of text here"}"""),
+        "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s3"))
+    }
+    assert(err2.getMessage.contains("batch-s1"), s"guard message: ${err2.getMessage}")
+    assert(Dedup.backfillSigStore(spark, store, "doc_id", "text") == 1)
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 8, "text": "brand new sentences never observed anywhere previously at all!"}"""), // near-dup of 3 (dir s1)
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s3"))
+    val after = Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(after == Set(1L, 2L, 3L, 6L), s"re-backfilled dir lost recall: $after")
+  }
+
   test("ingestStep: a retried tag's stale-complete sidecars are dropped before the overwrite") {
     // a PRIOR completed attempt leaves _SUCCESS-marked hash/band sidecars;
     // a retry that rewrites the primary dir and crashes before its own
