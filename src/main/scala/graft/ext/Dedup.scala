@@ -163,17 +163,24 @@ object Dedup {
     * multi-GB index per probe where 1024 buckets would read ~1.6%. The
     * rule keeps per-bucket index volume roughly constant instead — the
     * smallest power of two ≥ [[bandSidecarBuckets]] holding
-    * `targetRowsPerBucket` under ~1.5M band rows (~30 MB of ~20 B rows, a
-    * handful of parquet row groups per bucket — buckets stay big enough
-    * that per-file sorted runs and footer stats remain tight), capped at
-    * 8192 (an IN-list and footer-stat count a probe's planner handles
-    * comfortably). Growth is monotone: compaction takes the max of the
+    * `targetRowsPerBucket` under ~64k band rows (~1 MB of ~14 B-on-disk
+    * rows per bucket), capped at 8192 (an IN-list and footer-stat count a
+    * probe's planner handles comfortably). The target is MEASURED, not
+    * derived (tools/BucketProbe, r13): point-probe latency is FLAT in
+    * bucket count at small indexes (50k-800k docs / 10-172 MB: medians
+    * within noise across 16→1024 buckets — fixed job costs dominate), and
+    * at 3M docs / 649 MB the 1024-bucket layout beats 64 by 21% median
+    * and 3× at max (2.128 s med / 2.998 max vs 2.687 / 8.854) — more
+    * buckets never measurably hurt, and start paying from ~half a GB of
+    * index; 64k rows/bucket reproduces the measured-good choice at every
+    * probed size (800k→256, 3M→1024) and caps a 100× store at 8192.
+    * Growth is monotone: compaction takes the max of the
     * source pin and the scaled value, so a store's probes never LOSE
     * pruning resolution across a compact cycle, and the in-place
     * auto-compact swap still pins the live value explicitly (a moved-in
     * dir must never disagree with the live pin mid-crash). */
   private[graft] def scaledBandBuckets(indexRows: Long,
-                                       targetRowsPerBucket: Long = 1500000L,
+                                       targetRowsPerBucket: Long = 64000L,
                                        maxBuckets: Int = 8192): Int = {
     require(targetRowsPerBucket > 0, "targetRowsPerBucket must be positive")
     var p = bandSidecarBuckets
@@ -1222,7 +1229,7 @@ object Dedup {
                          targetFileMB: Int = 256,
                          hashSidecarMinStoreBytes: Long = exactBloomMinStoreBytes,
                          bandBuckets: Option[Int] = None,
-                         bandBucketTargetRows: Long = 1500000L): Int = {
+                         bandBucketTargetRows: Long = 64000L): Int = {
     require(targetFileMB > 0, s"targetFileMB must be positive, got $targetFileMB")
     val hconf = spark.sparkContext.hadoopConfiguration
     // Disjointness across EVERY root this call wipes vs EVERY root it

@@ -798,9 +798,12 @@ class ExtSpec extends AnyFunSuite {
     // the rule itself: power-of-two, floored at the default, monotone,
     // capped — keeps per-bucket index volume ~constant as the store grows
     assert(Dedup.scaledBandBuckets(0L) == 64)
-    assert(Dedup.scaledBandBuckets(64L * 1500000L) == 64)
-    assert(Dedup.scaledBandBuckets(64L * 1500000L + 1) == 128)
-    assert(Dedup.scaledBandBuckets(100L * 16 * 1500000L) == 2048)
+    assert(Dedup.scaledBandBuckets(64L * 64000L) == 64)
+    assert(Dedup.scaledBandBuckets(64L * 64000L + 1) == 128)
+    // the two measured-good choices BucketProbe settled (r13): 800k docs
+    // x 16 bands -> 256, 3M docs x 16 bands -> 1024
+    assert(Dedup.scaledBandBuckets(800000L * 16) == 256)
+    assert(Dedup.scaledBandBuckets(3000000L * 16) == 1024)
     assert(Dedup.scaledBandBuckets(Long.MaxValue / 4) == 8192)
     // end-to-end with a forced-tiny target so a 4-doc fixture crosses the
     // rule: compaction must GROW the bucket count, write the new pin
