@@ -1388,6 +1388,15 @@ object Dedup {
     * The byte cache is invalidated for the whole store and a provided
     * [[SigStoreCache]] drops pins for the deleted dirs.
     *
+    * The swap deliberately KEEPS the live band-bucket pin (no
+    * [[scaledBandBuckets]] growth here): mid-crash, old dirs' sidecars and
+    * the moved-in index coexist, and rows bucketed under two functions
+    * against one pin would silently mis-prune. A long-lived sink therefore
+    * never re-buckets in place — point-lookup-heavy deployments whose
+    * store has outgrown its pinned count re-bucket via the offline path,
+    * [[compactIngestStore]] to a NEW root (which writes its own pin before
+    * its band dir and takes max(pin, scaled)).
+    *
     * @return true if a compaction ran. */
   def autoCompactIngestStore(spark: org.apache.spark.sql.SparkSession, storePath: String,
                              contentCol: String, maxDirs: Int,
