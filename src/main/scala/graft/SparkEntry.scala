@@ -1246,6 +1246,39 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // the same lifecycle with the compaction RE-BUCKETING the band index
+    // mid-stream (bandBucketTargetRows = 1 forces the size-scaled rule past
+    // the gate corpus's row count): shard 2's cross-store detection is
+    // served by a regenerated index under a GROWN bucket function whose pin
+    // the later ingest must adopt — survivorship must be bit-identical to
+    // q_dedup_store_bands (the bucket function is pure layout, never
+    // answers), so the oracle is the same SQL
+    "q_dedup_store_rebucket" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-rebucket-gate").toString
+      try {
+        (0 to 1).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/old", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString), exactArmMinStoreBytes = 0L)
+        }
+        graft.ext.Dedup.compactIngestStore(spark, s"$root/old", s"$root/new", "text",
+          hashSidecarMinStoreBytes = 0L, bandBucketTargetRows = 1L)
+        graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", s"$root/new", nearThreshold = Some(0.9),
+          batchTag = Some("2"), exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/new").select(col("doc_id")),
+          "graft-rebucket-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     // point near-dup lookup against the same 3-shard near-tier store as
     // q_dedup_store_bands (uncompacted — the multi-dir sidecar path): the
     // probe is group 1's base text, token-identical to the whole cluster
@@ -3267,6 +3300,21 @@ object SparkEntry {
     // doc_id): the first-arriving shard's smallest member owns the store
     // entry, every later arrival dies in-batch or cross-store
     "q_dedup_store_bands" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      t AS (SELECT doc_id, shard,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c),
+      r AS (SELECT doc_id, row_number() OVER (
+              PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+              ORDER BY shard, doc_id) AS rn FROM t)
+      SELECT doc_id FROM r WHERE rn = 1""",
+    // re-bucketed lifecycle: the bucket function is pure LAYOUT — growing
+    // it at compaction must leave survivorship bit-identical, so the
+    // oracle is exactly q_dedup_store_bands'
+    "q_dedup_store_rebucket" ->
       """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
       t AS (SELECT doc_id, shard,
         CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
