@@ -1279,6 +1279,40 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // store MERGE: shards 0-1 curated into store A, shard 2 curated
+    // INDEPENDENTLY into store B (its own in-batch near dedup), then B
+    // merged into A — replaying B's surviving batches against A exactly as
+    // live ingest would. Merge semantics make this bit-identical to
+    // ingesting shard 2 into A directly (B's internal dedup keeps each
+    // normalized text's min id; the replay then drops those with an
+    // earlier A-side survivor), so the oracle is q_dedup_store_bands' SQL.
+    "q_dedup_store_merge" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-merge-gate").toString
+      try {
+        (0 to 1).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/a", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString), exactArmMinStoreBytes = 0L)
+        }
+        graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", s"$root/b", nearThreshold = Some(0.9),
+          batchTag = Some("0"), exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b",
+          "doc_id", "text", nearThreshold = Some(0.9),
+          exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/a").select(col("doc_id")),
+          "graft-merge-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     // point near-dup lookup against the same 3-shard near-tier store as
     // q_dedup_store_bands (uncompacted — the multi-dir sidecar path): the
     // probe is group 1's base text, token-identical to the whole cluster
@@ -3300,6 +3334,22 @@ object SparkEntry {
     // doc_id): the first-arriving shard's smallest member owns the store
     // entry, every later arrival dies in-batch or cross-store
     "q_dedup_store_bands" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      t AS (SELECT doc_id, shard,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c),
+      r AS (SELECT doc_id, row_number() OVER (
+              PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+              ORDER BY shard, doc_id) AS rn FROM t)
+      SELECT doc_id FROM r WHERE rn = 1""",
+    // store merge: B's internal dedup keeps each normalized text's min
+    // shard-2 id, the replay drops those with an earlier A-side survivor —
+    // bit-identical to ingesting shard 2 into A directly, so the oracle is
+    // exactly q_dedup_store_bands'
+    "q_dedup_store_merge" ->
       """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
       t AS (SELECT doc_id, shard,
         CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')

@@ -1453,6 +1453,62 @@ object Dedup {
     true
   }
 
+  /** Merge one ingest store into another: replay `srcPath`'s batch dirs
+    * into `dstPath` in tag order, deduping each against the accumulated
+    * destination exactly as live ingest would — the consolidation step
+    * when two corpora were curated INDEPENDENTLY (two crawls, two
+    * pipelines, a backfill job and a live stream) and must converge to one
+    * store. Semantics are precisely "the src batches arrive at dst after
+    * everything dst already holds": dst's survivors always win ties, src
+    * batches win only their genuinely new documents, src arrival order is
+    * preserved (tag order — [[listBatchDirs]] sorts), and in-batch
+    * structure is preserved because each src DIR replays as one batch.
+    *
+    * Each replayed batch takes [[ingestStep]]'s AUTO tag (the
+    * order-independent content digest), so merged dirs can never collide
+    * with dst's existing tags (or with a different store's merged
+    * batches), and a crashed merge RESUMES idempotently: re-running it
+    * replays each batch onto its own digest tag, whose dir is excluded
+    * from its read set, so already-merged batches overwrite themselves
+    * with identical survivors and the crash-point batch completes — the
+    * same single-writer retry contract every ingestStep tag carries
+    * (re-run before further writers advance the store).
+    *
+    * Source stores' sidecars are not reused — each batch re-shingles from
+    * text ([[ingestStep]]'s own path), O(src text) once per merge; at
+    * store scales where that matters, merge the SMALLER store into the
+    * larger. `nearThreshold` must match dst's tier shape: merging with a
+    * near tier into a store whose earlier batches lack signatures trips
+    * the coverage guard ([[backfillSigStore]] first), same as live ingest.
+    *
+    * @return the number of src batch dirs replayed. */
+  def mergeIngestStores(spark: org.apache.spark.sql.SparkSession,
+                        dstPath: String, srcPath: String,
+                        idCol: String, contentCol: String,
+                        nearThreshold: Option[Double] = None,
+                        shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                        sigCache: Option[SigStoreCache] = None,
+                        exactArmMinStoreBytes: Long = exactBloomMinStoreBytes): Int = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // the replay WRITES dst and READS src: any overlap between the two
+    // stores' root families would let a replayed batch clobber its own
+    // source mid-merge — same qualified whole-segment check compaction uses
+    val srcQ = qualifiedUri(hconf, srcPath) + "/"
+    val dstQ = qualifiedUri(hconf, dstPath) + "/"
+    require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),
+      s"merge source $srcPath and destination $dstPath overlap — " +
+        "the replay writes dst while reading src, so the roots must be disjoint")
+    val srcDirs = listBatchDirs(spark, srcPath)
+    require(srcDirs.nonEmpty, s"no ingested batches under $srcPath")
+    srcDirs.foreach { d =>
+      ingestStep(spark.read.parquet(d), idCol, contentCol, dstPath,
+        nearThreshold, shingleSize, numHashes, bands,
+        batchTag = None, sigCache = sigCache,
+        exactArmMinStoreBytes = exactArmMinStoreBytes)
+    }
+    srcDirs.size
+  }
+
   /** Backfill the near-tier signatures of a store whose batch dirs lack
     * them — the documented alternative to the rebuild [[ingestStep]]'s
     * coverage guard otherwise forces. Two workloads land here:

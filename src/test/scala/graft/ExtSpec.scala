@@ -867,6 +867,60 @@ class ExtSpec extends AnyFunSuite {
       "explicit bandBuckets override did not win")
   }
 
+  test("mergeIngestStores: replaying src into dst equals direct ingest; overlap refused") {
+    val root = java.nio.file.Files.createTempDirectory("graft-merge").toString
+    def buildBase(path: String): Unit = {
+      Dedup.ingestStep(fromJsonl(
+        """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+        """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}"""),
+        "doc_id", "text", path, nearThreshold = Some(0.4), batchTag = Some("s0"))
+      Dedup.ingestStep(fromJsonl(
+        """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}"""),
+        "doc_id", "text", path, nearThreshold = Some(0.4), batchTag = Some("s1"))
+    }
+    // dst and an identically-built control
+    buildBase(s"$root/a"); buildBase(s"$root/c")
+    // src: built INDEPENDENTLY (its own in-batch near dedup: 13 dies
+    // against 12 at build time), two batch dirs
+    val b0 = fromJsonl(
+      """{"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog again and again today"}""", // near-dup of dst's 1
+      """{"doc_id": 11, "text": "eleventh body sharing nothing with any other document anywhere"}""",    // novel
+      """{"doc_id": 12, "text": "twelfth text with its own private vocabulary zone entirely"}""",
+      """{"doc_id": 13, "text": "twelfth text with its own private vocabulary zone entirely!"}""")       // near-dup of 12, dies in src
+    val b1 = fromJsonl(
+      """{"doc_id": 14, "text": "twelfth text with its own private vocabulary zone entirely?"}""")       // near-dup of 12, dies cross-batch in src
+    Dedup.ingestStep(b0, "doc_id", "text", s"$root/b", nearThreshold = Some(0.4), batchTag = Some("t0"))
+    Dedup.ingestStep(b1, "doc_id", "text", s"$root/b", nearThreshold = Some(0.4), batchTag = Some("t1"))
+    val srcSurvivors = Dedup.readStore(spark, s"$root/b").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(srcSurvivors == Set(10L, 11L, 12L), s"src build diverged: $srcSurvivors")
+    // merge src into dst; control ingests the same surviving dirs directly
+    assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b", "doc_id", "text",
+      nearThreshold = Some(0.4)) == 2)
+    Seq("batch-t0", "batch-t1").foreach { t =>
+      Dedup.ingestStep(spark.read.parquet(s"$root/b/$t"), "doc_id", "text",
+        s"$root/c", nearThreshold = Some(0.4))
+    }
+    val merged = Dedup.readStore(spark, s"$root/a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val control = Dedup.readStore(spark, s"$root/c").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(merged == control, s"merge diverged from direct ingest: $merged vs $control")
+    // dst's 1 survives its near-dup 10; src's novel docs land
+    assert(merged == Set(1L, 2L, 3L, 11L, 12L), s"merged survivors: $merged")
+    // overlapping roots refuse before anything is written
+    intercept[IllegalArgumentException] {
+      Dedup.mergeIngestStores(spark, s"$root/a", s"$root/a/batch-s0", "doc_id", "text")
+    }
+    // and a crashed merge resumes idempotently: re-running replays each
+    // batch onto its own digest tag — survivors unchanged
+    assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b", "doc_id", "text",
+      nearThreshold = Some(0.4)) == 2)
+    val rerun = Dedup.readStore(spark, s"$root/a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(rerun == merged, s"re-run merge diverged: $rerun")
+  }
+
   test("backfillSigStore: exact-only store upgraded to the near tier; partial loss refused then healed") {
     val root = java.nio.file.Files.createTempDirectory("graft-backfill").toString
     val store = s"$root/docs"
