@@ -919,6 +919,19 @@ class ExtSpec extends AnyFunSuite {
     val rerun = Dedup.readStore(spark, s"$root/a").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(rerun == merged, s"re-run merge diverged: $rerun")
+    // an EXACT-ONLY-built src merges into a near-tier dst fine: the replay
+    // re-derives signatures from text, so src's missing sidecars are
+    // irrelevant — only the DST must be signed (coverage guard's concern)
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 20, "text": "the quick brown fox jumps over the lazy dog again and again!"}""", // near-dup of dst's 1
+      """{"doc_id": 21, "text": "twenty first body with vocabulary shared by no other document"}"""),
+      "doc_id", "text", s"$root/e", batchTag = Some("x0")) // exact-only build: no sigs
+    assert(!new java.io.File(s"$root/e_sigs").exists())
+    assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/e", "doc_id", "text",
+      nearThreshold = Some(0.4)) == 1)
+    val afterExactSrc = Dedup.readStore(spark, s"$root/a").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterExactSrc == merged + 21L, s"exact-only src merge diverged: $afterExactSrc")
   }
 
   test("backfillSigStore: exact-only store upgraded to the near tier; partial loss refused then healed") {
