@@ -1410,10 +1410,21 @@ object Dedup {
     // keep the LIVE band-bucket pin across the swap: the staged band index
     // must be bucketed by the function the live `_bands/_params.json`
     // already pins — re-bucketing here would leave the moved-in dir and
-    // the live pin describing different functions mid-crash
-    val liveBuckets = readBandBucketsPin(spark, storePath + "_bands")
+    // the live pin describing different functions mid-crash. A PIN-LESS
+    // store (the pre-sidecar upgrade path) has no live function to keep,
+    // but the same invariant still binds FORWARD: the next near-tier
+    // ingest's checkOrWriteBandParams will pin [[bandSidecarBuckets]], so
+    // the staged index must be bucketed at exactly that — letting
+    // compactIngestStore apply its size-scaled rule here (whose pin the
+    // swap discards with the staging root) would leave rows bucketed
+    // under a grown function that the later 64-pin mis-prunes, silent
+    // recall loss on every bucket-pruned probe. The swap also moves the
+    // pin INTO the live root (below) so the moved-in dir can never
+    // disagree with what a later writer records.
+    val stagedBuckets = readBandBucketsPin(spark, storePath + "_bands")
+      .getOrElse(bandSidecarBuckets)
     compactIngestStore(spark, storePath, staging, contentCol, targetFileMB,
-      bandBuckets = liveBuckets)
+      bandBuckets = Some(stagedBuckets))
     // fresh ordinal: one above any compacted tag already present (a crash
     // between move-in and delete leaves the prior ordinal in place)
     val k = 1 + dirs.map(dirTag).flatMap { t =>
@@ -1426,6 +1437,21 @@ object Dedup {
       if (fs(src).exists(src)) {
         val dstRoot = new org.apache.hadoop.fs.Path(storePath + suffix)
         fs(dstRoot).mkdirs(dstRoot)
+        // a PIN-LESS store gains its band pin here, BEFORE its first band
+        // dir lands (the "pin can never be missing for a dir that exists"
+        // invariant): the staged index was bucketed at stagedBuckets, and
+        // recording it now means a later writer adopts this function
+        // instead of re-pinning a default the moved-in rows might not
+        // match. A crash between pin write and rename leaves a pin with
+        // no dirs — harmless, the value is the default the next writer
+        // would pin anyway.
+        if (suffix == "_bands") {
+          val livePin = new org.apache.hadoop.fs.Path(dstRoot, "_params.json")
+          if (!fs(livePin).exists(livePin)) {
+            val o = fs(livePin).create(livePin, true)
+            try o.write(s"""{"buckets":$stagedBuckets}""".getBytes("UTF-8")) finally o.close()
+          }
+        }
         val dst = new org.apache.hadoop.fs.Path(dstRoot, s"batch-compacted-$k")
         fs(src).delete(dst, true)
         require(fs(src).rename(src, dst), s"rename $src -> $dst failed")
@@ -1460,9 +1486,16 @@ object Dedup {
     * pipelines, a backfill job and a live stream) and must converge to one
     * store. Semantics are precisely "the src batches arrive at dst after
     * everything dst already holds": dst's survivors always win ties, src
-    * batches win only their genuinely new documents, src arrival order is
-    * preserved (tag order — [[listBatchDirs]] sorts), and in-batch
-    * structure is preserved because each src DIR replays as one batch.
+    * batches win only their genuinely new documents, src batches replay in
+    * a DETERMINISTIC order (lexicographic tag order — [[listBatchDirs]]
+    * sorts), and in-batch structure is preserved because each src DIR
+    * replays as one batch. Note the replay order is src ARRIVAL order only
+    * when the src store's tags sort like time (zero-padded sequence
+    * numbers, ISO timestamps); auto (content-digest) tags sort in digest
+    * order, which matters only when the merge uses a different
+    * `nearThreshold` than the src was built with — at the src's own
+    * threshold its survivors are mutually non-dup, so replay order cannot
+    * change the outcome.
     *
     * Each replayed batch takes [[ingestStep]]'s AUTO tag (the
     * order-independent content digest), so merged dirs can never collide
@@ -1490,14 +1523,23 @@ object Dedup {
                         sigCache: Option[SigStoreCache] = None,
                         exactArmMinStoreBytes: Long = exactBloomMinStoreBytes): Int = {
     val hconf = spark.sparkContext.hadoopConfiguration
-    // the replay WRITES dst and READS src: any overlap between the two
-    // stores' root families would let a replayed batch clobber its own
-    // source mid-merge — same qualified whole-segment check compaction uses
-    val srcQ = qualifiedUri(hconf, srcPath) + "/"
-    val dstQ = qualifiedUri(hconf, dstPath) + "/"
-    require(!srcQ.startsWith(dstQ) && !dstQ.startsWith(srcQ),
-      s"merge source $srcPath and destination $dstPath overlap — " +
-        "the replay writes dst while reading src, so the roots must be disjoint")
+    // the replay WRITES the whole dst family (dstPath plus its
+    // _sigs/_hashes/_bands sidecar roots) and READS the src family: any
+    // overlap would let a replayed batch clobber its own source mid-merge.
+    // Checked 4×4 across both families — same qualified whole-segment
+    // check compaction uses — because the sibling-store hazard is exactly
+    // a DERIVED root colliding with a primary (srcPath = dstPath + "_sigs"
+    // passes a primary-vs-primary check, yet the replay would then write
+    // dst's sig sidecar straight into the src store's root).
+    val srcFam = Seq(srcPath, srcPath + "_sigs", srcPath + "_hashes", srcPath + "_bands")
+      .map(qualifiedUri(hconf, _) + "/")
+    val dstFam = Seq(dstPath, dstPath + "_sigs", dstPath + "_hashes", dstPath + "_bands")
+      .map(qualifiedUri(hconf, _) + "/")
+    for (s <- srcFam; d <- dstFam)
+      require(!s.startsWith(d) && !d.startsWith(s),
+        s"merge source root ${s.stripSuffix("/")} overlaps destination root " +
+          s"${d.stripSuffix("/")} — the replay writes dst and its _sigs/_hashes/_bands " +
+          s"sidecars while reading src's, so the two stores' root families must be disjoint")
     val srcDirs = listBatchDirs(spark, srcPath)
     require(srcDirs.nonEmpty, s"no ingested batches under $srcPath")
     srcDirs.foreach { d =>
@@ -1534,10 +1576,12 @@ object Dedup {
     * detecting near-dups — loud refusal, same contract as ingest) and
     * written when absent.
     *
-    * Idempotent and crash-safe: a re-run skips dirs whose sig dir exists;
-    * each sig dir lands before its band sidecar (ingest's ordering
-    * contract), and a crash mid-dir leaves a `_SUCCESS`-less fragment the
-    * sidecar trust gate already treats as absent. Cost is one scan+write
+    * Idempotent and crash-safe: a re-run skips dirs whose sig dir is
+    * `_SUCCESS`-marked — a crash mid-dir leaves a marker-less fragment
+    * that the NEXT run overwrites whole (dir existence alone must not
+    * count: skipping a fragment would let the coverage guard accept the
+    * tag with partial signatures); each sig dir lands before its band
+    * sidecar (ingest's ordering contract). Cost is one scan+write
     * per MISSING dir — O(unsigned portion of the store) once, by operator
     * choice, where the per-batch heal loop converges one dir per batch.
     *
@@ -1555,7 +1599,15 @@ object Dedup {
     val rpb = numHashes / bands
     val bandsPath = storePath + "_bands"
     val effBuckets = checkOrWriteBandParams(spark, bandsPath, bandSidecarBuckets)
-    val sigTags = listBatchDirs(spark, sigPath).map(dirTag).toSet
+    // skip set = _SUCCESS-marked sig dirs ONLY, not bare dir existence: a
+    // crash mid-sig-write leaves a partial batch-<tag> fragment (Spark
+    // creates the directory at job setup), and a name-keyed skip would
+    // treat the fragment as that tag's complete signatures — the coverage
+    // guard then accepts the tag and ingest reads PARTIAL signatures as
+    // the batch's whole near-tier presence, the silent recall loss this
+    // operator exists to close. Re-signing a fragment is safe: the write
+    // below is mode("overwrite") onto the tag's own dir.
+    val sigTags = trustedSidecarDirsByTag(spark, sigPath).keySet
     val hashPath = storePath + "_hashes"
     val hashArmed = listBatchDirs(spark, hashPath).nonEmpty ||
       docDirs.map(cachedDirBytes(hconf, _)).sum >= hashSidecarMinStoreBytes

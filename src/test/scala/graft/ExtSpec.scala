@@ -912,6 +912,15 @@ class ExtSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.mergeIngestStores(spark, s"$root/a", s"$root/a/batch-s0", "doc_id", "text")
     }
+    // SIBLING-root hazard: src = dst's own _sigs root passes a primary-vs-
+    // primary check, yet the replay would write dst's sig sidecar straight
+    // into the src store — the 4x4 family check must refuse both ways
+    intercept[IllegalArgumentException] {
+      Dedup.mergeIngestStores(spark, s"$root/a", s"$root/a_sigs", "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.mergeIngestStores(spark, s"$root/a_sigs", s"$root/a", "doc_id", "text")
+    }
     // and a crashed merge resumes idempotently: re-running replays each
     // batch onto its own digest tag — survivors unchanged
     assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b", "doc_id", "text",
@@ -1004,6 +1013,103 @@ class ExtSpec extends AnyFunSuite {
     val after = Dedup.readStore(spark, store).select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(after == Set(1L, 2L, 3L, 6L), s"re-backfilled dir lost recall: $after")
+  }
+
+  test("backfillSigStore: a crash-left sig FRAGMENT is re-signed, not skipped as complete") {
+    // a backfill (or ingest) crash mid-sig-write leaves a partial
+    // batch-<tag> under _sigs with no _SUCCESS marker — Spark creates the
+    // directory at job setup, so keying the skip set on dir EXISTENCE
+    // would treat the fragment as the tag's complete signatures: the
+    // coverage guard then accepts the tag and every future near-tier
+    // batch checks against partial signatures — silent recall loss
+    val root = java.nio.file.Files.createTempDirectory("graft-backfill-frag").toString
+    val store = s"$root/docs"
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}"""),
+      "doc_id", "text", store, batchTag = Some("s0"))
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 2, "text": "brand new sentences never observed anywhere previously at all"}"""),
+      "doc_id", "text", store, batchTag = Some("s1"))
+    assert(Dedup.backfillSigStore(spark, store, "doc_id", "text") == 2)
+    // simulate the crash: drop s1's marker and one data file — the dir
+    // EXISTS but is a fragment the trust gate must treat as absent
+    val sigDir = new java.io.File(s"${store}_sigs/batch-s1")
+    assert(new java.io.File(sigDir, "_SUCCESS").delete())
+    sigDir.listFiles().filter(_.getName.endsWith(".parquet")).take(1).foreach(f => assert(f.delete()))
+    // the re-run must RE-SIGN the fragment dir (pre-fix it returned 0,
+    // leaving the fragment permanently trusted by the coverage guard)
+    assert(Dedup.backfillSigStore(spark, store, "doc_id", "text") == 1,
+      "fragment sig dir was skipped as complete")
+    assert(new java.io.File(sigDir, "_SUCCESS").exists(), "re-signed dir lacks _SUCCESS")
+    // and detection against s1's documents is whole again
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all!"}"""), // near-dup of 2
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+    val survivors = Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 2L), s"fragment re-sign lost recall: $survivors")
+  }
+
+  test("autoCompactIngestStore: a pin-less pre-sidecar store gains a live pin matching the staged index") {
+    // the pre-sidecar upgrade path: a store built before band sidecars has
+    // NO _bands root at all. Auto-compaction regenerates the index — and
+    // must bucket it at the exact function the next writer will pin, then
+    // record that pin in the live root itself, or a later default change
+    // leaves rows bucketed under one function and pinned under another
+    // (bucket-pruned probes then silently miss candidates)
+    val root = java.nio.file.Files.createTempDirectory("graft-autocompact-pinless").toString
+    val store = s"$root/docs"
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog again and again"}""",
+      """{"doc_id": 2, "text": "unrelated words about spark engines and data processing here"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s0"))
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 3, "text": "brand new sentences never observed anywhere previously at all"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s1"))
+    // erase the band family entirely — the pin-less legacy layout
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete()
+    }
+    rmr(new java.io.File(s"${store}_bands"))
+    // a changed session default (the exact hazard: the staged index and a
+    // later writer's fresh pin must still agree)
+    val prior = Dedup.bandSidecarBuckets
+    try {
+      Dedup.bandSidecarBuckets = 128
+      assert(Dedup.autoCompactIngestStore(spark, store, "text", maxDirs = 2))
+      val pin = {
+        val src = scala.io.Source.fromFile(s"${store}_bands/_params.json", "UTF-8")
+        try src.mkString finally src.close()
+      }
+      assert(""""buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(pin).get.group(1).toInt == 128,
+        s"live pin after pin-less auto-compact: $pin")
+      val bandRows = spark.read.parquet(
+        Dedup.listBatchDirs(spark, s"${store}_bands"): _*)
+        .select(col("bucket"), pmod(xxhash64(col("band"), col("band_key")),
+          lit(128L)).cast("int").as("expect")).collect()
+      assert(bandRows.nonEmpty && bandRows.forall(r => r.getInt(0) == r.getInt(1)),
+        "staged band index bucketed under a different function than the live pin")
+      // a later writer (back at the old default) ADOPTS the recorded pin
+      Dedup.bandSidecarBuckets = prior
+      Dedup.ingestStep(fromJsonl(
+        """{"doc_id": 4, "text": "the quick brown fox jumps over the lazy dog again and again!"}""", // near-dup of 1
+        """{"doc_id": 5, "text": "fifth body sharing nothing with any earlier ingested document"}"""),
+        "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+      val survivors = Dedup.readStore(spark, store).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(1L, 2L, 3L, 5L), s"post-swap ingest diverged: $survivors")
+      val s2Rows = spark.read.parquet(s"${store}_bands/batch-s2")
+        .select(col("bucket"), pmod(xxhash64(col("band"), col("band_key")),
+          lit(128L)).cast("int").as("expect")).collect()
+      assert(s2Rows.nonEmpty && s2Rows.forall(r => r.getInt(0) == r.getInt(1)),
+        "later ingest did not adopt the swap-recorded pin")
+      // and the bucket-pruned point probe answers exactly against both
+      // the compacted and the fresh rows
+      val hit = Dedup.lookupNearDups(spark, store,
+        "brand new sentences never observed anywhere previously at all?", 0.4)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(hit == Set(3L), s"probe against pin-less-upgraded store diverged: $hit")
+    } finally Dedup.bandSidecarBuckets = prior
   }
 
   test("ingestStep: a retried tag's stale-complete sidecars are dropped before the overwrite") {
