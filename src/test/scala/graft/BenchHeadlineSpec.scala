@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cross-session headline record's merge protocol (Bench.scala):
+  * json4s parsing (order/extension-insensitive), the min-wall merge, and —
+  * the r13 verdict's #2 — the write discipline: a run whose configuration
+  * guard mismatches the committed record must NOT overwrite it. */
+class BenchHeadlineSpec extends AnyFunSuite {
+
+  private val q = Seq(
+    "simpleFilter" -> (0.0417, 0.57),
+    "groupAndAggregate" -> (0.0325, 0.07))
+
+  test("parseHeadline round-trips renderHeadline, survives reordered keys and unknown fields") {
+    val rendered = Bench.renderHeadline(q, 600000L, 8L, 32, 5, 0.124, 0.178)
+    val r = Bench.parseHeadline(rendered).get
+    assert(r == Bench.HeadlineRecord(q, 600000L, 8L, 32, 5))
+    // hand-reordered keys, an unknown top-level field (numeric — the old
+    // regex scan's failure mode: a first-matching "rows"-like field), an
+    // unknown per-query field, and whitespace
+    val exotic = """{
+      "sessions": 3, "note": "x", "heap_gb": 8, "extra_rows": 17,
+      "queries": { "groupAndAggregate": {"cpu": 0.07, "wall": 0.0325, "tag": "z"},
+                   "simpleFilter": {"wall": 0.0417, "cpu": 0.57} },
+      "cpus": 32, "cal": [0.1, 0.2], "rows": 600000 }"""
+    val e = Bench.parseHeadline(exotic).get
+    assert(e.rows == 600000L && e.heapGb == 8L && e.cpus == 32 && e.sessions == 3)
+    assert(e.queries.toMap == q.toMap)
+    // structurally broken records parse to None, never to a guessed record
+    assert(Bench.parseHeadline("""{"queries":{"a":{"wall":"x","cpu":1}},"rows":1,"heap_gb":1,"cpus":1,"sessions":1}""").isEmpty)
+    assert(Bench.parseHeadline("""{"rows":600000,"heap_gb":8,"cpus":32,"sessions":1}""").isEmpty)
+    assert(Bench.parseHeadline("not json").isEmpty)
+    assert(Bench.parseHeadline("[1,2]").isEmpty)
+  }
+
+  test("mergeHeadline: per-query min-wall with its own cpu; guard mismatch never merges") {
+    val prior = Bench.HeadlineRecord(Seq(
+      "simpleFilter" -> (0.0390, 0.59),        // prior faster: keep prior pair
+      "groupAndAggregate" -> (0.0500, 0.05)),  // session faster: keep session pair
+      600000L, 8L, 32, 5)
+    val (merged, sessions, ok) = Bench.mergeHeadline(Some(prior), q, 8L, 600000L, 32)
+    assert(ok && sessions == 6)
+    assert(merged.toMap == Map(
+      "simpleFilter" -> (0.0390, 0.59), "groupAndAggregate" -> (0.0325, 0.07)))
+    // each guard field individually blocks the merge
+    for ((h, r, c) <- Seq((89L, 600000L, 32), (8L, 60000L, 32), (8L, 600000L, 16))) {
+      val (m, s, o) = Bench.mergeHeadline(Some(prior), q, h, r, c)
+      assert(!o && s == 1 && m == q, s"guard ($h,$r,$c) leaked a merge")
+    }
+    // a query the prior lacks keeps the session's observation
+    val (m2, _, _) = Bench.mergeHeadline(
+      Some(prior.copy(queries = prior.queries.take(1))), q, 8L, 600000L, 32)
+    assert(m2.toMap.apply("groupAndAggregate") == (0.0325, 0.07))
+  }
+
+  test("writeHeadline: a guard-mismatched run leaves the committed record byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-headline").toString
+    val path = s"$dir/bench_headline.json"
+    // seed: first run writes the primary path
+    Bench.writeHeadline(path, mergeOn = true, q, 8L, 600000L, 32, 0.1, 0.2)
+    val seeded = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(Bench.parseHeadline(new String(seeded, "UTF-8")).get.sessions == 1)
+    // a mismatched-heap run must write the SIDE path and not touch the record
+    val (sideQ, sideSessions) = Bench.writeHeadline(path, mergeOn = true,
+      Seq("simpleFilter" -> (0.0100, 0.5), "groupAndAggregate" -> (0.0100, 0.05)),
+      89L, 600000L, 32, 0.1, 0.2)
+    assert(sideSessions == 1 && sideQ.head._2._1 == 0.0100)
+    val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(java.util.Arrays.equals(seeded, after),
+      "guard-mismatched run clobbered the committed record")
+    val side = new java.io.File(s"$dir/bench_headline.89g.json")
+    assert(side.exists(), "mismatched run's record not written to the side path")
+    assert(Bench.parseHeadline(
+      new String(java.nio.file.Files.readAllBytes(side.toPath), "UTF-8")).get.heapGb == 89L)
+    // an UNPARSEABLE committed record is equally protected
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "{corrupt".getBytes("UTF-8"))
+    Bench.writeHeadline(path, mergeOn = true, q, 8L, 600000L, 32, 0.1, 0.2)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8") == "{corrupt",
+      "unparseable record was clobbered")
+    assert(new java.io.File(s"$dir/bench_headline.8g.json").exists())
+    // a MATCHED run merges min-wall into the primary path and counts the session
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), seeded)
+    val (mq, ms) = Bench.writeHeadline(path, mergeOn = true,
+      Seq("simpleFilter" -> (0.0300, 0.5), "groupAndAggregate" -> (0.0400, 0.05)),
+      8L, 600000L, 32, 0.1, 0.2)
+    assert(ms == 2)
+    assert(mq.toMap == Map(
+      "simpleFilter" -> (0.0300, 0.5), "groupAndAggregate" -> (0.0325, 0.07)))
+    val merged = Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")).get
+    assert(merged.sessions == 2 && merged.queries.toMap.apply("simpleFilter")._1 == 0.0300)
+    // NO_MERGE forces a fresh single-session primary record (documented escape)
+    Bench.writeHeadline(path, mergeOn = false, q, 8L, 600000L, 32, 0.1, 0.2)
+    assert(Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")).get.sessions == 1)
+  }
+}
