@@ -73,6 +73,30 @@ object Dedup {
       s"parquet.enable.dictionary#$c" -> "true",
       s"parquet.enable.dictionary#$c.list.element" -> "true"))
 
+  /** Write options for SIGNATURE dirs ([[ingestStep]]'s `_sigs` layout and
+    * everything that rebuilds it — compaction, backfill): [[noDictOptions]]
+    * plus a per-row-group parquet BLOOM FILTER on `doc_id`. The bloom is
+    * the layout half of the verify fetch's sublinear story at UNIFORM
+    * candidate spread, where min/max stats structurally can't prune: a
+    * batch's candidate ids are batch-bounded, so once the store's row-group
+    * count exceeds the candidate count (exactly the 100× regime) almost
+    * every row group contains NO candidate — a min/max range can't see
+    * that (scattered ids blanket every row group's span) but a bloom
+    * excludes it at any spread. The read side pushes the collected
+    * candidate id set as a native parquet In predicate
+    * ([[chooseIdPredicate]]'s InSet arm), which parquet-mr's row-group
+    * filter evaluates against these blooms (measured: 94 row groups → 20
+    * for a 500-id uniform probe over a shuffled 4M-row file; min/max
+    * excluded none). ADAPTIVE sizing (parquet-1.14+) builds the bloom from
+    * the row group's ACTUAL distinct count instead of a declared NDV, so a
+    * 10k-row micro-batch sig file pays ~15 KB, not the 1 MB cap a static
+    * worst-case NDV would reserve; `doc_id` is unique per sig row, so the
+    * insert count IS the NDV. */
+  private[graft] def sigWriteOptions: Map[String, String] =
+    noDictOptions ++ Map(
+      "parquet.bloom.filter.enabled#doc_id" -> "true",
+      "parquet.bloom.filter.adaptive.enabled" -> "true")
+
   /** Data-proportional partition count for a keyed shuffle with a known
     * row count: a near-unique key space (grams, lines, shingles) at the
     * session's fixed shuffle.partitions gives every reducer a hash map
@@ -302,18 +326,23 @@ object Dedup {
     * band sidecar scan) are pinned, their matched dir tags and distinct
     * store-side ids are collected (driver-bounded by `maxCollectRows` —
     * past it the full-store fetch is kept, never a wrong answer), and
-    * `resolve(tags, ranges)` returns the verify frame: ONLY the matched
-    * sig dirs, filtered by ≤`maxRanges` doc_id intervals that the sorted
-    * sig layout turns into parquet row-group prunes. Results are
-    * bit-identical to the full fetch — every candidate's store id is, by
-    * construction, inside both the matched dirs and the collected ranges.
-    * `register` hands the caller each frame pinned here so its persist is
-    * released under the caller's try/finally discipline. */
+    * `resolve(tags, pred)` returns the verify frame: ONLY the matched
+    * sig dirs, filtered by the chosen [[IdPredicate]] — ≤`maxRanges`
+    * doc_id intervals when the ids cluster (the sorted sig layout turns
+    * them into row-group min/max prunes), or the exact id set as a native
+    * parquet In when they spread uniformly (the sig dirs' per-row-group
+    * `doc_id` blooms exclude candidate-free row groups at any spread,
+    * capped at `maxInIds` plan-borne ids). Results are bit-identical to
+    * the full fetch — every candidate's store id is, by construction,
+    * inside both the matched dirs and the pushed predicate. `register`
+    * hands the caller each frame pinned here so its persist is released
+    * under the caller's try/finally discipline. */
   private[graft] final case class VerifyPrune(
-      resolve: (Set[String], Option[Seq[(Long, Long)]]) => DataFrame,
+      resolve: (Set[String], Option[IdPredicate]) => DataFrame,
       register: DataFrame => Unit,
       maxCollectRows: Int = 500000,
       maxRanges: Int = 64,
+      maxInIds: Int = 262144,
       // broadcast ceiling for the candidate side of the verify join, in
       // PAIRS (two longs ≈ 16 B each → 4M ≈ 64 MB, the same bound
       // [[spillSized]] documents): past it the pair set is genuinely
@@ -341,6 +370,73 @@ object Dedup {
         case Seq(a, b) => (sorted(a), sorted(b - 1))
       }.toSeq
     }
+  }
+
+  /** The candidate-id predicate a pruned verify fetch pushes into the sig
+    * store's parquet scan — two forms, chosen by [[chooseIdPredicate]]
+    * from the collected ids' SHAPE:
+    *
+    *  - [[IdPredicate.Ranges]]: ≤`maxRanges` coalesced BETWEEN intervals
+    *    ([[idRanges]]) — the cheap, plan-literal-light form, effective
+    *    exactly when the candidates CLUSTER (a recrawl hitting one
+    *    original shard, a compacted doc_id-ranged store) so the intervals
+    *    exclude most of the span via row-group min/max stats.
+    *  - [[IdPredicate.InSet]]: the exact id set pushed as a native parquet
+    *    In predicate, which the reader evaluates against the sig dirs'
+    *    per-row-group `doc_id` BLOOM FILTERS ([[sigWriteOptions]]) — the
+    *    form that stays sublinear at UNIFORM spread, where ranges cover
+    *    ~the whole span and prune nothing: blooms exclude a row group iff
+    *    it holds no candidate, true for almost every row group once the
+    *    store outgrows the batch-bounded candidate count. Capped at
+    *    `maxInIds` because the id set rides the plan into every scan task
+    *    (the same plan-size bound [[bloomLiteralMaxBytes]] documents —
+    *    262144 longs ≈ 2 MB).
+    *
+    * Ranges are preferred when they genuinely exclude (tight absolute
+    * cover, or ≤50% of the candidates' own span — the measured r13 gate);
+    * otherwise the InSet form arms when the set is plan-bounded; past both
+    * gates the fetch keeps the full matched-dir scan (never a wrong
+    * answer, the candidates are a superset either way). */
+  private[graft] sealed trait IdPredicate
+  private[graft] object IdPredicate {
+    final case class Ranges(rs: Seq[(Long, Long)]) extends IdPredicate
+    final case class InSet(ids: Seq[Long]) extends IdPredicate
+  }
+
+  /** The absolute-cover gate below which coalesced ranges are considered
+    * tight (≤ ~a hundred row groups' worth of ids — prunes hugely on any
+    * multi-M store). `var` for the same reason as [[gramPruneMinRows]]:
+    * the differential spec lowers it to 0 to arm the InSet form on a
+    * spec-sized id set (a realistic uniform spread needs >100k candidate
+    * ids, not a unit-test fixture) and assert it returns bit-identical
+    * results with the In predicate in the scan. Production never writes. */
+  private[graft] var verifyRangeTightCover: Double = 100000.0
+
+  private[graft] def chooseIdPredicate(sorted: Array[Long], maxRanges: Int,
+                                       maxInIds: Int): Option[IdPredicate] =
+    if (sorted.isEmpty) None
+    else {
+      val rs = idRanges(sorted, maxRanges)
+      val covered = rs.map(r => r._2 - r._1 + 1).sum.toDouble
+      val span = (sorted.last - sorted.head + 1).toDouble
+      // tight in absolute terms or relative to the candidates' own span
+      if (covered <= verifyRangeTightCover || covered / span <= 0.5)
+        Some(IdPredicate.Ranges(rs))
+      else if (sorted.length <= maxInIds)
+        Some(IdPredicate.InSet(scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted)))
+      else None
+    }
+
+  /** Apply an [[IdPredicate]] to a frame's `doc_id` column. The InSet arm
+    * uses `isInCollection` (optimizer-converted to a hash-set InSet for
+    * row eval; translated to a native parquet In source filter for the
+    * scan, where row-group blooms/stats evaluate it). */
+  private[graft] def applyIdPredicate(base: DataFrame,
+                                      pred: Option[IdPredicate]): DataFrame = pred match {
+    case Some(IdPredicate.Ranges(rs)) if rs.nonEmpty => base.filter(
+      rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }.reduce(_ || _))
+    case Some(IdPredicate.InSet(ids)) => base.filter(col("doc_id").isInCollection(ids))
+    case _ => base
   }
 
   /** [[spill]] plus a size-informed join hint: frames below
@@ -691,41 +787,38 @@ object Dedup {
         val resolved =
           if (tags.contains("")) right // file-name extraction failed: full fetch
           else {
-            // id ranges: ADAPTIVE — collected only when the candidate set
-            // is driver-bounded, and APPLIED only when the coalesced
-            // ranges actually exclude most of the candidates' own id span.
-            // A batch whose duplicates spread uniformly over the store
-            // (the streaming-bench shape: ids sharded modulo) coalesces to
-            // ranges covering ~the whole span, where the 64-BETWEEN filter
-            // costs a per-row predicate and prunes no row group — there
-            // the full matched-dir fetch IS the r12 plan, kept verbatim.
-            // Clustered workloads (a recrawl whose dups hit one original
-            // shard, a compacted doc_id-ranged store) keep the win.
-            val ranges: Option[Seq[(Long, Long)]] =
+            // id predicate: ADAPTIVE — collected only when the candidate
+            // set is driver-bounded, then shaped by [[chooseIdPredicate]]:
+            // coalesced BETWEEN ranges when the ids cluster (a recrawl
+            // whose dups hit one original shard, a compacted doc_id-ranged
+            // store — row-group min/max stats prune), the exact id set as
+            // a native parquet In when they spread uniformly (the
+            // streaming shape: ids sharded modulo — the sig dirs'
+            // per-row-group doc_id blooms exclude candidate-free row
+            // groups at any spread, the r13 verdict's one store-linear
+            // term). Past both gates the full matched-dir fetch is kept —
+            // the prune bounds IO, never changes answers.
+            val pred: Option[IdPredicate] =
               if (nCand > vp.maxCollectRows) None
               else {
-                def coalesced(ids: Array[Long]): Option[Seq[(Long, Long)]] =
-                  if (ids.isEmpty) Some(Seq.empty)
-                  else {
-                    val rs = idRanges(ids, vp.maxRanges)
-                    val covered = rs.map(r => r._2 - r._1 + 1).sum.toDouble
-                    val span = (ids.last - ids.head + 1).toDouble
-                    // tight in absolute terms (≤ ~a hundred row groups'
-                    // worth of ids — prunes hugely on any multi-M store)
-                    // or relative to the candidates' own span
-                    if (covered <= 100000.0 || covered / span <= 0.5) Some(rs) else None
-                  }
-                pinnedCand.schema(rightName).dataType match {
+                val chosen = (pinnedCand.schema(rightName).dataType match {
                   case org.apache.spark.sql.types.LongType =>
-                    coalesced(pinnedCand.select(col(rightName)).distinct().collect()
+                    Some(pinnedCand.select(col(rightName)).distinct().collect()
                       .filter(!_.isNullAt(0)).map(_.getLong(0)).sorted)
                   case org.apache.spark.sql.types.IntegerType =>
-                    coalesced(pinnedCand.select(col(rightName)).distinct().collect()
+                    Some(pinnedCand.select(col(rightName)).distinct().collect()
                       .filter(!_.isNullAt(0)).map(_.getInt(0).toLong).sorted)
                   case _ => None // non-integral ids: matched-dir prune only
+                }).flatMap(ids => chooseIdPredicate(ids, vp.maxRanges, vp.maxInIds))
+                chosen.foreach {
+                  case IdPredicate.InSet(ids) =>
+                    phaseHook.foreach(h => h("cand_inset_k", ids.size / 1000.0))
+                  case IdPredicate.Ranges(rs) =>
+                    phaseHook.foreach(h => h("cand_ranges_n", rs.size.toDouble))
                 }
+                chosen
               }
-            vp.resolve(tags, ranges)
+            vp.resolve(tags, pred)
           }
         // broadcast the candidate side EXPLICITLY while it is provably
         // bounded (maxBroadcastPairs ≈ 64 MB of pairs): the pinned frame
@@ -1179,16 +1272,17 @@ object Dedup {
     val tags = meta.map(_.getString(1)).toSet
     val matchedSigDirs = sigDirs.filter(d => tags.contains(dirTag(d)))
     if (matchedSigDirs.isEmpty || tags.contains("")) return emptyResult
-    val ranges = cand.schema("doc_id").dataType match {
+    // id predicate, same adaptive shape as the ingest verify: clustered
+    // candidates → BETWEEN ranges (row-group min/max), uniform spread →
+    // native parquet In against the sig dirs' doc_id blooms
+    val pred = (cand.schema("doc_id").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        Some(idRanges(meta.filter(!_.isNullAt(0)).map(_.getLong(0)).distinct.sorted, 64))
+        Some(meta.filter(!_.isNullAt(0)).map(_.getLong(0)).distinct.sorted)
       case org.apache.spark.sql.types.IntegerType =>
-        Some(idRanges(meta.filter(!_.isNullAt(0)).map(_.getInt(0).toLong).distinct.sorted, 64))
+        Some(meta.filter(!_.isNullAt(0)).map(_.getInt(0).toLong).distinct.sorted)
       case _ => None
-    }
-    val base = spark.read.parquet(matchedSigDirs: _*)
-    val matchedSigs = ranges.filter(_.nonEmpty).fold(base)(rs => base.filter(
-      rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }.reduce(_ || _)))
+    }).flatMap(ids => chooseIdPredicate(ids, 64, 262144))
+    val matchedSigs = applyIdPredicate(spark.read.parquet(matchedSigDirs: _*), pred)
     cand.select(col("__probe_id"), col("doc_id"))
       .join(matchedSigs.select(col("doc_id"), col("sh")), Seq("doc_id"))
       .join(probeSigs.select(col("__probe_id"), col("sh").as("__sh_p")), Seq("__probe_id"))
@@ -1301,7 +1395,7 @@ object Dedup {
       spark.read.parquet(sigDirs: _*)
         .repartitionByRange(nSig, col("doc_id"))
         .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").options(noDictOptions)
+        .write.mode("overwrite").options(sigWriteOptions)
         .parquet(s"${outPath}_sigs/batch-compacted")
       // Band sidecar: REGENERATED from the compacted signatures (one
       // scan), like the hash sidecar from the docs — never copied, so a
@@ -1620,7 +1714,7 @@ object Dedup {
         spark.read.parquet(d).filter(col(contentCol).isNotNull),
         idCol, contentCol, shingleSize, numHashes)
       sigs.sortWithinPartitions("doc_id")
-        .write.mode("overwrite").options(noDictOptions)
+        .write.mode("overwrite").options(sigWriteOptions)
         .parquet(s"$sigPath/$tag")
       // band sidecar from the just-written sig dir — bit-identical to what
       // ingest would have persisted (same kernels, same pinned bucket fn)
@@ -2056,20 +2150,16 @@ object Dedup {
                   Seq(sidecarPart, rawPart).flatten.reduceOption(_.unionByName(_))
                 }
                 // the bounded verify fetch's resolver: only the sig dirs
-                // that produced candidates, filtered to the candidates' own
-                // id ranges — parquet row-group prunes against the sorted
-                // sig layout (or cached-batch stat prunes under sigCache)
-                val resolver: (Set[String], Option[Seq[(Long, Long)]]) => DataFrame = {
-                  (tags, ranges) =>
+                // that produced candidates, filtered by the chosen id
+                // predicate — BETWEEN ranges row-group-prune against the
+                // sorted sig layout, the In set against the dirs' doc_id
+                // blooms (or cached-batch stat/row prunes under sigCache)
+                val resolver: (Set[String], Option[IdPredicate]) => DataFrame = {
+                  (tags, pred) =>
                     val matched = sigDirs.filter(d => tags.contains(dirTag(d)))
                     if (matched.isEmpty) spark.read.parquet(sigDirs.head).limit(0)
-                    else {
-                      val base = sigCache.flatMap(_.read(matched))
-                        .getOrElse(spark.read.parquet(matched: _*))
-                      ranges.filter(_.nonEmpty).fold(base)(rs => base.filter(
-                        rs.map { case (lo, hi) => col("doc_id").between(lo, hi) }
-                          .reduce(_ || _)))
-                    }
+                    else applyIdPredicate(sigCache.flatMap(_.read(matched))
+                      .getOrElse(spark.read.parquet(matched: _*)), pred)
                 }
                 minhashPairsFromSignatures(
                   fresh,
@@ -2096,12 +2186,14 @@ object Dedup {
               writeHashSidecar()
               // signatures are hash-valued arrays — see [[noDictOptions]].
               // Sorted by doc_id within each (batch-bounded) partition so
-              // every row group carries tight doc_id min/max stats — the
+              // every row group carries tight doc_id min/max stats, and
+              // bloom-filtered on doc_id ([[sigWriteOptions]]) — the
               // layout half of the verify prune: later batches fetch
-              // candidate signatures through an id-range predicate that
-              // row-group-prunes instead of scanning the dir.
+              // candidate signatures through an id predicate that
+              // row-group-prunes (ranges via stats, uniform-spread In
+              // sets via the blooms) instead of scanning the dir.
               phase("sig_write")(keepSigs.sortWithinPartitions("doc_id")
-                .write.mode("overwrite").options(noDictOptions)
+                .write.mode("overwrite").options(sigWriteOptions)
                 .parquet(s"$sigPath/$tag"))
               // band sidecar LAST (derivable from the sig dir just
               // written: a crash between the two costs one per-dir
