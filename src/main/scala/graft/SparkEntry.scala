@@ -1411,6 +1411,40 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // tombstoned RETRACTION lifecycle (GDPR delete-then-reingest): shards
+    // 0-1 curated near-tier, then every survivor with doc_id % 5 < 2
+    // REMOVED (tombstoned — logical delete, physical at compaction), then
+    // shard 2 ingested near-tier: its docs die only against LIVE
+    // survivors — a shard-2 near-dup of a REMOVED doc now lands where it
+    // would have died, and near-dups of live docs still die. Replay:
+    // phase-1 survivors minus the removal rule, plus shard 2's
+    // per-normalized-text minima that have no LIVE phase-1 survivor.
+    "q_dedup_tombstone" -> ((spark: SparkSession, dir: String) => {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val ids = tbl(spark, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted
+      val docs = ids.map(id => (id, neardupGateText(id))).toSeq.toDF("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft-tombstone-gate").toString
+      try {
+        (0 to 1).foreach { s =>
+          graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === s),
+            "doc_id", "text", s"$root/store", nearThreshold = Some(0.9),
+            batchTag = Some(s.toString), exactArmMinStoreBytes = 0L)
+        }
+        graft.ext.Dedup.removeFromIngestStore(spark, s"$root/store", "doc_id",
+          pmod(col("doc_id"), lit(5)) < 2)
+        graft.ext.Dedup.ingestStep(docs.filter(pmod(col("doc_id"), lit(3)) === 2),
+          "doc_id", "text", s"$root/store", nearThreshold = Some(0.9),
+          batchTag = Some("2"), exactArmMinStoreBytes = 0L)
+        graft.ext.Dedup.spill(
+          graft.ext.Dedup.readStore(spark, s"$root/store").select(col("doc_id")),
+          "graft-tombstone-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     "q_dedup_incr_exact" -> ((spark: SparkSession, dir: String) => {
       val docs = tbl(spark, dir, "documents")
       val even = docs.filter(col("doc_id") % 2 === 0)
@@ -3419,6 +3453,32 @@ object SparkEntry {
       UNION ALL
       SELECT doc_id FROM b WHERE rn = 1 AND NOT EXISTS (
         SELECT 1 FROM store s WHERE s.ntext = b.ntext)""",
+    // tombstoned retraction: phase-1 survivors (shards 0-1, near-tier)
+    // minus the removal rule (doc_id % 5 < 2), plus shard 2's
+    // per-normalized-text minima whose normalized text has no LIVE
+    // phase-1 survivor — a near-dup of a removed doc lands, near-dups of
+    // live docs die
+    "q_dedup_tombstone" ->
+      """WITH c AS (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS v, doc_id % 3 AS shard FROM documents),
+      t AS (SELECT doc_id, shard,
+        CASE WHEN v IN (0, 1) THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' ')
+             WHEN v = 2 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ', ')
+             WHEN v = 3 THEN array_to_string([('t' || (g*31+k)) for k in range(12)], ' -- ')
+             ELSE array_to_string([('t' || (g*31+12+k)) for k in range(8)], ' ')
+        END AS text FROM c),
+      r AS (SELECT doc_id, text, row_number() OVER (
+              PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+              ORDER BY shard, doc_id) AS rn FROM t WHERE shard < 2),
+      live AS (SELECT doc_id, regexp_replace(lower(text), '\W+', ' ', 'g') AS ntext
+               FROM r WHERE rn = 1 AND doc_id % 5 >= 2),
+      b AS (SELECT doc_id, regexp_replace(lower(text), '\W+', ' ', 'g') AS ntext,
+              row_number() OVER (PARTITION BY regexp_replace(lower(text), '\W+', ' ', 'g')
+                                 ORDER BY doc_id) AS rn
+            FROM t WHERE shard = 2)
+      SELECT doc_id FROM live
+      UNION ALL
+      SELECT doc_id FROM b WHERE rn = 1 AND NOT EXISTS (
+        SELECT 1 FROM live s WHERE s.ntext = b.ntext)""",
     // $graphLookup's iterative BFS joins, replayed as a recursive CTE over
     // the same derived parent-pointer tree (1-based p_partkey: chains end
     // at keys 1 and 2, whose computed parent 0 matches no row on either

@@ -412,6 +412,12 @@ object Dedup {
     * results with the In predicate in the scan. Production never writes. */
   private[graft] var verifyRangeTightCover: Double = 100000.0
 
+  /** A/B toggle for the InSet arm — `false` reproduces the r13 behavior
+    * exactly (ranges or nothing), the control arm of
+    * [[tools.UniformVerifyProbe]]'s store-growth measurement. Production
+    * never writes it. */
+  private[graft] var verifyInSetEnabled: Boolean = true
+
   private[graft] def chooseIdPredicate(sorted: Array[Long], maxRanges: Int,
                                        maxInIds: Int): Option[IdPredicate] =
     if (sorted.isEmpty) None
@@ -422,7 +428,7 @@ object Dedup {
       // tight in absolute terms or relative to the candidates' own span
       if (covered <= verifyRangeTightCover || covered / span <= 0.5)
         Some(IdPredicate.Ranges(rs))
-      else if (sorted.length <= maxInIds)
+      else if (verifyInSetEnabled && sorted.length <= maxInIds)
         Some(IdPredicate.InSet(scala.collection.immutable.ArraySeq.unsafeWrapArray(sorted)))
       else None
     }
@@ -1054,11 +1060,188 @@ object Dedup {
   }
 
   /** Read an [[ingestStep]]-maintained store (document or signature): the
-    * union of its batch subdirectories, one plain parquet scan. */
+    * union of its batch subdirectories, one plain parquet scan — minus any
+    * tombstoned rows ([[removeFromIngestStore]]): when the root is a
+    * PRIMARY store carrying a `_tombstones` sidecar, removed (tag, id)
+    * pairs are excluded scan-side. A store with no tombstones keeps the
+    * bare-scan plan byte-identical. */
   def readStore(spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
     val dirs = listBatchDirs(spark, root)
     require(dirs.nonEmpty, s"no ingested batches under $root")
-    spark.read.parquet(dirs: _*)
+    val base = spark.read.parquet(dirs: _*)
+    tombstonesOf(spark, root) match {
+      case Some((tombs, idCol)) => minusTombstones(base, idCol, tombs)
+      case None => base
+    }
+  }
+
+  // -------------------------------------------------------------------------
+  // Tombstoned removal — the near-tier retraction the lifecycle lacked
+  // -------------------------------------------------------------------------
+
+  /** The scan-side batch-dir tag of a store row — `batch-<tag>`, the
+    * terminal directory of the file that produced it. substring_index
+    * (plain char scans), not a regex: this evaluates per row on store
+    * scans that opt into tombstone exclusion. */
+  private[graft] def fileTagCol: Column = substring_index(
+    substring_index(input_file_name(), "/", -2), "/", 1)
+
+  /** The trusted tombstone set of a primary store, with the pinned id
+    * column name — `None` when the store has no `_tombstones` sidecar (or
+    * none of its dirs is `_SUCCESS`-trusted), so every read path keeps its
+    * pre-tombstone plan. Columns: `__tomb_tag` (the batch-dir tag the
+    * removed row lived in) and `__tomb_id`. */
+  private[graft] def tombstonesOf(spark: org.apache.spark.sql.SparkSession,
+                                  storePath: String): Option[(DataFrame, String)] = {
+    val tombPath = storePath + "_tombstones"
+    val trusted = trustedTombDirs(spark, tombPath)
+    if (trusted.isEmpty) None
+    else readTombIdCol(spark, tombPath).map { idCol =>
+      (spark.read.parquet(trusted: _*), idCol)
+    }
+  }
+
+  /** [[trustedSidecarDirsByTag]] without the none-trusted warning —
+    * a store with zero tombstones is the NORMAL state, not a
+    * misconfiguration. */
+  private def trustedTombDirs(spark: org.apache.spark.sql.SparkSession,
+                              root: String): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    listBatchDirs(spark, root).filter { d =>
+      val marker = new org.apache.hadoop.fs.Path(d, "_SUCCESS")
+      marker.getFileSystem(hconf).exists(marker)
+    }
+  }
+
+  private def readTombIdCol(spark: org.apache.spark.sql.SparkSession,
+                            tombPath: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(tombPath, "_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      """"idCol"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+    }
+  }
+
+  /** Exclude tombstoned rows from a primary-store frame whose rows came
+    * from batch-dir parquet files: anti-join on (scan-side file tag, id),
+    * null-safe on the id (a null-id row can be tombstoned too). The
+    * tombstone side is aggregated per store mutation epoch, bounded by
+    * removals, and broadcast when small (AQE's call). */
+  private[graft] def minusTombstones(base: DataFrame, idColName: String,
+                                     tombs: DataFrame): DataFrame = {
+    val tagged = base.withColumn("__tomb_scan_tag", fileTagCol)
+    tagged.join(tombs,
+        tagged("__tomb_scan_tag") === tombs("__tomb_tag") &&
+          (tagged(idColName) <=> tombs("__tomb_id")),
+        "left_anti")
+      .drop("__tomb_scan_tag")
+  }
+
+  /** Same exclusion for frames that ALREADY carry their batch-dir tag in a
+    * column (the band-sidecar scans' `__dir`, candidate frames) keyed by
+    * the sidecar id column `doc_id`. */
+  private[graft] def minusTombstonesTagged(base: DataFrame, tagColName: String,
+                                           idColName: String,
+                                           tombs: DataFrame): DataFrame =
+    base.join(tombs,
+      base(tagColName) === tombs("__tomb_tag") &&
+        (base(idColName) <=> tombs("__tomb_id")),
+      "left_anti")
+
+  /** Remove documents from an [[ingestStep]]-maintained store — the
+    * delete-then-reingest (GDPR-style) retraction the curated lifecycle
+    * otherwise answers with a rebuild. Logical removal is IMMEDIATE and
+    * physical removal happens at the next compaction:
+    *
+    *  - the matching LIVE rows' `(batch-dir tag, id)` pairs are recorded
+    *    under `storePath + "_tombstones"/batch-<digest>/` (the digest tag
+    *    makes a crashed-and-retried call overwrite its own dir);
+    *  - every reader excludes tombstoned pairs: [[readStore]], the exact
+    *    tier's seen-hash set, the near tier's cross-store candidates
+    *    (band sidecar AND raw-banding paths), both lookups, compaction
+    *    and merge replays — so a re-ingest of removed (or near-dup-of-
+    *    removed) content SURVIVES instead of dying against a ghost;
+    *  - affected tags' HASH sidecars are deleted BEFORE the tombstone dir
+    *    is written (they assert the removed docs' content hashes and carry
+    *    no ids to exclude by): a crash between the two leaves a store
+    *    that merely re-derives those sidecars — self-healing, never a
+    *    wrong answer — while the re-derivation paths all exclude
+    *    tombstones, so healed sidecars are tombstone-consistent. SIG and
+    *    BAND sidecars stay in place: their rows are keyed by doc_id and
+    *    excluded at candidate generation, so they are inert until
+    *    compaction rewrites them;
+    *  - [[compactIngestStore]] CONSUMES tombstones: the compacted output
+    *    contains only live rows and regenerated sidecars, and carries no
+    *    tombstone root. [[autoCompactIngestStore]] deletes the consumed
+    *    tombstone dirs after the old batch dirs (a crash in between
+    *    leaves tombstones naming dead tags — inert).
+    *
+    * Tag-reuse caveat: a tombstone names `(tag, id)`, so re-ingesting a
+    * removed id under the SAME explicit tag keeps it removed (consistent
+    * with the retry contract — same tag means the same original batch);
+    * a re-ingest under any new tag (including the default digest tag)
+    * lands live. Single-writer, like every store mutation.
+    *
+    * @param predicate row filter over the store's own columns selecting
+    *                  the documents to remove
+    * @return number of documents tombstoned by THIS call. */
+  def removeFromIngestStore(spark: org.apache.spark.sql.SparkSession,
+                            storePath: String, idCol: String,
+                            predicate: Column): Long = {
+    val dirs = listBatchDirs(spark, storePath)
+    require(dirs.nonEmpty, s"no ingested batches under $storePath")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tombPath = storePath + "_tombstones"
+    // pin the id column at first removal; later calls must agree (two id
+    // columns over one store would make exclusion silently partial)
+    val pinP = new org.apache.hadoop.fs.Path(tombPath, "_params.json")
+    val pinFs = pinP.getFileSystem(hconf)
+    readTombIdCol(spark, tombPath) match {
+      case Some(seen) if seen != idCol => throw new graft.model.ValidationError(
+        s"tombstone store $tombPath was keyed on id column '$seen'; this call uses " +
+          s"'$idCol' — exclusion would silently miss, refusing")
+      case Some(_) => ()
+      case None =>
+        val o = pinFs.create(pinP, true)
+        try o.write(s"""{"idCol":"$idCol"}""".getBytes("UTF-8")) finally o.close()
+    }
+    // hits = LIVE rows matching the predicate (re-removing an already-
+    // tombstoned row is a no-op), with their batch-dir tag
+    val priorTombs = tombstonesOf(spark, storePath).map(_._1)
+    val taggedAll = spark.read.parquet(dirs: _*)
+      .withColumn("__tomb_tag", fileTagCol)
+    val live = priorTombs.fold(taggedAll)(t => taggedAll.join(t.select(
+        col("__tomb_tag").as("__pt"), col("__tomb_id").as("__pi")),
+      taggedAll("__tomb_tag") === col("__pt") && (taggedAll(idCol) <=> col("__pi")),
+      "left_anti"))
+    val hits = spill(live.filter(predicate)
+      .select(col("__tomb_tag"), col(idCol).as("__tomb_id")).distinct(),
+      "graft-tombstone-hits")
+    // digest removal tag (order-independent over the hit pairs) — a
+    // crashed-and-retried call overwrites its own dir instead of stacking
+    val d = hits.select(conv(substring(md5(concat_ws("\u0001",
+        col("__tomb_tag"), coalesce(col("__tomb_id").cast("string"), lit("\u0002")))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n")).head()
+    val nHits = d.getLong(1)
+    if (nHits == 0L) return 0L
+    val tag = f"batch-auto-${d.getLong(0)}%016x-$nHits"
+    // delete affected tags' hash sidecars FIRST (see crash posture above):
+    // they assert removed content hashes and carry no ids to exclude by;
+    // the tombstone-aware re-derivation paths rebuild them excluded
+    val affectedTags = hits.select(col("__tomb_tag")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val hashPath = storePath + "_hashes"
+    listBatchDirs(spark, hashPath).filter(h => affectedTags.contains(dirTag(h)))
+      .foreach { h =>
+        val p = new org.apache.hadoop.fs.Path(h)
+        p.getFileSystem(hconf).delete(p, true)
+      }
+    hits.write.mode("overwrite").parquet(s"$tombPath/$tag")
+    nHits
   }
 
   /** Point near-dup lookup against an [[ingestStep]] near-tier store: the
@@ -1167,7 +1350,17 @@ object Dedup {
         input_file_name().as("__f"))
         .filter(pairCond).select(col("doc_id"), col("__f")))
     ).flatten
-    val cand0 = candParts.reduce(_.unionByName(_))
+    val cand0raw = candParts.reduce(_.unionByName(_))
+    // tombstoned docs are excluded at candidate generation (their sig/band
+    // rows are inert until compaction rewrites them) — the file-derived
+    // tag is the same batch tag the tombstones record
+    val cand0 = tombstonesOf(spark, storePath) match {
+      case Some((tombs, _)) => minusTombstonesTagged(
+        cand0raw.withColumn("__dir", substring_index(
+          substring_index(col("__f"), "/", -2), "/", 1)),
+        "__dir", "doc_id", tombs).drop("__dir")
+      case None => cand0raw
+    }
     lookupAuditHook.foreach(_("lookup_candidates", cand0))
     val cand = spill(cand0, "graft-lookup-cand")
     val matchedTags = cand.select(col("__f")).distinct().collect().map { r =>
@@ -1259,7 +1452,13 @@ object Dedup {
         else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
           posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
             .as(Seq("band", "band_key")), dirCol))
-      Seq(sidecarPart, rawPart).flatten.reduce(_.unionByName(_))
+      val all = Seq(sidecarPart, rawPart).flatten.reduce(_.unionByName(_))
+      // tombstone exclusion at candidate generation, same as the ingest
+      // tier — removed docs must not answer lookups
+      tombstonesOf(spark, storePath) match {
+        case Some((tombs, _)) => minusTombstonesTagged(all, "__dir", "doc_id", tombs)
+        case None => all
+      }
     }
     // ONE bipartite band join for every probe; spilled so the matched-dir
     // collect and the verify join share the candidate set
@@ -1337,9 +1536,9 @@ object Dedup {
     // the one canonical spelling [[qualifiedUri]] produces; the trailing
     // slash makes startsWith a whole-segment prefix test.
     def qualified(s: String): String = qualifiedUri(hconf, s) + "/"
-    val srcRoots = Seq(path, path + "_sigs", path + "_hashes", path + "_bands").map(qualified)
-    val outRoots = Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands")
-      .map(qualified)
+    val sidecarSuffixes = Seq("", "_sigs", "_hashes", "_bands", "_tombstones")
+    val srcRoots = sidecarSuffixes.map(sfx => qualified(path + sfx))
+    val outRoots = sidecarSuffixes.map(sfx => qualified(outPath + sfx))
     for (s <- srcRoots; o <- outRoots)
       require(!o.startsWith(s) && !s.startsWith(o),
         s"output root ${o.stripSuffix("/")} overlaps source root ${s.stripSuffix("/")} — " +
@@ -1362,10 +1561,19 @@ object Dedup {
     // forget the output root too — compact→ingest→compact cycles reuse
     // `<outPath>/batch-compacted` with different contents, and a stale
     // cached size would mis-arm every later ingest against this store.
-    Seq(outPath, outPath + "_sigs", outPath + "_hashes", outPath + "_bands").foreach(wipe)
+    sidecarSuffixes.map(outPath + _).foreach(wipe)
     invalidateDirBytes(hconf, outPath)
+    // compaction CONSUMES tombstones ([[removeFromIngestStore]]): the
+    // compacted output holds only LIVE rows (physical removal), its
+    // sidecars are regenerated from those rows, and no tombstone root is
+    // written — the fresh store starts with an empty removal ledger
+    val tombs = tombstonesOf(spark, path)
+    def docsMinusTombs(dirs: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(dirs: _*)
+      tombs.fold(base) { case (t, tid) => minusTombstones(base, tid, t) }
+    }
     val nDoc = packed(docDirs)
-    spark.read.parquet(docDirs: _*).coalesce(nDoc)
+    docsMinusTombs(docDirs).coalesce(nDoc)
       .write.mode("overwrite").parquet(s"$outPath/batch-compacted")
     val hashDirs = listBatchDirs(spark, path + "_hashes")
     if (hashDirs.nonEmpty || dirBytes(docDirs) >= hashSidecarMinStoreBytes)
@@ -1392,7 +1600,12 @@ object Dedup {
       // one store-sized narrow shuffle, paid once per compaction, against
       // a store-linear read every future micro-batch.
       val nSig = packed(sigDirs)
-      spark.read.parquet(sigDirs: _*)
+      // sig rows are keyed by doc_id under the SAME batch tags as the
+      // primary dirs, so the tombstone exclusion applies directly — a
+      // removed doc's signature must not ride into the compacted store
+      // (it would resurface as a candidate under the batch-compacted tag)
+      val sigBase = spark.read.parquet(sigDirs: _*)
+      tombs.fold(sigBase) { case (t, _) => minusTombstones(sigBase, "doc_id", t) }
         .repartitionByRange(nSig, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").options(sigWriteOptions)
@@ -1562,6 +1775,12 @@ object Dedup {
           fs(p).delete(p, true)
         }
     }
+    // tombstones were CONSUMED by the compaction (the moved-in dirs hold
+    // only live rows); delete them LAST — a tombstone must outlive the
+    // dirs it masks, and a crash right here leaves tombstones naming
+    // dead tags, which exclude nothing
+    val tombRoot = new org.apache.hadoop.fs.Path(storePath + "_tombstones")
+    fs(tombRoot).delete(tombRoot, true)
     // wipe the now-empty staging roots (pins and parent dirs remain)
     for (suffix <- Seq("", "_sigs", "_hashes", "_bands")) {
       val p = new org.apache.hadoop.fs.Path(staging + suffix)
@@ -1625,10 +1844,9 @@ object Dedup {
     // a DERIVED root colliding with a primary (srcPath = dstPath + "_sigs"
     // passes a primary-vs-primary check, yet the replay would then write
     // dst's sig sidecar straight into the src store's root).
-    val srcFam = Seq(srcPath, srcPath + "_sigs", srcPath + "_hashes", srcPath + "_bands")
-      .map(qualifiedUri(hconf, _) + "/")
-    val dstFam = Seq(dstPath, dstPath + "_sigs", dstPath + "_hashes", dstPath + "_bands")
-      .map(qualifiedUri(hconf, _) + "/")
+    val famSuffixes = Seq("", "_sigs", "_hashes", "_bands", "_tombstones")
+    val srcFam = famSuffixes.map(sfx => qualifiedUri(hconf, srcPath + sfx) + "/")
+    val dstFam = famSuffixes.map(sfx => qualifiedUri(hconf, dstPath + sfx) + "/")
     for (s <- srcFam; d <- dstFam)
       require(!s.startsWith(d) && !d.startsWith(s),
         s"merge source root ${s.stripSuffix("/")} overlaps destination root " +
@@ -1636,8 +1854,13 @@ object Dedup {
           s"sidecars while reading src's, so the two stores' root families must be disjoint")
     val srcDirs = listBatchDirs(spark, srcPath)
     require(srcDirs.nonEmpty, s"no ingested batches under $srcPath")
+    // a tombstoned src row was REMOVED from src — the replay must not
+    // resurrect it in dst
+    val srcTombs = tombstonesOf(spark, srcPath)
     srcDirs.foreach { d =>
-      ingestStep(spark.read.parquet(d), idCol, contentCol, dstPath,
+      val base = spark.read.parquet(d)
+      val batch = srcTombs.fold(base) { case (t, tid) => minusTombstones(base, tid, t) }
+      ingestStep(batch, idCol, contentCol, dstPath,
         nearThreshold, shingleSize, numHashes, bands,
         batchTag = None, sigCache = sigCache,
         exactArmMinStoreBytes = exactArmMinStoreBytes)
@@ -1707,11 +1930,18 @@ object Dedup {
       docDirs.map(cachedDirBytes(hconf, _)).sum >= hashSidecarMinStoreBytes
     val hashTags = listBatchDirs(spark, hashPath).map(dirTag).toSet
     val missing = docDirs.filterNot(d => sigTags.contains(dirTag(d)))
+    // tombstoned rows are not signed — their signatures would be inert
+    // (candidate exclusion) but pay scan and storage forever
+    val storeTombs = tombstonesOf(spark, storePath)
+    def dirMinusTombs(d: String): DataFrame = {
+      val base = spark.read.parquet(d)
+      storeTombs.fold(base) { case (t, tid) => minusTombstones(base, tid, t) }
+    }
     missing.foreach { d =>
       val tag = dirTag(d)
       // null-content rows are exact-tier-only, exactly as ingest signs them
       val sigs = signatureTable(
-        spark.read.parquet(d).filter(col(contentCol).isNotNull),
+        dirMinusTombs(d).filter(col(contentCol).isNotNull),
         idCol, contentCol, shingleSize, numHashes)
       sigs.sortWithinPartitions("doc_id")
         .write.mode("overwrite").options(sigWriteOptions)
@@ -1729,7 +1959,7 @@ object Dedup {
         .options(noDictOptionsExcept("doc_id", "band", "bucket"))
         .parquet(s"$bandsPath/$tag")
       if (hashArmed && !hashTags.contains(tag))
-        spark.read.parquet(d)
+        dirMinusTombs(d)
           .select(md5(col(contentCol)).as("content_hash"))
           .write.mode("overwrite").parquet(s"$hashPath/$tag")
     }
@@ -1982,6 +2212,16 @@ object Dedup {
     // not every dir every batch
     val storeBytes = docDirs.map(cachedDirBytes(hconf, _)).sum
     val armed = storeBytes >= exactArmMinStoreBytes
+    // tombstones ([[removeFromIngestStore]]): removed rows must not
+    // suppress a re-ingest of their content. Trusted hash sidecars are
+    // tombstone-consistent by construction (removal deletes affected
+    // tags' sidecars; re-derivation excludes), so only the RAW primary
+    // scans here need the exclusion — None keeps every plan untouched.
+    val tombs = tombstonesOf(spark, storePath)
+    def primaryMinusTombs(dirs: Seq[String]): DataFrame = {
+      val base = spark.read.parquet(dirs: _*)
+      tombs.fold(base) { case (t, tidCol) => minusTombstones(base, tidCol, t) }
+    }
     val exact0 = exactDedup(batch, idCol, contentCol)
     var pinnedExact0: Option[DataFrame] = None
     val exact = (
@@ -1994,7 +2234,7 @@ object Dedup {
               .select(col("content_hash").as("__seen_hash")))
           else None,
           if (rawDocDirs.nonEmpty) Some(
-            spark.read.parquet(rawDocDirs: _*)
+            primaryMinusTombs(rawDocDirs)
               .select(md5(col(contentCol)).as("__seen_hash")))
           else None).flatten.reduce(_.unionByName(_))
         if (!armed)
@@ -2030,15 +2270,16 @@ object Dedup {
       // doubles as the in-place upgrade path for pre-sidecar stores
       if (armed) rawDocDirs.headOption.foreach { d =>
         phase("hash_heal")(
-          spark.read.parquet(d)
+          primaryMinusTombs(Seq(d))
             .select(md5(col(contentCol)).as("content_hash"))
             .write.mode("overwrite").parquet(s"$hashPath/${dirTag(d)}"))
       }
       // sidecar writer (armed stores only): hash the JUST-WRITTEN batch dir
       // (one narrow scan of a batch-sized dir) so the sidecar provably
-      // mirrors the dir contents
+      // mirrors the dir contents — minus tombstones, which can name this
+      // tag when an explicit-tag retry follows a removal
       def writeHashSidecar(): Unit = if (armed) phase("hash_write")(
-        spark.read.parquet(s"$storePath/$tag")
+        primaryMinusTombs(Seq(s"$storePath/$tag"))
           .select(md5(col(contentCol)).as("content_hash"))
           .write.mode("overwrite").parquet(s"$hashPath/$tag"))
       // Run IMMEDIATELY BEFORE this tag's store-dir overwrite, closing two
@@ -2147,7 +2388,14 @@ object Dedup {
                     else Some(spark.read.parquet(rawDirs: _*).select(col("doc_id"),
                       posexplode(Kernels.bandKeysKernel(bands, rpb)(col("sig")))
                         .as(Seq("band", "band_key")), dirCol))
+                  // tombstoned docs must stop suppressing near-dups of
+                  // their (removed) content: excluded at CANDIDATE
+                  // generation, which makes their still-present sig/band
+                  // rows inert everywhere downstream (the verify only
+                  // fetches join partners for surviving candidates)
                   Seq(sidecarPart, rawPart).flatten.reduceOption(_.unionByName(_))
+                    .map(pre => tombs.fold(pre) { case (tFrame, _) =>
+                      minusTombstonesTagged(pre, "__dir", "doc_id", tFrame) })
                 }
                 // the bounded verify fetch's resolver: only the sig dirs
                 // that produced candidates, filtered by the chosen id

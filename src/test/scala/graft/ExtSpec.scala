@@ -1112,6 +1112,113 @@ class ExtSpec extends AnyFunSuite {
     } finally Dedup.bandSidecarBuckets = prior
   }
 
+  test("removeFromIngestStore: tombstoned docs stop answering reads, lookups, and dedup; compaction applies the deletes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tombstone").toString
+    val store = s"$root/docs"
+    val bodies = Map(
+      1L -> "alpha document speaks entirely about mountain weather patterns and snowfall",
+      2L -> "beta text covers oceanic current measurements with buoy telemetry data",
+      3L -> "gamma report describes desert irrigation schedules for arid farmland zones")
+    Dedup.ingestStep(fromJsonl(
+      s"""{"doc_id": 1, "text": "${bodies(1L)}"}""",
+      s"""{"doc_id": 2, "text": "${bodies(2L)}"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s0"),
+      exactArmMinStoreBytes = 0L)
+    Dedup.ingestStep(fromJsonl(
+      s"""{"doc_id": 3, "text": "${bodies(3L)}"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s1"),
+      exactArmMinStoreBytes = 0L)
+    // remove doc 1 (GDPR-style predicate over the store's own columns)
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 1) == 1L)
+    // idempotent: the row is no longer live, a re-remove is a no-op
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 1) == 0L)
+    // a different id-column pin refuses (exclusion would silently miss)
+    intercept[graft.model.ValidationError] {
+      Dedup.removeFromIngestStore(spark, store, "text", col("doc_id") === 2)
+    }
+    // readStore excludes immediately
+    assert(Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    // lookups no longer answer with the removed doc
+    assert(Dedup.lookupNearDups(spark, store, bodies(1L) + " today", 0.4).isEmpty)
+    assert(Dedup.lookupNearDupsBatch(spark, store,
+      fromJsonl(s"""{"doc_id": 9, "text": "${bodies(1L)} today"}"""),
+      "doc_id", "text", 0.4).isEmpty)
+    // ...while live docs still answer
+    assert(Dedup.lookupNearDups(spark, store, bodies(3L) + " today", 0.4)
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+    // the DELETE-THEN-REINGEST contract: an exact copy AND a near-dup of
+    // the removed content both land live (new tag); near-dups of LIVE
+    // docs still die
+    Dedup.ingestStep(fromJsonl(
+      s"""{"doc_id": 11, "text": "${bodies(1L)}"}""",          // exact copy of removed 1
+      s"""{"doc_id": 12, "text": "${bodies(2L)} today"}"""),   // near-dup of live 2
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"),
+      exactArmMinStoreBytes = 0L)
+    val afterReingest = Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(afterReingest == Set(2L, 3L, 11L), s"re-ingest after removal diverged: $afterReingest")
+    // near-dup of the re-ingested copy dies against IT (not its ghost)
+    Dedup.ingestStep(fromJsonl(
+      s"""{"doc_id": 13, "text": "${bodies(1L)} tonight"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s3"),
+      exactArmMinStoreBytes = 0L)
+    assert(Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L, 11L))
+    // remove 3 too, then COMPACT: physical removal, tombstones consumed
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 3) == 1L)
+    Dedup.compactIngestStore(spark, store, s"$root/comp", "text")
+    assert(!new java.io.File(s"$root/comp_tombstones").exists(),
+      "compaction must not carry a tombstone root to the output")
+    val compDocs = Dedup.readStore(spark, s"$root/comp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(compDocs == Set(2L, 11L), s"compacted survivors: $compDocs")
+    // physically gone: the raw parquet union holds no removed rows
+    assert(spark.read.parquet(s"$root/comp/batch-compacted")
+      .filter(col("doc_id").isin(1L, 3L)).isEmpty)
+    // the compacted SIG store holds no removed signatures either (they
+    // would resurface as candidates under the batch-compacted tag)
+    assert(spark.read.parquet(s"$root/comp_sigs/batch-compacted")
+      .filter(col("doc_id").isin(1L, 3L)).isEmpty)
+    // near-dup of removed 3 lands live post-compaction
+    Dedup.ingestStep(fromJsonl(
+      s"""{"doc_id": 23, "text": "${bodies(3L)} tonight"}"""),
+      "doc_id", "text", s"$root/comp", nearThreshold = Some(0.4), batchTag = Some("s4"),
+      exactArmMinStoreBytes = 0L)
+    assert(Dedup.readStore(spark, s"$root/comp").select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 11L, 23L))
+  }
+
+  test("removeFromIngestStore: auto-compaction consumes tombstones in place; merge replays only live src rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft-tombstone-ac").toString
+    val store = s"$root/docs"
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 1, "text": "alpha document speaks entirely about mountain weather patterns and snowfall"}""",
+      """{"doc_id": 2, "text": "beta text covers oceanic current measurements with buoy telemetry data"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s0"))
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 3, "text": "gamma report describes desert irrigation schedules for arid farmland zones"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s1"))
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 2) == 1L)
+    assert(Dedup.autoCompactIngestStore(spark, store, "text", maxDirs = 2))
+    assert(!new java.io.File(s"${store}_tombstones").exists(),
+      "in-place compaction must delete the consumed tombstone root")
+    assert(Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // merge: a src store with tombstones replays only its LIVE rows
+    val src = s"$root/src"
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 10, "text": "tenth body carrying its own wholly distinct wording zone"}""",
+      """{"doc_id": 11, "text": "eleventh text with private vocabulary shared by no other doc"}"""),
+      "doc_id", "text", src, nearThreshold = Some(0.4), batchTag = Some("t0"))
+    assert(Dedup.removeFromIngestStore(spark, src, "doc_id", col("doc_id") === 10) == 1L)
+    assert(Dedup.mergeIngestStores(spark, store, src, "doc_id", "text",
+      nearThreshold = Some(0.4)) == 1)
+    assert(Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 11L),
+      "merge resurrected a tombstoned src row")
+  }
+
   test("ingestStep: a retried tag's stale-complete sidecars are dropped before the overwrite") {
     // a PRIOR completed attempt leaves _SUCCESS-marked hash/band sidecars;
     // a retry that rewrites the primary dir and crashes before its own
