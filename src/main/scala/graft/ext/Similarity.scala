@@ -1173,6 +1173,100 @@ object Similarity {
     parts
   }
 
+  /** Threshold-gated IN-PLACE compaction for the streaming vector sinks —
+    * [[compactIvfStore]] is operator-invoked and writes a NEW root, but
+    * [[graft.streaming.GraftStreaming.vectorIndexSink]] accumulates one
+    * index dir per micro-batch until someone remembers to run it (the
+    * same failure mode `autoCompactIngestStore` closes for the dedup
+    * store). Runs between micro-batches (single-writer window): when the
+    * store holds ≥ `maxDirs` index batch dirs, compacts into a STAGING
+    * root, then swaps — with a crash posture that differs from the dedup
+    * store's on purpose. The dedup store is a MEMBERSHIP structure
+    * (duplicates can never change an answer), so its swap tolerates any
+    * crash point; ANN top-k is NOT duplicate-tolerant (a crash-left
+    * duplicate neighbor takes two of the k slots, and re-compacting a
+    * duplicated store would bake the copies in). So the swap here is
+    * MANIFEST-RESUMABLE:
+    *
+    *  1. the consumed tag list + the fresh compacted ordinal are recorded
+    *     at `<path>/index/_compacting.json` BEFORE any live mutation;
+    *  2. the staged dir renames in as `batch-compacted-<k>`;
+    *  3. the consumed old dirs are deleted;
+    *  4. the manifest is deleted, the staging root wiped.
+    *
+    * Every call (and therefore the next micro-batch's maintenance hook)
+    * FINISHES a crashed swap before counting dirs: a manifest with its
+    * compacted dir present resumes at step 3 (deleting exactly the
+    * recorded tags — batches ingested after the crash are untouched); a
+    * manifest without it restarts or clears. Readers between steps 2 and
+    * 3 can transiently see both the compacted dir and not-yet-deleted
+    * originals (duplicate neighbors) — bounded by the swap, never
+    * persistent, and never re-compacted into the store. Probe results
+    * after any completed call are identical by construction (same rows,
+    * same frozen model — [[compactIvfStore]]'s contract).
+    *
+    * @return true if a compaction (or a crashed swap's completion) ran. */
+  def autoCompactIvfStore(spark: org.apache.spark.sql.SparkSession, path: String,
+                          maxDirs: Int, targetFileMB: Int = 256): Boolean = {
+    require(maxDirs >= 2, s"maxDirs must be >= 2, got $maxDirs")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val indexRoot = s"$path/index"
+    val manifestP = new org.apache.hadoop.fs.Path(indexRoot, "_compacting.json")
+    val mFs = manifestP.getFileSystem(hconf)
+    def tagOf(d: String): String = d.substring(d.lastIndexOf('/') + 1)
+    def deleteDir(p: String): Unit = {
+      val pp = new org.apache.hadoop.fs.Path(p)
+      pp.getFileSystem(hconf).delete(pp, true)
+    }
+    val staging = path + "__compacting"
+    val resumed = if (!mFs.exists(manifestP)) false else {
+      // finish a crashed swap FIRST — counting dirs (or compacting) over a
+      // half-swapped store would double-count or bake in duplicates
+      val in = mFs.open(manifestP)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val parsed = scala.util.Try(org.json4s.jackson.JsonMethods.parse(txt)).toOption
+      val ordinal = parsed.flatMap(j => (j \ "ordinal") match {
+        case org.json4s.JInt(i) => Some(i.toInt); case _ => None })
+      val consumed = parsed.map(j => (j \ "consumed") match {
+        case org.json4s.JArray(a) => a.collect { case org.json4s.JString(s) => s }
+        case _ => Nil }).getOrElse(Nil)
+      ordinal match {
+        case Some(k) if mFs.exists(new org.apache.hadoop.fs.Path(indexRoot, s"batch-compacted-$k")) =>
+          // compacted dir landed: resume at step 3
+          Dedup.listBatchDirs(spark, indexRoot)
+            .filter(d => consumed.contains(tagOf(d)) && tagOf(d) != s"batch-compacted-$k")
+            .foreach(deleteDir)
+          mFs.delete(manifestP, false)
+          deleteDir(staging)
+          true
+        case _ =>
+          // crash before the rename (or unreadable manifest): nothing of
+          // the swap is visible — clear and let the normal path re-decide
+          mFs.delete(manifestP, false)
+          deleteDir(staging)
+          false
+      }
+    }
+    val dirs = Dedup.listBatchDirs(spark, indexRoot)
+    if (dirs.size < maxDirs) return resumed
+    compactIvfStore(spark, path, staging, targetFileMB)
+    val k = 1 + dirs.map(tagOf).flatMap { t =>
+      "^batch-compacted-(\\d+)$".r.findFirstMatchIn(t).map(_.group(1).toInt)
+    }.foldLeft(0)(math.max)
+    val consumedJson = dirs.map(d => s""""${tagOf(d)}"""").mkString("[", ",", "]")
+    val mo = mFs.create(manifestP, true)
+    try mo.write(s"""{"ordinal":$k,"consumed":$consumedJson}""".getBytes("UTF-8"))
+    finally mo.close()
+    val src = new org.apache.hadoop.fs.Path(s"$staging/index/batch-compacted")
+    val dst = new org.apache.hadoop.fs.Path(indexRoot, s"batch-compacted-$k")
+    mFs.delete(dst, true)
+    require(mFs.rename(src, dst), s"rename $src -> $dst failed")
+    dirs.foreach(deleteDir)
+    mFs.delete(manifestP, false)
+    deleteDir(staging)
+    true
+  }
+
   /** Wipe a store output directory before a rewrite ([[ivfRetrain]] /
     * [[ivfPqRetrain]] / [[compactIvfStore]]): [[loadIvfStore]] unions ALL
     * `batch-*` dirs under `outPath/index`, so rewriting into a directory

@@ -348,9 +348,17 @@ object GraftStreaming {
     * and probe with the probe-only `ivfTopK` overload — a training-data
     * pipeline embeds documents as they are curated, and this keeps the
     * ANN index current without ever rebuilding it. */
+  /** `autoCompactMaxDirs`: when set, the sink runs
+    * [[graft.ext.Similarity.autoCompactIvfStore]] after any micro-batch
+    * that leaves the store holding at least that many index dirs — the
+    * same between-batches single-writer maintenance window the dedup sink
+    * uses, with the manifest-resumable swap the ANN store needs (probe
+    * results unchanged; a crashed swap is finished by the next batch's
+    * hook before anything else touches the store). */
   def vectorIndexSink(stream: DataFrame, idCol: String, vecCol: String,
                       path: String, checkpointDir: String, nlist: Int = 256,
-                      queryName: String = "graft-vector-index"):
+                      queryName: String = "graft-vector-index",
+                      autoCompactMaxDirs: Option[Int] = None):
       org.apache.spark.sql.streaming.StreamingQuery = {
     // the quantizer is FROZEN after the bootstrap batch, so the sink feeds
     // each call's returned centroids back as the next call's cache — the
@@ -364,6 +372,8 @@ object GraftStreaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         model = graft.ext.Similarity.ivfIngestStep(batch, idCol, vecCol, path,
           nlist, batchTag = Some(batchId.toString), cachedModel = Option(model))
+        autoCompactMaxDirs.foreach(m =>
+          graft.ext.Similarity.autoCompactIvfStore(batch.sparkSession, path, m))
         ()
       }
       .start()

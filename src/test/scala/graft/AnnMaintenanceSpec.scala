@@ -171,4 +171,68 @@ class AnnMaintenanceSpec extends AnyFunSuite {
         s"narrow probe+rerank recall collapsed: recall@10=$recall (imbalance=$imbalance)")
     } finally rmrf(store)
   }
+
+  test("autoCompactIvfStore: threshold gate, swap, and crashed-swap resume without duplicates") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-ac").toString
+    val store = s"$root/ivf"
+    try {
+      var model: Option[Array[Array[Double]]] = None
+      (0 to 2).foreach { s =>
+        model = Some(Similarity.ivfIngestStep(
+          emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", store, nlist = 4,
+          batchTag = Some(s.toString), cachedModel = model))
+      }
+      val n = emb.count()
+      val queries = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val before = keyed(Similarity.ivfTopK(queries,
+        Similarity.loadIvfStore(spark, store), "vec_id", "embedding", k = 3, nprobe = 4))
+      // below the gate: nothing runs
+      assert(!Similarity.autoCompactIvfStore(spark, store, maxDirs = 4))
+      assert(graft.ext.Dedup.listBatchDirs(spark, s"$store/index").size == 3)
+      // at the gate: one compacted dir, probes identical
+      assert(Similarity.autoCompactIvfStore(spark, store, maxDirs = 3))
+      val dirs = graft.ext.Dedup.listBatchDirs(spark, s"$store/index")
+      assert(dirs.map(_.split('/').last) == Seq("batch-compacted-1"), s"dirs: $dirs")
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == n)
+      assert(keyed(Similarity.ivfTopK(queries,
+        Similarity.loadIvfStore(spark, store), "vec_id", "embedding",
+        k = 3, nprobe = 4)) == before)
+      // CRASHED SWAP: ingest another batch, then hand-build the post-rename
+      // crash state — compacted dir present, manifest present, consumed
+      // dirs NOT yet deleted. The next call must FINISH the swap (delete
+      // exactly the recorded tags), not re-compact the duplicated union.
+      model = Some(Similarity.ivfIngestStep(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0), "vec_id", "embedding",
+        store, nlist = 4, batchTag = Some("late"), cachedModel = model))
+      val preCrash = graft.ext.Dedup.listBatchDirs(spark, s"$store/index")
+      assert(preCrash.size == 2) // batch-compacted-1 + batch-late
+      Similarity.compactIvfStore(spark, store, s"${store}__crashstage")
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val mP = new org.apache.hadoop.fs.Path(s"$store/index", "_compacting.json")
+      val fs = mP.getFileSystem(hconf)
+      val consumed = preCrash.map(_.split('/').last).map(t => s""""$t"""").mkString("[", ",", "]")
+      val o = fs.create(mP, true)
+      try o.write(s"""{"ordinal":2,"consumed":$consumed}""".getBytes("UTF-8")) finally o.close()
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"${store}__crashstage/index/batch-compacted"),
+        new org.apache.hadoop.fs.Path(s"$store/index/batch-compacted-2")))
+      // duplicated union at rest (the crash window): the whole pre-crash
+      // store (667 rows incl. the legit "late" re-embed) plus its
+      // compacted copy
+      val nStore = emb.count() + emb.filter(pmod(col("vec_id"), lit(3)) === 0).count()
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == 2 * nStore)
+      // recovery: below the dir gate, but the crashed swap is finished
+      assert(Similarity.autoCompactIvfStore(spark, store, maxDirs = 99))
+      val afterDirs = graft.ext.Dedup.listBatchDirs(spark, s"$store/index")
+      assert(afterDirs.map(_.split('/').last) == Seq("batch-compacted-2"), s"dirs: $afterDirs")
+      assert(!fs.exists(mP), "manifest not cleared after resume")
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == nStore,
+        "crashed-swap resume left duplicate neighbors in the store")
+    } finally rmrf(root)
+  }
 }

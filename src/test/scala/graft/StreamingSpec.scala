@@ -164,6 +164,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vectorIndexSink: mid-stream auto-compaction keeps probe results exact, dir count bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val mem = MemoryStream[(Long, scala.collection.Seq[Float])]
+    val store = java.nio.file.Files.createTempDirectory("graft-vec-ac").toString + "/ivf"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vec-ac-ckpt").toString
+    val q = GraftStreaming.vectorIndexSink(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", store, ckpt,
+      nlist = 4, autoCompactMaxDirs = Some(2))
+    try {
+      val shards = rows.grouped(math.max(1, (rows.length + 3) / 4)).toSeq
+      shards.foreach { shard => mem.addData(shard.toSeq); q.processAllAvailable() }
+      // the sink compacted between batches: dir count stays under the gate
+      val dirs = graft.ext.Dedup.listBatchDirs(spark, s"$store/index")
+      assert(dirs.size < 2 + 1, s"auto-compaction did not bound the dir count: $dirs")
+      assert(dirs.exists(_.contains("batch-compacted-")), s"no compacted dir: $dirs")
+      val idx = graft.ext.Similarity.loadIvfStore(spark, store)
+      assert(idx.indexed.count() == rows.length,
+        "compaction changed the store's row count")
+      // probe results identical to brute force — the mid-stream swaps are
+      // invisible in the answer
+      val queries = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      assert(keyed(graft.ext.Similarity.ivfTopK(queries, idx, "vec_id", "embedding",
+          k = 3, nprobe = 4))
+        == keyed(graft.ext.Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)))
+    } finally q.stop()
+  }
+
   test("streaming incremental dedup: store converges to one copy per distinct doc") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
