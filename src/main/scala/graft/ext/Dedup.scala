@@ -1820,10 +1820,15 @@ object Dedup {
     * same single-writer retry contract every ingestStep tag carries
     * (re-run before further writers advance the store).
     *
-    * Source stores' sidecars are not reused — each batch re-shingles from
-    * text ([[ingestStep]]'s own path), O(src text) once per merge; at
-    * store scales where that matters, merge the SMALLER store into the
-    * larger. `nearThreshold` must match dst's tier shape: merging with a
+    * Source SIG sidecars are REUSED when src's `_sigs/_params.json`
+    * matches this call's (shingleSize, numHashes, bands) exactly: the
+    * signatures are deterministic in (text, params), so each trusted src
+    * sig dir is passed to the replay as precomputed — a narrow sidecar
+    * read + semi-join instead of the O(src text) re-shingle. Per-dir
+    * fallback re-shingles when a dir's sidecar is untrusted or the pin
+    * differs (band sidecars are never reused — dst's pinned bucket
+    * function owns that layout). `nearThreshold` must match dst's tier
+    * shape: merging with a
     * near tier into a store whose earlier batches lack signatures trips
     * the coverage guard ([[backfillSigStore]] first), same as live ingest.
     *
@@ -1857,13 +1862,39 @@ object Dedup {
     // a tombstoned src row was REMOVED from src — the replay must not
     // resurrect it in dst
     val srcTombs = tombstonesOf(spark, srcPath)
+    // SIDECAR-REUSE fast path: when src's sig pin matches this call's
+    // parameters exactly, src's trusted sig dirs are bit-compatible with
+    // what the replay would re-derive (same kernels, same params, same
+    // text), so each replayed batch passes its dir's signatures as
+    // precomputed — the O(src text) re-shingle becomes a narrow sidecar
+    // read + semi-join to that batch's dst-surviving ids. Per-dir
+    // fallback: an untrusted (or absent) sig dir re-shingles as before;
+    // tombstoned rows can't leak through reuse (the semi-join is against
+    // the already-excluded batch's survivors). Band sidecars are NOT
+    // reused — dst's pinned bucket function owns that layout.
+    val srcSigsByTag: Map[String, String] =
+      if (nearThreshold.isEmpty) Map.empty
+      else {
+        val pinP = new org.apache.hadoop.fs.Path(srcPath + "_sigs", "_params.json")
+        val fs = pinP.getFileSystem(hconf)
+        val want = s"""{"shingleSize":$shingleSize,"numHashes":$numHashes,"bands":$bands}"""
+        if (!fs.exists(pinP)) Map.empty
+        else {
+          val in = fs.open(pinP)
+          val seen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                     finally in.close()
+          if (seen == want) trustedSidecarDirsByTag(spark, srcPath + "_sigs") else Map.empty
+        }
+      }
     srcDirs.foreach { d =>
       val base = spark.read.parquet(d)
       val batch = srcTombs.fold(base) { case (t, tid) => minusTombstones(base, tid, t) }
       ingestStep(batch, idCol, contentCol, dstPath,
         nearThreshold, shingleSize, numHashes, bands,
         batchTag = None, sigCache = sigCache,
-        exactArmMinStoreBytes = exactArmMinStoreBytes)
+        exactArmMinStoreBytes = exactArmMinStoreBytes,
+        precomputedSigs = srcSigsByTag.get(d.substring(d.lastIndexOf('/') + 1))
+          .map(spark.read.parquet(_)))
     }
     srcDirs.size
   }
@@ -2115,12 +2146,22 @@ object Dedup {
     private[graft] def pinnedCount: Int = synchronized(pinned.size)
   }
 
+  /** `precomputedSigs`: a frame of [[signatureTable]]-shaped rows
+    * (`doc_id`, `sh`, `sig`) covering AT LEAST the batch's non-null-text
+    * documents, derived under the SAME (shingleSize, numHashes, seed)
+    * parameters — when passed, the near tier semi-joins it to the exact
+    * tier's survivors instead of re-shingling their text
+    * ([[mergeIngestStores]]'s sidecar-reuse fast path; the caller owns the
+    * parameter-compatibility proof). Results are bit-identical by
+    * construction: the kernels are deterministic in (text, params), so a
+    * trusted sig sidecar IS what signatureTable would produce. */
   def ingestStep(batch: DataFrame, idCol: String, contentCol: String,
                  storePath: String, nearThreshold: Option[Double] = None,
                  shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
                  batchTag: Option[String] = None,
                  sigCache: Option[SigStoreCache] = None,
-                 exactArmMinStoreBytes: Long = exactBloomMinStoreBytes): Unit = {
+                 exactArmMinStoreBytes: Long = exactBloomMinStoreBytes,
+                 precomputedSigs: Option[DataFrame] = None): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val spark = batch.sparkSession
     // Default tag = order-independent digest of the batch's (id, content)
@@ -2312,11 +2353,17 @@ object Dedup {
           writeHashSidecar()
         case Some(t) =>
           // near tier over non-null text only; null-content rows are
-          // exact-tier-only (no shingles to compare)
-          val sigs = signatureTable(exact.filter(col(contentCol).isNotNull),
-            idCol, contentCol, shingleSize, numHashes).persist()
+          // exact-tier-only (no shingles to compare). A precomputed sig
+          // frame (merge's sidecar reuse) replaces the shingle+minhash
+          // scan with a semi-join to the exact tier's survivors.
+          val sigs = precomputedSigs
+            .map(_.join(exact.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi"))
+            .getOrElse(signatureTable(exact.filter(col(contentCol).isNotNull),
+              idCol, contentCol, shingleSize, numHashes))
+            .persist()
           try {
-            if (phaseHook.isDefined) phase("sig_build")(sigs.count())
+            if (phaseHook.isDefined)
+              phase(if (precomputedSigs.isDefined) "sig_reuse" else "sig_build")(sigs.count())
             val rpb = numHashes / bands
             val dropInBatch = minhashPairsFromSignatures(
               sigs, sigs, bands, rpb, t, selfPairs = true, "id_a", "id_b")

@@ -894,9 +894,18 @@ class ExtSpec extends AnyFunSuite {
     val srcSurvivors = Dedup.readStore(spark, s"$root/b").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(srcSurvivors == Set(10L, 11L, 12L), s"src build diverged: $srcSurvivors")
-    // merge src into dst; control ingests the same surviving dirs directly
-    assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b", "doc_id", "text",
+    // merge src into dst; control ingests the same surviving dirs directly.
+    // src was built with the SAME sig params, so the replay must take the
+    // sidecar-REUSE path (no re-shingle) — the phase hook proves it, and
+    // the equality with the re-shingling direct-ingest control below
+    // proves reuse is answer-identical
+    val phasesSeen = scala.collection.mutable.Set[String]()
+    Dedup.phaseHook = Some((name, _) => { phasesSeen += name; () })
+    try assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/b", "doc_id", "text",
       nearThreshold = Some(0.4)) == 2)
+    finally Dedup.phaseHook = None
+    assert(phasesSeen.contains("sig_reuse") && !phasesSeen.contains("sig_build"),
+      s"pin-matched merge did not take the sidecar-reuse path: $phasesSeen")
     Seq("batch-t0", "batch-t1").foreach { t =>
       Dedup.ingestStep(spark.read.parquet(s"$root/b/$t"), "doc_id", "text",
         s"$root/c", nearThreshold = Some(0.4))
@@ -936,8 +945,13 @@ class ExtSpec extends AnyFunSuite {
       """{"doc_id": 21, "text": "twenty first body with vocabulary shared by no other document"}"""),
       "doc_id", "text", s"$root/e", batchTag = Some("x0")) // exact-only build: no sigs
     assert(!new java.io.File(s"$root/e_sigs").exists())
-    assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/e", "doc_id", "text",
+    val phasesExactSrc = scala.collection.mutable.Set[String]()
+    Dedup.phaseHook = Some((name, _) => { phasesExactSrc += name; () })
+    try assert(Dedup.mergeIngestStores(spark, s"$root/a", s"$root/e", "doc_id", "text",
       nearThreshold = Some(0.4)) == 1)
+    finally Dedup.phaseHook = None
+    assert(phasesExactSrc.contains("sig_build") && !phasesExactSrc.contains("sig_reuse"),
+      s"sig-less src must fall back to re-shingling: $phasesExactSrc")
     val afterExactSrc = Dedup.readStore(spark, s"$root/a").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(afterExactSrc == merged + 21L, s"exact-only src merge diverged: $afterExactSrc")
