@@ -1363,20 +1363,39 @@ object Dedup {
     }
     lookupAuditHook.foreach(_("lookup_candidates", cand0))
     val cand = spill(cand0, "graft-lookup-cand")
-    val matchedTags = cand.select(col("__f")).distinct().collect().map { r =>
-      val f = r.getString(0)
+    // one collect serves both prunes: the matched-dir set AND the
+    // candidate ids (a point probe's candidates are its own LSH bucket
+    // collisions — driver-bounded in practice; past the same 262144 cap
+    // the batch lookup uses, the ids are dropped and only dirs prune)
+    val meta = cand.select(col("doc_id"), col("__f")).distinct().collect()
+    val matchedTags = meta.map { r =>
+      val f = r.getString(1)
       dirTag(f.substring(0, f.lastIndexOf('/')))
     }.toSet
     val matchedSigDirs = sigDirs.filter(d => matchedTags.contains(dirTag(d)))
     if (matchedSigDirs.isEmpty)
       spark.read.parquet(sigDirs.head).limit(0)
         .withColumn("jaccard", lit(0.0)).select(col("doc_id"), col("jaccard"))
-    else spark.read.parquet(matchedSigDirs: _*)
-      .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
-      .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh"),
-        typedlit(probeSh)))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_id"), col("jaccard"))
+    else {
+      // candidate-id predicate into the sig read — BETWEEN ranges against
+      // the doc_id-clustered compacted layout, native parquet In against
+      // the per-row-group blooms otherwise ([[chooseIdPredicate]]): a
+      // point probe matching a handful of docs in a multi-GB compacted
+      // dir row-group-prunes instead of scanning it whole
+      val pred = (cand.schema("doc_id").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          Some(meta.filter(!_.isNullAt(0)).map(_.getLong(0)).distinct.sorted)
+        case org.apache.spark.sql.types.IntegerType =>
+          Some(meta.filter(!_.isNullAt(0)).map(_.getInt(0).toLong).distinct.sorted)
+        case _ => None
+      }).flatMap(ids => chooseIdPredicate(ids, 64, 262144))
+      applyIdPredicate(spark.read.parquet(matchedSigDirs: _*), pred)
+        .join(cand.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .withColumn("jaccard", Kernels.jaccardLongKernel(col("sh"),
+          typedlit(probeSh)))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_id"), col("jaccard"))
+    }
   }
 
   /** Batched [[lookupNearDups]]: a DATAFRAME of probes against the store

@@ -56,7 +56,9 @@ object UniformVerifyProbe {
     val isDup = batchOf >= 1 && pmod(id, lit(batchRows)) < dupsPerBatch
     val contentId = when(isDup,
       pmod(xxhash64(lit("target"), id), batchOf * batchRows)).otherwise(id)
-    val nPars = (pmod(xxhash64(lit("len"), contentId), lit(6L)) + 6).cast("int")
+    // ~2.5 KB docs: the verify's per-doc constant is the shingle set, and
+    // the store-linear r13 fetch only shows at realistic document sizes
+    val nPars = (pmod(xxhash64(lit("len"), contentId), lit(9L)) + 14).cast("int")
     val baseText = concat_ws(" ", transform(sequence(lit(0), nPars - 1), j =>
       concat(lit("segment "), hex(xxhash64(contentId, j)),
         lit(" carries block "), hex(xxhash64(contentId, j, lit(1L))),
@@ -113,6 +115,31 @@ object UniformVerifyProbe {
       val nA = graft.ext.Dedup.readStore(spark, s"$work/inset").count()
       val nB = graft.ext.Dedup.readStore(spark, s"$work/r13").count()
       println(s"[uvp] survivors inset=$nA r13=$nB  ${if (nA == nB) "MATCH" else "*** DIVERGED ***"}")
+      // CODA: compact the inset store (multi-row-group files, clustered +
+      // bloom-filtered — the at-scale layout) and replay the LAST batch
+      // against it under both arms: the compacted geometry is where the
+      // bloom exclusion arithmetic pays hardest per byte
+      graft.ext.Dedup.compactIngestStore(spark, s"$work/inset", s"$work/comp", "text")
+      // distinct source batches + id offsets per arm: the second arm must
+      // not exact-drop against the first arm's just-written replay
+      Seq(("inset", true, nBatches - 1, 100000000L),
+          ("r13", false, nBatches - 2, 200000000L)).foreach { case (arm, en, b, off) =>
+        val replay = spark.read.parquet(s"$work/src/__b=$b")
+          .withColumn("doc_id", col("doc_id") + off)
+        graft.ext.Dedup.verifyInSetEnabled = en
+        phases.clear()
+        val t0 = System.nanoTime()
+        graft.ext.Dedup.ingestStep(replay, "doc_id", "text", s"$work/comp",
+          nearThreshold = Some(0.7), batchTag = Some(s"replay-$arm"),
+          exactArmMinStoreBytes = 0L)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[uvp] compacted-store replay $arm%-6s total $wall%5.1f " +
+          f"verify ${phases.getOrElse("cross_band_verify", 0.0)}%5.2f " +
+          f"pred ${if (phases.contains("cand_inset_k")) f"inset ${phases("cand_inset_k")}%.1fk"
+                  else if (phases.contains("cand_ranges_n")) f"ranges ${phases("cand_ranges_n")}%.0f"
+                  else "none"}")
+      }
+      graft.ext.Dedup.verifyInSetEnabled = true
     } finally {
       graft.ext.Dedup.phaseHook = None
       graft.ext.Dedup.verifyInSetEnabled = true
