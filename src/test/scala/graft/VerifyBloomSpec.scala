@@ -91,6 +91,42 @@ class VerifyBloomSpec extends AnyFunSuite {
         "stats can't exclude these, so the blooms are not engaging")
   }
 
+  test("Spark scan over a bloom-enabled sig layout emits only surviving row groups' rows") {
+    // wall time can't show the bloom win on this host (the page cache makes
+    // even a full fetch ~1 s at 32 threads) — the honest Spark-level signal
+    // is the SCAN's numOutputRows: the vectorized reader emits every row of
+    // each non-excluded row group and row-filters nothing, so scan output <
+    // total rows proves row groups were excluded AT THE READER, in a real
+    // Spark plan with the exact write options sig dirs use.
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloom-scan").toString + "/sigs"
+    val n = 400000L
+    // shuffled ids + a wide payload, many small row groups — the shape of
+    // an accumulated sig store (uniform ids defeat min/max stats)
+    spark.range(n).select(
+        (xxhash64(col("id")) % 100000000L).as("doc_id"),
+        array((0 until 32).map(i => xxhash64(col("id"), lit(i))): _*).as("sh"))
+      .repartition(4)
+      .write.options(Dedup.sigWriteOptions + ("parquet.block.size" -> (1L << 20).toString))
+      .parquet(dir)
+    val probeIds = (0 until 400).map(i => -1L - i * 1000) // absent, in-span
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value
+      }.sum
+    }
+    // control: a RANGE predicate (blooms don't apply, min/max can't
+    // exclude over shuffled ids) — the reader must emit every row
+    val unfiltered = scanRows(spark.read.parquet(dir)
+      .filter(col("doc_id").between(-50L, 50L)))
+    assert(unfiltered == n, s"control: stats should exclude nothing here ($unfiltered)")
+    val filtered = scanRows(spark.read.parquet(dir)
+      .filter(col("doc_id").isInCollection(probeIds)))
+    assert(filtered < n / 2,
+      s"bloom row-group filtering did not engage in the Spark scan: $filtered of $n rows emitted")
+  }
+
   test("ingestStep: uniform-spread verify pushes the In set; survivors identical to the range form") {
     // same store ingested twice: once with the tight-cover gate lowered to
     // 0 so the uniform-ish candidate spread declines ranges and arms the
