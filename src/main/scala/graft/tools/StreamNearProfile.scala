@@ -32,6 +32,11 @@ object StreamNearProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val work = java.nio.file.Files.createTempDirectory("graft-near-profile").toString
+    // A/B attribution knob: SPARK_GRAFT_VERIFY_INSET=0 pins the r13
+    // ranges-or-nothing verify predicate (host-weather sessions can't
+    // otherwise separate the InSet arm's cost from co-tenant drift)
+    if (sys.env.get("SPARK_GRAFT_VERIFY_INSET").contains("0"))
+      graft.ext.Dedup.verifyInSetEnabled = false
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     // same quality gate the sink applies before ingestStep
