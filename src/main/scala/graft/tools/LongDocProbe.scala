@@ -108,6 +108,11 @@ object LongDocProbe {
             phases.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
           phases.foreach { case (k, v) => totals(k) = totals.getOrElse(k, 0.0) + v }
           totals("__total") = totals.getOrElse("__total", 0.0) + wall
+          // the fixture shard is consumed — free it so fixture + store
+          // never coexist whole (a 30 GB-store point would otherwise need
+          // ~2.3x the store in scratch)
+          val done = new org.apache.hadoop.fs.Path(s"$work/src/__b=$b")
+          done.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(done, true)
         }
       } finally graft.ext.Dedup.phaseHook = None
       println("---- near-mode totals ----")
