@@ -121,45 +121,84 @@ object Bench {
     * skipped the 8 GB record's merge, then clobbered it with its own
     * sessions=1 record anyway (one `git checkout` from losing 5 sessions
     * of protocol history). A guard-mismatched (or unparseable-prior) run
-    * now writes its record to a heap-suffixed SIDE path
-    * (`bench_headline.<heap>g.json`) and leaves the committed record
+    * writes its record to a SIDE path and leaves the committed record
     * byte-untouched; only a merged run — or a first run seeding an absent
-    * record, or an explicit NO_MERGE run — writes the primary path.
+    * record — writes the primary path.
+    *
+    * The side path is keyed on the FULL guard tuple
+    * (`bench_headline.<heap>g.<cpus>c.<rows>r.json`), not heap alone: two
+    * configurations sharing a heap but differing on rows or cpus must not
+    * clobber each other's side history (and the old heap-only scheme
+    * collided with the archived committed `bench_headline.8g.json` — an
+    * 8 GB mismatch run would have overwritten 5 sessions of archive).
+    * Side records MERGE like the primary: a repeat run of the same
+    * off-protocol configuration accumulates min-wall sessions in its own
+    * side file, so a later promotion to the protocol config starts from a
+    * multi-session record.
+    *
+    * NO_MERGE forces a single-session record, but — unless it is seeding
+    * an absent primary — that record also lands on the side path: the
+    * documented escape exists for A/B reads, and a stray
+    * SPARK_GRAFT_BENCH_NO_MERGE=1 must not wipe the protocol history the
+    * rest of this discipline protects.
     * Returns (the queries the caller should report, sessions counter). */
   private[graft] def writeHeadline(headlinePath: String, mergeOn: Boolean,
                                    sessionQ: Seq[(String, (Double, Double))],
                                    heapGb: Long, nRows: Long, cpus: Int,
                                    calPre: Double, calPost: Double):
       (Seq[(String, (Double, Double))], Int) = {
-    val p = java.nio.file.Paths.get(headlinePath)
-    val fileExists = java.nio.file.Files.exists(p)
-    val prior: Option[HeadlineRecord] =
-      if (!mergeOn || !fileExists) None
-      else parseHeadline(new String(java.nio.file.Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8))
-    val (mergedQ, sessions, mergedIn) = mergeHeadline(prior, sessionQ, heapGb, nRows, cpus)
-    val writePath =
-      if (mergedIn || !mergeOn || !fileExists) headlinePath
-      else {
-        System.err.println(s"[bench] headline merge skipped (prior guard " +
-          s"heap/rows/cpus mismatch or unreadable record): writing side record, " +
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    def readRecord(path: String): Option[HeadlineRecord] = {
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) None
+      else parseHeadline(new String(java.nio.file.Files.readAllBytes(p), utf8))
+    }
+    def write(path: String, qs: Seq[(String, (Double, Double))], sessions: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (renderHeadline(qs, nRows, heapGb, cpus, sessions, calPre, calPost) + "\n")
+          .getBytes(utf8))
+    val primaryExists = java.nio.file.Files.exists(java.nio.file.Paths.get(headlinePath))
+    val sidePath = headlinePath.stripSuffix(".json") +
+      s".${heapGb}g.${cpus}c.${nRows}r.json"
+    if (!mergeOn) {
+      val path = if (primaryExists) sidePath else headlinePath
+      if (primaryExists) System.err.println(
+        s"[bench] NO_MERGE: single-session record written to $path, " +
           s"$headlinePath left untouched")
-        headlinePath.stripSuffix(".json") + s".${heapGb}g.json"
-      }
-    val record = renderHeadline(mergedQ, nRows, heapGb, cpus, sessions, calPre, calPost)
-    java.nio.file.Files.write(java.nio.file.Paths.get(writePath),
-      (record + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    (mergedQ, sessions)
+      write(path, sessionQ, 1)
+      return (sessionQ, 1)
+    }
+    val (mergedQ, sessions, mergedIn) =
+      mergeHeadline(readRecord(headlinePath), sessionQ, heapGb, nRows, cpus)
+    if (mergedIn || !primaryExists) {
+      write(headlinePath, mergedQ, sessions)
+      (mergedQ, sessions)
+    } else {
+      System.err.println(s"[bench] headline merge skipped (prior guard " +
+        s"heap/rows/cpus mismatch or unreadable record): writing side record " +
+        s"$sidePath, $headlinePath left untouched")
+      val (sideQ, sideSessions, _) =
+        mergeHeadline(readRecord(sidePath), sessionQ, heapGb, nRows, cpus)
+      write(sidePath, sideQ, sideSessions)
+      (sideQ, sideSessions)
+    }
   }
+
+  /** Locale-pinned decimal rendering for the JSON records: the default-
+    * locale `"%.4f".format` writes `0,0417` on a comma-decimal JVM —
+    * invalid JSON, after which parseHeadline returns None every session
+    * and every future run permanently side-paths. */
+  private[graft] def jf(fmt: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, fmt, Double.box(d))
 
   private[graft] def renderHeadline(qs: Seq[(String, (Double, Double))],
                                     nRows: Long, heapGb: Long, cpus: Int, sessions: Int,
                                     calPre: Double, calPost: Double): String =
     s"""{"queries":${qs.map { case (k, (w, c)) =>
-      s""""$k":{"wall":${"%.4f".format(w)},"cpu":${"%.4f".format(c)}}"""
+      s""""$k":{"wall":${jf("%.4f", w)},"cpu":${jf("%.4f", c)}}"""
     }.mkString("{", ",", "}")},""" +
     s""""rows":$nRows,"heap_gb":$heapGb,"cpus":$cpus,"sessions":$sessions,""" +
-    s""""cal":[${"%.3f".format(calPre)},${"%.3f".format(calPost)}],""" +
+    s""""cal":[${jf("%.3f", calPre)},${jf("%.3f", calPost)}],""" +
     s""""note":"per-query min-wall across sessions (heap/cpus/rows-guarded); """ +
     s"""cal bracket is the most recent session's"}"""
 
@@ -254,8 +293,8 @@ object Bench {
       "groupAndAggregate" -> timed(GroupAndAggregate),
       "complexPipeline" -> timed(ComplexPipeline))
     stats.foreach { case (k, s) =>
-      System.err.println(s"[bench] $k iters=${s.iters.map(t => "%.4f".format(t._1)).mkString(",")}" +
-        s" cpu=${s.iters.map(t => "%.4f".format(t._2)).mkString(",")}" +
+      System.err.println(s"[bench] $k iters=${s.iters.map(t => jf("%.4f", t._1)).mkString(",")}" +
+        s" cpu=${s.iters.map(t => jf("%.4f", t._2)).mkString(",")}" +
         (if (s.noisy) "  ** NOISY (max/min > 2x) **" else ""))
     }
     // Headline value = per-query MIN over the 5 warmed iterations (r11
@@ -605,13 +644,13 @@ object Bench {
 
     val total = results.map(_._2).sum
     def fmt(kvs: Seq[(String, Double)]): String =
-      kvs.map { case (k, v) => s""""$k":${"%.4f".format(v)}""" }.mkString("{", ",", "}")
+      kvs.map { case (k, v) => s""""$k":${jf("%.4f", v)}""" }.mkString("{", ",", "}")
     val docsPerSec = results.map { case (k, v) => k -> (nRows / v) }
     // CPU of the min-wall observation (possibly a prior session's), so the
     // (wall, cpu) pair stays internally consistent after the merge
     val queriesCpu = mergedQ.map { case (k, (_, c)) => k -> c }
     val spread = stats.map { case (k, s) =>
-      s""""$k":{"min":${"%.4f".format(s.min)},"med":${"%.4f".format(s.med)},"max":${"%.4f".format(s.max)}}"""
+      s""""$k":{"min":${jf("%.4f", s.min)},"med":${jf("%.4f", s.med)},"max":${jf("%.4f", s.max)}}"""
     }.mkString("{", ",", "}")
     val warmColdInverted = allCW.exists { case (_, ((cold, _), (warm, _))) => warm > 2 * cold + 0.5 }
     val noisy = stats.exists(_._2.noisy) || warmColdInverted
@@ -621,19 +660,19 @@ object Bench {
     // contract line carries the graded numbers; the ~50-extra detail maps go
     // to bench_full.json next to the repo for the judge to read whole.
     val fullRecord =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${jf("%.4f", total)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_cpu":${fmt(queriesCpu)},""" +
       s""""sessions":$sessions,""" +
-      s""""headline_cal":[${"%.3f".format(headCalPre)},${"%.3f".format(headCalPost)}],""" +
+      s""""headline_cal":[${jf("%.3f", headCalPre)},${jf("%.3f", headCalPost)}],""" +
       s""""extras":${fmt(extras)},"extras_warm":${fmt(extrasWarm)},""" +
       s""""extras_cpu":${fmt(extrasCpu)},"extras_warm_cpu":${fmt(extrasWarmCpu)},""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       { assert(calBuf.size == allCW.size,
           s"cal bracket count ${calBuf.size} != extras ${allCW.size}")
         s""""cal":${allCW.map(_._1).zip(calBuf).map { case (k, (a, b)) =>
-          s""""$k":[${"%.3f".format(a)},${"%.3f".format(b)}]""" }.mkString("{", ",", "}")},""" +
-        s""""cal_min":${"%.3f".format(calBuf.flatMap(c => Seq(c._1, c._2)).min)},""" +
-        s""""cal_max":${"%.3f".format(calBuf.flatMap(c => Seq(c._1, c._2)).max)},""" } +
+          s""""$k":[${jf("%.3f", a)},${jf("%.3f", b)}]""" }.mkString("{", ",", "}")},""" +
+        s""""cal_min":${jf("%.3f", calBuf.flatMap(c => Seq(c._1, c._2)).min)},""" +
+        s""""cal_max":${jf("%.3f", calBuf.flatMap(c => Seq(c._1, c._2)).max)},""" } +
       s""""ann_recall_at_10":${fmt(annRecall)},""" +
       (if (soakHistogram.nonEmpty) s""""soak_cluster_histogram":"$soakHistogram",""" else "") +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
@@ -649,10 +688,10 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (fullRecord + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val compact =
-      s"""{"metric":"total","value":${"%.4f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${jf("%.4f", total)},"unit":"sec",""" +
       s""""queries":${fmt(results)},"queries_cpu":${fmt(queriesCpu)},""" +
       s""""sessions":$sessions,""" +
-      s""""headline_cal":[${"%.3f".format(headCalPre)},${"%.3f".format(headCalPost)}],""" +
+      s""""headline_cal":[${jf("%.3f", headCalPre)},${jf("%.3f", headCalPost)}],""" +
       s""""spread":$spread,"noisy":$noisy,""" +
       s""""docs_per_sec":${docsPerSec.map { case (k, v) => s""""$k":${v.toLong}""" }.mkString("{", ",", "}")},""" +
       s""""rows":$nRows,"sf":"$sfDir","n_extras":${allCW.size},"full":"$fullPath"}"""

@@ -360,9 +360,13 @@ object Dedup {
     require(maxRanges >= 1, s"maxRanges must be >= 1, got $maxRanges")
     if (sorted.isEmpty) Seq.empty
     else {
+      // gaps in DOUBLE: hash-valued id spaces (xxhash64 doc_ids) put
+      // neighbors more than Long.MaxValue apart, and a Long gap would wrap
+      // negative — dropping exactly the widest splits and coalescing the
+      // Long extremes into one span-wide range
       val splits = (1 until sorted.length)
-        .map(i => (sorted(i) - sorted(i - 1), i))
-        .filter(_._1 > 1)
+        .map(i => (sorted(i).toDouble - sorted(i - 1).toDouble, i))
+        .filter(_._1 > 1d)
         .sortBy(-_._1)
         .take(maxRanges - 1)
         .map(_._2).sorted
@@ -423,8 +427,14 @@ object Dedup {
     if (sorted.isEmpty) None
     else {
       val rs = idRanges(sorted, maxRanges)
-      val covered = rs.map(r => r._2 - r._1 + 1).sum.toDouble
-      val span = (sorted.last - sorted.head + 1).toDouble
+      // Double-accumulated: hash-valued id spaces (xxhash64 doc_ids) span
+      // more than half the Long range, so Long arithmetic here overflows
+      // negative and a bogus `covered` would pass the tight-cover gate —
+      // silently picking Ranges in exactly the uniform-spread regime the
+      // InSet/bloom arm exists for. Doubles lose ulp precision at 2^53+
+      // but the gates (absolute 100k, ratio 0.5) don't need it.
+      val covered = rs.iterator.map(r => r._2.toDouble - r._1.toDouble + 1d).sum
+      val span = sorted.last.toDouble - sorted.head.toDouble + 1d
       // tight in absolute terms or relative to the candidates' own span
       if (covered <= verifyRangeTightCover || covered / span <= 0.5)
         Some(IdPredicate.Ranges(rs))
@@ -1082,7 +1092,19 @@ object Dedup {
   /** The scan-side batch-dir tag of a store row — `batch-<tag>`, the
     * terminal directory of the file that produced it. substring_index
     * (plain char scans), not a regex: this evaluates per row on store
-    * scans that opt into tombstone exclusion. */
+    * scans that opt into tombstone exclusion.
+    *
+    * ENCODING INVARIANT: `input_file_name()` returns the URI-ENCODED path
+    * while FileSystem listings ([[listBatchDirs]]/[[dirTag]]) are raw, so
+    * comparisons between the two forms (tombstone-vs-listed hash-sidecar
+    * deletion in [[removeFromIngestStore]], the verify resolver's
+    * matched-dir set) are byte-equal ONLY because every tag charset is
+    * restricted to characters URI path encoding leaves untouched: explicit
+    * tags are validated to `[A-Za-z0-9_-]+` at [[ingestStep]] (and the ANN
+    * stores' `storeBatchTag`), and generated tags (`auto-<hex>-<n>`,
+    * `compacted(-<k>)`, `retrain`) stay inside the same set. Widening the
+    * tag charset requires decoding here first (and NOT with url_decode,
+    * whose form-decoding turns a literal `+` into a space). */
   private[graft] def fileTagCol: Column = substring_index(
     substring_index(input_file_name(), "/", -2), "/", 1)
 

@@ -347,14 +347,16 @@ object GraftStreaming {
     * Read the accumulated index with [[graft.ext.Similarity.loadIvfStore]]
     * and probe with the probe-only `ivfTopK` overload — a training-data
     * pipeline embeds documents as they are curated, and this keeps the
-    * ANN index current without ever rebuilding it. */
-  /** `autoCompactMaxDirs`: when set, the sink runs
-    * [[graft.ext.Similarity.autoCompactIvfStore]] after any micro-batch
-    * that leaves the store holding at least that many index dirs — the
-    * same between-batches single-writer maintenance window the dedup sink
-    * uses, with the manifest-resumable swap the ANN store needs (probe
-    * results unchanged; a crashed swap is finished by the next batch's
-    * hook before anything else touches the store). */
+    * ANN index current without ever rebuilding it.
+    *
+    * @param autoCompactMaxDirs when set, the sink runs
+    *        [[graft.ext.Similarity.autoCompactIvfStore]] after any
+    *        micro-batch that leaves the store holding at least that many
+    *        index dirs — the same between-batches single-writer
+    *        maintenance window the dedup sink uses, with the
+    *        manifest-resumable swap the ANN store needs (probe results
+    *        unchanged; a crashed swap is finished by the next batch's
+    *        hook before anything else touches the store). */
   def vectorIndexSink(stream: DataFrame, idCol: String, vecCol: String,
                       path: String, checkpointDir: String, nlist: Int = 256,
                       queryName: String = "graft-vector-index",

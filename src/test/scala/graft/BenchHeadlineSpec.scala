@@ -61,7 +61,8 @@ class BenchHeadlineSpec extends AnyFunSuite {
     Bench.writeHeadline(path, mergeOn = true, q, 8L, 600000L, 32, 0.1, 0.2)
     val seeded = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     assert(Bench.parseHeadline(new String(seeded, "UTF-8")).get.sessions == 1)
-    // a mismatched-heap run must write the SIDE path and not touch the record
+    // a mismatched-heap run must write the SIDE path and not touch the record;
+    // the side path carries the FULL guard tuple, not heap alone
     val (sideQ, sideSessions) = Bench.writeHeadline(path, mergeOn = true,
       Seq("simpleFilter" -> (0.0100, 0.5), "groupAndAggregate" -> (0.0100, 0.05)),
       89L, 600000L, 32, 0.1, 0.2)
@@ -69,10 +70,26 @@ class BenchHeadlineSpec extends AnyFunSuite {
     val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     assert(java.util.Arrays.equals(seeded, after),
       "guard-mismatched run clobbered the committed record")
-    val side = new java.io.File(s"$dir/bench_headline.89g.json")
+    val side = new java.io.File(s"$dir/bench_headline.89g.32c.600000r.json")
     assert(side.exists(), "mismatched run's record not written to the side path")
     assert(Bench.parseHeadline(
       new String(java.nio.file.Files.readAllBytes(side.toPath), "UTF-8")).get.heapGb == 89L)
+    // a REPEAT off-protocol run MERGES into its own side record (min-wall,
+    // sessions counted) instead of clobbering it...
+    val (sideQ2, sideSessions2) = Bench.writeHeadline(path, mergeOn = true,
+      Seq("simpleFilter" -> (0.0200, 0.6), "groupAndAggregate" -> (0.0050, 0.04)),
+      89L, 600000L, 32, 0.1, 0.2)
+    assert(sideSessions2 == 2)
+    assert(sideQ2.toMap == Map(
+      "simpleFilter" -> (0.0100, 0.5), "groupAndAggregate" -> (0.0050, 0.04)))
+    // ...while a run mismatched on ROWS at the same heap gets its OWN side
+    // file and cannot touch the 89g/600000r one
+    Bench.writeHeadline(path, mergeOn = true,
+      Seq("simpleFilter" -> (9.0, 9.0)), 89L, 60000L, 32, 0.1, 0.2)
+    assert(new java.io.File(s"$dir/bench_headline.89g.32c.60000r.json").exists())
+    assert(Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
+      side.toPath), "UTF-8")).get.sessions == 2,
+      "a different-rows run overwrote another configuration's side record")
     // an UNPARSEABLE committed record is equally protected
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
       "{corrupt".getBytes("UTF-8"))
@@ -80,7 +97,7 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8") == "{corrupt",
       "unparseable record was clobbered")
-    assert(new java.io.File(s"$dir/bench_headline.8g.json").exists())
+    assert(new java.io.File(s"$dir/bench_headline.8g.32c.600000r.json").exists())
     // a MATCHED run merges min-wall into the primary path and counts the session
     java.nio.file.Files.write(java.nio.file.Paths.get(path), seeded)
     val (mq, ms) = Bench.writeHeadline(path, mergeOn = true,
@@ -92,9 +109,21 @@ class BenchHeadlineSpec extends AnyFunSuite {
     val merged = Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8")).get
     assert(merged.sessions == 2 && merged.queries.toMap.apply("simpleFilter")._1 == 0.0300)
-    // NO_MERGE forces a fresh single-session primary record (documented escape)
-    Bench.writeHeadline(path, mergeOn = false, q, 8L, 600000L, 32, 0.1, 0.2)
+    // NO_MERGE yields a single-session record but SIDE-PATHS it when a
+    // primary exists — a stray NO_MERGE=1 must not wipe protocol history
+    val beforeNoMerge = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val (nq, ns) = Bench.writeHeadline(path, mergeOn = false, q, 8L, 600000L, 32, 0.1, 0.2)
+    assert(ns == 1 && nq == q)
+    assert(java.util.Arrays.equals(beforeNoMerge,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))),
+      "NO_MERGE clobbered the committed record")
     assert(Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)), "UTF-8")).get.sessions == 1)
+      java.nio.file.Paths.get(s"$dir/bench_headline.8g.32c.600000r.json")), "UTF-8"))
+      .get.sessions == 1, "NO_MERGE record did not land on the side path")
+    // NO_MERGE seeding an ABSENT primary writes the primary (bootstrap case)
+    val path2 = s"$dir/fresh.json"
+    Bench.writeHeadline(path2, mergeOn = false, q, 8L, 600000L, 32, 0.1, 0.2)
+    assert(Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path2)), "UTF-8")).get.sessions == 1)
   }
 }

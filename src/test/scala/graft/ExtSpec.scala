@@ -2043,6 +2043,21 @@ class ExtSpec extends AnyFunSuite {
       intercept[graft.model.ValidationError] {
         Dedup.ingestStep(docs, "doc_id", "text", store, batchTag = Some("a.b"))
       }
+      // URL-encodable characters are refused too — input_file_name() returns
+      // URI-encoded paths while FileSystem listings are raw, so a tag that
+      // percent-encodes differently in the two forms would break every
+      // scan-tag-vs-listed-dir comparison (tombstone sidecar deletion, the
+      // verify resolver's matched-dir set). The tag charset restriction IS
+      // the invariant that keeps the two forms byte-equal.
+      for (bad <- Seq("a b", "a%20b", "a#b", "a+b")) {
+        intercept[graft.model.ValidationError] {
+          Dedup.ingestStep(docs, "doc_id", "text", store, batchTag = Some(bad))
+        }
+        intercept[graft.model.ValidationError] {
+          Similarity.ivfIngestStep(emb.limit(3), "vec_id", "embedding", store,
+            nlist = 4, batchTag = Some(bad))
+        }
+      }
     } finally {
       val p = new org.apache.hadoop.fs.Path(store)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

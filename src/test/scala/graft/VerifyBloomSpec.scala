@@ -34,6 +34,23 @@ class VerifyBloomSpec extends AnyFunSuite {
     // ...unless the set outgrows the plan-size cap -> no predicate
     assert(chooseIdPredicate(uniform, 64, 100000).isEmpty)
     assert(chooseIdPredicate(Array.empty[Long], 64, 262144).isEmpty)
+    // hash-valued id space (xxhash64 doc_ids): a uniform spread across
+    // MORE THAN HALF THE LONG RANGE used to overflow the Long cover sum
+    // negative, pass the tight-cover gate, and silently pick Ranges in
+    // exactly the regime the InSet/bloom arm was built for — the cover
+    // arithmetic is double-accumulated now, so the InSet arm arms
+    val hashSpread = (0L until 200000L)
+      .map(i => (i - 100000L) * (Long.MaxValue / 110000L)).toArray
+    chooseIdPredicate(hashSpread, 64, 262144) match {
+      case Some(IdPredicate.InSet(ids)) => assert(ids.length == 200000)
+      case other => fail(s"overflowing hash-id spread chose $other")
+    }
+    // clustered hash-space ids (one dense block at each Long extreme)
+    // still take ranges — the span overflows but the COVER is tiny
+    val hashClustered = ((0L until 50000L).map(Long.MinValue + _) ++
+      (0L until 50000L).map(Long.MaxValue - _)).sorted.toArray
+    assert(chooseIdPredicate(hashClustered, 64, 262144)
+      .exists(_.isInstanceOf[IdPredicate.Ranges]))
   }
 
   test("ingest sig dirs carry doc_id bloom filters that exclude candidate-free row groups") {
