@@ -1698,6 +1698,44 @@ object SparkEntry {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       }
     }),
+    // ANN-store GDPR retraction lifecycle: three shards ingest, vectors
+    // with vec_id%5<2 are tombstoned, the %35==0 subset is RE-INGESTED
+    // under a fresh tag (a re-ingest under a new tag lands live — the
+    // dedup store's tag-reuse contract); the store is probed exhaustively
+    // BOTH before compaction (logical exclusion at the reader) and after
+    // compactIvfStore (physical application — the ledger is consumed).
+    // Both phases must equal brute force over exactly the surviving
+    // vectors: vec_id%5>=2 OR vec_id%35=0.
+    "q_ann_ivf_remove" -> ((spark: SparkSession, dir: String) => {
+      val e = tbl(spark, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft-ivf-remove-gate").toString
+      try {
+        (0 to 2).foreach { s =>
+          graft.ext.Similarity.ivfIngestStep(
+            e.filter(pmod(col("vec_id"), lit(3)) === s), "vec_id", "embedding",
+            s"$root/old", nlist = 4, batchTag = Some(s.toString))
+        }
+        graft.ext.Similarity.removeFromIvfStore(spark, s"$root/old",
+          pmod(col("neighbor_id"), lit(5)) < 2)
+        graft.ext.Similarity.ivfIngestStep(
+          e.filter(pmod(col("vec_id"), lit(35)) === 0), "vec_id", "embedding",
+          s"$root/old", nlist = 4, batchTag = Some("reingest"))
+        val q = e.filter(col("vec_id") < 10)
+        val logical = graft.ext.Similarity.ivfTopK(
+          q, graft.ext.Similarity.loadIvfStore(spark, s"$root/old"),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+          .withColumn("phase", lit("logical"))
+        graft.ext.Similarity.compactIvfStore(spark, s"$root/old", s"$root/new")
+        val compacted = graft.ext.Similarity.ivfTopK(
+          q, graft.ext.Similarity.loadIvfStore(spark, s"$root/new"),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+          .withColumn("phase", lit("compacted"))
+        graft.ext.Dedup.spill(logical.unionByName(compacted), "graft-ivf-remove-out")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    }),
     // IVF-SQ8: exhaustive setting (nprobe = nlist, rerank ≥ corpus) equals
     // brute force regardless of the int8 approximation — same argument as
     // q_ann_ivf / q_ann_pq
@@ -2520,6 +2558,27 @@ object SparkEntry {
       SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos
       FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
+      WHERE rank <= 5""",
+    // Store-with-removals probed exhaustively = brute force over exactly
+    // the SURVIVING vectors (vec_id%5>=2 kept, %5<2 tombstoned, %35==0
+    // re-ingested live), in both lifecycle phases: 'logical' (tombstones
+    // excluded at the reader) and 'compacted' (ledger physically applied).
+    // A tombstoned vector leaking into a top-k answer, a survivor lost, or
+    // a re-ingest failing to land breaks the hash in the matching phase.
+    "q_ann_ivf_remove" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * c.v[i]))
+            / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)), i -> q.v[i] * q.v[i])))
+               * sqrt(list_sum(list_transform(generate_series(1, len(c.v)), i -> c.v[i] * c.v[i])))) AS cos
+        FROM e q CROSS JOIN e c
+        WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+          AND (c.vec_id % 5 >= 2 OR c.vec_id % 35 = 0))
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos, phase
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+      CROSS JOIN (VALUES ('logical'), ('compacted')) AS p(phase)
       WHERE rank <= 5""",
     // Incremental three-shard store probed exhaustively = brute force
     // however the corpus was sharded — identical ranking SQL to q_ann_ivf

@@ -1753,7 +1753,16 @@ object Dedup {
     require(maxDirs >= 2, s"maxDirs must be >= 2, got $maxDirs")
     val hconf = spark.sparkContext.hadoopConfiguration
     val dirs = listBatchDirs(spark, storePath)
-    if (dirs.size < maxDirs) return false
+    // the tombstone ledger counts toward the threshold: every reader pays
+    // the exclusion anti-join against the UNION of `_tombstones/batch-*`
+    // dirs, so a removal-heavy store (thousands of small
+    // [[removeFromIngestStore]] calls, no new ingest) grows read cost and
+    // dir listings without ever growing primary dirs — and compaction is
+    // exactly what consumes the ledger. Counting both means such a store
+    // compacts (and applies its deletes physically) at the same threshold
+    // an append-heavy one does.
+    val tombDirs = listBatchDirs(spark, storePath + "_tombstones")
+    if (dirs.size + tombDirs.size < maxDirs) return false
     val staging = storePath + "__compacting"
     // keep the LIVE band-bucket pin across the swap: the staged band index
     // must be bucketed by the function the live `_bands/_params.json`

@@ -965,26 +965,34 @@ object Similarity {
     model
   }
 
-  /** Read an [[ivfIngestStep]]-maintained store: frozen centroids + the
-    * union of its per-batch index directories, probe-ready for the
-    * [[ivfTopK]] overload. */
-  def loadIvfStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+  /** The LIVE index rows of an incremental store: the union of its
+    * per-batch index dirs minus any [[removeFromIvfStore]] tombstones —
+    * the one read path every probe, report, retrain, and compaction
+    * shares, so logical deletion is immediate everywhere by construction.
+    * A store with no ledger keeps its pre-tombstone plan (no join). */
+  private def liveIndexRows(spark: org.apache.spark.sql.SparkSession,
+                            path: String): DataFrame = {
     val dirs = Dedup.listBatchDirs(spark, s"$path/index")
     require(dirs.nonEmpty, s"no ingested batches under $path/index")
-    IvfIndex(loadCentroids(spark, s"$path/centroids"),
-      spark.read.parquet(dirs: _*))
+    val base = spark.read.parquet(dirs: _*)
+    Dedup.tombstonesOf(spark, s"$path/index") match {
+      case Some((tombs, _)) => Dedup.minusTombstones(base, "neighbor_id", tombs)
+      case None => base
+    }
   }
 
+  /** Read an [[ivfIngestStep]]-maintained store: frozen centroids + the
+    * union of its per-batch index directories (minus tombstoned rows),
+    * probe-ready for the [[ivfTopK]] overload. */
+  def loadIvfStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
+    IvfIndex(loadCentroids(spark, s"$path/centroids"), liveIndexRows(spark, path))
+
   /** Read an [[ivfPqIngestStep]]-maintained store: frozen centroids +
-    * codebooks + the union of its per-batch code directories, probe-ready
-    * for the probe-only [[ivfPqTopK]]. */
-  def loadIvfPqStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
-    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
-    require(dirs.nonEmpty, s"no ingested batches under $path/index")
+    * codebooks + the union of its per-batch code directories (minus
+    * tombstoned rows), probe-ready for the probe-only [[ivfPqTopK]]. */
+  def loadIvfPqStore(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex =
     IvfPqIndex(loadCentroids(spark, s"$path/centroids"),
-      loadBooks(spark, s"$path/books"),
-      spark.read.parquet(dirs: _*))
-  }
+      loadBooks(spark, s"$path/books"), liveIndexRows(spark, path))
 
   // --------------------------------------------- store operations ----
   // The three maintenance passes a long-lived frozen-quantizer store needs:
@@ -1009,10 +1017,11 @@ object Similarity {
     *         bootstrap sits in low single digits; alert-and-
     *         [[ivfRetrain]] past that. */
   def ivfStoreReport(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
-    val dirs = Dedup.listBatchDirs(spark, s"$path/index")
-    require(dirs.nonEmpty, s"no ingested batches under $path/index")
     val nlist = loadCentroids(spark, s"$path/centroids").length
-    val counts = spark.read.parquet(dirs: _*).select(col("cluster"))
+    // live rows only: a removal-heavy cell's occupancy must reflect what
+    // probes can actually return (the exclusion join reads neighbor_id
+    // alongside cluster; the vector/code payload stays pruned)
+    val counts = liveIndexRows(spark, path).select(col("cluster"))
       .groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
     // nlist is driver-bounded model state: the full cell list broadcasts
     val cells = broadcast(spark.range(nlist).select(col("id").cast("int").as("cluster")))
@@ -1160,7 +1169,13 @@ object Similarity {
     val outRoot = new org.apache.hadoop.fs.Path(outPath)
     val outFs = outRoot.getFileSystem(hconf)
     outFs.delete(outRoot, true)
-    spark.read.parquet(dirs: _*).coalesce(parts)
+    // live rows only — compaction is where [[removeFromIvfStore]]'s
+    // logical deletes become physical: the compacted output holds no
+    // tombstoned row and carries no ledger (the source store's
+    // `_tombstones` root is never copied), so the new store starts clean.
+    // `bytes` above counts tombstoned rows too — a removal-heavy store
+    // just plans slightly more parts than it fills, never fewer.
+    liveIndexRows(spark, path).coalesce(parts)
       .write.mode("overwrite").options(indexWriteOptions).parquet(s"$outPath/index/batch-compacted")
     // model artifacts copy verbatim (centroids always; books for PQ stores)
     Seq("centroids", "books").foreach { d =>
@@ -1230,11 +1245,21 @@ object Similarity {
       val consumed = parsed.map(j => (j \ "consumed") match {
         case org.json4s.JArray(a) => a.collect { case org.json4s.JString(s) => s }
         case _ => Nil }).getOrElse(Nil)
+      val consumedTombs = parsed.map(j => (j \ "consumedTombs") match {
+        case org.json4s.JArray(a) => a.collect { case org.json4s.JString(s) => s }
+        case _ => Nil }).getOrElse(Nil)
       ordinal match {
         case Some(k) if mFs.exists(new org.apache.hadoop.fs.Path(indexRoot, s"batch-compacted-$k")) =>
           // compacted dir landed: resume at step 3
           Dedup.listBatchDirs(spark, indexRoot)
             .filter(d => consumed.contains(tagOf(d)) && tagOf(d) != s"batch-compacted-$k")
+            .foreach(deleteDir)
+          // then the consumed tombstone dirs (the staged compaction read
+          // live rows only, so the recorded ledger entries are applied) —
+          // AFTER the index dirs: a crash in between leaves tombstones
+          // naming dead tags, which every reader treats as inert
+          Dedup.listBatchDirs(spark, indexRoot + "_tombstones")
+            .filter(d => consumedTombs.contains(tagOf(d)))
             .foreach(deleteDir)
           mFs.delete(manifestP, false)
           deleteDir(staging)
@@ -1248,23 +1273,120 @@ object Similarity {
       }
     }
     val dirs = Dedup.listBatchDirs(spark, indexRoot)
-    if (dirs.size < maxDirs) return resumed
+    // the tombstone dirs count toward the threshold (same rule as
+    // autoCompactIngestStore: every probe pays the exclusion join against
+    // the ledger union, and compaction is what consumes it — a
+    // removal-heavy store must compact without waiting for index-dir
+    // growth) and are pinned BEFORE the staged compaction runs
+    // (single-writer window, so the set is stable): the staged output
+    // holds live rows only, and after the swap these ledger entries are
+    // physically applied and must go
+    val tombDirs = Dedup.listBatchDirs(spark, indexRoot + "_tombstones")
+    if (dirs.size + tombDirs.size < maxDirs) return resumed
     compactIvfStore(spark, path, staging, targetFileMB)
     val k = 1 + dirs.map(tagOf).flatMap { t =>
       "^batch-compacted-(\\d+)$".r.findFirstMatchIn(t).map(_.group(1).toInt)
     }.foldLeft(0)(math.max)
     val consumedJson = dirs.map(d => s""""${tagOf(d)}"""").mkString("[", ",", "]")
+    val consumedTombsJson = tombDirs.map(d => s""""${tagOf(d)}"""").mkString("[", ",", "]")
     val mo = mFs.create(manifestP, true)
-    try mo.write(s"""{"ordinal":$k,"consumed":$consumedJson}""".getBytes("UTF-8"))
+    try mo.write((s"""{"ordinal":$k,"consumed":$consumedJson,""" +
+      s""""consumedTombs":$consumedTombsJson}""").getBytes("UTF-8"))
     finally mo.close()
     val src = new org.apache.hadoop.fs.Path(s"$staging/index/batch-compacted")
     val dst = new org.apache.hadoop.fs.Path(indexRoot, s"batch-compacted-$k")
     mFs.delete(dst, true)
     require(mFs.rename(src, dst), s"rename $src -> $dst failed")
     dirs.foreach(deleteDir)
+    tombDirs.foreach(deleteDir)
     mFs.delete(manifestP, false)
     deleteDir(staging)
     true
+  }
+
+  /** Remove vectors from an [[ivfIngestStep]]- or [[ivfPqIngestStep]]-
+    * maintained store — the GDPR-style retraction the dedup store got in
+    * [[graft.ext.Dedup.removeFromIngestStore]], mirrored onto the ANN
+    * index so the repo's two long-lived store kinds carry the same
+    * compliance posture (before this, deleting an embedding meant a manual
+    * retrain/rebuild). Logical removal is IMMEDIATE and physical removal
+    * happens at the next compaction:
+    *
+    *  - the matching LIVE rows' `(batch-dir tag, neighbor_id)` pairs are
+    *    recorded under `<path>/index_tombstones/batch-<digest>/` (the
+    *    digest tag makes a crashed-and-retried call overwrite its own dir
+    *    instead of stacking);
+    *  - EVERY reader goes through the shared live-rows path
+    *    ([[liveIndexRows]] — probes via [[loadIvfStore]] /
+    *    [[loadIvfPqStore]], [[ivfStoreReport]], retrain, compaction), so a
+    *    tombstoned vector can never land in a top-k answer, a report
+    *    count, or a rebuilt store;
+    *  - [[compactIvfStore]] CONSUMES tombstones: the compacted output
+    *    contains only live rows and carries no ledger root.
+    *    [[autoCompactIvfStore]] deletes the consumed tombstone dirs after
+    *    the consumed index dirs (a crash in between leaves tombstones
+    *    naming dead tags — inert). [[ivfRetrain]] / [[ivfPqRetrain]] read
+    *    through [[loadIvfStore]] and so also rebuild tombstone-free.
+    *
+    * The ledger id column is pinned to `neighbor_id` (the index schema's
+    * id) at first removal via `_params.json` — a foreign or corrupt ledger
+    * whose pin disagrees refuses instead of silently part-excluding. The
+    * tag-reuse caveat matches the dedup store's: a re-ingest of a removed
+    * id under the SAME explicit batch tag stays removed (same tag = the
+    * same original batch, the retry contract); any new tag (including the
+    * default digest tag, which differs whenever the vector payload does)
+    * lands live. Single-writer, like every store mutation. Works on both
+    * IVF and IVF-PQ stores — the ledger keys on the shared
+    * (tag, neighbor_id) index shape.
+    *
+    * @param predicate row filter over the index's own columns
+    *                  (`neighbor_id`, `c_vec`, `cluster`, and for PQ
+    *                  stores `codes`) selecting the vectors to remove
+    * @return number of vectors tombstoned by THIS call. */
+  def removeFromIvfStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, predicate: Column): Long = {
+    val indexRoot = s"$path/index"
+    val dirs = Dedup.listBatchDirs(spark, indexRoot)
+    require(dirs.nonEmpty, s"no ingested batches under $indexRoot")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tombPath = indexRoot + "_tombstones"
+    val pinP = new org.apache.hadoop.fs.Path(tombPath, "_params.json")
+    val pinFs = pinP.getFileSystem(hconf)
+    if (pinFs.exists(pinP)) {
+      val in = pinFs.open(pinP)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val seen = """"idCol"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s).map(_.group(1))
+      if (!seen.contains("neighbor_id")) throw new graft.model.ValidationError(
+        s"tombstone ledger $tombPath carries id-column pin ${seen.orNull}, expected " +
+          "'neighbor_id' — a foreign ledger would make exclusion silently partial, refusing")
+    } else {
+      val o = pinFs.create(pinP, true)
+      try o.write("""{"idCol":"neighbor_id"}""".getBytes("UTF-8")) finally o.close()
+    }
+    // hits = LIVE rows matching the predicate (re-removing an already-
+    // tombstoned row is a no-op), with their batch-dir tag
+    val priorTombs = Dedup.tombstonesOf(spark, indexRoot).map(_._1)
+    val taggedAll = spark.read.parquet(dirs: _*)
+      .withColumn("__tomb_tag", Dedup.fileTagCol)
+    val live = priorTombs.fold(taggedAll)(t => taggedAll.join(t.select(
+        col("__tomb_tag").as("__pt"), col("__tomb_id").as("__pi")),
+      taggedAll("__tomb_tag") === col("__pt") &&
+        (taggedAll("neighbor_id") <=> col("__pi")),
+      "left_anti"))
+    val hits = Dedup.spill(live.filter(predicate)
+      .select(col("__tomb_tag"), col("neighbor_id").as("__tomb_id")).distinct(),
+      "graft-ivf-tombstone-hits")
+    // digest removal tag (order-independent over the hit pairs) — a
+    // crashed-and-retried call overwrites its own dir instead of stacking
+    val d = hits.select(conv(substring(md5(concat_ws("",
+        col("__tomb_tag"), coalesce(col("__tomb_id").cast("string"), lit("")))),
+        1, 15), 16, 10).cast("long").as("h"))
+      .agg(coalesce(expr("bit_xor(h)"), lit(0L)).as("x"), count(lit(1)).as("n")).head()
+    val nHits = d.getLong(1)
+    if (nHits == 0L) return 0L
+    val tag = f"batch-auto-${d.getLong(0)}%016x-$nHits"
+    hits.write.mode("overwrite").parquet(s"$tombPath/$tag")
+    nHits
   }
 
   /** Wipe a store output directory before a rewrite ([[ivfRetrain]] /

@@ -235,4 +235,125 @@ class AnnMaintenanceSpec extends AnyFunSuite {
         "crashed-swap resume left duplicate neighbors in the store")
     } finally rmrf(root)
   }
+
+  test("removeFromIvfStore: immediate logical exclusion, re-ingest contract, compaction consumes the ledger") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivf-rm").toString
+    val store = s"$root/ivf"
+    try {
+      (0 to 2).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", store, nlist = 4, batchTag = Some(s.toString))
+      }
+      val total = emb.count()
+      val nRemoved = emb.filter(pmod(col("vec_id"), lit(5)) < 2).count()
+      assert(Similarity.removeFromIvfStore(spark, store,
+        pmod(col("neighbor_id"), lit(5)) < 2) == nRemoved)
+      // exclusion is immediate across every reader: loads, probes, report
+      val idx = Similarity.loadIvfStore(spark, store)
+      assert(idx.indexed.count() == total - nRemoved)
+      assert(idx.indexed.filter(pmod(col("neighbor_id"), lit(5)) < 2).isEmpty,
+        "a tombstoned vector is visible to probes")
+      assert(Similarity.ivfStoreReport(spark, store)
+        .agg(sum(col("n_vectors"))).first().getLong(0) == total - nRemoved,
+        "report counts tombstoned vectors")
+      val q = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val survivors = emb.filter(pmod(col("vec_id"), lit(5)) >= 2)
+      assert(keyed(Similarity.ivfTopK(q, idx, "vec_id", "embedding", k = 3, nprobe = 4))
+        == keyed(Similarity.bruteForceTopK(q, survivors, "vec_id", "embedding", 3)),
+        "exhaustive probe over the store-with-removals != brute force over survivors")
+      // re-removing already-tombstoned rows is a no-op (digest-tag retries
+      // would overwrite their own dir; a NEW no-hit call writes nothing)
+      assert(Similarity.removeFromIvfStore(spark, store,
+        pmod(col("neighbor_id"), lit(5)) < 2) == 0L)
+      // retry re-ingest of shard 0 under its ORIGINAL tag: same tag = same
+      // batch, so its removed vectors STAY removed
+      Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        "vec_id", "embedding", store, nlist = 4, batchTag = Some("0"))
+      assert(Similarity.loadIvfStore(spark, store).indexed.count() == total - nRemoved,
+        "a same-tag retry resurrected tombstoned vectors")
+      // re-ingest of removed content under a NEW tag lands LIVE
+      val reIn = emb.filter(pmod(col("vec_id"), lit(35)) === 0)
+      val nReIn = reIn.count()
+      Similarity.ivfIngestStep(reIn, "vec_id", "embedding", store,
+        nlist = 4, batchTag = Some("reingest"))
+      assert(Similarity.loadIvfStore(spark, store).indexed.count()
+        == total - nRemoved + nReIn, "new-tag re-ingest did not land live")
+      // a foreign ledger pin refuses instead of part-excluding
+      val pinP = new org.apache.hadoop.fs.Path(s"$store/index_tombstones", "_params.json")
+      val fs = pinP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val o = fs.create(pinP, true)
+      try o.write("""{"idCol":"doc_id"}""".getBytes("UTF-8")) finally o.close()
+      intercept[graft.model.ValidationError] {
+        Similarity.removeFromIvfStore(spark, store, lit(false))
+      }
+      val o2 = fs.create(pinP, true)
+      try o2.write("""{"idCol":"neighbor_id"}""".getBytes("UTF-8")) finally o2.close()
+      // COMPACTION CONSUMES: the compacted store holds live rows only and
+      // carries no ledger; probes are identical before/after
+      val beforeCompact = keyed(Similarity.ivfTopK(q,
+        Similarity.loadIvfStore(spark, store), "vec_id", "embedding", k = 3, nprobe = 4))
+      Similarity.compactIvfStore(spark, store, s"$root/compacted")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/compacted/index_tombstones")),
+        "compaction copied the tombstone ledger into the new store")
+      val cIdx = Similarity.loadIvfStore(spark, s"$root/compacted")
+      assert(cIdx.indexed.count() == total - nRemoved + nReIn)
+      assert(keyed(Similarity.ivfTopK(q, cIdx, "vec_id", "embedding", k = 3, nprobe = 4))
+        == beforeCompact, "compaction changed a probe answer")
+    } finally rmrf(root)
+  }
+
+  test("removeFromIvfStore on a PQ store; autoCompactIvfStore consumes the tombstone dirs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("graft-ivfpq-rm").toString
+    try {
+      // PQ store: the ledger keys on the shared (tag, neighbor_id) shape
+      val pq = s"$root/pq"
+      var model: Option[(Array[Array[Double]], Array[Array[Array[Double]]])] = None
+      (0 to 1).foreach { s =>
+        model = Some(Similarity.ivfPqIngestStep(
+          emb.filter(pmod(col("vec_id"), lit(2)) === s), "vec_id", "embedding",
+          pq, nlist = 4, m = 8, ksub = 16, dim = 64,
+          batchTag = Some(s.toString), cachedModel = model))
+      }
+      val nRm = emb.filter(pmod(col("vec_id"), lit(7)) === 0).count()
+      assert(Similarity.removeFromIvfStore(spark, pq,
+        pmod(col("neighbor_id"), lit(7)) === 0) == nRm)
+      val q = emb.filter(col("vec_id") < 5)
+      def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("neighbor_id"))).toSet
+      val pqSurvivors = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+      assert(keyed(Similarity.ivfPqTopK(q, Similarity.loadIvfPqStore(spark, pq),
+        "vec_id", "embedding", k = 3, nprobe = 4, rerank = 1 << 20))
+        == keyed(Similarity.bruteForceTopK(q, pqSurvivors, "vec_id", "embedding", 3)),
+        "PQ store exhaustive probe != brute force over survivors")
+      // AUTO-compact applies the deletes and deletes the consumed
+      // tombstone dirs with the consumed index dirs
+      val ivf = s"$root/ivf"
+      (0 to 2).foreach { s =>
+        Similarity.ivfIngestStep(emb.filter(pmod(col("vec_id"), lit(3)) === s),
+          "vec_id", "embedding", ivf, nlist = 4, batchTag = Some(s.toString))
+      }
+      val nRm2 = emb.filter(pmod(col("vec_id"), lit(5)) < 2).count()
+      assert(Similarity.removeFromIvfStore(spark, ivf,
+        pmod(col("neighbor_id"), lit(5)) < 2) == nRm2)
+      val before = keyed(Similarity.ivfTopK(q, Similarity.loadIvfStore(spark, ivf),
+        "vec_id", "embedding", k = 3, nprobe = 4))
+      // maxDirs=4 over 3 index dirs: ONLY the tombstone dir pushes the
+      // count to the threshold — a removal-heavy store compacts (and
+      // applies its deletes) without waiting for index-dir growth
+      assert(Similarity.autoCompactIvfStore(spark, ivf, maxDirs = 4))
+      assert(graft.ext.Dedup.listBatchDirs(spark, s"$ivf/index_tombstones").isEmpty,
+        "auto-compact left consumed tombstone dirs behind")
+      assert(Similarity.loadIvfStore(spark, ivf).indexed.count()
+        == emb.count() - nRm2)
+      assert(keyed(Similarity.ivfTopK(q, Similarity.loadIvfStore(spark, ivf),
+        "vec_id", "embedding", k = 3, nprobe = 4)) == before,
+        "auto-compact over a store with removals changed a probe answer")
+    } finally rmrf(root)
+  }
 }

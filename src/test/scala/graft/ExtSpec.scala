@@ -1219,6 +1219,23 @@ class ExtSpec extends AnyFunSuite {
       "in-place compaction must delete the consumed tombstone root")
     assert(Dedup.readStore(spark, store).select("doc_id")
       .collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the tombstone ledger COUNTS toward the auto-compact threshold: a
+    // removal-heavy store (small removals, no new ingest dirs) must still
+    // compact — and apply its deletes physically — at the threshold
+    Dedup.ingestStep(fromJsonl(
+      """{"doc_id": 4, "text": "delta memo lists greenhouse ventilation routines for alpine nurseries"}"""),
+      "doc_id", "text", store, nearThreshold = Some(0.4), batchTag = Some("s2"))
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 1) == 1L)
+    // 2 primary dirs + 1 tombstone dir < 4: below threshold, nothing runs
+    assert(!Dedup.autoCompactIngestStore(spark, store, "text", maxDirs = 4))
+    assert(new java.io.File(s"${store}_tombstones").exists())
+    // a second small removal, still no new ingest dir: 2 + 2 = 4 triggers
+    assert(Dedup.removeFromIngestStore(spark, store, "doc_id", col("doc_id") === 3) == 1L)
+    assert(Dedup.autoCompactIngestStore(spark, store, "text", maxDirs = 4))
+    assert(!new java.io.File(s"${store}_tombstones").exists(),
+      "removal-triggered compaction must consume the ledger")
+    assert(Dedup.readStore(spark, store).select("doc_id")
+      .collect().map(_.getLong(0)).toSet == Set(4L))
     // merge: a src store with tombstones replays only its LIVE rows
     val src = s"$root/src"
     Dedup.ingestStep(fromJsonl(
@@ -1229,7 +1246,7 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.mergeIngestStores(spark, store, src, "doc_id", "text",
       nearThreshold = Some(0.4)) == 1)
     assert(Dedup.readStore(spark, store).select("doc_id")
-      .collect().map(_.getLong(0)).toSet == Set(1L, 3L, 11L),
+      .collect().map(_.getLong(0)).toSet == Set(4L, 11L),
       "merge resurrected a tombstoned src row")
   }
 
