@@ -126,4 +126,37 @@ class BenchHeadlineSpec extends AnyFunSuite {
     assert(Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path2)), "UTF-8")).get.sessions == 1)
   }
+
+  test("extras record: flattened cold/warm keys merge min-wall; opt-in soak keys survive a non-soak session") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-extras").toString
+    val path = s"$dir/bench_extras.json"
+    def read() = Bench.parseHeadline(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8")).get
+    // session 1: a SOAK run — extras plus the opt-in soak tier, each extra
+    // contributing independent cold and warm statistics
+    Bench.writeHeadline(path, mergeOn = true, Seq(
+      "lmTrain.cold" -> (5.0, 4.0), "lmTrain.warm" -> (1.0, 0.9),
+      "soakMinhash10x.cold" -> (60.0, 55.0), "soakMinhash10x.warm" -> (50.0, 48.0)),
+      8L, 600000L, 32, 0.1, 0.2)
+    assert(read().sessions == 1)
+    // session 2: NO soak, faster warm / slower cold — per-key min-wall
+    // with each key's own CPU, and the soak minima MUST survive
+    Bench.writeHeadline(path, mergeOn = true, Seq(
+      "lmTrain.cold" -> (6.0, 4.1), "lmTrain.warm" -> (0.8, 0.7)),
+      8L, 600000L, 32, 0.1, 0.2)
+    val r = read()
+    assert(r.sessions == 2)
+    assert(r.queries.toMap == Map(
+      "lmTrain.cold" -> (5.0, 4.0),          // prior faster: prior pair kept
+      "lmTrain.warm" -> (0.8, 0.7),          // session faster: session pair
+      "soakMinhash10x.cold" -> (60.0, 55.0), // not run this session: kept
+      "soakMinhash10x.warm" -> (50.0, 48.0)))
+    // a guard-mismatched extras run side-paths exactly like the headline
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    Bench.writeHeadline(path, mergeOn = true,
+      Seq("lmTrain.cold" -> (0.1, 0.1)), 89L, 600000L, 32, 0.1, 0.2)
+    assert(java.util.Arrays.equals(before,
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+    assert(new java.io.File(s"$dir/bench_extras.89g.32c.600000r.json").exists())
+  }
 }
