@@ -422,6 +422,23 @@ object Dedup {
     * never writes it. */
   private[graft] var verifyInSetEnabled: Boolean = true
 
+  /** EXPERIMENT arm for the past-`maxInIds` regime (262k–few-M candidate
+    * ids, where no plan predicate is pushed and the fetch reads the full
+    * matched dirs): when true, that regime semi-joins the resolved
+    * matched-dir frame against the pinned candidate-id frame before the
+    * verify join — reader-side exclusion without a plan literal, the
+    * alternative [[tools.PastCapProbe]] measures against the full fetch
+    * and an uncapped InSet. Production never writes it; it is wired as a
+    * default only if the probe shows the regime beats the O(candidates)
+    * verify noise. */
+  private[graft] var verifySemiJoinPastCap: Boolean = false
+
+  /** Probe-only override of [[VerifyPrune.maxInIds]] on the ingest path —
+    * lets [[tools.PastCapProbe]] drive the InSet arm PAST its 262144
+    * plan-size cap to price what the cap is protecting against.
+    * Production never writes it. */
+  private[graft] var verifyMaxInIdsOverride: Option[Int] = None
+
   private[graft] def chooseIdPredicate(sorted: Array[Long], maxRanges: Int,
                                        maxInIds: Int): Option[IdPredicate] =
     if (sorted.isEmpty) None
@@ -834,7 +851,17 @@ object Dedup {
                 }
                 chosen
               }
-            vp.resolve(tags, pred)
+            val fetched = vp.resolve(tags, pred)
+            // past-cap experiment arm (see [[verifySemiJoinPastCap]]):
+            // reader-side exclusion by semi-join when no plan predicate
+            // was pushed — answers unchanged (the verify join filters to
+            // the same candidate ids anyway)
+            if (pred.isEmpty && verifySemiJoinPastCap) {
+              phaseHook.foreach(h => h("cand_semijoin", 1.0))
+              fetched.join(
+                pinnedCand.select(col(rightName).as("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+            } else fetched
           }
         // broadcast the candidate side EXPLICITLY while it is provably
         // bounded (maxBroadcastPairs ≈ 64 MB of pairs): the pinned frame
@@ -1910,8 +1937,18 @@ object Dedup {
     val srcDirs = listBatchDirs(spark, srcPath)
     require(srcDirs.nonEmpty, s"no ingested batches under $srcPath")
     // a tombstoned src row was REMOVED from src — the replay must not
-    // resurrect it in dst
-    val srcTombs = tombstonesOf(spark, srcPath)
+    // resurrect it in dst. The ledger union is SPILLED ONCE (broadcast-
+    // hinted when small) before the loop: the exclusion anti-join runs per
+    // replayed dir, and without the spill each iteration would re-list and
+    // re-scan every `_tombstones/batch-*` dir — a removal-heavy src would
+    // pay O(srcDirs × ledger) in scans for a ledger that is immutable for
+    // the whole merge (single-writer). Pre-compacting such a src
+    // ([[compactIngestStore]] consumes the ledger entirely) remains the
+    // documented recommendation when the ledger is large relative to the
+    // live rows.
+    val srcTombs = tombstonesOf(spark, srcPath).map { case (t, tid) =>
+      (spillSized(t, "graft-merge-src-tombs"), tid)
+    }
     // SIDECAR-REUSE fast path: when src's sig pin matches this call's
     // parameters exactly, src's trusted sig dirs are bit-compatible with
     // what the replay would re-derive (same kernels, same params, same
@@ -2513,7 +2550,10 @@ object Dedup {
                   bands, rpb, t,
                   selfPairs = false, "new_id", "seen_id",
                   leftBoundedPrune = true, rightBandedPre = preRight,
-                  verifyPrune = Some(VerifyPrune(resolver, df => verifyPins += df)))
+                  verifyPrune = Some(verifyMaxInIdsOverride
+                    .map(m => VerifyPrune(resolver, df => verifyPins += df,
+                      maxCollectRows = math.max(500000, m), maxInIds = m))
+                    .getOrElse(VerifyPrune(resolver, df => verifyPins += df))))
                   .select(col("new_id").as("doc_id")).distinct()
               } else fresh.select(col("doc_id")).limit(0)
             val keepSigs = fresh.join(dropCross, Seq("doc_id"), "left_anti").persist()

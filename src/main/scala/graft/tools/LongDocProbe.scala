@@ -31,6 +31,13 @@ import org.apache.spark.sql.functions._
   * default). One arm only, exact tier pinned armed (the exact-tier A/B is
   * the default mode's job; its own measurement says armed wins ≥6 GB).
   *
+  * The fixture is generated LAZILY per batch (deterministic in doc_id):
+  * each shard is written just-in-time outside the timed region and deleted
+  * once consumed, so scratch holds ~one shard + the store + sidecars at
+  * any moment — what lets the near mode reach a 30 GB store on a host
+  * whose scratch could not hold fixture + store together (the r14 run died
+  * at batch 9/16 for exactly that).
+  *
   * Env: SPARK_GRAFT_LONGDOC_DOCS (default 300000; 400000 in near mode),
   * _BATCHES (default 8), _CPUS (default 32), _NEAR (default 0).
   */
@@ -72,15 +79,30 @@ object LongDocProbe {
         concat(baseText, lit(" trailing revision note appended by a later editor")))
         .otherwise(baseText)
     val cpusInt = cpus.toInt
-    spark.range(nDocs).repartition(cpusInt)
+    // LAZY per-batch fixture (r14 verdict #2): the up-front materialization
+    // of the whole fixture is what killed the 30 GB near point — fixture +
+    // store + sigs + spill needed ~2.3× the store in scratch even with
+    // consumed shards freed. Generation is deterministic in doc_id, so each
+    // shard is written just-in-time (OUTSIDE the timed region, matching the
+    // old pre-materialized read) and deleted once consumed: scratch holds
+    // ~one shard + the store + its sidecars at any moment.
+    val fixture = spark.range(nDocs).repartition(cpusInt)
       .select(id.as("doc_id"), text.as("text"))
       .withColumn("__b", pmod(xxhash64(lit("batch"), col("doc_id")), lit(nBatches)))
-      .write.partitionBy("__b").parquet(s"$work/src")
-    val bytesTotal = {
-      val p = new org.apache.hadoop.fs.Path(s"$work/src")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getContentSummary(p).getLength
+    var shardBytesTotal = 0L
+    def writeShard(b: Int): String = {
+      val p = s"$work/shard-$b"
+      fixture.filter(col("__b") === b).drop("__b").write.mode("overwrite").parquet(p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      shardBytesTotal += hp.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).getContentSummary(hp).getLength
+      p
     }
-    println(f"[longdoc] fixture: $nDocs docs, ${bytesTotal / 1e9}%.2f GB on disk, $nBatches batches")
+    def dropShard(b: Int): Unit = {
+      val p = new org.apache.hadoop.fs.Path(s"$work/shard-$b")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    println(s"[longdoc] fixture: $nDocs docs over $nBatches lazily-generated batches")
 
     def storeBytes(root: String): Long = {
       val p = new org.apache.hadoop.fs.Path(root)
@@ -97,7 +119,7 @@ object LongDocProbe {
       try {
         (0 until nBatches).foreach { b =>
           phases.clear()
-          val batch = spark.read.parquet(s"$work/src/__b=$b")
+          val batch = spark.read.parquet(writeShard(b))
           val t0 = System.nanoTime()
           graft.ext.Dedup.ingestStep(batch, "doc_id", "text", s"$work/near",
             nearThreshold = Some(0.7), batchTag = Some(s"b$b"),
@@ -108,17 +130,13 @@ object LongDocProbe {
             phases.map { case (k, v) => f"$k=$v%.1f" }.mkString(" "))
           phases.foreach { case (k, v) => totals(k) = totals.getOrElse(k, 0.0) + v }
           totals("__total") = totals.getOrElse("__total", 0.0) + wall
-          // the fixture shard is consumed — free it so fixture + store
-          // never coexist whole (a 30 GB-store point would otherwise need
-          // ~2.3x the store in scratch)
-          val done = new org.apache.hadoop.fs.Path(s"$work/src/__b=$b")
-          done.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(done, true)
+          dropShard(b) // consumed — scratch never holds fixture + store whole
         }
       } finally graft.ext.Dedup.phaseHook = None
       println("---- near-mode totals ----")
       totals.foreach { case (k, v) => println(f"$k%-18s $v%8.1f s") }
       val n = graft.ext.Dedup.readStore(spark, s"$work/near").count()
-      println(s"[longdoc-near] survivors $n of $nDocs")
+      println(f"[longdoc-near] survivors $n of $nDocs (fixture ${shardBytesTotal / 1e9}%.2f GB cumulative)")
       val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
       try {
         val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
@@ -129,7 +147,7 @@ object LongDocProbe {
     }
     val rows = scala.collection.mutable.ArrayBuffer[String]()
     (0 until nBatches).foreach { b =>
-      val batch = spark.read.parquet(s"$work/src/__b=$b")
+      val batch = spark.read.parquet(writeShard(b))
       // interleave arms within the batch index, ALTERNATING which arm
       // runs first per batch: IngestAbProbe's A/A control measured a
       // strong second-runner advantage (warm page cache), so a fixed
@@ -141,6 +159,7 @@ object LongDocProbe {
           batchTag = Some(s"b$b"), exactArmMinStoreBytes = gate)
         arm -> (System.nanoTime() - t0) / 1e9
       }.toMap
+      dropShard(b) // both arms consumed it
       val sb = storeBytes(s"$work/armed")
       val line = f"batch $b%2d  store ${sb / 1e9}%5.2f GB  armed ${walls("armed")}%6.1f s  " +
         f"disarmed ${walls("disarmed")}%6.1f s  (armed/disarmed ${walls("armed") / walls("disarmed")}%.2f)"

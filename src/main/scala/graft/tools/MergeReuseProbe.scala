@@ -16,8 +16,19 @@ import org.apache.spark.sql.functions._
   * page-cache-warmed by the build itself; interpret small deltas against
   * the HostCal bracket.
   *
+  * TOMBSTONE mode (SPARK_GRAFT_MRP_TOMB=1, r14 verdict #8): prices the
+  * merge of a REMOVAL-HEAVY src — `_REMOVALS` (default 32) small
+  * `removeFromIngestStore` calls leave that many ledger dirs, and the
+  * replay pays the exclusion anti-join per replayed dir (the ledger union
+  * is spilled once since r15, so the per-dir cost is the join, not
+  * re-scanning the raw ledger). Arms: direct merge of the tombstone-heavy
+  * src vs `compactIngestStore` first (consumes the ledger entirely) then
+  * merge — the documented pre-merge-compaction recommendation, measured.
+  * Survivors must match.
+  *
   * Env: SPARK_GRAFT_MRP_DOCS (default 600000 ~2 KB docs ≈ 1.2 GB text),
-  * _BATCHES (default 4), _CPUS (default 32).
+  * _BATCHES (default 4), _CPUS (default 32), _TOMB (default 0),
+  * _REMOVALS (default 32).
   */
 object MergeReuseProbe {
   def main(args: Array[String]): Unit = {
@@ -75,6 +86,40 @@ object MergeReuseProbe {
       val w = (System.nanoTime() - t0) / 1e9
       println(f"[mrp] $tag%-18s $w%7.1f s  (cal $cal%.3f)")
       w
+    }
+    if (sys.env.get("SPARK_GRAFT_MRP_TOMB").contains("1")) {
+      // ---- tombstone-heavy src: direct merge vs pre-compact-then-merge ----
+      val nRemovals = sys.env.getOrElse("SPARK_GRAFT_MRP_REMOVALS", "32").toInt
+      (0 until nRemovals).foreach { i =>
+        graft.ext.Dedup.removeFromIngestStore(spark, s"$work/src", "doc_id",
+          pmod(col("doc_id"), lit(997)) === i)
+      }
+      val tombBytes = bytesOf(s"$work/src_tombstones")
+      val nTombDirs = new java.io.File(s"$work/src_tombstones").list()
+        .count(_.startsWith("batch-"))
+      println(f"[mrp-tomb] src ledger: $nTombDirs dirs, ${tombBytes / 1e6}%.1f MB " +
+        f"(~${nRemovals * (nDocs / 997)} tombstoned rows)")
+      val wDirect = timed("merge (tomb-heavy)", graft.ext.Dedup.mergeIngestStores(
+        spark, s"$work/dstA", s"$work/src", "doc_id", "text",
+        nearThreshold = Some(0.7), exactArmMinStoreBytes = 0L))
+      val wCompact = timed("pre-compact src", graft.ext.Dedup.compactIngestStore(
+        spark, s"$work/src", s"$work/srccomp", "text"))
+      val wMerge2 = timed("merge (compacted)", graft.ext.Dedup.mergeIngestStores(
+        spark, s"$work/dstB", s"$work/srccomp", "doc_id", "text",
+        nearThreshold = Some(0.7), exactArmMinStoreBytes = 0L))
+      val nA = graft.ext.Dedup.readStore(spark, s"$work/dstA").count()
+      val nB = graft.ext.Dedup.readStore(spark, s"$work/dstB").count()
+      println(f"[mrp-tomb] survivors direct=$nA precompact=$nB " +
+        (if (nA == nB) "MATCH" else "*** DIVERGED ***") +
+        f"  direct $wDirect%.1f s vs compact+merge ${wCompact + wMerge2}%.1f s " +
+        f"(merge alone $wMerge2%.1f s)")
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(work))
+      try {
+        val it = walk.sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      } finally walk.close()
+      spark.stop()
+      return
     }
     val wReuse = timed("merge (reuse)", graft.ext.Dedup.mergeIngestStores(
       spark, s"$work/dstA", s"$work/src", "doc_id", "text",
