@@ -213,6 +213,26 @@ object GraftFunctions {
   val RegexFindAllName = "graft_regex_find_all"
   val TopKName = "graft_top_k"
   val MightContainName = "graft_bloom_might_contain"
+  val HashedShinglesName = "graft_hashed_shingles"
+  val MinhashSigName = "graft_minhash_sig"
+  val BandKeysName = "graft_band_keys"
+  val Jaccard64Name = "graft_jaccard64"
+  val Int8DotName = "graft_int8_dot"
+
+  /** Literal-int extraction for the registration builders (the graft_top_k
+    * pattern: scalar kernel parameters arrive as plan literals). */
+  private def litInt(name: String, e: Expression): Int = e match {
+    case Literal(i: Int, IntegerType) => i
+    case other => throw new graft.model.ExpressionError(
+      s"$name expects an int literal parameter, got $other")
+  }
+
+  private def litLong(name: String, e: Expression): Long = e match {
+    case Literal(l: Long, LongType) => l
+    case Literal(i: Int, IntegerType) => i.toLong
+    case other => throw new graft.model.ExpressionError(
+      s"$name expects a long literal parameter, got $other")
+  }
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -284,6 +304,62 @@ object GraftFunctions {
           exprs.head, exprs(1))
       },
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      HashedShinglesName,
+      { exprs =>
+        require(exprs.length == 2, s"$HashedShinglesName expects (text, n)")
+        HashedShinglesExpr(exprs.head.dataType match {
+          case StringType => exprs.head
+          case _          => Cast(exprs.head, StringType)
+        }, litInt(HashedShinglesName, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinhashSigName,
+      { exprs =>
+        require(exprs.length == 3, s"$MinhashSigName expects (hashes, numHashes, seed)")
+        MinhashSigExpr(castToLongArray(MinhashSigName, exprs.head),
+          litInt(MinhashSigName, exprs(1)), litLong(MinhashSigName, exprs(2)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      BandKeysName,
+      { exprs =>
+        require(exprs.length == 3, s"$BandKeysName expects (sig, bands, rowsPerBand)")
+        BandKeysExpr(castToLongArray(BandKeysName, exprs.head),
+          litInt(BandKeysName, exprs(1)), litInt(BandKeysName, exprs(2)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Jaccard64Name,
+      { exprs =>
+        require(exprs.length == 2, s"$Jaccard64Name expects 2 array arguments")
+        JaccardSortedExpr(castToLongArray(Jaccard64Name, exprs.head),
+          castToLongArray(Jaccard64Name, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      Int8DotName,
+      { exprs =>
+        require(exprs.length == 2, s"$Int8DotName expects 2 array arguments")
+        Int8DotExpr(castToByteArray(Int8DotName, exprs.head),
+          castToByteArray(Int8DotName, exprs(1)))
+      },
+      "built-in")
+  }
+
+  private def castToLongArray(name: String, e: Expression): Expression = e.dataType match {
+    case ArrayType(LongType, _) => e
+    case _: ArrayType           => Cast(e, ArrayType(LongType))
+    case other                  => throw new graft.model.ExpressionError(
+      s"$name requires an array argument, got $other")
+  }
+
+  private def castToByteArray(name: String, e: Expression): Expression = e.dataType match {
+    case ArrayType(ByteType, _) => e
+    case _: ArrayType           => Cast(e, ArrayType(ByteType))
+    case other                  => throw new graft.model.ExpressionError(
+      s"$name requires an array argument, got $other")
   }
 
   private def castToFloatArray(e: Expression): Expression = e.dataType match {

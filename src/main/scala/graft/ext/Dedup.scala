@@ -135,6 +135,17 @@ object Dedup {
     * lowers them to 0 to run the pruned plan on a small corpus and assert
     * it returns bit-identical results to the direct plan. Production code
     * never writes them. */
+  /** [[clusterPairs]]' bounded-graph union-find arm: collect the deduped
+    * edge list and solve components on the driver when it holds at most
+    * this many edges (~200 MB collected at the default — the bounded
+    * driver-materialization budget the verify id-set collect also uses).
+    * The dup-graph edge count tracks the corpus's DUPLICATED fraction (the
+    * verified pair set), not the corpus, so bench- and sf1-scale graphs
+    * sit far under the gate while a genuinely pair-heavy 100-TB graph
+    * keeps the distributed rounds. 0 disables the arm (spec lever — the
+    * differential test runs both arms on the same graph). */
+  private[graft] var ccCollectMaxEdges: Long = 4000000L
+
   private[graft] var gramPruneMinRows: Long = 16000000L
   private[graft] var bandPruneMinRows: Long = 8000000L
 
@@ -583,11 +594,14 @@ object Dedup {
     * unchanged up to 2^-64 collision odds). */
   def signatureTable(df: DataFrame, idCol: String, textCol: String,
                      shingleSize: Int = 3, numHashes: Int = 64,
-                     seed: Long = 42L): DataFrame =
+                     seed: Long = 42L): DataFrame = {
+    // the kernels resolve through the session function registry
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
     df.select(
       col(idCol).as("doc_id"),
       Kernels.hashedShinglesKernel(shingleSize)(col(textCol)).as("sh"))
       .withColumn("sig", Kernels.minhashSigFromHashes(numHashes, seed)(col("sh")))
+  }
 
   /** Pick LSH banding for a target Jaccard threshold: among the (bands b,
     * rows-per-band r) factorizations of `numHashes`, the s-curve
@@ -658,6 +672,8 @@ object Dedup {
                                  leftBoundedPrune: Boolean = false,
                                  rightBandedPre: Option[DataFrame] = None,
                                  verifyPrune: Option[VerifyPrune] = None): DataFrame = {
+    // the banding/jaccard kernels resolve through the session registry
+    graft.exprs.catalyst.GraftFunctions.register(left.sparkSession)
     def banded(sigs: DataFrame, idAs: String): DataFrame = sigs.select(
       col(idAs),
       posexplode(Kernels.bandKeysKernel(bands, rowsPerBand)(col("sig"))).as(Seq("band", "band_key")))
@@ -2684,6 +2700,46 @@ object Dedup {
     * frontier collapses after 2-3.
     * Returns (doc_id, cluster) where cluster is the smallest member id. */
   def clusterPairs(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // ---- bounded-graph union-find arm (r15 optimization round) ----
+    // The distributed rounds price the 100-TB dup graph, but each round is
+    // 4-5 shuffles + a lineage-truncation spill + a delta count — ~2 s of
+    // fixed job overhead per round on this host, which DOMINATED the
+    // measured cost of every bench-scale clustering (sf0.1 dedupSurvivor:
+    // CC 6.9 s of an 8.9 s warm wall on a pair set of a few thousand
+    // rows; phase-attributed via Dedup.phaseHook). A near-dup graph's
+    // edge set is bounded by the VERIFIED pair count — the duplicated
+    // fraction of the corpus, orders of magnitude smaller than the corpus
+    // itself — so up to [[ccCollectMaxEdges]] edges (~128 MB of driver
+    // longs at the default, the same bounded-driver-materialization class
+    // as the ANN centroids and the verify id-set collect) the component
+    // fixpoint is computed in one pass of union-find on the driver:
+    // collect the DEDUPED edge list (one action on the same persisted
+    // frame the distributed arm would materialize anyway), union with
+    // min-root-wins so every root IS its component's minimum id, and
+    // parallelize the (doc_id, cluster) labels back out. Identical labels
+    // by construction — both arms compute per-component min ids — and the
+    // differential spec (ExtSpec "clusterPairs union-find arm") pins
+    // equality against the distributed arm on the same graph. Non-integral
+    // id types and over-gate graphs keep the distributed rounds unchanged.
+    val idType = pairs.schema.find(_.name == "id_a").map(_.dataType)
+    val integral = idType.exists(t =>
+      t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType)
+    val edgesOnce = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+    if (integral && ccCollectMaxEdges > 0) {
+      val nEdges = phase("cc_edges")(edgesOnce.persist().count())
+      if (nEdges <= ccCollectMaxEdges) {
+        val out = phase("cc_unionfind")(
+          clusterPairsUnionFind(pairs.sparkSession, edgesOnce, idType.get))
+        edgesOnce.unpersist()
+        System.err.println(s"[graft] clusterPairs: union-find arm " +
+          s"($nEdges edges <= $ccCollectMaxEdges gate)")
+        return out
+      }
+      // over the gate: fall through with the edge list already materialized
+      // (the distributed arm's own distinct reuses the shuffle)
+      edgesOnce.unpersist()
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
@@ -2742,6 +2798,63 @@ object Dedup {
     labels.unpersist()
     if (frontier ne labels) frontier.unpersist()
     out
+  }
+
+  /** The driver-side union-find behind [[clusterPairs]]' bounded-graph
+    * arm: dense-index the ids, union with min-id-root-wins (so every
+    * root IS its component's minimum id — the same fixpoint the
+    * distributed min-propagation converges to), path-halving finds keep
+    * it near-linear. Labels are parallelized back out (an RDD, not a
+    * LocalRelation, so the plan stays small and downstream joins see an
+    * ordinary scannable frame) and cast back to the pairs' id type. */
+  private def clusterPairsUnionFind(spark: org.apache.spark.sql.SparkSession,
+                                    edges: DataFrame,
+                                    idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val rows = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
+    var parent = new Array[Int](math.max(16, rows.length))
+    def indexOf(v: Long): Int = idx.getOrElse(v, {
+      val i = ids.length
+      ids += v
+      if (i >= parent.length) parent = java.util.Arrays.copyOf(parent, parent.length * 2)
+      parent(i) = i
+      idx.update(v, i)
+      i
+    })
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    var r = 0
+    while (r < rows.length) {
+      val row = rows(r)
+      val ra = find(indexOf(row.getLong(0)))
+      val rb = find(indexOf(row.getLong(1)))
+      if (ra != rb) {
+        // min-id root wins: the surviving root is the component minimum
+        if (ids(ra) < ids(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+      r += 1
+    }
+    val n = ids.length
+    val labels = new Array[org.apache.spark.sql.Row](n)
+    var i = 0
+    while (i < n) {
+      labels(i) = org.apache.spark.sql.Row(ids(i), ids(find(i)))
+      i += 1
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("cluster", org.apache.spark.sql.types.LongType, nullable = false)))
+    val slices = math.max(1, n / 2000000)
+    spark.createDataFrame(spark.sparkContext.parallelize(labels.toIndexedSeq, slices), schema)
+      .select(col("doc_id").cast(idType).as("doc_id"),
+        col("cluster").cast(idType).as("cluster"))
   }
 
   /** Duplicate-cluster size report — what you inspect BEFORE committing a

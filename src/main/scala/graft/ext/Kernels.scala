@@ -8,11 +8,20 @@ import org.apache.spark.sql.functions.udf
   * Catalyst higher-order functions (`transform`/`aggregate`/`zip_with`) are
   * interpreted per element — fine for data-shaping, but a 64-permutation
   * MinHash over ~300 shingles walks ~20k expression-tree nodes per row.
-  * These ScalaUDF kernels run the same math as a straight-line loop
-  * (~100× faster in practice) while keeping the surrounding plan —
-  * scans, bucket joins, shuffles — fully declarative. Each kernel is a
-  * deterministic pure function, so Catalyst can still push/reorder around
-  * it safely.
+  * These kernels run the same math as a straight-line loop (~100× faster
+  * in practice) while keeping the surrounding plan — scans, bucket joins,
+  * shuffles — fully declarative. Each kernel is a deterministic pure
+  * function, so Catalyst can still push/reorder around it safely.
+  *
+  * Two tiers since r15: the HOT loops (hashed shingles, minhash sig, band
+  * keys, exact Jaccard, int8 dot) ship as native codegen expressions
+  * ([[graft.exprs.catalyst.KernelExprs]]) that read Catalyst arrays
+  * directly — the ScalaUDF boundary paid a boxed-element
+  * CatalystTypeConverter per call in BOTH directions, which at sf1 was
+  * billions of `java.lang.Long` allocations that existed only to cross
+  * into the loop. The remaining string-shaped kernels (word shingles,
+  * span cut, simhash, positional grams) stay ScalaUDFs: their inputs
+  * materialize Java strings either way, so the boundary is not the cost.
   */
 object Kernels {
 
@@ -30,7 +39,7 @@ object Kernels {
   }
 
   /** Murmur-mixed 64-bit string hash (stable across JVMs/partitions). */
-  @inline private def hash64(s: String, seed: Long): Long = {
+  @inline private[graft] def hash64(s: String, seed: Long): Long = {
     var h = seed ^ (s.length * 0x9E3779B97F4A7C15L)
     var i = 0
     while (i < s.length) {
@@ -66,25 +75,50 @@ object Kernels {
     c => g(c)
   }
 
-  /** Band keys from a signature: hash each of `bands` contiguous slices. */
-  def bandKeysKernel(bands: Int, rowsPerBand: Int): Column => Column = {
-    val f = udf { (sig: Seq[Long]) =>
-      val sg = sig.toArray // primitive hoist
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var h = 0xCBF29CE484222325L
-        var r = 0
-        while (r < rowsPerBand) {
-          h = (h ^ sg(b * rowsPerBand + r)) * 0x100000001B3L
-          r += 1
-        }
-        out(b) = h
-        b += 1
+  /** Best-effort session resolution for the expression-backed kernels:
+    * the `Column => Column` builders have no DataFrame in hand, and the
+    * native expressions resolve by name through the session function
+    * registry (the graft_top_k route — constructing a Column from a raw
+    * catalyst Expression is private[sql]). Registration is idempotent and
+    * cheap; the operator entry points that own a DataFrame also register
+    * on THEIR session (see Dedup.signatureTable), so a builder invoked on
+    * a thread whose active session differs can still resolve. */
+  @inline private def registerActive(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.exprs.catalyst.GraftFunctions.register)
+
+  /** Band keys from a signature: hash each of `bands` contiguous slices.
+    * Expression-backed (see [[graft.exprs.catalyst.BandKeysExpr]]): the
+    * r14 ScalaUDF form paid a boxed Seq[Long] conversion per row on every
+    * banding pass — this runs [[bandKeysLoop]] straight off the Catalyst
+    * array, zero per-element boxing, bit-identical keys. */
+  def bandKeysKernel(bands: Int, rowsPerBand: Int): Column => Column = { c =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.BandKeysName,
+      c, org.apache.spark.sql.functions.lit(bands),
+      org.apache.spark.sql.functions.lit(rowsPerBand))
+  }
+
+  /** The band-fold loop behind [[bandKeysKernel]] — package-visible so
+    * [[graft.tools.KernelBench]] measures the SAME code the expression
+    * ships, not a copy that can drift. */
+  private[graft] def bandKeysLoop(sg: Array[Long], bands: Int,
+                                  rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xCBF29CE484222325L
+      var r = 0
+      while (r < rowsPerBand) {
+        h = (h ^ sg(b * rowsPerBand + r)) * 0x100000001B3L
+        r += 1
       }
-      out
+      out(b) = h
+      b += 1
     }
-    c => f(c)
+    out
   }
 
   /** Shared tokenize+window pipeline for the shingle kernels: lowercase
@@ -92,7 +126,7 @@ object Kernels {
     * string and hashed kernels map over THIS iterator, so their shingle
     * sets (and therefore signatures and Jaccard values) stay in lockstep
     * by construction. */
-  @inline private def shingleSeq(text: String, n: Int): Seq[String] =
+  @inline private[graft] def shingleSeq(text: String, n: Int): Seq[String] =
     if (text == null) Seq.empty
     else {
       val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
@@ -135,27 +169,83 @@ object Kernels {
     * LSH candidate pairs, and per-pair sorting re-paid the O(n log n)
     * each time (isolated kernel bench: 250µs → 32µs per 2k-shingle pair,
     * 7.5µs → 1.4µs at 100). */
-  def hashedShinglesKernel(n: Int): Column => Column = {
-    val f = udf { (text: String) =>
-      val arr = shingleSeq(text, n).iterator.map(hash64(_, 42L)).toArray
-      java.util.Arrays.sort(arr)
-      arr
+  def hashedShinglesKernel(n: Int): Column => Column = { c =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.HashedShinglesName,
+      c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** The tokenize+window+hash loop behind [[hashedShinglesKernel]]
+    * (expression-backed since r15; package-visible so KernelsEquivSpec and
+    * [[graft.tools.KernelBench]] measure the shipping code). Same
+    * tokenization as [[shingleSeq]] (lowercase `\W+` split, short-text
+    * fallback), but each window's `hash64(tokens.mkString(" "), 42L)` is
+    * streamed char-by-char through [[hash64Window]] — the per-window
+    * shingle STRING (allocate + copy + re-hash for `distinct`) the r14
+    * form built exists nowhere. Dedup happens on the sorted hash values
+    * instead of the strings: identical output up to 64-bit hash collisions
+    * between DISTINCT shingles (2⁻⁶⁴ per pair), and even a colliding pair
+    * is answer-invariant — every consumer treats the array as a set
+    * (MinHash folds order-free over duplicates, [[jaccardMergeSorted]]
+    * run-skips them), which is also why the r14 form could emit duplicate
+    * hash values itself (distinct strings, colliding hashes). */
+  private[graft] def hashedShinglesLoop(text: String, n: Int): Array[Long] = {
+    if (text == null) return new Array[Long](0)
+    val toks = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (toks.length < n) Array(hash64Window(toks, 0, toks.length))
+    else {
+      val m = toks.length - n + 1
+      val out = new Array[Long](m)
+      var p = 0
+      while (p < m) { out(p) = hash64Window(toks, p, n); p += 1 }
+      java.util.Arrays.sort(out)
+      var w = 1
+      var i = 1
+      while (i < m) {
+        if (out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+        i += 1
+      }
+      if (w == m) out else java.util.Arrays.copyOf(out, w)
     }
-    c => f(c)
+  }
+
+  /** `hash64(toks.slice(start, start+len).mkString(" "), 42L)` without
+    * materializing the joined string: the FNV fold streams each token's
+    * chars with a single `' '` between tokens, seeded with the joined
+    * length — char-for-char the same fold, bit-identical output. */
+  @inline private def hash64Window(toks: Array[String], start: Int, len: Int): Long = {
+    var L = if (len > 1) len - 1 else 0
+    var k = 0
+    while (k < len) { L += toks(start + k).length; k += 1 }
+    var h = 42L ^ (L * 0x9E3779B97F4A7C15L)
+    k = 0
+    while (k < len) {
+      if (k > 0) { h ^= 32L; h *= 0x100000001B3L } // the ' ' separator
+      val t = toks(start + k)
+      var i = 0
+      while (i < t.length) {
+        h ^= t.charAt(i)
+        h *= 0x100000001B3L
+        i += 1
+      }
+      k += 1
+    }
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^= h >>> 33
+    h
   }
 
   /** MinHash signature from pre-hashed shingles — identical output to
     * [[minhashSig]] over the corresponding strings (same permutations,
     * same base hash). */
-  def minhashSigFromHashes(numHashes: Int, seed: Long): Column => Column = {
-    val rnd = new scala.util.Random(seed)
-    val as = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
-    val bs = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    val g = udf { (hashes: Seq[Long]) =>
-      // primitive hoist — foreach over Seq[Long] boxes
-      minhashSigLoop(hashes.toArray, as, bs)
-    }
-    c => g(c)
+  def minhashSigFromHashes(numHashes: Int, seed: Long): Column => Column = { c =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.MinhashSigName,
+      c, org.apache.spark.sql.functions.lit(numHashes),
+      org.apache.spark.sql.functions.lit(seed))
   }
 
   /** The signature inner loop behind [[minhashSigFromHashes]] —
@@ -320,11 +410,10 @@ object Kernels {
     * a wrong answer). Sorting per PAIR was the dominant verify cost — a
     * hot document re-paid its O(n log n) once per candidate pair it
     * appeared in (isolated bench: 250µs → 32µs per 2k-shingle pair). */
-  val jaccardLongKernel: (Column, Column) => Column = {
-    val f = udf { (a: Seq[Long], b: Seq[Long]) =>
-      jaccardMergeSorted(sortedAsc(a.toArray), sortedAsc(b.toArray))
-    }
-    (a, b) => f(a, b)
+  val jaccardLongKernel: (Column, Column) => Column = { (a, b) =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.Jaccard64Name, a, b)
   }
 
   /** 64-bit SimHash over a token array. */

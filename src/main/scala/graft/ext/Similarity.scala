@@ -415,27 +415,35 @@ object Similarity {
     IvfSq8Index(centroids, indexed)
   }
 
-  /** Approximate cosine straight off two int8 quantized vectors — the
-    * per-vector scales cancel out of dot/(|a||b|), so it is just the
-    * integer dot over the integer norms. */
-  private def int8Cosine(qa: Column, qb: Column): Column = {
-    def rawDot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-        lit(0L), (acc, x) => acc + x).cast("double")
-    val d = rawDot(qa.getField("codes"), qb.getField("codes"))
-    val n = sqrt(rawDot(qa.getField("codes"), qa.getField("codes")) *
-      rawDot(qb.getField("codes"), qb.getField("codes")))
-    when(n > 0, d / n)
+  /** Raw int8 code dot via the native codegen expression
+    * ([[graft.exprs.catalyst.Int8DotExpr]]) — exact long-summed integer
+    * dot, cast to double once, bit-identical to the interpreted
+    * `aggregate(zip_with(...))` form it replaced in r15 (which walked ~3
+    * interpreted expression-tree nodes per element per call on every
+    * candidate row — the measured dominant cost of the whole probe). */
+  private def int8DotRaw(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.exprs.catalyst.GraftFunctions.register(df.sparkSession)
+    call_function(graft.exprs.catalyst.GraftFunctions.Int8DotName, a, b)
+      .cast("double")
   }
 
   /** Probe-only IVF-SQ8 search against a prebuilt [[IvfSq8Index]]: cluster
     * equi-join + int8 approximate scoring + exact re-rank of the top
-    * `rerank` — no training jobs per query batch. */
+    * `rerank` — no training jobs per query batch.
+    *
+    * The approximate cosine is the integer code dot over the integer code
+    * norms (the per-vector scales cancel out of dot/(|a||b|)). Both norms
+    * are HOISTED below the candidate join — once per probe row and once
+    * per index row at scan, instead of twice per CANDIDATE (each index row
+    * is scored against every query probing its cluster): identical
+    * `sqrt(na*nb)` product, identical quotient, bit-identical scores. */
   def ivfSq8TopK(queries: DataFrame, index: IvfSq8Index, idCol: String,
                  vecCol: String, k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val i8 = int8DotRaw(queries) _
     val qdf = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val probes = broadcast(qdf
       .withColumn("q8q", quantizeInt8(col("q_vec")))
+      .withColumn("__qn", i8(col("q8q").getField("codes"), col("q8q").getField("codes")))
       .withColumn("cluster",
         explode(Kernels.nearestCentroidsKernel(index.centroids, nprobe)(col("q_vec")))))
     // pairs are unique by construction (one cluster per index vector,
@@ -443,9 +451,13 @@ object Similarity {
     // tier scores the int8 codes and goes NARROW before its top-`rerank`
     // heap, so neither the codes nor the query vectors ever cross an
     // exchange with the candidate set
-    val approx = probes.join(index.indexed.select("cluster", "neighbor_id", "q8"), "cluster")
+    val indexedN = index.indexed.select("cluster", "neighbor_id", "q8")
+      .withColumn("__cn", i8(col("q8").getField("codes"), col("q8").getField("codes")))
+    val nrm = sqrt(col("__qn") * col("__cn"))
+    val approx = probes.join(indexedN, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("a_score", int8Cosine(col("q8q"), col("q8")))
+      .withColumn("a_score", when(nrm > 0,
+        i8(col("q8q").getField("codes"), col("q8").getField("codes")) / nrm))
       .select(col("query_id"), col("neighbor_id"), col("a_score"))
     // the survivor set is bounded (|queries|·rerank) — broadcast it into
     // the index scan for the exact re-rank instead of shuffling the index

@@ -1616,13 +1616,22 @@ class ExtSpec extends AnyFunSuite {
           if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
         }
         val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-        val got = Dedup.clusterPairs(
-            edges.map { case (a, b) => (a, b, 0.9) }.toDF("id_a", "id_b", "jaccard"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got.keySet == touched, s"seed=$seed: node coverage differs")
-        touched.foreach { v =>
-          assert(got(v) == find(v.toInt).toLong, s"seed=$seed node=$v: " +
-            s"cluster ${got(v)} vs union-find ${find(v.toInt)}")
+        // BOTH arms (r15): the driver union-find fast path (default gate)
+        // and the distributed min-propagation rounds (gate lowered to 0)
+        // must label identically — per-component minimum ids.
+        for (gate <- Seq(Dedup.ccCollectMaxEdges, 0L)) {
+          val prior = Dedup.ccCollectMaxEdges
+          Dedup.ccCollectMaxEdges = gate
+          try {
+            val got = Dedup.clusterPairs(
+                edges.map { case (a, b) => (a, b, 0.9) }.toDF("id_a", "id_b", "jaccard"))
+              .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+            assert(got.keySet == touched, s"seed=$seed gate=$gate: node coverage differs")
+            touched.foreach { v =>
+              assert(got(v) == find(v.toInt).toLong, s"seed=$seed gate=$gate node=$v: " +
+                s"cluster ${got(v)} vs union-find ${find(v.toInt)}")
+            }
+          } finally Dedup.ccCollectMaxEdges = prior
         }
       }
     }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Kernels
+
+/** r15 optimization guard: the expression-backed kernel tier
+  * (graft.exprs.catalyst.KernelExprs) must be bit-identical to the r14
+  * ScalaUDF formulations it replaced — the dedup/decontam oracle rows all
+  * ride on these values. Each test pins one rewritten loop against an
+  * independent re-derivation of the r14 arithmetic. */
+class KernelsEquivSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private val texts = Seq(
+    null,
+    "",
+    "one",
+    "one two",
+    "one two three",
+    "The  quick, brown FOX—jumps!! over the lazy dog 42 times_",
+    "a a a a a a a a a a",
+    "Unicode: café déjà-vu naïve — 中文 tokens split on \\W too",
+    "repeat me repeat me repeat me repeat me and then diverge slightly",
+    (1 to 500).map(i => s"tok${i % 97}").mkString(" "))
+
+  test("hashedShinglesLoop == sorted distinct hash64 over shingleSeq (the r14 form)") {
+    for (n <- Seq(1, 2, 3, 8, 13); t <- texts) {
+      val r14 = {
+        val arr = Kernels.shingleSeq(t, n).iterator.map(Kernels.hash64(_, 42L)).toArray
+        java.util.Arrays.sort(arr)
+        arr.distinct // dedup-by-hash: identical up to 2^-64 collisions (none here)
+      }
+      val r15 = Kernels.hashedShinglesLoop(t, n)
+      assert(r15.toSeq == r14.toSeq, s"n=$n text=$t")
+    }
+  }
+
+  test("expression-backed shingle/sig/band columns match the loop composition") {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+        Kernels.hashedShinglesKernel(3)(col("text")).as("sh"))
+      .withColumn("sig", Kernels.minhashSigFromHashes(64, 42L)(col("sh")))
+      .withColumn("bands", Kernels.bandKeysKernel(16, 4)(col("sig")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2), r.getSeq[Long](3)))
+      .sortBy(_._1)
+    // independent reference: the package-visible loops over the raw text
+    val rnd = new scala.util.Random(42L)
+    val as = Array.fill(64)(rnd.nextInt(Int.MaxValue - 1).toLong | 1L)
+    val bs = Array.fill(64)(rnd.nextInt(Int.MaxValue).toLong)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val sh = Kernels.hashedShinglesLoop(t, 3)
+      val sig = Kernels.minhashSigLoop(sh, as, bs)
+      val bands = Kernels.bandKeysLoop(sig, 16, 4)
+      val (_, gotSh, gotSig, gotBands) = out(i)
+      assert(gotSh.toSeq == sh.toSeq, s"sh id=$i")
+      assert(gotSig.toSeq == sig.toSeq, s"sig id=$i")
+      assert(gotBands.toSeq == bands.toSeq, s"bands id=$i")
+    }
+  }
+
+  test("graft_jaccard64 expression == jaccardMergeSorted over the same sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = Array.fill(200)(rnd.nextLong())
+    val pairs = (1 to 40).map { i =>
+      (i.toLong,
+        Array.fill(rnd.nextInt(50) + 1)(pool(rnd.nextInt(pool.length))).sorted,
+        Array.fill(rnd.nextInt(50) + 1)(pool(rnd.nextInt(pool.length))).sorted)
+    }
+    val df = pairs.map { case (i, a, b) => (i, a.toSeq, b.toSeq) }.toDF("id", "a", "b")
+    val got = df.select(col("id"), Kernels.jaccardLongKernel(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pairs.foreach { case (i, a, b) =>
+      val want = Kernels.jaccardMergeSorted(a, b)
+      assert(got(i) == want, s"pair $i")
+    }
+  }
+
+  test("graft_int8_dot == interpreted zip_with/aggregate long dot (exact)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 30).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextInt(255) - 127).toByte).toSeq)
+    }
+    val df = rows.toDF("id", "codes")
+    graft.exprs.catalyst.GraftFunctions.register(spark)
+    val got = df.select(col("id"),
+        call_function(graft.exprs.catalyst.GraftFunctions.Int8DotName,
+          col("codes"), col("codes")).as("d"),
+        aggregate(zip_with(col("codes"), col("codes"),
+          (x, y) => x.cast("long") * y.cast("long")), lit(0L), (acc, x) => acc + x).as("ref"))
+      .collect()
+    got.foreach { r => assert(r.getLong(1) == r.getLong(2), s"id=${r.getLong(0)}") }
+  }
+}
