@@ -218,6 +218,8 @@ object GraftFunctions {
   val BandKeysName = "graft_band_keys"
   val Jaccard64Name = "graft_jaccard64"
   val Int8DotName = "graft_int8_dot"
+  val ClassifierSumName = "graft_classifier_sum"
+  val WordGramsName = "graft_word_grams"
 
   /** Literal-int extraction for the registration builders (the graft_top_k
     * pattern: scalar kernel parameters arrive as plan literals). */
@@ -344,6 +346,26 @@ object GraftFunctions {
         require(exprs.length == 2, s"$Int8DotName expects 2 array arguments")
         Int8DotExpr(castToByteArray(Int8DotName, exprs.head),
           castToByteArray(Int8DotName, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ClassifierSumName,
+      { exprs =>
+        require(exprs.length == 2, s"$ClassifierSumName expects (tokens, weightsLiteral)")
+        val w = exprs(1) match {
+          case Literal(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                       ArrayType(DoubleType, _)) => arr.toDoubleArray()
+          case other => throw new graft.model.ExpressionError(
+            s"$ClassifierSumName expects a literal double-array weights argument, got $other")
+        }
+        ClassifierSumExpr(exprs.head, w)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      WordGramsName,
+      { exprs =>
+        require(exprs.length == 2, s"$WordGramsName expects (tokens, k)")
+        WordGramsExpr(exprs.head, litInt(WordGramsName, exprs(1)))
       },
       "built-in")
   }

@@ -56,6 +56,60 @@ object KernelExprs {
       graft.ext.Kernels.sortedAsc(a.toLongArray()),
       graft.ext.Kernels.sortedAsc(b.toLongArray()))
 
+  private val md5Tl = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Σ weights[(first-60-bits-of-md5(token) mod weights.length)] over the
+    * tokens in order — see [[ClassifierSumExpr]]. */
+  def classifierSum(toks: ArrayData, weights: Array[Double]): Double = {
+    val b = weights.length
+    val md = md5Tl.get()
+    var sum = 0.0
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(toks.getUTF8String(i).getBytes)
+      // integer value of the first 15 hex digits: 7 full bytes, then the
+      // high nibble of byte 8 — what conv(substring(md5,1,15),16,10) parses
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) >> 4) & 0xfL)
+      sum += weights((v % b).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  /** Space-joined word n-grams of order k, one per position — see
+    * [[WordGramsExpr]]. */
+  def wordGrams(toks: ArrayData, k: Int): ArrayData = {
+    if (toks == null || toks.numElements() < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val n = toks.numElements()
+    val ts = new Array[String](n)
+    var i = 0
+    while (i < n) { ts(i) = toks.getUTF8String(i).toString; i += 1 }
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    var p = 0
+    while (p <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(ts(p + j))
+        j += 1
+      }
+      out(p) = UTF8String.fromString(sb.toString)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Integer dot of two int8 code arrays, summed in longs (exact — the
     * double cast happens once at the caller, same as the interpreted
     * `zip_with`/`aggregate` form this replaces). */
@@ -69,6 +123,74 @@ object KernelExprs {
     }
     dot
   }
+}
+
+/** Hashed-linear-classifier contribution sum — the expression form of the
+  * interpreted `aggregate(transform(toks, t => element_at(w, (conv(
+  * substring(md5(t),1,15),16,10) % b) + 1)), 0.0, +)` tree in
+  * `TextFunctions.linearClassifierScore`: per token, MD5 the UTF-8 bytes,
+  * take the integer value of the first 15 HEX DIGITS (= the first 60 bits:
+  * 7 full bytes then the high nibble of byte 8 — exactly what
+  * `conv(substring(md5(t),1,15),16,10)` parses, without materializing the
+  * hex string or running the base-16 string parser), index the weight
+  * array modulo its length, and left-fold the double sum in token order —
+  * the same fold order as `aggregate`, so the sum is bit-identical.
+  * Empty token arrays sum to 0.0 (as `aggregate` over an empty array);
+  * the caller's `when(size(toks) > 0, ...)` guard is unchanged. */
+case class ClassifierSumExpr(child: Expression, weights: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_classifier_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    KernelExprs.classifierSum(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("graftClsW", weights, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.exprs.catalyst.KernelExprs.classifierSum($c, $wRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // Array fields break case-class equality; compare by content so plan
+  // canonicalization (and cached-plan reuse) treats equal weights as equal.
+  override def equals(other: Any): Boolean = other match {
+    case ClassifierSumExpr(c, w) => c == child && java.util.Arrays.equals(w, weights)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(weights)
+}
+
+/** All word n-grams of order `k` of a token array (space-joined, one per
+  * position, NOT distinct — these feed COUNTS) — the expression form of
+  * the interpreted `transform(sequence(0, size-k), i =>
+  * array_join(slice(toks, i+1, k), " "))` tree in
+  * `LanguageModel.ngramCounts`. Null or shorter-than-`k` token arrays
+  * yield an EMPTY array (the `when(size >= k, ...).otherwise(array())`
+  * guard this replaces). */
+case class WordGramsExpr(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_word_grams"
+
+  override def eval(input: InternalRow): Any =
+    KernelExprs.wordGrams(child.eval(input).asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code +
+        code"$jt ${ev.value} = graft.exprs.catalyst.KernelExprs.wordGrams(${c.isNull} ? null : ${c.value}, $k);",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Sorted-distinct hashed word shingles of a text column — the expression

@@ -54,13 +54,21 @@ object LanguageModel {
     *         their `sum(cnt)` is the corpus token count `N`. */
   def ngramCounts(corpus: DataFrame, textCol: String, n: Int): DataFrame = {
     require(n >= 1 && n <= MaxOrder, s"n must be in 1..$MaxOrder, got $n")
+    // expression-backed gram enumeration since r15
+    // (graft.exprs.catalyst.WordGramsExpr): the interpreted
+    // transform/sequence/slice/array_join tree allocated an array slice
+    // and walked ~5 expression nodes per position per order — the kernel
+    // emits the same space-joined windows in one pass (empty array for
+    // null/short token arrays, exactly the when/otherwise guard it
+    // replaces; gram strings identical, so counts and every downstream
+    // join key are unchanged).
+    graft.exprs.catalyst.GraftFunctions.register(corpus.sparkSession)
     val toks = corpus.select(TextFunctions.tokens(col(textCol)).as("__t"))
     (1 to n).map { k =>
       toks
-        .select(explode(when(size(col("__t")) >= k,
-          transform(sequence(lit(0), size(col("__t")) - k),
-            i => array_join(slice(col("__t"), i + 1, lit(k)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+        .select(explode(call_function(
+          graft.exprs.catalyst.GraftFunctions.WordGramsName,
+          col("__t"), lit(k))).as("gram"))
         .groupBy(col("gram"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("order", lit(k))

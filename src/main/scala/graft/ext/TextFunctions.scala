@@ -621,13 +621,19 @@ object TextFunctions {
   def linearClassifierScore(text: Column, weights: Seq[Double],
                             bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "weights must be non-empty")
-    val b = weights.length
-    val wArr = array(weights.map(lit): _*)
+    // expression-backed since r15 (graft.exprs.catalyst.ClassifierSumExpr):
+    // the interpreted transform+aggregate walked ~6 expression-tree nodes
+    // per token and the md5 path materialized a hex STRING per token and
+    // re-parsed it with the base-16 string parser (conv) — the kernel
+    // digests the UTF-8 bytes and takes the same first 60 bits
+    // arithmetically, left-folding the sum in the same token order, so the
+    // score doubles are bit-identical (KernelsEquivSpec).
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(graft.exprs.catalyst.GraftFunctions.register)
     val toks = tokens(text)
-    val contrib = transform(toks, t =>
-      element_at(wArr,
-        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % b).cast("int") + 1))
-    val mean = aggregate(contrib, lit(0.0), (acc, x) => acc + x) / size(toks)
+    val mean = call_function(graft.exprs.catalyst.GraftFunctions.ClassifierSumName,
+      toks, lit(weights.toArray)) / size(toks)
     when(size(toks) > 0,
       lit(1.0) / (lit(1.0) + exp(-(lit(bias) + mean))))
       .otherwise(lit(1.0 / (1.0 + math.exp(-bias))))

@@ -78,6 +78,51 @@ class KernelsEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_classifier_sum == interpreted md5/conv/element_at fold (bit-identical scores)") {
+    import spark.implicits._
+    val weights = (0 until 64).map(j => ((j * 2654435761L) % 1000) / 500.0 - 1.0)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    // the r14 declarative formulation, re-derived inline
+    val b = weights.length
+    val wArr = array(weights.map(lit): _*)
+    val toks = graft.ext.TextFunctions.tokens(col("text"))
+    val contrib = transform(toks, t =>
+      element_at(wArr,
+        (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % b).cast("int") + 1))
+    val r14mean = aggregate(contrib, lit(0.0), (acc, x) => acc + x) / size(toks)
+    val r14score = when(size(toks) > 0,
+      lit(1.0) / (lit(1.0) + exp(-(lit(0.0) + r14mean))))
+      .otherwise(lit(0.5))
+    val rows = df.select(col("id"),
+        graft.ext.TextFunctions.linearClassifierScore(col("text"), weights).as("got"),
+        r14score.as("want")).collect()
+    rows.foreach { r =>
+      val got = if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))
+      val want = if (r.isNullAt(2)) null else java.lang.Double.valueOf(r.getDouble(2))
+      assert(got == want, s"id=${r.getLong(0)}: $got vs $want")
+    }
+  }
+
+  test("graft_word_grams == interpreted transform/slice/array_join windows") {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), graft.ext.TextFunctions.tokens(col("text")).as("__t"))
+    graft.exprs.catalyst.GraftFunctions.register(spark)
+    for (k <- Seq(1, 2, 3, 5)) {
+      val r14 = when(size(col("__t")) >= k,
+        transform(sequence(lit(0), size(col("__t")) - k),
+          i => array_join(slice(col("__t"), i + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val rows = df.select(col("id"),
+          call_function(graft.exprs.catalyst.GraftFunctions.WordGramsName,
+            col("__t"), lit(k)).as("got"),
+          r14.as("want")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2), s"k=$k id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("graft_int8_dot == interpreted zip_with/aggregate long dot (exact)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
