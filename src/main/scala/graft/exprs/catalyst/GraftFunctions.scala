@@ -220,6 +220,9 @@ object GraftFunctions {
   val Int8DotName = "graft_int8_dot"
   val ClassifierSumName = "graft_classifier_sum"
   val WordGramsName = "graft_word_grams"
+  val GramHalvesName = "graft_gram_halves"
+  val PositionalGramsName = "graft_positional_grams"
+  val SpanCutName = "graft_span_cut"
 
   /** Literal-int extraction for the registration builders (the graft_top_k
     * pattern: scalar kernel parameters arrive as plan literals). */
@@ -366,6 +369,27 @@ object GraftFunctions {
       { exprs =>
         require(exprs.length == 2, s"$WordGramsName expects (tokens, k)")
         WordGramsExpr(exprs.head, litInt(WordGramsName, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GramHalvesName,
+      { exprs =>
+        require(exprs.length == 2, s"$GramHalvesName expects (tokens, n)")
+        GramHalvesExpr(exprs.head, litInt(GramHalvesName, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PositionalGramsName,
+      { exprs =>
+        require(exprs.length == 2, s"$PositionalGramsName expects (tokens, n)")
+        PositionalGramsExpr(exprs.head, litInt(PositionalGramsName, exprs(1)))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SpanCutName,
+      { exprs =>
+        require(exprs.length == 3, s"$SpanCutName expects (tokens, starts, n)")
+        SpanCutExpr(exprs.head, exprs(1), litInt(SpanCutName, exprs(2)))
       },
       "built-in")
   }

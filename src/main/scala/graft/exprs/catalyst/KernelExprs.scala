@@ -110,6 +110,87 @@ object KernelExprs {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** First-seed positional gram fingerprints — see [[GramHalvesExpr]]. */
+  def gramHalves(toks: ArrayData, n: Int): ArrayData = {
+    val T = if (toks == null) 0 else toks.numElements()
+    if (T < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+    val ts = new Array[String](T)
+    var i = 0
+    while (i < T) { ts(i) = toks.getUTF8String(i).toString; i += 1 }
+    val h1s = new Array[Long](T - n + 1)
+    graft.ext.Kernels.positionalGramFold(ts, n, h1s, null)
+    UnsafeArrayData.fromPrimitiveArray(h1s)
+  }
+
+  /** 128-bit positional gram fingerprints — see [[PositionalGramsExpr]]. */
+  def positionalGrams(toks: ArrayData, n: Int): ArrayData = {
+    val T = if (toks == null) 0 else toks.numElements()
+    if (T < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val ts = new Array[String](T)
+    var i = 0
+    while (i < T) { ts(i) = toks.getUTF8String(i).toString; i += 1 }
+    val m = T - n + 1
+    val h1s = new Array[Long](m)
+    val h2s = new Array[Long](m)
+    graft.ext.Kernels.positionalGramFold(ts, n, h1s, h2s)
+    val out = new Array[Any](m)
+    var p = 0
+    while (p < m) {
+      out(p) = InternalRow(h1s(p), h2s(p))
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Gap-slicing span cut over Catalyst containers — see [[SpanCutExpr]].
+    * Identical interval arithmetic to [[graft.ext.Kernels.spanCutLoop]];
+    * the surviving text is assembled by BYTE-level UTF-8 concat (token
+    * bytes + 0x20 separators), which equals the UTF-8 encoding of the
+    * space-joined String for any valid-UTF-8 tokens — the udf form paid
+    * UTF8String→String per token, a UTF-16 StringBuilder, and a final
+    * String→UTF8String re-encode per document. */
+  def spanCut(toks: ArrayData, starts: ArrayData, n: Int): InternalRow = {
+    if (toks == null) return null
+    val T = toks.numElements()
+    val keptIdx = new Array[Int](T)
+    var kept = 0
+    if (starts == null || starts.numElements() == 0) {
+      while (kept < T) { keptIdx(kept) = kept; kept += 1 }
+    } else {
+      val s = starts.toIntArray()
+      var cursor = 0
+      var i = 0
+      while (i < s.length) {
+        var j = i // extend the run while consecutive starts stay within n
+        while (j + 1 < s.length && s(j + 1) - s(j) <= n) j += 1
+        var p = cursor // the gap before this run's first covered token
+        while (p < s(i)) { keptIdx(kept) = p; kept += 1; p += 1 }
+        cursor = math.max(cursor, s(j) + n)
+        i = j + 1
+      }
+      var p = cursor // tail after the last run
+      while (p < T) { keptIdx(kept) = p; kept += 1; p += 1 }
+    }
+    var total = if (kept > 1) kept - 1 else 0 // the single-space separators
+    var k = 0
+    while (k < kept) { total += toks.getUTF8String(keptIdx(k)).numBytes(); k += 1 }
+    val bytes = new Array[Byte](total)
+    var off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET.toLong
+    k = 0
+    while (k < kept) {
+      if (k > 0) {
+        org.apache.spark.unsafe.Platform.putByte(bytes, off, ' '.toByte)
+        off += 1
+      }
+      val t = toks.getUTF8String(keptIdx(k))
+      t.writeToMemory(bytes, off)
+      off += t.numBytes()
+      k += 1
+    }
+    InternalRow(UTF8String.fromBytes(bytes), T.toLong, (T - kept).toLong)
+  }
+
   /** Integer dot of two int8 code arrays, summed in longs (exact — the
     * double cast happens once at the caller, same as the interpreted
     * `zip_with`/`aggregate` form this replaces). */
@@ -283,6 +364,109 @@ case class JaccardSortedExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.exprs.catalyst.KernelExprs.jaccard64($a, $b);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** First-seed-ONLY positional gram fingerprints: element `p` is the 64-bit
+  * seed-42 fold of tokens `p..p+n-1` — bit-identical to `_1` of
+  * [[PositionalGramsExpr]]'s struct by shared loop
+  * ([[graft.ext.Kernels.positionalGramFold]] with the second seed off).
+  * The singleton-gram prefilter's phase 1 only ever consumes the 64-bit
+  * half; this skips the second char-hash pass AND the per-gram struct
+  * allocation on the full-corpus gram explode (sf1: ~350M grams). Null or
+  * shorter-than-`n` token arrays yield an empty array. Output is
+  * `UnsafeArrayData.fromPrimitiveArray` — zero per-element boxing. */
+case class GramHalvesExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_gram_halves"
+
+  override def eval(input: InternalRow): Any =
+    KernelExprs.gramHalves(child.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code +
+        code"$jt ${ev.value} = graft.exprs.catalyst.KernelExprs.gramHalves(${c.isNull} ? null : ${c.value}, $n);",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 128-bit positional word n-gram fingerprints
+  * (`array<struct<_1:bigint,_2:bigint>>`, one element per gram start) —
+  * the expression form of the r15 `positionalGramHashKernel` ScalaUDF:
+  * same per-token char hashes, same FNV-style per-position folds
+  * (shared [[graft.ext.Kernels.positionalGramFold]] core), bit-identical
+  * fingerprints. The udf paid a boxed Seq[String] input conversion per row
+  * plus a Tuple2→struct CatalystTypeConverter per GRAM — on the span-cut
+  * operators' positional explode that was one tuple + one converter
+  * dispatch per token position of the whole corpus. */
+case class PositionalGramsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("_1", LongType, nullable = false),
+    StructField("_2", LongType, nullable = false))), containsNull = true)
+  // null token arrays yield an EMPTY gram array (unobservable in the
+  // operators — the kernel sits behind a size(__toks) >= n filter — and
+  // consistent with GramHalvesExpr/HashedShinglesExpr null handling)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_positional_grams"
+
+  override def eval(input: InternalRow): Any =
+    KernelExprs.positionalGrams(child.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = c.code +
+        code"$jt ${ev.value} = graft.exprs.catalyst.KernelExprs.positionalGrams(${c.isNull} ? null : ${c.value}, $n);",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Gap-slicing span cut (`struct<cleaned_text:string,n_tokens:bigint,
+  * n_removed:bigint>`) — the expression form of the r15 `spanCutKernel`
+  * ScalaUDF: identical covered-interval arithmetic
+  * ([[graft.ext.Kernels.spanCutLoop]]'s run merge), with the surviving
+  * text assembled by byte-level UTF-8 concat instead of a UTF-16
+  * StringBuilder round trip. Null `starts` (the left-join miss for
+  * documents with no duplicated spans — the COMMON case) keeps every
+  * token, like the udf; null token arrays yield a null row. */
+case class SpanCutExpr(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("cleaned_text", StringType, nullable = true),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_span_cut"
+
+  override def eval(input: InternalRow): Any =
+    KernelExprs.spanCut(
+      left.eval(input).asInstanceOf[ArrayData],
+      right.eval(input).asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val jt = CodeGenerator.javaType(dataType)
+    ev.copy(code =
+      l.code + r.code +
+        code"""
+$jt ${ev.value} = graft.exprs.catalyst.KernelExprs.spanCut(
+  ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value}, $n);
+boolean ${ev.isNull} = ${ev.value} == null;""")
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)

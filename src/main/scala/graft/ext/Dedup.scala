@@ -2713,8 +2713,9 @@ object Dedup {
     // longs at the default, the same bounded-driver-materialization class
     // as the ANN centroids and the verify id-set collect) the component
     // fixpoint is computed in one pass of union-find on the driver:
-    // collect the DEDUPED edge list (one action on the same persisted
-    // frame the distributed arm would materialize anyway), union with
+    // collect the DEDUPED edge list with a single take-bounded probe job
+    // (limit gate+1 — under the gate that IS the edge list; over it the
+    // take stops early), union with
     // min-root-wins so every root IS its component's minimum id, and
     // parallelize the (doc_id, cluster) labels back out. Identical labels
     // by construction — both arms compute per-component min ids — and the
@@ -2725,23 +2726,44 @@ object Dedup {
     val integral = idType.exists(t =>
       t == org.apache.spark.sql.types.LongType ||
         t == org.apache.spark.sql.types.IntegerType)
-    val edgesOnce = pairs.select(col("id_a").as("src"), col("id_b").as("dst")).distinct()
+    // the gate probe, when it ran but declined, stays persisted here so the
+    // distributed arm's both-direction edge list derives from the already-
+    // deduped half-size frame instead of re-distinct-ing the raw pair set
+    var seedOnce: Option[DataFrame] = None
     if (integral && ccCollectMaxEdges > 0) {
-      val nEdges = phase("cc_edges")(edgesOnce.persist().count())
-      if (nEdges <= ccCollectMaxEdges) {
+      val edgesOnce = pairs
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .distinct().persist()
+      // ONE bounded probe job: take gate+1 deduped edges. Under the gate the
+      // result IS the complete edge list (the r15 form paid a full
+      // distinct+count job and then a second collect of the same rows);
+      // a (gate+1)-th row proves over-gate with the final aggregation's
+      // take stopped early instead of counting all of it.
+      val probeLimit = math.min(ccCollectMaxEdges + 1, Int.MaxValue.toLong).toInt
+      val probe = phase("cc_edges")(
+        edgesOnce.select(col("src").cast("long"), col("dst").cast("long"))
+          .limit(probeLimit).collect())
+      // null ids: the distributed arm limps through them (null join keys
+      // drop out of propagation), a driver getLong would NPE — exact check
+      // on the data in hand (under-gate = every row), not on schema
+      // nullability, which parquet-sourced ids carry even when all-non-null
+      val hasNull = probe.exists(r => r.isNullAt(0) || r.isNullAt(1))
+      if (probe.length < probeLimit && !hasNull) {
         val out = phase("cc_unionfind")(
-          clusterPairsUnionFind(pairs.sparkSession, edgesOnce, idType.get))
+          clusterPairsUnionFind(pairs.sparkSession, probe, idType.get))
         edgesOnce.unpersist()
         System.err.println(s"[graft] clusterPairs: union-find arm " +
-          s"($nEdges edges <= $ccCollectMaxEdges gate)")
+          s"(${probe.length} edges <= $ccCollectMaxEdges gate)")
         return out
       }
-      // over the gate: fall through with the edge list already materialized
-      // (the distributed arm's own distinct reuses the shuffle)
-      edgesOnce.unpersist()
+      seedOnce = Some(edgesOnce)
+      System.err.println(s"[graft] clusterPairs: distributed arm " +
+        s"(probe ${if (hasNull) "found null ids" else s"exceeded $ccCollectMaxEdges gate"})")
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val once = seedOnce.getOrElse(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val edges = once
+      .unionByName(once.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist()
     var labels = edges.select(col("src").as("doc_id"))
       .distinct().withColumn("cluster", col("doc_id")).persist()
@@ -2749,6 +2771,9 @@ object Dedup {
     var frontier = labels
     var iter = 0
     var moved = phase("cc_init")(frontier.count()) // also materializes labels
+    // edges (and through it labels) is materialized now — the declined
+    // probe's one-direction frame has served its purpose
+    seedOnce.foreach(_.unpersist())
     while (moved > 0 && iter < maxIter) {
       val offers = edges
         .join(frontier.select(col("doc_id").as("dst"), col("cluster").as("nc")), "dst")
@@ -2808,9 +2833,8 @@ object Dedup {
     * LocalRelation, so the plan stays small and downstream joins see an
     * ordinary scannable frame) and cast back to the pairs' id type. */
   private def clusterPairsUnionFind(spark: org.apache.spark.sql.SparkSession,
-                                    edges: DataFrame,
+                                    rows: Array[org.apache.spark.sql.Row],
                                     idType: org.apache.spark.sql.types.DataType): DataFrame = {
-    val rows = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
     val idx = new scala.collection.mutable.LongMap[Int](rows.length * 2)
     val ids = new scala.collection.mutable.ArrayBuffer[Long](rows.length)
     var parent = new Array[Int](math.max(16, rows.length))
@@ -3278,8 +3302,12 @@ object Dedup {
   private def pruneSingletonGrams(base: DataFrame, idCol: String, n: Int,
                                   nGramRows: Long): DataFrame = {
     val spark = base.sparkSession
-    val halves = positionalGrams(base, idCol, n)
-      .select(col("__g").getField("_1").as("__h"))
+    // phase 1 consumes ONLY the 64-bit first-seed half: the halves kernel
+    // (r16) computes just that chain — no second char-hash pass, no
+    // per-gram struct, no position column — over the operator's single
+    // largest explode (bit-identical to __g._1 by shared fold core)
+    val halves = base.filter(size(col("__toks")) >= n)
+      .select(explode(Kernels.gramHalvesKernel(n)(col("__toks"))).as("__h"))
       .repartition(scaledParts(spark, nGramRows), col("__h"))
     val repHalves = spill(
       halves.groupBy(col("__h")).agg(count(lit(1)).as("__c"))

@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions.udf
   * directly — the ScalaUDF boundary paid a boxed-element
   * CatalystTypeConverter per call in BOTH directions, which at sf1 was
   * billions of `java.lang.Long` allocations that existed only to cross
-  * into the loop. The remaining string-shaped kernels (word shingles,
-  * span cut, simhash, positional grams) stay ScalaUDFs: their inputs
-  * materialize Java strings either way, so the boundary is not the cost.
+  * into the loop. r16 moved the span-cut tier (positional grams, gram
+  * halves, span cut) to native expressions too: "the inputs materialize
+  * Java strings either way" was true of the HASHING, but the udf boundary
+  * ALSO paid a boxed Seq wrapper per row plus a Tuple2→struct encoder per
+  * gram on the corpus' largest explode, and the span cut's output path
+  * round-tripped every surviving document through UTF-16
+  * (String→StringBuilder→String→UTF8String) where byte-level UTF-8 concat
+  * is equivalent. The remaining string-shaped kernels (word shingles,
+  * simhash, chunk hashes) stay ScalaUDFs: they sit on small/blocked tiers
+  * where the boundary is not the measured cost.
   */
 object Kernels {
 
@@ -279,40 +286,77 @@ object Kernels {
     * per-position allocation. Collision posture matches the struct it
     * feeds: two independent 64-bit streams ⇒ ~G²/2^129 corpus-wide.
     * Documents shorter than `n` tokens yield an empty array (the caller's
-    * `size >= n` filter grain). */
-  def positionalGramHashKernel(n: Int): Column => Column = {
-    val f = udf { (toks: Seq[String]) => positionalGramHashes(toks, n) }
-    c => f(c)
+    * `size >= n` filter grain).
+    *
+    * Expression-backed since r16 ([[graft.exprs.catalyst.PositionalGramsExpr]]):
+    * the r15 ScalaUDF form paid a boxed Seq[String] input conversion plus a
+    * Tuple2→struct encoder per GRAM on the operator's hottest pass (sf1:
+    * ~350M grams per phase, and the kernel runs once per prefilter phase). */
+  def positionalGramHashKernel(n: Int): Column => Column = { c =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.PositionalGramsName,
+      c, org.apache.spark.sql.functions.lit(n))
   }
 
-  /** The one-pass gram-fingerprint loop behind [[positionalGramHashKernel]]
-    * — package-visible so [[graft.tools.KernelBench]] measures the SAME
-    * code the udf ships, not a copy that can drift. */
+  /** First-seed-only positional gram fingerprints (`_1` of
+    * [[positionalGramHashKernel]]'s struct, bit-identical by shared loop) —
+    * the singleton-gram prefilter's phase 1 consumes ONLY the 64-bit half,
+    * and computing the struct to throw half of it away cost a second
+    * char-hash pass plus a per-gram struct allocation over the FULL gram
+    * count (the operator's single largest CPU line at sf1). */
+  def gramHalvesKernel(n: Int): Column => Column = { c =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.GramHalvesName,
+      c, org.apache.spark.sql.functions.lit(n))
+  }
+
+  /** The two-seed gram-fingerprint core: per-token char hashes hoisted
+    * once per seed, then one FNV-style fold per position per requested
+    * seed. `h2s == null` skips the second seed entirely (the halves tier).
+    * Package-visible so KernelBench and the equivalence specs measure the
+    * SAME code the expressions ship. */
+  private[graft] def positionalGramFold(ts: Array[String], n: Int,
+                                        h1s: Array[Long], h2s: Array[Long]): Unit = {
+    val T = ts.length
+    val th1 = new Array[Long](T)
+    val th2 = if (h2s == null) null else new Array[Long](T)
+    var i = 0
+    while (i < T) {
+      th1(i) = hash64(ts(i), 42L)
+      if (th2 != null) th2(i) = hash64(ts(i), 7L)
+      i += 1
+    }
+    var p = 0
+    while (p <= T - n) {
+      var h1 = 0xCBF29CE484222325L
+      var j = 0
+      while (j < n) { h1 = (h1 ^ th1(p + j)) * 0x100000001B3L; j += 1 }
+      h1s(p) = h1
+      if (h2s != null) {
+        var h2 = 0x9E3779B97F4A7C15L
+        j = 0
+        while (j < n) { h2 = (h2 ^ th2(p + j)) * 0xC4CEB9FE1A85EC53L; j += 1 }
+        h2s(p) = h2
+      }
+      p += 1
+    }
+  }
+
+  /** The tuple form of the gram fingerprints — retained for KernelBench and
+    * the equivalence specs (the r14/r15 shipping shape); delegates to the
+    * same [[positionalGramFold]] core as the expressions. */
   private[graft] def positionalGramHashes(toks: Seq[String],
                                           n: Int): Array[(Long, Long)] = {
-    val t = toks.toIndexedSeq
-    val T = t.length
+    val ts = toks.toArray
+    val T = ts.length
     if (T < n) Array.empty[(Long, Long)]
     else {
-      val th1 = new Array[Long](T)
-      val th2 = new Array[Long](T)
-      var i = 0
-      while (i < T) { th1(i) = hash64(t(i), 42L); th2(i) = hash64(t(i), 7L); i += 1 }
-      val out = new Array[(Long, Long)](T - n + 1)
-      var p = 0
-      while (p <= T - n) {
-        var h1 = 0xCBF29CE484222325L
-        var h2 = 0x9E3779B97F4A7C15L
-        var j = 0
-        while (j < n) {
-          h1 = (h1 ^ th1(p + j)) * 0x100000001B3L
-          h2 = (h2 ^ th2(p + j)) * 0xC4CEB9FE1A85EC53L
-          j += 1
-        }
-        out(p) = (h1, h2)
-        p += 1
-      }
-      out
+      val h1s = new Array[Long](T - n + 1)
+      val h2s = new Array[Long](T - n + 1)
+      positionalGramFold(ts, n, h1s, h2s)
+      Array.tabulate(T - n + 1)(p => (h1s(p), h2s(p)))
     }
   }
 
@@ -328,9 +372,11 @@ object Kernels {
     * filter/sequence/slice formulation in `Dedup.cutCoveredSpans`, which
     * walked interpreted HOF expression trees per element and cost ~2,900
     * CPU-s at sf1 where this loop costs a few hundred. */
-  def spanCutKernel(n: Int): (Column, Column) => Column = {
-    val f = udf { (toks: Seq[String], starts: Seq[Int]) => spanCutLoop(toks, starts, n) }
-    (toks, starts) => f(toks, starts)
+  def spanCutKernel(n: Int): (Column, Column) => Column = { (toks, starts) =>
+    registerActive()
+    org.apache.spark.sql.functions.call_function(
+      graft.exprs.catalyst.GraftFunctions.SpanCutName,
+      toks, starts, org.apache.spark.sql.functions.lit(n))
   }
 
   /** The gap-slicing loop behind [[spanCutKernel]] — package-visible so

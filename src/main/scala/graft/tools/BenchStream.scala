@@ -151,17 +151,22 @@ object BenchStream {
         s"$indexed indexed) cal=${"%.3f".format(calPre)}/${"%.3f".format(calPost)}")
     }
 
-    // Merge mode (SPARK_GRAFT_BENCH_STREAM_MERGE=1): per-tier MIN-WALL
-    // across sessions, the protocol the sf1/scaling records use — a
-    // streaming tier is deterministic (mtime-ordered batches, fixed
-    // corpus), so interference only ever adds time and the fastest
-    // session is the closest observation. Guard rails: only a
+    // Merge mode (DEFAULT ON; SPARK_GRAFT_BENCH_STREAM_MERGE=0 opts out):
+    // per-tier MIN-WALL across sessions, the protocol the sf1/scaling
+    // records use — a streaming tier is deterministic (mtime-ordered
+    // batches, fixed corpus), so interference only ever adds time and the
+    // fastest session is the closest observation. Guard rails: only a
     // heap-matched prior record merges, and a tier whose SURVIVOR count
     // changed never carries a stale wall (a semantics change must always
     // re-measure). Tiers absent from this session (SPARK_GRAFT_STREAM_TIERS
-    // subset runs) carry over verbatim.
+    // subset runs) carry over verbatim. Merge was opt-IN until r16, and the
+    // r15 end-of-round session ran without the flag — one slow non-merged
+    // session silently REPLACED the 3-session protocol record (the exact
+    // side-path discipline Bench.writeHeadline already had); defaulting to
+    // merge makes the write path safe by construction, and the explicit =0
+    // opt-out remains for deliberately re-seeding a record.
     val heapGb = Runtime.getRuntime.maxMemory / (1L << 30)
-    val merge = sys.env.get("SPARK_GRAFT_BENCH_STREAM_MERGE").contains("1")
+    val merge = !sys.env.get("SPARK_GRAFT_BENCH_STREAM_MERGE").contains("0")
     var sessions = 1
     val priorTiers: Map[String, (Double, Double, Long)] =
       if (!merge) Map.empty

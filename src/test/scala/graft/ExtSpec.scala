@@ -1637,6 +1637,34 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairs labels identically across arms when the pair frame has null ids") {
+    // r16: the gate probe inspects the collected rows for null ids and
+    // falls through to the distributed arm (a driver getLong would NPE
+    // where distributed propagation drops null join keys) — both gate
+    // settings must produce the same labels on a null-bearing graph
+    val rows = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 3L), (null, 5L), (6L, null), (7L, 8L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("id_b", org.apache.spark.sql.types.LongType, nullable = true))))
+    def run(gate: Long): Set[(Option[Long], Option[Long])] = {
+      val prior = Dedup.ccCollectMaxEdges
+      Dedup.ccCollectMaxEdges = gate
+      try Dedup.clusterPairs(df).collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      finally Dedup.ccCollectMaxEdges = prior
+    }
+    val withGate = run(Dedup.ccCollectMaxEdges)
+    val distributed = run(0L)
+    assert(withGate == distributed,
+      s"null-id graph labels differ: gate=$withGate distributed=$distributed")
+    // the non-null component must still be labeled by its minimum
+    assert(withGate.contains((Some(2L), Some(1L))) && withGate.contains((Some(3L), Some(1L))))
+  }
+
   test("keepBestPerCluster keeps the highest-priority member, min id on ties") {
     import spark.implicits._
     val frame = Seq(

@@ -123,6 +123,61 @@ class KernelsEquivSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_positional_grams / graft_gram_halves == the r15 ScalaUDF fingerprints") {
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select(col("id"), graft.ext.TextFunctions.tokens(col("text")).as("__toks"))
+    // the r15 shipping form, re-derived: the tuple loop behind the udf
+    for (n <- Seq(1, 2, 3, 8)) {
+      val r15udf = udf { (toks: Seq[String]) =>
+        if (toks == null) Array.empty[(Long, Long)]
+        else Kernels.positionalGramHashes(toks, n)
+      }
+      val rows = df.select(col("id"),
+          Kernels.positionalGramHashKernel(n)(col("__toks")).as("got"),
+          Kernels.gramHalvesKernel(n)(col("__toks")).as("gotHalves"),
+          r15udf(col("__toks")).as("want")).collect()
+      rows.foreach { r =>
+        val got = r.getSeq[org.apache.spark.sql.Row](1).map(g => (g.getLong(0), g.getLong(1)))
+        val halves = r.getSeq[Long](2)
+        val want = r.getSeq[org.apache.spark.sql.Row](3).map(g => (g.getLong(0), g.getLong(1)))
+        assert(got == want, s"n=$n id=${r.getLong(0)}: struct fingerprints diverge")
+        assert(halves == want.map(_._1), s"n=$n id=${r.getLong(0)}: halves diverge from _1")
+      }
+    }
+  }
+
+  test("graft_span_cut == the r15 spanCutLoop udf (text bytes, counts, null starts)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val tokenPool = Array("alpha", "beta", "café", "中文", "x", "déjà-vu".replace("-", ""), "tok")
+    val rows = (1 to 60).map { i =>
+      val T = rnd.nextInt(40)
+      val toks = Seq.fill(T)(tokenPool(rnd.nextInt(tokenPool.length)))
+      // starts: sorted distinct positions in [0, T) — including empty and
+      // null frames (the left-join miss), adjacent runs and tail coverage
+      val starts: Seq[Int] =
+        if (i % 5 == 0) null
+        else if (T == 0) Seq.empty
+        else Seq.fill(rnd.nextInt(T + 1))(rnd.nextInt(T)).distinct.sorted
+      (i.toLong, toks, starts)
+    }
+    val df = rows.toDF("id", "toks", "starts")
+    for (n <- Seq(1, 3, 8)) {
+      val r15udf = udf { (toks: Seq[String], starts: Seq[Int]) =>
+        Kernels.spanCutLoop(toks, starts, n) }
+      val out = df.select(col("id"),
+          Kernels.spanCutKernel(n)(col("toks"), col("starts")).as("got"),
+          r15udf(col("toks"), col("starts")).as("want")).collect()
+      out.foreach { r =>
+        val got = r.getStruct(1); val want = r.getStruct(2)
+        assert(got.getString(0) == want.getString(0), s"n=$n id=${r.getLong(0)}: text")
+        assert(got.getLong(1) == want.getLong(1), s"n=$n id=${r.getLong(0)}: n_tokens")
+        assert(got.getLong(2) == want.getLong(2), s"n=$n id=${r.getLong(0)}: n_removed")
+      }
+    }
+  }
+
   test("graft_int8_dot == interpreted zip_with/aggregate long dot (exact)") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
